@@ -1,0 +1,89 @@
+"""Declared query surface: every operator from SURVEY.md §2 as a named
+(spark-builder, duckdb-oracle-SQL) pair over the driver's test tables.
+
+Oracle-match discipline (the driver hash-compares values after sorting columns
+by name):
+- every computed column is aliased identically in Spark and SQL
+- double aggregations go through DECIMAL(20,4) so the sum is exact and
+  order-insensitive, then cast back to double — bit-identical across engines
+- dates/timestamps are output as formatted strings or epoch-ms longs, never
+  raw temporal types (engine dtype mismatch risk)
+- every LIMIT/top-k is totally ordered via a unique tie-break key
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@dataclass
+class Q:
+    """One declared query: Spark builder + optional DuckDB oracle SQL."""
+
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table.  events.parquet carries TIMESTAMP(NANOS) which
+    Spark only reads via the nanosAsLong legacy mode; we normalize to an
+    epoch-ms long (``ts_ms``) and a microsecond timestamp (``ts``) matching
+    DuckDB's own nanos→us truncation."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_ms", F.expr("ts_ns DIV 1000000"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000")))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# -- deterministic numeric aggregation helpers ------------------------------
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-insensitive exact sum of a double column: sum in DECIMAL(20,4),
+    surface as double.  SQL twin: CAST(SUM(CAST(x AS DECIMAL(20,4))) AS DOUBLE).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(20,4)")).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Exact-sum / count average.  SQL twin:
+    CAST(SUM(CAST(x AS DECIMAL(20,4))) AS DOUBLE) / COUNT(x)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast("decimal(20,4)")).cast("double") / F.count(c)).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(20,4))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(20,4))) AS DOUBLE) / COUNT({expr}) AS {alias}"
+
+
+def registry() -> list[Q]:
+    from datalake_spark.queries import relational, datalake_q, pipeline_q
+
+    return relational.QUERIES + datalake_q.QUERIES + pipeline_q.QUERIES

@@ -1,0 +1,238 @@
+"""Datalake catalog-semantics queries (SURVEY.md §2.1 O1-O9) declared for the
+oracle gate.
+
+The driver's test tables carry no ``files`` fixture, so both sides derive the
+same deterministic file-metadata view from ``events``:
+
+    id          = event_id
+    what        = event_type
+    site        = 'u' || (user_id % 50)          («where» — SQL keyword)
+    start_ms    = epoch-ms(ts)
+    end_ms      = NULL when event_type='error' (instant file)
+                  else start_ms + floor(value * 60000)   (value minutes)
+    work_id     = NULL when k % 3 = 0 else 'w' || (k % 20),  k = props.$.k
+    create_time = start_ms + event_id % 1000
+    hash        = md5(event_id)
+
+Then the reference's query semantics run against that view through the real
+engine code (datalake_spark.query.QueryEngine), so the oracle gate covers the
+production operators: interval-overlap incl. NULL-end (querier.py:286-303),
+latest-by-(start,create_time) (querier.py:384-395), work-id lookup
+(querier.py:192-215), and the day-bucket fan-out (record.py:171-192).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_spark.queries import Q, load
+from datalake_spark.query import QueryEngine
+
+_DAY_MS = 86400000
+
+# Shared oracle CTE: must match files_from_events() column-for-column.
+FILES_CTE = """
+files AS (
+  SELECT event_id AS id,
+         event_type AS what,
+         'u' || CAST(user_id % 50 AS VARCHAR) AS site,
+         epoch_ms(ts) AS start_ms,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE epoch_ms(ts) + CAST(FLOOR(value * 60000) AS BIGINT) END AS end_ms,
+         CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 3 = 0 THEN NULL
+              ELSE 'w' || CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 20 AS VARCHAR)
+         END AS work_id,
+         epoch_ms(ts) + event_id % 1000 AS create_time,
+         md5(CAST(event_id AS VARCHAR)) AS hash
+  FROM events
+)
+"""
+
+
+def files_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("what"),
+        F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")).alias("site"),
+        F.col("ts_ms").alias("start_ms"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("long"))
+        .otherwise(
+            F.col("ts_ms") + F.floor(F.col("value") * 60000).cast("long")
+        )
+        .alias("end_ms"),
+        F.when(k % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("w"), (k % 20).cast("string")))
+        .alias("work_id"),
+        (F.col("ts_ms") + F.col("event_id") % 1000).alias("create_time"),
+        F.md5(F.col("event_id").cast("string")).alias("hash"),
+    )
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> QueryEngine:
+    # QueryEngine expects reference column names (start/end/where); the view
+    # uses SQL-safe aliases, so rename on the way in and back out.
+    df = (
+        files_from_events(spark, sf_dir)
+        .withColumnRenamed("start_ms", "start")
+        .withColumnRenamed("end_ms", "end")
+        .withColumnRenamed("site", "where")
+    )
+    return QueryEngine(df)
+
+
+def _out(df: DataFrame) -> DataFrame:
+    return df.select(
+        "id",
+        "what",
+        F.col("where").alias("site"),
+        F.col("start").alias("start_ms"),
+        F.col("end").alias("end_ms"),
+        "work_id",
+        "create_time",
+        "hash",
+    )
+
+
+# -- O1/O3: time-interval query with NULL-end overlap semantics -------------
+_Q_START = 1704672000000  # 2024-01-08T00:00:00Z
+_Q_END = 1705276800000  # 2024-01-15T00:00:00Z
+
+
+def dl_time_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return _out(eng.by_time("purchase", _Q_START, _Q_END))
+
+
+DL_TIME_SQL = f"""
+WITH {FILES_CTE}
+SELECT id, what, site, start_ms, end_ms, work_id, create_time, hash
+FROM files
+WHERE what = 'purchase'
+  AND start_ms <= {_Q_END}
+  AND COALESCE(end_ms, start_ms) >= {_Q_START}
+"""
+
+
+def dl_time_interval_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return _out(eng.by_time("error", _Q_START, _Q_END, where="u7"))
+
+
+DL_TIME_WHERE_SQL = f"""
+WITH {FILES_CTE}
+SELECT id, what, site, start_ms, end_ms, work_id, create_time, hash
+FROM files
+WHERE what = 'error' AND site = 'u7'
+  AND start_ms <= {_Q_END}
+  AND COALESCE(end_ms, start_ms) >= {_Q_START}
+"""
+
+
+# -- O2: work-id query ------------------------------------------------------
+def dl_work_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return _out(eng.by_work_id("w7", "click"))
+
+
+DL_WORK_ID_SQL = f"""
+WITH {FILES_CTE}
+SELECT id, what, site, start_ms, end_ms, work_id, create_time, hash
+FROM files WHERE work_id = 'w7' AND what = 'click'
+"""
+
+
+# -- O4: latest per (what, site) with lookback/lookforward + tie-break ------
+_AS_OF = 1706313600000  # 2024-01-27T00:00:00Z — inside the events range
+
+
+def dl_latest_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return _out(eng.latest_all(as_of=_AS_OF))
+
+
+DL_LATEST_SQL = f"""
+WITH {FILES_CTE}
+SELECT id, what, site, start_ms, end_ms, work_id, create_time, hash
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY what, site
+            ORDER BY start_ms DESC, create_time DESC) AS rn
+  FROM files
+  WHERE start_ms >= {_AS_OF} - 14 * {_DAY_MS}
+    AND start_ms <= {_AS_OF} + {_DAY_MS}
+) WHERE rn = 1
+"""
+
+
+# -- bucket fan-out: the reference's DatalakeRecord explode (record.py:171-192)
+def dl_bucket_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = files_from_events(spark, sf_dir)
+    exploded = files.withColumn(
+        "time_bucket",
+        F.explode(
+            F.sequence(
+                (F.col("start_ms") / _DAY_MS).cast("long"),
+                (F.coalesce(F.col("end_ms"), F.col("start_ms")) / _DAY_MS).cast("long"),
+            )
+        ),
+    )
+    return (
+        exploded.groupBy("time_bucket", "what")
+        .agg(F.count(F.lit(1)).alias("n_records"), F.countDistinct("id").alias("n_files"))
+        .withColumn(
+            "time_index_key",
+            F.concat_ws(":", F.col("time_bucket"), F.col("what")),
+        )
+    )
+
+
+DL_FANOUT_SQL = f"""
+WITH {FILES_CTE},
+exploded AS (
+  SELECT f.*, CAST(b AS BIGINT) AS time_bucket
+  FROM files f, UNNEST(generate_series(start_ms // {_DAY_MS},
+                                       COALESCE(end_ms, start_ms) // {_DAY_MS})) AS t(b))
+SELECT time_bucket, what, COUNT(*) AS n_records, COUNT(DISTINCT id) AS n_files,
+       CAST(time_bucket AS VARCHAR) || ':' || what AS time_index_key
+FROM exploded GROUP BY time_bucket, what
+"""
+
+
+# -- O9: ISO-8601 enrichment (v0.py:35-63) ----------------------------------
+def dl_iso_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = files_from_events(spark, sf_dir).filter(F.col("what") == "signup")
+    iso = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    return files.select(
+        "id",
+        "start_ms",
+        "end_ms",
+        F.date_format(F.timestamp_millis(F.col("start_ms")), iso).alias("start_iso"),
+        F.when(
+            F.col("end_ms").isNotNull(),
+            F.date_format(F.timestamp_millis(F.col("end_ms")), iso),
+        ).alias("end_iso"),
+    )
+
+
+DL_ISO_SQL = f"""
+WITH {FILES_CTE}
+SELECT id, start_ms, end_ms,
+       strftime(make_timestamp(start_ms * 1000), '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS start_iso,
+       CASE WHEN end_ms IS NOT NULL
+            THEN strftime(make_timestamp(end_ms * 1000), '%Y-%m-%dT%H:%M:%S.%g') || 'Z'
+       END AS end_iso
+FROM files WHERE what = 'signup'
+"""
+
+
+QUERIES = [
+    Q("dl_time_interval", dl_time_interval, DL_TIME_SQL, "O1 interval overlap + NULL end"),
+    Q("dl_time_interval_where", dl_time_interval_where, DL_TIME_WHERE_SQL, "O1+O3 with where filter"),
+    Q("dl_work_id", dl_work_id, DL_WORK_ID_SQL, "O2 work-id lookup"),
+    Q("dl_latest_all", dl_latest_all, DL_LATEST_SQL, "O4 latest per (what,where)"),
+    Q("dl_bucket_fanout", dl_bucket_fanout, DL_FANOUT_SQL, "record.py bucket fan-out"),
+    Q("dl_iso_enrichment", dl_iso_enrichment, DL_ISO_SQL, "O9 ISO timestamps"),
+]

@@ -1,0 +1,352 @@
+"""Training-data-pipeline + event-analytics queries: exact dedup, n-gram
+Jaccard near-dup, text statistics/quality, embedding cosine top-k (brute-force
+ANN baseline), as-of join, sessionization.  All oracle-checked against DuckDB.
+
+Float discipline for cross-engine bit-equality: every dot product / norm is
+summed in DECIMAL (exact, order-insensitive) over identical double products,
+then surfaced as double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datalake_spark.queries import Q, load, dsum, sql_dsum
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — exact dedup on a content fingerprint (hash-groupBy).
+# Fingerprint = md5 of the first 6 tokens, so same-prefix docs group.
+# At scale: one shuffle on the 128-bit key; skew-safe (uniform hash).
+# ---------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 6)))
+    return (
+        docs.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(array_to_string(string_split(text, ' ')[1:6], ' ')) AS fp,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_stats — token counting + ratios (whitespace tokenizer).
+# ---------------------------------------------------------------------------
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        n_toks.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / n_toks).alias("stop_ratio"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_toks).alias("uniq_ratio"),
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id, lang,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_computed,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT) AS n_stopwords,
+       CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS stop_ratio,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS uniq_ratio
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_quality — composite quality score per document (deterministic formula;
+# the classifier-style heuristic a pretraining pipeline applies pre-filter).
+# ---------------------------------------------------------------------------
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double") / n_toks
+    len_score = F.least(F.lit(1.0), n_toks / F.lit(50.0))
+    short_tok = F.size(F.filter(toks, lambda x: F.length(x) <= 2)).cast("double") / n_toks
+    score = F.lit(0.5) * len_score + F.lit(0.3) * uniq + F.lit(0.2) * (1 - short_tok)
+    return docs.select(
+        "doc_id",
+        "source",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+TEXT_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq,
+         CAST(len(list_filter(string_split(text, ' '), x -> LENGTH(x) <= 2)) AS DOUBLE) AS n_short
+  FROM documents)
+SELECT doc_id, source,
+       0.5 * LEAST(1.0, n_toks / 50.0) + 0.3 * (n_uniq / n_toks)
+         + 0.2 * (1 - n_short / n_toks) AS quality_score,
+       (0.5 * LEAST(1.0, n_toks / 50.0) + 0.3 * (n_uniq / n_toks)
+         + 0.2 * (1 - n_short / n_toks)) >= 0.5 AS keep
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard — near-duplicate pairs by 3-word-shingle Jaccard >= 0.5.
+# The exact form of MinHash's target quantity: shingle-set overlap via a
+# self-equi-join on shingle (shuffle on shingle hash; the LSH variant in
+# operators/dedup.py replaces the full join with banded buckets at scale).
+# ---------------------------------------------------------------------------
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+        )
+    )
+    sh = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+NGRAM_JACCARD_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_cosine_topk — brute-force cosine top-3 neighbors for 3 query
+# vectors.  Dot/norm sums go through DECIMAL(30,12) over double products so
+# both engines produce bit-identical similarities.  At scale: the query side
+# broadcasts; candidates stream; the LSH-bucketed variant (operators/
+# similarity.py) cuts the candidate set.
+# ---------------------------------------------------------------------------
+_N_QUERY_VECS = 3
+_TOP_K = 3
+
+
+def _vec_elements(df: DataFrame, id_col: str) -> DataFrame:
+    return df.select(
+        F.col("vec_id").alias(id_col),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+
+
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qv = _vec_elements(emb.filter(F.col("vec_id") < _N_QUERY_VECS), "q_id")
+    cv = _vec_elements(emb.filter(F.col("vec_id") >= _N_QUERY_VECS), "c_id")
+    norms = (
+        _vec_elements(emb, "vid")
+        .groupBy("vid")
+        .agg(
+            F.sum((F.col("val") * F.col("val")).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("norm_sq")
+        )
+    )
+    dots = (
+        qv.join(cv, "pos")
+        .groupBy("q_id", "c_id")
+        .agg(
+            F.sum((qv["val"] * cv["val"]).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    nq = norms.select(F.col("vid").alias("q_id"), F.col("norm_sq").alias("nq"))
+    nc = norms.select(F.col("vid").alias("c_id"), F.col("norm_sq").alias("nc"))
+    sims = (
+        dots.join(F.broadcast(nq), "q_id")
+        .join(F.broadcast(nc), "c_id")
+        .withColumn("cosine", F.col("dot") / (F.sqrt("nq") * F.sqrt("nc")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("q_id", "c_id", "rk", F.round("cosine", 8).alias("cosine_r"))
+    )
+
+
+EMBEDDING_TOPK_SQL = f"""
+WITH el AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+         UNNEST(generate_series(1, len(embedding))) AS pos
+  FROM embeddings),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS norm_sq
+  FROM el GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM el q JOIN el c ON q.pos = c.pos
+  WHERE q.vec_id < {_N_QUERY_VECS} AND c.vec_id >= {_N_QUERY_VECS}
+  GROUP BY 1, 2),
+sims AS (
+  SELECT q_id, c_id, dot / (SQRT(nq.norm_sq) * SQRT(nc.norm_sq)) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = q_id
+  JOIN norms nc ON nc.vec_id = c_id)
+SELECT q_id, c_id, rk, ROUND(cosine, 8) AS cosine_r FROM (
+  SELECT q_id, c_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+  FROM sims) WHERE rk <= {_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# asof_join — for each purchase event, the most recent signup by the same
+# user at or before it.  Expressed as a running max over the event stream —
+# the single-shuffle as-of pattern (vs. the generic union-window as-of in
+# operators/asof.py).
+# ---------------------------------------------------------------------------
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts_ms"))
+    ).over(w)
+    return (
+        ev.withColumn("last_signup_ms", last_signup)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_ms",
+            "last_signup_ms",
+            (F.col("ts_ms") - F.col("last_signup_ms")).alias("ms_since_signup"),
+        )
+    )
+
+
+ASOF_SQL = """
+SELECT event_id, user_id, ts_ms, last_signup_ms,
+       ts_ms - last_signup_ms AS ms_since_signup
+FROM (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+         MAX(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ms
+  FROM events)
+WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionize — gaps-and-islands sessions (30-min inactivity gap) per user.
+# Batch twin of streaming session_window; one shuffle on user_id.
+# ---------------------------------------------------------------------------
+_GAP_MS = 30 * 60 * 1000
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    new_sess = F.when(
+        (F.col("ts_ms") - F.lag("ts_ms", 1).over(w)) > _GAP_MS, 1
+    ).otherwise(0)
+    ws = w.rowsBetween(W.unboundedPreceding, 0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(ws))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_ms").alias("session_start_ms"),
+            F.max("ts_ms").alias("session_end_ms"),
+            dsum("value", "session_value"),
+        )
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, value, epoch_ms(ts) AS ts_ms FROM events),
+flagged AS (
+  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER w > {_GAP_MS} THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+sess AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms,
+       {sql_dsum('value', 'session_value')}
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+QUERIES = [
+    Q("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup by fingerprint"),
+    Q("text_stats", text_stats, TEXT_STATS_SQL, "token counting + ratios"),
+    Q("text_quality", text_quality, TEXT_QUALITY_SQL, "quality scoring"),
+    Q("ngram_jaccard", ngram_jaccard, NGRAM_JACCARD_SQL, "3-gram Jaccard near-dup"),
+    Q("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_TOPK_SQL, "brute-force ANN top-k"),
+    Q("asof_last_signup", asof_last_signup, ASOF_SQL, "as-of join"),
+    Q("sessionize", sessionize, SESSIONIZE_SQL, "gaps-and-islands sessions"),
+]
