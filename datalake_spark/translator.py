@@ -62,16 +62,29 @@ class Translator:
         return "".join(out)
 
     # -- column expression (distributed path) -------------------------------
+    @property
+    def _jvm_pattern(self) -> str:
+        """Java-regex form: Python's ``(?P<name>`` becomes a plain anonymous
+        group (names are already resolved to indices, and named groups share
+        the numbered sequence, so numbering is unchanged; Java group names
+        also reject underscores, so keeping them named is not an option)."""
+        return re.sub(r"\(\?P<[^>]+>", "(", self.regex.pattern)
+
     def column(self, col: Column | str) -> Column:
         """Pure-Column equivalent: regexp_extract per referenced group,
-        concatenated with the template literals (stays in codegen)."""
+        concatenated with the template literals (stays in codegen).
+
+        Unlike :meth:`translate` (which raises on non-matching input, per the
+        reference CLI behavior), non-matching rows produce the template with
+        empty group substitutions — Column expressions cannot raise per-row;
+        filter with ``regexp_like`` first if strictness is needed."""
         c = F.col(col) if isinstance(col, str) else col
         parts: list[Column] = []
         for literal, field in self._fields:
             if literal:
                 parts.append(F.lit(literal))
             if field is not None:
-                parts.append(F.regexp_extract(c, self.regex.pattern, self._group_index[field]))
+                parts.append(F.regexp_extract(c, self._jvm_pattern, self._group_index[field]))
         if not parts:
             return F.lit("")
         return F.concat(*parts)

@@ -1,0 +1,184 @@
+"""QueryEngine behavioral invariants — ported from the reference's
+api/tests/test_archive_querier.py (interval overlap :213-258, null end
+:413-460, latest :469-614, work-id :190-210) and run against a real
+SparkSession, catalog round-trip included."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_spark.catalog import Catalog
+from datalake_spark.metadata import DAY_MS
+from datalake_spark.query import QueryEngine
+from datalake_spark.schema import FILES_SCHEMA
+from tests.conftest import random_metadata
+
+T0 = 1420070400000  # 2015-01-01
+
+
+def make_files_df(spark, rows):
+    full = []
+    for i, r in enumerate(rows):
+        d = dict(r)
+        d.setdefault("version", 0)
+        d.setdefault("path", "/var/log/x")
+        d.setdefault("hash", f"h{i}")
+        d.setdefault("work_id", None)
+        d.setdefault("url", f"s3://bucket/{d['id']}/data")
+        d.setdefault("create_time", d["start"])
+        d.setdefault("size", 100)
+        full.append(d)
+    return spark.createDataFrame(full, schema=FILES_SCHEMA)
+
+
+@pytest.fixture()
+def engine(spark):
+    rows = [
+        # one-bucket file
+        {"id": "a", "what": "nginx", "where": "h1", "start": T0 + 1000, "end": T0 + 2000},
+        # spans 3 buckets
+        {"id": "b", "what": "nginx", "where": "h1", "start": T0, "end": T0 + 2 * DAY_MS + 1},
+        # instant file (null end)
+        {"id": "c", "what": "nginx", "where": "h2", "start": T0 + 5000, "end": None},
+        # different what
+        {"id": "d", "what": "syslog", "where": "h1", "start": T0 + 1000, "end": T0 + 2000},
+        # work_id files
+        {"id": "e", "what": "nginx", "where": "h1", "start": T0 + 10, "end": T0 + 20, "work_id": "job1"},
+        {"id": "f", "what": "nginx", "where": "h3", "start": T0 + 30, "end": T0 + 40, "work_id": "job1"},
+    ]
+    return QueryEngine(make_files_df(spark, rows))
+
+
+class TestByTime:
+    def test_intersecting_only(self, engine):
+        ids = {r["id"] for r in engine.by_time("nginx", T0 + 1500, T0 + 1600).collect()}
+        assert ids == {"a", "b", "e"} - {"e"} | {"b", "a"}  # e ends at T0+20
+        assert "d" not in ids
+
+    def test_bucket_spanning_file_returned_once(self, engine):
+        rows = engine.by_time("nginx", T0, T0 + 3 * DAY_MS).collect()
+        assert sum(1 for r in rows if r["id"] == "b") == 1
+
+    def test_null_end_intersects_only_at_start(self, engine):
+        # instant file at T0+5000 (test_archive_querier.py:413-460)
+        assert {r["id"] for r in engine.by_time("nginx", T0 + 4000, T0 + 6000).collect()} >= {"c"}
+        assert "c" not in {
+            r["id"] for r in engine.by_time("nginx", T0 + 5001, T0 + 6000).collect()
+        }
+
+    def test_where_filter(self, engine):
+        ids = {r["id"] for r in engine.by_time("nginx", T0, T0 + DAY_MS, where="h2").collect()}
+        assert ids == {"c"}
+
+    def test_no_results_outside_range(self, engine):
+        assert engine.by_time("nginx", T0 + 40 * DAY_MS, T0 + 41 * DAY_MS).count() == 0
+
+
+class TestByWorkId:
+    def test_lookup(self, engine):
+        ids = {r["id"] for r in engine.by_work_id("job1", "nginx").collect()}
+        assert ids == {"e", "f"}
+
+    def test_with_where(self, engine):
+        ids = {r["id"] for r in engine.by_work_id("job1", "nginx", where="h3").collect()}
+        assert ids == {"f"}
+
+    def test_missing(self, engine):
+        assert engine.by_work_id("nope", "nginx").count() == 0
+
+
+class TestLatest:
+    def test_max_start_wins(self, spark):
+        rows = [
+            {"id": "old", "what": "w", "where": "s", "start": T0, "end": None},
+            {"id": "new", "what": "w", "where": "s", "start": T0 + 1000, "end": None},
+        ]
+        eng = QueryEngine(make_files_df(spark, rows))
+        got = eng.latest("w", "s", as_of=T0 + DAY_MS).collect()
+        assert [r["id"] for r in got] == ["new"]
+
+    def test_create_time_breaks_ties(self, spark):
+        # test_archive_querier.py:510-530
+        rows = [
+            {"id": "x", "what": "w", "where": "s", "start": T0, "end": None, "create_time": T0 + 1},
+            {"id": "y", "what": "w", "where": "s", "start": T0, "end": None, "create_time": T0 + 2},
+        ]
+        eng = QueryEngine(make_files_df(spark, rows))
+        assert [r["id"] for r in eng.latest("w", "s", as_of=T0 + 1000).collect()] == ["y"]
+
+    def test_empty_archive(self, engine):
+        assert engine.latest("nope", "h1", as_of=T0).count() == 0
+
+    def test_lookback_window(self, spark):
+        rows = [{"id": "old", "what": "w", "where": "s", "start": T0, "end": None}]
+        eng = QueryEngine(make_files_df(spark, rows))
+        # 15 days later with default 14-day lookback -> not found
+        assert eng.latest("w", "s", as_of=T0 + 15 * DAY_MS).count() == 0
+        assert eng.latest("w", "s", as_of=T0 + 13 * DAY_MS).count() == 1
+
+    def test_lookforward_rejects_future(self, spark):
+        # records starting >24h after as_of are invalid (querier.py:353)
+        rows = [{"id": "fut", "what": "w", "where": "s", "start": T0 + 2 * DAY_MS, "end": None}]
+        eng = QueryEngine(make_files_df(spark, rows))
+        assert eng.latest("w", "s", as_of=T0).count() == 0
+
+
+class TestPagination:
+    def test_stable_pages(self, spark):
+        rng = random.Random(7)
+        rows = [
+            {
+                "id": f"id{i:03d}",
+                "what": "w",
+                "where": "s",
+                "start": T0 + rng.randint(0, 10**6),
+                "end": None,
+            }
+            for i in range(250)
+        ]
+        eng = QueryEngine(make_files_df(spark, rows))
+        q = eng.by_time("w", T0, T0 + DAY_MS)
+        pages = [eng.page(q, page=i, page_size=100) for i in range(3)]
+        counts = [p.count() for p in pages]
+        assert counts == [100, 100, 50]  # pages <= MAX_RESULTS, non-final full
+        all_ids = [r["id"] for p in pages for r in p.collect()]
+        assert len(set(all_ids)) == 250  # no dup across pages (stronger than ref)
+
+
+class TestCatalog:
+    def test_roundtrip_and_latest(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path))
+        rng = random.Random(42)
+        rows = []
+        for i in range(200):
+            m = random_metadata(rng)
+            rows.append(
+                {
+                    "id": m["id"],
+                    "what": m["what"],
+                    "where": m["where"],
+                    "start": m["start"],
+                    "end": m["end"],
+                    "work_id": m["work_id"],
+                }
+            )
+        df = make_files_df(spark, rows)
+        cat.append(df)
+        files = cat.files()
+        assert files.count() == 200
+        # partition layout: what + bucket_date present
+        assert "bucket_date" in files.columns
+        cat.refresh_latest()
+        latest = cat.latest_table()
+        expected = (
+            files.groupBy("what", "where")
+            .agg(F.max_by(F.struct("id"), F.struct("start", "create_time"))["id"].alias("id"))
+            .count()
+        )
+        assert latest.count() == expected
+        # engine over the catalog prunes by bucket_date without error
+        eng = QueryEngine(files)
+        assert eng.by_time("nginx", 1262304000000, 1420070400000).count() >= 0
