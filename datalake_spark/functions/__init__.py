@@ -1,0 +1,31 @@
+"""Scalar/vector function library: hashing, text analysis, vectors.
+
+Everything here prefers JVM-side built-ins; Python appears only as
+Arrow-batched pandas UDFs where Spark has no equivalent (blake2b, named-group
+formatting, simhash bit-fold).
+"""
+
+from datalake_spark.functions.hashing import blake2b_udf, minhash_signature
+from datalake_spark.functions.text import (
+    tokenize,
+    token_count,
+    stopword_ratio,
+    quality_score,
+    lang_id,
+    doc_fingerprint,
+)
+from datalake_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+__all__ = [
+    "blake2b_udf",
+    "minhash_signature",
+    "tokenize",
+    "token_count",
+    "stopword_ratio",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "cosine_similarity",
+    "dot",
+    "l2_norm",
+]

@@ -1,0 +1,53 @@
+"""Vector functions over array<float|double> embedding columns — pure Column
+expressions (zip_with/aggregate fold JVM-side; no UDF, no shuffle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two equal-length arrays, accumulated in double."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def normalize(a: Column | str) -> Column:
+    """Unit-normalize an embedding (array<double> out)."""
+    n = l2_norm(a)
+    return F.transform(_c(a), lambda x: x.cast("double") / n)
+
+
+def hyperplane_signature(a: Column | str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane (SRP) LSH signature: one bit per plane, packed into a
+    bigint.  ``planes`` is a driver-side list of unit vectors (deterministic
+    seed); the expression is pure codegen — the map stage of cosine LSH."""
+    bits = []
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(v)) for v in p])
+        d = F.aggregate(
+            F.zip_with(_c(a), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0)) * F.lit(2**j).cast("bigint"))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out

@@ -1,0 +1,88 @@
+"""Batch ingestion — the reference's push path (O12/O15/O16) re-expressed.
+
+Reference flow (client/datalake/archive.py:186-257 + dlfile.py:159-235):
+open file → infer metadata (blake2b hash, env-default where, ~translations)
+→ validate → upload to s3://bucket/{id}/data.  Here: rows are validated with
+the same Metadata semantics, content hashing is the blake2b pandas UDF, and
+the sink is the partitioned catalog table (append) — content bytes stay on
+object storage, only metadata enters the engine (the reference's own
+"datalake does not inspect the content" stance).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_spark.catalog import Catalog
+from datalake_spark.functions.hashing import blake2b_udf
+from datalake_spark.metadata import Metadata
+from datalake_spark.schema import FILES_SCHEMA
+from datalake_spark.translator import Translator
+
+
+def prepare_metadata(
+    records: Iterable[dict[str, Any]],
+    translations: dict[str, str] | None = None,
+    default_where: str | None = None,
+) -> list[dict[str, Any]]:
+    """Validate + normalize a batch of metadata dicts driver-side (the
+    reference's File._infer_metadata_fields, dlfile.py:197-219): apply
+    ``field -> "<regex>~<fmt>"`` translations against path, default
+    ``where`` from the environment, normalize dates, enforce the schema."""
+    trans = {k: Translator(v) for k, v in (translations or {}).items()}
+    out = []
+    for rec in records:
+        r = dict(rec)
+        for field, t in trans.items():
+            if r.get(field) is None and r.get("path"):
+                r[field] = t.translate(r["path"])
+        if r.get("where") is None:
+            r["where"] = default_where or os.environ.get("DATALAKE_DEFAULT_WHERE")
+        r.setdefault("work_id", None)
+        out.append(dict(Metadata(**r)))
+    return out
+
+
+def push_metadata(
+    spark: SparkSession,
+    catalog: Catalog,
+    records: list[dict[str, Any]],
+    bucket: str = "datalake",
+) -> DataFrame:
+    """Append validated metadata rows to the catalog (the index half of
+    push; content upload is object-store IO outside the query engine).
+    Returns the appended frame."""
+    import time
+
+    now_ms = int(time.time() * 1000)
+    rows = [
+        {
+            **r,
+            "url": f"s3://{bucket}/{r['id']}/data",
+            "create_time": r.get("create_time") or now_ms,
+            "size": r.get("size", 0),
+        }
+        for r in records
+    ]
+    df = spark.createDataFrame(
+        [{f.name: row.get(f.name) for f in FILES_SCHEMA.fields} for row in rows],
+        schema=FILES_SCHEMA,
+    )
+    catalog.append(df)
+    return df
+
+
+def hash_content(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach the reference's blake2b-16 content hash (dlfile.py:221-235) to
+    a frame of binary content (e.g. from the binaryFile source) — the bulk
+    variant of push-time hash inference."""
+    return df.withColumn("hash", blake2b_udf(F.col(content_col)))
+
+
+def new_id() -> str:
+    return uuid.uuid4().hex

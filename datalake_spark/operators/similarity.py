@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns.
+
+- brute_force_topk: exact cosine top-k — the correctness baseline; candidate
+  side streams, query side broadcasts, ranking via window.  O(|Q|·|C|) dot
+  products, all codegen.
+- srp_ann_topk: the scale path — random-hyperplane (SRP) LSH buckets cut the
+  candidate set to colliding buckets across T tables before exact re-rank.
+- ivf_topk: IVF-style probe — deterministic centroid assignment (no training
+  dependency: centroids are a fixed sample), query probes nprobe nearest
+  centroid partitions.
+
+At 100 TB: signatures/centroid-ids are computed in the scan (map stage);
+the only shuffles are the bucket equi-join (SRP) or the centroid equi-join
+(IVF), versus brute force's broadcast-nested-loop over everything.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from datalake_spark.functions.vectors import cosine_similarity, hyperplane_signature
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × candidates, window-rank."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    sims = (
+        c.join(F.broadcast(q))
+        .withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
+        .select("q_id", "c_id", "cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def _random_planes(dim: int, num_planes: int, num_tables: int, seed: int = 42):
+    rng = random.Random(seed)
+    tables = []
+    for _ in range(num_tables):
+        planes = []
+        for _ in range(num_planes):
+            v = [rng.gauss(0, 1) for _ in range(dim)]
+            n = math.sqrt(sum(x * x for x in v)) or 1.0
+            planes.append([x / n for x in v])
+        tables.append(planes)
+    return tables
+
+
+def srp_ann_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: SRP-LSH candidate generation (union over T
+    hash tables of same-bucket pairs) + exact re-rank of candidates.
+
+    Defaults (4 planes x 16 tables) target weak-neighbor regimes (random
+    embeddings, top cosine ~0.4): P(bucket collision) ~ (1-acos(s)/pi)^4 per
+    table, ~0.93 over 16 tables at s=0.39 — measured recall 0.84 on the test
+    corpus.  For clustered real-world embeddings, raise num_planes."""
+    tables = _random_planes(dim, num_planes, num_tables, seed)
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    q_sig = q.select(
+        "q_id",
+        "q_vec",
+        F.posexplode(
+            F.array(*[hyperplane_signature("q_vec", planes) for planes in tables])
+        ).alias("t", "sig"),
+    )
+    c_sig = c.select(
+        "c_id",
+        "c_vec",
+        F.posexplode(
+            F.array(*[hyperplane_signature("c_vec", planes) for planes in tables])
+        ).alias("t", "sig"),
+    )
+    cand = (
+        c_sig.join(F.broadcast(q_sig), ["t", "sig"])
+        .select("q_id", "q_vec", "c_id", "c_vec")
+        .distinct()
+    )
+    sims = cand.withColumn("cosine", cosine_similarity("q_vec", "c_vec")).select(
+        "q_id", "c_id", "cosine"
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: centroids = first num_centroids candidate vectors (a
+    deterministic coreset; k-means would refine but adds a training loop).
+    Every candidate is assigned to its nearest centroid; a query probes its
+    nprobe nearest centroids and re-ranks exactly within those partitions."""
+    cents = candidates.limit(num_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    c = candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+
+    # assign candidates to nearest centroid (broadcast centroids)
+    c_assign = (
+        c.join(F.broadcast(cents))
+        .withColumn("sim", cosine_similarity("c_vec", "cent_vec"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("c_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("c_id", "c_vec", "cent_id")
+    )
+    # queries probe nprobe nearest centroids
+    q_probe = (
+        q.join(F.broadcast(cents))
+        .withColumn("sim", cosine_similarity("q_vec", "cent_vec"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("rk") <= nprobe)
+        .select("q_id", "q_vec", "cent_id")
+    )
+    sims = (
+        c_assign.join(F.broadcast(q_probe), "cent_id")
+        .withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
+        .select("q_id", "c_id", "cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

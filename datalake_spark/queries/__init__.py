@@ -84,6 +84,6 @@ def sql_davg(expr: str, alias: str) -> str:
 
 
 def registry() -> list[Q]:
-    from datalake_spark.queries import relational, datalake_q, pipeline_q
+    from datalake_spark.queries import relational, datalake_q, pipeline_q, ops_q
 
-    return relational.QUERIES + datalake_q.QUERIES + pipeline_q.QUERIES
+    return relational.QUERIES + datalake_q.QUERIES + pipeline_q.QUERIES + ops_q.QUERIES

@@ -1,0 +1,277 @@
+"""Query entries for the custom operators (dedup/similarity/as-of) and the
+remaining relational coverage (grouping sets, JSON, arrays, cross join,
+percentiles, approx-distinct).
+
+MinHash-LSH shares the exact-Jaccard oracle: LSH generates candidates and the
+operator verifies them exactly, so its output equals the all-pairs answer
+(P(miss) < 1e-3 per pair at the chosen band shape) while doing bucket-local
+work — the gate double-checks the equivalence every round.  Sketch-based ops
+(approx_count_distinct, SRP/IVF ANN, SimHash) are declared rows-only: their
+values are implementation-defined, their correctness is pinned by unit tests
+against exact baselines instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_spark.operators import asof as asof_ops
+from datalake_spark.operators import dedup as dedup_ops
+from datalake_spark.operators import similarity as sim_ops
+from datalake_spark.functions.text import lang_id, quality_score
+from datalake_spark.queries import Q, load
+from datalake_spark.queries.pipeline_q import NGRAM_JACCARD_SQL
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH near-dup — same contract as ngram_jaccard, bucket-local plan.
+# ---------------------------------------------------------------------------
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup candidates (rows-only: xxhash64-derived bits).
+# ---------------------------------------------------------------------------
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup_ops.simhash_pairs(docs, max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# Rolling-fingerprint dedup survivor count (rows-only: xxhash64).
+# ---------------------------------------------------------------------------
+def fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup_ops.fingerprint_dedup(docs).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Language ID + quality — heuristic classifier as pure Column logic.
+# ---------------------------------------------------------------------------
+def lang_id_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_id("text").alias("lang_pred"),
+        F.round(quality_score("text"), 6).alias("quality_r"),
+    )
+
+
+_SW = {
+    "de": ["der", "die", "das", "und", "ein", "ist", "nicht", "zu"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "y", "un", "una", "es", "que"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que"],
+}
+
+
+def _sql_count(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in _SW[lang])
+    return f"len(list_filter(string_split(trim(text), ' '), x -> x IN ({inlist})))"
+
+
+LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         {_sql_count('de')} AS n_de,
+         {_sql_count('en')} AS n_en,
+         {_sql_count('es')} AS n_es,
+         {_sql_count('fr')} AS n_fr,
+         CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n_toks,
+         CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE) AS n_uniq,
+         CAST(len(list_filter(string_split(trim(text), ' '), x -> LENGTH(x) <= 2)) AS DOUBLE) AS n_short
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN n_de > 0 AND n_de >= GREATEST(n_en, n_es, n_fr) THEN 'de'
+            WHEN n_en > 0 AND n_en >= GREATEST(n_es, n_fr) THEN 'en'
+            WHEN n_es > 0 AND n_es >= n_fr THEN 'es'
+            WHEN n_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+       ROUND(0.5 * LEAST(1.0, n_toks / 50.0) + 0.3 * (n_uniq / n_toks)
+             + 0.2 * (1 - n_short / n_toks), 6) AS quality_r
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN variants (rows-only — approximate by design; recall pinned in tests).
+# ---------------------------------------------------------------------------
+def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    c = emb.filter(F.col("vec_id") >= 3)
+    return sim_ops.srp_ann_topk(q, c, k=3).select("q_id", "c_id", "rk")
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    c = emb.filter(F.col("vec_id") >= 3)
+    return sim_ops.ivf_topk(q, c, k=3).select("q_id", "c_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Generic as-of join operator against the windowed oracle.
+# ---------------------------------------------------------------------------
+def asof_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts_ms").alias("signup_ms")
+    )
+    joined = asof_ops.asof_join(
+        purchases,
+        signups.withColumnRenamed("signup_ms", "ts_ms").withColumn(
+            "signup_ms", F.col("ts_ms")
+        ),
+        on="ts_ms",
+        by=["user_id"],
+    )
+    return joined.select("event_id", "user_id", "ts_ms", "signup_ms")
+
+
+ASOF_GENERIC_SQL = """
+SELECT event_id, user_id, ts_ms, signup_ms FROM (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+         MAX(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ms
+  FROM events)
+WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Remaining relational coverage.
+# ---------------------------------------------------------------------------
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # identical SQL text runs on both engines (shared dialect subset)
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+Q_JSON_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       COUNT(*) AS n,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+FROM events GROUP BY 1
+"""
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.concat_ws("|", F.slice(F.sort_array(F.array_distinct(toks)), 1, 3)).alias("top3_sorted"),
+        F.size(F.array_remove(toks, "the")).cast("bigint").alias("n_non_the"),
+    )
+
+
+Q_ARRAY_SQL = """
+SELECT doc_id,
+       string_split(text, ' ')[1] AS first_tok,
+       string_split(text, ' ')[-1] AS last_tok,
+       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+       array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], '|') AS top3_sorted,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> 'the')) AS BIGINT) AS n_non_the
+FROM documents
+"""
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").select("r_name")
+    nation = load(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation).select(
+        F.col("r_name"), F.col("n_name"), F.concat_ws("-", "r_name", "n_name").alias("pair")
+    )
+
+
+Q_CROSS_SQL = """
+SELECT r_name, n_name, CONCAT_WS('-', r_name, n_name) AS pair
+FROM region CROSS JOIN nation
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch counts (rows-only: sketch values are engine-specific;
+    the exact twin q_distinct_counts is the oracle-checked baseline)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (SQL `percentile`, Spark's exact implementation)
+    vs DuckDB quantile_cont — both linear-interpolate over the sorted set."""
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               ROUND(percentile(o_totalprice, 0.5), 4) AS p50,
+               ROUND(percentile(o_totalprice, 0.9), 4) AS p90,
+               ROUND(percentile(o_totalprice, 0.99), 4) AS p99
+        FROM orders_v GROUP BY o_orderstatus
+        """
+    )
+
+
+Q_PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES = [
+    Q("minhash_lsh_dedup", minhash_lsh_dedup, NGRAM_JACCARD_SQL, "MinHash LSH near-dup (exact-verified)"),
+    Q("simhash_pairs", simhash_pairs, None, "SimHash near-dup candidates"),
+    Q("fingerprint_dedup", fingerprint_dedup, None, "rolling-fingerprint dedup"),
+    Q("lang_id_quality", lang_id_quality, LANG_ID_SQL, "language ID + quality score"),
+    Q("ann_srp_topk", ann_srp_topk, None, "SRP-LSH ANN top-k"),
+    Q("ann_ivf_topk", ann_ivf_topk, None, "IVF ANN top-k"),
+    Q("asof_generic", asof_generic, ASOF_GENERIC_SQL, "generic as-of join operator"),
+    Q("q_grouping_sets", q_grouping_sets, _GROUPING_SETS_SQL, "GROUPING SETS"),
+    Q("q_json", q_json, Q_JSON_SQL, "JSON extraction"),
+    Q("q_array_funcs", q_array_funcs, Q_ARRAY_SQL, "array function battery"),
+    Q("q_cross_join", q_cross_join, Q_CROSS_SQL, "cross join"),
+    Q("q_approx_distinct", q_approx_distinct, None, "HLL++ approx distinct"),
+    Q("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact percentiles"),
+]

@@ -1,0 +1,198 @@
+"""Operator tests: dedup family, similarity search, as-of/range joins,
+multimodal plumbing, text functions — all against real data or controlled
+frames on a live session."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_spark.operators import dedup, similarity, asof
+from datalake_spark.operators.multimodal import extract_features, MEDIA_SCHEMA
+from datalake_spark.functions.text import lang_id, quality_score, token_count
+from datalake_spark.functions.hashing import blake2b_udf
+from datalake_spark.queries import load
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF_DIR, "embeddings").cache()
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_distinct(self, spark, docs):
+        out = dedup.exact_dedup(docs)
+        # sf0.001 documents have no exact text dups -> identity
+        assert out.count() == docs.count()
+
+    def test_exact_dedup_collapses_duplicates(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+        )
+        out = dedup.exact_dedup(df)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+    def test_minhash_lsh_matches_exact_jaccard(self, spark, docs):
+        """LSH candidates + exact verify must reproduce the all-pairs answer."""
+        from datalake_spark.queries.pipeline_q import ngram_jaccard
+
+        lsh = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+        }
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard(spark, SF_DIR).collect()
+        }
+        assert lsh == exact
+
+    def test_simhash_pairs_are_near_dups(self, spark, docs):
+        pairs = dedup.simhash_pairs(docs, max_hamming=3).collect()
+        # sanity: pairs flagged by simhash share most shingles directionally
+        assert all(r["hamming"] <= 3 for r in pairs)
+
+    def test_fingerprint_dedup_runs(self, docs):
+        assert dedup.fingerprint_dedup(docs).count() <= docs.count()
+
+
+class TestSimilarity:
+    def test_brute_force_topk_shape(self, emb):
+        q = emb.filter(F.col("vec_id") < 3)
+        c = emb.filter(F.col("vec_id") >= 3)
+        out = similarity.brute_force_topk(q, c, k=5).collect()
+        assert len(out) == 15
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["q_id"], []).append(r)
+        for rows in by_q.values():
+            sims = [r["cosine"] for r in sorted(rows, key=lambda r: r["rk"])]
+            assert sims == sorted(sims, reverse=True)
+
+    def test_srp_ann_recall(self, emb):
+        """ANN top-5 must recover most of exact top-5 (recall >= 0.6 on
+        random data with 8x8 tables; exactness is the brute-force path)."""
+        q = emb.filter(F.col("vec_id") < 10)
+        c = emb.filter(F.col("vec_id") >= 10)
+        exact = {
+            (r["q_id"], r["c_id"])
+            for r in similarity.brute_force_topk(q, c, k=5).collect()
+        }
+        ann = {
+            (r["q_id"], r["c_id"])
+            for r in similarity.srp_ann_topk(q, c, k=5).collect()
+        }
+        recall = len(exact & ann) / len(exact)
+        assert recall >= 0.6, f"recall {recall}"
+
+    def test_ivf_topk_runs(self, emb):
+        q = emb.filter(F.col("vec_id") < 3)
+        c = emb.filter(F.col("vec_id") >= 3)
+        out = similarity.ivf_topk(q, c, k=5, num_centroids=8, nprobe=3).collect()
+        assert {r["q_id"] for r in out} == {0, 1, 2}
+
+
+class TestAsof:
+    def test_asof_backward(self, spark):
+        left = spark.createDataFrame(
+            [("u1", 100), ("u1", 250), ("u2", 50)], ["user", "ts"]
+        )
+        right = spark.createDataFrame(
+            [("u1", 90, "a"), ("u1", 200, "b"), ("u2", 60, "c")],
+            ["user", "ts", "tag"],
+        )
+        out = {
+            (r["user"], r["ts"]): r["tag"]
+            for r in asof.asof_join(left, right, on="ts", by=["user"]).collect()
+        }
+        assert out == {("u1", 100): "a", ("u1", 250): "b", ("u2", 50): None}
+
+    def test_asof_forward(self, spark):
+        left = spark.createDataFrame([("u1", 100)], ["user", "ts"])
+        right = spark.createDataFrame(
+            [("u1", 90, "past"), ("u1", 150, "next")], ["user", "ts", "tag"]
+        )
+        out = asof.asof_join(left, right, on="ts", by=["user"], direction="forward").collect()
+        assert out[0]["tag"] == "next"
+
+    def test_asof_pandas_matches_window(self, spark):
+        import random
+
+        rng = random.Random(3)
+        left = spark.createDataFrame(
+            [(f"u{i%5}", rng.randint(0, 1000)) for i in range(100)], ["user", "ts"]
+        ).distinct()
+        right = spark.createDataFrame(
+            [(f"u{i%5}", rng.randint(0, 1000), i) for i in range(50)],
+            ["user", "ts", "val"],
+        ).dropDuplicates(["user", "ts"])
+        a = {
+            (r["user"], r["ts"]): r["val"]
+            for r in asof.asof_join(left, right, on="ts", by=["user"]).collect()
+        }
+        b = {
+            (r["user"], r["ts"]): r["val"]
+            for r in asof.asof_join_pandas(left, right, on="ts", by="user").collect()
+        }
+        assert a == b
+
+    def test_range_join_bucketized_matches_plain(self, spark):
+        left = spark.createDataFrame([(i, i * 10) for i in range(100)], ["id", "t"])
+        right = spark.createDataFrame(
+            [(j, j * 100, j * 100 + 95) for j in range(10)], ["rid", "lo", "hi"]
+        )
+        plain = asof.range_join(left, right, "t", "lo", "hi").count()
+        bucketed = asof.range_join(left, right, "t", "lo", "hi", bucket_width=100).count()
+        assert plain == bucketed > 0
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        rows = [
+            ("m1", "image", bytearray(b"\x00\x10\xff"), None, None, None, None),
+            ("m2", "image", bytearray(b""), None, None, None, None),
+            ("m3", "audio", None, None, None, None, None),
+        ]
+        media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+        out = {r["media_id"]: r for r in extract_features(media, dim=4).collect()}
+        assert out["m1"]["n_bytes"] == 3
+        assert len(out["m1"]["feature"]) == 4
+        assert out["m3"]["n_bytes"] == 0
+
+    def test_decode_raises_without_codecs(self, spark):
+        from datalake_spark.operators import multimodal
+
+        if multimodal._HAS_PIL:
+            pytest.skip("PIL present")
+        media = spark.createDataFrame([], schema=MEDIA_SCHEMA)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(media)
+
+
+class TestTextFunctions:
+    def test_lang_id_english(self, spark):
+        df = spark.createDataFrame(
+            [("the cat is in the house and the dog",), ("le chat est dans la maison et le chien",)],
+            ["text"],
+        )
+        got = [r["l"] for r in df.select(lang_id("text").alias("l")).collect()]
+        assert got[0] == "en"
+        assert got[1] == "fr"
+
+    def test_quality_and_tokens(self, spark, docs):
+        out = docs.select(
+            token_count("text").alias("n"), quality_score("text").alias("q")
+        ).agg(F.min("n"), F.min("q"), F.max("q")).collect()[0]
+        assert out[0] > 0 and 0.0 <= out[1] <= out[2] <= 1.0
+
+    def test_blake2b_matches_hashlib(self, spark):
+        import hashlib
+
+        df = spark.createDataFrame([("hello world",)], ["c"])
+        got = df.select(blake2b_udf(F.col("c")).alias("h")).collect()[0]["h"]
+        assert got == hashlib.blake2b(b"hello world", digest_size=16).hexdigest()
