@@ -37,6 +37,9 @@ HEADLINE = [
     "dedup_exact",
     "text_stats",
     "ngram_jaccard",
+    "minhash_lsh_dedup",
+    "simhash_pairs",
+    "ann_srp_topk",
     "embedding_cosine_topk",
     "asof_last_signup",
     "sessionize",

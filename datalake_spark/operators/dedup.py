@@ -71,12 +71,33 @@ def minhash_lsh_pairs(
     |buckets|×k² work instead of |shingle join| work.
     """
     bands = num_hashes // band_rows
-    sh = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh"))
-    sh = sh.filter(F.size("_sh") > 0)
-    sig = sh.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # flat distinct-shingle frame — the ONE pass every stage reuses.  The
+    # repartition matters: a small parquet input arrives as 1-2 partitions
+    # and the whole operator would otherwise run on one core.
+    sh_flat = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("_s"),
+        )
+        # double-hashing MinHash family g_i = h1 + i*h2 (Kirsch-Mitzenmacher):
+        # 2 string hashes per shingle instead of num_hashes, then 64 cheap
+        # integer mins in one aggregation pass.  Both bases are reduced to
+        # 31-bit space so i*h2 stays far below 2^63 under ANSI arithmetic.
+        .withColumn("_h1", F.pmod(F.xxhash64("_s", F.lit(1)), F.lit(2147483647)))
+        .withColumn("_h2", F.pmod(F.xxhash64("_s", F.lit(2)), F.lit(2147483647)) + 1)
+    )
+    sig = sh_flat.groupBy("_id").agg(
+        *[
+            F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ],
+        F.count(F.lit(1)).alias("_n_sh"),
+    )
+    # band frame carries ONLY (_id, band, bandhash)
     banded = sig.select(
         "_id",
-        "_sh",
         F.posexplode(
             F.array(
                 *[
@@ -84,7 +105,7 @@ def minhash_lsh_pairs(
                         F.concat_ws(
                             ",",
                             *[
-                                F.element_at("_sig", b * band_rows + r + 1).cast("string")
+                                F.col(f"_m{b * band_rows + r}").cast("string")
                                 for r in range(band_rows)
                             ],
                         )
@@ -106,17 +127,26 @@ def minhash_lsh_pairs(
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
-    # exact verify on candidates only
-    a = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sh_a"))
-    b = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_sh_b"))
+    # exact verify on candidates only: count common shingles via equi-join on
+    # the flat frame (no arrays shuffled, no recompute of a per-doc array)
+    a_flat = sh_flat.select(F.col("_id").alias("doc_a"), "_s")
+    b_flat = sh_flat.select(F.col("_id").alias("doc_b"), "_s")
+    common = (
+        pairs.join(a_flat, "doc_a")
+        .join(b_flat, ["doc_b", "_s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sig.select("_id", "_n_sh")
+    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("_n_sh").alias("_n_a"))
+    sb = sizes.select(F.col("_id").alias("doc_b"), F.col("_n_sh").alias("_n_b"))
     verified = (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("_sh_a", "_sh_b")))
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
-            / (F.size("_sh_a") + F.size("_sh_b") - F.col("n_common")),
+            / (F.col("_n_a") + F.col("_n_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
@@ -124,28 +154,34 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash(text_col, num_bits: int = 64) -> F.Column:
-    """64-bit SimHash of the token multiset: per-token xxhash64, bitwise
-    weighted vote, sign-fold to a bigint bitmask.  Pure Column expression."""
-    toks = tokenize(text_col)
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    def voter(bit: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+def simhash_frame(df: DataFrame, text_col: str, id_col: str, num_bits: int = 64) -> DataFrame:
+    """(_id, _sh) frame: 64-bit SimHash of each row's token multiset.
 
-    bit_cols = []
+    Implementation is explode → one aggregation pass with 64 conditional-sum
+    columns, then a projection folding signs into one bigint bitmask.  (A
+    fold-per-bit Column expression is semantically identical but generates a
+    64-lambda codegen blob whose compile time dominates; the exploded groupBy
+    is a single vectorized pass and one shuffle on id.)"""
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokenize(F.col(text_col))).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    votes = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(num_bits)
+        ]
+    )
+    mask = F.lit(0).cast("bigint")
     for i in range(num_bits):
-        # vote_i = sum over tokens of (bit_i ? 1 : -1)
-        vote = F.aggregate(th, F.lit(0), voter(i))
-        bit_cols.append(
-            F.when(vote > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-            * F.lit(2**i if i < 63 else -(2**63)).cast("bigint")
+        bit = F.when(F.col(f"_v{i}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-    out = bit_cols[0]
-    for b in bit_cols[1:]:
-        out = out + b
-    return out
+        mask = mask + bit * F.lit(2**i if i < 63 else -(2**63)).cast("bigint")
+    return votes.select("_id", mask.alias("_sh"))
 
 
 def simhash_pairs(
@@ -160,7 +196,7 @@ def simhash_pairs(
     Hamming distance."""
     bits = 64
     band_bits = bits // num_bands
-    w = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh"))
+    w = simhash_frame(df, text_col, id_col, bits)
     banded = w.select(
         "_id",
         "_sh",
