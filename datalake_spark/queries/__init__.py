@@ -84,6 +84,12 @@ def sql_davg(expr: str, alias: str) -> str:
 
 
 def registry() -> list[Q]:
-    from datalake_spark.queries import relational, datalake_q, pipeline_q, ops_q
+    from datalake_spark.queries import relational, relational2, datalake_q, pipeline_q, ops_q
 
-    return relational.QUERIES + datalake_q.QUERIES + pipeline_q.QUERIES + ops_q.QUERIES
+    return (
+        relational.QUERIES
+        + relational2.QUERIES
+        + datalake_q.QUERIES
+        + pipeline_q.QUERIES
+        + ops_q.QUERIES
+    )

@@ -228,6 +228,40 @@ FROM files WHERE what = 'signup'
 """
 
 
+# -- O6: stable pagination emulation (querier.py:54-143 cursor machine) -----
+def dl_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    hits = eng.by_time("click", _Q_START, _Q_END)
+    return _out(eng.page(hits, page=1, page_size=100))
+
+
+DL_PAGINATION_SQL = f"""
+WITH {FILES_CTE},
+hits AS (
+  SELECT * FROM files
+  WHERE what = 'click'
+    AND start_ms <= {_Q_END}
+    AND COALESCE(end_ms, start_ms) >= {_Q_START}),
+numbered AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY start_ms, id) AS rn FROM hits)
+SELECT id, what, site, start_ms, end_ms, work_id, create_time, hash
+FROM numbered WHERE rn > 100 AND rn <= 200
+"""
+
+
+# -- O11: point lookup by id (fetcher.py:70-91) ------------------------------
+def dl_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return _out(eng.by_id(42))
+
+
+DL_POINT_SQL = f"""
+WITH {FILES_CTE}
+SELECT id, what, site, start_ms, end_ms, work_id, create_time, hash
+FROM files WHERE id = 42
+"""
+
+
 QUERIES = [
     Q("dl_time_interval", dl_time_interval, DL_TIME_SQL, "O1 interval overlap + NULL end"),
     Q("dl_time_interval_where", dl_time_interval_where, DL_TIME_WHERE_SQL, "O1+O3 with where filter"),
@@ -235,4 +269,6 @@ QUERIES = [
     Q("dl_latest_all", dl_latest_all, DL_LATEST_SQL, "O4 latest per (what,where)"),
     Q("dl_bucket_fanout", dl_bucket_fanout, DL_FANOUT_SQL, "record.py bucket fan-out"),
     Q("dl_iso_enrichment", dl_iso_enrichment, DL_ISO_SQL, "O9 ISO timestamps"),
+    Q("dl_pagination", dl_pagination, DL_PAGINATION_SQL, "O6 stable page slice"),
+    Q("dl_point_lookup", dl_point_lookup, DL_POINT_SQL, "O11 point lookup by id"),
 ]

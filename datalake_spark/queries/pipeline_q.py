@@ -341,6 +341,103 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_near_dup — embedding-cosine near-duplicate pairs: all (a < b)
+# pairs above a cosine threshold, exact decimal arithmetic.  The brute-force
+# oracle form of the SRP/IVF candidate generation in operators/similarity.py;
+# bounded to a fixed id range so the pair count is SF-independent.  At scale
+# the same shape runs per LSH bucket instead of globally.
+# ---------------------------------------------------------------------------
+_ND_MAX_ID = 200
+_ND_THRESHOLD = 0.35
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _ND_MAX_ID)
+    el = _vec_elements(emb, "vid")
+    norms = el.groupBy("vid").agg(
+        F.sum((F.col("val") * F.col("val")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("norm_sq")
+    )
+    a = el.select(F.col("vid").alias("id_a"), "pos", F.col("val").alias("val_a"))
+    b = el.select(F.col("vid").alias("id_b"), "pos", F.col("val").alias("val_b"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum((F.col("val_a") * F.col("val_b")).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("vid").alias("id_a"), F.col("norm_sq").alias("na"))
+    nb = norms.select(F.col("vid").alias("id_b"), F.col("norm_sq").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("cosine", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
+        .filter(F.col("cosine") >= _ND_THRESHOLD)
+        .select("id_a", "id_b", F.round("cosine", 8).alias("cosine_r"))
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH el AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+         UNNEST(generate_series(1, len(embedding))) AS pos
+  FROM embeddings WHERE vec_id < {_ND_MAX_ID}),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS norm_sq
+  FROM el GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM el a JOIN el b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(dot / (SQRT(na.norm_sq) * SQRT(nb.norm_sq)), 8) AS cosine_r
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE dot / (SQRT(na.norm_sq) * SQRT(nb.norm_sq)) >= {_ND_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_bpe_count — BPE-ish token counting: alpha runs stay whole, digits and
+# punctuation split one-per-token (the pre-tokenizer regex shape GPT-style
+# BPEs use).  Pure regexp_extract_all — JVM-side, no UDF.
+# ---------------------------------------------------------------------------
+_BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def token_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    n_bpe = F.size(toks).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "source",
+        n_bpe.alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+        .cast("bigint")
+        .alias("n_word_tokens"),
+        (F.length("text").cast("double") / n_bpe).alias("chars_per_token"),
+    )
+
+
+TOKEN_BPE_SQL = f"""
+SELECT doc_id, source,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_filter(regexp_extract_all(text, '{_BPE_RE}'),
+                            t -> regexp_matches(t, '^[A-Za-z]+$'))) AS BIGINT) AS n_word_tokens,
+       CAST(LENGTH(text) AS DOUBLE)
+         / len(regexp_extract_all(text, '{_BPE_RE}')) AS chars_per_token
+FROM documents
+"""
+
+
 QUERIES = [
     Q("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup by fingerprint"),
     Q("text_stats", text_stats, TEXT_STATS_SQL, "token counting + ratios"),
@@ -349,4 +446,6 @@ QUERIES = [
     Q("embedding_cosine_topk", embedding_cosine_topk, EMBEDDING_TOPK_SQL, "brute-force ANN top-k"),
     Q("asof_last_signup", asof_last_signup, ASOF_SQL, "as-of join"),
     Q("sessionize", sessionize, SESSIONIZE_SQL, "gaps-and-islands sessions"),
+    Q("embedding_near_dup", embedding_near_dup, EMBEDDING_NEAR_DUP_SQL, "cosine near-dup pairs"),
+    Q("token_bpe_count", token_bpe_count, TOKEN_BPE_SQL, "BPE-ish token counting"),
 ]
