@@ -84,7 +84,14 @@ def sql_davg(expr: str, alias: str) -> str:
 
 
 def registry() -> list[Q]:
-    from datalake_spark.queries import relational, relational2, datalake_q, pipeline_q, ops_q
+    from datalake_spark.queries import (
+        relational,
+        relational2,
+        datalake_q,
+        pipeline_q,
+        ops_q,
+        streaming_q,
+    )
 
     return (
         relational.QUERIES
@@ -92,4 +99,5 @@ def registry() -> list[Q]:
         + datalake_q.QUERIES
         + pipeline_q.QUERIES
         + ops_q.QUERIES
+        + streaming_q.QUERIES
     )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from datalake_spark.operators import asof as asof_ops
 from datalake_spark.operators import dedup as dedup_ops
+from datalake_spark.operators import multimodal as mm_ops
 from datalake_spark.operators import similarity as sim_ops
 from datalake_spark.functions.text import lang_id, quality_score
 from datalake_spark.queries import Q, load
@@ -112,6 +113,44 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 3)
     c = emb.filter(F.col("vec_id") >= 3)
     return sim_ops.ivf_topk(q, c, k=3).select("q_id", "c_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal pipeline — documents' text bytes as opaque binary content driven
+# through the real mapInPandas machinery (operators/multimodal.py): Arrow
+# batches, re-chunking, FEATURE_SCHEMA.  The deterministic stand-in feature
+# (byte i%n over 255) is exactly recomputable in SQL because the corpus is
+# ASCII, so the full binary → batch → UDF → explode path is oracle-checked.
+# ---------------------------------------------------------------------------
+_MM_DIM = 8
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = mm_ops.extract_features(media, dim=_MM_DIM, use_fake=True)
+    return feats.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "n_bytes",
+        F.posexplode("feature").alias("pos", "val"),
+    ).select("doc_id", "n_bytes", F.col("pos").cast("bigint").alias("pos"), "val")
+
+
+MULTIMODAL_SQL = f"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+       CAST(i AS BIGINT) AS pos,
+       CAST(ascii(substring(text, (i % LENGTH(text)) + 1, 1)) AS DOUBLE) / 255.0 AS val
+FROM documents, UNNEST(generate_series(0, {_MM_DIM - 1})) AS t(i)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +306,7 @@ QUERIES = [
     Q("lang_id_quality", lang_id_quality, LANG_ID_SQL, "language ID + quality score"),
     Q("ann_srp_topk", ann_srp_topk, None, "SRP-LSH ANN top-k"),
     Q("ann_ivf_topk", ann_ivf_topk, None, "IVF ANN top-k"),
+    Q("multimodal_features", multimodal_features, MULTIMODAL_SQL, "binary → mapInPandas features"),
     Q("asof_generic", asof_generic, ASOF_GENERIC_SQL, "generic as-of join operator"),
     Q("q_grouping_sets", q_grouping_sets, _GROUPING_SETS_SQL, "GROUPING SETS"),
     Q("q_json", q_json, Q_JSON_SQL, "JSON extraction"),
