@@ -15,7 +15,12 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
 
 from datalake_spark.queries import registry  # noqa: E402
 from datalake_spark.session import get_spark  # noqa: E402
@@ -50,8 +55,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
-    # untimed warmup: JVM codegen + parquet footer/FS cache
+    # untimed warmup: JVM codegen + parquet footer/FS cache + the Python UDF
+    # worker pool (first pandas_udf stage otherwise pays ~n_cores process
+    # spawns inside whichever query happens to run it first)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    @F.pandas_udf(T.LongType())
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(10000).repartition(64).select(_warm("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
     qs = {q.name: q.build for q in registry()}
     timings: dict[str, float] = {}
     t_total0 = time.time()

