@@ -91,6 +91,7 @@ def registry() -> list[Q]:
         pipeline_q,
         ops_q,
         streaming_q,
+        windows_q,
     )
 
     return (
@@ -100,4 +101,5 @@ def registry() -> list[Q]:
         + pipeline_q.QUERIES
         + ops_q.QUERIES
         + streaming_q.QUERIES
+        + windows_q.QUERIES
     )

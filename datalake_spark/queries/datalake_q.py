@@ -249,6 +249,44 @@ FROM numbered WHERE rn > 100 AND rn <= 200
 """
 
 
+# -- O16: translate — regex extract-and-format DSL (translator.py:24-99) ----
+_TRANSLATE_EXPR = r".*/(?P<site>[a-z0-9]+)/(?P<what>[a-z]+)-(?P<id>[0-9]+)\.gz$~{what}:{site}:{id}"
+_TRANSLATE_RE_SQL = r".*/([a-z0-9]+)/([a-z]+)-([0-9]+)\.gz$"
+
+
+def dl_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.translator import Translator
+
+    files = files_from_events(spark, sf_dir)
+    path = F.concat(
+        F.lit("/data/"),
+        F.col("site"),
+        F.lit("/"),
+        F.col("what"),
+        F.lit("-"),
+        F.col("id").cast("string"),
+        F.lit(".gz"),
+    )
+    t = Translator(_TRANSLATE_EXPR)
+    return files.select(
+        "id", path.alias("path"), t.column(path).alias("translated")
+    )
+
+
+DL_TRANSLATE_SQL = f"""
+WITH {FILES_CTE},
+p AS (
+  SELECT id,
+         '/data/' || site || '/' || what || '-' || CAST(id AS VARCHAR) || '.gz' AS path
+  FROM files)
+SELECT id, path,
+       regexp_extract(path, '{_TRANSLATE_RE_SQL}', 2) || ':' ||
+       regexp_extract(path, '{_TRANSLATE_RE_SQL}', 1) || ':' ||
+       regexp_extract(path, '{_TRANSLATE_RE_SQL}', 3) AS translated
+FROM p
+"""
+
+
 # -- O11: point lookup by id (fetcher.py:70-91) ------------------------------
 def dl_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
@@ -271,4 +309,5 @@ QUERIES = [
     Q("dl_iso_enrichment", dl_iso_enrichment, DL_ISO_SQL, "O9 ISO timestamps"),
     Q("dl_pagination", dl_pagination, DL_PAGINATION_SQL, "O6 stable page slice"),
     Q("dl_point_lookup", dl_point_lookup, DL_POINT_SQL, "O11 point lookup by id"),
+    Q("dl_translate", dl_translate, DL_TRANSLATE_SQL, "O16 regex translate DSL"),
 ]
