@@ -1,0 +1,156 @@
+"""CLI parity with the reference's ``datalake`` tool (O13/O22/O23).
+
+Commands mirror client/datalake/scripts/cli.py: ``push`` (metadata into the
+catalog; content upload is object-store IO outside the engine), ``list``
+(time-interval or work-id query), ``latest``.  Output formats are the
+reference's ``_list_result_formatters`` set (cli.py:229-241): url / json /
+json-pretty / human.  Config cascade (O23, common/conf.py:20-70): CLI args
+override ``DATALAKE_*`` environment variables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Any
+
+from datalake_spark.catalog import Catalog
+from datalake_spark.ingest import prepare_metadata, push_metadata
+from datalake_spark.query import QueryEngine, validate_query_params
+
+
+def _env_default(name: str) -> str | None:
+    return os.environ.get(f"DATALAKE_{name.upper()}")
+
+
+def _fmt_human(rec: dict[str, Any]) -> str:
+    from datetime import datetime, timezone
+
+    def iso(ms):
+        if ms is None:
+            return "null"
+        return (
+            datetime.fromtimestamp(ms / 1000, tz=timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%S.%f"
+            )[:-3]
+            + "Z"
+        )
+
+    return (
+        f"{rec.get('id')} {rec.get('what')} {rec.get('where')} "
+        f"start: {iso(rec.get('start'))} end: {iso(rec.get('end'))} "
+        f"work_id: {rec.get('work_id')}"
+    )
+
+
+_FORMATTERS = {
+    "url": lambda r: str(r.get("url")),
+    "json": lambda r: json.dumps(r, sort_keys=True, default=str),
+    "json-pretty": lambda r: json.dumps(r, sort_keys=True, indent=2, default=str),
+    "human": _fmt_human,
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="datalake-spark")
+    p.add_argument("--catalog", default=_env_default("catalog") or "./catalog")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pp = sub.add_parser("push", help="validate + append metadata to the catalog")
+    for f in ("what", "where", "start", "end", "work-id", "path", "hash", "id"):
+        pp.add_argument(f"--{f}")
+    pp.add_argument("--translate", action="append", default=[],
+                    help="field=<regex>~<fmt> translation applied to path")
+
+    lp = sub.add_parser("list", help="query files")
+    lp.add_argument("what")
+    lp.add_argument("--start")
+    lp.add_argument("--end")
+    lp.add_argument("--where")
+    lp.add_argument("--work-id", dest="work_id")
+    lp.add_argument("--format", choices=sorted(_FORMATTERS), default="url")
+
+    tp = sub.add_parser("latest", help="newest file for (what, where)")
+    tp.add_argument("what")
+    tp.add_argument("where")
+    tp.add_argument("--as-of", dest="as_of", default=None,
+                    help="evaluate latest as of this time (default: now)")
+    tp.add_argument("--lookback", type=int, default=14,
+                    help="lookback window in days (reference default 14)")
+    tp.add_argument("--format", choices=sorted(_FORMATTERS), default="url")
+    return p
+
+
+def run(argv: list[str], spark=None, out=sys.stdout) -> int:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from datalake_spark.session import get_spark
+
+        spark = get_spark("datalake-cli")
+    catalog = Catalog(spark, args.catalog)
+
+    if args.command == "push":
+        translations = dict(t.split("=", 1) for t in args.translate)
+        rec = {
+            "what": args.what,
+            "where": args.where,
+            "start": args.start,
+            "end": args.end,
+            "work_id": getattr(args, "work_id", None),
+            "path": args.path,
+            "hash": args.hash or "0" * 32,
+            "id": args.id,
+        }
+        if rec["id"] is None:
+            del rec["id"]
+        [prepared] = prepare_metadata(
+            [rec], translations=translations, default_where=_env_default("default_where")
+        )
+        push_metadata(spark, catalog, [prepared])
+        print(prepared["id"], file=out)
+        return 0
+
+    # analysis-time validation first (O10) — before any catalog IO
+    params = None
+    if args.command == "list":
+        params = validate_query_params(
+            {
+                "what": args.what,
+                "start": args.start,
+                "end": args.end,
+                "work_id": args.work_id,
+            }
+        )
+    engine = QueryEngine(catalog.files(), latest_table=catalog.latest_table())
+    fmt = _FORMATTERS[args.format]
+    if args.command == "list":
+        if params.get("work_id") is not None:
+            df = engine.by_work_id(params["work_id"], params["what"], where=args.where)
+        else:
+            df = engine.by_time(
+                params["what"], params["start"], params["end"], where=args.where
+            )
+        for row in df.toLocalIterator():  # O13: full scan-all-pages generator
+            print(fmt(row.asDict()), file=out)
+        return 0
+
+    if args.command == "latest":
+        rows = engine.latest(
+            args.what, args.where, as_of=args.as_of, lookback_days=args.lookback
+        ).collect()
+        if not rows:
+            print("null", file=out)
+            return 1
+        print(fmt(rows[0].asDict()), file=out)
+        return 0
+    return 2
+
+
+def main() -> None:
+    sys.exit(run(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    main()

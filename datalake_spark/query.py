@@ -17,12 +17,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from datalake_spark.metadata import DAY_MS, normalize_date
+from datalake_spark.metadata import DAY_MS, InvalidDatalakeMetadata, normalize_date
 
 # querier.py:36-44
 DEFAULT_LOOKBACK_DAYS = 14
 LATEST_MAX_LOOKFORWARD_MS = 24 * 60 * 60 * 1000
 MAX_RESULTS = 100  # querier.py:28-33 (page size; we expose it as default limit)
+
+
+class InvalidQuery(ValueError):
+    """400-class validation error; ``code`` mirrors the reference's error
+    contract (api/datalake_api/v0.py:153-177, pinned by
+    api/tests/test_bad_queries.py:32-135)."""
+
+    def __init__(self, code: str, message: str) -> None:
+        super().__init__(message)
+        self.code = code
+
+
+def validate_query_params(params: dict) -> dict:
+    """The reference's files-query validation (v0.py:143-177): ``what`` is
+    required; exactly one of ``work_id`` or a (start, end) interval; times
+    normalized to epoch-ms; start <= end.  Returns the normalized params.
+    Runs driver-side before any plan is built — the engine's analysis-time
+    error contract."""
+    if not params:
+        raise InvalidQuery("NoArgs", "Please provide query parameters.")
+    if params.get("what") is None:
+        raise InvalidQuery("NoWhat", "You must provide the what parameter.")
+    work_id = params.get("work_id")
+    start, end = params.get("start"), params.get("end")
+    has_interval = start is not None or end is not None
+    if work_id is None and not has_interval:
+        raise InvalidQuery(
+            "NoWorkInterval",
+            "You must provide either work_id or start/end",
+        )
+    if work_id is not None and has_interval:
+        raise InvalidQuery(
+            "InvalidWorkInterval",
+            "You must provide work_id or start/end. Not both.",
+        )
+    out = dict(params)
+    if has_interval:
+        if start is None or end is None:
+            raise InvalidQuery(
+                "NoWorkInterval", "start and end must be provided together"
+            )
+        try:
+            out["start"], out["end"] = normalize_date(start), normalize_date(end)
+        except InvalidDatalakeMetadata as e:
+            raise InvalidQuery("InvalidTime", str(e)) from e
+        if out["start"] > out["end"]:
+            raise InvalidQuery("InvalidWorkInterval", "start must be before end")
+    page = out.get("page")
+    if page is not None and (not isinstance(page, int) or page < 0):
+        raise InvalidQuery("InvalidCursor", f"invalid page {page!r}")
+    return out
 
 
 def interval_overlap(qstart, qend) -> F.Column:
@@ -82,8 +133,20 @@ class QueryEngine:
     ) -> DataFrame:
         """Newest file for (what, where): max by (start, create_time), looking
         back ``lookback_days`` and rejecting records starting more than 24 h
-        after ``as_of`` (querier.py:351-417).  Returns a 0-or-1-row frame."""
+        after ``as_of`` (querier.py:351-417).  Returns a 0-or-1-row frame.
+
+        Fast path (O5, querier.py:355-379): when a materialized latest table
+        is attached, probe it first — an O(1) point read of a tiny table —
+        and fall back to the full scan only if the row is absent or starts
+        beyond the 24 h lookforward cap."""
         now = normalize_date(as_of if as_of is not None else "now")
+        if self._latest is not None:
+            hit = self._latest.filter(
+                (F.col("what_where_key") == f"{what}:{where}")
+                & (F.col("start") <= F.lit(now + LATEST_MAX_LOOKFORWARD_MS))
+            ).drop("what_where_key")
+            if hit.limit(1).count() > 0:
+                return hit
         lo = now - lookback_days * DAY_MS
         hi = now + LATEST_MAX_LOOKFORWARD_MS
         df = self.files_df.filter(

@@ -1,0 +1,114 @@
+"""CLI parity tests (O13/O22/O23): push → list → latest round-trip through
+the real catalog, output formats, env-config cascade, error contract."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from datalake_spark.cli import run
+from datalake_spark.query import InvalidQuery
+
+
+@pytest.fixture()
+def catalog_dir(tmp_path):
+    return str(tmp_path / "catalog")
+
+
+def _run(spark, argv, catalog):
+    out = io.StringIO()
+    rc = run(["--catalog", catalog, *argv], spark=spark, out=out)
+    return rc, out.getvalue().splitlines()
+
+
+class TestCliRoundtrip:
+    def test_push_list_latest(self, spark, catalog_dir):
+        rc, [fid] = _run(
+            spark,
+            [
+                "push",
+                "--what", "nginx",
+                "--where", "web01",
+                "--start", "2015-01-01",
+                "--end", "2015-01-02",
+                "--path", "/var/log/nginx/access.log",
+            ],
+            catalog_dir,
+        )
+        assert rc == 0 and len(fid) == 32
+
+        rc, lines = _run(
+            spark,
+            ["list", "nginx", "--start", "2015-01-01", "--end", "2015-01-03"],
+            catalog_dir,
+        )
+        assert rc == 0
+        assert lines == [f"s3://datalake/{fid}/data"]
+
+        rc, lines = _run(
+            spark, ["latest", "nginx", "web01", "--as-of", "2015-01-05", "--format", "json"], catalog_dir
+        )
+        assert rc == 0
+        rec = json.loads(lines[0])
+        assert rec["id"] == fid and rec["start"] == 1420070400000
+
+    def test_push_translation_and_work_id_query(self, spark, catalog_dir):
+        rc, [fid] = _run(
+            spark,
+            [
+                "push",
+                "--what", "job",
+                "--where", "w1",
+                "--start", "2015-06-01",
+                "--end", "2015-06-01",
+                "--path", "/var/log/app/job-4321.log",
+                "--translate", r"work_id=.*job-(?P<jid>[0-9]+)\.log$~job{jid}",
+            ],
+            catalog_dir,
+        )
+        assert rc == 0
+        rc, lines = _run(
+            spark,
+            ["list", "job", "--work-id", "job4321", "--format", "human"],
+            catalog_dir,
+        )
+        assert rc == 0 and len(lines) == 1
+        assert "work_id: job4321" in lines[0]
+
+    def test_latest_empty_archive(self, spark, catalog_dir, tmp_path):
+        # push something unrelated so the catalog exists
+        _run(
+            spark,
+            [
+                "push", "--what", "a", "--where", "b",
+                "--start", "2015-01-01", "--end", "2015-01-01",
+                "--path", "/x",
+            ],
+            catalog_dir,
+        )
+        rc, lines = _run(spark, ["latest", "nope", "nowhere", "--as-of", "2015-01-05"], catalog_dir)
+        assert rc == 1 and lines == ["null"]
+
+    def test_list_error_contract(self, spark, catalog_dir):
+        with pytest.raises(InvalidQuery) as e:
+            _run(spark, ["list", "nginx"], catalog_dir)
+        assert e.value.code == "NoWorkInterval"
+
+    def test_env_default_where(self, spark, catalog_dir, monkeypatch):
+        monkeypatch.setenv("DATALAKE_DEFAULT_WHERE", "envhost")
+        rc, [fid] = _run(
+            spark,
+            [
+                "push", "--what", "syslog",
+                "--start", "2015-02-01", "--end", "2015-02-01",
+                "--path", "/var/log/syslog",
+            ],
+            catalog_dir,
+        )
+        assert rc == 0
+        rc, lines = _run(
+            spark, ["latest", "syslog", "envhost", "--as-of", "2015-02-02", "--format", "json"], catalog_dir
+        )
+        assert rc == 0 and json.loads(lines[0])["id"] == fid

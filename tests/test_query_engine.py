@@ -182,3 +182,121 @@ class TestCatalog:
         # engine over the catalog prunes by bucket_date without error
         eng = QueryEngine(files)
         assert eng.by_time("nginx", 1262304000000, 1420070400000).count() >= 0
+
+
+class TestQueryValidation:
+    """Error contract — ported from api/tests/test_bad_queries.py:32-135."""
+
+    def _code(self, params):
+        from datalake_spark.query import InvalidQuery, validate_query_params
+
+        with pytest.raises(InvalidQuery) as e:
+            validate_query_params(params)
+        return e.value.code
+
+    def test_no_args(self):
+        assert self._code({}) == "NoArgs"
+
+    def test_no_what(self):
+        assert self._code({"start": 0, "end": 1}) == "NoWhat"
+
+    def test_no_work_interval(self):
+        assert self._code({"what": "nginx"}) == "NoWorkInterval"
+
+    def test_start_without_end(self):
+        assert self._code({"what": "nginx", "start": 0}) == "NoWorkInterval"
+
+    def test_work_id_and_interval(self):
+        assert (
+            self._code({"what": "nginx", "work_id": "j1", "start": 0, "end": 1})
+            == "InvalidWorkInterval"
+        )
+
+    def test_start_after_end(self):
+        assert (
+            self._code({"what": "nginx", "start": 10_000, "end": 1_000})
+            == "InvalidWorkInterval"
+        )
+
+    def test_invalid_time(self):
+        assert (
+            self._code({"what": "nginx", "start": "not-a-date", "end": 1})
+            == "InvalidTime"
+        )
+
+    def test_invalid_page(self):
+        assert (
+            self._code({"what": "nginx", "work_id": "j1", "page": -1})
+            == "InvalidCursor"
+        )
+
+    def test_valid_normalizes(self):
+        from datalake_spark.query import validate_query_params
+
+        out = validate_query_params(
+            {"what": "nginx", "start": "2015-01-01", "end": 1420156800}
+        )
+        assert out["start"] == T0
+        assert out["end"] == 1420156800000  # seconds → ms heuristic
+
+
+class TestLatestFastPath:
+    """O5 — materialized latest table probe with 24 h lookforward fallback
+    (querier.py:355-379)."""
+
+    def _latest_table(self, spark, rows):
+        df = make_files_df(spark, rows)
+        return df.withColumn(
+            "what_where_key", F.concat_ws(":", F.col("what"), F.col("where"))
+        )
+
+    def test_fast_path_hit(self, spark):
+        files = make_files_df(
+            spark,
+            [
+                {"id": "old", "what": "nginx", "where": "h1", "start": T0 + 1000, "end": None},
+                {"id": "new", "what": "nginx", "where": "h1", "start": T0 + 5000, "end": None},
+            ],
+        )
+        latest = self._latest_table(
+            spark,
+            [{"id": "new", "what": "nginx", "where": "h1", "start": T0 + 5000, "end": None}],
+        )
+        eng = QueryEngine(files, latest_table=latest)
+        got = eng.latest("nginx", "h1", as_of=T0 + DAY_MS).collect()
+        assert [r["id"] for r in got] == ["new"]
+
+    def test_future_row_falls_back_to_scan(self, spark):
+        files = make_files_df(
+            spark,
+            [{"id": "ok", "what": "nginx", "where": "h1", "start": T0 + 1000, "end": None}],
+        )
+        # latest table holds only a row starting >24h after as_of
+        latest = self._latest_table(
+            spark,
+            [
+                {
+                    "id": "future",
+                    "what": "nginx",
+                    "where": "h1",
+                    "start": T0 + 3 * DAY_MS,
+                    "end": None,
+                }
+            ],
+        )
+        eng = QueryEngine(files, latest_table=latest)
+        got = eng.latest("nginx", "h1", as_of=T0 + 2000).collect()
+        assert [r["id"] for r in got] == ["ok"]
+
+    def test_miss_falls_back(self, spark):
+        files = make_files_df(
+            spark,
+            [{"id": "only", "what": "nginx", "where": "h1", "start": T0 + 1000, "end": None}],
+        )
+        latest = self._latest_table(
+            spark,
+            [{"id": "x", "what": "syslog", "where": "h9", "start": T0, "end": None}],
+        )
+        eng = QueryEngine(files, latest_table=latest)
+        got = eng.latest("nginx", "h1", as_of=T0 + 2000).collect()
+        assert [r["id"] for r in got] == ["only"]
