@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the pure metadata semantics — the
+reference's tightest spec (client/datalake/common/metadata.py:26-224,
+record.py:151-192).  No SparkSession needed; these pin the driver-side rules
+the distributed Column expressions must agree with."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datalake_spark.metadata import (
+    DAY_MS,
+    MAX_BUCKET_SPAN,
+    MS_CUTOFF,
+    InvalidDatalakeMetadata,
+    Metadata,
+    UnsupportedTimeRange,
+    bucket_span,
+    normalize_date,
+    time_bucket,
+    time_buckets,
+)
+
+# epoch-ms above the s/ms cutoff (~1973) up to 2100 — values below MS_CUTOFF
+# are *by design* read as seconds (metadata.py:26-28), tested separately
+MS = st.integers(min_value=MS_CUTOFF + 1, max_value=4_102_444_800_000)
+SLUG = st.from_regex(r"[a-z0-9_-]{1,20}", fullmatch=True)
+
+
+class TestNormalizeDate:
+    @given(MS)
+    def test_ms_roundtrip(self, ms):
+        # numbers above the cutoff are already epoch-ms
+        assert normalize_date(ms) == ms
+
+    @given(st.integers(min_value=1, max_value=MS_CUTOFF // 1000))
+    def test_seconds_scaled(self, s):
+        assert normalize_date(s) == s * 1000
+
+    @given(MS)
+    def test_string_number_equals_number(self, ms):
+        assert normalize_date(str(ms)) == normalize_date(ms)
+
+    @given(MS)
+    def test_datetime_roundtrip(self, ms):
+        dt = datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+        assert normalize_date(dt) == ms
+
+    @given(MS)
+    def test_naive_datetime_is_utc(self, ms):
+        aware = datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+        naive = aware.replace(tzinfo=None)
+        assert normalize_date(naive) == ms
+
+    @given(MS)
+    def test_iso_string(self, ms):
+        dt = datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+        assert normalize_date(dt.isoformat()) == ms
+
+    def test_rejects_none_and_garbage(self):
+        for bad in (None, "not a date", object()):
+            with pytest.raises(InvalidDatalakeMetadata):
+                normalize_date(bad)
+
+
+class TestBucketMath:
+    @given(MS)
+    def test_bucket_contains_its_timestamp(self, ms):
+        b = time_bucket(ms)
+        assert b * DAY_MS <= ms < (b + 1) * DAY_MS
+
+    @given(MS, st.integers(min_value=0, max_value=29 * DAY_MS))
+    def test_buckets_cover_interval_contiguously(self, start, dur):
+        bs = time_buckets(start, start + dur)
+        assert bs[0] == time_bucket(start)
+        assert bs[-1] == time_bucket(start + dur)
+        assert bs == list(range(bs[0], bs[-1] + 1))
+
+    @given(MS)
+    def test_null_end_is_single_bucket(self, start):
+        assert time_buckets(start, None) == [time_bucket(start)]
+        assert bucket_span(start, None) == 1
+
+
+class TestMetadataValidation:
+    @settings(max_examples=50)
+    @given(MS, st.integers(min_value=0, max_value=2 * DAY_MS), SLUG, SLUG)
+    def test_valid_roundtrip(self, start, dur, what, where):
+        m = Metadata(
+            start=start,
+            end=start + dur,
+            what=what,
+            where=where,
+            hash="abc123",
+            path="/var/log/x",
+            work_id=None,
+        )
+        assert m["start"] == start and m["end"] == start + dur
+        assert m["version"] == 0 and len(m["id"]) == 32
+
+    @given(MS, st.integers(min_value=1, max_value=DAY_MS))
+    def test_end_before_start_rejected(self, start, delta):
+        with pytest.raises(InvalidDatalakeMetadata):
+            Metadata(
+                start=start, end=start - delta, what="a", where="b",
+                hash="h", path="/p", work_id=None,
+            )
+
+    @given(MS)
+    def test_over_30_buckets_rejected(self, start):
+        # guarantee span > 30 regardless of alignment
+        end = start + (MAX_BUCKET_SPAN + 1) * DAY_MS
+        with pytest.raises(UnsupportedTimeRange):
+            Metadata(
+                start=start, end=end, what="a", where="b",
+                hash="h", path="/p", work_id=None,
+            )
+
+    def test_work_id_rules(self):
+        base = dict(start=1, end=2, what="a", where="b", hash="h", path="/p")
+        with pytest.raises(InvalidDatalakeMetadata):
+            Metadata(**base)  # work_id key must exist
+        with pytest.raises(InvalidDatalakeMetadata):
+            Metadata(**base, work_id="null")  # literal "null" forbidden
+        with pytest.raises(InvalidDatalakeMetadata):
+            Metadata(**base, work_id="UPPER")  # slug rule
+        assert Metadata(**base, work_id=None)["work_id"] is None
+
+    def test_path_must_be_absolute(self):
+        base = dict(start=1, end=2, what="a", where="b", hash="h", work_id=None)
+        with pytest.raises(InvalidDatalakeMetadata):
+            Metadata(**base, path="relative/path")
+        assert Metadata(**base, path="C:\\logs\\x")["path"].startswith("C:")

@@ -129,3 +129,61 @@ class TestIngest:
         assert latest["nginx:h1"] == "tie"
         # files table kept every version (3 rows)
         assert cat.files().count() == 3
+
+
+class TestWatermarkWindows:
+    """Watermarked tumbling-window aggregation: append-mode finalize-once and
+    late-data drop — the streaming capability the reference's bucket design
+    sidesteps (SURVEY §2.2 Streaming)."""
+
+    H = 3600 * 1000
+    T0 = 1420070400000  # 2015-01-01T00:00Z
+
+    def _run(self, spark, landing, out, ckpt, events, name):
+        from datalake_spark.schema import INGEST_EVENT_SCHEMA
+        from datalake_spark.streaming.windows import windowed_event_counts
+
+        write_events(landing, events, name)
+        stream = (
+            spark.readStream.schema(INGEST_EVENT_SCHEMA)
+            .json(landing)
+            .select("event_time", F.col("metadata.what").alias("what"))
+        )
+        agg = windowed_event_counts(stream, time_col="event_time")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    def test_late_rows_dropped_windows_finalize_once(self, spark, tmp_path):
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        T0, H = self.T0, self.H
+
+        def ev(fid, minutes):
+            return event(fid, event_time=T0 + minutes * 60000)
+
+        # batch 1: 00:05 and 02:05 -> watermark advances to 01:35 after commit
+        self._run(spark, landing, out, ckpt, [ev("a", 5), ev("b", 125)], "b1.json")
+        # batch 2: late 00:10 (< watermark -> dropped) + 03:05; the 00:00
+        # window (end 01:00 <= 01:35) finalizes THIS batch with count 1
+        self._run(spark, landing, out, ckpt, [ev("late", 10), ev("c", 185)], "b2.json")
+        # batch 3: 05:05 advances watermark past 03:00 -> 02:00 window emits
+        self._run(spark, landing, out, ckpt, [ev("d", 305)], "b3.json")
+
+        got = {
+            (r["w_start_ms"] - T0) // H: r["n_events"]
+            for r in spark.read.parquet(out).collect()
+        }
+        # hour-0 window: only "a" (late row dropped despite belonging here);
+        # hour-2 window: only "b"; each window appears exactly once
+        assert got[0] == 1
+        assert got[2] == 1
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == len({r["w_start_ms"] for r in rows})
