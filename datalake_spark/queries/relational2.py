@@ -503,8 +503,43 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q_map_funcs — map construction + extraction battery (create_map /
+# element_at / map_keys / cardinality), surfaced as scalars so the two
+# engines' map renderings never meet the comparator.
+# ---------------------------------------------------------------------------
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "uid").alias("m_uid"),
+        F.element_at(m, "missing").alias("m_missing"),
+        F.size(m).cast("bigint").alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+    )
+
+
+Q_MAP_SQL = """
+SELECT event_id,
+       m['type'][1] AS m_type,
+       m['uid'][1] AS m_uid,
+       m['missing'][1] AS m_missing,
+       CAST(cardinality(m) AS BIGINT) AS m_size,
+       array_to_string(map_keys(m), ',') AS m_keys
+FROM (SELECT event_id,
+             map(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+      FROM events WHERE event_id % 17 = 0)
+"""
+
+
 QUERIES = [
     Q("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL, "TPC-H Q6 scan+filter+agg"),
+    Q("q_map_funcs", q_map_funcs, Q_MAP_SQL, "map function battery"),
     Q("q10_returned_items", q10_returned_items, Q10_SQL, "TPC-H Q10 top-20 customers"),
     Q("q18_large_orders", q18_large_orders, Q18_SQL, "TPC-H Q18 agg-as-join-filter"),
     Q("q_left_outer", q_left_outer, Q_LEFT_OUTER_SQL, "left outer join w/ nulls"),

@@ -134,3 +134,48 @@ class TestMetadataValidation:
         with pytest.raises(InvalidDatalakeMetadata):
             Metadata(**base, path="relative/path")
         assert Metadata(**base, path="C:\\logs\\x")["path"].startswith("C:")
+
+
+class TestColumnTwins:
+    """The distributed Column expressions must agree with the driver-side
+    Python semantics on the same inputs."""
+
+    def test_normalize_and_buckets_agree(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from datalake_spark.functions.datetime_fns import (
+            bucket_span_col,
+            normalize_epoch_col,
+            time_bucket_col,
+        )
+
+        rng = random.Random(7)
+        values = (
+            [rng.randint(1, MS_CUTOFF // 1000) for _ in range(50)]          # seconds
+            + [rng.randint(MS_CUTOFF + 1, 4_102_444_800_000) for _ in range(50)]  # ms
+        )
+        df = spark.createDataFrame([(v,) for v in values], ["v"])
+        got = df.select(
+            "v",
+            normalize_epoch_col("v").alias("ms"),
+            time_bucket_col(normalize_epoch_col("v")).alias("b"),
+            bucket_span_col(
+                normalize_epoch_col("v"),
+                normalize_epoch_col("v") + F.lit(3 * DAY_MS),
+            ).alias("span"),
+        ).collect()
+        for r in got:
+            expect_ms = normalize_date(r["v"])
+            assert r["ms"] == expect_ms
+            assert r["b"] == time_bucket(expect_ms)
+            assert r["span"] == bucket_span(expect_ms, expect_ms + 3 * DAY_MS)
+
+    def test_iso_rendering(self, spark):
+        from datalake_spark.functions.datetime_fns import iso8601_col
+
+        df = spark.createDataFrame([(1420070400123,), (None,)], "v: long")
+        got = [r["iso"] for r in df.select(iso8601_col("v").alias("iso")).collect()]
+        assert got[0] == "2015-01-01T00:00:00.123Z"
+        assert got[1] is None

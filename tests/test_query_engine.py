@@ -183,6 +183,28 @@ class TestCatalog:
         eng = QueryEngine(files)
         assert eng.by_time("nginx", 1262304000000, 1420070400000).count() >= 0
 
+    def test_partition_pruning_in_plan(self, spark, tmp_path):
+        """The 100 TB contract: a time-interval query over the partitioned
+        catalog must reach the scan as PartitionFilters on (what,
+        bucket_date) — the Spark replacement for the reference's DynamoDB
+        time-bucket walk (querier.py:263-284)."""
+        cat = Catalog(spark, str(tmp_path))
+        rows = [
+            {"id": f"f{i}", "what": "nginx", "where": "h1",
+             "start": T0 + i * DAY_MS, "end": None}
+            for i in range(20)
+        ]
+        cat.append(make_files_df(spark, rows))
+        eng = QueryEngine(cat.files())
+        q = eng.by_time("nginx", T0, T0 + 2 * DAY_MS)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "bucket_date" in plan.split("PartitionFilters")[1][:400]
+        # and the equality on the first-level partition column too
+        assert "what" in plan.split("PartitionFilters")[1][:400]
+        # correctness: only the 3 overlapping days' files return
+        assert q.count() == 3
+
 
 class TestQueryValidation:
     """Error contract — ported from api/tests/test_bad_queries.py:32-135."""
