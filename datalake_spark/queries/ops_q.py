@@ -154,6 +154,41 @@ FROM documents, UNNEST(generate_series(0, {_MM_DIM - 1})) AS t(i)
 
 
 # ---------------------------------------------------------------------------
+# Document chunking — Python UDTF lateral join (operators/chunking.py); the
+# oracle replays the window arithmetic with generate_series.
+# ---------------------------------------------------------------------------
+_CHUNK_SIZE = 40
+_CHUNK_OVERLAP = 10
+_CHUNK_STEP = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.operators.chunking import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(spark, docs, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
+
+
+DOC_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, toks, n,
+         UNNEST(generate_series(0,
+             CASE WHEN n <= {_CHUNK_SIZE} THEN 0
+                  ELSE CAST(CEIL((n - {_CHUNK_SIZE}) / {_CHUNK_STEP}.0) AS BIGINT)
+             END)) AS chunk_id
+  FROM t)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(len(toks[chunk_id * {_CHUNK_STEP} + 1 : chunk_id * {_CHUNK_STEP} + {_CHUNK_SIZE}]) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(toks[chunk_id * {_CHUNK_STEP} + 1 : chunk_id * {_CHUNK_STEP} + {_CHUNK_SIZE}], ' ') AS chunk
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Generic as-of join operator against the windowed oracle.
 # ---------------------------------------------------------------------------
 def asof_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,6 +342,7 @@ QUERIES = [
     Q("ann_srp_topk", ann_srp_topk, None, "SRP-LSH ANN top-k"),
     Q("ann_ivf_topk", ann_ivf_topk, None, "IVF ANN top-k"),
     Q("multimodal_features", multimodal_features, MULTIMODAL_SQL, "binary → mapInPandas features"),
+    Q("doc_chunks", doc_chunks, DOC_CHUNKS_SQL, "UDTF context-window chunking"),
     Q("asof_generic", asof_generic, ASOF_GENERIC_SQL, "generic as-of join operator"),
     Q("q_grouping_sets", q_grouping_sets, _GROUPING_SETS_SQL, "GROUPING SETS"),
     Q("q_json", q_json, Q_JSON_SQL, "JSON extraction"),

@@ -537,9 +537,67 @@ FROM (SELECT event_id,
 """
 
 
+# ---------------------------------------------------------------------------
+# q_disjunctive_join — TPC-H Q19 shape: equi-join with an OR-of-ANDs
+# residual.  Catalyst extracts the common l_partkey = p_partkey conjunct as
+# the join key and keeps the disjunction as a post-join filter — still one
+# hash join, never a nested loop.
+# ---------------------------------------------------------------------------
+def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    ep = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    cond = (F.col("l_partkey") == F.col("p_partkey")) & (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 30))
+    )
+    return li.join(part, cond).agg(
+        F.round(F.sum(ep * (1 - disc)), 4).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q_DISJUNCTIVE_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * (1 - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size <= 10 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#23' AND p_size <= 20 AND l_quantity >= 20)
+   OR (p_brand = 'Brand#34' AND p_size <= 30 AND l_quantity >= 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_null_safe_eq — null-safe equality (<=> / IS NOT DISTINCT FROM) join and
+# comparison semantics over a column with injected NULLs.
+# ---------------------------------------------------------------------------
+def q_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # NULL for every third event — deterministic in both engines
+    cat = F.when(F.col("event_id") % 3 != 0, F.col("event_type"))
+    w = ev.select("event_id", cat.alias("cat"))
+    return (
+        w.groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("is_null_group", F.col("cat").eqNullSafe(F.lit(None).cast("string")))
+    )
+
+
+Q_NULL_SAFE_SQL = """
+SELECT cat, COUNT(*) AS n, cat IS NOT DISTINCT FROM NULL AS is_null_group
+FROM (SELECT CASE WHEN event_id % 3 <> 0 THEN event_type END AS cat FROM events)
+GROUP BY cat
+"""
+
+
 QUERIES = [
     Q("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL, "TPC-H Q6 scan+filter+agg"),
     Q("q_map_funcs", q_map_funcs, Q_MAP_SQL, "map function battery"),
+    Q("q_disjunctive_join", q_disjunctive_join, Q_DISJUNCTIVE_SQL, "TPC-H Q19 OR-of-ANDs join"),
+    Q("q_null_safe_eq", q_null_safe_eq, Q_NULL_SAFE_SQL, "null-safe equality"),
     Q("q10_returned_items", q10_returned_items, Q10_SQL, "TPC-H Q10 top-20 customers"),
     Q("q18_large_orders", q18_large_orders, Q18_SQL, "TPC-H Q18 agg-as-join-filter"),
     Q("q_left_outer", q_left_outer, Q_LEFT_OUTER_SQL, "left outer join w/ nulls"),
