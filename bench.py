@@ -31,6 +31,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q_tumbling_window",
     "q_topk_per_group",
     "q_window_running",
     "q_distinct_counts",
@@ -48,6 +51,9 @@ HEADLINE = [
     "embedding_cosine_topk",
     "asof_last_signup",
     "sessionize",
+    "token_bpe_count",
+    "doc_chunks",
+    "multimodal_features",
 ]
 
 

@@ -154,6 +154,43 @@ FROM documents, UNNEST(generate_series(0, {_MM_DIM - 1})) AS t(i)
 
 
 # ---------------------------------------------------------------------------
+# Grouped-map applyInPandas — the per-group custom-aggregator escape hatch
+# (one Arrow batch per group).  Outputs are integer-exact so the oracle
+# matches bit for bit.  At scale: one shuffle on the group key; group size
+# bounded by the source cardinality.
+# ---------------------------------------------------------------------------
+def grouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("source", "n_chars")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = pdf["n_chars"]
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "min_chars": [int(n.min())],
+                "max_chars": [int(n.max())],
+                "sum_chars": [int(n.sum())],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        stats,
+        schema="source string, n_docs bigint, min_chars bigint, "
+        "max_chars bigint, sum_chars bigint",
+    )
+
+
+GROUPED_PANDAS_SQL = """
+SELECT source, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Document chunking — Python UDTF lateral join (operators/chunking.py); the
 # oracle replays the window arithmetic with generate_series.
 # ---------------------------------------------------------------------------
@@ -343,6 +380,7 @@ QUERIES = [
     Q("ann_ivf_topk", ann_ivf_topk, None, "IVF ANN top-k"),
     Q("multimodal_features", multimodal_features, MULTIMODAL_SQL, "binary → mapInPandas features"),
     Q("doc_chunks", doc_chunks, DOC_CHUNKS_SQL, "UDTF context-window chunking"),
+    Q("grouped_pandas_stats", grouped_pandas_stats, GROUPED_PANDAS_SQL, "grouped-map applyInPandas"),
     Q("asof_generic", asof_generic, ASOF_GENERIC_SQL, "generic as-of join operator"),
     Q("q_grouping_sets", q_grouping_sets, _GROUPING_SETS_SQL, "GROUPING SETS"),
     Q("q_json", q_json, Q_JSON_SQL, "JSON extraction"),

@@ -187,3 +187,50 @@ class TestWatermarkWindows:
         assert got[2] == 1
         rows = spark.read.parquet(out).collect()
         assert len(rows) == len({r["w_start_ms"] for r in rows})
+
+
+class TestStatefulProfiles:
+    """applyInPandasWithState: per-key running state across micro-batches,
+    checkpoint-restored between availableNow runs."""
+
+    def _run(self, spark, landing, out, ckpt, rows, name):
+        from datalake_spark.streaming.stateful import running_profiles
+
+        os.makedirs(landing, exist_ok=True)
+        with open(os.path.join(landing, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema("key string, value double, ms long").json(landing)
+        prof = running_profiles(stream)
+        q = (
+            prof.writeStream.foreachBatch(
+                lambda b, _eid: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    def test_state_accumulates_across_batches(self, spark, tmp_path):
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        self._run(spark, landing, out, ckpt,
+                  [{"key": "a", "value": 1.0, "ms": 10},
+                   {"key": "a", "value": 2.0, "ms": 20},
+                   {"key": "b", "value": 5.0, "ms": 15}], "b1.json")
+        self._run(spark, landing, out, ckpt,
+                  [{"key": "a", "value": 4.0, "ms": 30}], "b2.json")
+        rows = spark.read.parquet(out).collect()
+        # latest profile per key reflects ALL batches (state restored from
+        # checkpoint between runs)
+        final = {}
+        for r in rows:
+            if r["key"] not in final or r["last_ms"] > final[r["key"]]["last_ms"]:
+                final[r["key"]] = r
+        assert final["a"]["n_events"] == 3
+        assert final["a"]["sum_value"] == 7.0
+        assert final["a"]["last_ms"] == 30
+        assert final["b"]["n_events"] == 1 and final["b"]["sum_value"] == 5.0
