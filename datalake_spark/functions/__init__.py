@@ -5,6 +5,12 @@ Arrow-batched pandas UDFs where Spark has no equivalent (blake2b, named-group
 formatting, simhash bit-fold).
 """
 
+from datalake_spark.functions.datetime_fns import (
+    bucket_span_col,
+    iso8601_col,
+    normalize_epoch_col,
+    time_bucket_col,
+)
 from datalake_spark.functions.hashing import blake2b_udf, minhash_signature
 from datalake_spark.functions.text import (
     tokenize,
@@ -17,6 +23,10 @@ from datalake_spark.functions.text import (
 from datalake_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 __all__ = [
+    "bucket_span_col",
+    "iso8601_col",
+    "normalize_epoch_col",
+    "time_bucket_col",
     "blake2b_udf",
     "minhash_signature",
     "tokenize",

@@ -538,6 +538,64 @@ FROM (SELECT event_id,
 
 
 # ---------------------------------------------------------------------------
+# q7_volume_shipping — TPC-H Q7 shape: lineitem⋈orders⋈customer⋈supplier with
+# TWO nation dimensions (supplier's and customer's) and a symmetric pair
+# condition.  At scale: nation broadcasts twice under different aliases; the
+# pair disjunction is a residual on the hash join.
+# ---------------------------------------------------------------------------
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    # cross-border trade only (TPC-H Q7 picks one nation pair; the test
+    # tables have too few suppliers for any single pair to be non-empty, so
+    # group over every distinct pair instead — a strictly stronger check)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(_revenue())
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year, {_REVENUE_SQL}
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND n1.n_name <> n2.n_name)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_disjunctive_join — TPC-H Q19 shape: equi-join with an OR-of-ANDs
 # residual.  Catalyst extracts the common l_partkey = p_partkey conjunct as
 # the join key and keeps the disjunction as a post-join filter — still one
@@ -596,6 +654,7 @@ GROUP BY cat
 QUERIES = [
     Q("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL, "TPC-H Q6 scan+filter+agg"),
     Q("q_map_funcs", q_map_funcs, Q_MAP_SQL, "map function battery"),
+    Q("q7_volume_shipping", q7_volume_shipping, Q7_SQL, "TPC-H Q7 dual-nation join"),
     Q("q_disjunctive_join", q_disjunctive_join, Q_DISJUNCTIVE_SQL, "TPC-H Q19 OR-of-ANDs join"),
     Q("q_null_safe_eq", q_null_safe_eq, Q_NULL_SAFE_SQL, "null-safe equality"),
     Q("q10_returned_items", q10_returned_items, Q10_SQL, "TPC-H Q10 top-20 customers"),
