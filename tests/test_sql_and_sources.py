@@ -1,0 +1,98 @@
+"""spark.sql() parity registration (sql.py) and source-format coverage:
+CSV and JSON round-trips with explicit schemas, binaryFile ingestion through
+the multimodal reader, blake2b/translate/chunker reachable from SQL text."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+from datalake_spark import sql as dsql
+from datalake_spark.catalog import Catalog
+from datalake_spark.ingest import hash_content
+from datalake_spark.operators.multimodal import read_binary_dir
+
+
+class TestSqlRegistration:
+    def test_blake2b_from_sql(self, spark):
+        dsql.register_functions(spark)
+        [row] = spark.sql("SELECT blake2b16('hello') AS h").collect()
+        assert row["h"] == hashlib.blake2b(b"hello", digest_size=16).hexdigest()
+
+    def test_translate_from_sql(self, spark):
+        dsql.register_functions(spark)
+        [row] = spark.sql(
+            r"SELECT dl_translate('/x/job-77.log', '.*job-(?P<jid>[0-9]+)\\.log$~job{jid}') AS t"
+        ).collect()
+        assert row["t"] == "job77"
+
+    def test_chunker_from_sql(self, spark):
+        dsql.register_functions(spark)
+        rows = spark.sql(
+            "SELECT * FROM token_chunker('a b c d e', 2, 0)"
+        ).collect()
+        assert [r["chunk"] for r in rows] == ["a b", "c d", "e"]
+
+    def test_catalog_views(self, spark, tmp_path):
+        from tests.test_query_engine import make_files_df
+
+        cat = Catalog(spark, str(tmp_path))
+        cat.append(
+            make_files_df(
+                spark,
+                [{"id": "v1", "what": "nginx", "where": "h1",
+                  "start": 1420070400000, "end": 1420070400000 + 86400001}],
+            )
+        )
+        cat.refresh_latest()
+        dsql.register_catalog(spark, cat)
+        assert spark.sql("SELECT COUNT(*) n FROM files").collect()[0]["n"] == 1
+        assert spark.sql("SELECT COUNT(*) n FROM latest").collect()[0]["n"] == 1
+        # bucket fan-out view: 2-day span -> 2 rows with composite keys
+        rows = spark.sql(
+            "SELECT time_index_key, range_key FROM file_buckets ORDER BY time_index_key"
+        ).collect()
+        assert len(rows) == 2
+        assert all(r["range_key"] == "h1:v1" for r in rows)
+
+
+class TestSources:
+    def test_csv_roundtrip(self, spark, tmp_path):
+        src = spark.createDataFrame(
+            [(1, "a,b", 1.5), (2, None, -3.25)], "id long, s string, v double"
+        )
+        path = str(tmp_path / "csv")
+        src.write.mode("overwrite").option("header", True).csv(path)
+        back = (
+            spark.read.schema("id long, s string, v double")
+            .option("header", True)
+            .csv(path)
+        )
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    def test_json_roundtrip(self, spark, tmp_path):
+        src = spark.createDataFrame(
+            [(1, {"k": "x"}, [1, 2]), (2, None, [])],
+            "id long, m map<string,string>, a array<int>",
+        )
+        path = str(tmp_path / "json")
+        src.write.mode("overwrite").json(path)
+        back = spark.read.schema("id long, m map<string,string>, a array<int>").json(path)
+        got = {r["id"]: (r["m"], r["a"]) for r in back.collect()}
+        assert got[1] == ({"k": "x"}, [1, 2])
+        assert got[2] == (None, [])
+
+    def test_binaryfile_ingest_and_hash(self, spark, tmp_path):
+        media_dir = tmp_path / "media"
+        os.makedirs(media_dir)
+        payload = b"\x89PNG fake image bytes"
+        (media_dir / "img1.png").write_bytes(payload)
+        (media_dir / "img2.png").write_bytes(b"other")
+        df = read_binary_dir(spark, str(media_dir), glob="*.png")
+        hashed = hash_content(df)
+        got = {r["media_id"]: (r["content"], r["hash"]) for r in hashed.collect()}
+        assert bytes(got["img1.png"][0]) == payload
+        assert got["img1.png"][1] == hashlib.blake2b(payload, digest_size=16).hexdigest()
+        assert set(got) == {"img1.png", "img2.png"}
