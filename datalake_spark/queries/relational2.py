@@ -629,6 +629,37 @@ WHERE (p_brand = 'Brand#12' AND p_size <= 10 AND l_quantity >= 10)
 
 
 # ---------------------------------------------------------------------------
+# q_unpivot — wide→long melt (the inverse of q_pivot): per-part numeric
+# attributes unpivoted to (attribute, value) rows.
+# ---------------------------------------------------------------------------
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        (F.length("p_name").cast("double")).alias("name_len"),
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["size", "retailprice", "name_len"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
+
+
+Q_UNPIVOT_SQL = """
+WITH t AS (
+  SELECT p_partkey,
+         CAST(p_size AS DOUBLE) AS size,
+         CAST(p_retailprice AS DOUBLE) AS retailprice,
+         CAST(LENGTH(p_name) AS DOUBLE) AS name_len
+  FROM part)
+SELECT p_partkey, attr, val
+FROM t UNPIVOT (val FOR attr IN (size, retailprice, name_len))
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_null_safe_eq — null-safe equality (<=> / IS NOT DISTINCT FROM) join and
 # comparison semantics over a column with injected NULLs.
 # ---------------------------------------------------------------------------
@@ -656,6 +687,7 @@ QUERIES = [
     Q("q_map_funcs", q_map_funcs, Q_MAP_SQL, "map function battery"),
     Q("q7_volume_shipping", q7_volume_shipping, Q7_SQL, "TPC-H Q7 dual-nation join"),
     Q("q_disjunctive_join", q_disjunctive_join, Q_DISJUNCTIVE_SQL, "TPC-H Q19 OR-of-ANDs join"),
+    Q("q_unpivot", q_unpivot, Q_UNPIVOT_SQL, "wide→long unpivot/melt"),
     Q("q_null_safe_eq", q_null_safe_eq, Q_NULL_SAFE_SQL, "null-safe equality"),
     Q("q10_returned_items", q10_returned_items, Q10_SQL, "TPC-H Q10 top-20 customers"),
     Q("q18_large_orders", q18_large_orders, Q18_SQL, "TPC-H Q18 agg-as-join-filter"),
