@@ -135,12 +135,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: centroids = first num_centroids candidate vectors (a
-    deterministic coreset; k-means would refine but adds a training loop).
-    Every candidate is assigned to its nearest centroid; a query probes its
-    nprobe nearest centroids and re-ranks exactly within those partitions."""
-    cents = candidates.limit(num_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    """IVF-style ANN: centroids = the num_centroids lowest-id candidate
+    vectors (a deterministic coreset — ordered, so the whole operator is
+    reproducible and oracle-checkable; k-means would refine the cells but
+    adds a training loop).  Every candidate is assigned to its nearest
+    centroid; a query probes its nprobe nearest centroids and re-ranks
+    exactly within those partitions."""
+    cents = (
+        candidates.orderBy(id_col)
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
     c = candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))

@@ -115,6 +115,73 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ivf_topk(q, c, k=3).select("q_id", "c_id", "rk")
 
 
+# Deterministic IVF is fully relational, so it gets a real oracle: the SQL
+# replays centroid choice (16 lowest candidate ids), nearest-centroid
+# assignment, 4-probe, and the exact re-rank.  Cosines differ from Spark's
+# sequential double fold by ≤1 ulp (decimal-exact sums here), which can only
+# reorder candidates whose cosines tie within that ulp — not observed on the
+# test vectors, and the output carries ranks, not floats.
+ANN_IVF_SQL = """
+WITH el AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+         UNNEST(generate_series(1, len(embedding))) AS pos
+  FROM embeddings),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS nsq
+  FROM el GROUP BY vec_id),
+cents AS (
+  SELECT vec_id AS cent_id FROM embeddings WHERE vec_id >= 3
+  ORDER BY vec_id LIMIT 16),
+cdots AS (
+  SELECT a.vec_id AS c_id, b.vec_id AS cent_id,
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM el a JOIN el b ON a.pos = b.pos
+  WHERE a.vec_id >= 3 AND b.vec_id IN (SELECT cent_id FROM cents)
+  GROUP BY 1, 2),
+cassign AS (
+  SELECT c_id, cent_id FROM (
+    SELECT c_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY c_id
+             ORDER BY dot / (SQRT(nc.nsq) * SQRT(nn.nsq)) DESC, cent_id) AS rk
+    FROM cdots
+    JOIN norms nc ON nc.vec_id = c_id
+    JOIN norms nn ON nn.vec_id = cent_id)
+  WHERE rk = 1),
+qdots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS cent_id,
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM el a JOIN el b ON a.pos = b.pos
+  WHERE a.vec_id < 3 AND b.vec_id IN (SELECT cent_id FROM cents)
+  GROUP BY 1, 2),
+qprobe AS (
+  SELECT q_id, cent_id FROM (
+    SELECT q_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY dot / (SQRT(nq.nsq) * SQRT(nn.nsq)) DESC, cent_id) AS rk
+    FROM qdots
+    JOIN norms nq ON nq.vec_id = q_id
+    JOIN norms nn ON nn.vec_id = cent_id)
+  WHERE rk <= 4),
+pairs AS (
+  SELECT q_id, c_id FROM qprobe JOIN cassign USING (cent_id)),
+fdots AS (
+  SELECT p.q_id, p.c_id,
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM pairs p
+  JOIN el a ON a.vec_id = p.q_id
+  JOIN el b ON b.vec_id = p.c_id AND a.pos = b.pos
+  GROUP BY 1, 2)
+SELECT q_id, c_id, rk FROM (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY dot / (SQRT(nq.nsq) * SQRT(nc.nsq)) DESC, c_id) AS rk
+  FROM fdots
+  JOIN norms nq ON nq.vec_id = q_id
+  JOIN norms nc ON nc.vec_id = c_id)
+WHERE rk <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal pipeline — documents' text bytes as opaque binary content driven
 # through the real mapInPandas machinery (operators/multimodal.py): Arrow
@@ -377,7 +444,7 @@ QUERIES = [
     Q("fingerprint_dedup", fingerprint_dedup, None, "rolling-fingerprint dedup"),
     Q("lang_id_quality", lang_id_quality, LANG_ID_SQL, "language ID + quality score"),
     Q("ann_srp_topk", ann_srp_topk, None, "SRP-LSH ANN top-k"),
-    Q("ann_ivf_topk", ann_ivf_topk, None, "IVF ANN top-k"),
+    Q("ann_ivf_topk", ann_ivf_topk, ANN_IVF_SQL, "IVF ANN top-k (deterministic, oracle-checked)"),
     Q("multimodal_features", multimodal_features, MULTIMODAL_SQL, "binary → mapInPandas features"),
     Q("doc_chunks", doc_chunks, DOC_CHUNKS_SQL, "UDTF context-window chunking"),
     Q("grouped_pandas_stats", grouped_pandas_stats, GROUPED_PANDAS_SQL, "grouped-map applyInPandas"),
