@@ -682,8 +682,62 @@ GROUP BY cat
 """
 
 
+# ---------------------------------------------------------------------------
+# q_setops_all — multiset (ALL) set operations: bag semantics preserve
+# duplicate multiplicities, unlike the distinct-set q_setops.
+# ---------------------------------------------------------------------------
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    both = cust.intersectAll(supp).withColumn("op", F.lit("intersect_all"))
+    only = cust.exceptAll(supp).withColumn("op", F.lit("except_all"))
+    return both.unionByName(only).groupBy("op", "nationkey").agg(
+        F.count(F.lit(1)).alias("multiplicity")
+    )
+
+
+Q_SETOPS_ALL_SQL = """
+WITH c AS (SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer),
+s AS (SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier),
+u AS (
+  SELECT 'intersect_all' AS op, nationkey FROM (SELECT * FROM c INTERSECT ALL SELECT * FROM s)
+  UNION ALL
+  SELECT 'except_all' AS op, nationkey FROM (SELECT * FROM c EXCEPT ALL SELECT * FROM s))
+SELECT op, nationkey, COUNT(*) AS multiplicity FROM u GROUP BY op, nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_nulls_ordering — NULLS FIRST / LAST in sorts and the OFFSET clause.
+# A fully-specified total order makes the page slice engine-identical.
+# ---------------------------------------------------------------------------
+def q_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    val = F.when(F.col("event_id") % 5 != 0, F.col("value"))
+    return (
+        ev.select("event_id", val.alias("val"))
+        .orderBy(F.col("val").desc_nulls_first(), F.col("event_id").asc())
+        .limit(200)
+        .offset(50)
+    )
+
+
+Q_NULLS_ORDERING_SQL = """
+SELECT event_id, val FROM (
+  SELECT event_id, CASE WHEN event_id % 5 <> 0 THEN value END AS val FROM events)
+ORDER BY val DESC NULLS FIRST, event_id
+LIMIT 150 OFFSET 50
+"""
+
+
 QUERIES = [
     Q("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL, "TPC-H Q6 scan+filter+agg"),
+    Q("q_setops_all", q_setops_all, Q_SETOPS_ALL_SQL, "INTERSECT ALL / EXCEPT ALL"),
+    Q("q_nulls_ordering", q_nulls_ordering, Q_NULLS_ORDERING_SQL, "NULLS FIRST + OFFSET"),
     Q("q_map_funcs", q_map_funcs, Q_MAP_SQL, "map function battery"),
     Q("q7_volume_shipping", q7_volume_shipping, Q7_SQL, "TPC-H Q7 dual-nation join"),
     Q("q_disjunctive_join", q_disjunctive_join, Q_DISJUNCTIVE_SQL, "TPC-H Q19 OR-of-ANDs join"),
