@@ -454,6 +454,118 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_centroids — per-label mean embedding (the vector aggregate a
+# clustering / classifier-head pipeline needs).  Decimal-exact per-dimension
+# sums so the centroid values are engine-identical; output long-form
+# (label, pos, centroid_val) to keep array renderings out of the comparator.
+# At scale: explode + one shuffle on (label, pos); with dim fixed this is a
+# map-side-combinable aggregation, no skew.
+# ---------------------------------------------------------------------------
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    return (
+        el.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
+                / F.count("val")
+            ).alias("centroid_val"),
+            F.count("val").alias("n_vectors"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("pos").cast("int").alias("pos"),
+            F.round("centroid_val", 10).alias("centroid_r"),
+            "n_vectors",
+        )
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = """
+WITH el AS (
+  SELECT label, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+         UNNEST(generate_series(1, len(embedding))) - 1 AS pos
+  FROM embeddings)
+SELECT CAST(label AS INTEGER) AS label, CAST(pos AS INTEGER) AS pos,
+       ROUND(CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(val), 10) AS centroid_r,
+       COUNT(val) AS n_vectors
+FROM el GROUP BY label, pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_normalize — the canonicalization pass before dedup/tokenization:
+# lowercase, strip punctuation, collapse whitespace.  Pure codegen'd string
+# expressions; the reference never parses content, so this is engine-side
+# extension surface.
+# ---------------------------------------------------------------------------
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents)
+SELECT doc_id, norm_text,
+       CAST(LENGTH(norm_text) AS BIGINT) AS norm_len,
+       md5(norm_text) AS norm_hash
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# dataset_split — deterministic, engine-independent train/val/test assignment
+# by md5 of the row id: the reproducible-split primitive every training
+# pipeline needs (no RNG, no ordering dependence, stable under re-partition
+# and re-run — the property rand(seed) does NOT have across engines).
+# ---------------------------------------------------------------------------
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # md5 hex is lowercase in both engines, and fixed-width lowercase hex
+    # compares lexicographically == numerically: 'cccc'/'e666' ≈ 80%/90%
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(h4 < "cccd", "train").when(h4 < "e667", "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+DATASET_SPLIT_SQL = """
+WITH t AS (
+  SELECT source, doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e667' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT source, split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM t GROUP BY source, split
+"""
+
+
 QUERIES = [
     Q("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup by fingerprint"),
     Q("text_stats", text_stats, TEXT_STATS_SQL, "token counting + ratios"),
@@ -464,4 +576,7 @@ QUERIES = [
     Q("sessionize", sessionize, SESSIONIZE_SQL, "gaps-and-islands sessions"),
     Q("embedding_near_dup", embedding_near_dup, EMBEDDING_NEAR_DUP_SQL, "cosine near-dup pairs"),
     Q("token_bpe_count", token_bpe_count, TOKEN_BPE_SQL, "BPE-ish token counting"),
+    Q("embedding_centroids", embedding_centroids, EMBEDDING_CENTROIDS_SQL, "per-label mean embedding"),
+    Q("text_normalize", text_normalize, TEXT_NORMALIZE_SQL, "canonicalization pass"),
+    Q("dataset_split", dataset_split, DATASET_SPLIT_SQL, "deterministic train/val/test split"),
 ]

@@ -11,6 +11,11 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# examples are pure-python microtests, but the suite shares a machine with a
+# busy local Spark JVM — wall-clock deadlines flake under load
+settings.register_profile("no_deadline", deadline=None)
+settings.load_profile("no_deadline")
+
 from datalake_spark.metadata import (
     DAY_MS,
     MAX_BUCKET_SPAN,
