@@ -113,3 +113,92 @@ def decode_image(media: DataFrame) -> DataFrame:
             "use extract_features(use_fake=True) for plumbing tests"
         )
     raise NotImplementedError("real decode path reserved for codec-enabled builds")
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, use_fake: bool = True, batch_rows: int = 64
+) -> DataFrame:
+    """Resize binary images to (width, height) via mapInPandas.
+
+    The codec is STUBBED (no PIL in this container): the fake 'resize'
+    deterministically truncates/byte-tiles content to width*height bytes —
+    wrong pixels, right plumbing (schema, Arrow batching, output byte
+    volume).  Swap the inner function for `PIL.Image.open(...).resize(...)`
+    where codecs exist; nothing else changes."""
+    if not use_fake and not _HAS_PIL:
+        raise NotImplementedError("real resize requires PIL")
+
+    n_bytes = width * height
+
+    def fake_resize(b: bytes | None) -> bytes | None:
+        if b is None:
+            return None
+        if len(b) >= n_bytes:
+            return bytes(b[:n_bytes])
+        reps = n_bytes // max(len(b), 1) + 1
+        return bytes((b * reps)[:n_bytes])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "width": width,
+                        "height": height,
+                        "content": chunk["content"].map(fake_resize),
+                    }
+                )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ms", T.LongType(), True),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8, frame_bytes: int = 64
+) -> DataFrame:
+    """Sample frames from video content via mapInPandas — one input row fans
+    out to ≤ max_frames frame rows (the one-to-many shape frame extraction
+    needs; av/ffmpeg is STUBBED with deterministic byte-slices keyed by the
+    frame index, using duration_ms for the timeline).  Downstream per-frame
+    ops (resize, feature-extract) compose on the output frame column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame": []}
+            for _, row in pdf.iterrows():
+                content = row["content"] or b""
+                dur = row["duration_ms"] or (len(content) // 10)
+                n = min(max_frames, max(1, int(dur // every_ms)))
+                for i in range(n):
+                    ts = i * every_ms
+                    # fake decode: slice keyed by frame index (deterministic)
+                    start = (i * frame_bytes) % max(len(content), 1)
+                    frame = bytes((content * 2)[start : start + frame_bytes])
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(i)
+                    out["frame_ms"].append(ts)
+                    out["frame"].append(frame)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -147,8 +147,42 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# q_moving_avg — bounded ROWS frame (3 preceding .. 1 following): the
+# centered moving aggregate; decimal-exact so every prefix matches.
+# ---------------------------------------------------------------------------
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_ms", "event_id")
+        .rowsBetween(-3, 1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+        (
+            F.sum(F.col("value").cast("decimal(20,4)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    )
+
+
+Q_MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_in_frame,
+       CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS moving_avg
+FROM events WHERE user_id % 25 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+             ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING)
+"""
+
+
 QUERIES = [
     Q("q_tumbling_window", q_tumbling_window, Q_TUMBLING_SQL, "6h tumbling window agg"),
+    Q("q_moving_avg", q_moving_avg, Q_MOVING_AVG_SQL, "bounded ROWS moving aggregate"),
     Q("q_sliding_window", q_sliding_window, Q_SLIDING_SQL, "1d/6h sliding window agg"),
     Q("q_session_window", q_session_window, Q_SESSION_WINDOW_SQL, "native session windows"),
     Q("q_value_navigation", q_value_navigation, Q_VALUE_NAV_SQL, "first/last/nth_value"),

@@ -196,3 +196,49 @@ class TestTextFunctions:
         df = spark.createDataFrame([("hello world",)], ["c"])
         got = df.select(blake2b_udf(F.col("c")).alias("h")).collect()[0]["h"]
         assert got == hashlib.blake2b(b"hello world", digest_size=16).hexdigest()
+
+
+class TestMultimodalResizeFrames:
+    def _media(self, spark, rows):
+        from datalake_spark.operators.multimodal import MEDIA_SCHEMA
+
+        return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    def test_resize_plumbing(self, spark):
+        from datalake_spark.operators.multimodal import resize_images
+
+        media = self._media(
+            spark,
+            [
+                ("a", "image", b"0123456789" * 100, None, None, None, None),
+                ("b", "image", b"xy", None, None, None, None),  # smaller than target
+                ("c", "image", None, None, None, None, None),
+            ],
+        )
+        out = {r["media_id"]: r for r in resize_images(media, 16, 16).collect()}
+        assert len(bytes(out["a"]["content"])) == 256
+        assert len(bytes(out["b"]["content"])) == 256  # tiled up
+        assert bytes(out["b"]["content"])[:4] == b"xyxy"
+        assert out["c"]["content"] is None
+        assert out["a"]["width"] == out["a"]["height"] == 16
+
+    def test_frame_sampling_fanout(self, spark):
+        from datalake_spark.operators.multimodal import sample_frames
+
+        media = self._media(
+            spark,
+            [
+                ("vid1", "video", b"v" * 500, None, None, None, 5500),  # 5.5s -> 5 frames
+                ("vid2", "video", b"w" * 100, None, None, None, 20_000),  # capped at 8
+            ],
+        )
+        rows = sample_frames(media, every_ms=1000, max_frames=8).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r["media_id"], []).append(r)
+        assert len(by_id["vid1"]) == 5
+        assert len(by_id["vid2"]) == 8
+        assert [r["frame_ms"] for r in sorted(by_id["vid1"], key=lambda x: x["frame_idx"])] == [
+            0, 1000, 2000, 3000, 4000,
+        ]
+        assert all(len(bytes(r["frame"])) == 64 for r in rows)
