@@ -125,9 +125,16 @@ def range_join(
     )
     if bucket_width is None:
         return left.join(right, cond, how)
-    lb = left.withColumn("_bucket", (F.col(left_point) / bucket_width).cast("long"))
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # the right side is exploded to one row per bucket, so unmatched
+        # right rows would surface once PER BUCKET replica — right/full outer
+        # cannot be expressed on the bucketized plan.
+        raise ValueError(
+            f"range_join with bucket_width supports how='inner'/'left', got {how!r}"
+        )
+    lb = left.withColumn("_lbucket", (F.col(left_point) / bucket_width).cast("long"))
     rb = right.withColumn(
-        "_bucket",
+        "_rbucket",
         F.explode(
             F.sequence(
                 (F.col(right_start) / bucket_width).cast("long"),
@@ -135,4 +142,9 @@ def range_join(
             )
         ),
     )
-    return lb.join(rb, ["_bucket"], how).filter(cond).drop("_bucket")
+    # the range predicate is part of the JOIN CONDITION, not a post-filter:
+    # a post-filter would drop left-outer's unmatched (null right) rows and
+    # silently degrade to inner semantics.
+    return lb.join(
+        rb, (F.col("_lbucket") == F.col("_rbucket")) & cond, how
+    ).drop("_lbucket", "_rbucket")

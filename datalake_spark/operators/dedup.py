@@ -29,14 +29,23 @@ from datalake_spark.functions.text import doc_fingerprint, tokenize
 
 
 def shingles(text_col, n: int = 3) -> F.Column:
-    """Distinct n-word shingles of a text column (array<string>)."""
+    """Distinct n-word shingles of a text column (array<string>).
+
+    Documents with fewer than n tokens yield an empty array: without the
+    guard, sequence(0, size-n) descends through 0/negatives and
+    slice(words, 0, n) raises INVALID_PARAMETER_VALUE.START, aborting the
+    whole job on any real corpus containing short docs.
+    """
     words = tokenize(text_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
-    )
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -132,17 +141,20 @@ def minhash_lsh_pairs(
     # outweighed the whole operator's data time at bench scale).  Shingle
     # identity is its xxhash64; a false collision needs two distinct shingles
     # of one doc pair agreeing in 64 bits (P ≈ n²/2^64 per pair — negligible
-    # against the gate's exact oracle).
+    # against the gate's exact oracle).  The broadcast sides are semi-joined
+    # down to the candidate ids FIRST — what gets broadcast is the candidates'
+    # hash lists, not the whole corpus's (which would OOM at scale even
+    # though the pair count is small).
     sa = sig.select(
         F.col("_id").alias("doc_a"),
         F.col("_hps").alias("_hps_a"),
         F.col("_n_sh").alias("_n_a"),
-    )
+    ).join(pairs.select("doc_a").distinct(), "doc_a", "left_semi")
     sb = sig.select(
         F.col("_id").alias("doc_b"),
         F.col("_hps").alias("_hps_b"),
         F.col("_n_sh").alias("_n_b"),
-    )
+    ).join(pairs.select("doc_b").distinct(), "doc_b", "left_semi")
     verified = (
         pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
@@ -246,10 +258,17 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     num_bands: int = 4,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs by SimHash banding (pigeonhole: hamming <= 3
     over 4 x 16-bit bands guarantees one identical band), verified by exact
-    Hamming distance."""
+    Hamming distance.
+
+    Bucket sizes are capped at max_bucket, same as minhash_lsh_pairs:
+    degenerate docs (empty/near-empty text collapse to identical simhash)
+    otherwise create a quadratic hot bucket.  The cap keeps the sorted-by-id
+    prefix, so results stay deterministic.
+    """
     bits = 64
     band_bits = bits // num_bands
     w = simhash_frame(df, text_col, id_col, bits)
@@ -266,20 +285,32 @@ def simhash_pairs(
             )
         ).alias("_band", "_bh"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # one shuffle: collect each band bucket, cap it, expand pairs in-place
+    # (sort_array on (id, sh) structs orders by id, so a<b falls out of the
+    # triangular expansion and the capped prefix is the id-smallest rows).
+    buckets = banded.groupBy("_band", "_bh").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct(F.col("_id"), F.col("_sh")))),
+            1,
+            max_bucket,
+        ).alias("_rows")
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._bh") == F.col("b._bh"))
-            & (F.col("a._id") < F.col("b._id")),
+        buckets.filter(F.size("_rows") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_rows, (x, i) -> "
+                    "transform(slice(_rows, i + 2, size(_rows)), "
+                    "y -> struct(x._id as a, y._id as b, x._sh as sa, y._sh as sb))))"
+                )
+            ).alias("p")
         )
         .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
+            F.col("p.a").alias("doc_a"),
+            F.col("p.b").alias("doc_b"),
+            F.col("p.sa").alias("sh_a"),
+            F.col("p.sb").alias("sh_b"),
         )
         .distinct()
     )

@@ -153,16 +153,25 @@ def dl_latest_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _out(eng.latest_all(as_of=_AS_OF))
 
 
+# Bucket-walk semantics (querier.py:407-417): records fan out to every day
+# bucket their interval spans; the walk goes newest-first from as_of's bucket
+# down to the lookback floor, and within the newest non-empty bucket picks
+# max (start, create_time).  Rank therefore leads with the newest bucket
+# touched, capped at as_of's bucket.
+_NOW_BUCKET = _AS_OF // _DAY_MS
+_LO_BUCKET = (_AS_OF - 14 * _DAY_MS) // _DAY_MS
+
 DL_LATEST_SQL = f"""
 WITH {FILES_CTE}
 SELECT id, what, site, start_ms, end_ms, work_id, create_time, hash
 FROM (
   SELECT *, ROW_NUMBER() OVER (
             PARTITION BY what, site
-            ORDER BY start_ms DESC, create_time DESC) AS rn
+            ORDER BY LEAST(COALESCE(end_ms, start_ms) // {_DAY_MS}, {_NOW_BUCKET}) DESC,
+                     start_ms DESC, create_time DESC) AS rn
   FROM files
-  WHERE start_ms >= {_AS_OF} - 14 * {_DAY_MS}
-    AND start_ms <= {_AS_OF} + {_DAY_MS}
+  WHERE start_ms < {(_NOW_BUCKET + 1) * _DAY_MS}
+    AND COALESCE(end_ms, start_ms) >= {_LO_BUCKET * _DAY_MS}
 ) WHERE rn = 1
 """
 

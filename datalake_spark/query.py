@@ -14,7 +14,7 @@ bucket walk, cursor machine, and per-page dedup all disappear.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datalake_spark.metadata import DAY_MS, InvalidDatalakeMetadata, normalize_date
@@ -124,6 +124,21 @@ class QueryEngine:
         return df.dropDuplicates(["id"])
 
     # -- O4/O5: latest ------------------------------------------------------
+    @staticmethod
+    def _latest_rank(now_bucket: int) -> F.Column:
+        """The reference's bucket-walk ranking (querier.py:407-417 +
+        _get_latest_record_in_bucket:384-395): buckets are walked newest-first
+        and records fan out to EVERY day bucket their interval spans, so a
+        record spanning into a newer bucket beats a later-starting record in
+        an older bucket.  Rank = (newest bucket touched, capped at the walk's
+        start bucket, then start, then create_time)."""
+        end_eff = F.coalesce(F.col("end"), F.col("start"))
+        return F.struct(
+            F.least(F.floor(end_eff / F.lit(DAY_MS)), F.lit(now_bucket)),
+            F.col("start"),
+            F.col("create_time"),
+        )
+
     def latest(
         self,
         what: str,
@@ -131,56 +146,58 @@ class QueryEngine:
         as_of=None,
         lookback_days: int = DEFAULT_LOOKBACK_DAYS,
     ) -> DataFrame:
-        """Newest file for (what, where): max by (start, create_time), looking
-        back ``lookback_days`` and rejecting records starting more than 24 h
-        after ``as_of`` (querier.py:351-417).  Returns a 0-or-1-row frame.
+        """Newest file for (what, where) per the reference's day-bucket walk
+        (querier.py:407-417): within the newest non-empty bucket of the
+        lookback window, max by (start, create_time).  Returns 0-or-1 rows.
 
         Fast path (O5, querier.py:355-379): when a materialized latest table
-        is attached, probe it first — an O(1) point read of a tiny table —
-        and fall back to the full scan only if the row is absent or starts
-        beyond the 24 h lookforward cap."""
+        is attached, probe it first — a single point-read job of a tiny
+        table — and fall back to the full scan only if the row is absent or
+        starts beyond the 24 h lookforward cap (the cap exists only on the
+        latest-table path, as in the reference)."""
         now = normalize_date(as_of if as_of is not None else "now")
         if self._latest is not None:
             hit = self._latest.filter(
                 (F.col("what_where_key") == f"{what}:{where}")
                 & (F.col("start") <= F.lit(now + LATEST_MAX_LOOKFORWARD_MS))
             ).drop("what_where_key")
-            if hit.limit(1).count() > 0:
-                return hit
-        lo = now - lookback_days * DAY_MS
-        hi = now + LATEST_MAX_LOOKFORWARD_MS
+            rows = hit.limit(1).collect()  # ONE job: probe + fetch together
+            if rows:
+                return self.files_df.sparkSession.createDataFrame(rows, hit.schema)
+        now_bucket = now // DAY_MS
+        lo_bucket = (now - lookback_days * DAY_MS) // DAY_MS
+        end_eff = F.coalesce(F.col("end"), F.col("start"))
+        # pushdown-friendly forms of bucket(start) <= now_bucket and
+        # bucket(end_eff) >= lo_bucket
         df = self.files_df.filter(
             (F.col("what") == what)
             & (F.col("where") == where)
-            & (F.col("start") >= F.lit(lo))
-            & (F.col("start") <= F.lit(hi))
+            & (F.col("start") < F.lit((now_bucket + 1) * DAY_MS))
+            & (end_eff >= F.lit(lo_bucket * DAY_MS))
         )
         cols = [c for c in df.columns]
         return (
             df.groupBy("what", "where")
-            .agg(
-                F.max_by(
-                    F.struct(*cols), F.struct(F.col("start"), F.col("create_time"))
-                ).alias("r")
-            )
+            .agg(F.max_by(F.struct(*cols), self._latest_rank(now_bucket)).alias("r"))
             .select("r.*")
         )
 
     def latest_all(self, as_of=None, lookback_days: int = DEFAULT_LOOKBACK_DAYS) -> DataFrame:
         """Bulk variant: latest per every (what, where) — the materialized
-        latest table's full contents, computed with one shuffle."""
+        latest table's full contents, computed with one shuffle.  Same
+        bucket-walk ranking as latest()."""
         now = normalize_date(as_of if as_of is not None else "now")
-        lo = now - lookback_days * DAY_MS
-        hi = now + LATEST_MAX_LOOKFORWARD_MS
-        df = self.files_df.filter((F.col("start") >= lo) & (F.col("start") <= hi))
+        now_bucket = now // DAY_MS
+        lo_bucket = (now - lookback_days * DAY_MS) // DAY_MS
+        end_eff = F.coalesce(F.col("end"), F.col("start"))
+        df = self.files_df.filter(
+            (F.col("start") < F.lit((now_bucket + 1) * DAY_MS))
+            & (end_eff >= F.lit(lo_bucket * DAY_MS))
+        )
         cols = [c for c in df.columns]
         return (
             df.groupBy("what", "where")
-            .agg(
-                F.max_by(
-                    F.struct(*cols), F.struct(F.col("start"), F.col("create_time"))
-                ).alias("r")
-            )
+            .agg(F.max_by(F.struct(*cols), self._latest_rank(now_bucket)).alias("r"))
             .select("r.*")
         )
 
@@ -190,16 +207,42 @@ class QueryEngine:
 
     # -- O6: stable pagination emulation ------------------------------------
     def page(self, df: DataFrame, page: int = 0, page_size: int = MAX_RESULTS) -> DataFrame:
-        """Deterministic pagination: row_number over (start, id) — replaces
-        the reference's opaque resumable cursor (querier.py:54-143)."""
-        w = Window.orderBy(F.col("start"), F.col("id"))
-        rn = F.row_number().over(w)
-        lo, hi = page * page_size, (page + 1) * page_size
+        """Deterministic page N: sort by (start, id), skip N pages, take one.
+
+        Plans as TakeOrderedAndProject(limit=(N+1)*size, offset=N*size):
+        every partition computes its own top-(N+1)*size and the driver
+        merges — no single-partition global sort (the previous
+        Window.orderBy-with-no-partitionBy formulation moved the ENTIRE
+        result set to one partition).  Cost grows with page depth; for deep
+        scans use page_after (keyset), which is O(page) regardless of depth.
+        """
         return (
-            df.withColumn("_rn", rn)
-            .filter((F.col("_rn") > lo) & (F.col("_rn") <= hi))
-            .drop("_rn")
+            df.orderBy(F.col("start"), F.col("id"))
+            .offset(page * page_size)
+            .limit(page_size)
         )
+
+    def page_after(
+        self,
+        df: DataFrame,
+        last_start: int | None = None,
+        last_id: str | None = None,
+        page_size: int = MAX_RESULTS,
+    ) -> DataFrame:
+        """Keyset pagination — the scale path, equivalent to the reference's
+        resumable cursor (querier.py:54-143): WHERE (start, id) >
+        (last_start, last_id) ORDER BY start, id LIMIT page_size.  The
+        predicate is pushable, so each page is a bounded top-k over only the
+        remainder — depth-independent cost."""
+        if last_start is not None:
+            df = df.filter(
+                (F.col("start") > F.lit(last_start))
+                | (
+                    (F.col("start") == F.lit(last_start))
+                    & (F.col("id") > F.lit(last_id))
+                )
+            )
+        return df.orderBy(F.col("start"), F.col("id")).limit(page_size)
 
     # -- O8/O9: projection + ISO enrichment ---------------------------------
     @staticmethod

@@ -57,6 +57,33 @@ class TestDedup:
         # sanity: pairs flagged by simhash share most shingles directionally
         assert all(r["hamming"] <= 3 for r in pairs)
 
+    def test_shingles_short_docs_dont_crash(self, spark):
+        """Docs with fewer than n tokens must yield an empty shingle set, not
+        an INVALID_PARAMETER_VALUE.START abort (ADVICE r1, high)."""
+        df = spark.createDataFrame(
+            [(1, ""), (2, "one"), (3, "one two"), (4, "one two three four")],
+            ["doc_id", "text"],
+        )
+        rows = df.select(
+            "doc_id", dedup.shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+        by_id = {r["doc_id"]: r["sh"] for r in rows}
+        assert by_id[1] == [] and by_id[2] == [] and by_id[3] == []
+        assert by_id[4] == ["one two three", "two three four"]
+        # and the full LSH operator runs end-to-end over a shorty corpus
+        assert dedup.minhash_lsh_pairs(df, threshold=0.5).count() == 0
+
+    def test_simhash_degenerate_bucket_capped(self, spark):
+        """1000 empty docs collapse to one simhash: the capped bucket must
+        expand ~cap²/2 pairs, not 1000²/2 (ADVICE/VERDICT r1)."""
+        df = spark.createDataFrame(
+            [(i, "") for i in range(1000)], ["doc_id", "text"]
+        )
+        n = dedup.simhash_pairs(df, max_bucket=50).count()
+        # 4 bands × C(50,2) distinct-deduped = C(50,2) = 1225 (same capped
+        # prefix in every band)
+        assert 0 < n <= 50 * 49 // 2
+
     def test_fingerprint_dedup_runs(self, docs):
         assert dedup.fingerprint_dedup(docs).count() <= docs.count()
 
@@ -149,6 +176,25 @@ class TestAsof:
         plain = asof.range_join(left, right, "t", "lo", "hi").count()
         bucketed = asof.range_join(left, right, "t", "lo", "hi", bucket_width=100).count()
         assert plain == bucketed > 0
+
+    def test_range_join_bucketized_left_outer(self, spark):
+        """how='left' with bucket_width must keep unmatched left rows (the
+        range predicate lives in the join condition, not a post-filter)."""
+        left = spark.createDataFrame([(1, 50), (2, 5000)], ["id", "t"])
+        right = spark.createDataFrame([(9, 0, 100)], ["rid", "lo", "hi"])
+        plain = asof.range_join(left, right, "t", "lo", "hi", how="left")
+        bucketed = asof.range_join(
+            left, right, "t", "lo", "hi", bucket_width=100, how="left"
+        )
+        want = {(1, 9), (2, None)}
+        assert {(r["id"], r["rid"]) for r in plain.collect()} == want
+        assert {(r["id"], r["rid"]) for r in bucketed.collect()} == want
+
+    def test_range_join_bucketized_rejects_full_outer(self, spark):
+        left = spark.createDataFrame([(1, 50)], ["id", "t"])
+        right = spark.createDataFrame([(9, 0, 100)], ["rid", "lo", "hi"])
+        with pytest.raises(ValueError, match="range_join"):
+            asof.range_join(left, right, "t", "lo", "hi", bucket_width=100, how="full")
 
 
 class TestMultimodal:

@@ -125,6 +125,23 @@ class TestLatest:
         eng = QueryEngine(make_files_df(spark, rows))
         assert eng.latest("w", "s", as_of=T0).count() == 0
 
+    def test_bucket_spanning_record_beats_later_start(self, spark):
+        """The reference walks day buckets newest-first and records fan out to
+        every bucket they span (querier.py:407-417): a record spanning into a
+        newer bucket wins over a later-STARTING record confined to an older
+        bucket (ADVICE r1, low)."""
+        rows = [
+            # starts day 0, spans into day 2 -> present in bucket(day 2)
+            {"id": "spanner", "what": "w", "where": "s",
+             "start": T0, "end": T0 + 2 * DAY_MS + 1000},
+            # starts later but confined to day 1 -> newest bucket is day 1
+            {"id": "later_start", "what": "w", "where": "s",
+             "start": T0 + DAY_MS + 5000, "end": T0 + DAY_MS + 6000},
+        ]
+        eng = QueryEngine(make_files_df(spark, rows))
+        got = eng.latest("w", "s", as_of=T0 + 2 * DAY_MS + 2000).collect()
+        assert [r["id"] for r in got] == ["spanner"]
+
 
 class TestPagination:
     def test_stable_pages(self, spark):
@@ -146,6 +163,46 @@ class TestPagination:
         assert counts == [100, 100, 50]  # pages <= MAX_RESULTS, non-final full
         all_ids = [r["id"] for p in pages for r in p.collect()]
         assert len(set(all_ids)) == 250  # no dup across pages (stronger than ref)
+
+    def test_page_plan_has_no_global_sort(self, spark):
+        """The scale contract (VERDICT r1 #1): page() must plan as a bounded
+        top-k merge (TakeOrderedAndProject), NOT a Window over a
+        single-partition global sort."""
+        rows = [
+            {"id": f"id{i:03d}", "what": "w", "where": "s", "start": T0 + i, "end": None}
+            for i in range(50)
+        ]
+        eng = QueryEngine(make_files_df(spark, rows))
+        q = eng.page(eng.by_time("w", T0, T0 + DAY_MS), page=1, page_size=10)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Window" not in plan
+        assert "SinglePartition" not in plan
+
+    def test_page_after_keyset_matches_offset_pages(self, spark):
+        """Keyset pagination walks the same sequence as offset pagination."""
+        rng = random.Random(11)
+        rows = [
+            {"id": f"id{i:03d}", "what": "w", "where": "s",
+             "start": T0 + rng.randint(0, 10**6), "end": None}
+            for i in range(95)
+        ]
+        eng = QueryEngine(make_files_df(spark, rows))
+        q = eng.by_time("w", T0, T0 + DAY_MS)
+        via_offset = [
+            (r["start"], r["id"])
+            for p in range(4)
+            for r in eng.page(q, page=p, page_size=30).collect()
+        ]
+        via_keyset, cursor = [], (None, None)
+        while True:
+            batch = eng.page_after(q, cursor[0], cursor[1], page_size=30).collect()
+            if not batch:
+                break
+            via_keyset += [(r["start"], r["id"]) for r in batch]
+            cursor = (batch[-1]["start"], batch[-1]["id"])
+        assert via_keyset == sorted(via_offset)
+        assert len(via_keyset) == 95
 
 
 class TestCatalog:
