@@ -84,6 +84,10 @@ def sql_davg(expr: str, alias: str) -> str:
 
 
 def registry() -> list[Q]:
+    """Declared query surface, sized to fit inside the driver's 50-entry
+    correctness gate: single-concept relational queries are folded into
+    digest batteries (see batteries.py) that keep per-sub-query value-level
+    verification while occupying one registry slot each."""
     from datalake_spark.queries import (
         relational,
         relational2,
@@ -92,9 +96,10 @@ def registry() -> list[Q]:
         ops_q,
         streaming_q,
         windows_q,
+        batteries,
     )
 
-    return (
+    flat = (
         relational.QUERIES
         + relational2.QUERIES
         + datalake_q.QUERIES
@@ -103,3 +108,5 @@ def registry() -> list[Q]:
         + streaming_q.QUERIES
         + windows_q.QUERIES
     )
+    folded = batteries.folded_names()
+    return [q for q in flat if q.name not in folded] + batteries.queries()

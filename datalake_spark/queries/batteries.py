@@ -1,0 +1,295 @@
+"""Digest batteries: fold several oracle-checked sub-queries into ONE
+registry entry without losing value-level verification.
+
+Why: the driver's correctness gate samples the first N registry entries, so
+the declared surface must fit inside it.  Each battery returns one row per
+sub-query — (subq, n_rows, digest) — where the digest is an order-insensitive
+exact hash of the sub-query's full result set, computed identically by Spark
+and DuckDB:
+
+    row_str  = concat_ws(US, canon(col) for col in sorted(columns))
+    row_hash = bigint(first 15 hex chars of md5(row_str))   # 60 bits
+    digest   = SUM(row_hash) as DECIMAL(38,0) → string      # multiset-exact
+
+SUM (not XOR) so duplicate-row multiplicity matters; DECIMAL(38,0) so neither
+engine overflows.  A mismatch still localizes: each sub-query keeps its own
+digest row.  The aggregation is map-side combinable — the digest adds one
+narrow global agg on top of each sub-plan, no collect, scale-safe.
+
+Canonicalization (cross-engine string equality):
+- 'v'  verbatim CAST(x AS STRING): ints, strings, booleans, decimals — all
+  render identically in Spark and DuckDB.
+- 'd'  ROUND(x, 6) → DECIMAL(28,6) → string, for double/float columns of
+  magnitude < ~1e8.  Raw double→string formatting differs between engines
+  ("1.0E-7" vs "1e-07"), so doubles go through decimal.  The decimal scale
+  must equal the round scale: DuckDB converts double→DECIMAL(p,s) by
+  multiplying by 10^s, which is only exact while |x|·10^s < 2^53 — scale 12
+  corrupted any |x| ≳ 9e3 (observed on o_totalprice).  At scale 6 the
+  product is the integer 10^6·g for the rounded grid value g, exact up to
+  |x| ≈ 1e8 (fp error 10^6·ulp(x) ≪ 0.5), and Spark's path
+  (shortest-repr BigDecimal) lands on the same g.
+- 'd4' CAST(x AS DECIMAL(28,4)) for money-sum columns already ROUND(x, 4)-ed
+  in the sub-query (magnitudes up to 1e10): 4-decimal grid points are never
+  ties of a scale-4 cast (a/10^4 = odd/32 has no solution), and a 1e9-scale
+  sum would overflow the 16 integer digits of 'd'.
+
+NULLs map to a \\x01-sentinel; the \\x1f column separator cannot collide with
+TPC-H/documents content.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_spark.queries import Q
+
+_SEP = "\x1f"
+_NULL = "\x01N"
+
+
+@dataclass(frozen=True)
+class Sub:
+    """One battery member: the underlying Q plus its declared output schema
+    as {column: kind} with kind ∈ {'v', 'd', 'd4'}.  The declaration feeds
+    the DuckDB side (which cannot inspect a DataFrame schema); a unit test
+    asserts it matches the Spark schema exactly."""
+
+    q: Q
+    cols: dict[str, str]
+
+
+def _canon_spark(c: str, kind: str) -> F.Column:
+    col = F.col(c)
+    if kind == "d":
+        e = F.round(col, 6).cast("decimal(28,6)").cast("string")
+    elif kind == "d4":
+        e = col.cast("decimal(28,4)").cast("string")
+    else:
+        e = col.cast("string")
+    return F.coalesce(e, F.lit(_NULL))
+
+
+def _canon_sql(c: str, kind: str) -> str:
+    q = f'"{c}"'
+    if kind == "d":
+        e = f"CAST(CAST(ROUND({q}, 6) AS DECIMAL(28,6)) AS VARCHAR)"
+    elif kind == "d4":
+        e = f"CAST(CAST({q} AS DECIMAL(28,4)) AS VARCHAR)"
+    else:
+        e = f"CAST({q} AS VARCHAR)"
+    return f"COALESCE({e}, chr(1) || 'N')"
+
+
+def digest_df(df: DataFrame, name: str, cols: dict[str, str]) -> DataFrame:
+    row = F.concat_ws(_SEP, *[_canon_spark(c, cols[c]) for c in sorted(cols)])
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("bigint")
+    return (
+        df.select(h.alias("_h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.col("_h").cast("decimal(38,0)")).cast("string"), F.lit("0")
+            ).alias("digest"),
+        )
+        .select(F.lit(name).alias("subq"), "n_rows", "digest")
+    )
+
+
+def digest_sql(name: str, sub_sql: str, cols: dict[str, str]) -> str:
+    row = "CONCAT_WS(chr(31), " + ", ".join(
+        _canon_sql(c, cols[c]) for c in sorted(cols)
+    ) + ")"
+    return (
+        f"SELECT '{name}' AS subq, COUNT(*) AS n_rows,\n"
+        f"  COALESCE(CAST(SUM(CAST(CAST(CONCAT('0x', SUBSTR(md5({row}), 1, 15)) AS BIGINT)"
+        f" AS DECIMAL(38,0))) AS VARCHAR), '0') AS digest\n"
+        f"FROM (\n{sub_sql}\n) _sub"
+    )
+
+
+def battery(name: str, subs: list[Sub], doc: str) -> Q:
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        dfs = [digest_df(s.q.build(spark, sf_dir), s.q.name, s.cols) for s in subs]
+        return reduce(DataFrame.unionByName, dfs)
+
+    oracle = "\nUNION ALL\n".join(
+        digest_sql(s.q.name, s.q.oracle, s.cols) for s in subs
+    )
+    BATTERY_SUBS[name] = subs
+    return Q(name, build, oracle, doc)
+
+
+# ---------------------------------------------------------------------------
+# Battery declarations.  Sub-query builders/SQL live in their home modules;
+# only the registry entry is folded.
+# ---------------------------------------------------------------------------
+def _mk() -> list[Q]:
+    from datalake_spark.queries import relational as r1
+    from datalake_spark.queries import relational2 as r2
+    from datalake_spark.queries import ops_q as ops
+    from datalake_spark.queries import windows_q as wq
+
+    def q(mod, name, fn_name, sql_name):
+        return Q(name, getattr(mod, fn_name), getattr(mod, sql_name), "")
+
+    joins = [
+        Sub(q(r1, "q_semi_join", "q_semi_join", "Q_SEMI_SQL"),
+            {"c_mktsegment": "v", "n_customers_with_orders": "v"}),
+        Sub(q(r1, "q_anti_join", "q_anti_join", "Q_ANTI_SQL"),
+            {"c_mktsegment": "v", "n_customers_without_orders": "v", "avg_acctbal": "d"}),
+        Sub(q(r2, "q_left_outer", "q_left_outer", "Q_LEFT_OUTER_SQL"),
+            {"o_orderpriority": "v", "n_orders": "v", "n_late_items": "v", "n_orders_no_late": "v"}),
+        Sub(q(r2, "q_full_outer", "q_full_outer", "Q_FULL_OUTER_SQL"),
+            {"nationkey": "v", "n_neg_customers": "v", "n_neg_suppliers": "v"}),
+        Sub(q(ops, "q_cross_join", "q_cross_join", "Q_CROSS_SQL"),
+            {"r_name": "v", "n_name": "v", "pair": "v"}),
+        Sub(q(r2, "q_disjunctive_join", "q_disjunctive_join", "Q_DISJUNCTIVE_SQL"),
+            {"revenue": "d4", "n_rows": "v"}),
+    ]
+    aggs = [
+        Sub(q(r1, "q_rollup", "q_rollup", "Q_ROLLUP_SQL"),
+            {"l_returnflag": "v", "l_linestatus": "v", "n": "v", "sum_qty": "d4"}),
+        Sub(q(r1, "q_cube", "q_cube", "Q_CUBE_SQL"),
+            {"o_orderstatus": "v", "o_orderpriority": "v", "n": "v", "sum_price": "d4"}),
+        Sub(q(ops, "q_grouping_sets", "q_grouping_sets", "_GROUPING_SETS_SQL"),
+            {"l_returnflag": "v", "l_linestatus": "v", "n": "v", "sum_qty": "d4"}),
+        Sub(q(r2, "q_having", "q_having", "Q_HAVING_SQL"),
+            {"n_name": "v", "n_customers": "v", "avg_bal": "d"}),
+        Sub(q(r2, "q_string_agg", "q_string_agg", "Q_STRING_AGG_SQL"),
+            {"n_name": "v", "n_suppliers": "v", "supplier_names": "v"}),
+        Sub(q(ops, "q_percentiles", "q_percentiles", "Q_PERCENTILES_SQL"),
+            {"o_orderstatus": "v", "p50": "d", "p90": "d", "p99": "d"}),
+    ]
+    windows = [
+        Sub(q(r1, "q_window_running", "q_window_running", "Q_RUNNING_SQL"),
+            {"l_suppkey": "v", "l_orderkey": "v", "l_linenumber": "v",
+             "running_qty": "d", "prev_qty": "d", "next_qty": "d"}),
+        Sub(q(r2, "q_window_analytic", "q_window_analytic", "Q_WINDOW_ANALYTIC_SQL"),
+            {"o_orderkey": "v", "o_orderpriority": "v", "o_totalprice": "d",
+             "quartile": "v", "pct_rank": "d", "cume": "d", "rnk": "v", "drnk": "v"}),
+        Sub(q(r2, "q_range_frame", "q_range_frame", "Q_RANGE_FRAME_SQL"),
+            {"c_custkey": "v", "nationkey": "v", "bal_cents": "v",
+             "n_near": "v", "sum_near_cents": "v"}),
+        Sub(q(wq, "q_value_navigation", "q_value_navigation", "Q_VALUE_NAV_SQL"),
+            {"o_orderkey": "v", "o_orderpriority": "v", "o_totalprice": "d",
+             "cheapest": "d", "priciest": "d", "third_cheapest": "d"}),
+        Sub(q(wq, "q_moving_avg", "q_moving_avg", "Q_MOVING_AVG_SQL"),
+            {"event_id": "v", "user_id": "v", "n_in_frame": "v", "moving_avg": "d"}),
+    ]
+    scalars = [
+        Sub(q(r1, "q_scalar_string", "q_scalar_string", "Q_STRING_SQL"),
+            {"p_partkey": "v", "brand_upper": "v", "name_lower": "v", "type_prefix": "v",
+             "name_len": "v", "brand_type": "v", "brand_num": "v", "type_snake": "v",
+             "brand_rev": "v", "key_padded": "v"}),
+        Sub(q(r2, "q_math_funcs", "q_math_funcs", "Q_MATH_SQL"),
+            {"p_partkey": "v", "abs_off": "v", "price_ceil": "v", "price_floor": "v",
+             "price_r1": "d", "size_sqrt": "d", "price_ln": "d", "price_log10": "d",
+             "size_sq": "d", "size_sign": "v", "size_hi": "v", "size_lo": "v",
+             "size_mod7": "v"}),
+        Sub(q(r1, "q_conditional", "q_conditional", "Q_CONDITIONAL_SQL"),
+            {"disc_band": "v", "l_returnflag": "v", "n": "v", "n_taxed": "v",
+             "discount_value": "d4"}),
+        Sub(q(r2, "q_null_safe_eq", "q_null_safe_eq", "Q_NULL_SAFE_SQL"),
+            {"cat": "v", "n": "v", "is_null_group": "v"}),
+        Sub(q(r1, "q_scalar_datetime", "q_scalar_datetime", "Q_DATETIME_SQL"),
+            {"o_orderkey": "v", "order_year": "v", "order_month": "v", "order_day": "v",
+             "order_quarter": "v", "order_date": "v", "month_start": "v",
+             "days_to_2002": "v", "due_date": "v"}),
+    ]
+    semistruct = [
+        Sub(q(r2, "q_map_funcs", "q_map_funcs", "Q_MAP_SQL"),
+            {"event_id": "v", "m_type": "v", "m_uid": "v", "m_missing": "v",
+             "m_size": "v", "m_keys": "v"}),
+        Sub(q(ops, "q_json", "q_json", "Q_JSON_SQL"),
+            {"k_mod": "v", "n": "v", "k_min": "v", "k_max": "v"}),
+        Sub(q(ops, "q_array_funcs", "q_array_funcs", "Q_ARRAY_SQL"),
+            {"doc_id": "v", "first_tok": "v", "last_tok": "v", "has_spark": "v",
+             "top3_sorted": "v", "n_non_the": "v"}),
+        Sub(q(r2, "q_explode_pos", "q_explode_pos", "Q_EXPLODE_SQL"),
+            {"vec_id": "v", "pos": "v", "val": "d"}),
+        Sub(q(r2, "q_unpivot", "q_unpivot", "Q_UNPIVOT_SQL"),
+            {"p_partkey": "v", "attr": "v", "val": "d"}),
+    ]
+    setops = [
+        Sub(q(r1, "q_setops", "q_setops", "Q_SETOPS_SQL"),
+            {"side": "v", "nationkey": "v"}),
+        Sub(q(r2, "q_setops_all", "q_setops_all", "Q_SETOPS_ALL_SQL"),
+            {"op": "v", "nationkey": "v", "multiplicity": "v"}),
+        Sub(q(r2, "q_union_stats", "q_union_stats", "Q_UNION_STATS_SQL"),
+            {"side": "v", "nationkey": "v", "n": "v", "avg_bal": "d"}),
+        Sub(q(r2, "q_nulls_ordering", "q_nulls_ordering", "Q_NULLS_ORDERING_SQL"),
+            {"event_id": "v", "val": "d"}),
+    ]
+    subqueries = [
+        Sub(q(r2, "q_correlated_exists", "q_correlated_exists", "Q_CORR_EXISTS_SQL"),
+            {"o_orderpriority": "v", "n_slow_orders": "v"}),
+        Sub(q(r2, "q_scalar_subquery", "q_scalar_subquery", "Q_SCALAR_SUB_SQL"),
+            {"below_avg_price": "d4", "n_rows": "v"}),
+        Sub(q(r2, "q_sql_subqueries", "q_sql_subqueries", "_SUBQ_SQL"),
+            {"c_mktsegment": "v", "n_customers": "v"}),
+    ]
+    from datalake_spark.queries import pipeline_q as pq
+
+    text = [
+        Sub(q(pq, "text_stats", "text_stats", "TEXT_STATS_SQL"),
+            {"doc_id": "v", "lang": "v", "n_chars_computed": "v", "n_tokens": "v",
+             "n_stopwords": "v", "stop_ratio": "d", "n_unique_tokens": "v",
+             "uniq_ratio": "d"}),
+        Sub(q(pq, "text_quality", "text_quality", "TEXT_QUALITY_SQL"),
+            {"doc_id": "v", "source": "v", "quality_score": "d", "keep": "v"}),
+        Sub(q(pq, "text_normalize", "text_normalize", "TEXT_NORMALIZE_SQL"),
+            {"doc_id": "v", "norm_text": "v", "norm_len": "v", "norm_hash": "v"}),
+        Sub(q(pq, "token_bpe_count", "token_bpe_count", "TOKEN_BPE_SQL"),
+            {"doc_id": "v", "source": "v", "n_bpe_tokens": "v", "n_word_tokens": "v",
+             "chars_per_token": "d"}),
+        Sub(q(ops, "lang_id_quality", "lang_id_quality", "LANG_ID_SQL"),
+            {"doc_id": "v", "lang": "v", "lang_pred": "v", "quality_r": "d"}),
+    ]
+    event_windows = [
+        Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),
+            {"w_start_ms": "v", "event_type": "v", "n_events": "v", "sum_value": "d4"}),
+        Sub(q(wq, "q_sliding_window", "q_sliding_window", "Q_SLIDING_SQL"),
+            {"w_start_ms": "v", "w_end_ms": "v", "n_events": "v", "sum_value": "d4"}),
+        Sub(q(wq, "q_session_window", "q_session_window", "Q_SESSION_WINDOW_SQL"),
+            {"user_id": "v", "session_start_ms": "v", "session_end_ms": "v",
+             "n_events": "v", "sum_value": "d4"}),
+    ]
+
+    return [
+        battery("q_join_battery", joins,
+                "semi/anti/left/full-outer/cross/disjunctive joins, digest-verified"),
+        battery("q_agg_battery", aggs,
+                "rollup/cube/grouping sets/having/string_agg/percentiles, digest-verified"),
+        battery("q_window_battery", windows,
+                "running/analytic/RANGE frame/value-nav/moving-avg windows, digest-verified"),
+        battery("q_scalar_battery", scalars,
+                "string/math/conditional/null-safe/datetime scalar fns, digest-verified"),
+        battery("q_semistruct_battery", semistruct,
+                "map/JSON/array/posexplode/unpivot, digest-verified"),
+        battery("q_setops_battery", setops,
+                "EXCEPT/INTERSECT/UNION (+ALL) + NULLS FIRST/OFFSET, digest-verified"),
+        battery("q_subquery_battery", subqueries,
+                "correlated EXISTS / scalar / IN+NOT IN subqueries, digest-verified"),
+        battery("text_battery", text,
+                "text stats/quality/normalize/BPE-count/lang-id, digest-verified"),
+        battery("q_event_window_battery", event_windows,
+                "tumbling/sliding/session event-time windows, digest-verified"),
+    ]
+
+
+BATTERY_SUBS: dict[str, list[Sub]] = {}
+
+
+def queries() -> list[Q]:
+    return _mk()
+
+
+def folded_names() -> frozenset[str]:
+    """Names of the sub-queries absorbed into batteries (to drop from the
+    flat registry)."""
+    _mk()  # populate BATTERY_SUBS
+    return frozenset(s.q.name for subs in BATTERY_SUBS.values() for s in subs)
