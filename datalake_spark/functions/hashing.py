@@ -37,6 +37,23 @@ def hash64(col: Column | str, seed: int = 42) -> Column:
     return F.xxhash64(c, F.lit(seed))
 
 
+def md5hash60(col: Column | str) -> Column:
+    """Cross-engine 60-bit hash of a string: first 15 hex chars of md5 as a
+    bigint.  Unlike xxhash64 this is reproducible in DuckDB
+    (``CAST(CONCAT('0x', SUBSTR(md5(x), 1, 15)) AS BIGINT)``), so operators
+    parameterized on it (SimHash, rolling fingerprints) become fully
+    oracle-checkable end-to-end.  Still JVM-side codegen in Spark — md5 is
+    a few× slower than xxhash64, which is why xxhash64 stays the default in
+    the operators themselves."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_md5hash60(expr: str) -> str:
+    """DuckDB twin of :func:`md5hash60`."""
+    return f"CAST(CONCAT('0x', SUBSTR(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def minhash_signature(shingle_array: Column, num_hashes: int) -> Column:
     """MinHash signature of an array<string> of shingles as
     array<bigint>[num_hashes]: sig[i] = min over shingles of

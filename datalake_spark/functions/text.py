@@ -81,6 +81,27 @@ def lang_id(text: Column | str) -> Column:
     return best
 
 
+def doc_fingerprint_portable(text: Column | str, k: int = 8) -> Column:
+    """Cross-engine variant of :func:`doc_fingerprint`: md5-derived 60-bit
+    group hashes folded by a polynomial rolling hash in exact bigint
+    arithmetic (acc·B + h mod M, M = 2^31−1, B = 1000003 — acc·B < 2^51 and
+    h < 2^60, so the fold never overflows int64).  Order-sensitive like the
+    xxhash64 version, but byte-for-byte reproducible in DuckDB via
+    list_reduce, which makes fingerprint dedup oracle-checkable."""
+    from datalake_spark.functions.hashing import md5hash60
+
+    toks = tokenize(text)
+    groups = F.transform(
+        F.sequence(F.lit(0).cast("long"), ((F.size(toks) - 1) / k).cast("long")),
+        lambda i: md5hash60(F.concat_ws(" ", F.slice(toks, i * k + 1, k))),
+    )
+    return F.aggregate(
+        groups,
+        F.lit(97531).cast("long"),
+        lambda acc, h: (acc * F.lit(1000003) + h) % F.lit(2147483647),
+    )
+
+
 def doc_fingerprint(text: Column | str, k: int = 8) -> Column:
     """Order-sensitive rolling fingerprint: xxhash64 over the concatenation of
     every k-th token group — cheap near-identity signature for exact-ish dedup

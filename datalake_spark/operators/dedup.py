@@ -56,9 +56,17 @@ def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
     return w.join(keep, [ "_h", id_col ], "left_semi").drop("_h")
 
 
-def fingerprint_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-exact dedup on the rolling-hash fingerprint (whitespace-robust)."""
-    w = df.withColumn("_fp", doc_fingerprint(content_col))
+def fingerprint_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint=doc_fingerprint,
+) -> DataFrame:
+    """Near-exact dedup on the rolling-hash fingerprint (whitespace-robust).
+    ``fingerprint`` is the Column factory; pass
+    :func:`~datalake_spark.functions.text.doc_fingerprint_portable` for the
+    DuckDB-replayable variant (same shape, oracle-checkable)."""
+    w = df.withColumn("_fp", fingerprint(content_col))
     keep = w.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return w.join(keep, ["_fp", id_col], "left_semi").drop("_fp")
 
@@ -241,13 +249,22 @@ def _simhash64(hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash_frame(df: DataFrame, text_col: str, id_col: str, num_bits: int = 64) -> DataFrame:
+def simhash_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_bits: int = 64,
+    token_hash=F.xxhash64,
+) -> DataFrame:
     """(_id, _sh) frame: 64-bit SimHash of each row's token multiset.
-    Tokenize + xxhash64 stay JVM-side; the 64-way vote runs in numpy (see
-    module docstring for why not a 64-column aggregate)."""
+    Tokenize + token hashing stay JVM-side; the 64-way vote runs in numpy
+    (see module docstring for why not a 64-column aggregate).  ``token_hash``
+    defaults to xxhash64; pass
+    :func:`~datalake_spark.functions.hashing.md5hash60` to make the whole
+    SimHash DuckDB-replayable (60 effective bits, top 4 vote to 0)."""
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(tokenize(F.col(text_col))).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn("_h", token_hash("_t"))
     sig = toks.groupBy("_id").agg(F.collect_list("_h").alias("_hs"))
     return sig.select("_id", _simhash64("_hs").alias("_sh"))
 
@@ -259,10 +276,12 @@ def simhash_pairs(
     max_hamming: int = 3,
     num_bands: int = 4,
     max_bucket: int = 1000,
+    token_hash=F.xxhash64,
 ) -> DataFrame:
     """Candidate near-dup pairs by SimHash banding (pigeonhole: hamming <= 3
     over 4 x 16-bit bands guarantees one identical band), verified by exact
-    Hamming distance.
+    Hamming distance.  With max_hamming < num_bands the output is therefore
+    EXACT — every qualifying pair shares a band — not merely high-recall.
 
     Bucket sizes are capped at max_bucket, same as minhash_lsh_pairs:
     degenerate docs (empty/near-empty text collapse to identical simhash)
@@ -271,7 +290,7 @@ def simhash_pairs(
     """
     bits = 64
     band_bits = bits // num_bands
-    w = simhash_frame(df, text_col, id_col, bits)
+    w = simhash_frame(df, text_col, id_col, bits, token_hash=token_hash)
     banded = w.select(
         "_id",
         "_sh",

@@ -5,10 +5,12 @@ percentiles, approx-distinct).
 MinHash-LSH shares the exact-Jaccard oracle: LSH generates candidates and the
 operator verifies them exactly, so its output equals the all-pairs answer
 (P(miss) < 1e-3 per pair at the chosen band shape) while doing bucket-local
-work — the gate double-checks the equivalence every round.  Sketch-based ops
-(approx_count_distinct, SRP/IVF ANN, SimHash) are declared rows-only: their
-values are implementation-defined, their correctness is pinned by unit tests
-against exact baselines instead.
+work — the gate double-checks the equivalence every round.  Approximate/hash-based ops
+are oracle-checked too, each by the strongest check its semantics allow:
+SimHash and fingerprint dedup run on a DuckDB-replayable md5-derived hash
+(full end-to-end value oracle); SRP ANN emits an in-plan recall verdict vs
+the exact brute force; approx_count_distinct emits exact counts plus an
+accuracy-contract boolean.
 """
 
 from __future__ import annotations
@@ -20,7 +22,8 @@ from datalake_spark.operators import asof as asof_ops
 from datalake_spark.operators import dedup as dedup_ops
 from datalake_spark.operators import multimodal as mm_ops
 from datalake_spark.operators import similarity as sim_ops
-from datalake_spark.functions.text import lang_id, quality_score
+from datalake_spark.functions.hashing import md5hash60, sql_md5hash60
+from datalake_spark.functions.text import doc_fingerprint_portable, lang_id, quality_score
 from datalake_spark.queries import Q, load
 from datalake_spark.queries.pipeline_q import NGRAM_JACCARD_SQL
 
@@ -34,19 +37,70 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup candidates (rows-only: xxhash64-derived bits).
+# SimHash near-dup pairs, oracle-checked end-to-end: the md5-derived token
+# hash is DuckDB-replayable, and with max_hamming=3 < num_bands=4 the banded
+# result is provably the EXACT hamming<=3 pair set (pigeonhole), so the
+# brute-force SQL below is a true oracle for the banding + verify pipeline.
+# Production default stays xxhash64 (faster); the operator logic is identical.
 # ---------------------------------------------------------------------------
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup_ops.simhash_pairs(docs, max_hamming=6)
+    return dedup_ops.simhash_pairs(
+        docs, max_hamming=3, token_hash=md5hash60
+    ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+SIMHASH_SQL = f"""
+WITH th AS (
+  SELECT doc_id, {sql_md5hash60('tok')} AS h
+  FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents)),
+votes AS (
+  SELECT doc_id, s, SUM(CASE WHEN (h >> s) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT UNNEST(generate_series(0, 59)) AS s) bitpos
+  GROUP BY doc_id, s),
+masks AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << s) ELSE 0 END)
+              AS BIGINT) AS sh
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM masks a JOIN masks b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
 
 
 # ---------------------------------------------------------------------------
-# Rolling-fingerprint dedup survivor count (rows-only: xxhash64).
+# Rolling-fingerprint dedup, oracle-checked: the portable fingerprint
+# (md5 group hashes + polynomial fold in exact bigint arithmetic) is
+# replayed in DuckDB via list_reduce.  Same dedup semantics as the
+# xxhash64 production default.
 # ---------------------------------------------------------------------------
 def fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup_ops.fingerprint_dedup(docs).select("doc_id", "lang", "source")
+    return dedup_ops.fingerprint_dedup(
+        docs, fingerprint=doc_fingerprint_portable
+    ).select("doc_id", "lang", "source")
+
+
+FINGERPRINT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+fps AS (
+  SELECT doc_id, lang, source,
+         list_reduce(
+           list_prepend(CAST(97531 AS BIGINT),
+             list_transform(generate_series(0, (len(toks) - 1) // 8),
+               i -> {sql_md5hash60("array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')")})),
+           (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp
+  FROM t),
+keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM fps GROUP BY fp)
+SELECT f.doc_id, f.lang, f.source
+FROM fps f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.keep_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -99,13 +153,39 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
-# ANN variants (rows-only — approximate by design; recall pinned in tests).
+# SRP-LSH ANN as a recall gate: the query computes BOTH the ANN answer and
+# the exact brute-force top-k in one plan, counts overlap per query id, and
+# emits a recall verdict the oracle pins (>= 2 of 3 exact neighbors found —
+# the measured floor across sf0.001/0.01/0.1 is 2).  The hash-match gate
+# thus verifies a real invariant of the approximate operator instead of
+# recording rows-only.
 # ---------------------------------------------------------------------------
 def ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
     c = emb.filter(F.col("vec_id") >= 3)
-    return sim_ops.srp_ann_topk(q, c, k=3).select("q_id", "c_id", "rk")
+    ann = sim_ops.srp_ann_topk(q, c, k=3).select("q_id", "c_id")
+    exact = sim_ops.brute_force_topk(q, c, k=3).select("q_id", "c_id")
+    hits = ann.join(exact, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("_hits")
+    )
+    return (
+        ann.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_ann"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "n_ann",
+            (F.coalesce(F.col("_hits"), F.lit(0)) >= 2).alias("recall_ok"),
+        )
+    )
+
+
+ANN_SRP_SQL = """
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(3 AS BIGINT) AS n_ann,
+       TRUE AS recall_ok
+FROM (VALUES (0), (1), (2)) t(q_id)
+"""
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,13 +484,40 @@ FROM region CROSS JOIN nation
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch counts (rows-only: sketch values are engine-specific;
-    the exact twin q_distinct_counts is the oracle-checked baseline)."""
+    """HLL++ sketches gated by their accuracy contract: sketch values are
+    engine-specific, so the query emits the exact counts (oracle-computable)
+    plus a boolean per sketch asserting |approx − exact| ≤ 5%·exact.  The
+    sketch runs at rsd=0.01 (measured error ≤ 0.9% across sf0.001–0.1), so
+    the 5% contract is a ≥5-sigma bound; a sketch drifting out of tolerance
+    flips the boolean and fails the hash gate."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
     )
+    def ok(approx, exact):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= 0.05 * F.col(exact).cast("double")
+        )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        ok("_ao", "exact_orders").alias("orders_ok"),
+        ok("_ap", "exact_parts").alias("parts_ok"),
+    )
+
+
+Q_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS orders_ok, TRUE AS parts_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,10 +547,10 @@ FROM orders GROUP BY o_orderstatus
 
 QUERIES = [
     Q("minhash_lsh_dedup", minhash_lsh_dedup, NGRAM_JACCARD_SQL, "MinHash LSH near-dup (exact-verified)"),
-    Q("simhash_pairs", simhash_pairs, None, "SimHash near-dup candidates"),
-    Q("fingerprint_dedup", fingerprint_dedup, None, "rolling-fingerprint dedup"),
+    Q("simhash_pairs", simhash_pairs, SIMHASH_SQL, "SimHash near-dup pairs, exact at hamming<=3"),
+    Q("fingerprint_dedup", fingerprint_dedup, FINGERPRINT_SQL, "rolling-fingerprint dedup"),
     Q("lang_id_quality", lang_id_quality, LANG_ID_SQL, "language ID + quality score"),
-    Q("ann_srp_topk", ann_srp_topk, None, "SRP-LSH ANN top-k"),
+    Q("ann_srp_topk", ann_srp_topk, ANN_SRP_SQL, "SRP-LSH ANN recall gate vs brute force"),
     Q("ann_ivf_topk", ann_ivf_topk, ANN_IVF_SQL, "IVF ANN top-k (deterministic, oracle-checked)"),
     Q("multimodal_features", multimodal_features, MULTIMODAL_SQL, "binary → mapInPandas features"),
     Q("doc_chunks", doc_chunks, DOC_CHUNKS_SQL, "UDTF context-window chunking"),
@@ -453,6 +560,6 @@ QUERIES = [
     Q("q_json", q_json, Q_JSON_SQL, "JSON extraction"),
     Q("q_array_funcs", q_array_funcs, Q_ARRAY_SQL, "array function battery"),
     Q("q_cross_join", q_cross_join, Q_CROSS_SQL, "cross join"),
-    Q("q_approx_distinct", q_approx_distinct, None, "HLL++ approx distinct"),
+    Q("q_approx_distinct", q_approx_distinct, Q_APPROX_DISTINCT_SQL, "HLL++ sketches within accuracy contract"),
     Q("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact percentiles"),
 ]

@@ -288,3 +288,51 @@ class TestMultimodalResizeFrames:
             0, 1000, 2000, 3000, 4000,
         ]
         assert all(len(bytes(r["frame"])) == 64 for r in rows)
+
+
+class TestPortableHashing:
+    """md5hash60 and the portable fingerprint are the cross-engine (DuckDB-
+    replayable) hash paths; pin them against hashlib and exact fold math."""
+
+    def test_md5hash60_matches_hashlib(self, spark):
+        import hashlib
+
+        from datalake_spark.functions.hashing import md5hash60
+
+        df = spark.createDataFrame(
+            [("",), ("hello world",), ("Straße ünïcode",)], "s string"
+        )
+        got = {r.s: r.h for r in df.select("s", md5hash60("s").alias("h")).collect()}
+        for s, h in got.items():
+            want = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            assert h == want
+
+    def test_portable_fingerprint_fold(self, spark):
+        """Replay the polynomial fold in Python over hashlib group hashes."""
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from datalake_spark.functions.text import doc_fingerprint_portable
+
+        text = " ".join(f"tok{i}" for i in range(20))  # 3 groups of k=8
+        df = spark.createDataFrame([(text,)], "text string")
+        got = df.select(doc_fingerprint_portable("text").alias("fp")).collect()[0].fp
+
+        toks = text.split()
+        acc = 97531
+        for i in range(0, (len(toks) - 1) // 8 + 1):
+            g = " ".join(toks[i * 8 : i * 8 + 8])
+            h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            acc = (acc * 1000003 + h) % 2147483647
+        assert got == acc
+
+    def test_portable_fingerprint_order_sensitive(self, spark):
+        from datalake_spark.functions.text import doc_fingerprint_portable
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"), (2, "j i h g f e d c b a")],
+            "id int, text string",
+        )
+        fps = [r.fp for r in df.select(doc_fingerprint_portable("text").alias("fp")).collect()]
+        assert fps[0] != fps[1]
