@@ -1,0 +1,268 @@
+"""Content fetch (O14), content sniffing (O11 content half), and
+compression-on-ingest (O21).
+
+Semantics tracked from the reference (cited, not copied):
+
+- ``Archive.fetch`` / ``fetch_to_filename`` + filename templating
+  (``{what}``/``{where}``/``{start}``/``{start_iso}``/``{end_iso}``/...):
+  client/datalake/archive.py:264-302,317-352,379-403.
+- content_type / content_encoding sniffing — 1 KiB header peek, gzip magic
+  ``1f 8b 08``, mimetypes on the checksum-stripped path:
+  api/datalake_api/fetcher.py:26-67.
+- gzip compression on ingest: client/datalake/dlfile.py:173-191
+  (``File.from_filename_compressed``).
+
+Store layout: ``{storage_url}/{id}/data`` with a JSON metadata sidecar at
+``{storage_url}/{id}/metadata`` — the local-filesystem analog of the
+reference's S3 object + user-metadata pair (its _KEY_FORMAT is
+``{id}/data``, archive.py:440).  The engine performs no network IO itself;
+any object store mounted as a filesystem presents the same layout.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import os
+import re
+from datetime import datetime, timezone
+from mimetypes import guess_type
+from typing import Iterator
+
+
+class InvalidDatalakePath(Exception):
+    """URL is not fetchable / template is invalid (reference
+    client/datalake/errors — same contract)."""
+
+
+class NoSuchDatalakeFile(Exception):
+    """No file with the given id exists in the store."""
+
+
+_HEADER_BYTES = 1024
+_GZIP_MAGIC = b"\x1f\x8b\x08"
+# a path like name.csv-<32..40 hex> carries a trailing checksum; content type
+# is sniffed from the stripped path (api/datalake_api/fetcher.py:35-42)
+_TRAILING_CHECKSUM = re.compile(r"(?P<path>.+)-[0-9a-f]{32,40}?")
+
+
+class ArchiveFile:
+    """A fetched file: content stream + metadata + sniffed content type and
+    encoding (the reference's ArchiveFile, api/datalake_api/fetcher.py:26-67).
+    """
+
+    def __init__(self, fd, metadata: dict):
+        self.fd = fd
+        self.metadata = dict(metadata)
+        self._header = self.fd.read(_HEADER_BYTES)
+        self._closed = False
+
+    @property
+    def _adjusted_path(self) -> str | None:
+        path = self.metadata.get("path")
+        if not path:
+            return path
+        m = _TRAILING_CHECKSUM.match(path)
+        return m.group("path") if m else path
+
+    @property
+    def content_type(self) -> str | None:
+        if not self._adjusted_path:
+            return None
+        ctype, _encoding = guess_type(self._adjusted_path)
+        return ctype
+
+    @property
+    def content_encoding(self) -> str | None:
+        return "gzip" if self._header.startswith(_GZIP_MAGIC) else None
+
+    def read(self, size: int = -1) -> bytes:
+        if self._closed:
+            raise ValueError("read on closed file")
+        if size is None or size < 0:
+            out = self._header + self.fd.read()
+            self._header = b""
+            return out
+        out = self._header[:size]
+        self._header = self._header[size:]
+        if len(out) < size:
+            out += self.fd.read(size - len(out))
+        return out
+
+    def iter_content(self, chunk_size: int = 1024) -> Iterator[bytes]:
+        while True:
+            block = self.read(chunk_size)
+            if not block:
+                return
+            yield block
+
+    def readlines(self) -> list[bytes]:
+        return self.read().splitlines(keepends=True)
+
+    def close(self) -> None:
+        self._closed = True
+        self.fd.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def filename_column(template: str | None, fields: dict):
+    """Vectorized filename templating: the Column form of
+    ``fetch_to_filename``'s template expansion (reference
+    archive.py:379-394), for fetch fan-outs planned in the engine —
+    100k-file fetches compute their target names in the scan, not in a
+    driver loop.
+
+    ``fields`` maps template variable names to Columns; ``{start_iso}`` /
+    ``{end_iso}`` should be provided pre-formatted (ms precision).  Unknown
+    variables raise InvalidDatalakePath at plan time, like the driver-side
+    path does at call time.  NULL fields render as ``None`` — the same
+    string Python's ``str.format`` produces for a missing value.
+    """
+    from string import Formatter
+
+    from pyspark.sql import functions as F
+
+    if template is None:
+        template = "{id}"
+    parts = []
+    try:
+        for literal, field, spec, conv in Formatter().parse(template):
+            if literal:
+                parts.append(F.lit(literal))
+            if field is None:
+                continue
+            if spec or conv:
+                raise InvalidDatalakePath(
+                    f"format specs are not supported in {template!r}"
+                )
+            if field not in fields:
+                raise InvalidDatalakePath(
+                    f'"{field}" does not appear to be a supported template '
+                    "variable."
+                )
+            parts.append(F.coalesce(fields[field].cast("string"), F.lit("None")))
+    except ValueError as e:
+        raise InvalidDatalakePath(str(e))
+    return F.concat(*parts) if parts else F.lit("")
+
+
+class Archive:
+    """URL-addressed content store + fetch API.
+
+    ``storage_url`` is a directory URL (``file:///path`` or a plain path);
+    content lives at ``{storage_url}/{id}/data``.
+    """
+
+    _KEY_FORMAT = "{id}/data"
+    _ISO_FORMAT_MS = "%Y-%m-%dT%H:%M:%S.%f"
+
+    def __init__(self, storage_url: str):
+        self.storage_url = storage_url.rstrip("/")
+        if self.storage_url.startswith("file://"):
+            self._root = self.storage_url[len("file://"):]
+        elif "://" in self.storage_url:
+            raise InvalidDatalakePath(
+                f"unsupported storage scheme in {storage_url!r} "
+                "(mount the object store and pass a file:// url)"
+            )
+        else:
+            self._root = self.storage_url
+
+    # -- store side (the content half of push, O12/O21) ---------------------
+    def store(self, metadata: dict, content: bytes, compress: bool = False) -> str:
+        """Write content + metadata sidecar; returns the fetchable url.
+
+        ``compress=True`` gzips on ingest (reference
+        File.from_filename_compressed, dlfile.py:173-191) unless the content
+        already carries the gzip magic.  mtime=0 keeps the stream
+        deterministic (byte-identical re-ingest ⇒ identical stored object).
+        """
+        file_id = metadata["id"]
+        d = os.path.join(self._root, str(file_id))
+        os.makedirs(d, exist_ok=True)
+        if compress and not content.startswith(_GZIP_MAGIC):
+            content = gzip.compress(content, mtime=0)
+        with open(os.path.join(d, "data"), "wb") as fh:
+            fh.write(content)
+        with open(os.path.join(d, "metadata"), "w") as fh:
+            json.dump(metadata, fh, sort_keys=True)
+        return self.url_from_id(file_id)
+
+    def url_from_id(self, file_id: str) -> str:
+        return f"{self.storage_url}/" + self._KEY_FORMAT.format(id=file_id)
+
+    # -- fetch side (O14) ---------------------------------------------------
+    def fetch(self, url: str, stream: bool = False) -> ArchiveFile:
+        """Fetch a url as an ArchiveFile.  ``stream`` keeps the underlying
+        file handle open and lazily read; otherwise content is materialized
+        eagerly (both present the same read()/iter_content() surface —
+        reference archive.py:264-302)."""
+        file_id = self._id_from_url(url)
+        data_path = os.path.join(self._root, file_id, "data")
+        meta_path = os.path.join(self._root, file_id, "metadata")
+        if not os.path.exists(data_path):
+            raise InvalidDatalakePath(f"Failed to find {url} in the datalake.")
+        with open(meta_path) as fh:
+            metadata = json.load(fh)
+        if stream:
+            return ArchiveFile(open(data_path, "rb"), metadata)
+        with open(data_path, "rb") as fh:
+            return ArchiveFile(io.BytesIO(fh.read()), metadata)
+
+    def fetch_to_filename(self, url: str, filename_template: str | None = None) -> str:
+        """Fetch a url and write it to a templated filename; returns the
+        filename written.  Template fields are the metadata fields plus
+        ``{start_iso}``/``{end_iso}`` (ms precision); default template is
+        ``{id}`` (reference archive.py:317-352,379-394)."""
+        f = self.fetch(url, stream=True)
+        fname = self._filename_from_template(filename_template, f.metadata)
+        dname = os.path.dirname(fname)
+        if dname:
+            os.makedirs(dname, exist_ok=True)
+        with open(fname, "wb") as fh:
+            for block in f.iter_content():
+                fh.write(block)
+        f.close()
+        return fname
+
+    # -- internals ----------------------------------------------------------
+    def _id_from_url(self, url: str) -> str:
+        if not url.startswith(self.storage_url + "/"):
+            raise InvalidDatalakePath(
+                f"url {url} does not start with the configured storage url "
+                f"{self.storage_url}."
+            )
+        rel = url[len(self.storage_url) + 1 :]
+        parts = rel.split("/")
+        if len(parts) != 2 or parts[1] != "data" or not parts[0]:
+            raise InvalidDatalakePath(f"{url} is not a valid datalake url")
+        return parts[0]
+
+    def _filename_from_template(self, template: str | None, metadata: dict) -> str:
+        template_vars = dict(metadata)
+        template_vars.update(
+            start_iso=self._ms_to_iso(metadata.get("start")),
+            end_iso=self._ms_to_iso(metadata.get("end")),
+        )
+        if template is None:
+            template = "{id}"
+        try:
+            return template.format(**template_vars)
+        except KeyError as e:
+            raise InvalidDatalakePath(
+                f'"{e}" does not appear to be a supported template variable.'
+            )
+        except (ValueError, IndexError) as e:
+            raise InvalidDatalakePath(str(e))
+
+    def _ms_to_iso(self, ts: int | None) -> str | None:
+        if ts is None:
+            return None
+        d = datetime.fromtimestamp(ts / 1000.0, tz=timezone.utc)
+        return d.strftime(self._ISO_FORMAT_MS)[:-3]

@@ -72,6 +72,16 @@ def build_parser() -> argparse.ArgumentParser:
     lp.add_argument("--work-id", dest="work_id")
     lp.add_argument("--format", choices=sorted(_FORMATTERS), default="url")
 
+    fp = sub.add_parser("fetch", help="fetch url(s) to templated filenames")
+    fp.add_argument("urls", nargs="*")
+    fp.add_argument("--filename-template", dest="filename_template", default=None)
+    fp.add_argument("--storage-url", dest="storage_url",
+                    default=None, help="content store root (DATALAKE_STORAGE_URL)")
+
+    cp = sub.add_parser("cat", help="fetch url(s) and write content to stdout")
+    cp.add_argument("urls", nargs="*")
+    cp.add_argument("--storage-url", dest="storage_url", default=None)
+
     tp = sub.add_parser("latest", help="newest file for (what, where)")
     tp.add_argument("what")
     tp.add_argument("where")
@@ -85,6 +95,27 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run(argv: list[str], spark=None, out=sys.stdout) -> int:
     args = build_parser().parse_args(argv)
+
+    # fetch/cat are pure content-store IO — no SparkSession needed
+    if args.command in ("fetch", "cat"):
+        from datalake_spark.archive import Archive
+
+        storage = args.storage_url or _env_default("storage_url")
+        if not storage:
+            print("fetch requires --storage-url or DATALAKE_STORAGE_URL",
+                  file=sys.stderr)
+            return 2
+        archive = Archive(storage)
+        urls = args.urls or [line.rstrip("\n") for line in sys.stdin]
+        for url in urls:
+            if args.command == "fetch":
+                print(archive.fetch_to_filename(
+                    url, filename_template=args.filename_template), file=out)
+            else:
+                f = archive.fetch(url)
+                out.write(f.read().decode("utf-8", errors="replace"))
+        return 0
+
     if spark is None:
         from datalake_spark.session import get_spark
 

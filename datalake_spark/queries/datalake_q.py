@@ -309,6 +309,129 @@ FROM files WHERE id = 42
 """
 
 
+# -- O14: fetch filename templating, bulk form (archive.py:317-394) ----------
+_FETCH_TEMPLATE = "{what}/{site}/{start_iso}-{id}.log"
+
+
+def dl_fetch_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch fan-out planning: for every file in a time slice, the storage
+    url ({id}/data, archive.py:440) and the templated target filename —
+    computed in the plan (filename_column), not a driver loop."""
+    from datalake_spark.archive import filename_column
+
+    eng = _engine(spark, sf_dir)
+    hits = eng.by_time("purchase", _Q_START, _Q_END)
+    iso = F.date_format(F.timestamp_millis(F.col("start")), "yyyy-MM-dd'T'HH:mm:ss.SSS")
+    return hits.select(
+        "id",
+        F.concat(F.lit("file:///store/"), F.col("id").cast("string"), F.lit("/data")).alias("url"),
+        filename_column(
+            _FETCH_TEMPLATE,
+            {
+                "what": F.col("what"),
+                "site": F.col("where"),
+                "start_iso": iso,
+                "id": F.col("id"),
+            },
+        ).alias("filename"),
+    )
+
+
+DL_FETCH_URLS_SQL = f"""
+WITH {FILES_CTE}
+SELECT id,
+       'file:///store/' || CAST(id AS VARCHAR) || '/data' AS url,
+       what || '/' || site || '/' ||
+       strftime(make_timestamp(start_ms * 1000), '%Y-%m-%dT%H:%M:%S.%g') ||
+       '-' || CAST(id AS VARCHAR) || '.log' AS filename
+FROM files
+WHERE what = 'purchase'
+  AND start_ms <= {_Q_END}
+  AND COALESCE(end_ms, start_ms) >= {_Q_START}
+"""
+
+
+# -- O11 content half + O21: bulk content-type / gzip sniffing ---------------
+# Deterministic binary fixtures derived from doc_id: real magic bytes (gzip,
+# png, pdf) and real extension paths, run through the production sniff
+# operator; the oracle recomputes type/encoding from the same hex prefixes
+# and paths independently in SQL.
+_SNIFF_CASES = [
+    # (hex-prefix, path suffix)
+    ("1F8B0800000000000003", "data/file.json.gz"),
+    ("68656C6C6F20776F726C64", "notes.txt"),
+    ("3C68746D6C3E", "site/index.html"),
+    ("89504E470D0A1A0A", "img/photo.png"),
+    ("255044462D312E34", "docs/report.pdf"),
+    ("61626364", "report.csv-" + "0123456789abcdef0123456789abcdef01234567"),
+    ("1F8B0800000000000003", "blob.bin"),
+    ("64617461", "README"),
+]
+
+
+def content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.operators.sniff import sniff_content
+
+    docs = load(spark, sf_dir, "documents")
+    k = F.col("doc_id") % len(_SNIFF_CASES)
+    hexpr = F.coalesce(
+        *[F.when(k == i, F.lit(h)) for i, (h, _) in enumerate(_SNIFF_CASES)]
+    )
+    path = F.coalesce(
+        *[F.when(k == i, F.lit(p)) for i, (_, p) in enumerate(_SNIFF_CASES)]
+    )
+    staged = docs.select(
+        "doc_id", F.unhex(hexpr).alias("content"), path.alias("path")
+    )
+    return sniff_content(staged).select(
+        "doc_id", "path", "content_type", "content_encoding"
+    )
+
+
+def _sniff_sql_cases() -> str:
+    hex_case = " ".join(
+        f"WHEN {i} THEN '{h}'" for i, (h, _) in enumerate(_SNIFF_CASES)
+    )
+    path_case = " ".join(
+        f"WHEN {i} THEN '{p}'" for i, (_, p) in enumerate(_SNIFF_CASES)
+    )
+    return (
+        f"CASE doc_id % {len(_SNIFF_CASES)} {hex_case} END AS hex_content,\n"
+        f"       CASE doc_id % {len(_SNIFF_CASES)} {path_case} END AS path"
+    )
+
+
+CONTENT_SNIFF_SQL = f"""
+WITH staged AS (
+  SELECT doc_id,
+         {_sniff_sql_cases()}
+  FROM documents),
+adj AS (
+  SELECT doc_id, path, hex_content,
+         COALESCE(NULLIF(regexp_extract(path, '^(.+)-[0-9a-f]{{32,40}}?', 1), ''), path) AS apath
+  FROM staged),
+stripped AS (
+  SELECT doc_id, path, hex_content,
+         CASE WHEN lower(apath) LIKE '%.gz' THEN left(apath, length(apath) - 3)
+              WHEN lower(apath) LIKE '%.bz2' THEN left(apath, length(apath) - 4)
+              WHEN lower(apath) LIKE '%.xz' THEN left(apath, length(apath) - 3)
+              ELSE apath END AS spath
+  FROM adj)
+SELECT doc_id, path,
+       CASE lower(regexp_extract(spath, '\\.([A-Za-z0-9]+)$', 1))
+            WHEN 'json' THEN 'application/json'
+            WHEN 'txt' THEN 'text/plain'
+            WHEN 'html' THEN 'text/html'
+            WHEN 'png' THEN 'image/png'
+            WHEN 'pdf' THEN 'application/pdf'
+            WHEN 'csv' THEN 'text/csv'
+            WHEN 'bin' THEN 'application/octet-stream'
+            ELSE NULL END AS content_type,
+       CASE WHEN hex_content LIKE '1F8B08%' THEN 'gzip' ELSE NULL END AS content_encoding
+FROM stripped
+"""
+
+
 QUERIES = [
     Q("dl_time_interval", dl_time_interval, DL_TIME_SQL, "O1 interval overlap + NULL end"),
     Q("dl_time_interval_where", dl_time_interval_where, DL_TIME_WHERE_SQL, "O1+O3 with where filter"),
@@ -319,4 +442,8 @@ QUERIES = [
     Q("dl_pagination", dl_pagination, DL_PAGINATION_SQL, "O6 stable page slice"),
     Q("dl_point_lookup", dl_point_lookup, DL_POINT_SQL, "O11 point lookup by id"),
     Q("dl_translate", dl_translate, DL_TRANSLATE_SQL, "O16 regex translate DSL"),
+    Q("dl_fetch_urls", dl_fetch_urls, DL_FETCH_URLS_SQL,
+      "O14 fetch fan-out: urls + templated filenames in-plan"),
+    Q("content_sniff", content_sniff, CONTENT_SNIFF_SQL,
+      "O11/O21 bulk content-type + gzip sniffing"),
 ]

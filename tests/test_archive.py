@@ -1,0 +1,234 @@
+"""Fetch (O14), sniffing (O11 content half), compression (O21): pytest
+coverage mirroring the reference's client/test/test_fetch.py cases."""
+
+import gzip
+import os
+
+import pytest
+
+from datalake_spark.archive import (
+    Archive,
+    InvalidDatalakePath,
+    filename_column,
+)
+
+META = {
+    "id": "abc123",
+    "what": "syslog",
+    "where": "webserver01",
+    "start": 1704672123456,
+    "end": 1704672183456,
+    "path": "/var/log/syslog",
+    "work_id": None,
+    "hash": "0" * 32,
+}
+
+
+@pytest.fixture()
+def archive(tmp_path):
+    return Archive(f"file://{tmp_path}/store")
+
+
+@pytest.fixture()
+def url(archive):
+    return archive.store(META, b"welcome to the jungle")
+
+
+class TestFetch:
+    def test_invalid_scheme(self, archive):
+        with pytest.raises(InvalidDatalakePath):
+            archive.fetch("x4t://foobar/bing")
+
+    def test_url_without_key(self, archive):
+        with pytest.raises(InvalidDatalakePath):
+            archive.fetch(archive.storage_url)
+
+    def test_key_does_not_exist(self, archive):
+        with pytest.raises(InvalidDatalakePath):
+            archive.fetch(archive.storage_url + "/nosuchfile/data")
+
+    @pytest.mark.parametrize("streaming", [True, False])
+    def test_fetch_and_read(self, archive, url, streaming):
+        f = archive.fetch(url, stream=streaming)
+        assert f.read() == b"welcome to the jungle"
+        assert f.read() == b""  # second read is empty
+
+    @pytest.mark.parametrize("streaming", [True, False])
+    def test_fetch_read_size(self, archive, url, streaming):
+        f = archive.fetch(url, stream=streaming)
+        assert f.read(5) == b"welco"
+        assert f.read() == b"me to the jungle"
+
+    def test_iter_content(self, archive, url):
+        f = archive.fetch(url, stream=True)
+        assert b"".join(f.iter_content(4)) == b"welcome to the jungle"
+
+    def test_readlines(self, archive):
+        meta = dict(META, id="lines1")
+        u = archive.store(meta, b"one\ntwo\nthree\n" * 100)
+        f = archive.fetch(u)
+        assert f.readlines() == (b"one\ntwo\nthree\n" * 100).splitlines(True)
+
+    def test_read_closed_file_raises(self, archive, url):
+        f = archive.fetch(url)
+        f.close()
+        f.close()  # close twice is fine
+        with pytest.raises(ValueError):
+            f.read()
+
+    def test_metadata_round_trip(self, archive, url):
+        assert archive.fetch(url).metadata == META
+
+
+class TestFetchToFilename:
+    def test_default_template_is_id(self, archive, url, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        fname = archive.fetch_to_filename(url)
+        assert fname == META["id"]
+        assert open(fname, "rb").read() == b"welcome to the jungle"
+
+    def test_fancy_template(self, archive, url, tmp_path):
+        t = str(tmp_path / "{where}/{what}/{start}-{id}-foobar.log")
+        fname = archive.fetch_to_filename(url, filename_template=t)
+        expected = str(
+            tmp_path / "webserver01/syslog/1704672123456-abc123-foobar.log"
+        )
+        assert fname == expected and os.path.exists(expected)
+
+    def test_iso_template(self, archive, url, tmp_path):
+        t = str(tmp_path / "{start_iso}-{end_iso}-foobar.log")
+        fname = archive.fetch_to_filename(url, filename_template=t)
+        assert fname.endswith(
+            "2024-01-08T00:02:03.456-2024-01-08T00:03:03.456-foobar.log"
+        )
+
+    def test_unknown_template_var(self, archive, url):
+        with pytest.raises(InvalidDatalakePath):
+            archive.fetch_to_filename(url, filename_template="{nosuchmeta}")
+
+    def test_bad_template(self, archive, url):
+        with pytest.raises(InvalidDatalakePath):
+            archive.fetch_to_filename(url, filename_template="{bad")
+
+
+class TestSniffing:
+    def test_gzip_encoding_and_type(self, archive):
+        meta = dict(META, id="gz1", path="/logs/app.json.gz")
+        u = archive.store(meta, b'{"a": 1}', compress=True)
+        f = archive.fetch(u)
+        assert f.content_encoding == "gzip"
+        assert f.content_type == "application/json"
+        assert gzip.decompress(f.read()) == b'{"a": 1}'
+
+    def test_store_compress_is_deterministic(self, archive):
+        a = archive.store(dict(META, id="d1"), b"x" * 100, compress=True)
+        b = archive.store(dict(META, id="d2"), b"x" * 100, compress=True)
+        assert archive.fetch(a).read() == archive.fetch(b).read()
+
+    def test_store_compress_skips_already_gzipped(self, archive):
+        blob = gzip.compress(b"payload", mtime=0)
+        u = archive.store(dict(META, id="g2"), blob, compress=True)
+        assert archive.fetch(u).read() == blob
+
+    def test_checksum_stripped_path(self, archive):
+        meta = dict(META, id="ck1", path="report.csv-" + "ab" * 16)
+        u = archive.store(meta, b"a,b\n1,2\n")
+        f = archive.fetch(u)
+        assert f.content_type == "text/csv"
+        assert f.content_encoding is None
+
+    def test_unknown_type(self, archive):
+        meta = dict(META, id="uk1", path="README")
+        u = archive.store(meta, b"hi")
+        assert archive.fetch(u).content_type is None
+
+
+class TestBulkSniffOperator:
+    def test_matches_point_api(self, spark, archive, tmp_path):
+        """The Column-level sniff and ArchiveFile must agree case by case."""
+        from datalake_spark.operators.sniff import sniff_content
+
+        cases = [
+            ("a", "data/file.json.gz", gzip.compress(b"x", mtime=0)),
+            ("b", "notes.txt", b"hello"),
+            ("c", "img.png", bytes.fromhex("89504E470D0A1A0A")),
+            ("d", "report.csv-" + "0f" * 16, b"a,b"),
+            ("e", "README", b"data"),
+            ("f", "blob.bin", gzip.compress(b"y", mtime=0)),
+        ]
+        point = {}
+        for fid, path, content in cases:
+            u = archive.store(dict(META, id=fid, path=path), content)
+            f = archive.fetch(u)
+            point[fid] = (f.content_type, f.content_encoding)
+        df = spark.createDataFrame(
+            [(fid, path, content) for fid, path, content in cases],
+            "id string, path string, content binary",
+        )
+        bulk = {
+            r.id: (r.content_type, r.content_encoding)
+            for r in sniff_content(df).collect()
+        }
+        assert bulk == point
+
+    def test_sniff_directory(self, spark, tmp_path):
+        from datalake_spark.operators.sniff import sniff_directory
+
+        (tmp_path / "x.json").write_bytes(b"{}")
+        (tmp_path / "y.gz").write_bytes(gzip.compress(b"z", mtime=0))
+        rows = {os.path.basename(r.path): r for r in
+                sniff_directory(spark, str(tmp_path)).collect()}
+        assert rows["x.json"].content_type == "application/json"
+        assert rows["y.gz"].content_encoding == "gzip"
+
+
+class TestFilenameColumn:
+    def test_unknown_var_raises_at_plan_time(self, spark):
+        from pyspark.sql import functions as F
+
+        with pytest.raises(InvalidDatalakePath):
+            filename_column("{nope}", {"id": F.lit(1)})
+
+    def test_bad_template_raises(self, spark):
+        from pyspark.sql import functions as F
+
+        with pytest.raises(InvalidDatalakePath):
+            filename_column("{bad", {"id": F.lit(1)})
+
+    def test_null_renders_as_none(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.range(1).select(
+            filename_column(
+                "{a}-{b}", {"a": F.lit("x"), "b": F.lit(None).cast("string")}
+            ).alias("f")
+        )
+        assert df.collect()[0].f == "x-None"
+
+
+class TestCliFetch:
+    def test_fetch_and_cat(self, archive, url, tmp_path, monkeypatch, capsys):
+        import io
+
+        from datalake_spark.cli import run
+
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setenv("DATALAKE_STORAGE_URL", archive.storage_url)
+        out = io.StringIO()
+        rc = run(["fetch", url], out=out)
+        assert rc == 0
+        fname = out.getvalue().strip()
+        assert open(fname, "rb").read() == b"welcome to the jungle"
+
+        out = io.StringIO()
+        rc = run(["cat", url], out=out)
+        assert rc == 0
+        assert out.getvalue() == "welcome to the jungle"
+
+    def test_fetch_requires_storage_url(self, monkeypatch):
+        import io
+
+        from datalake_spark.cli import run
+
+        monkeypatch.delenv("DATALAKE_STORAGE_URL", raising=False)
+        assert run(["fetch", "file:///x/y/data"], out=io.StringIO()) == 2
