@@ -55,7 +55,12 @@ _FORMATTERS = {
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="datalake-spark")
-    p.add_argument("--catalog", default=_env_default("catalog") or "./catalog")
+    # defaults stay None here: the config cascade (file < env < args) is
+    # resolved in run() AFTER load_config has populated the environment
+    p.add_argument("-c", "--config", default=None,
+                   help="config file (KEY=VALUE lines); DATALAKE_CONFIG or "
+                        "/etc/datalake.env when omitted")
+    p.add_argument("--catalog", default=None)
     sub = p.add_subparsers(dest="command", required=True)
 
     pp = sub.add_parser("push", help="validate + append metadata to the catalog")
@@ -96,6 +101,12 @@ def build_parser() -> argparse.ArgumentParser:
 def run(argv: list[str], spark=None, out=sys.stdout) -> int:
     args = build_parser().parse_args(argv)
 
+    # O23 cascade: file layer fills the environment (without clobbering it),
+    # then env-backed defaults resolve, then explicit args win below.
+    from datalake_spark.conf import load_config
+
+    load_config(args.config)
+
     # fetch/cat are pure content-store IO — no SparkSession needed
     if args.command in ("fetch", "cat"):
         from datalake_spark.archive import Archive
@@ -120,7 +131,7 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
         from datalake_spark.session import get_spark
 
         spark = get_spark("datalake-cli")
-    catalog = Catalog(spark, args.catalog)
+    catalog = Catalog(spark, args.catalog or _env_default("catalog") or "./catalog")
 
     if args.command == "push":
         translations = dict(t.split("=", 1) for t in args.translate)
