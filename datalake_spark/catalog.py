@@ -19,13 +19,62 @@ scan with an O(1) read.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalake_spark.metadata import DAY_MS
 from datalake_spark.schema import FILES_SCHEMA
+
+
+# -- object-store-safe table commits ----------------------------------------
+# Rewrites (latest-table merge, compaction) never rename or overwrite data
+# in place.  Each table root holds immutable version directories
+# (v00000017-<uuid>/) plus one small _CURRENT manifest; committing a version
+# is a single-file atomic replace — the local-FS analog of an object-store
+# PUT, the one primitive those stores make atomic.  Readers resolve the
+# manifest and read an immutable directory, so they can never observe a
+# half-swapped table; old versions are garbage-collected only after the
+# commit, and the previous version is always retained for in-flight readers.
+
+_MANIFEST = "_CURRENT"
+
+
+def _read_manifest(root: str) -> dict | None:
+    try:
+        with open(os.path.join(root, _MANIFEST)) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def _commit_version(root: str, version: int, dirname: str) -> None:
+    """Atomically point _CURRENT at ``dirname`` (tmp write + rename of the
+    manifest FILE only — a single-object PUT, never a directory move)."""
+    tmp = os.path.join(root, f"{_MANIFEST}.tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "dir": dirname}, fh)
+    os.replace(tmp, os.path.join(root, _MANIFEST))
+
+
+def _new_version_dir(root: str, version: int) -> str:
+    name = f"v{version:08d}-{uuid.uuid4().hex[:8]}"
+    os.makedirs(root, exist_ok=True)
+    return name
+
+
+def _gc_versions(root: str, keep_dirs: set[str]) -> None:
+    """Delete version directories not in ``keep_dirs`` (deletes only —
+    safe and non-atomic-OK on object stores; runs strictly after commit)."""
+    for entry in os.listdir(root):
+        if entry.startswith("v") and entry not in keep_dirs:
+            p = os.path.join(root, entry)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
 
 
 def with_bucket_date(df: DataFrame) -> DataFrame:
@@ -59,11 +108,22 @@ class Catalog:
         self.files_path = os.path.join(root, "files")
         self.latest_path = os.path.join(root, "latest")
 
+    def _files_dir(self) -> str:
+        """Current files data directory: manifest-resolved version dir, or
+        the legacy flat layout (pre-manifest catalogs) until the first
+        compaction migrates it."""
+        m = _read_manifest(self.files_path)
+        if m is None:
+            return self.files_path
+        return os.path.join(self.files_path, m["dir"])
+
     # -- write path ---------------------------------------------------------
     def append(self, df: DataFrame) -> None:
         """Append validated metadata rows (idempotency is by ``id`` at query
         time, mirroring the reference's tolerated duplicate puts,
-        ingester/datalake_ingester/storage.py:64-73)."""
+        ingester/datalake_ingester/storage.py:64-73).  Appends only create
+        new objects inside the current version directory — always safe on
+        object storage."""
         (
             with_bucket_date(df)
             # sort within partitions so parquet row-group stats make work_id
@@ -71,7 +131,7 @@ class Catalog:
             .sortWithinPartitions("work_id", "id")
             .write.mode("append")
             .partitionBy("what", "bucket_date")
-            .parquet(self.files_path)
+            .parquet(self._files_dir())
         )
 
     def refresh_latest(self) -> None:
@@ -96,19 +156,39 @@ class Catalog:
                 F.col("r.*"),
             )
         )
-        latest.write.mode("overwrite").parquet(self.latest_path)
+        self.write_latest(latest)
+
+    def write_latest(self, latest: DataFrame) -> None:
+        """Commit a new latest-table version: write a fresh immutable
+        directory, atomically flip the manifest, GC versions older than the
+        previous one.  Replaces the old double-write-through-_tmp (two
+        rewrites + a leaked directory per batch) and is rename-free."""
+        m = _read_manifest(self.latest_path)
+        version = (m["version"] + 1) if m else 1
+        dirname = _new_version_dir(self.latest_path, version)
+        latest.write.parquet(os.path.join(self.latest_path, dirname))
+        _commit_version(self.latest_path, version, dirname)
+        keep = {dirname} | ({m["dir"]} if m else set())
+        _gc_versions(self.latest_path, keep)
 
     # -- read path ----------------------------------------------------------
     def files(self) -> DataFrame:
-        return self.spark.read.parquet(self.files_path)
+        return self.spark.read.parquet(self._files_dir())
 
     def latest_table(self) -> DataFrame | None:
+        m = _read_manifest(self.latest_path)
         try:
-            return self.spark.read.parquet(self.latest_path)
+            if m is not None:
+                return self.spark.read.parquet(
+                    os.path.join(self.latest_path, m["dir"])
+                )
+            return self.spark.read.parquet(self.latest_path)  # legacy layout
         except Exception:
             return None
 
-    def compact(self, target_file_rows: int = 1_000_000) -> None:
+    def compact(
+        self, target_file_rows: int = 1_000_000, _race_hook=None
+    ) -> None:
         """Rewrite the files table to bounded file counts per partition.
 
         Streaming ingest appends one parquet file per micro-batch per
@@ -117,26 +197,94 @@ class Catalog:
         rewrites each partition's rows into ceil(rows / target_file_rows)
         files, re-sorting on (work_id, id) so row-group stats stay skippable.
 
-        At 100 TB this is the maintenance job (run off-peak, per partition);
-        the rewrite is atomic per run via a staging directory swap —
-        concurrent readers of the old listing keep working until the swap.
-        """
-        import shutil
+        Commit protocol (object-store-safe, rename-free):
 
-        df = self.files()
-        staged = self.files_path + "_compacting"
+        1. scan the current version, recording its input file list
+        2. write the compacted output to a NEW version directory
+        3. straggler sweep: copy any file that appeared in the old version
+           since the scan (concurrent appends) into the new directory —
+           copies are appends, so this is safe
+        4. atomically flip the manifest (single small-object PUT)
+        5. second straggler sweep for appends that raced step 3-4, then GC
+           versions older than the previous one
+
+        Readers never observe a partial table: they resolve the manifest to
+        an immutable directory.  An append that resolves the old version in
+        the instant between sweep 5 and GC can still be lost — run
+        compaction with writer exclusion for a hard guarantee; the sweeps
+        close the window from 'the whole compaction' (the old
+        staging-swap's silent data loss) to microseconds.
+
+        At 100 TB this is the maintenance job (run off-peak, per
+        partition).  ``_race_hook`` is test-only: called between the
+        compacted write and the first sweep to simulate a concurrent
+        appender.
+        """
+        old_dir = self._files_dir()
+        m = _read_manifest(self.files_path)
+        version = (m["version"] + 1) if m else 1
+        df = self.spark.read.parquet(old_dir)
+        scanned = {
+            os.path.relpath(
+                p.replace("file://", "", 1) if p.startswith("file://") else p,
+                old_dir,
+            )
+            for p in df.inputFiles()
+        }
+        dirname = _new_version_dir(self.files_path, version)
+        new_dir = os.path.join(self.files_path, dirname)
         (
             df.repartition(F.col("what"), F.col("bucket_date"))
             .sortWithinPartitions("work_id", "id")
             .write.mode("overwrite")
             .option("maxRecordsPerFile", target_file_rows)
             .partitionBy("what", "bucket_date")
-            .parquet(staged)
+            .parquet(new_dir)
         )
-        old = self.files_path + "_precompact"
-        shutil.move(self.files_path, old)
-        shutil.move(staged, self.files_path)
-        shutil.rmtree(old)
+        if _race_hook is not None:
+            _race_hook()
+        swept = self._sweep_stragglers(old_dir, new_dir, scanned)
+        _commit_version(self.files_path, version, dirname)
+        self._sweep_stragglers(old_dir, new_dir, scanned | swept)
+        if old_dir == self.files_path:
+            # one-time migration from the legacy flat layout: drop the old
+            # root-level partition dirs (new readers already resolve the
+            # manifest; legacy-path readers should re-open via the catalog)
+            for entry in os.listdir(self.files_path):
+                p = os.path.join(self.files_path, entry)
+                if entry.startswith("v") or entry.startswith(_MANIFEST):
+                    continue
+                shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
+            _gc_versions(self.files_path, {dirname})
+        else:
+            _gc_versions(
+                self.files_path, {dirname, os.path.basename(old_dir)}
+            )
+
+    @staticmethod
+    def _sweep_stragglers(old_dir: str, new_dir: str, known: set[str]) -> set[str]:
+        """Copy parquet files under ``old_dir`` (relative partition paths
+        preserved) that are not in ``known`` into ``new_dir``; returns the
+        relative paths copied."""
+        copied: set[str] = set()
+        for base, dirs, names in os.walk(old_dir):
+            # legacy-migration case: old_dir is the table root and contains
+            # the new version dir — never sweep the output into itself
+            dirs[:] = [
+                d for d in dirs
+                if os.path.join(base, d) != new_dir
+            ]
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(base, name), old_dir)
+                if rel in known:
+                    continue
+                dst = os.path.join(new_dir, os.path.dirname(rel))
+                os.makedirs(dst, exist_ok=True)
+                shutil.copy2(os.path.join(old_dir, rel), os.path.join(dst, name))
+                copied.add(rel)
+        return copied
 
     def file_buckets(self) -> DataFrame:
         """Reference's DatalakeRecord view: the per-bucket fan-out with the

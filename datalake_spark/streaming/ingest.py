@@ -56,7 +56,10 @@ def _merge_latest(spark: SparkSession, catalog: Catalog, batch_files: DataFrame)
     existing latest rows with the batch, keep max_by (start, create_time) per
     (what, where) — reproducing the conditional-put 'replace iff new.start >=
     existing.start, ties replace' (storage.py:82, tests/test_storage.py:154+).
-    The table is tiny (one row per what×where), so the rewrite is cheap."""
+    The table is tiny (one row per what×where); the new version is committed
+    via the catalog's manifest protocol (write-new-directory + atomic
+    manifest flip — no in-place overwrite, no _tmp double-write, safe on
+    object storage)."""
     existing = catalog.latest_table()
     cols = [f.name for f in FILES_SCHEMA.fields]
     fresh = batch_files.select(*cols)
@@ -72,10 +75,7 @@ def _merge_latest(spark: SparkSession, catalog: Catalog, batch_files: DataFrame)
             F.col("r.*"),
         )
     )
-    tmp = catalog.latest_path + "_tmp"
-    latest.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(catalog.latest_path)
+    catalog.write_latest(latest)
 
 
 class StreamingIngester:

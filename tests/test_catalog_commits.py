@@ -1,0 +1,139 @@
+"""Object-store-safe catalog commits: versioned directories + an atomic
+manifest flip, no directory renames, no in-place overwrites, no lost
+concurrent appends.  The `no_dir_renames` fixture interposes the rename
+primitives an object store does not have — any directory move fails the
+test."""
+
+import glob
+import os
+
+import pytest
+
+from datalake_spark.catalog import Catalog
+from datalake_spark.metadata import DAY_MS
+from tests.test_query_engine import T0, make_files_df
+
+
+@pytest.fixture()
+def no_dir_renames(monkeypatch):
+    """Forbid every rename/move of a DIRECTORY (object stores have no such
+    primitive).  Single-file os.replace/os.rename — the PUT analog — stays
+    allowed."""
+    import shutil as _shutil
+
+    real_replace, real_rename = os.replace, os.rename
+
+    def guard(fn):
+        def wrapped(src, dst, **kw):
+            if os.path.isdir(src):
+                raise AssertionError(f"directory rename attempted: {src} -> {dst}")
+            return fn(src, dst, **kw)
+
+        return wrapped
+
+    monkeypatch.setattr(os, "replace", guard(real_replace))
+    monkeypatch.setattr(os, "rename", guard(real_rename))
+    monkeypatch.setattr(
+        _shutil, "move",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("shutil.move attempted")),
+    )
+
+
+def _rows(batch, n=10):
+    return [
+        {"id": f"b{batch}f{i}", "what": "nginx", "where": "h1",
+         "start": T0 + (i % 3) * DAY_MS, "end": None}
+        for i in range(n)
+    ]
+
+
+class TestCompactionCommit:
+    def test_compact_without_renames(self, spark, tmp_path, no_dir_renames):
+        cat = Catalog(spark, str(tmp_path))
+        for b in range(4):
+            cat.append(make_files_df(spark, _rows(b)))
+        before = sorted(r["id"] for r in cat.files().collect())
+        cat.compact()
+        assert sorted(r["id"] for r in cat.files().collect()) == before
+        # compacted to one file per (what, bucket_date) partition
+        files = glob.glob(f"{tmp_path}/files/**/*.parquet", recursive=True)
+        assert len(files) == 3
+
+    def test_concurrent_append_survives_compaction(
+        self, spark, tmp_path, no_dir_renames
+    ):
+        """An append landing between the compaction scan and the manifest
+        flip must not be lost (the old staging-swap destroyed it)."""
+        cat = Catalog(spark, str(tmp_path))
+        for b in range(3):
+            cat.append(make_files_df(spark, _rows(b)))
+
+        def racing_append():
+            cat.append(make_files_df(spark, _rows("race", n=4)))
+
+        cat.compact(_race_hook=racing_append)
+        ids = sorted(r["id"] for r in cat.files().collect())
+        assert [i for i in ids if i.startswith("bracef")], "raced append lost"
+        assert len(ids) == 3 * 10 + 4
+
+    def test_second_compaction_keeps_previous_version(
+        self, spark, tmp_path, no_dir_renames
+    ):
+        cat = Catalog(spark, str(tmp_path))
+        cat.append(make_files_df(spark, _rows(0)))
+        cat.compact()
+        cat.append(make_files_df(spark, _rows(1)))
+        old_versions = {
+            e for e in os.listdir(tmp_path / "files") if e.startswith("v")
+        }
+        cat.compact()
+        versions = {
+            e for e in os.listdir(tmp_path / "files") if e.startswith("v")
+        }
+        # current + previous retained for in-flight readers, nothing older
+        assert len(versions) == 2 and old_versions & versions
+        assert len(sorted(r["id"] for r in cat.files().collect())) == 20
+
+    def test_readers_unbroken_across_compactions(self, spark, tmp_path):
+        """A DataFrame resolved before compaction still collects after it
+        (its version directory is retained until the next compaction)."""
+        cat = Catalog(spark, str(tmp_path))
+        cat.append(make_files_df(spark, _rows(0)))
+        cat.compact()  # migrate to versioned layout first
+        cat.append(make_files_df(spark, _rows(1)))
+        reader = cat.files()
+        cat.compact()
+        assert reader.count() == 20  # old version dir still present
+
+
+class TestLatestCommit:
+    def _latest_df(self, spark, cat, start):
+        df = make_files_df(
+            spark,
+            [{"id": f"s{start}", "what": "nginx", "where": "h1",
+              "start": start, "end": None}],
+        )
+        return df
+
+    def test_no_tmp_leftovers_and_no_renames(
+        self, spark, tmp_path, no_dir_renames
+    ):
+        from datalake_spark.streaming.ingest import _merge_latest
+
+        cat = Catalog(spark, str(tmp_path))
+        for i in range(3):
+            _merge_latest(spark, cat, self._latest_df(spark, cat, T0 + i))
+        got = cat.latest_table().collect()
+        assert [r["id"] for r in got] == [f"s{T0 + 2}"]
+        entries = set(os.listdir(tmp_path / "latest"))
+        assert not [e for e in entries if "tmp" in e.lower()]
+        # current + previous version, one manifest
+        assert len([e for e in entries if e.startswith("v")]) == 2
+        assert "_CURRENT" in entries
+
+    def test_refresh_latest_uses_manifest(self, spark, tmp_path, no_dir_renames):
+        cat = Catalog(spark, str(tmp_path))
+        cat.append(make_files_df(spark, _rows(0)))
+        cat.refresh_latest()
+        assert cat.latest_table().count() == 1
