@@ -57,6 +57,32 @@ HEADLINE = [
 ]
 
 
+# Round-1 per-query anchor (BENCH_r01.json, sf0.1, local[32]) — the repo's
+# own baseline since the reference publishes no numbers (BASELINE.md).
+# Per-round deltas are reported against this; >1.3x slower is flagged.
+# NB since r1: simhash_pairs (md5-portable hash + exact hamming<=3 gate) and
+# ann_srp_topk (in-plan brute-force recall verify) deliberately do MORE work
+# than their r1 forms — their anchors are expected to drift.
+ANCHOR_SF01 = {
+    "total": 23.941,
+    "queries": {
+        "q1_pricing_summary": 2.73, "q3_shipping_priority": 1.39,
+        "q5_local_supplier": 1.097, "q6_forecast_revenue": 0.36,
+        "q10_returned_items": 0.789, "q_tumbling_window": 0.562,
+        "q_topk_per_group": 0.602, "q_window_running": 0.559,
+        "q_distinct_counts": 1.214, "q_range_join": 0.557,
+        "q_pivot": 0.434, "dl_time_interval": 0.665,
+        "dl_latest_all": 0.966, "dl_bucket_fanout": 0.764,
+        "dedup_exact": 0.318, "text_stats": 0.321,
+        "ngram_jaccard": 2.426, "minhash_lsh_dedup": 1.976,
+        "simhash_pairs": 1.169, "ann_srp_topk": 1.039,
+        "embedding_cosine_topk": 1.479, "asof_last_signup": 0.497,
+        "sessionize": 0.619, "token_bpe_count": 0.398,
+        "doc_chunks": 0.558, "multimodal_features": 0.451,
+    },
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -74,6 +100,13 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
     qs = {q.name: q.build for q in registry()}
+    # battery-folded sub-queries stay benchable in their raw form (the
+    # digest fold is gate plumbing, not the operator under test)
+    from datalake_spark.queries.batteries import BATTERY_SUBS
+
+    for subs in BATTERY_SUBS.values():
+        for sub in subs:
+            qs.setdefault(sub.q.name, sub.q.build)
     timings: dict[str, float] = {}
     t_total0 = time.time()
     for name in HEADLINE:
@@ -83,17 +116,23 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
     total = round(time.time() - t_total0, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if abs(sf - 0.1) < 1e-9:
+        anchor = ANCHOR_SF01["queries"]
+        out["anchor_total_r1"] = ANCHOR_SF01["total"]
+        out["vs_anchor_r1"] = {
+            n: round(t / anchor[n], 2) for n, t in timings.items() if n in anchor
+        }
+        out["flagged_over_1p3x"] = sorted(
+            n for n, r in out["vs_anchor_r1"].items() if r > 1.3
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -142,30 +142,32 @@ def minhash_lsh_pairs(
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
-    # exact verify on candidates only: the candidate set is tiny (bounded by
-    # bucket cap × bands), so join it against the per-doc collected hash sets
-    # and intersect in numpy — no second pass over the corpus-wide shingle
-    # frame, no wide join + re-aggregation (that DAG's compile time alone
-    # outweighed the whole operator's data time at bench scale).  Shingle
-    # identity is its xxhash64; a false collision needs two distinct shingles
-    # of one doc pair agreeing in 64 bits (P ≈ n²/2^64 per pair — negligible
-    # against the gate's exact oracle).  The broadcast sides are semi-joined
-    # down to the candidate ids FIRST — what gets broadcast is the candidates'
-    # hash lists, not the whole corpus's (which would OOM at scale even
-    # though the pair count is small).
+    # exact verify on candidates only, via UNHINTED joins of the candidate
+    # pairs against the per-doc hash lists.  No broadcast hint on the sig
+    # sides: at bench scale AQE converts these to broadcasts of the SMALL
+    # side (the pairs), and at 100 TB it keeps shuffled joins — either way
+    # the corpus-wide hash lists are never broadcast (the r1 form hinted
+    # broadcast(sig) and would OOM the moment the corpus outgrew the
+    # driver).  No persist either: the three sig subtrees (banding + both
+    # join sides) materialize as independent parallel stages, which beats
+    # serializing them through a cache write at every scale where the
+    # cluster has idle slots — and recomputation is map-only work.
+    # Shingle identity is its xxhash64; a false collision needs two distinct
+    # shingles of one doc pair agreeing in 64 bits (P ≈ n²/2^64 per pair —
+    # negligible against the gate's exact oracle).
     sa = sig.select(
         F.col("_id").alias("doc_a"),
         F.col("_hps").alias("_hps_a"),
         F.col("_n_sh").alias("_n_a"),
-    ).join(pairs.select("doc_a").distinct(), "doc_a", "left_semi")
+    )
     sb = sig.select(
         F.col("_id").alias("doc_b"),
         F.col("_hps").alias("_hps_b"),
         F.col("_n_sh").alias("_n_b"),
-    ).join(pairs.select("doc_b").distinct(), "doc_b", "left_semi")
+    )
     verified = (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("n_common", _intersect_count("_hps_a", "_hps_b"))
         .withColumn(
             "jaccard",
