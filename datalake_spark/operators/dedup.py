@@ -251,6 +251,84 @@ def _simhash64(hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs with a stop-shingle cap — the
+    posting-list-safe form of queries/pipeline_q.py's oracle-exact
+    ngram_jaccard.
+
+    A shingle shared by k documents expands k²/2 candidate pairs, so one
+    stop-shingle ("in the course of") turns the uncapped plan quadratic at
+    web scale.  Here shingles with document frequency > max_df are dropped
+    from candidate generation entirely (dropping beats keeping a capped
+    prefix: a prefix biases candidates toward low ids), and the surviving
+    candidates get an exact verify over their FULL shingle sets — so
+    reported Jaccard values are exact, and the only approximation is
+    recall: a pair similar solely through ultra-common shingles can be
+    missed.  At max_df=1000 such a pair needs J≥threshold built from
+    shingles each shared by >1000 docs — vanishingly rare in real corpora
+    and exactly the pairs near-dup dedup does not care about (boilerplate
+    overlap, not duplication).
+
+    Plan shape: map (shingle+hash) → one shuffle on shingle (DF filter +
+    bucket pairs) → exact verify on candidates only (unhinted joins: AQE
+    broadcasts the small pairs side; corpus-wide lists are never
+    broadcast).  Same 100 TB contract as minhash_lsh_pairs, minus the
+    probabilistic banding.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh_flat = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("_s"),
+        )
+        .withColumn("_h", F.xxhash64("_s"))
+    )
+    buckets = sh_flat.groupBy("_h").agg(
+        F.sort_array(F.collect_list("_id")).alias("_ids")
+    )
+    pairs = (
+        buckets.filter((F.size("_ids") > 1) & (F.size("_ids") <= max_df))
+        .select(F.explode(F.expr(
+            "flatten(transform(_ids, (x, i) -> transform(slice(_ids, i + 2, size(_ids)), y -> struct(x as a, y as b))))"
+        )).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    sig = sh_flat.groupBy("_id").agg(
+        F.collect_list("_h").alias("_hps"), F.count(F.lit(1)).alias("_n_sh")
+    )
+    sa = sig.select(
+        F.col("_id").alias("doc_a"),
+        F.col("_hps").alias("_hps_a"),
+        F.col("_n_sh").alias("_n_a"),
+    )
+    sb = sig.select(
+        F.col("_id").alias("doc_b"),
+        F.col("_hps").alias("_hps_b"),
+        F.col("_n_sh").alias("_n_b"),
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", _intersect_count("_hps_a", "_hps_b"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("_n_a") + F.col("_n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
 def simhash_frame(
     df: DataFrame,
     text_col: str,

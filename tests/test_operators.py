@@ -336,3 +336,64 @@ class TestPortableHashing:
         )
         fps = [r.fp for r in df.select(doc_fingerprint_portable("text").alias("fp")).collect()]
         assert fps[0] != fps[1]
+
+
+class TestNgramJaccardCapped:
+    """ngram_jaccard_pairs: the posting-list-safe exact Jaccard operator."""
+
+    def _docs(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (1, base),
+            (2, base + " extra"),          # near-dup of 1
+            (3, "totally different words with no overlap at all here now"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_matches_uncapped_on_clean_corpus(self, spark):
+        from datalake_spark.operators.dedup import ngram_jaccard_pairs
+
+        got = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 6)
+            for r in ngram_jaccard_pairs(self._docs(spark), max_df=100).collect()
+        }
+        # doc1 has 8 shingles, doc2 has 9, 8 common -> J = 8/9
+        assert got == {(1, 2): round(8 / 9, 6)}
+
+    def test_stop_shingle_does_not_explode(self, spark):
+        """1000 docs sharing one boilerplate shingle must produce zero pairs
+        from it (DF > max_df) and the job must stay linear."""
+        from pyspark.sql import functions as F
+
+        from datalake_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("click here to unsubscribe token"),
+                F.col("id").cast("string"),
+                F.lit(" unique"),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+        out = ngram_jaccard_pairs(docs, max_df=100).collect()
+        assert out == []
+
+    def test_verify_is_exact_despite_cap(self, spark):
+        """A pair surviving the cap reports its TRUE Jaccard computed over
+        all shingles, including ones above max_df."""
+        from datalake_spark.operators.dedup import ngram_jaccard_pairs
+
+        # 'x0 x1 ... x9' common boilerplate in every doc (DF=4 > max_df=3);
+        # docs 1/2 additionally share a rare tail
+        boiler = " ".join(f"x{i}" for i in range(10))
+        rows = [
+            (1, boiler + " rare tail one two three"),
+            (2, boiler + " rare tail one two three"),
+            (3, boiler + " aaa bbb ccc ddd eee"),
+            (4, boiler + " fff ggg hhh iii jjj"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.doc_a, r.doc_b): r.jaccard for r in
+               ngram_jaccard_pairs(docs, max_df=3, threshold=0.9).collect()}
+        assert got == {(1, 2): 1.0}  # exact duplicates -> exactly 1.0
