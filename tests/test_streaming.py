@@ -234,3 +234,64 @@ class TestStatefulProfiles:
         assert final["a"]["sum_value"] == 7.0
         assert final["a"]["last_ms"] == 30
         assert final["b"]["n_events"] == 1 and final["b"]["sum_value"] == 5.0
+
+
+class TestStatefulSessions:
+    """Custom applyInPandasWithState sessionization: closed sessions emitted
+    exactly once, the open session re-emitted per batch, state restored from
+    the checkpoint across restarts."""
+
+    def _run(self, spark, landing, out, ckpt, rows, name):
+        from datalake_spark.streaming.stateful import stateful_sessions
+
+        os.makedirs(landing, exist_ok=True)
+        with open(os.path.join(landing, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(
+            "key string, value double, ms long"
+        ).json(landing)
+        sess = stateful_sessions(stream, gap_ms=5000)
+        q = (
+            sess.writeStream.foreachBatch(
+                lambda b, _eid: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    def test_sessions_split_and_survive_restart(self, spark, tmp_path):
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        # batch 1: two sessions for 'a' (gap 19s > 5s), second still open
+        self._run(spark, landing, out, ckpt,
+                  [{"key": "a", "value": 1.0, "ms": 0},
+                   {"key": "a", "value": 2.0, "ms": 1000},
+                   {"key": "a", "value": 3.0, "ms": 20000},
+                   {"key": "b", "value": 9.0, "ms": 500}], "b1.json")
+        # batch 2 (fresh query, state from checkpoint): extends a's open
+        # session, then a far event closes it and opens another
+        self._run(spark, landing, out, ckpt,
+                  [{"key": "a", "value": 4.0, "ms": 22000},
+                   {"key": "a", "value": 5.0, "ms": 40000}], "b2.json")
+        rows = spark.read.parquet(out).collect()
+        closed = sorted(
+            (r.key, r.session_start_ms, r.session_end_ms, r.n_events, r.sum_value)
+            for r in rows if r.closed
+        )
+        assert closed == [
+            ("a", 0, 1000, 2, 3.0),        # closed within batch 1
+            ("a", 20000, 22000, 2, 7.0),   # closed in batch 2, spans batches
+        ]
+        # exactly one open-session row per batch per active key
+        open_a = [r for r in rows if r.key == "a" and not r.closed]
+        assert sorted((r.session_start_ms, r.session_end_ms) for r in open_a) == [
+            (20000, 20000),  # after batch 1
+            (40000, 40000),  # after batch 2
+        ]
+        open_b = [r for r in rows if r.key == "b" and not r.closed]
+        assert [(r.session_start_ms, r.n_events) for r in open_b] == [(500, 1)]
