@@ -63,11 +63,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--catalog", default=None)
     sub = p.add_subparsers(dest="command", required=True)
 
-    pp = sub.add_parser("push", help="validate + append metadata to the catalog")
+    pp = sub.add_parser("push", help="validate + append metadata to the catalog "
+                                     "(and store content when --storage-url is "
+                                     "configured and --path is a local file)")
     for f in ("what", "where", "start", "end", "work-id", "path", "hash", "id"):
         pp.add_argument(f"--{f}")
     pp.add_argument("--translate", action="append", default=[],
                     help="field=<regex>~<fmt> translation applied to path")
+    pp.add_argument("--storage-url", dest="storage_url", default=None)
+    pp.add_argument("--compress", action="store_true",
+                    help="gzip content on ingest (O21)")
 
     lp = sub.add_parser("list", help="query files")
     lp.add_argument("what")
@@ -134,15 +139,33 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
     catalog = Catalog(spark, args.catalog or _env_default("catalog") or "./catalog")
 
     if args.command == "push":
+        import hashlib
+        import time as _time
+
         translations = dict(t.split("=", 1) for t in args.translate)
+        # content half (O12/O15/O21): a local --path with a configured store
+        # uploads bytes and infers the blake2b hash, like the reference's
+        # prepare_metadata_and_push (archive.py:186-257)
+        storage = args.storage_url or _env_default("storage_url")
+        content = None
+        if storage and args.path and os.path.isfile(args.path):
+            with open(args.path, "rb") as fh:
+                content = fh.read()
         rec = {
             "what": args.what,
             "where": args.where,
-            "start": args.start,
-            "end": args.end,
+            # 'now' evaluation, reference cli.py:153-158 ('crtime' is the
+            # OS-helper O24, out of engine scope)
+            "start": int(_time.time() * 1000) if args.start == "now" else args.start,
+            "end": int(_time.time() * 1000) if args.end == "now" else args.end,
             "work_id": getattr(args, "work_id", None),
             "path": args.path,
-            "hash": args.hash or "0" * 32,
+            "hash": args.hash
+            or (
+                hashlib.blake2b(content, digest_size=16).hexdigest()
+                if content is not None
+                else "0" * 32
+            ),
             "id": args.id,
         }
         if rec["id"] is None:
@@ -150,7 +173,13 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
         [prepared] = prepare_metadata(
             [rec], translations=translations, default_where=_env_default("default_where")
         )
-        push_metadata(spark, catalog, [prepared])
+        urls = None
+        if content is not None:
+            from datalake_spark.archive import Archive
+
+            url = Archive(storage).store(prepared, content, compress=args.compress)
+            urls = {prepared["id"]: url}
+        push_metadata(spark, catalog, [prepared], urls=urls)
         print(prepared["id"], file=out)
         return 0
 

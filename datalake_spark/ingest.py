@@ -53,17 +53,20 @@ def push_metadata(
     catalog: Catalog,
     records: list[dict[str, Any]],
     bucket: str = "datalake",
+    urls: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Append validated metadata rows to the catalog (the index half of
-    push; content upload is object-store IO outside the query engine).
-    Returns the appended frame."""
+    """Append validated metadata rows to the catalog.  ``urls`` carries the
+    real content-store urls for ids whose bytes were uploaded through
+    :class:`datalake_spark.archive.Archive` (the content half of push);
+    other rows get the reference's s3 url shape.  Returns the appended
+    frame."""
     import time
 
     now_ms = int(time.time() * 1000)
     rows = [
         {
             **r,
-            "url": f"s3://{bucket}/{r['id']}/data",
+            "url": (urls or {}).get(r["id"], f"s3://{bucket}/{r['id']}/data"),
             "create_time": r.get("create_time") or now_ms,
             "size": r.get("size", 0),
         }

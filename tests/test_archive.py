@@ -232,3 +232,65 @@ class TestCliFetch:
 
         monkeypatch.delenv("DATALAKE_STORAGE_URL", raising=False)
         assert run(["fetch", "file:///x/y/data"], out=io.StringIO()) == 2
+
+
+class TestPushWithContent:
+    """push stores content through the Archive when a store is configured:
+    the content half of O12, with blake2b inference (O15) and optional gzip
+    (O21), round-tripped through fetch."""
+
+    def test_push_stores_and_fetch_round_trips(self, spark, tmp_path, monkeypatch):
+        import hashlib
+        import io
+
+        from datalake_spark.cli import run
+
+        src = tmp_path / "app.log"
+        src.write_bytes(b"log line one\nlog line two\n")
+        store_url = f"file://{tmp_path}/store"
+        out = io.StringIO()
+        rc = run(
+            ["--catalog", str(tmp_path / "cat"), "push",
+             "--what", "syslog", "--where", "web01",
+             "--start", "2024-01-08", "--end", "2024-01-09",
+             "--path", str(src), "--storage-url", store_url],
+            spark=spark, out=out,
+        )
+        assert rc == 0
+        file_id = out.getvalue().strip()
+
+        a = Archive(store_url)
+        f = a.fetch(a.url_from_id(file_id))
+        assert f.read() == src.read_bytes()
+        # hash inferred as blake2b-16 of the content (reference dlfile.py)
+        want = hashlib.blake2b(src.read_bytes(), digest_size=16).hexdigest()
+        assert f.metadata["hash"] == want
+        # catalog url points at the real store
+        from datalake_spark.catalog import Catalog
+
+        row = Catalog(spark, str(tmp_path / "cat")).files().collect()[0]
+        assert row.url == a.url_from_id(file_id)
+        assert row.hash == want
+
+    def test_push_compress(self, spark, tmp_path):
+        import gzip
+        import io
+
+        from datalake_spark.cli import run
+
+        src = tmp_path / "big.json"
+        src.write_bytes(b'{"k": 1}' * 100)
+        store_url = f"file://{tmp_path}/store"
+        out = io.StringIO()
+        rc = run(
+            ["--catalog", str(tmp_path / "cat2"), "push",
+             "--what", "blob", "--where", "w", "--start", "2024-01-08",
+             "--path", str(src), "--storage-url", store_url, "--compress"],
+            spark=spark, out=out,
+        )
+        assert rc == 0
+        file_id = out.getvalue().strip()
+        a = Archive(store_url)
+        f = a.fetch(a.url_from_id(file_id))
+        assert f.content_encoding == "gzip"
+        assert gzip.decompress(f.read()) == src.read_bytes()
