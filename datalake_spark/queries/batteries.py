@@ -249,6 +249,26 @@ def _mk() -> list[Q]:
         Sub(q(ops, "lang_id_quality", "lang_id_quality", "LANG_ID_SQL"),
             {"doc_id": "v", "lang": "v", "lang_pred": "v", "quality_r": "d"}),
     ]
+    from datalake_spark.queries import tpch2
+
+    tpch = [
+        Sub(q(tpch2, "q12_priority_shipping", "q12_priority_shipping", "Q12_SQL"),
+            {"l_returnflag": "v", "high_line_count": "v", "low_line_count": "v"}),
+        Sub(q(tpch2, "q13_customer_distribution", "q13_customer_distribution", "Q13_SQL"),
+            {"c_count": "v", "custdist": "v"}),
+        Sub(q(tpch2, "q14_promo_share", "q14_promo_share", "Q14_SQL"),
+            {"promo_revenue": "d4", "total_revenue": "d4", "promo_share_pct": "d"}),
+        Sub(q(tpch2, "q22_dormant_customers", "q22_dormant_customers", "Q22_SQL"),
+            {"cntrycode": "v", "numcust": "v", "totacctbal": "d4"}),
+    ]
+    pipeline = [
+        Sub(q(pq, "embedding_centroids", "embedding_centroids", "EMBEDDING_CENTROIDS_SQL"),
+            {"label": "v", "pos": "v", "centroid_r": "d", "n_vectors": "v"}),
+        Sub(q(pq, "dataset_split", "dataset_split", "DATASET_SPLIT_SQL"),
+            {"source": "v", "split": "v", "n_docs": "v", "min_doc_id": "v"}),
+        Sub(q(pq, "embedding_near_dup", "embedding_near_dup", "EMBEDDING_NEAR_DUP_SQL"),
+            {"id_a": "v", "id_b": "v", "cosine_r": "d"}),
+    ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),
             {"w_start_ms": "v", "event_type": "v", "n_events": "v", "sum_value": "d4"}),
@@ -278,6 +298,10 @@ def _mk() -> list[Q]:
                 "text stats/quality/normalize/BPE-count/lang-id, digest-verified"),
         battery("q_event_window_battery", event_windows,
                 "tumbling/sliding/session event-time windows, digest-verified"),
+        battery("q_tpch_battery", tpch,
+                "TPC-H Q12/Q13/Q14/Q22 shapes, digest-verified"),
+        battery("pipeline_battery", pipeline,
+                "embedding centroids / dataset split / embedding near-dup, digest-verified"),
     ]
 
 
