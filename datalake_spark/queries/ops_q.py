@@ -520,6 +520,39 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Salted two-phase distinct aggregation (operators/skew.py) proven exact
+# against the single-phase oracle: the hot-key scale path must return the
+# same values as the plain groupBy, and this gate entry pins that every
+# round.
+# ---------------------------------------------------------------------------
+def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.operators.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_rows": ("l_orderkey", "count"),
+            "nd_orders": ("l_orderkey", "count_distinct"),
+            "nd_parts": ("l_partkey", "count_distinct"),
+            "max_qty": ("l_quantity", "max"),
+        },
+        salt=16,
+    )
+
+
+Q_SALTED_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(l_orderkey) AS n_rows,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+       MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (SQL `percentile`, Spark's exact implementation)
     vs DuckDB quantile_cont — both linear-interpolate over the sorted set."""
@@ -561,5 +594,7 @@ QUERIES = [
     Q("q_array_funcs", q_array_funcs, Q_ARRAY_SQL, "array function battery"),
     Q("q_cross_join", q_cross_join, Q_CROSS_SQL, "cross join"),
     Q("q_approx_distinct", q_approx_distinct, Q_APPROX_DISTINCT_SQL, "HLL++ sketches within accuracy contract"),
+    Q("q_salted_distinct", q_salted_distinct, Q_SALTED_DISTINCT_SQL,
+      "salted two-phase distinct agg == single-phase oracle"),
     Q("q_percentiles", q_percentiles, Q_PERCENTILES_SQL, "exact percentiles"),
 ]
