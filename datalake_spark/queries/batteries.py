@@ -19,15 +19,17 @@ narrow global agg on top of each sub-plan, no collect, scale-safe.
 Canonicalization (cross-engine string equality):
 - 'v'  verbatim CAST(x AS STRING): ints, strings, booleans, decimals — all
   render identically in Spark and DuckDB.
-- 'd'  ROUND(x, 6) → DECIMAL(28,6) → string, for double/float columns of
-  magnitude < ~1e8.  Raw double→string formatting differs between engines
-  ("1.0E-7" vs "1e-07"), so doubles go through decimal.  The decimal scale
-  must equal the round scale: DuckDB converts double→DECIMAL(p,s) by
-  multiplying by 10^s, which is only exact while |x|·10^s < 2^53 — scale 12
-  corrupted any |x| ≳ 9e3 (observed on o_totalprice).  At scale 6 the
-  product is the integer 10^6·g for the rounded grid value g, exact up to
-  |x| ≈ 1e8 (fp error 10^6·ulp(x) ≪ 0.5), and Spark's path
-  (shortest-repr BigDecimal) lands on the same g.
+- 'd'  FLOOR(x·10⁶ + 0.5) as a BIGINT → string, for double/float columns of
+  magnitude < ~1e12.  Raw double→string formatting differs between engines
+  ("1.0E-7" vs "1e-07"), and decimal-correct ROUND diverges too: Spark
+  rounds the double's EXACT binary expansion (BigDecimal) while DuckDB
+  multiplies by 10^s in floats, so values near a .5 boundary at the 6th
+  decimal split (observed at |x| ≈ 6e7 in a 10k-value stress test).  The
+  canon doesn't need decimal-correct rounding — it needs the SAME
+  deterministic function of the input double on both sides, and
+  FLOOR(x·10⁶ + 0.5) is pure IEEE double arithmetic: multiply, add, floor
+  are each bit-deterministic and engine-independent, so the quantized
+  integer is identical everywhere, ties and all.
 - 'd4' CAST(x AS DECIMAL(28,4)) for money-sum columns already ROUND(x, 4)-ed
   in the sub-query (magnitudes up to 1e10): 4-decimal grid points are never
   ties of a scale-4 cast (a/10^4 = odd/32 has no solution), and a 1e9-scale
@@ -65,7 +67,7 @@ class Sub:
 def _canon_spark(c: str, kind: str) -> F.Column:
     col = F.col(c)
     if kind == "d":
-        e = F.round(col, 6).cast("decimal(28,6)").cast("string")
+        e = F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("string")
     elif kind == "d4":
         e = col.cast("decimal(28,4)").cast("string")
     else:
@@ -76,7 +78,7 @@ def _canon_spark(c: str, kind: str) -> F.Column:
 def _canon_sql(c: str, kind: str) -> str:
     q = f'"{c}"'
     if kind == "d":
-        e = f"CAST(CAST(ROUND({q}, 6) AS DECIMAL(28,6)) AS VARCHAR)"
+        e = f"CAST(CAST(FLOOR({q} * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)"
     elif kind == "d4":
         e = f"CAST(CAST({q} AS DECIMAL(28,4)) AS VARCHAR)"
     else:

@@ -70,3 +70,40 @@ def test_null_canon_distinct_from_literal(spark):
     cols = {"id": "v", "v": "v"}
     ds = {digest_df(df, "x", cols).collect()[0].digest for df in (a, b, c)}
     assert len(ds) == 3
+
+
+def test_double_canon_cross_engine_stress(spark):
+    """The 'd' canon (FLOOR(x*1e6 + 0.5) as bigint -> string) must hash
+    identically in Spark and DuckDB for adversarial doubles: signed zeros,
+    subnormals-adjacent magnitudes, values straddling the 6th-decimal
+    rounding boundary (these BROKE the previous decimal-ROUND canon —
+    DuckDB rounds via float multiply, Spark via the exact expansion), and
+    the full contracted magnitude range."""
+    import duckdb
+    import numpy as np
+
+    from datalake_spark.queries.batteries import digest_df, digest_sql
+
+    rng = np.random.default_rng(0xC0FFEE)
+    vals = np.concatenate(
+        [
+            np.array([0.0, -0.0, 1e-7, -1e-7, 0.0000005, -0.0000005,
+                      0.1234565, 0.12345649999, 99999999.999999,
+                      -99999999.999999, 1.5e-6, 2.5e-6, 3.5e-6]),
+            rng.uniform(-1e8, 1e8, 3000),
+            rng.uniform(-1, 1, 3000),
+            rng.uniform(-1e-5, 1e-5, 2000),
+            np.round(rng.uniform(-1e6, 1e6, 2000), 2),  # money-like
+        ]
+    )
+    import pandas as pd
+
+    pdf = pd.DataFrame({"i": np.arange(len(vals)), "x": vals})
+    sdf = spark.createDataFrame(pdf)
+    got = digest_df(sdf, "t", {"i": "v", "x": "d"}).collect()[0]
+
+    con = duckdb.connect()
+    con.register("tbl", pdf)
+    sql = digest_sql("t", "SELECT i, x FROM tbl", {"i": "v", "x": "d"})
+    want = con.execute(sql).fetchone()
+    assert (got.n_rows, str(got.digest)) == (want[1], str(want[2]))
