@@ -44,6 +44,20 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if sc != dc:
         problems.append(f"columns {sc} vs {dc}")
         return problems
+    # dtype families must agree too (the driver compares schemas; int64 vs
+    # float64 or object vs bool would fail there even when values stringify
+    # identically)
+    def fam(dt):
+        k = dt.kind  # b/i/u/f/O/M...
+        return {"u": "i"}.get(k, k)
+
+    for c in sc:
+        fs, fd = fam(spark_pdf[c].dtype), fam(duck_pdf[c].dtype)
+        # an all-NULL spark column arrives as object; don't flag those
+        if fs != fd and not (spark_pdf[c].isna().all() or duck_pdf[c].isna().all()):
+            problems.append(
+                f"dtype {c}: spark {spark_pdf[c].dtype} vs duck {duck_pdf[c].dtype}"
+            )
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     if len(a) == len(b) and not a.equals(b):
         neq = (a != b).any(axis=1)
