@@ -295,3 +295,77 @@ class TestStatefulSessions:
         ]
         open_b = [r for r in rows if r.key == "b" and not r.closed]
         assert [(r.session_start_ms, r.n_events) for r in open_b] == [(500, 1)]
+
+
+class TestStreamingDedup:
+    """Streaming dedup: exact within a run, watermark-bounded state, late
+    duplicates passed through to the batch-side cleanup."""
+
+    def _drive(self, spark, landing, out, ckpt, batches):
+        from datalake_spark.streaming.dedup import dedup_stream_within_watermark
+
+        os.makedirs(landing, exist_ok=True)
+        for name, rows in batches:
+            with open(os.path.join(landing, name), "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+            stream = spark.readStream.schema(
+                "doc_id long, hash string, ms long"
+            ).json(landing)
+            deduped = dedup_stream_within_watermark(stream, watermark="10 seconds")
+            q = (
+                deduped.writeStream.foreachBatch(
+                    lambda b, _eid: b.write.mode("append").parquet(out)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+
+    def test_within_batch_and_cross_batch_dedup(self, spark, tmp_path):
+        landing, out, ckpt = (str(tmp_path / d) for d in ("l", "o", "c"))
+        self._drive(
+            spark, landing, out, ckpt,
+            [
+                ("b1.json", [
+                    {"doc_id": 1, "hash": "h1", "ms": 1_000},
+                    {"doc_id": 2, "hash": "h1", "ms": 2_000},   # dup within batch
+                    {"doc_id": 3, "hash": "h2", "ms": 3_000},
+                ]),
+                ("b2.json", [
+                    {"doc_id": 4, "hash": "h2", "ms": 4_000},   # dup within horizon
+                    {"doc_id": 5, "hash": "h3", "ms": 5_000},
+                ]),
+            ],
+        )
+        hashes = sorted(r.hash for r in spark.read.parquet(out).collect())
+        assert hashes == ["h1", "h2", "h3"]
+
+    def test_state_expires_after_watermark(self, spark, tmp_path):
+        """A duplicate arriving far beyond the watermark horizon passes
+        through (state expired) — the documented batch-cleanup contract."""
+        landing, out, ckpt = (str(tmp_path / d) for d in ("l", "o", "c"))
+        self._drive(
+            spark, landing, out, ckpt,
+            [
+                ("b1.json", [{"doc_id": 1, "hash": "h1", "ms": 1_000}]),
+                # advance watermark far past h1's horizon, then repeat h1
+                ("b2.json", [{"doc_id": 2, "hash": "hx", "ms": 10_000_000}]),
+                ("b3.json", [{"doc_id": 3, "hash": "h1", "ms": 10_050_000}]),
+            ],
+        )
+        h1_rows = [r for r in spark.read.parquet(out).collect() if r.hash == "h1"]
+        assert len(h1_rows) == 2  # original + late duplicate passed through
+
+    def test_terminal_batch_cleanup(self, spark, tmp_path):
+        """The funnel's second stage: batch exact_dedup collapses what the
+        streaming horizon let through."""
+        from datalake_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(1, "same text"), (3, "same text"), (5, "other")],
+            "doc_id long, text string",
+        )
+        kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+        assert kept == [1, 5]
