@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas operators.
 
-The Spark-side machinery (schemas, batching, partition sizing, UDF
-signatures) is real and tested; the codec calls themselves are STUBBED —
-decode_image/resize/frame-sample raise NotImplementedError unless the
-optional libs (PIL/soundfile/av) are importable, with a deterministic fake
-available for tests.  This mirrors the reference's stance that content is
-opaque bytes the engine never parses (client/TUTORIAL.md), while giving the
-training-data pipeline typed hooks where parsing belongs.
+Codec status: image dimension sniffing (PNG/JPEG/GIF/BMP), PNG pixel
+decode/resize/re-encode, and WAV audio features are REAL — stdlib-only
+implementations in functions/imaging.py (zlib + struct + `wave`), no PIL
+required.  PIL stays an optional upgrade gate for JPEG pixel decode;
+video frame extraction (av/ffmpeg) remains stubbed with a deterministic
+fake that exercises the one-to-many plumbing.  This mirrors the
+reference's stance that content is opaque bytes the engine never parses
+(client/TUTORIAL.md), while giving the training-data pipeline typed hooks
+where parsing belongs.
 """
 
 from __future__ import annotations
@@ -105,14 +107,48 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """Decode image dimensions (width/height) — real path needs PIL."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "decode_image requires PIL (not in this container); "
-            "use extract_features(use_fake=True) for plumbing tests"
-        )
-    raise NotImplementedError("real decode path reserved for codec-enabled builds")
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def decode_image(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """REAL image metadata decode: width/height/format from the binary
+    headers (PNG/JPEG/GIF/BMP — functions/imaging.py, stdlib-only).
+    Undecodable blobs yield a decode_error row instead of failing the
+    stage — at 100 TB a corrupt blob must never kill the job."""
+    from datalake_spark.functions.imaging import UnsupportedMedia, image_dims
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                out: dict[str, list] = {
+                    "media_id": [], "width": [], "height": [],
+                    "format": [], "decode_error": [],
+                }
+                for mid, content in zip(chunk["media_id"], chunk["content"]):
+                    out["media_id"].append(mid)
+                    try:
+                        w, h, fmt = image_dims(bytes(content or b""))
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["format"].append(fmt)
+                        out["decode_error"].append(None)
+                    except UnsupportedMedia as e:
+                        out["width"].append(None)
+                        out["height"].append(None)
+                        out["format"].append(None)
+                        out["decode_error"].append(str(e))
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -130,14 +166,12 @@ def resize_images(
 ) -> DataFrame:
     """Resize binary images to (width, height) via mapInPandas.
 
-    The codec is STUBBED (no PIL in this container): the fake 'resize'
-    deterministically truncates/byte-tiles content to width*height bytes —
-    wrong pixels, right plumbing (schema, Arrow batching, output byte
-    volume).  Swap the inner function for `PIL.Image.open(...).resize(...)`
-    where codecs exist; nothing else changes."""
-    if not use_fake and not _HAS_PIL:
-        raise NotImplementedError("real resize requires PIL")
-
+    ``use_fake=False`` runs the REAL codec path for PNG content: stdlib
+    decode → deterministic nearest-neighbor resize → PNG re-encode
+    (functions/imaging.py); non-PNG/undecodable blobs yield NULL content
+    rather than failing the stage (PIL would widen format coverage — gate
+    on _HAS_PIL when it exists).  ``use_fake=True`` keeps the byte-tiling
+    stand-in for plumbing tests where pixel correctness is irrelevant."""
     n_bytes = width * height
 
     def fake_resize(b: bytes | None) -> bytes | None:
@@ -148,6 +182,23 @@ def resize_images(
         reps = n_bytes // max(len(b), 1) + 1
         return bytes((b * reps)[:n_bytes])
 
+    def real_resize(b: bytes | None) -> bytes | None:
+        from datalake_spark.functions.imaging import (
+            UnsupportedMedia,
+            png_decode,
+            png_encode,
+            resize_nearest,
+        )
+
+        if b is None:
+            return None
+        try:
+            return png_encode(resize_nearest(png_decode(bytes(b)), width, height))
+        except UnsupportedMedia:
+            return None
+
+    resize = fake_resize if use_fake else real_resize
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for lo in range(0, len(pdf), batch_rows):
@@ -157,11 +208,63 @@ def resize_images(
                         "media_id": chunk["media_id"],
                         "width": width,
                         "height": height,
-                        "content": chunk["content"].map(fake_resize),
+                        "content": chunk["content"].map(resize),
                     }
                 )
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("zcr", T.DoubleType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def audio_features(media: DataFrame, batch_rows: int = 128) -> DataFrame:
+    """REAL audio decode for WAV content (stdlib `wave`): channels, rate,
+    duration plus the standard curation pre-filters (RMS, peak,
+    zero-crossing rate).  Undecodable blobs get a decode_error row."""
+    from datalake_spark.functions.imaging import (
+        UnsupportedMedia,
+        wav_features,
+        wav_info,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                out: dict[str, list] = {k.name: [] for k in AUDIO_SCHEMA.fields}
+                for mid, content in zip(chunk["media_id"], chunk["content"]):
+                    out["media_id"].append(mid)
+                    try:
+                        b = bytes(content or b"")
+                        ch, rate, dur = wav_info(b)
+                        rms, peak, zcr, _secs = wav_features(b)
+                        out["channels"].append(ch)
+                        out["sample_rate"].append(rate)
+                        out["duration_ms"].append(dur)
+                        out["rms"].append(rms)
+                        out["peak"].append(peak)
+                        out["zcr"].append(zcr)
+                        out["decode_error"].append(None)
+                    except UnsupportedMedia as e:
+                        for k in ("channels", "sample_rate", "duration_ms",
+                                  "rms", "peak", "zcr"):
+                            out[k].append(None)
+                        out["decode_error"].append(str(e))
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

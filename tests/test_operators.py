@@ -210,14 +210,14 @@ class TestMultimodal:
         assert len(out["m1"]["feature"]) == 4
         assert out["m3"]["n_bytes"] == 0
 
-    def test_decode_raises_without_codecs(self, spark):
+    def test_decode_image_no_longer_needs_pil(self, spark):
+        """decode_image is now the real stdlib header decoder (see
+        tests/test_imaging.py for its coverage); an empty frame plans and
+        runs without PIL."""
         from datalake_spark.operators import multimodal
 
-        if multimodal._HAS_PIL:
-            pytest.skip("PIL present")
         media = spark.createDataFrame([], schema=MEDIA_SCHEMA)
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_image(media)
+        assert multimodal.decode_image(media).collect() == []
 
 
 class TestTextFunctions:
