@@ -264,6 +264,8 @@ def _mk() -> list[Q]:
             {"cntrycode": "v", "numcust": "v", "totacctbal": "d4"}),
     ]
     pipeline = [
+        Sub(q(ops, "image_roundtrip", "image_roundtrip", "IMAGE_ROUNDTRIP_SQL"),
+            {"doc_id": "v", "width": "v", "height": "v", "format": "v"}),
         Sub(q(pq, "embedding_centroids", "embedding_centroids", "EMBEDDING_CENTROIDS_SQL"),
             {"label": "v", "pos": "v", "centroid_r": "d", "n_vectors": "v"}),
         Sub(q(pq, "dataset_split", "dataset_split", "DATASET_SPLIT_SQL"),

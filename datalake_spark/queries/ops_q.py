@@ -301,6 +301,64 @@ FROM documents, UNNEST(generate_series(0, {_MM_DIM - 1})) AS t(i)
 
 
 # ---------------------------------------------------------------------------
+# Real-codec gate: per doc, SYNTHESIZE a PNG of doc-id-derived dimensions
+# (functions/imaging.py png_encode in a mapInPandas stage), run the
+# production decode_image operator over the bytes, and emit the decoded
+# dimensions.  The oracle pins the same dimensions arithmetically — a
+# hash-match proves the stdlib encoder and decoder agree end-to-end inside
+# the engine, for every document, every round.
+# ---------------------------------------------------------------------------
+def image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from datalake_spark.functions.imaging import png_encode
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.astype(str),
+                    "modality": "image",
+                    "content": [
+                        png_encode(
+                            np.full(
+                                (3 + int(i) % 4, 4 + int(i) % 5, 1 + int(i) % 3),
+                                int(i) % 251,
+                                dtype=np.uint8,
+                            )
+                        )
+                        for i in ids
+                    ],
+                    "mime": None,
+                    "width": None,
+                    "height": None,
+                    "duration_ms": None,
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema=mm_ops.MEDIA_SCHEMA)
+    return mm_ops.decode_image(media).select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "format",
+    )
+
+
+IMAGE_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       4 + doc_id % 5 AS width,
+       3 + doc_id % 4 AS height,
+       'png' AS format
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Grouped-map applyInPandas — the per-group custom-aggregator escape hatch
 # (one Arrow batch per group).  Outputs are integer-exact so the oracle
 # matches bit for bit.  At scale: one shuffle on the group key; group size
