@@ -266,3 +266,44 @@ class Archive:
             return None
         d = datetime.fromtimestamp(ts / 1000.0, tz=timezone.utc)
         return d.strftime(self._ISO_FORMAT_MS)[:-3]
+
+
+def fetch_bulk(urls_df, storage_url: str, url_col: str = "url"):
+    """Distributed fetch: a frame of store urls → (url, content, n_bytes,
+    fetch_error) via mapInPandas — the 100 TB form of O14, where the driver
+    plans WHICH files (a metadata query) and executors move the bytes.
+    Missing/invalid urls yield error rows, never a failed stage.  Compose
+    with operators/sniff.sniff_content for typed content, or with
+    filename_column for templated sink paths."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("fetch_error", T.StringType(), True),
+        ]
+    )
+
+    def run(batches):
+        archive = Archive(storage_url)  # per-task; cheap, no driver state
+        for pdf in batches:
+            out: dict[str, list] = {
+                "url": [], "content": [], "n_bytes": [], "fetch_error": [],
+            }
+            for url in pdf[url_col]:
+                out["url"].append(url)
+                try:
+                    content = archive.fetch(url).read()
+                    out["content"].append(content)
+                    out["n_bytes"].append(len(content))
+                    out["fetch_error"].append(None)
+                except InvalidDatalakePath as e:
+                    out["content"].append(None)
+                    out["n_bytes"].append(None)
+                    out["fetch_error"].append(str(e))
+            yield pd.DataFrame(out)
+
+    return urls_df.select(url_col).mapInPandas(run, schema=schema)

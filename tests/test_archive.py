@@ -294,3 +294,109 @@ class TestPushWithContent:
         f = a.fetch(a.url_from_id(file_id))
         assert f.content_encoding == "gzip"
         assert gzip.decompress(f.read()) == src.read_bytes()
+
+
+class TestBulkFetch:
+    """fetch_bulk: distributed content fetch, error rows for bad urls,
+    composition with the bulk sniff."""
+
+    def test_fetch_bulk_and_sniff(self, spark, archive):
+        from pyspark.sql import functions as F
+
+        from datalake_spark.archive import fetch_bulk
+        from datalake_spark.operators.sniff import sniff_content
+
+        urls = []
+        for i in range(5):
+            meta = dict(META, id=f"bf{i}", path=f"f{i}.json")
+            urls.append(archive.store(meta, b'{"i": %d}' % i))
+        urls.append(archive.storage_url + "/missing/data")
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = {r.url: r for r in fetch_bulk(df, archive.storage_url).collect()}
+        for i, u in enumerate(urls[:5]):
+            assert bytes(got[u].content) == b'{"i": %d}' % i
+            assert got[u].fetch_error is None
+        missing = got[urls[5]]
+        assert missing.content is None and missing.fetch_error
+
+        # composes with the bulk sniff (path from the url tail here)
+        fetched = fetch_bulk(df, archive.storage_url).filter(
+            F.col("content").isNotNull()
+        ).withColumn("path", F.lit("x.json"))
+        sniffed = sniff_content(fetched).collect()
+        assert all(r.content_type == "application/json" for r in sniffed)
+
+    def test_bulk_matches_point_fetch(self, spark, archive, url):
+        from datalake_spark.archive import fetch_bulk
+
+        df = spark.createDataFrame([(url,)], "url string")
+        [row] = fetch_bulk(df, archive.storage_url).collect()
+        assert bytes(row.content) == archive.fetch(url).read()
+
+
+class TestTemplatingEquivalence:
+    """The plan-side filename_column and the driver-side
+    _filename_from_template must produce identical names for the same
+    metadata — seeded random sweep across the supported variables."""
+
+    def test_column_matches_driver_path(self, spark, archive):
+        import random
+
+        from pyspark.sql import functions as F
+
+        rng = random.Random(77)
+        rows = []
+        for i in range(50):
+            start = rng.randrange(0, 2**41)
+            rows.append(
+                {
+                    "id": f"id{i:03d}",
+                    "what": rng.choice(["syslog", "nginx", "app.log"]),
+                    "where": rng.choice(["web01", "db-2", "h_3"]),
+                    "start": start,
+                    "end": start + rng.randrange(0, 10**7) if i % 3 else None,
+                    "work_id": None if i % 4 == 0 else f"w{i}",
+                    "path": f"/var/log/f{i}",
+                    "hash": "0" * 32,
+                }
+            )
+        templates = [
+            "{id}",
+            "{what}/{where}/{start}-{id}.log",
+            "{where}/{what}-{start_iso}.log",
+            "{start_iso}-{end_iso}-{work_id}-foobar.log",
+        ]
+        df = spark.createDataFrame(
+            [(r["id"], r["what"], r["where"], r["start"], r["end"],
+              r["work_id"]) for r in rows],
+            "id string, what string, site string, start long, end long, work_id string",
+        )
+        iso = lambda c: F.date_format(  # noqa: E731
+            F.timestamp_millis(F.col(c)), "yyyy-MM-dd'T'HH:mm:ss.SSS"
+        )
+        from datalake_spark.archive import filename_column
+
+        for t in templates:
+            got = {
+                r.id: r.f
+                for r in df.select(
+                    "id",
+                    filename_column(
+                        t,
+                        {
+                            "id": F.col("id"),
+                            "what": F.col("what"),
+                            "where": F.col("site"),
+                            "start": F.col("start"),
+                            "end": F.col("end"),
+                            "work_id": F.col("work_id"),
+                            "start_iso": iso("start"),
+                            "end_iso": iso("end"),
+                        },
+                    ).alias("f"),
+                ).collect()
+            }
+            for r in rows:
+                want = archive._filename_from_template(t, r)
+                assert got[r["id"]] == want, (t, r["id"], got[r["id"]], want)
