@@ -107,15 +107,20 @@ def main() -> None:
     for subs in BATTERY_SUBS.values():
         for sub in subs:
             qs.setdefault(sub.q.name, sub.q.build)
+    # two passes, min per query: single-pass numbers swing ±20% under
+    # co-tenant load; the min is the standard low-noise estimator and what
+    # the per-round regression flags compare against
     timings: dict[str, float] = {}
-    t_total0 = time.time()
-    for name in HEADLINE:
-        build = qs[name]
-        t0 = time.time()
-        df = build(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_total0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            build = qs[name]
+            t0 = time.time()
+            df = build(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -126,6 +131,10 @@ def main() -> None:
     if abs(sf - 0.1) < 1e-9:
         anchor = ANCHOR_SF01["queries"]
         out["anchor_total_r1"] = ANCHOR_SF01["total"]
+        out["anchor_note"] = (
+            "r1 anchor was single-pass; r2+ values are min-of-2 passes, so "
+            "sub-1.0 ratios partly reflect the lower-noise estimator"
+        )
         out["vs_anchor_r1"] = {
             n: round(t / anchor[n], 2) for n, t in timings.items() if n in anchor
         }
