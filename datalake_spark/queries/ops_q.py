@@ -359,6 +359,75 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Real-codec gate for audio: synthesize a constant-amplitude 16-bit PCM WAV
+# per doc (amplitude k·4096, k = doc_id%7+1; n samples = 800 + doc_id%5·80),
+# run the production audio_features operator, emit the decoded fields.  For
+# a constant signal RMS = peak = k/8 EXACTLY in IEEE doubles (k·4096/32768
+# = k/8 is representable; sqrt of an exact square of a representable value
+# is exact), and zcr = 0 — so the oracle pins every field arithmetically.
+# ---------------------------------------------------------------------------
+def audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            blobs = []
+            for i in ids:
+                k = int(i) % 7 + 1
+                n = 800 + (int(i) % 5) * 80
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as f:
+                    f.setnchannels(1)
+                    f.setsampwidth(2)
+                    f.setframerate(8000)
+                    f.writeframes(
+                        np.full(n, k * 4096, dtype="<i2").tobytes()
+                    )
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.astype(str),
+                    "modality": "audio",
+                    "content": blobs,
+                    "mime": None,
+                    "width": None,
+                    "height": None,
+                    "duration_ms": None,
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema=mm_ops.MEDIA_SCHEMA)
+    return mm_ops.audio_features(media).select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        F.col("channels").cast("bigint").alias("channels"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        "duration_ms",
+        "rms",
+        "peak",
+        "zcr",
+    )
+
+
+AUDIO_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       1 AS channels,
+       8000 AS sample_rate,
+       CAST((800 + (doc_id % 5) * 80) * 1000 / 8000 AS BIGINT) AS duration_ms,
+       CAST(doc_id % 7 + 1 AS DOUBLE) / 8 AS rms,
+       CAST(doc_id % 7 + 1 AS DOUBLE) / 8 AS peak,
+       0.0 AS zcr
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Grouped-map applyInPandas — the per-group custom-aggregator escape hatch
 # (one Arrow batch per group).  Outputs are integer-exact so the oracle
 # matches bit for bit.  At scale: one shuffle on the group key; group size
