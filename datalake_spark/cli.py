@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("urls", nargs="*")
     cp.add_argument("--storage-url", dest="storage_url", default=None)
 
+    xp = sub.add_parser("translate",
+                        help="apply a <regex>~<format> translation expression "
+                             "to a path (reference cli translate)")
+    xp.add_argument("translation_expression")
+    xp.add_argument("file")
+
     tp = sub.add_parser("latest", help="newest file for (what, where)")
     tp.add_argument("what")
     tp.add_argument("where")
@@ -111,6 +117,14 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
     from datalake_spark.conf import load_config
 
     load_config(args.config)
+
+    # translate is pure string work — no SparkSession needed
+    if args.command == "translate":
+        from datalake_spark.translator import Translator
+
+        print(Translator(args.translation_expression).translate(args.file),
+              file=out)
+        return 0
 
     # fetch/cat are pure content-store IO — no SparkSession needed
     if args.command in ("fetch", "cat"):

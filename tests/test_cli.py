@@ -112,3 +112,21 @@ class TestCliRoundtrip:
             spark, ["latest", "syslog", "envhost", "--as-of", "2015-02-02", "--format", "json"], catalog_dir
         )
         assert rc == 0 and json.loads(lines[0])["id"] == fid
+
+
+def test_cli_translate(capsys):
+    """Reference cli `translate <expression> <file>` — pure string work,
+    no SparkSession spin-up."""
+    import io
+
+    from datalake_spark.cli import run
+
+    out = io.StringIO()
+    rc = run(
+        ["translate",
+         r".*/(?P<where>.*)/(?P<what>.*)-(?P<num>\d+)\.log~{what}:{where}:{num}",
+         "/var/log/web01/nginx-123.log"],
+        out=out,
+    )
+    assert rc == 0
+    assert out.getvalue().strip() == "nginx:web01:123"
