@@ -275,6 +275,9 @@ def _mk() -> list[Q]:
             {"source": "v", "split": "v", "n_docs": "v", "min_doc_id": "v"}),
         Sub(q(pq, "embedding_near_dup", "embedding_near_dup", "EMBEDDING_NEAR_DUP_SQL"),
             {"id_a": "v", "id_b": "v", "cosine_r": "d"}),
+        Sub(q(pq, "token_packing", "token_packing", "TOKEN_PACKING_SQL"),
+            {"source": "v", "bin": "v", "n_docs": "v", "sum_tokens": "v",
+             "first_doc": "v"}),
     ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),

@@ -566,6 +566,67 @@ FROM t GROUP BY source, split
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents to ~target-token context-window bins —
+# the standard pretraining step between curation and tokenization.  The
+# deterministic contract is sequential packing in doc_id order per source:
+# bin = floor(exclusive-prefix-sum(tokens) / target).  One window cumsum
+# (a single shuffle on source), integer-exact, identically expressible in
+# SQL; real packers only change the ORDER (e.g. length-sorted), which is a
+# different orderBy on the same plan.
+# ---------------------------------------------------------------------------
+_PACK_TARGET = 2048
+
+
+def token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from datalake_spark.functions.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    toks = docs.select(
+        "source", "doc_id", token_count("text").alias("n_tokens")
+    )
+    # floor division on both sides: DuckDB's double->int CAST rounds to
+    # nearest while Spark's truncates, so the bin id must never go through
+    # a float cast
+    binned = toks.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_TARGET
+        ).cast("long"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+TOKEN_PACKING_SQL = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+binned AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(CAST(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           // {_PACK_TARGET} AS bin
+  FROM toks)
+SELECT source, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc
+FROM binned GROUP BY source, bin
+"""
+
+
 QUERIES = [
     Q("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup by fingerprint"),
     Q("text_stats", text_stats, TEXT_STATS_SQL, "token counting + ratios"),
