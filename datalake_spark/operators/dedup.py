@@ -329,6 +329,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_check(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination scan: for each (corpus doc, probe doc) pair
+    sharing shingles, the CONTAINMENT of the probe in the corpus doc —
+    |shingles(corpus) ∩ shingles(probe)| / |shingles(probe)| — the standard
+    decontamination metric (a training doc that merely *contains* a small
+    benchmark item has low Jaccard but containment ≈ 1).
+
+    Plan shape for the real use (probe = an eval benchmark, thousands of
+    docs; corpus = the training set, billions): the probe's shingle frame
+    is broadcast, so the corpus side is ONE map pass + a partial-aggregated
+    count — no corpus shuffle at all.  Returns pairs with containment >=
+    threshold.
+    """
+    def sh_frame(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("_s"),
+        ).withColumn("_h", F.xxhash64("_s")).drop("_s")
+
+    probe_sh = sh_frame(probe, "probe_id")
+    probe_sizes = probe_sh.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("_n_probe")
+    )
+    common = (
+        sh_frame(corpus, "corpus_id")
+        .join(F.broadcast(probe_sh), "_h")
+        .groupBy("corpus_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(F.broadcast(probe_sizes), "probe_id")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.col("_n_probe"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("corpus_id", "probe_id", "n_common", "containment")
+    )
+
+
 def simhash_frame(
     df: DataFrame,
     text_col: str,

@@ -278,6 +278,9 @@ def _mk() -> list[Q]:
         Sub(q(pq, "token_packing", "token_packing", "TOKEN_PACKING_SQL"),
             {"source": "v", "bin": "v", "n_docs": "v", "sum_tokens": "v",
              "first_doc": "v"}),
+        Sub(q(pq, "contamination", "contamination", "CONTAMINATION_SQL"),
+            {"corpus_id": "v", "probe_id": "v", "n_common": "v",
+             "containment": "d"}),
     ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),

@@ -627,6 +627,45 @@ FROM binned GROUP BY source, bin
 """
 
 
+# ---------------------------------------------------------------------------
+# Benchmark-contamination scan (operators/dedup.py contamination_check):
+# probe = every 20th doc (stands in for an eval benchmark), corpus = the
+# rest; emit (corpus_id, probe_id) pairs whose CONTAINMENT of the probe's
+# shingle set meets the threshold.  The oracle recomputes containment from
+# raw shingle sets; the operator counts common xxhash64 shingle hashes —
+# equality verifies the broadcast-probe plan end-to-end (collision odds
+# ~n²/2^64, negligible against the exact oracle).
+# ---------------------------------------------------------------------------
+def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.operators.dedup import contamination_check
+
+    docs = load(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    out = contamination_check(corpus, probe, threshold=0.3)
+    return out.withColumn("containment", F.round("containment", 6))
+
+
+CONTAMINATION_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)),
+probe AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+psz AS (SELECT doc_id, COUNT(*) AS n FROM probe GROUP BY doc_id),
+common AS (
+  SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id, COUNT(*) AS n_common
+  FROM corp c JOIN probe p ON c.shingle = p.shingle
+  GROUP BY 1, 2)
+SELECT corpus_id, probe_id, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / psz.n, 6) AS containment
+FROM common JOIN psz ON psz.doc_id = common.probe_id
+WHERE CAST(n_common AS DOUBLE) / psz.n >= 0.3
+"""
+
+
 QUERIES = [
     Q("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup by fingerprint"),
     Q("text_stats", text_stats, TEXT_STATS_SQL, "token counting + ratios"),

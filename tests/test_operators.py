@@ -397,3 +397,36 @@ class TestNgramJaccardCapped:
         got = {(r.doc_a, r.doc_b): r.jaccard for r in
                ngram_jaccard_pairs(docs, max_df=3, threshold=0.9).collect()}
         assert got == {(1, 2): 1.0}  # exact duplicates -> exactly 1.0
+
+
+class TestContaminationCheck:
+    def test_containment_catches_embedded_benchmark(self, spark):
+        """A training doc that CONTAINS a benchmark item must score
+        containment ~1 even though its Jaccard vs the item is low."""
+        from datalake_spark.operators.dedup import contamination_check
+
+        bench_text = "the quick brown fox jumps over the lazy dog today"
+        filler = " ".join(f"filler{i}" for i in range(90))
+        corpus = spark.createDataFrame(
+            [(1, filler + " " + bench_text), (2, filler)],
+            "doc_id long, text string",
+        )
+        probe = spark.createDataFrame(
+            [(100, bench_text)], "doc_id long, text string"
+        )
+        rows = contamination_check(corpus, probe, threshold=0.5).collect()
+        assert [(r.corpus_id, r.probe_id) for r in rows] == [(1, 100)]
+        assert rows[0].containment >= 0.8  # boundary shingles may differ
+
+    def test_no_false_hits(self, spark):
+        from datalake_spark.operators.dedup import contamination_check
+
+        corpus = spark.createDataFrame(
+            [(1, "completely unrelated training text goes here")],
+            "doc_id long, text string",
+        )
+        probe = spark.createDataFrame(
+            [(100, "benchmark question about something else entirely")],
+            "doc_id long, text string",
+        )
+        assert contamination_check(corpus, probe, threshold=0.1).count() == 0
