@@ -430,3 +430,38 @@ class TestContaminationCheck:
             "doc_id long, text string",
         )
         assert contamination_check(corpus, probe, threshold=0.1).count() == 0
+
+
+class TestScaleClaimPlans:
+    """Pin the 100 TB plan shapes of the new operators: probe/query sides
+    broadcast, corpus sides never sort-merge against them."""
+
+    def test_contamination_broadcasts_probe_only(self, spark):
+        from datalake_spark.operators.dedup import contamination_check
+
+        corpus = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        probe = spark.createDataFrame(
+            [(100, "w1 w2 w3 w4")], "doc_id long, text string"
+        )
+        plan = contamination_check(corpus, probe)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_capped_jaccard_has_no_corpus_broadcast_hint(self, spark):
+        """ngram_jaccard_pairs leaves join strategy to AQE (unhinted): the
+        initial plan must not force a broadcast of the corpus-wide hash
+        lists (a SortMergeJoin or AQE placeholder is the acceptable
+        shape)."""
+        from datalake_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = spark.createDataFrame(
+            [(i, f"a{i} b{i} c{i} d{i} e{i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        df = ngram_jaccard_pairs(docs)
+        # analyzed without error and executes
+        assert df.count() == 0
