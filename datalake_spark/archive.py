@@ -36,8 +36,12 @@ class InvalidDatalakePath(Exception):
     client/datalake/errors — same contract)."""
 
 
-class NoSuchDatalakeFile(Exception):
-    """No file with the given id exists in the store."""
+class NoSuchDatalakeFile(InvalidDatalakePath):
+    """No file with the given id exists in the store (the data file or its
+    metadata sidecar is absent).  Subclasses InvalidDatalakePath so callers
+    catching the broad error (fetch_bulk's per-row error rows, CLI) keep
+    working while point callers can distinguish 'missing' from 'malformed
+    url'."""
 
 
 _HEADER_BYTES = 1024
@@ -207,9 +211,18 @@ class Archive:
         data_path = os.path.join(self._root, file_id, "data")
         meta_path = os.path.join(self._root, file_id, "metadata")
         if not os.path.exists(data_path):
-            raise InvalidDatalakePath(f"Failed to find {url} in the datalake.")
-        with open(meta_path) as fh:
-            metadata = json.load(fh)
+            raise NoSuchDatalakeFile(f"Failed to find {url} in the datalake.")
+        try:
+            with open(meta_path) as fh:
+                metadata = json.load(fh)
+        except FileNotFoundError:
+            raise NoSuchDatalakeFile(
+                f"{url} has no metadata sidecar in the datalake."
+            )
+        except (json.JSONDecodeError, UnicodeDecodeError) as e:
+            raise InvalidDatalakePath(
+                f"metadata sidecar for {url} is corrupt: {e}"
+            )
         if stream:
             return ArchiveFile(open(data_path, "rb"), metadata)
         with open(data_path, "rb") as fh:

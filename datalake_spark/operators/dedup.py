@@ -396,29 +396,16 @@ def simhash_frame(
     return sig.select("_id", _simhash64("_hs").alias("_sh"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-    num_bands: int = 4,
-    max_bucket: int = 1000,
-    token_hash=F.xxhash64,
+def _simhash_banded(
+    df: DataFrame, text_col: str, id_col: str, num_bands: int, token_hash
 ) -> DataFrame:
-    """Candidate near-dup pairs by SimHash banding (pigeonhole: hamming <= 3
-    over 4 x 16-bit bands guarantees one identical band), verified by exact
-    Hamming distance.  With max_hamming < num_bands the output is therefore
-    EXACT — every qualifying pair shares a band — not merely high-recall.
-
-    Bucket sizes are capped at max_bucket, same as minhash_lsh_pairs:
-    degenerate docs (empty/near-empty text collapse to identical simhash)
-    otherwise create a quadratic hot bucket.  The cap keeps the sorted-by-id
-    prefix, so results stay deterministic.
-    """
+    """(_id, _sh, _band, _bh): each doc's simhash exploded into its band
+    hashes — the shared front half of simhash_pairs and
+    simhash_truncated_buckets."""
     bits = 64
     band_bits = bits // num_bands
     w = simhash_frame(df, text_col, id_col, bits, token_hash=token_hash)
-    banded = w.select(
+    return w.select(
         "_id",
         "_sh",
         F.posexplode(
@@ -431,6 +418,59 @@ def simhash_pairs(
             )
         ).alias("_band", "_bh"),
     )
+
+
+def simhash_truncated_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+    max_bucket: int = 1000,
+    token_hash=F.xxhash64,
+) -> DataFrame:
+    """Band buckets that :func:`simhash_pairs` would truncate — (band,
+    band_hash, bucket_size) for every bucket over ``max_bucket``.  An empty
+    result certifies the pairs output is exact; a non-empty result
+    quantifies the recall loss (bucket_size - max_bucket docs dropped per
+    bucket) so callers can raise the cap or pre-dedup the degenerate docs.
+    Same single-shuffle cost shape as the pairs job."""
+    banded = _simhash_banded(df, text_col, id_col, num_bands, token_hash)
+    return (
+        banded.groupBy("_band", "_bh")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+        .select(
+            F.col("_band").alias("band"),
+            F.col("_bh").alias("band_hash"),
+            "bucket_size",
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    max_bucket: int = 1000,
+    token_hash=F.xxhash64,
+) -> DataFrame:
+    """Candidate near-dup pairs by SimHash banding (pigeonhole: hamming <= 3
+    over 4 x 16-bit bands guarantees one identical band), verified by exact
+    Hamming distance.  With max_hamming < num_bands the output is EXACT —
+    every qualifying pair shares a band — PROVIDED no band bucket exceeds
+    ``max_bucket``: the cap keeps only the id-smallest prefix of a hot
+    bucket, so pairs beyond the prefix of an over-full bucket are dropped.
+    Run :func:`simhash_truncated_buckets` with the same arguments to detect
+    that recall loss (empty result = the exactness guarantee holds).
+
+    Bucket sizes are capped at max_bucket, same as minhash_lsh_pairs:
+    degenerate docs (empty/near-empty text collapse to identical simhash)
+    otherwise create a quadratic hot bucket.  The cap keeps the sorted-by-id
+    prefix, so results stay deterministic.
+    """
+    banded = _simhash_banded(df, text_col, id_col, num_bands, token_hash)
     # one shuffle: collect each band bucket, cap it, expand pairs in-place
     # (sort_array on (id, sh) structs orders by id, so a<b falls out of the
     # triangular expansion and the capped prefix is the id-smallest rows).

@@ -40,7 +40,20 @@ def salted_join(
 
     The salt is xxhash64 over the big side's whole row (deterministic —
     reruns produce identical partitioning, unlike rand()-salting).
+
+    Only big-side-preserving modes are supported: with the small side
+    exploded ×salt, right/full outer (and right_anti) would emit each
+    unmatched small-side row once per salt value — silently wrong — so
+    those modes raise instead (same guard style as range_join).
     """
+    canon = how.lower().replace("_", "")
+    if canon not in {"inner", "left", "leftouter", "leftsemi", "semi",
+                     "leftanti", "anti"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the exploded small "
+            "side would duplicate unmatched small-side rows. Use inner/left/"
+            "left_semi/left_anti, or swap the sides."
+        )
     b_salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

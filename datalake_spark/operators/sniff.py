@@ -20,19 +20,27 @@ from itertools import chain
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# encoding suffixes mimetypes strips before guessing the type
-_ENCODING_SUFFIXES = {".gz": "gzip", ".Z": "compress", ".bz2": "bzip2", ".xz": "xz"}
+# Derived at import from the MODULE-LEVEL registries mimetypes.guess_type
+# itself consults (init() also folds in system mime.types files — a fresh
+# MimeTypes() instance would NOT see those), so the bulk Column path and
+# ArchiveFile.content_type can never disagree on which suffixes get
+# rewritten/stripped:
+# - suffix_map rewrites (.tgz -> .tar.gz, ...) match case-INsensitively,
+# - encodings_map strips (.gz/.Z/.bz2/.xz/.br) match case-SENSITIVELY and
+#   at most once — exactly guess_type's loop-then-single-strip order.
+mimetypes.init()
+_SUFFIX_MAP = dict(mimetypes.suffix_map)
+_ENCODING_SUFFIXES = dict(mimetypes.encodings_map)
 
 
 def _mime_map() -> Column:
     """Literal map: lower-cased extension (no dot) -> content type, from the
-    stdlib mimetypes registry (so the bulk operator and the point API can
-    never disagree)."""
-    m = mimetypes.MimeTypes()
+    module-level STRICT mimetypes table — the same table guess_type's
+    default ``strict=True`` consults — so the bulk operator and the point
+    API can never disagree."""
     pairs: dict[str, str] = {}
-    for table in m.types_map:  # (non-strict, strict)
-        for ext, ctype in table.items():
-            pairs[ext.lstrip(".").lower()] = ctype
+    for ext, ctype in mimetypes.types_map.items():
+        pairs[ext.lstrip(".").lower()] = ctype
     return F.create_map(*[F.lit(x) for x in chain.from_iterable(pairs.items())])
 
 
@@ -53,12 +61,25 @@ def sniff_content(
     ``content_type`` (mimetypes lookup on the checksum-stripped path,
     name-encoding suffixes like ``.gz`` stripped first) columns."""
     adj = adjusted_path(path_col)
-    # drop one trailing encoding suffix, as mimetypes.guess_type does
-    for suf in (".gz", ".bz2", ".xz"):
+    # rewrite compound suffixes (.tgz -> .tar.gz, ...) — guess_type matches
+    # these case-insensitively; one pass suffices because no stdlib
+    # replacement is itself a suffix_map key
+    for suf, repl in _SUFFIX_MAP.items():
         adj = F.when(
-            F.lower(adj).endswith(suf),
-            adj.substr(F.lit(1), F.length(adj) - len(suf)),
+            F.lower(adj).endswith(suf.lower()),
+            F.concat(
+                adj.substr(F.lit(1), F.length(adj) - len(suf)), F.lit(repl)
+            ),
         ).otherwise(adj)
+    # strip AT MOST ONE trailing encoding suffix, case-sensitively, as
+    # guess_type does ('.Z' strips, '.z' does not) — a single when-chain so
+    # the first match wins and no second suffix is stripped
+    stripped = None
+    for suf in _ENCODING_SUFFIXES:
+        cond = adj.endswith(suf)
+        val = adj.substr(F.lit(1), F.length(adj) - len(suf))
+        stripped = F.when(cond, val) if stripped is None else stripped.when(cond, val)
+    adj = stripped.otherwise(adj)
     ext = F.lower(F.regexp_extract(adj, r"\.([A-Za-z0-9]+)$", 1))
     is_gzip = F.hex(F.col(content_col).substr(1, 3)) == "1F8B08"
     return df.withColumn(

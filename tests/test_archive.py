@@ -47,6 +47,26 @@ class TestFetch:
         with pytest.raises(InvalidDatalakePath):
             archive.fetch(archive.storage_url + "/nosuchfile/data")
 
+    def test_missing_file_is_no_such_file(self, archive):
+        from datalake_spark.archive import NoSuchDatalakeFile
+
+        with pytest.raises(NoSuchDatalakeFile):
+            archive.fetch(archive.storage_url + "/nosuchfile/data")
+
+    def test_missing_sidecar_is_no_such_file(self, archive, url):
+        from datalake_spark.archive import NoSuchDatalakeFile
+
+        os.remove(os.path.join(archive._root, META["id"], "metadata"))
+        with pytest.raises(NoSuchDatalakeFile):
+            archive.fetch(url)
+
+    def test_corrupt_sidecar_is_datalake_error(self, archive, url):
+        sidecar = os.path.join(archive._root, META["id"], "metadata")
+        with open(sidecar, "w") as fh:
+            fh.write("{not json")
+        with pytest.raises(InvalidDatalakePath, match="corrupt"):
+            archive.fetch(url)
+
     @pytest.mark.parametrize("streaming", [True, False])
     def test_fetch_and_read(self, archive, url, streaming):
         f = archive.fetch(url, stream=streaming)
@@ -155,6 +175,16 @@ class TestBulkSniffOperator:
             ("d", "report.csv-" + "0f" * 16, b"a,b"),
             ("e", "README", b"data"),
             ("f", "blob.bin", gzip.compress(b"y", mtime=0)),
+            # encoding suffixes are case-SENSITIVE in mimetypes: '.Z'
+            # strips (text/plain), '.z' does not (None) — the r2 advisory
+            ("g", "notes.txt.Z", b"zz"),
+            ("h", "notes.txt.z", b"zz"),
+            # suffix_map rewrites, case-INsensitive: .tgz/.TAZ -> .tar.gz
+            ("i", "bundle.tgz", b"tt"),
+            ("j", "bundle.TAZ", b"tt"),
+            ("k", "pic.svgz", b"ss"),
+            ("l", "logs.txt.bz2", b"bb"),
+            ("m", "page.html.xz", b"hh"),
         ]
         point = {}
         for fid, path, content in cases:

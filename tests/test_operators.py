@@ -84,6 +84,18 @@ class TestDedup:
         # prefix in every band)
         assert 0 < n <= 50 * 49 // 2
 
+    def test_simhash_truncated_buckets_surface_recall_loss(self, spark):
+        """The exactness claim holds only when no bucket exceeds the cap
+        (r2 advisory): the stats frame must flag exactly the over-full
+        buckets and be empty when the cap is not hit."""
+        df = spark.createDataFrame(
+            [(i, "") for i in range(200)], ["doc_id", "text"]
+        )
+        trunc = dedup.simhash_truncated_buckets(df, max_bucket=50).collect()
+        # all 200 empty docs share one simhash -> one bucket per band
+        assert len(trunc) == 4 and all(r.bucket_size == 200 for r in trunc)
+        assert dedup.simhash_truncated_buckets(df, max_bucket=200).count() == 0
+
     def test_fingerprint_dedup_runs(self, docs):
         assert dedup.fingerprint_dedup(docs).count() <= docs.count()
 

@@ -52,6 +52,21 @@ class TestSaltedJoin:
         b = sorted(map(tuple, salted_join(skewed, dim, ["k"]).collect()))
         assert a == b
 
+    @pytest.mark.parametrize(
+        "how", ["right", "right_outer", "full", "outer", "full_outer",
+                "right_anti", "cross"]
+    )
+    def test_small_side_preserving_modes_raise(self, skewed, dim, how):
+        """Exploding the small side ×salt would emit each unmatched
+        small-side row once per salt value — guard instead (r2 advisory)."""
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(skewed, dim, ["k"], how=how)
+
+    @pytest.mark.parametrize("how", ["left_semi", "leftanti", "LEFT_OUTER"])
+    def test_big_side_preserving_spellings_accepted(self, skewed, dim, how):
+        # left_anti legitimately yields 0 rows here; the point is no raise
+        assert salted_join(skewed, dim, ["k"], how=how).count() >= 0
+
 
 class TestSaltedAgg:
     def test_mixed_aggs_equal_single_phase(self, spark, skewed):
