@@ -6,6 +6,12 @@ Semantics tracked from the reference (cited, not copied):
 - ``Archive.fetch`` / ``fetch_to_filename`` + filename templating
   (``{what}``/``{where}``/``{start}``/``{start_iso}``/``{end_iso}``/...):
   client/datalake/archive.py:264-302,317-352,379-403.
+- HTTP(S)-scheme fetch — url must start with the configured http base url
+  and end in ``/data``; metadata comes from the sibling ``/metadata``
+  endpoint; 400/404 surface the API error; ``stream=True`` reads the
+  response lazily (client/datalake/archive.py:283-313,418-423,
+  ``StreamingHTTPFile`` dlfile.py:128-136).  Implemented over stdlib
+  urllib — no third-party HTTP stack.
 - content_type / content_encoding sniffing — 1 KiB header peek, gzip magic
   ``1f 8b 08``, mimetypes on the checksum-stripped path:
   api/datalake_api/fetcher.py:26-67.
@@ -34,6 +40,12 @@ from typing import Iterator
 class InvalidDatalakePath(Exception):
     """URL is not fetchable / template is invalid (reference
     client/datalake/errors — same contract)."""
+
+
+class DatalakeHttpError(Exception):
+    """The datalake HTTP API returned an error status (reference
+    client/datalake/archive.py:175-184 — 400/404 carry a JSON
+    message+code; anything else non-200 is surfaced raw)."""
 
 
 class NoSuchDatalakeFile(InvalidDatalakePath):
@@ -166,14 +178,18 @@ class Archive:
     _KEY_FORMAT = "{id}/data"
     _ISO_FORMAT_MS = "%Y-%m-%dT%H:%M:%S.%f"
 
-    def __init__(self, storage_url: str):
+    def __init__(self, storage_url: str, http_url: str | None = None,
+                 http_timeout: float = 60.0):
         self.storage_url = storage_url.rstrip("/")
+        self.http_url = http_url.rstrip("/") if http_url else None
+        self.http_timeout = http_timeout
         if self.storage_url.startswith("file://"):
             self._root = self.storage_url[len("file://"):]
         elif "://" in self.storage_url:
             raise InvalidDatalakePath(
                 f"unsupported storage scheme in {storage_url!r} "
-                "(mount the object store and pass a file:// url)"
+                "(mount the object store and pass a file:// url, or fetch "
+                "via an http url under the configured http_url)"
             )
         else:
             self._root = self.storage_url
@@ -203,10 +219,17 @@ class Archive:
 
     # -- fetch side (O14) ---------------------------------------------------
     def fetch(self, url: str, stream: bool = False) -> ArchiveFile:
-        """Fetch a url as an ArchiveFile.  ``stream`` keeps the underlying
-        file handle open and lazily read; otherwise content is materialized
-        eagerly (both present the same read()/iter_content() surface —
-        reference archive.py:264-302)."""
+        """Fetch a url as an ArchiveFile.  Store urls and http(s) urls are
+        both supported (reference archive.py:264-281: s3 vs http dispatch).
+        ``stream`` keeps the underlying handle (file or http response) open
+        and lazily read; otherwise content is materialized eagerly — both
+        present the same read()/iter_content() surface."""
+        if self._is_valid_http_url(url):
+            return self._fetch_http(url, stream=stream)
+        if url.startswith("http"):
+            raise InvalidDatalakePath(
+                f"{url} does not appear to be a fetchable url"
+            )
         file_id = self._id_from_url(url)
         data_path = os.path.join(self._root, file_id, "data")
         meta_path = os.path.join(self._root, file_id, "metadata")
@@ -243,6 +266,69 @@ class Archive:
                 fh.write(block)
         f.close()
         return fname
+
+    # -- http fetch (reference archive.py:283-313) --------------------------
+    def _is_valid_http_url(self, url: str) -> bool:
+        """Reference _is_valid_http_url (archive.py:280-281): starts with
+        'http' and ends with '/data'."""
+        return url.startswith("http") and url.endswith("/data")
+
+    def _fetch_http(self, url: str, stream: bool) -> ArchiveFile:
+        self._validate_http_url(url)
+        metadata = self._get_metadata_from_http_url(url)
+        resp = self._http_get(url)
+        if stream:
+            # lazy: the response object is the fd; ArchiveFile peeks 1 KiB
+            # for the sniff header and reads the rest on demand — the
+            # StreamingHTTPFile surface (dlfile.py:128-136)
+            return ArchiveFile(resp, metadata)
+        with resp:
+            return ArchiveFile(io.BytesIO(resp.read()), metadata)
+
+    def _validate_http_url(self, url: str) -> None:
+        """Reference _validate_fetch_url (archive.py:418-423): an http url
+        is only fetchable under the configured http base url."""
+        if self.http_url is None or not url.startswith(self.http_url + "/"):
+            raise InvalidDatalakePath(
+                f"url {url} does not start with the configured http url "
+                f"{self.http_url}."
+            )
+
+    def _get_metadata_from_http_url(self, url: str) -> dict:
+        """GET the sibling /metadata endpoint (archive.py:308-313)."""
+        meta_url = url[: -len("/data")] + "/metadata"
+        with self._http_get(meta_url) as resp:
+            try:
+                return json.load(resp)
+            except (json.JSONDecodeError, UnicodeDecodeError) as e:
+                raise InvalidDatalakePath(
+                    f"metadata for {url} is corrupt: {e}"
+                )
+
+    def _http_get(self, url: str):
+        """GET with the reference's status contract (archive.py:175-184):
+        400/404 decode the API's JSON message+code, other non-200s surface
+        raw; 404 additionally maps to NoSuchDatalakeFile so http and store
+        fetches raise the same 'missing' type."""
+        import urllib.error
+        import urllib.request
+
+        try:
+            return urllib.request.urlopen(url, timeout=self.http_timeout)
+        except urllib.error.HTTPError as e:
+            body = e.read()
+            if e.code in (400, 404):
+                try:
+                    err = json.loads(body)
+                    msg = "{} ({})".format(err["message"], err["code"])
+                except Exception:
+                    msg = f"Datalake HTTP API failed: {body!r} ({e.code})"
+                if e.code == 404:
+                    raise NoSuchDatalakeFile(msg)
+                raise DatalakeHttpError(msg)
+            raise DatalakeHttpError(
+                f"Datalake HTTP API failed: {body!r} ({e.code})"
+            )
 
     # -- internals ----------------------------------------------------------
     def _id_from_url(self, url: str) -> str:
@@ -281,12 +367,15 @@ class Archive:
         return d.strftime(self._ISO_FORMAT_MS)[:-3]
 
 
-def fetch_bulk(urls_df, storage_url: str, url_col: str = "url"):
+def fetch_bulk(urls_df, storage_url: str, url_col: str = "url",
+               http_url: str | None = None):
     """Distributed fetch: a frame of store urls → (url, content, n_bytes,
     fetch_error) via mapInPandas — the 100 TB form of O14, where the driver
     plans WHICH files (a metadata query) and executors move the bytes.
-    Missing/invalid urls yield error rows, never a failed stage.  Compose
-    with operators/sniff.sniff_content for typed content, or with
+    Schemes may be mixed per row (store urls and, with ``http_url``
+    configured, http(s) urls); missing/invalid/unreachable urls yield error
+    rows, never a failed stage.  Compose with
+    operators/sniff.sniff_content for typed content, or with
     filename_column for templated sink paths."""
     import pandas as pd
     from pyspark.sql import types as T
@@ -301,7 +390,8 @@ def fetch_bulk(urls_df, storage_url: str, url_col: str = "url"):
     )
 
     def run(batches):
-        archive = Archive(storage_url)  # per-task; cheap, no driver state
+        # per-task; cheap, no driver state
+        archive = Archive(storage_url, http_url=http_url)
         for pdf in batches:
             out: dict[str, list] = {
                 "url": [], "content": [], "n_bytes": [], "fetch_error": [],
@@ -313,7 +403,9 @@ def fetch_bulk(urls_df, storage_url: str, url_col: str = "url"):
                     out["content"].append(content)
                     out["n_bytes"].append(len(content))
                     out["fetch_error"].append(None)
-                except InvalidDatalakePath as e:
+                except (InvalidDatalakePath, DatalakeHttpError, OSError) as e:
+                    # OSError covers urllib URLError / socket timeouts —
+                    # an unreachable server is an error row, not a dead stage
                     out["content"].append(None)
                     out["n_bytes"].append(None)
                     out["fetch_error"].append(str(e))

@@ -87,10 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
     fp.add_argument("--filename-template", dest="filename_template", default=None)
     fp.add_argument("--storage-url", dest="storage_url",
                     default=None, help="content store root (DATALAKE_STORAGE_URL)")
+    fp.add_argument("--http-url", dest="http_url", default=None,
+                    help="http api base for http(s) urls (DATALAKE_HTTP_URL)")
 
     cp = sub.add_parser("cat", help="fetch url(s) and write content to stdout")
     cp.add_argument("urls", nargs="*")
     cp.add_argument("--storage-url", dest="storage_url", default=None)
+    cp.add_argument("--http-url", dest="http_url", default=None)
 
     xp = sub.add_parser("translate",
                         help="apply a <regex>~<format> translation expression "
@@ -135,7 +138,8 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
             print("fetch requires --storage-url or DATALAKE_STORAGE_URL",
                   file=sys.stderr)
             return 2
-        archive = Archive(storage)
+        archive = Archive(storage,
+                          http_url=args.http_url or _env_default("http_url"))
         urls = args.urls or [line.rstrip("\n") for line in sys.stdin]
         for url in urls:
             if args.command == "fetch":

@@ -34,6 +34,56 @@ def url(archive):
     return archive.store(META, b"welcome to the jungle")
 
 
+@pytest.fixture()
+def http_store(archive, url):
+    """A stdlib http.server presenting the store over HTTP with the
+    datalake API's error contract (404 → JSON message+code), so the
+    http-scheme fetch path can be driven without network access."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    root = archive._root
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            path = os.path.join(root, self.path.lstrip("/"))
+            if os.path.isfile(path):
+                with open(path, "rb") as fh:
+                    body = fh.read()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                body = json.dumps(
+                    {"message": "no such file", "code": "NoSuchFile"}
+                ).encode()
+                self.send_response(404)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{server.server_port}"
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+@pytest.fixture()
+def http_archive(archive, http_store):
+    """Archive configured with both the store and its http frontend."""
+    return Archive(archive.storage_url, http_url=http_store)
+
+
 class TestFetch:
     def test_invalid_scheme(self, archive):
         with pytest.raises(InvalidDatalakePath):
@@ -98,6 +148,82 @@ class TestFetch:
 
     def test_metadata_round_trip(self, archive, url):
         assert archive.fetch(url).metadata == META
+
+
+class TestHttpFetch:
+    """O14's http(s) branch, mirroring TestFetch over a live http.server
+    (reference archive.py:283-313 + StreamingHTTPFile, dlfile.py:128)."""
+
+    @pytest.mark.parametrize("streaming", [True, False])
+    def test_fetch_and_read(self, http_archive, http_store, streaming):
+        f = http_archive.fetch(f"{http_store}/{META['id']}/data",
+                               stream=streaming)
+        assert f.read() == b"welcome to the jungle"
+        assert f.read() == b""
+
+    @pytest.mark.parametrize("streaming", [True, False])
+    def test_fetch_read_size(self, http_archive, http_store, streaming):
+        f = http_archive.fetch(f"{http_store}/{META['id']}/data",
+                               stream=streaming)
+        assert f.read(5) == b"welco"
+        assert f.read() == b"me to the jungle"
+
+    def test_iter_content(self, http_archive, http_store):
+        f = http_archive.fetch(f"{http_store}/{META['id']}/data", stream=True)
+        assert b"".join(f.iter_content(4)) == b"welcome to the jungle"
+
+    def test_metadata_round_trip(self, http_archive, http_store):
+        f = http_archive.fetch(f"{http_store}/{META['id']}/data")
+        assert f.metadata == META
+        assert f.content_type is None  # path /var/log/syslog has no ext
+
+    def test_404_is_no_such_file_with_api_code(self, http_archive, http_store):
+        from datalake_spark.archive import NoSuchDatalakeFile
+
+        with pytest.raises(NoSuchDatalakeFile, match=r"NoSuchFile"):
+            http_archive.fetch(f"{http_store}/nope/data")
+
+    def test_url_outside_configured_base_raises(self, http_archive):
+        with pytest.raises(InvalidDatalakePath, match="configured http url"):
+            http_archive.fetch("http://127.0.0.1:1/elsewhere/data")
+
+    def test_http_url_without_data_suffix_raises(self, http_archive, http_store):
+        with pytest.raises(InvalidDatalakePath, match="fetchable"):
+            http_archive.fetch(f"{http_store}/{META['id']}/metadata")
+
+    def test_unconfigured_http_raises(self, archive, http_store):
+        with pytest.raises(InvalidDatalakePath, match="configured http url"):
+            archive.fetch(f"{http_store}/{META['id']}/data")
+
+    def test_fetch_to_filename_over_http(self, http_archive, http_store,
+                                         tmp_path):
+        t = str(tmp_path / "{where}/{what}-{id}.log")
+        fname = http_archive.fetch_to_filename(
+            f"{http_store}/{META['id']}/data", filename_template=t
+        )
+        assert fname == str(tmp_path / "webserver01/syslog-abc123.log")
+        assert open(fname, "rb").read() == b"welcome to the jungle"
+
+    def test_cli_cat_over_http(self, archive, http_store):
+        import io as _io
+
+        from datalake_spark.cli import run
+
+        out = _io.StringIO()
+        rc = run(
+            ["cat", f"{http_store}/{META['id']}/data",
+             "--storage-url", archive.storage_url,
+             "--http-url", http_store],
+            out=out,
+        )
+        assert rc == 0 and out.getvalue() == "welcome to the jungle"
+
+    def test_gzip_sniff_over_http(self, http_archive, archive, http_store):
+        meta = dict(META, id="hgz", path="/logs/app.json.gz")
+        archive.store(meta, b'{"a": 1}', compress=True)
+        f = http_archive.fetch(f"{http_store}/hgz/data", stream=True)
+        assert f.content_encoding == "gzip"
+        assert f.content_type == "application/json"
 
 
 class TestFetchToFilename:
@@ -363,6 +489,31 @@ class TestBulkFetch:
         df = spark.createDataFrame([(url,)], "url string")
         [row] = fetch_bulk(df, archive.storage_url).collect()
         assert bytes(row.content) == archive.fetch(url).read()
+
+    def test_bulk_mixed_schemes(self, spark, archive, url, http_store):
+        """file:// and http:// urls in one frame; per-row errors for a
+        missing http id, an http url on a foreign base, and an unreachable
+        port — the stage itself never fails."""
+        from datalake_spark.archive import fetch_bulk
+
+        rows = [
+            url,                                      # store scheme, ok
+            f"{http_store}/{META['id']}/data",        # http scheme, ok
+            f"{http_store}/ghost/data",               # http 404
+            "http://127.0.0.1:9/unreachable/data",    # foreign base url
+        ]
+        df = spark.createDataFrame([(u,) for u in rows], "url string")
+        got = {
+            r.url: r
+            for r in fetch_bulk(
+                df, archive.storage_url, http_url=http_store
+            ).collect()
+        }
+        assert bytes(got[rows[0]].content) == b"welcome to the jungle"
+        assert bytes(got[rows[1]].content) == b"welcome to the jungle"
+        assert got[rows[2]].content is None
+        assert "NoSuchFile" in got[rows[2]].fetch_error
+        assert got[rows[3]].content is None and got[rows[3]].fetch_error
 
 
 class TestTemplatingEquivalence:
