@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -42,6 +43,12 @@ from datalake_spark.schema import FILES_SCHEMA
 # commit, and the previous version is always retained for in-flight readers.
 
 _MANIFEST = "_CURRENT"
+_LOCK = "_LOCK"
+_LEASE_DIR = "_leases"
+
+
+class WriterLockHeld(Exception):
+    """Another writer holds the table lock and the wait timed out."""
 
 
 def _read_manifest(root: str) -> dict | None:
@@ -100,13 +107,127 @@ def explode_buckets(df: DataFrame) -> DataFrame:
 
 
 class Catalog:
-    """File-metadata catalog: append-oriented ``files`` + derived ``latest``."""
+    """File-metadata catalog: append-oriented ``files`` + derived ``latest``.
 
-    def __init__(self, spark: SparkSession, root: str):
+    Writer exclusion: table rewrites (``compact``) take an exclusive lease
+    (``files/_LOCK``) and drain the short-lived shared leases every
+    ``append`` registers under ``files/_leases/``, so a cooperating append
+    either completes before the compaction scan or blocks until the new
+    version is committed and lands there — zero-loss, not
+    sweep-window-loss.  The straggler sweeps remain as the safety net for
+    non-cooperating/crashed writers.  Leases carry expiries, so a crashed
+    holder only stalls peers for its TTL.  The reference analog is
+    DynamoDB's per-item conditional put
+    (ingester/datalake_ingester/storage.py:64-137); on a real object store
+    back the lock PUT with a conditional/if-match write.
+    """
+
+    def __init__(self, spark: SparkSession, root: str,
+                 lock_ttl: float = 3600.0, append_lease_ttl: float = 300.0,
+                 lock_poll: float = 0.1, lock_wait: float = 600.0):
         self.spark = spark
         self.root = root
         self.files_path = os.path.join(root, "files")
         self.latest_path = os.path.join(root, "latest")
+        self.lock_ttl = lock_ttl
+        self.append_lease_ttl = append_lease_ttl
+        self.lock_poll = lock_poll
+        self.lock_wait = lock_wait
+
+    # -- writer exclusion ---------------------------------------------------
+    def _lock_path(self) -> str:
+        return os.path.join(self.files_path, _LOCK)
+
+    def _read_lock(self) -> dict | None:
+        try:
+            with open(self._lock_path()) as fh:
+                lock = json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+        return lock if lock.get("expiry", 0) > time.time() else None
+
+    def _acquire_lock(self, purpose: str) -> str:
+        """Take the exclusive writer lock: write-then-reread, so of N racing
+        writers the last PUT wins and every loser observes a foreign owner
+        and keeps waiting.  Expired locks are taken over."""
+        owner = uuid.uuid4().hex
+        deadline = time.time() + self.lock_wait
+        os.makedirs(self.files_path, exist_ok=True)
+        while True:
+            held = self._read_lock()
+            if held is not None and held["owner"] != owner:
+                if time.time() > deadline:
+                    raise WriterLockHeld(
+                        f"{held['purpose']} lock held by {held['owner']}"
+                    )
+                time.sleep(self.lock_poll)
+                continue
+            tmp = os.path.join(
+                self.files_path, f"{_LOCK}.tmp.{uuid.uuid4().hex[:8]}"
+            )
+            with open(tmp, "w") as fh:
+                json.dump({"owner": owner, "purpose": purpose,
+                           "expiry": time.time() + self.lock_ttl}, fh)
+            os.replace(tmp, self._lock_path())
+            held = self._read_lock()
+            if held is not None and held["owner"] == owner:
+                return owner
+            # lost a write-write race — wait for the winner
+
+    def _release_lock(self, owner: str) -> None:
+        held = self._read_lock()
+        if held is not None and held["owner"] == owner:
+            try:
+                os.remove(self._lock_path())
+            except FileNotFoundError:
+                pass
+
+    def _acquire_append_lease(self) -> str:
+        """Register a shared append lease; blocks while a rewrite holds the
+        exclusive lock.  The check-register-recheck order closes the race
+        where the lock lands between our check and our registration: the
+        rewriter drains leases AFTER locking, so either it sees our lease
+        (and waits for us) or we see its lock (and back off)."""
+        lease_dir = os.path.join(self.files_path, _LEASE_DIR)
+        os.makedirs(lease_dir, exist_ok=True)
+        deadline = time.time() + self.lock_wait
+        while True:
+            if self._read_lock() is not None:
+                if time.time() > deadline:
+                    raise WriterLockHeld("table locked for rewrite")
+                time.sleep(self.lock_poll)
+                continue
+            path = os.path.join(lease_dir, f"append-{uuid.uuid4().hex}")
+            with open(path, "w") as fh:
+                json.dump({"expiry": time.time() + self.append_lease_ttl}, fh)
+            if self._read_lock() is None:
+                return path
+            os.remove(path)  # a rewriter locked mid-registration; back off
+
+    def _wait_append_leases(self) -> None:
+        """Drain shared leases: wait until every registered append has
+        released (normal) or expired (crashed holder), GCing spent files."""
+        lease_dir = os.path.join(self.files_path, _LEASE_DIR)
+        while True:
+            live = False
+            for name in (os.listdir(lease_dir)
+                         if os.path.isdir(lease_dir) else []):
+                p = os.path.join(lease_dir, name)
+                try:
+                    with open(p) as fh:
+                        lease = json.load(fh)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    continue
+                if lease.get("expiry", 0) > time.time():
+                    live = True
+                else:
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
+            if not live:
+                return
+            time.sleep(self.lock_poll)
 
     def _files_dir(self) -> str:
         """Current files data directory: manifest-resolved version dir, or
@@ -118,21 +239,35 @@ class Catalog:
         return os.path.join(self.files_path, m["dir"])
 
     # -- write path ---------------------------------------------------------
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, _no_lease: bool = False) -> None:
         """Append validated metadata rows (idempotency is by ``id`` at query
         time, mirroring the reference's tolerated duplicate puts,
         ingester/datalake_ingester/storage.py:64-73).  Appends only create
         new objects inside the current version directory — always safe on
-        object storage."""
-        (
-            with_bucket_date(df)
-            # sort within partitions so parquet row-group stats make work_id
-            # and id lookups skippable without an index
-            .sortWithinPartitions("work_id", "id")
-            .write.mode("append")
-            .partitionBy("what", "bucket_date")
-            .parquet(self._files_dir())
-        )
+        object storage.
+
+        Holds a shared append lease for the duration, so a concurrent
+        ``compact`` either waits for this write or makes this write wait
+        and land in the new version.  ``_no_lease`` (tests only) models a
+        non-cooperating writer, which only the straggler sweeps protect.
+        """
+        lease = None if _no_lease else self._acquire_append_lease()
+        try:
+            (
+                with_bucket_date(df)
+                # sort within partitions so parquet row-group stats make
+                # work_id and id lookups skippable without an index
+                .sortWithinPartitions("work_id", "id")
+                .write.mode("append")
+                .partitionBy("what", "bucket_date")
+                .parquet(self._files_dir())
+            )
+        finally:
+            if lease is not None:
+                try:
+                    os.remove(lease)
+                except FileNotFoundError:
+                    pass
 
     def refresh_latest(self) -> None:
         """Recompute the latest table: top-1 per (what, where) by
@@ -208,58 +343,66 @@ class Catalog:
         5. second straggler sweep for appends that raced step 3-4, then GC
            versions older than the previous one
 
-        Readers never observe a partial table: they resolve the manifest to
-        an immutable directory.  An append that resolves the old version in
-        the instant between sweep 5 and GC can still be lost — run
-        compaction with writer exclusion for a hard guarantee; the sweeps
-        close the window from 'the whole compaction' (the old
-        staging-swap's silent data loss) to microseconds.
+        Writer exclusion makes this zero-loss for cooperating writers: the
+        exclusive lock is taken first and the shared append leases drained,
+        so every in-flight append completes before the scan and every later
+        append blocks until the flip, then resolves the NEW version.  The
+        straggler sweeps remain as defense in depth for writers that bypass
+        the lease (crashed appenders past their TTL, foreign tools).
 
         At 100 TB this is the maintenance job (run off-peak, per
         partition).  ``_race_hook`` is test-only: called between the
         compacted write and the first sweep to simulate a concurrent
         appender.
         """
-        old_dir = self._files_dir()
-        m = _read_manifest(self.files_path)
-        version = (m["version"] + 1) if m else 1
-        df = self.spark.read.parquet(old_dir)
-        scanned = {
-            os.path.relpath(
-                p.replace("file://", "", 1) if p.startswith("file://") else p,
-                old_dir,
+        owner = self._acquire_lock("compact")
+        try:
+            self._wait_append_leases()
+            old_dir = self._files_dir()
+            m = _read_manifest(self.files_path)
+            version = (m["version"] + 1) if m else 1
+            df = self.spark.read.parquet(old_dir)
+            scanned = {
+                os.path.relpath(
+                    p.replace("file://", "", 1) if p.startswith("file://") else p,
+                    old_dir,
+                )
+                for p in df.inputFiles()
+            }
+            dirname = _new_version_dir(self.files_path, version)
+            new_dir = os.path.join(self.files_path, dirname)
+            (
+                df.repartition(F.col("what"), F.col("bucket_date"))
+                .sortWithinPartitions("work_id", "id")
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", target_file_rows)
+                .partitionBy("what", "bucket_date")
+                .parquet(new_dir)
             )
-            for p in df.inputFiles()
-        }
-        dirname = _new_version_dir(self.files_path, version)
-        new_dir = os.path.join(self.files_path, dirname)
-        (
-            df.repartition(F.col("what"), F.col("bucket_date"))
-            .sortWithinPartitions("work_id", "id")
-            .write.mode("overwrite")
-            .option("maxRecordsPerFile", target_file_rows)
-            .partitionBy("what", "bucket_date")
-            .parquet(new_dir)
-        )
-        if _race_hook is not None:
-            _race_hook()
-        swept = self._sweep_stragglers(old_dir, new_dir, scanned)
-        _commit_version(self.files_path, version, dirname)
-        self._sweep_stragglers(old_dir, new_dir, scanned | swept)
-        if old_dir == self.files_path:
-            # one-time migration from the legacy flat layout: drop the old
-            # root-level partition dirs (new readers already resolve the
-            # manifest; legacy-path readers should re-open via the catalog)
-            for entry in os.listdir(self.files_path):
-                p = os.path.join(self.files_path, entry)
-                if entry.startswith("v") or entry.startswith(_MANIFEST):
-                    continue
-                shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
-            _gc_versions(self.files_path, {dirname})
-        else:
-            _gc_versions(
-                self.files_path, {dirname, os.path.basename(old_dir)}
-            )
+            if _race_hook is not None:
+                _race_hook()
+            swept = self._sweep_stragglers(old_dir, new_dir, scanned)
+            _commit_version(self.files_path, version, dirname)
+            self._sweep_stragglers(old_dir, new_dir, scanned | swept)
+            if old_dir == self.files_path:
+                # one-time migration from the legacy flat layout: drop the
+                # old root-level partition dirs (new readers already resolve
+                # the manifest; legacy-path readers should re-open via the
+                # catalog)
+                for entry in os.listdir(self.files_path):
+                    p = os.path.join(self.files_path, entry)
+                    if (entry.startswith("v") or entry.startswith(_MANIFEST)
+                            or entry.startswith(_LOCK)
+                            or entry == _LEASE_DIR):
+                        continue
+                    shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
+                _gc_versions(self.files_path, {dirname})
+            else:
+                _gc_versions(
+                    self.files_path, {dirname, os.path.basename(old_dir)}
+                )
+        finally:
+            self._release_lock(owner)
 
     @staticmethod
     def _sweep_stragglers(old_dir: str, new_dir: str, known: set[str]) -> set[str]:

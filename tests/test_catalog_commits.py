@@ -60,17 +60,19 @@ class TestCompactionCommit:
         files = glob.glob(f"{tmp_path}/files/**/*.parquet", recursive=True)
         assert len(files) == 3
 
-    def test_concurrent_append_survives_compaction(
+    def test_non_cooperating_append_survives_via_sweep(
         self, spark, tmp_path, no_dir_renames
     ):
-        """An append landing between the compaction scan and the manifest
-        flip must not be lost (the old staging-swap destroyed it)."""
+        """A writer that BYPASSES the lease (crashed holder past TTL,
+        foreign tool) and lands between the compaction scan and the
+        manifest flip must still not be lost — the straggler sweeps are the
+        defense-in-depth layer under the lock."""
         cat = Catalog(spark, str(tmp_path))
         for b in range(3):
             cat.append(make_files_df(spark, _rows(b)))
 
         def racing_append():
-            cat.append(make_files_df(spark, _rows("race", n=4)))
+            cat.append(make_files_df(spark, _rows("race", n=4)), _no_lease=True)
 
         cat.compact(_race_hook=racing_append)
         ids = sorted(r["id"] for r in cat.files().collect())
@@ -105,6 +107,97 @@ class TestCompactionCommit:
         reader = cat.files()
         cat.compact()
         assert reader.count() == 20  # old version dir still present
+
+
+class TestWriterExclusion:
+    """The compaction lock + append leases: a cooperating append during
+    compact either blocks or lands in the new version — zero-loss, not
+    sweep-window-loss."""
+
+    def test_append_during_compact_blocks_then_lands_in_new_version(
+        self, spark, tmp_path, no_dir_renames
+    ):
+        import threading
+        import time
+
+        cat = Catalog(spark, str(tmp_path), lock_poll=0.05)
+        for b in range(2):
+            cat.append(make_files_df(spark, _rows(b)))
+        cat.compact()  # migrate to the versioned layout first
+        state = {}
+
+        def hook():
+            # the exclusive lock is held here; a cooperating append on
+            # another thread must block, not write into the old version
+            t = threading.Thread(
+                target=lambda: cat.append(make_files_df(spark, _rows("race", n=4)))
+            )
+            t.start()
+            time.sleep(1.0)
+            state["blocked_during_lock"] = t.is_alive()
+            state["thread"] = t
+
+        cat.compact(_race_hook=hook)
+        state["thread"].join(timeout=60)
+        assert not state["thread"].is_alive(), "append never completed"
+        assert state["blocked_during_lock"], "append ran while lock was held"
+        ids = sorted(r["id"] for r in cat.files().collect())
+        assert len([i for i in ids if i.startswith("bracef")]) == 4
+        assert len(ids) == 2 * 10 + 4
+        # the raced rows live in the CURRENT version directory (they were
+        # appended after the flip), not rescued by a sweep into a dead one
+        cur = cat._files_dir()
+        import glob as _glob
+
+        cur_rows = spark.read.parquet(cur)
+        assert cur_rows.filter("id like 'bracef%'").count() == 4
+        assert _glob.glob(f"{cur}/**/*.parquet", recursive=True)
+
+    def test_compact_drains_live_append_leases(self, spark, tmp_path):
+        import json
+        import os as _os
+        import time
+
+        cat = Catalog(spark, str(tmp_path), lock_poll=0.05)
+        cat.append(make_files_df(spark, _rows(0)))
+        lease_dir = _os.path.join(cat.files_path, "_leases")
+        _os.makedirs(lease_dir, exist_ok=True)
+        expiry = time.time() + 1.5
+        with open(_os.path.join(lease_dir, "append-inflight"), "w") as fh:
+            json.dump({"expiry": expiry}, fh)
+        t0 = time.time()
+        cat._wait_append_leases()
+        # waited for the holder to expire (with scheduling slack), then GCd
+        assert time.time() >= expiry - 0.2
+        assert not _os.listdir(lease_dir)
+
+    def test_stale_lock_is_taken_over(self, spark, tmp_path):
+        import json
+        import os as _os
+        import time
+
+        cat = Catalog(spark, str(tmp_path))
+        cat.append(make_files_df(spark, _rows(0)))
+        with open(cat._lock_path(), "w") as fh:
+            json.dump({"owner": "dead", "purpose": "compact",
+                       "expiry": time.time() - 10}, fh)
+        cat.compact()  # must not wait for the dead owner
+        assert cat.files().count() == 10
+        assert not _os.path.exists(cat._lock_path())  # released
+
+    def test_lock_wait_timeout_raises(self, spark, tmp_path):
+        import json
+        import time
+
+        from datalake_spark.catalog import WriterLockHeld
+
+        cat = Catalog(spark, str(tmp_path), lock_poll=0.05, lock_wait=0.3)
+        cat.append(make_files_df(spark, _rows(0)))
+        with open(cat._lock_path(), "w") as fh:
+            json.dump({"owner": "other", "purpose": "compact",
+                       "expiry": time.time() + 60}, fh)
+        with pytest.raises(WriterLockHeld):
+            cat.append(make_files_df(spark, _rows(1)))
 
 
 class TestLatestCommit:
