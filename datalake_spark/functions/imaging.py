@@ -162,6 +162,220 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     return arr[ys][:, xs]
 
 
+# -- animated GIF (real stdlib LZW codec) ------------------------------------
+# GIF89a is the one VIDEO-shaped container decodable with zero dependencies:
+# multiple frames on a timeline with per-frame delays.  The decoder is a
+# full GIF LZW implementation (growing code widths, clear codes, local
+# palettes, sub-rect frames) so it reads any compliant encoder's output,
+# not just ours; the encoder keeps every code byte-wide (min-code-size 7,
+# clear-code spam before the width would grow) so packing is trivial and
+# deterministic.
+
+_GIF_MCS = 7                    # 128-entry palette, 8-bit LZW codes
+_GIF_CLEAR = 1 << _GIF_MCS      # 128
+_GIF_EOI = _GIF_CLEAR + 1       # 129
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def gif_encode(
+    frames: list[np.ndarray], palette: np.ndarray, delay_ms: int = 100
+) -> bytes:
+    """Animated GIF89a from uint8 (H, W) palette-index frames.
+
+    ``palette`` is (N<=128, 3) uint8 RGB.  Every LZW code is emitted at
+    width 8 with a clear code every 127 pixels, so the stream never grows
+    its code width — compression-free but byte-exact and compliant (any
+    decoder honors clear codes).  ``delay_ms`` rounds to GIF's 10 ms
+    granularity."""
+    if not frames:
+        raise UnsupportedMedia("no frames")
+    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 128:
+        raise UnsupportedMedia("palette must be (N<=128, 3)")
+    h, w = frames[0].shape
+    gct = np.zeros((128, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF6, 0, 0])  # GCT present, size 2^7; bg 0; no aspect
+    out += gct.tobytes()
+    for frame in frames:
+        if frame.shape != (h, w):
+            raise UnsupportedMedia("all frames must share the screen size")
+        if int(frame.max(initial=0)) >= len(palette):
+            raise UnsupportedMedia("frame index outside palette")
+        # graphics control: disposal 'leave in place', delay in cs
+        out += b"\x21\xf9\x04\x04" + struct.pack("<H", delay_ms // 10) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(_GIF_MCS)
+        idx = frame.astype(np.uint8).reshape(-1)
+        # ≤126 pixel codes between clears: the decoder's table reaches 255
+        # entries after 126 codes, so the code width never leaves 8 bits
+        # and the following clear/EOI is still read byte-wide
+        span = _GIF_CLEAR - 2
+        codes = bytearray([_GIF_CLEAR])
+        for lo in range(0, len(idx), span):
+            if lo:
+                codes.append(_GIF_CLEAR)
+            codes += idx[lo : lo + span].tobytes()
+        codes.append(_GIF_EOI)
+        out += _gif_subblocks(bytes(codes))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _lzw_decode(mcs: int, data: bytes, n_pixels: int) -> np.ndarray:
+    """GIF LZW → uint8 index array (full algorithm: growing widths to 12
+    bits, clear codes, the code==next 'KwKwK' case)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    out = bytearray()
+    acc = nbits = i = 0
+    prev: int | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if i >= len(data):
+                raise UnsupportedMedia("gif lzw stream truncated")
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(table[prev] + entry[:1])
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]
+            table.append(entry)
+        else:
+            raise UnsupportedMedia("gif lzw code out of range")
+        out += entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = code
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+def gif_frames(b: bytes) -> list[tuple[int, np.ndarray]]:
+    """Animated GIF → [(delay_ms, RGB uint8 (H, W, 3)), ...] — REAL frame
+    extraction: parses graphics-control delays, local/global palettes and
+    sub-rect frames, composing each frame onto the running canvas
+    (disposal 'leave in place').  Interlaced images are refused."""
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        raise UnsupportedMedia("not a gif")
+    w, h = struct.unpack("<HH", b[6:10])
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b[pos : pos + n * 3], dtype=np.uint8).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames: list[tuple[int, np.ndarray]] = []
+    delay_ms = 0
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = b[pos]
+            pos += 1
+            if label == 0xF9 and b[pos] >= 4:
+                delay_ms = struct.unpack("<H", b[pos + 2 : pos + 4])[0] * 10
+            while True:  # skip sub-blocks (we consumed nothing from them)
+                size = b[pos]
+                pos += 1 + size
+                if size == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise UnsupportedMedia(f"unknown gif block 0x{block:02x}")
+        left, top, fw, fh = struct.unpack("<HHHH", b[pos : pos + 8])
+        iflags = b[pos + 8]
+        pos += 9
+        if iflags & 0x40:
+            raise UnsupportedMedia("interlaced gif")
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(b[pos : pos + n * 3], dtype=np.uint8).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise UnsupportedMedia("gif frame without a palette")
+        mcs = b[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            size = b[pos]
+            pos += 1
+            data += b[pos : pos + size]
+            pos += size
+            if size == 0:
+                break
+        idx = _lzw_decode(mcs, bytes(data), fw * fh).reshape(fh, fw)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise UnsupportedMedia("gif index outside palette")
+        canvas[top : top + fh, left : left + fw] = pal[idx]
+        frames.append((delay_ms, canvas.copy()))
+        delay_ms = 0
+    if not frames:
+        raise UnsupportedMedia("gif with no image data")
+    return frames
+
+
+# -- pixel decode dispatch (stdlib PNG/GIF; PIL gate for JPEG et al.) --------
+try:  # optional — absent in this container by design
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except Exception:
+    _HAS_PIL = False
+
+
+def decode_pixels(b: bytes) -> np.ndarray:
+    """Any supported image blob → uint8 (H, W, C) pixels.  PNG and GIF
+    (first frame) decode with the stdlib codecs above; other formats (JPEG
+    in particular) decode through the optional PIL gate and raise
+    UnsupportedMedia when PIL is absent."""
+    if b.startswith(_PNG_SIG):
+        return png_decode(b)
+    if b[:3] == b"GIF":
+        return gif_frames(b)[0][1]
+    if _HAS_PIL:
+        import io as _io
+
+        try:
+            with _PILImage.open(_io.BytesIO(b)) as im:
+                return np.asarray(im.convert("RGB"))
+        except Exception as e:
+            raise UnsupportedMedia(str(e) or type(e).__name__)
+    raise UnsupportedMedia(
+        "format needs the optional PIL gate (stdlib codecs cover PNG and GIF)"
+    )
+
+
 # -- WAV (stdlib `wave`) -----------------------------------------------------
 def wav_info(b: bytes) -> tuple[int, int, int]:
     """(channels, sample_rate, duration_ms) of a WAV blob."""

@@ -2,11 +2,13 @@
 with typed metadata, processed by Arrow-batched mapInPandas operators.
 
 Codec status: image dimension sniffing (PNG/JPEG/GIF/BMP), PNG pixel
-decode/resize/re-encode, and WAV audio features are REAL — stdlib-only
-implementations in functions/imaging.py (zlib + struct + `wave`), no PIL
-required.  PIL stays an optional upgrade gate for JPEG pixel decode;
-video frame extraction (av/ffmpeg) remains stubbed with a deterministic
-fake that exercises the one-to-many plumbing.  This mirrors the
+decode/resize/re-encode, animated-GIF frame extraction (full LZW), and
+WAV audio features are REAL — stdlib-only implementations in
+functions/imaging.py (zlib + struct + `wave`), no PIL required.  PIL is
+the optional upgrade gate for JPEG pixel decode and `av` the optional
+gate for mp4/webm frame extraction; with both absent those blobs yield
+per-row error/NULL values, never failed stages, and the deterministic
+fakes remain for dependency-free plumbing tests.  This mirrors the
 reference's stance that content is opaque bytes the engine never parses
 (client/TUTORIAL.md), while giving the training-data pipeline typed hooks
 where parsing belongs.
@@ -42,14 +44,6 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-try:  # optional codec libs — absent in this container by design
-    from PIL import Image  # noqa: F401
-
-    _HAS_PIL = True
-except Exception:
-    _HAS_PIL = False
-
-
 def _fake_feature(content: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in feature: byte-histogram moments.  Lets the
     pipeline (schema, batching, downstream joins) run end-to-end without
@@ -74,18 +68,42 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
     )
 
 
+def _real_feature(content: bytes, dim: int) -> list[float] | None:
+    """Pixel-statistics feature from a REAL decode (stdlib PNG/GIF;
+    JPEG et al. through the PIL gate): [w, h, c, mean, std, min, max,
+    gradient-energy], padded/truncated to ``dim``.  None when the blob
+    is not decodable with the available codecs."""
+    import numpy as np
+
+    from datalake_spark.functions.imaging import UnsupportedMedia, decode_pixels
+
+    try:
+        px = decode_pixels(content)
+    except UnsupportedMedia:
+        return None
+    if px.ndim == 2:
+        px = px[:, :, None]
+    x = px.astype(np.float64) / 255.0
+    grad = float(np.mean(np.abs(np.diff(x, axis=1)))) if px.shape[1] > 1 else 0.0
+    feat = [
+        float(px.shape[1]), float(px.shape[0]), float(px.shape[2]),
+        float(np.mean(x)), float(np.std(x)),
+        float(np.min(x)), float(np.max(x)), grad,
+    ]
+    return (feat + [0.0] * dim)[:dim]
+
+
 def extract_features(
     media: DataFrame, dim: int = 8, use_fake: bool = True, batch_rows: int = 256
 ) -> DataFrame:
     """mapInPandas feature extraction over binary content.
 
-    Batches are re-chunked to ``batch_rows`` so a partition of large blobs
-    doesn't materialize as one giant Arrow batch (the knob that matters at
-    100 TB: bytes per batch, not rows per partition)."""
-    if not use_fake and not _HAS_PIL:
-        raise NotImplementedError(
-            "real image decode requires PIL; not available in this environment"
-        )
+    ``use_fake=False`` decodes pixels for real (stdlib PNG/GIF codecs;
+    JPEG and friends behind the optional PIL gate) and emits pixel
+    statistics; undecodable blobs get a NULL feature, never a failed
+    stage.  Batches are re-chunked to ``batch_rows`` so a partition of
+    large blobs doesn't materialize as one giant Arrow batch (the knob
+    that matters at 100 TB: bytes per batch, not rows per partition)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -99,7 +117,9 @@ def extract_features(
                             lambda b: len(b) if b is not None else 0
                         ),
                         "feature": chunk["content"].map(
-                            lambda b: _fake_feature(b or b"", dim)
+                            (lambda b: _fake_feature(b or b"", dim))
+                            if use_fake
+                            else (lambda b: _real_feature(bytes(b or b""), dim))
                         ),
                     }
                 )
@@ -166,11 +186,11 @@ def resize_images(
 ) -> DataFrame:
     """Resize binary images to (width, height) via mapInPandas.
 
-    ``use_fake=False`` runs the REAL codec path for PNG content: stdlib
-    decode → deterministic nearest-neighbor resize → PNG re-encode
-    (functions/imaging.py); non-PNG/undecodable blobs yield NULL content
-    rather than failing the stage (PIL would widen format coverage — gate
-    on _HAS_PIL when it exists).  ``use_fake=True`` keeps the byte-tiling
+    ``use_fake=False`` runs the REAL codec path: stdlib decode for
+    PNG/GIF (JPEG and friends through the optional PIL gate) →
+    deterministic nearest-neighbor resize → PNG re-encode
+    (functions/imaging.py); undecodable blobs yield NULL content rather
+    than failing the stage.  ``use_fake=True`` keeps the byte-tiling
     stand-in for plumbing tests where pixel correctness is irrelevant."""
     n_bytes = width * height
 
@@ -185,7 +205,7 @@ def resize_images(
     def real_resize(b: bytes | None) -> bytes | None:
         from datalake_spark.functions.imaging import (
             UnsupportedMedia,
-            png_decode,
+            decode_pixels,
             png_encode,
             resize_nearest,
         )
@@ -193,7 +213,9 @@ def resize_images(
         if b is None:
             return None
         try:
-            return png_encode(resize_nearest(png_decode(bytes(b)), width, height))
+            return png_encode(
+                resize_nearest(decode_pixels(bytes(b)), width, height)
+            )
         except UnsupportedMedia:
             return None
 
@@ -273,35 +295,132 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame_idx", T.IntegerType(), False),
         T.StructField("frame_ms", T.LongType(), True),
         T.StructField("frame", T.BinaryType(), True),
+        T.StructField("frame_error", T.StringType(), True),
     ]
 )
 
+try:  # optional video codec — absent in this container by design
+    import av as _av  # noqa: F401
+
+    _HAS_AV = True
+except Exception:
+    _HAS_AV = False
+
+
+def _real_frames(
+    content: bytes, every_ms: int, max_frames: int
+) -> list[tuple[int, bytes]]:
+    """REAL frame extraction: [(ts_ms, png_bytes)] sampled every
+    ``every_ms`` along the container's timeline.
+
+    Animated GIF decodes with the stdlib LZW codec
+    (functions/imaging.py:gif_frames) — per-frame delays form the
+    timeline, and the frame active at each sample instant is re-encoded
+    as PNG.  Other containers (mp4/webm/...) go through the optional
+    ``av`` gate; with ``av`` absent they raise UnsupportedMedia and
+    surface as frame_error rows."""
+    from datalake_spark.functions.imaging import (
+        UnsupportedMedia,
+        gif_frames,
+        png_encode,
+    )
+
+    if content[:3] == b"GIF":
+        decoded = gif_frames(content)
+        # cumulative timeline: frame j is active in [start_j, start_j+delay_j)
+        starts, t = [], 0
+        for delay, _ in decoded:
+            starts.append(t)
+            t += max(delay, 1)
+        total = t
+        out: list[tuple[int, bytes]] = []
+        ts, j = 0, 0
+        while ts < total and len(out) < max_frames:
+            while j + 1 < len(starts) and starts[j + 1] <= ts:
+                j += 1
+            out.append((ts, png_encode(decoded[j][1])))
+            ts += every_ms
+        return out
+    if _HAS_AV:
+        import io as _io
+
+        out = []
+        with _av.open(_io.BytesIO(content)) as container:
+            stream = container.streams.video[0]
+            next_ts = 0
+            for frame in container.decode(stream):
+                ts = int(frame.time * 1000) if frame.time is not None else 0
+                if ts < next_ts:
+                    continue
+                out.append((ts, png_encode(frame.to_ndarray(format="rgb24"))))
+                next_ts += every_ms
+                if len(out) >= max_frames:
+                    break
+        return out
+    raise UnsupportedMedia(
+        "container needs the optional av gate (stdlib codec covers GIF)"
+    )
+
 
 def sample_frames(
-    media: DataFrame, every_ms: int = 1000, max_frames: int = 8, frame_bytes: int = 64
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    frame_bytes: int = 64,
+    use_fake: bool = True,
+    batch_rows: int = 64,
 ) -> DataFrame:
     """Sample frames from video content via mapInPandas — one input row fans
     out to ≤ max_frames frame rows (the one-to-many shape frame extraction
-    needs; av/ffmpeg is STUBBED with deterministic byte-slices keyed by the
-    frame index, using duration_ms for the timeline).  Downstream per-frame
-    ops (resize, feature-extract) compose on the output frame column."""
+    needs).  Downstream per-frame ops (resize, feature-extract) compose on
+    the output frame column.
+
+    ``use_fake=False`` runs the REAL codec path: animated GIF via the
+    stdlib LZW decoder, other containers via the optional ``av`` gate;
+    undecodable blobs yield a frame_error row (frame_idx=-1), never a
+    failed stage.  ``use_fake=True`` keeps the deterministic byte-slice
+    stand-in (duration_ms drives the timeline) for plumbing tests.
+    Per-row decode is unavoidable; the output columns are built as flat
+    lists, no per-row DataFrame work."""
+    from datalake_spark.functions.imaging import UnsupportedMedia
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_ms": [], "frame": []}
-            for _, row in pdf.iterrows():
-                content = row["content"] or b""
-                dur = row["duration_ms"] or (len(content) // 10)
-                n = min(max_frames, max(1, int(dur // every_ms)))
-                for i in range(n):
-                    ts = i * every_ms
-                    # fake decode: slice keyed by frame index (deterministic)
-                    start = (i * frame_bytes) % max(len(content), 1)
-                    frame = bytes((content * 2)[start : start + frame_bytes])
-                    out["media_id"].append(row["media_id"])
-                    out["frame_idx"].append(i)
-                    out["frame_ms"].append(ts)
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                out: dict[str, list] = {
+                    "media_id": [], "frame_idx": [], "frame_ms": [],
+                    "frame": [], "frame_error": [],
+                }
+
+                def emit(mid, idx, ms, frame, err=None):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_ms"].append(ms)
                     out["frame"].append(frame)
-            yield pd.DataFrame(out)
+                    out["frame_error"].append(err)
+
+                for mid, content, dur in zip(
+                    chunk["media_id"], chunk["content"], chunk["duration_ms"]
+                ):
+                    if use_fake:
+                        content = content or b""
+                        dur = dur if dur is not None else len(content) // 10
+                        n = min(max_frames, max(1, int(dur // every_ms)))
+                        for i in range(n):
+                            # fake decode: deterministic slice per frame idx
+                            start = (i * frame_bytes) % max(len(content), 1)
+                            emit(mid, i, i * every_ms,
+                                 bytes((content * 2)[start : start + frame_bytes]))
+                        continue
+                    try:
+                        frames = _real_frames(
+                            bytes(content or b""), every_ms, max_frames
+                        )
+                        for i, (ts, png) in enumerate(frames):
+                            emit(mid, i, ts, png)
+                    except UnsupportedMedia as e:
+                        emit(mid, -1, None, None, str(e))
+                yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)

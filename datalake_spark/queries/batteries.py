@@ -269,6 +269,9 @@ def _mk() -> list[Q]:
         Sub(q(ops, "audio_roundtrip", "audio_roundtrip", "AUDIO_ROUNDTRIP_SQL"),
             {"doc_id": "v", "channels": "v", "sample_rate": "v",
              "duration_ms": "v", "rms": "d", "peak": "d", "zcr": "d"}),
+        Sub(q(ops, "video_roundtrip", "video_roundtrip", "VIDEO_ROUNDTRIP_SQL"),
+            {"doc_id": "v", "frame_idx": "v", "frame_ms": "v", "width": "v",
+             "height": "v", "mean_px": "d"}),
         Sub(q(pq, "embedding_centroids", "embedding_centroids", "EMBEDDING_CENTROIDS_SQL"),
             {"label": "v", "pos": "v", "centroid_r": "d", "n_vectors": "v"}),
         Sub(q(pq, "dataset_split", "dataset_split", "DATASET_SPLIT_SQL"),

@@ -428,6 +428,99 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Real-codec gate for VIDEO: per doc, synthesize an animated GIF (nf =
+# 2+id%3 solid frames of gray v_j = (id*31 + j*17) % 251, delay d =
+# 200+(id%4)*100 ms, w = 4+id%3, h = 3+id%2), run the production
+# sample_frames REAL path (stdlib GIF LZW decode → 250 ms timeline
+# sampling → PNG re-encode), then PNG-decode each sampled frame and emit
+# its dimensions and mean pixel.  Solid frames make the mean EXACT (= v of
+# the source frame active at t = 250·i, i.e. j = t div d), so the oracle
+# pins the full chain — GIF encode → LZW decode → timeline sampling → PNG
+# encode → PNG decode — arithmetically.
+# ---------------------------------------------------------------------------
+def video_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from datalake_spark.functions.imaging import gif_encode, png_decode
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            blobs = []
+            for i in ids:
+                i = int(i)
+                nf = 2 + i % 3
+                d = 200 + (i % 4) * 100
+                w, h = 4 + i % 3, 3 + i % 2
+                frames = [np.full((h, w), j, dtype=np.uint8) for j in range(nf)]
+                pal = np.array(
+                    [[(i * 31 + j * 17) % 251] * 3 for j in range(nf)],
+                    dtype=np.uint8,
+                )
+                blobs.append(gif_encode(frames, pal, delay_ms=d))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.astype(str),
+                    "modality": "video",
+                    "content": blobs,
+                    "mime": None,
+                    "width": None,
+                    "height": None,
+                    "duration_ms": None,
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema=mm_ops.MEDIA_SCHEMA)
+    frames = mm_ops.sample_frames(
+        media, every_ms=250, max_frames=8, use_fake=False
+    )
+
+    dec_schema = "doc_id bigint, frame_idx bigint, frame_ms bigint, " \
+                 "width bigint, height bigint, mean_px double"
+
+    def dec(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "frame_ms",
+                                   "width", "height", "mean_px")}
+            for mid, idx, ms, png in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame_ms"], pdf["frame"]
+            ):
+                px = png_decode(bytes(png))
+                out["doc_id"].append(int(mid))
+                out["frame_idx"].append(int(idx))
+                out["frame_ms"].append(int(ms))
+                out["width"].append(px.shape[1])
+                out["height"].append(px.shape[0])
+                out["mean_px"].append(float(px.mean()))
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(dec, schema=dec_schema)
+
+
+VIDEO_ROUNDTRIP_SQL = """
+WITH s AS (
+    SELECT doc_id,
+           2 + doc_id % 3 AS nf,
+           200 + (doc_id % 4) * 100 AS d,
+           4 + doc_id % 3 AS w,
+           3 + doc_id % 2 AS h
+    FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * 250 AS BIGINT) AS frame_ms,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST((doc_id * 31 + ((i * 250) // d) * 17) % 251 AS DOUBLE) AS mean_px
+FROM s, UNNEST(generate_series(0, 7)) AS t(i)
+WHERE i * 250 < nf * d
+"""
+
+
+# ---------------------------------------------------------------------------
 # Grouped-map applyInPandas — the per-group custom-aggregator escape hatch
 # (one Arrow batch per group).  Outputs are integer-exact so the oracle
 # matches bit for bit.  At scale: one shuffle on the group key; group size

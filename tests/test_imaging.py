@@ -140,6 +140,172 @@ class TestResize:
         assert out[:, :, 0].tolist() == [[1, 1, 2, 2], [1, 1, 2, 2]]
 
 
+def _foreign_gif(frames, palette, delay_ms=100, mcs=None):
+    """An INDEPENDENT GIF encoder: textbook growing-width LZW (dictionary
+    building, width bumps at 2^width, 12-bit cap with clear+reset) — the
+    compression any real-world encoder emits, unlike gif_encode's
+    byte-wide clear-spam stream.  Decoding this proves gif_frames is a
+    full LZW implementation, not just the inverse of our own writer."""
+    h, w = frames[0].shape
+    mcs = mcs if mcs is not None else max(2, int(len(palette) - 1).bit_length())
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    gct_bits = max(1, (max(2, len(palette)) - 1).bit_length())
+    gct_n = 1 << gct_bits
+    gct = np.zeros((gct_n, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (gct_bits - 1), 0, 0])
+    out += gct.tobytes()
+    for frame in frames:
+        out += b"\x21\xf9\x04\x04" + struct.pack("<H", delay_ms // 10) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(mcs)
+
+        bits = bytearray()
+        acc = [0, 0]  # value, nbits
+
+        def emit(code, width):
+            acc[0] |= code << acc[1]
+            acc[1] += width
+            while acc[1] >= 8:
+                bits.append(acc[0] & 0xFF)
+                acc[0] >>= 8
+                acc[1] -= 8
+
+        table = {bytes([i]): i for i in range(clear)}
+        next_code, width = eoi + 1, mcs + 1
+        emit(clear, width)
+        wseq = b""
+        for ch in frame.astype(np.uint8).reshape(-1).tobytes():
+            wc = wseq + bytes([ch])
+            if wc in table:
+                wseq = wc
+                continue
+            emit(table[wseq], width)
+            table[wc] = next_code
+            next_code += 1
+            # decoder bumps width when ITS table hits 2^width; its table
+            # trails ours by one entry mid-stream, so bump at 2^width + 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+            if next_code >= 4096:
+                emit(clear, width)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code, width = eoi + 1, mcs + 1
+            wseq = bytes([ch])
+        if wseq:
+            emit(table[wseq], width)
+        emit(eoi, width)
+        if acc[1]:
+            bits.append(acc[0] & 0xFF)
+        for i in range(0, len(bits), 255):
+            chunk = bits[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+class TestGifCodec:
+    def test_encode_decode_roundtrip(self):
+        from datalake_spark.functions.imaging import gif_encode, gif_frames
+
+        rng = _rng()
+        pal = rng.integers(0, 256, size=(128, 3), dtype=np.uint8)
+        frames = [
+            rng.integers(0, 128, size=(9, 31), dtype=np.uint8) for _ in range(3)
+        ]
+        out = gif_frames(gif_encode(frames, pal, delay_ms=340))
+        assert len(out) == 3
+        for j, (delay, rgb) in enumerate(out):
+            assert delay == 340
+            assert np.array_equal(rgb, pal[frames[j]])
+
+    @pytest.mark.parametrize("shape,npal", [((5, 7), 4), ((23, 41), 16),
+                                            ((64, 64), 128)])
+    def test_decodes_foreign_growing_width_lzw(self, shape, npal):
+        """gif_frames must decode a textbook compressed stream (growing
+        code widths, dictionary entries, KwKwK case) — not just our own
+        clear-spam writer's output."""
+        from datalake_spark.functions.imaging import gif_frames
+
+        rng = _rng()
+        pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+        # low-entropy frame: long runs exercise dictionary growth deep
+        base = rng.integers(0, npal, size=(shape[0], 1), dtype=np.uint8)
+        frame = np.repeat(base, shape[1], axis=1)
+        frame[::3, ::5] = (frame[::3, ::5] + 1) % npal
+        b = _foreign_gif([frame], pal, delay_ms=120)
+        [(delay, rgb)] = gif_frames(b)
+        assert delay == 120
+        assert np.array_equal(rgb, pal[frame])
+
+    def test_foreign_multiframe_and_high_entropy(self):
+        from datalake_spark.functions.imaging import gif_frames
+
+        rng = _rng()
+        pal = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+        frames = [rng.integers(0, 64, size=(40, 50), dtype=np.uint8)
+                  for _ in range(2)]
+        out = gif_frames(_foreign_gif(frames, pal, delay_ms=200))
+        assert len(out) == 2
+        for j, (_, rgb) in enumerate(out):
+            assert np.array_equal(rgb, pal[frames[j]])
+
+    def test_subrect_frame_composes_onto_canvas(self):
+        """A second frame covering a sub-rectangle must overlay the first
+        (disposal 'leave in place')."""
+        from datalake_spark.functions.imaging import gif_encode, gif_frames
+
+        pal = np.array([[10, 10, 10], [200, 200, 200]], dtype=np.uint8)
+        full = np.zeros((4, 6), dtype=np.uint8)
+        b = bytearray(gif_encode([full], pal, delay_ms=100))
+        # append a 2x2 all-palette-1 frame at (left=1, top=1) by hand
+        patch = b"\x21\xf9\x04\x04\x0a\x00\x00\x00"
+        patch += b"\x2c" + struct.pack("<HHHH", 1, 1, 2, 2) + b"\x00"
+        patch += bytes([7])  # mcs 7, byte-wide codes like gif_encode
+        codes = bytes([128, 1, 1, 1, 1, 129])  # CLEAR 1 1 1 1 EOI
+        patch += bytes([len(codes)]) + codes + b"\x00"
+        assert b[-1] == 0x3B
+        b = bytes(b[:-1]) + patch + b"\x3b"
+        out = gif_frames(b)
+        assert len(out) == 2
+        canvas = out[1][1]
+        assert np.array_equal(canvas[1:3, 1:3], np.full((2, 2, 3), 200, np.uint8))
+        assert canvas[0, 0].tolist() == [10, 10, 10]
+        assert out[1][0] == 100  # 0x000a cs delay
+
+    def test_interlaced_refused(self):
+        from datalake_spark.functions.imaging import gif_encode, gif_frames
+
+        pal = np.array([[0, 0, 0]], dtype=np.uint8)
+        b = bytearray(gif_encode([np.zeros((2, 2), np.uint8)], pal))
+        # flip the interlace bit in the image descriptor flags byte
+        i = bytes(b).index(b"\x2c")
+        b[i + 9] |= 0x40
+        with pytest.raises(UnsupportedMedia, match="interlaced"):
+            gif_frames(bytes(b))
+
+    def test_decode_pixels_dispatch(self):
+        from datalake_spark.functions.imaging import (
+            decode_pixels,
+            gif_encode,
+            png_encode,
+        )
+
+        rng = _rng()
+        arr = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        assert np.array_equal(decode_pixels(png_encode(arr)), arr)
+        pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+        f0 = rng.integers(0, 8, size=(4, 4), dtype=np.uint8)
+        gif = gif_encode([f0, np.zeros((4, 4), np.uint8)], pal)
+        assert np.array_equal(decode_pixels(gif), pal[f0])  # first frame
+        with pytest.raises(UnsupportedMedia):
+            decode_pixels(b"\xff\xd8\xff\xe0 not a real jpeg")
+
+
 def _wav_bytes(samples, rate=8000, channels=1):
     buf = io.BytesIO()
     with wave.open(buf, "wb") as f:

@@ -301,6 +301,88 @@ class TestMultimodalResizeFrames:
         ]
         assert all(len(bytes(r["frame"])) == 64 for r in rows)
 
+    def test_frame_sampling_real_gif(self, spark):
+        """The REAL path: stdlib GIF LZW decode, per-frame-delay timeline,
+        PNG re-encoded samples; non-GIF blobs yield frame_error rows."""
+        import numpy as np
+
+        from datalake_spark.functions.imaging import (
+            gif_encode,
+            png_decode,
+        )
+        from datalake_spark.operators.multimodal import sample_frames
+
+        pal = np.array([[50, 50, 50], [200, 200, 200]], dtype=np.uint8)
+        # two 300ms frames: solid 50-gray then solid 200-gray
+        gif = gif_encode(
+            [np.zeros((2, 3), np.uint8), np.ones((2, 3), np.uint8)],
+            pal, delay_ms=300,
+        )
+        media = self._media(
+            spark,
+            [
+                ("g", "video", gif, None, None, None, None),
+                ("bad", "video", b"mp4-ish bytes", None, None, None, None),
+            ],
+        )
+        rows = sample_frames(
+            media, every_ms=200, max_frames=8, use_fake=False
+        ).collect()
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r["media_id"], []).append(r)
+        g = sorted(by_id["g"], key=lambda x: x["frame_idx"])
+        # total 600ms sampled at 200ms -> t=0,200,400; src frames 0,0,1
+        assert [r["frame_ms"] for r in g] == [0, 200, 400]
+        means = [float(png_decode(bytes(r["frame"])).mean()) for r in g]
+        assert means == [50.0, 50.0, 200.0]
+        assert all(r["frame_error"] is None for r in g)
+        [bad] = by_id["bad"]
+        assert bad["frame_idx"] == -1 and bad["frame"] is None
+        assert "av gate" in bad["frame_error"]
+
+    def test_real_features_and_gif_resize(self, spark):
+        """extract_features(use_fake=False) emits pixel statistics for
+        stdlib-decodable blobs and NULL for codec-gated ones; resize_images
+        real path now covers GIF via decode_pixels."""
+        import numpy as np
+
+        from datalake_spark.functions.imaging import (
+            gif_encode,
+            png_decode,
+            png_encode,
+        )
+        from datalake_spark.operators.multimodal import (
+            extract_features,
+            resize_images,
+        )
+
+        png = png_encode(np.full((4, 6, 3), 100, np.uint8))
+        gif = gif_encode(
+            [np.zeros((3, 5), np.uint8)],
+            np.array([[80, 80, 80]], dtype=np.uint8),
+        )
+        media = self._media(
+            spark,
+            [
+                ("png", "image", png, None, None, None, None),
+                ("gif", "image", gif, None, None, None, None),
+                ("jpg", "image", b"\xff\xd8\xff\xe0 stub", None, None, None, None),
+            ],
+        )
+        feats = {r["media_id"]: r["feature"]
+                 for r in extract_features(media, use_fake=False).collect()}
+        assert feats["png"][:5] == pytest.approx(
+            [6.0, 4.0, 3.0, 100.0 / 255.0, 0.0]
+        )
+        assert feats["gif"][:4] == pytest.approx([5.0, 3.0, 3.0, 80.0 / 255.0])
+        assert feats["jpg"] is None  # PIL-gated, not a failed stage
+        resized = {r["media_id"]: r
+                   for r in resize_images(media, 2, 2, use_fake=False).collect()}
+        px = png_decode(bytes(resized["gif"]["content"]))
+        assert px.shape == (2, 2, 3) and int(px[0, 0, 0]) == 80
+        assert resized["jpg"]["content"] is None
+
 
 class TestPortableHashing:
     """md5hash60 and the portable fingerprint are the cross-engine (DuckDB-
