@@ -82,47 +82,75 @@ class StreamingIngester:
     """readStream(landing_dir JSON events) → files catalog + latest + reports."""
 
     def __init__(self, spark: SparkSession, catalog: Catalog, reports_path: str | None = None):
+        import uuid
+
         self.spark = spark
         self.catalog = catalog
         self.reports_path = reports_path or os.path.join(catalog.root, "reports")
+        # unique per ingester so job groups are attributable in the UI (and
+        # countable in tests) even when several pipelines share a session
+        self.job_group = f"ingest-{uuid.uuid4().hex[:8]}"
 
     def _handle_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        """One data pass per micro-batch: both metrics (ok-record and error
+        counts) ride the plan as ``observe`` aggregates and are fired by a
+        single noop-format action that also populates the ``files`` cache —
+        no count() jobs.  The append and latest-merge then reuse the cached
+        deduped batch."""
+        from pyspark.sql import Observation
+
         t0 = time.time()
         spark = self.spark
-        classified = classify_events(batch).cache()
-        try:
-            ok = classified.filter(F.col("disposition") == "ok")
-            # idempotency: at-least-once delivery duplicates collapse on id
-            # within the batch; cross-batch dups collapse at query time
-            # (QueryEngine.dropDuplicates), mirroring the reference's
-            # tolerated duplicate puts (storage.py:64-73).
-            w = Window.partitionBy("file_id").orderBy(F.col("event_time").desc())
-            files = (
-                ok.filter(F.col("metadata").isNotNull())
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select(
-                    F.col("metadata.version").alias("version"),
-                    F.col("metadata.start").alias("start"),
-                    F.col("metadata.end").alias("end"),
-                    F.col("metadata.what").alias("what"),
-                    F.col("metadata.where").alias("where"),
-                    F.col("metadata.id").alias("id"),
-                    F.col("metadata.hash").alias("hash"),
-                    F.col("metadata.path").alias("path"),
-                    F.col("metadata.work_id").alias("work_id"),
-                    F.concat(
-                        F.lit("s3://"), F.col("bucket_name"), F.lit("/"), F.col("key_name")
-                    ).alias("url"),
-                    F.col("event_time").alias("create_time"),
-                    F.coalesce(F.col("size"), F.lit(0)).alias("size"),
-                )
+        spark.sparkContext.setJobGroup(
+            f"{self.job_group}-epoch-{epoch_id}", "streaming ingest micro-batch",
+        )
+        obs_cls = Observation(f"ingest_cls_{epoch_id}")
+        obs_files = Observation(f"ingest_files_{epoch_id}")
+        # the error metric observes ALL classified rows (upstream of the ok
+        # filter), the record metric observes the deduped files rows — both
+        # sit in one plan, so one action computes both
+        classified = classify_events(batch).observe(
+            obs_cls,
+            F.sum(
+                F.when(F.col("disposition").startswith("error"), 1).otherwise(0)
+            ).alias("n_err"),
+        )
+        ok = classified.filter(F.col("disposition") == "ok")
+        # idempotency: at-least-once delivery duplicates collapse on id
+        # within the batch; cross-batch dups collapse at query time
+        # (QueryEngine.dropDuplicates), mirroring the reference's
+        # tolerated duplicate puts (storage.py:64-73).
+        w = Window.partitionBy("file_id").orderBy(F.col("event_time").desc())
+        files = (
+            ok.filter(F.col("metadata").isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("metadata.version").alias("version"),
+                F.col("metadata.start").alias("start"),
+                F.col("metadata.end").alias("end"),
+                F.col("metadata.what").alias("what"),
+                F.col("metadata.where").alias("where"),
+                F.col("metadata.id").alias("id"),
+                F.col("metadata.hash").alias("hash"),
+                F.col("metadata.path").alias("path"),
+                F.col("metadata.work_id").alias("work_id"),
+                F.concat(
+                    F.lit("s3://"), F.col("bucket_name"), F.lit("/"), F.col("key_name")
+                ).alias("url"),
+                F.col("event_time").alias("create_time"),
+                F.coalesce(F.col("size"), F.lit(0)).alias("size"),
             )
-            n_ok = files.count()
+            .observe(obs_files, F.count(F.lit(1)).alias("n_ok"))
+            .cache()
+        )
+        try:
+            files.write.format("noop").mode("overwrite").save()
+            n_ok = int(obs_files.get["n_ok"])
+            n_err = int(obs_cls.get["n_err"] or 0)
             if n_ok:
                 self.catalog.append(files)
                 _merge_latest(spark, self.catalog, files)
-            n_err = classified.filter(F.col("disposition").startswith("error")).count()
             # report side-output (ingester.py:27-65 shape, flattened)
             report = spark.createDataFrame(
                 [
@@ -139,7 +167,8 @@ class StreamingIngester:
             )
             report.write.mode("append").parquet(self.reports_path)
         finally:
-            classified.unpersist()
+            files.unpersist()
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
 
     def start(self, landing_dir: str, checkpoint_dir: str, available_now: bool = True):
         stream = (

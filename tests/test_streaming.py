@@ -93,6 +93,49 @@ class TestIngest:
         r = reports.collect()[0]
         assert r["status"] == "error" and r["n_records"] == 2 and r["n_errors"] == 1
 
+    def test_metrics_ride_the_plan_no_count_jobs(self, spark, tmp_path, monkeypatch):
+        """The batch metrics come from observe() aggregates fired by the
+        single data pass — DataFrame.count must never run inside a
+        micro-batch, and an error-only batch stays within a small job
+        budget (no per-metric jobs)."""
+        from pyspark.sql import DataFrame
+
+        real_count = DataFrame.count
+
+        def forbidden_count(self):
+            raise AssertionError("count() action inside a micro-batch")
+
+        monkeypatch.setattr(DataFrame, "count", forbidden_count)
+        try:
+            cat, ing = run_ingest(
+                spark,
+                str(tmp_path),
+                [event("a1"), event("a2", where="h2"),
+                 event("bad", name="Nope:Event")],
+            )
+        finally:
+            monkeypatch.setattr(DataFrame, "count", real_count)
+        # report rows unchanged vs the two-count() implementation
+        [r] = ing.reports().collect()
+        assert r["status"] == "error" and r["n_records"] == 2 and r["n_errors"] == 1
+        assert {x["id"] for x in cat.files().collect()} == {"a1", "a2"}
+        assert cat.latest_table().count() == 2
+
+    def test_error_only_batch_job_budget(self, spark, tmp_path):
+        """An all-error batch runs the metrics pass + report write only —
+        the job group for the epoch stays tiny (the old implementation
+        spent dedicated count() jobs here)."""
+        cat, ing = run_ingest(
+            spark,
+            str(tmp_path),
+            [event("x", name="Nope:Event"), event("y", version="1.0")],
+        )
+        [r] = ing.reports().collect()
+        assert r["n_records"] == 0 and r["n_errors"] == 2
+        tracker = spark.sparkContext.statusTracker()
+        jobs = tracker.getJobIdsForGroup(f"{ing.job_group}-epoch-0")
+        assert 0 < len(jobs) <= 4
+
     def test_duplicate_delivery_idempotent(self, spark, tmp_path):
         # at-least-once: same file_id delivered twice in a batch -> one row
         cat, _ = run_ingest(spark, str(tmp_path), [event("dup"), event("dup")])
