@@ -35,6 +35,48 @@ class InvalidQuery(ValueError):
         self.code = code
 
 
+class InvalidCursor(InvalidQuery):
+    """Undecodable/malformed page token — the reference 400s these with
+    code InvalidCursor (v0.py:180-184, querier.py:50-51)."""
+
+    def __init__(self, message: str) -> None:
+        super().__init__("InvalidCursor", message)
+
+
+def encode_cursor(last_start: int, last_id: str) -> str:
+    """Opaque page token: base64-encoded JSON with the ``=`` padding
+    stripped for URL cleanliness — the reference Cursor.serialized contract
+    (querier.py:116-127).  The payload is the keyset position, not a page
+    number, so resuming is O(remaining) at any depth."""
+    import base64
+    import json
+
+    j = json.dumps(
+        {"last_start": int(last_start), "last_id": last_id}, sort_keys=True
+    )
+    return base64.b64encode(j.encode("ascii")).rstrip(b"=").decode("ascii")
+
+
+def decode_cursor(token: str | None) -> dict | None:
+    """Inverse of encode_cursor: re-pad, base64-decode, JSON-parse,
+    validate required fields (reference Cursor.from_serialized,
+    querier.py:101-114).  Raises InvalidCursor on any malformation."""
+    import base64
+    import binascii
+    import json
+
+    if token is None:
+        return None
+    try:
+        raw = base64.b64decode(token + "=" * (-len(token) % 4), validate=True)
+        d = json.loads(raw)
+    except (binascii.Error, ValueError, UnicodeDecodeError):
+        raise InvalidCursor(f"Failed to decode cursor {token}")
+    if not isinstance(d, dict) or "last_start" not in d or "last_id" not in d:
+        raise InvalidCursor("cursor missing required fields")
+    return d
+
+
 def validate_query_params(params: dict) -> dict:
     """The reference's files-query validation (v0.py:143-177): ``what`` is
     required; exactly one of ``work_id`` or a (start, end) interval; times
@@ -243,6 +285,30 @@ class QueryEngine:
                 )
             )
         return df.orderBy(F.col("start"), F.col("id")).limit(page_size)
+
+    def fetch_page(
+        self,
+        df: DataFrame,
+        cursor: str | None = None,
+        page_size: int = MAX_RESULTS,
+    ) -> tuple[list, str | None]:
+        """The reference's next-token loop (v0.py files_get + Cursor): one
+        page of rows plus an opaque resumption token, or None when the
+        result set is exhausted.  The token wraps the keyset position
+        (page_after), so each page is a bounded pushable-predicate top-k —
+        collecting page_size rows on the driver is the point of the API."""
+        c = decode_cursor(cursor)
+        page = self.page_after(
+            df,
+            c["last_start"] if c else None,
+            c["last_id"] if c else None,
+            page_size,
+        )
+        rows = page.collect()
+        token = None
+        if len(rows) == page_size:
+            token = encode_cursor(rows[-1]["start"], rows[-1]["id"])
+        return rows, token
 
     # -- O8/O9: projection + ISO enrichment ---------------------------------
     @staticmethod

@@ -204,6 +204,65 @@ class TestPagination:
         assert via_keyset == sorted(via_offset)
         assert len(via_keyset) == 95
 
+    def test_opaque_cursor_token_loop(self, spark):
+        """The reference's next-token contract: walk pages via opaque
+        base64 tokens until the token is None; the concatenation equals the
+        unpaged ordered result and the final short page ends the loop."""
+        rng = random.Random(13)
+        rows = [
+            {"id": f"id{i:03d}", "what": "w", "where": "s",
+             "start": T0 + rng.randint(0, 10**6), "end": None}
+            for i in range(95)
+        ]
+        eng = QueryEngine(make_files_df(spark, rows))
+        q = eng.by_time("w", T0, T0 + DAY_MS)
+        walked, token, n_pages = [], None, 0
+        while True:
+            batch, token = eng.fetch_page(q, cursor=token, page_size=30)
+            walked += [(r["start"], r["id"]) for r in batch]
+            n_pages += 1
+            if token is None:
+                break
+        assert n_pages == 4  # 30+30+30+5
+        unpaged = [(r["start"], r["id"])
+                   for r in q.orderBy("start", "id").collect()]
+        assert walked == unpaged
+        # tokens are URL-clean (no padding) and round-trip exactly
+        from datalake_spark.query import decode_cursor, encode_cursor
+
+        t = encode_cursor(12345, "idxyz")
+        assert "=" not in t
+        assert decode_cursor(t) == {"last_start": 12345, "last_id": "idxyz"}
+
+    def test_exact_page_boundary_emits_final_empty_page(self, spark):
+        """A result set that divides evenly by page_size yields a trailing
+        token whose page is empty with a None token — the loop still
+        terminates (same shape the reference's cursor machine produces)."""
+        rows = [
+            {"id": f"id{i:03d}", "what": "w", "where": "s",
+             "start": T0 + i, "end": None}
+            for i in range(60)
+        ]
+        eng = QueryEngine(make_files_df(spark, rows))
+        q = eng.by_time("w", T0, T0 + DAY_MS)
+        batch1, t1 = eng.fetch_page(q, page_size=30)
+        batch2, t2 = eng.fetch_page(q, cursor=t1, page_size=30)
+        batch3, t3 = eng.fetch_page(q, cursor=t2, page_size=30)
+        assert (len(batch1), len(batch2), len(batch3)) == (30, 30, 0)
+        assert t3 is None
+
+    @pytest.mark.parametrize(
+        "bad", ["%%%not-base64%%%", "aGVsbG8", "e30", "WzEsMl0"]
+    )
+    def test_malformed_cursor_raises_invalid_cursor(self, spark, bad):
+        """Garbage, non-JSON, field-less and non-dict tokens all 400 with
+        the InvalidCursor code (reference v0.py:180-184)."""
+        from datalake_spark.query import InvalidCursor, decode_cursor
+
+        with pytest.raises(InvalidCursor) as ei:
+            decode_cursor(bad)
+        assert ei.value.code == "InvalidCursor"
+
 
 class TestCatalog:
     def test_roundtrip_and_latest(self, spark, tmp_path):
