@@ -89,8 +89,22 @@ def main() -> None:
     spark = get_spark("bench")
     # untimed warmup: JVM codegen + parquet footer/FS cache + the Python UDF
     # worker pool (first pandas_udf stage otherwise pays ~n_cores process
-    # spawns inside whichever query happens to run it first)
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # spawns inside whichever query happens to run it first).  The warmup is
+    # a REAL hash-aggregate with decimal sums — shaped like q1 — so the
+    # first timed query measures steady state, not whole-stage-codegen
+    # compilation of the aggregate path (r2 left q1 carrying that tax).
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("wq"),
+            F.avg("l_discount").alias("wd"),
+            F.count(F.lit(1)).alias("wn"),
+        )
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
 
     @F.pandas_udf(T.LongType())
     def _warm(x: pd.Series) -> pd.Series:
@@ -134,6 +148,10 @@ def main() -> None:
         out["anchor_note"] = (
             "r1 anchor was single-pass; r2+ values are min-of-2 passes, so "
             "sub-1.0 ratios partly reflect the lower-noise estimator"
+        )
+        out["warmup_note"] = (
+            "r3+: untimed warmup runs a q1-shaped decimal hash-aggregate, "
+            "so q1 no longer carries first-query codegen compilation"
         )
         out["vs_anchor_r1"] = {
             n: round(t / anchor[n], 2) for n, t in timings.items() if n in anchor

@@ -126,6 +126,15 @@ FROM t
 # banded buckets at scale.
 # ---------------------------------------------------------------------------
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-exact all-pairs n-gram Jaccard — UNCAPPED by design so it
+    equals the DuckDB all-pairs answer on the test corpora.
+
+    DO NOT run this form at scale: a shingle shared by k docs expands k²/2
+    pair rows, so one stop-shingle in a 10⁹-doc corpus is a job-killer.
+    The production form is
+    :func:`datalake_spark.operators.dedup.ngram_jaccard_pairs` (max_df
+    posting-list cap, equivalence-tested against this form on clean
+    corpora and cost-pinned in tests/test_scale_stress.py)."""
     docs = load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     shingles = F.array_distinct(
