@@ -8,6 +8,11 @@ Four tiers, cheapest first:
                           on candidates only
 4. simhash_pairs        — 64-bit SimHash with banded collision buckets
 
+plus connected_components, which turns any tier's pair output into
+canonical cluster ids (min doc id per near-dup cluster) so a corpus can
+actually be deduplicated — keep one representative per cluster — rather
+than just annotated with pairs.
+
 Scale design: every tier is map-stage signature computation + ONE shuffle on
 a bucket key + within-bucket pair expansion.  Bucket sizes are bounded (huge
 buckets are degenerate shingles — capped rather than exploded).  String
@@ -394,6 +399,93 @@ def simhash_frame(
     ).withColumn("_h", token_hash("_t"))
     sig = toks.groupBy("_id").agg(F.collect_list("_h").alias("_hs"))
     return sig.select("_id", _simhash64("_hs").alias("_sh"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in ``pairs``, where
+    cluster_id is the MINIMUM node id of its connected component — the
+    canonical-representative labeling that turns near-dup pairs into
+    keep-one-per-cluster deduplication.
+
+    Algorithm: min-label propagation with path compression.  Each round
+    (a) relaxes every edge (a node adopts the smallest label among its
+    neighbors) and (b) compresses paths (a node adopts its label's label),
+    so labels hop two levels per round and convergence is
+    O(log(component diameter)) rounds, not O(diameter) — the same
+    doubling idea as the alternating small-star/large-star MapReduce
+    algorithm.  Each round is two shuffles over the edge list; the driver
+    loop only checks a per-round convergence count.  Lineage is cut every
+    round with localCheckpoint (swap for checkpoint() against a cluster
+    checkpoint dir when running distributed).
+
+    Near-dup clusters are typically tiny and shallow; the loop exits on
+    the first round with no label changes.  ``max_iter`` bounds
+    adversarial chains."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        # materialize before the loop: the edge list is re-joined every
+        # round (don't recompute the upstream pair generation), and the
+        # truncated lineage keeps upstream constraints out of the
+        # round-plan analysis
+        .localCheckpoint()
+    )
+    comp = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    comp = comp.localCheckpoint()
+    for _ in range(max_iter):
+        # (a) edge relaxation: min over own and neighbors' labels.
+        # Formulated as join+least rather than union+min: a union whose
+        # branches share the comp frame's attributes trips Spark 4.1's
+        # Union constraint rewriting (NoSuchElementException), and the
+        # join shape gives Catalyst one aggregate on the edge list
+        # instead of a union scan.
+        nbr_min = (
+            edges.join(
+                comp.select(F.col("id").alias("b"), F.col("comp").alias("nc")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nc").alias("nc"))
+            .select(F.col("a").alias("id"), "nc")
+        )
+        relaxed = comp.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        # (b) path compression: adopt the label's own label (labels are
+        # always real node ids, so the self-join total)
+        compressed = (
+            relaxed.alias("x")
+            .join(
+                relaxed.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("comp2")
+                ),
+                "comp",
+            )
+            .select("id", F.col("comp2").alias("comp"))
+        )
+        compressed = compressed.localCheckpoint()
+        changed = (
+            compressed.alias("n")
+            .join(comp.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        comp = compressed
+        if changed == 0:
+            break
+    return comp.select("id", F.col("comp").alias("cluster_id"))
 
 
 def _simhash_banded(

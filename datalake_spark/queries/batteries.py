@@ -284,6 +284,9 @@ def _mk() -> list[Q]:
         Sub(q(pq, "contamination", "contamination", "CONTAMINATION_SQL"),
             {"corpus_id": "v", "probe_id": "v", "n_common": "v",
              "containment": "d"}),
+        Sub(q(ops, "dedup_clusters", "dedup_clusters", "DEDUP_CLUSTERS_SQL"),
+            {"doc_id": "v", "cluster_id": "v", "cluster_size": "v",
+             "keep": "v"}),
     ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),

@@ -37,6 +37,74 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup CLUSTERS: minhash pairs -> connected components -> canonical
+# (min-id) cluster labels over every document, plus cluster sizes and the
+# keep-one-per-cluster flag.  The Spark side iterates min-label propagation
+# with path compression (operators/dedup.py:connected_components); the
+# oracle replays the exact pair set (the LSH output is exact-verified, so
+# it equals the all-pairs Jaccard>=0.5 set) and closes it with a recursive
+# CTE — two entirely different fixpoint engines agreeing on every label.
+# ---------------------------------------------------------------------------
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    comp = dedup_ops.connected_components(pairs, "doc_a", "doc_b")
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).cast("bigint").alias("keep"),
+    )
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2) c
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+cc AS (
+  SELECT a AS id, a AS comp FROM edges
+  UNION
+  SELECT e.a, cc.comp FROM edges e JOIN cc ON cc.id = e.b),
+lab AS (SELECT id, MIN(comp) AS cluster_id FROM cc GROUP BY id),
+allc AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id)
+SELECT a.doc_id, a.cluster_id, s.cluster_size,
+       CAST(a.doc_id = a.cluster_id AS BIGINT) AS keep
+FROM allc a
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM allc GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup pairs, oracle-checked end-to-end: the md5-derived token
 # hash is DuckDB-replayable, and with max_hamming=3 < num_bands=4 the banded
 # result is provably the EXACT hamming<=3 pair set (pigeonhole), so the

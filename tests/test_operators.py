@@ -99,6 +99,46 @@ class TestDedup:
     def test_fingerprint_dedup_runs(self, docs):
         assert dedup.fingerprint_dedup(docs).count() <= docs.count()
 
+    def test_connected_components_matches_union_find(self, spark):
+        """Min-label propagation + path compression must equal a reference
+        union-find on a random graph plus a 41-node chain (the chain
+        forces the O(log diameter) doubling to actually iterate)."""
+        import random
+
+        rng = random.Random(42)
+        edges = [(rng.randint(0, 199), rng.randint(0, 199)) for _ in range(150)]
+        edges += [(1000 + i, 1000 + i + 1) for i in range(40)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps: dict[int, list[int]] = {}
+        for v in parent:
+            comps.setdefault(find(v), []).append(v)
+        expect = {v: min(vs) for vs in comps.values() for v in vs}
+
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.id: r.cluster_id
+            for r in dedup.connected_components(df).collect()
+        }
+        assert got == expect
+
+    def test_connected_components_empty_pairs(self, spark):
+        df = spark.createDataFrame([], "doc_a long, doc_b long")
+        assert dedup.connected_components(df).count() == 0
+
 
 class TestSimilarity:
     def test_brute_force_topk_shape(self, emb):
