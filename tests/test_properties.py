@@ -184,3 +184,66 @@ class TestColumnTwins:
         got = [r["iso"] for r in df.select(iso8601_col("v").alias("iso")).collect()]
         assert got[0] == "2015-01-01T00:00:00.123Z"
         assert got[1] is None
+
+
+class TestCursorProperties:
+    """The opaque page token must round-trip any keyset position and reject
+    any corruption — driver-side pure functions, so hypothesis can sweep."""
+
+    @given(
+        st.integers(min_value=0, max_value=2**62),
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]),
+            max_size=64,
+        ),
+    )
+    def test_roundtrip(self, start, doc_id):
+        from datalake_spark.query import decode_cursor, encode_cursor
+
+        # ids flow through JSON, so any unicode string must survive
+        token = encode_cursor(start, doc_id)
+        assert "=" not in token and "\n" not in token
+        assert decode_cursor(token) == {"last_start": start, "last_id": doc_id}
+
+    @given(st.text(max_size=40))
+    def test_garbage_never_crashes_differently(self, junk):
+        from datalake_spark.query import InvalidCursor, decode_cursor
+
+        try:
+            out = decode_cursor(junk)
+        except InvalidCursor:
+            return
+        # anything that decodes must be a well-formed cursor dict
+        assert isinstance(out, dict)
+        assert "last_start" in out and "last_id" in out
+
+
+class TestGifCodecProperties:
+    """Encode→decode identity for the stdlib GIF LZW codec over arbitrary
+    frame shapes, palette sizes and pixel content (frame sizes straddle the
+    126-pixel clear-code span where the off-by-one lives)."""
+
+    @given(
+        st.integers(min_value=1, max_value=17),   # h
+        st.integers(min_value=1, max_value=23),   # w
+        st.integers(min_value=1, max_value=128),  # palette size
+        st.integers(min_value=1, max_value=3),    # frames
+        st.integers(),                            # pixel seed
+    )
+    @settings(max_examples=30)
+    def test_roundtrip_identity(self, h, w, npal, nf, seed):
+        import numpy as np
+
+        from datalake_spark.functions.imaging import gif_encode, gif_frames
+
+        rng = np.random.RandomState(abs(seed) % 2**31)
+        pal = rng.randint(0, 256, size=(npal, 3)).astype(np.uint8)
+        frames = [
+            rng.randint(0, npal, size=(h, w)).astype(np.uint8)
+            for _ in range(nf)
+        ]
+        out = gif_frames(gif_encode(frames, pal, delay_ms=130))
+        assert len(out) == nf
+        for j, (delay, rgb) in enumerate(out):
+            assert delay == 130
+            assert np.array_equal(rgb, pal[frames[j]])
