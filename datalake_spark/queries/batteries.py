@@ -250,6 +250,9 @@ def _mk() -> list[Q]:
              "chars_per_token": "d"}),
         Sub(q(ops, "lang_id_quality", "lang_id_quality", "LANG_ID_SQL"),
             {"doc_id": "v", "lang": "v", "lang_pred": "v", "quality_r": "d"}),
+        Sub(q(pq, "tfidf_top_terms", "tfidf_top_terms", "TFIDF_SQL"),
+            {"doc_id": "v", "rnk": "v", "term": "v", "tf": "v", "df": "v",
+             "score_micro": "v"}),
     ]
     from datalake_spark.queries import tpch2
 
@@ -287,6 +290,9 @@ def _mk() -> list[Q]:
         Sub(q(ops, "dedup_clusters", "dedup_clusters", "DEDUP_CLUSTERS_SQL"),
             {"doc_id": "v", "cluster_id": "v", "cluster_size": "v",
              "keep": "v"}),
+        Sub(q(pq, "stratified_sample", "stratified_sample",
+              "STRATIFIED_SAMPLE_SQL"),
+            {"source": "v", "doc_id": "v", "sample_rank": "v"}),
     ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),

@@ -576,6 +576,109 @@ FROM t GROUP BY source, split
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF top-terms per document.  The ranking score is the RATIONAL idf
+# proxy tf·N·10⁶ div df — pure 64-bit integer arithmetic, so the ordering
+# (and thus the top-k cut) is bit-identical across engines; a float
+# ln-based idf would rank near-ties differently whenever two libms differ
+# in the last ulp.  Ties break on the term itself.  At scale: two hash
+# aggregations (doc-term, term) + a broadcast of the single-row corpus
+# count + one window shuffle on doc_id.
+# ---------------------------------------------------------------------------
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_micro", F.expr("(tf * 1000000L * n) div df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "term",
+            "tf",
+            "df",
+            "score_micro",
+        )
+    )
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_micro AS BIGINT) AS score_micro
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         (tf.tf * 1000000 * n.n) // dfreq.df AS score_micro,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY (tf.tf * 1000000 * n.n) // dfreq.df DESC, tf.term
+         ) AS rnk
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic exact stratified sample: ceil(20%) of every source stratum,
+# chosen by md5 order (uniform, reproducible, engine-portable — the same
+# md5-of-id trick as dataset_split).  The quota is the INTEGER form
+# (n+4) div 5, not ceil(n*0.2): double arithmetic puts 5·0.2 a hair above
+# 1.0 in IEEE, and while both engines would agree today, the integer form
+# cannot ever disagree.  At scale: one window shuffle on the stratum key;
+# strata far larger than a partition would use the two-pass
+# count-then-filter form instead of a full-stratum window.
+# ---------------------------------------------------------------------------
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_src", F.count(F.lit(1)).over(Window.partitionBy("source"))
+        )
+        .filter(F.col("rn") <= F.expr("(n_src + 4) div 5"))
+        .select(
+            "source", "doc_id", F.col("rn").cast("bigint").alias("sample_rank")
+        )
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM documents)
+WHERE rn <= (n_src + 4) // 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing: assign documents to ~target-token context-window bins —
 # the standard pretraining step between curation and tokenization.  The
 # deterministic contract is sequential packing in doc_id order per source:
