@@ -599,3 +599,24 @@ class TestScaleClaimPlans:
         df = ngram_jaccard_pairs(docs)
         # analyzed without error and executes
         assert df.count() == 0
+
+    def test_tfidf_broadcasts_corpus_count_only(self, spark, tmp_path):
+        """The single-row corpus count joins by broadcast; the doc-term
+        and term frames never broadcast (they scale with the corpus)."""
+        from datalake_spark.queries.pipeline_q import tfidf_top_terms
+
+        sf = "/root/testdata/sf0.001"
+        plan = tfidf_top_terms(spark, sf)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_stratified_sample_single_stratum_shuffle(self, spark):
+        """One exchange on the stratum key serves both window functions —
+        the rank and the stratum count must not shuffle twice."""
+        from datalake_spark.queries.pipeline_q import stratified_sample
+
+        sf = "/root/testdata/sf0.001"
+        plan = stratified_sample(spark, sf)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning(source") == 1
