@@ -175,8 +175,17 @@ class StreamingIngester:
             self.spark.readStream.schema(INGEST_EVENT_SCHEMA)
             .json(landing_dir)
         )
+        return self.start_stream(stream, checkpoint_dir, available_now)
+
+    def start_stream(
+        self, events: DataFrame, checkpoint_dir: str, available_now: bool = True
+    ):
+        """Run the pipeline over ANY streaming DataFrame in
+        INGEST_EVENT_SCHEMA shape — the transport (landing dir, rate
+        source, Kafka) is chosen by streaming/sources.py:event_stream;
+        the batch body is identical."""
         writer = (
-            stream.writeStream.foreachBatch(self._handle_batch)
+            events.writeStream.foreachBatch(self._handle_batch)
             .option("checkpointLocation", checkpoint_dir)
         )
         if available_now:

@@ -136,6 +136,67 @@ class TestIngest:
         jobs = tracker.getJobIdsForGroup(f"{ing.job_group}-epoch-0")
         assert 0 < len(jobs) <= 4
 
+    def test_rate_source_end_to_end(self, spark, tmp_path):
+        """The pluggable rate source drives the SAME pipeline body:
+        deterministic synthetic events land in the catalog and the latest
+        table, no landing dir involved."""
+        import os
+        import time
+
+        from datalake_spark.streaming.sources import event_stream
+
+        cat = Catalog(spark, os.path.join(str(tmp_path), "cat"))
+        ing = StreamingIngester(spark, cat)
+        stream = event_stream(spark, source="rate", rows_per_batch=8)
+        q = ing.start_stream(
+            stream, os.path.join(str(tmp_path), "ckpt"), available_now=False
+        )
+        try:
+            deadline = time.time() + 60
+            n = 0
+            while time.time() < deadline:
+                try:
+                    n = cat.files().count()
+                except Exception:
+                    n = 0
+                if n >= 8:
+                    break
+                time.sleep(1)
+        finally:
+            q.stop()
+        assert n >= 8
+        rows = cat.files().collect()
+        assert all(r["what"] == "rate" for r in rows)
+        assert {r["where"] for r in rows} <= {f"host{i}" for i in range(4)}
+        # latest table tracked the synthetic hosts
+        assert cat.latest_table().count() <= 4
+
+    def test_rate_events_conform_to_schema(self, spark):
+        from datalake_spark.schema import INGEST_EVENT_SCHEMA
+        from datalake_spark.streaming.sources import event_stream
+
+        stream = event_stream(spark, source="rate")
+        assert [f.name for f in stream.schema.fields] == [
+            f.name for f in INGEST_EVENT_SCHEMA.fields
+        ]
+        # same field names and types (nullability of synthesized literals
+        # legitimately differs from the declared reader schema)
+        got = [(f.name, f.dataType.simpleString())
+               for f in stream.schema["metadata"].dataType.fields]
+        want = [(f.name, f.dataType.simpleString())
+                for f in INGEST_EVENT_SCHEMA["metadata"].dataType.fields]
+        assert got == want
+
+    def test_unknown_source_and_missing_args(self, spark):
+        from datalake_spark.streaming.sources import event_stream
+
+        with pytest.raises(ValueError, match="unknown event source"):
+            event_stream(spark, source="carrier-pigeon")
+        with pytest.raises(ValueError, match="landing_dir"):
+            event_stream(spark, source="files")
+        with pytest.raises(ValueError, match="kafka_bootstrap"):
+            event_stream(spark, source="kafka")
+
     def test_duplicate_delivery_idempotent(self, spark, tmp_path):
         # at-least-once: same file_id delivered twice in a batch -> one row
         cat, _ = run_ingest(spark, str(tmp_path), [event("dup"), event("dup")])
