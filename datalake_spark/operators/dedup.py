@@ -76,30 +76,17 @@ def fingerprint_dedup(
     return w.join(keep, ["_fp", id_col], "left_semi").drop("_fp")
 
 
-def minhash_lsh_pairs(
+def _minhash_sig(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    threshold: float = 0.5,
-    num_hashes: int = 128,
-    band_rows: int = 2,
-    shingle_n: int = 3,
-    max_bucket: int = 1000,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    band_rows: int,
+    shingle_n: int,
 ) -> DataFrame:
-    """Near-duplicate pairs with Jaccard >= threshold via banded MinHash LSH.
-
-    Plan shape (the scale path):
-      map:    shingle set -> 64 minhashes (xxhash64, codegen) -> b bands
-      shuffle #1: explode bands, groupBy (band_id, band_hash) -> tiny buckets
-      pairs:  within-bucket id×id (bucket size capped), distinct
-      verify: exact Jaccard on candidate pairs only (shuffle #2 on shingle)
-
-    With r=2, b=64: P(miss | J=0.5) = (1-J^2)^64 ≈ 1e-8 per pair, so the
-    verified output equals the all-pairs answer (the oracle gate checks this
-    equivalence every round) while doing |buckets|×k² work instead of
-    |shingle join| work.
-    """
-    bands = num_hashes // band_rows
+    """(_id, _hps, _bands, _n_sh): per-doc shingle-hash list + band keys —
+    the shared front half of minhash_lsh_pairs and
+    minhash_truncated_buckets."""
     par = df.sparkSession.sparkContext.defaultParallelism
     # flat distinct-shingle frame — the ONE pass every stage reuses.  The
     # repartition matters: a small parquet input arrives as 1-2 partitions
@@ -123,7 +110,7 @@ def minhash_lsh_pairs(
     # the UDF emits the per-band key strings directly so the JVM plan stays
     # tiny: one collect_list agg, one posexplode, one xxhash64.
     band_keys = _minhash_band_keys(num_hashes, band_rows)
-    sig = (
+    return (
         sh_flat.groupBy("_id")
         .agg(
             F.collect_list("_h").alias("_hps"),
@@ -131,10 +118,70 @@ def minhash_lsh_pairs(
         )
         .select("_id", "_hps", band_keys(F.col("_hps")).alias("_bands"), "_n_sh")
     )
-    # band frame carries ONLY (_id, band, bandhash)
-    banded = sig.select(
+
+
+def _minhash_banded(sig: DataFrame) -> DataFrame:
+    """(_id, _band, _bh): band frame carrying ONLY the bucket keys."""
+    return sig.select(
         "_id", F.posexplode("_bands").alias("_band", "_bkey")
     ).select("_id", "_band", F.xxhash64("_bkey").alias("_bh"))
+
+
+def minhash_truncated_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band buckets that :func:`minhash_lsh_pairs` would truncate — (band,
+    band_hash, bucket_size) for every bucket over ``max_bucket``, the same
+    recall-loss detector :func:`simhash_truncated_buckets` provides for
+    SimHash.  Empty result = no candidate was dropped by the cap (the
+    exact-verify equivalence then holds unconditionally); non-empty
+    quantifies how many degenerate docs to pre-dedup or how far to raise
+    the cap."""
+    sig = _minhash_sig(df, text_col, id_col, num_hashes, band_rows, shingle_n)
+    return (
+        _minhash_banded(sig)
+        .groupBy("_band", "_bh")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+        .select(
+            F.col("_band").alias("band"),
+            F.col("_bh").alias("band_hash"),
+            "bucket_size",
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs with Jaccard >= threshold via banded MinHash LSH.
+
+    Plan shape (the scale path):
+      map:    shingle set -> 64 minhashes (xxhash64, codegen) -> b bands
+      shuffle #1: explode bands, groupBy (band_id, band_hash) -> tiny buckets
+      pairs:  within-bucket id×id (bucket size capped), distinct
+      verify: exact Jaccard on candidate pairs only (shuffle #2 on shingle)
+
+    With r=2, b=64: P(miss | J=0.5) = (1-J^2)^64 ≈ 1e-8 per pair, so the
+    verified output equals the all-pairs answer (the oracle gate checks this
+    equivalence every round) while doing |buckets|×k² work instead of
+    |shingle join| work.
+    """
+    sig = _minhash_sig(df, text_col, id_col, num_hashes, band_rows, shingle_n)
+    banded = _minhash_banded(sig)
     # candidate pairs: same (band, bandhash) bucket; cap degenerate buckets
     buckets = banded.groupBy("_band", "_bh").agg(
         F.slice(F.sort_array(F.collect_list("_id")), 1, max_bucket).alias("_ids")

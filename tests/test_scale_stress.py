@@ -59,6 +59,19 @@ class TestDegenerateCorpusCaps:
         )
         assert 0 < n <= CAP * (CAP - 1) // 2
         assert secs < 90
+        # and the truncation is detectable, same surface as simhash's:
+        # all 64 bands collapse to one over-full bucket each
+        trunc = dedup.minhash_truncated_buckets(
+            identical_docs, max_bucket=CAP
+        ).collect()
+        assert len(trunc) == 64
+        assert all(r.bucket_size == N_DOCS for r in trunc)
+        assert (
+            dedup.minhash_truncated_buckets(
+                identical_docs, max_bucket=N_DOCS
+            ).count()
+            == 0
+        )
 
     def test_simhash_bucket_cap_bounds_pairs(self, identical_docs):
         """Identical simhashes collapse all 4 bands into one bucket each."""
