@@ -253,6 +253,9 @@ def _mk() -> list[Q]:
         Sub(q(pq, "tfidf_top_terms", "tfidf_top_terms", "TFIDF_SQL"),
             {"doc_id": "v", "rnk": "v", "term": "v", "tf": "v", "df": "v",
              "score_micro": "v"}),
+        Sub(q(pq, "pii_scrub", "pii_scrub", "PII_SCRUB_SQL"),
+            {"doc_id": "v", "n_emails": "v", "n_ips": "v", "n_phones": "v",
+             "scrubbed": "v"}),
     ]
     from datalake_spark.queries import tpch2
 
@@ -293,6 +296,9 @@ def _mk() -> list[Q]:
         Sub(q(pq, "stratified_sample", "stratified_sample",
               "STRATIFIED_SAMPLE_SQL"),
             {"source": "v", "doc_id": "v", "sample_rank": "v"}),
+        Sub(q(pq, "embedding_dedup_clusters", "embedding_dedup_clusters",
+              "EMBEDDING_DEDUP_CLUSTERS_SQL"),
+            {"vec_id": "v", "cluster_id": "v"}),
     ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),

@@ -430,6 +430,137 @@ WHERE dot / (SQRT(na.norm_sq) * SQRT(nb.norm_sq)) >= {_ND_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# Embedding near-dup CLUSTERS: the cosine pair set closed into canonical
+# min-id components — the same pairs→clusters composition dedup_clusters
+# applies to MinHash, proving connected_components composes over any
+# pair-producing tier.  Oracle: identical pair CTEs + a recursive closure.
+# ---------------------------------------------------------------------------
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.operators.dedup import connected_components
+
+    pairs = embedding_near_dup(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    vecs = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _ND_MAX_ID)
+        .select("vec_id")
+    )
+    return (
+        vecs.join(comp, vecs.vec_id == comp.id, "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id"),
+        )
+    )
+
+
+EMBEDDING_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+el AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+         UNNEST(generate_series(1, len(embedding))) AS pos
+  FROM embeddings WHERE vec_id < {_ND_MAX_ID}),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS norm_sq
+  FROM el GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM el a JOIN el b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM dots
+  JOIN norms na ON na.vec_id = id_a
+  JOIN norms nb ON nb.vec_id = id_b
+  WHERE dot / (SQRT(na.norm_sq) * SQRT(nb.norm_sq)) >= {_ND_THRESHOLD}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+cc AS (
+  SELECT a AS id, a AS comp FROM edges
+  UNION
+  SELECT e.a, cc.comp FROM edges e JOIN cc ON cc.id = e.b),
+lab AS (SELECT id, MIN(comp) AS cluster_id FROM cc GROUP BY id)
+SELECT v.vec_id, COALESCE(l.cluster_id, v.vec_id) AS cluster_id
+FROM (SELECT vec_id FROM embeddings WHERE vec_id < {_ND_MAX_ID}) v
+LEFT JOIN lab l ON l.id = v.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing pass — the redaction step every training-data pipeline runs
+# before anything leaves the curation tier.  Emails, dotted-quad IPs and
+# phone-shaped numbers are counted and replaced with typed placeholders.
+# The patterns stay inside the Java-regex ∩ RE2 common subset (character
+# classes, \\d, \\b, bounded repeats) so both engines scrub identically;
+# DuckDB's regexp_replace needs the 'g' flag to match Spark's replace-all.
+# Each doc is seeded with synthetic PII derived from its id so the oracle
+# verifies real hits on every row, not a no-op identity.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b555-\d{4}\b"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IP), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(
+           text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+FROM seeded
+"""
+
+
+# ---------------------------------------------------------------------------
 # token_bpe_count — BPE-ish token counting: alpha runs stay whole, digits and
 # punctuation split one-per-token (the pre-tokenizer regex shape GPT-style
 # BPEs use).  Pure regexp_extract_all — JVM-side, no UDF.
