@@ -1,0 +1,75 @@
+"""Sweeping plan-hygiene audit over the ENTIRE declared query surface.
+
+Every registry query and every battery sub-query is planned against
+sf0.001 and its physical plan scanned for scale hazards:
+
+- ``CartesianProduct`` — an unconstrained n×m join that no 100 TB plan
+  survives.  (BroadcastNestedLoopJoin against a literal single-row frame,
+  e.g. a corpus count, is fine and intentionally distinct.)
+- ``Exchange SinglePartition`` feeding a Sort — the global-sort shape that
+  moves the whole table to one task (TakeOrderedAndProject/collect-side
+  limits are the sanctioned forms; windows without PARTITION BY would
+  reintroduce it).
+
+Planning is analysis-only (no execution), so the sweep stays cheap while
+pinning every future query added to the surface.
+"""
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _surface():
+    from datalake_spark.queries import registry
+    from datalake_spark.queries.batteries import BATTERY_SUBS
+
+    qs = {q.name: q.build for q in registry()}
+    for subs in BATTERY_SUBS.values():
+        for sub in subs:
+            qs.setdefault(sub.q.name, sub.q.build)
+    return sorted(qs.items())
+
+
+# streaming / iterative / driver-loop queries build side-effecting or
+# multi-job plans that can't be captured as one static DataFrame plan
+_DYNAMIC = {"streaming_ingest_e2e", "dedup_clusters", "embedding_dedup_clusters"}
+
+
+def test_no_cartesian_products_or_single_partition_sorts(spark):
+    from datalake_spark.queries import registry  # noqa: F401 (session warm)
+
+    offenders = {}
+    for name, build in _surface():
+        if name in _DYNAMIC:
+            continue
+        df = build(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        problems = []
+        if "CartesianProduct" in plan:
+            problems.append("CartesianProduct")
+        # a single-partition exchange directly under a full Sort is the
+        # global-sort shape; TakeOrderedAndProject does not plan this way
+        if re.search(r"Sort .*\n[^\n]*Exchange SinglePartition", plan):
+            problems.append("global sort via SinglePartition exchange")
+        if problems:
+            offenders[name] = problems
+    assert not offenders, f"plan hazards: {offenders}"
+
+
+def test_surface_is_fully_registered(spark):
+    """Every battery sub keeps both a Spark build and an oracle, and the
+    flat registry holds exactly the 50 driver-gated slots."""
+    from datalake_spark.queries import registry
+    from datalake_spark.queries.batteries import BATTERY_SUBS
+
+    assert len(registry()) == 50
+    for q in registry():
+        assert q.build is not None and q.oracle, q.name
+    for battery, subs in BATTERY_SUBS.items():
+        for sub in subs:
+            assert sub.q.build is not None and sub.q.oracle, (
+                battery, sub.q.name,
+            )
