@@ -59,13 +59,31 @@ def _read_manifest(root: str) -> dict | None:
         return None
 
 
-def _commit_version(root: str, version: int, dirname: str) -> None:
+def _commit_version(
+    root: str,
+    version: int,
+    dirname: str,
+    prev: dict | None = None,
+    keep_versions: int = 2,
+) -> dict:
     """Atomically point _CURRENT at ``dirname`` (tmp write + rename of the
-    manifest FILE only — a single-object PUT, never a directory move)."""
+    manifest FILE only — a single-object PUT, never a directory move).
+
+    The manifest carries a bounded ``history`` of superseded versions
+    (Iceberg-style snapshot lineage): the previous current entry is
+    appended and the list trimmed to ``keep_versions - 1`` entries, whose
+    directories GC then retains — so ``keep_versions=2`` reproduces the
+    current+previous behavior and larger values buy time travel."""
+    hist = list((prev or {}).get("history", []))
+    if prev is not None:
+        hist.append({"version": prev["version"], "dir": prev["dir"]})
+    hist = hist[-(keep_versions - 1):] if keep_versions > 1 else []
+    manifest = {"version": version, "dir": dirname, "history": hist}
     tmp = os.path.join(root, f"{_MANIFEST}.tmp.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "dir": dirname}, fh)
+        json.dump(manifest, fh)
     os.replace(tmp, os.path.join(root, _MANIFEST))
+    return manifest
 
 
 def _new_version_dir(root: str, version: int) -> str:
@@ -124,7 +142,8 @@ class Catalog:
 
     def __init__(self, spark: SparkSession, root: str,
                  lock_ttl: float = 3600.0, append_lease_ttl: float = 300.0,
-                 lock_poll: float = 0.1, lock_wait: float = 600.0):
+                 lock_poll: float = 0.1, lock_wait: float = 600.0,
+                 keep_versions: int = 2):
         self.spark = spark
         self.root = root
         self.files_path = os.path.join(root, "files")
@@ -133,6 +152,9 @@ class Catalog:
         self.append_lease_ttl = append_lease_ttl
         self.lock_poll = lock_poll
         self.lock_wait = lock_wait
+        # retained table versions (current + keep_versions-1 history):
+        # 2 = classic current+previous; more buys time travel via files_at
+        self.keep_versions = max(1, keep_versions)
 
     # -- writer exclusion ---------------------------------------------------
     def _lock_path(self) -> str:
@@ -302,8 +324,10 @@ class Catalog:
         version = (m["version"] + 1) if m else 1
         dirname = _new_version_dir(self.latest_path, version)
         latest.write.parquet(os.path.join(self.latest_path, dirname))
-        _commit_version(self.latest_path, version, dirname)
-        keep = {dirname} | ({m["dir"]} if m else set())
+        manifest = _commit_version(
+            self.latest_path, version, dirname, m, self.keep_versions
+        )
+        keep = {dirname} | {h["dir"] for h in manifest["history"]}
         _gc_versions(self.latest_path, keep)
 
     # -- read path ----------------------------------------------------------
@@ -320,6 +344,39 @@ class Catalog:
             return self.spark.read.parquet(self.latest_path)  # legacy layout
         except Exception:
             return None
+
+    def table_versions(self) -> list[dict]:
+        """Retained files-table versions, newest first: the current entry
+        plus up to ``keep_versions - 1`` history entries whose directories
+        GC preserved (Iceberg-style snapshot listing)."""
+        m = _read_manifest(self.files_path)
+        if m is None:
+            return []
+        out = [{"version": m["version"], "dir": m["dir"]}]
+        out += list(reversed(m.get("history", [])))
+        return out
+
+    def files_at(self, version: int) -> DataFrame:
+        """Time travel to a retained ``version`` of the files table.
+
+        Snapshot semantics follow the append design: appends land inside
+        the CURRENT version directory, so a historical version freezes at
+        the instant it was superseded — ``files_at(N-1)`` is exactly the
+        table the version-N rewrite scanned (its recovery value: a bad
+        compaction can be inspected and rolled back against its true
+        input), while ``files_at(current)`` is the live table.  Raises
+        ValueError for versions GC has already dropped — raise
+        ``keep_versions`` to retain more."""
+        for entry in self.table_versions():
+            if entry["version"] == version:
+                return self.spark.read.parquet(
+                    os.path.join(self.files_path, entry["dir"])
+                )
+        retained = [e["version"] for e in self.table_versions()]
+        raise ValueError(
+            f"version {version} is not retained (have {retained}; "
+            f"keep_versions={self.keep_versions})"
+        )
 
     def compact(
         self, target_file_rows: int = 1_000_000, _race_hook=None
@@ -382,8 +439,11 @@ class Catalog:
             if _race_hook is not None:
                 _race_hook()
             swept = self._sweep_stragglers(old_dir, new_dir, scanned)
-            _commit_version(self.files_path, version, dirname)
+            manifest = _commit_version(
+                self.files_path, version, dirname, m, self.keep_versions
+            )
             self._sweep_stragglers(old_dir, new_dir, scanned | swept)
+            keep = {dirname} | {h["dir"] for h in manifest["history"]}
             if old_dir == self.files_path:
                 # one-time migration from the legacy flat layout: drop the
                 # old root-level partition dirs (new readers already resolve
@@ -399,7 +459,7 @@ class Catalog:
                 _gc_versions(self.files_path, {dirname})
             else:
                 _gc_versions(
-                    self.files_path, {dirname, os.path.basename(old_dir)}
+                    self.files_path, keep | {os.path.basename(old_dir)}
                 )
         finally:
             self._release_lock(owner)

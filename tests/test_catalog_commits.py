@@ -200,6 +200,45 @@ class TestWriterExclusion:
             cat.append(make_files_df(spark, _rows(1)))
 
 
+class TestTimeTravel:
+    """Manifest history + retained version directories = bounded snapshot
+    time travel, Iceberg-style; keep_versions=2 stays exactly the classic
+    current+previous layout."""
+
+    def test_files_at_reads_retained_snapshots(self, spark, tmp_path,
+                                               no_dir_renames):
+        """A historical version freezes when superseded: files_at(N-1) is
+        exactly the table the version-N rewrite scanned (appends made
+        while N-1 was current are part of its lineage)."""
+        cat = Catalog(spark, str(tmp_path), keep_versions=3)
+        cat.append(make_files_df(spark, _rows(0)))
+        cat.compact()          # v1 starts at 10 rows
+        cat.append(make_files_df(spark, _rows(1)))   # lands in v1 (current)
+        cat.compact()          # v2 scanned v1 @ 20 rows
+        cat.append(make_files_df(spark, _rows(2)))   # lands in v2 (current)
+        cat.compact()          # v3 scanned v2 @ 30 rows
+        versions = [e["version"] for e in cat.table_versions()]
+        assert versions == [3, 2, 1]
+        assert cat.files_at(3).count() == 30   # live
+        assert cat.files_at(2).count() == 30   # frozen as v3's scan input
+        assert cat.files_at(1).count() == 20   # frozen as v2's scan input
+        cat.compact()          # v4 -> v1's directory is GCd
+        assert [e["version"] for e in cat.table_versions()] == [4, 3, 2]
+        with pytest.raises(ValueError, match="not retained"):
+            cat.files_at(1)
+
+    def test_default_keeps_current_plus_previous_only(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path))
+        cat.append(make_files_df(spark, _rows(0)))
+        cat.compact()
+        cat.compact()
+        cat.compact()
+        entries = {e for e in os.listdir(tmp_path / "files")
+                   if e.startswith("v") and os.path.isdir(tmp_path / "files" / e)}
+        assert len(entries) == 2
+        assert len(cat.table_versions()) == 2
+
+
 class TestLatestCommit:
     def _latest_df(self, spark, cat, start):
         df = make_files_df(
