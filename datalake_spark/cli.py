@@ -109,6 +109,17 @@ def build_parser() -> argparse.ArgumentParser:
     tp.add_argument("--lookback", type=int, default=14,
                     help="lookback window in days (reference default 14)")
     tp.add_argument("--format", choices=sorted(_FORMATTERS), default="url")
+
+    mp = sub.add_parser("compact", help="rewrite the files table to bounded "
+                                        "file counts per partition")
+    mp.add_argument("--target-file-rows", dest="target_file_rows", type=int,
+                    default=1_000_000)
+    mp.add_argument("--keep-versions", dest="keep_versions", type=int,
+                    default=2, help="retained snapshots incl. current")
+
+    vp = sub.add_parser("versions", help="list retained files-table versions")
+    vp.add_argument("--keep-versions", dest="keep_versions", type=int,
+                    default=2)
     return p
 
 
@@ -154,7 +165,22 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
         from datalake_spark.session import get_spark
 
         spark = get_spark("datalake-cli")
-    catalog = Catalog(spark, args.catalog or _env_default("catalog") or "./catalog")
+    catalog = Catalog(
+        spark,
+        args.catalog or _env_default("catalog") or "./catalog",
+        keep_versions=getattr(args, "keep_versions", 2),
+    )
+
+    if args.command == "compact":
+        catalog.compact(target_file_rows=args.target_file_rows)
+        for entry in catalog.table_versions():
+            print(f"v{entry['version']} {entry['dir']}", file=out)
+        return 0
+
+    if args.command == "versions":
+        for entry in catalog.table_versions():
+            print(f"v{entry['version']} {entry['dir']}", file=out)
+        return 0
 
     if args.command == "push":
         import hashlib

@@ -23,6 +23,22 @@ def _run(spark, argv, catalog):
     return rc, out.getvalue().splitlines()
 
 
+class TestCompactAndVersions:
+    def test_compact_then_versions(self, spark, catalog_dir):
+        rc, _ = _run(
+            spark,
+            ["push", "--what", "nginx", "--where", "w1", "--path",
+             "/var/log/nginx.log", "--start", "2015-01-01",
+             "--end", "2015-01-02"],
+            catalog_dir,
+        )
+        assert rc == 0
+        rc, lines = _run(spark, ["compact"], catalog_dir)
+        assert rc == 0 and lines[0].startswith("v1 ")
+        rc, lines = _run(spark, ["versions"], catalog_dir)
+        assert rc == 0 and len(lines) >= 1
+
+
 class TestCliRoundtrip:
     def test_push_list_latest(self, spark, catalog_dir):
         rc, [fid] = _run(
