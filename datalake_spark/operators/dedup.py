@@ -448,6 +448,50 @@ def simhash_frame(
     return sig.select("_id", _simhash64("_hs").alias("_sh"))
 
 
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "minhash",
+    threshold: float = 0.5,
+    **kwargs,
+) -> DataFrame:
+    """One-call corpus deduplication: the full input minus every
+    non-canonical duplicate, by the chosen tier.
+
+    - ``exact``        — exact content-hash dedup (cheapest)
+    - ``fingerprint``  — rolling-fingerprint near-exact dedup
+    - ``minhash``      — MinHash-LSH pairs → connected components → keep
+                         the min-id document of every near-dup cluster
+    - ``simhash``      — SimHash pairs → same component/keep step
+
+    The pair tiers compose pair generation with
+    :func:`connected_components`; rows never appearing in a pair pass
+    through untouched.  Extra kwargs flow to the underlying pair
+    operator (e.g. ``max_bucket``, ``num_hashes``, ``max_hamming``)."""
+    if strategy == "exact":
+        return exact_dedup(df, content_col=text_col, id_col=id_col)
+    if strategy == "fingerprint":
+        return fingerprint_dedup(df, content_col=text_col, id_col=id_col)
+    if strategy == "minhash":
+        pairs = minhash_lsh_pairs(
+            df, text_col, id_col, threshold=threshold, **kwargs
+        ).select("doc_a", "doc_b")
+    elif strategy == "simhash":
+        pairs = simhash_pairs(df, text_col, id_col, **kwargs).select(
+            "doc_a", "doc_b"
+        )
+    else:
+        raise ValueError(f"unknown dedup strategy {strategy!r}")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    # drop every clustered doc that is not its cluster's canonical min id;
+    # left_anti keeps all never-paired docs untouched
+    losers = comp.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",

@@ -139,6 +139,28 @@ class TestDedup:
         df = spark.createDataFrame([], "doc_a long, doc_b long")
         assert dedup.connected_components(df).count() == 0
 
+    @pytest.mark.parametrize("strategy", ["exact", "fingerprint", "minhash",
+                                          "simhash"])
+    def test_dedup_corpus_keeps_one_per_cluster(self, spark, strategy):
+        """Every tier of the one-call facade collapses the duplicate group
+        to its min-id representative and passes unique docs through."""
+        dup = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(i, dup) for i in range(5)] + [
+            (10, "completely different text about spark execution plans"),
+            (11, "another unrelated document mentioning parquet footers"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        kept = sorted(
+            r.doc_id
+            for r in dedup.dedup_corpus(df, strategy=strategy).collect()
+        )
+        assert kept == [0, 10, 11]
+
+    def test_dedup_corpus_unknown_strategy(self, spark):
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="unknown dedup strategy"):
+            dedup.dedup_corpus(df, strategy="psychic")
+
 
 class TestSimilarity:
     def test_brute_force_topk_shape(self, emb):
