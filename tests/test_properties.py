@@ -218,6 +218,39 @@ class TestCursorProperties:
         assert "last_start" in out and "last_id" in out
 
 
+class TestConfParserProperties:
+    """The dotenv-less config parser must read back any KEY=VALUE it could
+    plausibly be given: quoting, export prefixes, comments and blank lines
+    (reference config_helpers semantics)."""
+
+    KEY = st.from_regex(r"[A-Z][A-Z0-9_]{0,15}", fullmatch=True)
+    VAL = st.text(
+        alphabet=st.characters(
+            codec="ascii", exclude_characters="\n\r#'\"", min_codepoint=32
+        ),
+        max_size=30,
+    ).map(str.strip)
+
+    @given(st.lists(st.tuples(KEY, VAL), max_size=8),
+           st.sampled_from(["", "export "]),
+           st.sampled_from(["", "'", '"']))
+    def test_roundtrip(self, pairs, prefix, quote):
+        import tempfile
+
+        from datalake_spark.conf import _parse_env_file
+
+        with tempfile.NamedTemporaryFile("w", suffix=".env", delete=False) as fh:
+            fh.write("# header comment\n\n")
+            for k, v in pairs:
+                fh.write(f"{prefix}{k}={quote}{v}{quote}\n")
+            path = fh.name
+        got = dict(_parse_env_file(path))
+        want = {}
+        for k, v in pairs:  # later duplicates win, like the parser's dict use
+            want[k] = v
+        assert {k: got[k] for k in want} == want
+
+
 class TestGifCodecProperties:
     """Encode→decode identity for the stdlib GIF LZW codec over arbitrary
     frame shapes, palette sizes and pixel content (frame sizes straddle the
