@@ -182,3 +182,74 @@ def ivf_topk(
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def kmeans_iterate(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means: (id, cluster, dist_sq) after ``iters``
+    assign/update rounds, deterministic and ENGINE-PORTABLE.
+
+    - Seeds are the vectors of the k smallest ids (a k-row driver read —
+      no RNG, so reruns and replays agree).
+    - Distances and centroid updates accumulate through DECIMAL(30,12)
+      sums of double products before the final double cast, so results do
+      not depend on partitioning/accumulation order — the same discipline
+      as the embedding centroid/near-dup oracles.
+    - Assignment ties (equal distance) break on the smaller cluster id via
+      an explicit row_number ordering.
+
+    Fixed iteration count (not convergence-looped) keeps the whole
+    computation one declarative plan per round and makes the output
+    SQL-replayable — the oracle unrolls the same rounds as CTEs.  At
+    scale: per round, one shuffle for the distance aggregation and one for
+    the centroid update; the k×dim centroid frame stays broadcast-sized.
+    """
+    el = emb.select(
+        F.col(id_col).alias("_id"), F.posexplode(vec_col).alias("_pos", "_val")
+    ).withColumn("_val", F.col("_val").cast("double"))
+    seed_ids = [
+        r[0] for r in emb.select(id_col).orderBy(id_col).limit(k).collect()
+    ]
+    spark = emb.sparkSession
+    seed_map = spark.createDataFrame(
+        [(int(sid), i) for i, sid in enumerate(seed_ids)],
+        "_id long, _cid int",
+    )
+    cent = el.join(seed_map, "_id").select(
+        "_cid", "_pos", F.col("_val").alias("_cval")
+    )
+    assign = None
+    for _ in range(iters):
+        joined = el.join(cent, "_pos")
+        diff2 = (
+            (F.col("_val") - F.col("_cval")) * (F.col("_val") - F.col("_cval"))
+        ).cast("decimal(30,12)")
+        d2 = joined.groupBy("_id", "_cid").agg(
+            F.sum(diff2).cast("double").alias("_d2")
+        )
+        w = W.partitionBy("_id").orderBy("_d2", "_cid")
+        assign = (
+            d2.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_id", "_cid", "_d2")
+        )
+        cent = (
+            el.join(assign.select("_id", "_cid"), "_id")
+            .groupBy("_cid", "_pos")
+            .agg(
+                (
+                    F.sum(F.col("_val").cast("decimal(30,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("_cval")
+            )
+        )
+    return assign.select(
+        F.col("_id").alias(id_col),
+        F.col("_cid").cast("bigint").alias("cluster"),
+        F.col("_d2").alias("dist_sq"),
+    )

