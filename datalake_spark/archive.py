@@ -179,10 +179,17 @@ class Archive:
     _ISO_FORMAT_MS = "%Y-%m-%dT%H:%M:%S.%f"
 
     def __init__(self, storage_url: str, http_url: str | None = None,
-                 http_timeout: float = 60.0):
+                 http_timeout: float | None = None):
         self.storage_url = storage_url.rstrip("/")
         self.http_url = http_url.rstrip("/") if http_url else None
-        self.http_timeout = http_timeout
+        # env-configurable like the reference's READ_TIMEOUT
+        # (archive.py:55-77, DATALAKE_READ_TIMEOUT_S); urllib takes one
+        # combined connect+read timeout
+        self.http_timeout = (
+            http_timeout
+            if http_timeout is not None
+            else float(os.environ.get("DATALAKE_READ_TIMEOUT_S", 60.0))
+        )
         if self.storage_url.startswith("file://"):
             self._root = self.storage_url[len("file://"):]
         elif "://" in self.storage_url:

@@ -256,6 +256,10 @@ def _mk() -> list[Q]:
         Sub(q(pq, "pii_scrub", "pii_scrub", "PII_SCRUB_SQL"),
             {"doc_id": "v", "n_emails": "v", "n_ips": "v", "n_phones": "v",
              "scrubbed": "v"}),
+        Sub(q(pq, "corpus_report", "corpus_report", "CORPUS_REPORT_SQL"),
+            {"source": "v", "n_docs": "v", "n_unique_texts": "v",
+             "dup_ratio": "d", "total_chars": "v", "total_tokens": "v",
+             "n_en": "v"}),
     ]
     from datalake_spark.queries import tpch2
 

@@ -497,6 +497,47 @@ LEFT JOIN lab l ON l.id = v.vec_id
 # Each doc is seeded with synthetic PII derived from its id so the oracle
 # verifies real hits on every row, not a no-op identity.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Corpus curation report — the per-source health dashboard every pipeline
+# run emits: volume, exact-duplicate rate, size and token totals, language
+# mix.  One hash-aggregate pass; dup detection rides a distinct count of
+# content hashes, no self-join.
+# ---------------------------------------------------------------------------
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+            (
+                1.0
+                - F.countDistinct(F.md5("text"))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_ratio"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias(
+                "total_tokens"
+            ),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_en"),
+        )
+    )
+
+
+CORPUS_REPORT_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique_texts,
+       1.0 - COUNT(DISTINCT md5(text)) / CAST(COUNT(*) AS DOUBLE) AS dup_ratio,
+       SUM(n_chars) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+FROM documents GROUP BY source
+"""
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PII_PHONE = r"\b555-\d{4}\b"
