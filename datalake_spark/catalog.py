@@ -345,6 +345,34 @@ class Catalog:
         except Exception:
             return None
 
+    def partition_file_counts(self) -> dict[str, int]:
+        """Data-file count per (what, bucket_date) partition of the current
+        version — the small-file health metric streaming ingest degrades
+        (one file per micro-batch per partition).  Driver-side listing; on
+        an object store at scale, feed this from the store's inventory
+        instead."""
+        root = self._files_dir()
+        counts: dict[str, int] = {}
+        for base, _dirs, names in os.walk(root):
+            n = sum(1 for x in names if x.endswith(".parquet"))
+            if n:
+                rel = os.path.relpath(base, root)
+                counts[rel] = counts.get(rel, 0) + n
+        return counts
+
+    def maybe_compact(
+        self, max_files_per_partition: int = 16, **compact_kwargs
+    ) -> bool:
+        """Compact only when some partition exceeds the small-file
+        threshold; returns whether a compaction ran.  The check is a cheap
+        listing, so streaming ingest can call this every N batches and the
+        rewrite cost is only paid when fragmentation actually accumulated."""
+        counts = self.partition_file_counts()
+        if not counts or max(counts.values()) <= max_files_per_partition:
+            return False
+        self.compact(**compact_kwargs)
+        return True
+
     def table_versions(self) -> list[dict]:
         """Retained files-table versions, newest first: the current entry
         plus up to ``keep_versions - 1`` history entries whose directories

@@ -239,6 +239,21 @@ class TestTimeTravel:
         assert len(cat.table_versions()) == 2
 
 
+class TestMaybeCompact:
+    def test_triggers_only_past_threshold(self, spark, tmp_path,
+                                          no_dir_renames):
+        cat = Catalog(spark, str(tmp_path))
+        for b in range(4):  # 4 files land in each of the 3 day-partitions
+            cat.append(make_files_df(spark, _rows(b)))
+        assert max(cat.partition_file_counts().values()) >= 4
+        assert cat.maybe_compact(max_files_per_partition=16) is False
+        assert cat.maybe_compact(max_files_per_partition=3) is True
+        # compacted to one file per partition; rows intact; now under cap
+        assert max(cat.partition_file_counts().values()) == 1
+        assert cat.files().count() == 40
+        assert cat.maybe_compact(max_files_per_partition=3) is False
+
+
 class TestLatestCommit:
     def _latest_df(self, spark, cat, start):
         df = make_files_df(
