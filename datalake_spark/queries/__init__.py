@@ -51,10 +51,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes)["ts"] == "bigint":
+            # TIMESTAMP(NANOS) parquet, surfaced as long ns by the legacy
+            # conf above
+            return (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts_ms", F.expr("ts_ns DIV 1000000"))
+                .withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000")))
+            )
+        # TIMESTAMP(MICROS) parquet arrives as TIMESTAMP_NTZ; the session
+        # timezone is pinned to UTC, so the cast to instant-typed TIMESTAMP
+        # preserves the wall clock and epoch math matches DuckDB epoch_ms()
         return (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts_ms", F.expr("ts_ns DIV 1000000"))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000")))
+            df.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("ts_ms", F.expr("unix_micros(ts) DIV 1000"))
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
