@@ -45,6 +45,21 @@ def _fmt_human(rec: dict[str, Any]) -> str:
     )
 
 
+def _evaluate_time(path: str | None, t: str | None):
+    """'now'/'crtime' argument evaluation shared by push and enqueue
+    (reference cli.py:146-158); crtime (O24) is the stdlib statx facility
+    in datalake_spark.crtime."""
+    import time as _time
+
+    if t == "now":
+        return int(_time.time() * 1000)
+    if t == "crtime":
+        from datalake_spark.crtime import get_crtime
+
+        return int(get_crtime(path) * 1000)
+    return t
+
+
 _FORMATTERS = {
     "url": lambda r: str(r.get("url")),
     "json": lambda r: json.dumps(r, sort_keys=True, default=str),
@@ -120,6 +135,21 @@ def build_parser() -> argparse.ArgumentParser:
     vp = sub.add_parser("versions", help="list retained files-table versions")
     vp.add_argument("--keep-versions", dest="keep_versions", type=int,
                     default=2)
+
+    ep = sub.add_parser("enqueue", help="spool a file+metadata bundle for "
+                                        "the uploader (O20)")
+    for f in ("what", "where", "start", "end", "work-id"):
+        ep.add_argument(f"--{f}")
+    ep.add_argument("--compress", action="store_true")
+    ep.add_argument("--queue-dir", dest="queue_dir", default=None)
+    ep.add_argument("file")
+
+    up = sub.add_parser("uploader", help="drain + watch the spool queue, "
+                                         "pushing bundles to the archive "
+                                         "and catalog (O20)")
+    up.add_argument("--timeout", type=float, default=None)
+    up.add_argument("--queue-dir", dest="queue_dir", default=None)
+    up.add_argument("--storage-url", dest="storage_url", default=None)
     return p
 
 
@@ -161,6 +191,22 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
                 out.write(f.read().decode("utf-8", errors="replace"))
         return 0
 
+    # enqueue is pure local IO — no SparkSession needed
+    if args.command == "enqueue":
+        from datalake_spark.spool import Enqueuer
+
+        meta = Enqueuer(args.queue_dir).enqueue(
+            args.file,
+            compress=args.compress,
+            what=args.what,
+            where=args.where,
+            start=_evaluate_time(args.file, args.start),
+            end=_evaluate_time(args.file, args.end),
+            work_id=args.work_id,
+        )
+        print(f"Enqueued {args.file} as {meta['id']}", file=out)
+        return 0
+
     if spark is None:
         from datalake_spark.session import get_spark
 
@@ -182,6 +228,22 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
             print(f"v{entry['version']} {entry['dir']}", file=out)
         return 0
 
+    if args.command == "uploader":
+        from datalake_spark.archive import Archive
+        from datalake_spark.spool import Uploader
+
+        storage = args.storage_url or _env_default("storage_url")
+        if not storage:
+            print("uploader requires --storage-url or DATALAKE_STORAGE_URL",
+                  file=sys.stderr)
+            return 2
+        n = Uploader(
+            Archive(storage), args.queue_dir, catalog=catalog, spark=spark,
+            callback=lambda p: print(f"Pushed {p}", file=out),
+        ).listen(timeout=args.timeout)
+        print(f"Uploaded {n}", file=out)
+        return 0
+
     if args.command == "push":
         import hashlib
         import time as _time
@@ -198,10 +260,8 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
         rec = {
             "what": args.what,
             "where": args.where,
-            # 'now' evaluation, reference cli.py:153-158 ('crtime' is the
-            # OS-helper O24, out of engine scope)
-            "start": int(_time.time() * 1000) if args.start == "now" else args.start,
-            "end": int(_time.time() * 1000) if args.end == "now" else args.end,
+            "start": _evaluate_time(args.path, args.start),
+            "end": _evaluate_time(args.path, args.end),
             "work_id": getattr(args, "work_id", None),
             "path": args.path,
             "hash": args.hash
