@@ -355,14 +355,22 @@ except Exception:
 
 
 def decode_pixels(b: bytes) -> np.ndarray:
-    """Any supported image blob → uint8 (H, W, C) pixels.  PNG and GIF
-    (first frame) decode with the stdlib codecs above; other formats (JPEG
-    in particular) decode through the optional PIL gate and raise
-    UnsupportedMedia when PIL is absent."""
+    """Any supported image blob → uint8 (H, W, C) pixels.  PNG, GIF (first
+    frame), and baseline JPEG decode with the stdlib codecs (JPEG lives in
+    functions/jpeg.py); progressive JPEG and other formats go through the
+    optional PIL gate and raise UnsupportedMedia when PIL is absent."""
     if b.startswith(_PNG_SIG):
         return png_decode(b)
     if b[:3] == b"GIF":
         return gif_frames(b)[0][1]
+    if b[:2] == b"\xff\xd8":
+        from datalake_spark.functions.jpeg import jpeg_decode
+
+        try:
+            return jpeg_decode(b)
+        except UnsupportedMedia:
+            if not _HAS_PIL:  # progressive etc. needs the gate
+                raise
     if _HAS_PIL:
         import io as _io
 

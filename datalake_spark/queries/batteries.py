@@ -276,6 +276,9 @@ def _mk() -> list[Q]:
     pipeline = [
         Sub(q(ops, "image_roundtrip", "image_roundtrip", "IMAGE_ROUNDTRIP_SQL"),
             {"doc_id": "v", "width": "v", "height": "v", "format": "v"}),
+        Sub(q(ops, "jpeg_roundtrip", "jpeg_roundtrip", "JPEG_ROUNDTRIP_SQL"),
+            {"doc_id": "v", "width": "v", "height": "v", "channels": "v",
+             "mean_px": "d", "px_std": "d", "px_grad": "d"}),
         Sub(q(ops, "audio_roundtrip", "audio_roundtrip", "AUDIO_ROUNDTRIP_SQL"),
             {"doc_id": "v", "channels": "v", "sample_rate": "v",
              "duration_ms": "v", "rms": "d", "peak": "d", "zcr": "d"}),

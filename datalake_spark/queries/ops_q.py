@@ -427,6 +427,103 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Real-codec gate for JPEG (functions/jpeg.py, pure numpy baseline codec):
+# synthesize a FLAT grayscale JPEG per doc and run the production
+# extract_features(use_fake=False) pixel decode.  For a flat gray value v
+# the whole lossy pipeline collapses to exact integer arithmetic:
+#   q00 = 3 (Annex-K luma DC divisor at quality 90)
+#   k   = floor(8(v-128)/q00 + 1/2)          -- DC quantization
+#   v'  = clamp(floor(128 + k*q00/8 + 1/2))   -- DC-only reconstruction
+# (AC coefficients are identically zero).  Gray values whose reconstruction
+# lands ON the floor(x+0.5) rounding boundary (k*q00 ≡ 4 mod 8) are excluded
+# from the synth set so float noise can never flip a pixel; everything else
+# sits ≥ 1/8 from a boundary.  The oracle carries the independently computed
+# (Fraction-arithmetic, codec-free) expected pixel per allowed v — a
+# hash-match proves encoder AND decoder agree with the arithmetic model for
+# every document, every round.
+# ---------------------------------------------------------------------------
+def _jpeg_flat_expectation() -> tuple[list[int], list[int]]:
+    import math
+    from fractions import Fraction
+
+    q00 = 3  # _scaled_qt(_QT_LUMA, 90)[0]
+    allowed, expected = [], []
+    for v in range(256):
+        k = math.floor(Fraction(8 * (v - 128), q00) + Fraction(1, 2))
+        if (k * q00) % 8 == 4:
+            continue
+        pix = math.floor(Fraction(k * q00, 8) + 128 + Fraction(1, 2))
+        allowed.append(v)
+        expected.append(min(255, max(0, pix)))
+    return allowed, expected
+
+
+_JPEG_ALLOWED, _JPEG_EXPECTED = _jpeg_flat_expectation()
+
+
+def jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from datalake_spark.functions.jpeg import jpeg_encode
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    allowed = _JPEG_ALLOWED
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.astype(str),
+                    "modality": "image",
+                    "content": [
+                        jpeg_encode(
+                            np.full(
+                                (6 + int(i) % 7, 8 + int(i) % 9, 1),
+                                allowed[int(i) % len(allowed)],
+                                dtype=np.uint8,
+                            ),
+                            quality=90,
+                        )
+                        for i in ids
+                    ],
+                    "mime": None,
+                    "width": None,
+                    "height": None,
+                    "duration_ms": None,
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema=mm_ops.MEDIA_SCHEMA)
+    feats = mm_ops.extract_features(media, dim=8, use_fake=False)
+    f = F.col("feature")
+    return feats.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        f[0].cast("bigint").alias("width"),
+        f[1].cast("bigint").alias("height"),
+        f[2].cast("bigint").alias("channels"),
+        f[3].alias("mean_px"),
+        f[4].alias("px_std"),
+        f[7].alias("px_grad"),
+    )
+
+
+JPEG_ROUNDTRIP_SQL = f"""
+SELECT doc_id,
+       CAST(8 + doc_id % 9 AS BIGINT) AS width,
+       CAST(6 + doc_id % 7 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(list_extract([{", ".join(str(p) for p in _JPEG_EXPECTED)}],
+            CAST(doc_id % {len(_JPEG_ALLOWED)} AS INTEGER) + 1) AS DOUBLE)
+         / 255.0 AS mean_px,
+       0.0 AS px_std,
+       0.0 AS px_grad
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Real-codec gate for audio: synthesize a constant-amplitude 16-bit PCM WAV
 # per doc (amplitude k·4096, k = doc_id%7+1; n samples = 800 + doc_id%5·80),
 # run the production audio_features operator, emit the decoded fields.  For

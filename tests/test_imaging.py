@@ -383,3 +383,109 @@ class TestRealMultimodalOperators:
         assert (w.channels, w.sample_rate, w.duration_ms) == (1, 8000, 1000)
         assert abs(w.rms - 0.5) < 1e-6 and w.decode_error is None
         assert got["bad"].decode_error
+
+
+class TestJpegCodec:
+    """Baseline JPEG codec (functions/jpeg.py): self-consistent
+    encoder/decoder, quality/subsampling behavior, dispatch through
+    decode_pixels, rejection of non-baseline streams."""
+
+    def _gradient(self, h, w):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=2
+        ).astype(np.uint8)
+
+    def test_rgb_roundtrip_444(self):
+        from datalake_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+        img = self._gradient(40, 56)
+        out = jpeg_decode(jpeg_encode(img, quality=90))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= 8 and err.mean() < 2.0
+
+    def test_rgb_roundtrip_420_subsampled(self):
+        from datalake_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+        img = self._gradient(33, 47)  # odd dims force chroma padding
+        out = jpeg_decode(jpeg_encode(img, quality=90, subsample=True))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.mean() < 4.0  # chroma is 2x2-averaged, so looser
+
+    def test_flat_gray_exact(self):
+        from datalake_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+        for v in (0, 5, 113, 128, 200, 255):
+            flat = np.full((17, 23, 1), v, dtype=np.uint8)
+            out = jpeg_decode(jpeg_encode(flat, quality=90))
+            assert out.shape == (17, 23, 3)
+            # DC-only quantization error: |v' - v| <= q00/16 + 1
+            assert np.abs(out.astype(int) - v).max() <= 2
+            assert len(np.unique(out)) == 1  # perfectly flat reconstruction
+
+    def test_flat_color_exact_q95(self):
+        from datalake_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+        fc = np.full((16, 16, 3), [200, 30, 90], dtype=np.uint8)
+        out = jpeg_decode(jpeg_encode(fc, quality=95))
+        assert np.abs(out.astype(int) - fc.astype(int)).max() <= 1
+
+    def test_quality_monotone_size(self):
+        from datalake_spark.functions.jpeg import jpeg_encode
+
+        img = self._gradient(64, 64)
+        sizes = [len(jpeg_encode(img, quality=q)) for q in (10, 50, 90)]
+        assert sizes[0] < sizes[1] < sizes[2]
+
+    def test_dims_sniff_agrees(self):
+        from datalake_spark.functions.imaging import image_dims
+        from datalake_spark.functions.jpeg import jpeg_encode
+
+        b = jpeg_encode(self._gradient(21, 34), quality=75)
+        assert image_dims(b) == (34, 21, "jpeg")
+
+    def test_decode_pixels_dispatch(self):
+        from datalake_spark.functions.imaging import decode_pixels
+        from datalake_spark.functions.jpeg import jpeg_encode
+
+        img = np.full((9, 11, 3), 77, dtype=np.uint8)
+        out = decode_pixels(jpeg_encode(img, quality=92))
+        assert out.shape == (9, 11, 3)
+        assert np.abs(out.astype(int) - 77).max() <= 2
+
+    def test_gray_2d_input(self):
+        from datalake_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+        g = ((np.arange(24 * 24).reshape(24, 24)) % 251).astype(np.uint8)
+        out = jpeg_decode(jpeg_encode(g, quality=95))
+        assert out.shape == (24, 24, 3)
+        assert np.array_equal(out[:, :, 0], out[:, :, 1])
+
+    def test_rejects_progressive(self):
+        import struct
+
+        from datalake_spark.functions.imaging import UnsupportedMedia
+        from datalake_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+        b = bytearray(jpeg_encode(np.zeros((8, 8, 1), np.uint8)))
+        i = b.find(b"\xff\xc0")
+        b[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with pytest.raises(UnsupportedMedia, match="progressive|baseline"):
+            jpeg_decode(bytes(b))
+
+    def test_rejects_truncated(self):
+        from datalake_spark.functions.imaging import UnsupportedMedia
+        from datalake_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+        b = jpeg_encode(self._gradient(16, 16), quality=90)
+        with pytest.raises(UnsupportedMedia):
+            jpeg_decode(b[: len(b) // 2])
+
+    def test_rejects_non_jpeg(self):
+        from datalake_spark.functions.imaging import UnsupportedMedia
+        from datalake_spark.functions.jpeg import jpeg_decode
+
+        with pytest.raises(UnsupportedMedia):
+            jpeg_decode(b"\x89PNG....")
