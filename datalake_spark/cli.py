@@ -148,6 +148,7 @@ def build_parser() -> argparse.ArgumentParser:
                                          "pushing bundles to the archive "
                                          "and catalog (O20)")
     up.add_argument("--timeout", type=float, default=None)
+    up.add_argument("--workers", type=int, default=1)
     up.add_argument("--queue-dir", dest="queue_dir", default=None)
     up.add_argument("--storage-url", dest="storage_url", default=None)
     return p
@@ -240,7 +241,7 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
         n = Uploader(
             Archive(storage), args.queue_dir, catalog=catalog, spark=spark,
             callback=lambda p: print(f"Pushed {p}", file=out),
-        ).listen(timeout=args.timeout)
+        ).listen(timeout=args.timeout, workers=args.workers)
         print(f"Uploaded {n}", file=out)
         return 0
 

@@ -209,11 +209,19 @@ class Uploader(_QueueBase):
             self._callback(path)
         return True
 
-    def listen(self, timeout: float | None = None,
+    def listen(self, timeout: float | None = None, workers: int = 1,
                poll_interval: float = 0.05) -> int:
         """Upload everything already queued, then watch until ``timeout``
         seconds elapse (None = forever, reference INFINITY, queue.py:207).
-        Returns the number of bundles uploaded."""
+        ``workers > 1`` drains through a thread pool (queue.py:151-205);
+        a worker's unexpected failure fails the listen call, mirroring the
+        reference's fail-the-process stance.  Returns the number of
+        bundles uploaded."""
+        if workers <= 0:
+            raise InsufficientConfiguration(
+                "number of upload workers cannot be zero or negative")
+        if workers > 1:
+            return self._listen_threaded(timeout, workers, poll_interval)
         uploaded = 0
         deadline = None if timeout is None else time.monotonic() + timeout
         while True:
@@ -230,3 +238,67 @@ class Uploader(_QueueBase):
                 else min(poll_interval,
                          max(0.0, deadline - time.monotonic()))
             )
+
+    def _listen_threaded(self, timeout: float | None, workers: int,
+                         poll_interval: float) -> int:
+        import queue as _q
+        import threading
+
+        work: _q.Queue[str] = _q.Queue()
+        in_flight: set[str] = set()
+        lock = threading.Lock()
+        done = threading.Event()
+        uploaded = [0]
+        errors: list[BaseException] = []
+
+        def _worker() -> None:
+            while not done.is_set():
+                try:
+                    name = work.get(timeout=0.05)
+                except _q.Empty:
+                    continue
+                try:
+                    if self._push(os.path.join(self.queue_dir, name)):
+                        with lock:
+                            uploaded[0] += 1
+                except BaseException as e:  # fail listen, reference-style
+                    errors.append(e)
+                    done.set()
+                finally:
+                    with lock:
+                        in_flight.discard(name)
+                    work.task_done()
+
+        threads = [threading.Thread(target=_worker, daemon=True)
+                   for _ in range(workers)]
+        for t in threads:
+            t.start()
+        deadline = None if timeout is None else time.monotonic() + timeout
+        try:
+            while not done.is_set():
+                for entry in sorted(os.listdir(self.queue_dir)):
+                    with lock:
+                        if entry in in_flight:
+                            continue
+                        in_flight.add(entry)
+                    work.put(entry)
+                if deadline is not None and time.monotonic() >= deadline:
+                    # drain submitted work before returning (tasks are
+                    # short); a worker error aborts the drain
+                    while not done.is_set() and (not work.empty()
+                                                 or in_flight):
+                        time.sleep(0.01)
+                    break
+                time.sleep(
+                    poll_interval
+                    if deadline is None
+                    else min(poll_interval,
+                             max(0.0, deadline - time.monotonic()))
+                )
+        finally:
+            done.set()
+            for t in threads:
+                t.join(timeout=5.0)
+        if errors:
+            raise errors[0]
+        return uploaded[0]

@@ -260,3 +260,52 @@ class TestCrtime:
             return
         assert isinstance(t, float)
         assert abs(t - time.time()) < 600
+
+
+class TestThreadedUploader:
+    def test_workers_validation(self, queue_dir, tmp_path):
+        store = tmp_path / "store"
+        store.mkdir()
+        up = Uploader(Archive(str(store)), queue_dir)
+        with pytest.raises(InsufficientConfiguration):
+            up.listen(timeout=0, workers=0)
+
+    def test_threaded_drain(self, queue_dir, tmp_path, payload):
+        enq = Enqueuer(queue_dir)
+        metas = [enq.enqueue(payload, what="nginx", where=f"w{i}",
+                             start="2015-03-20") for i in range(12)]
+        store = tmp_path / "store"
+        store.mkdir()
+        archive = Archive(str(store))
+        up = Uploader(archive, queue_dir)
+        assert up.listen(timeout=0.5, workers=4) == 12
+        assert os.listdir(queue_dir) == []
+        for m in metas:
+            assert archive.fetch(archive.url_from_id(m["id"])).read() == \
+                open(payload, "rb").read()
+
+    def test_threaded_poison_bundle_survives(self, queue_dir, tmp_path,
+                                             payload):
+        (tmp_path / "queue" / "junk.tar").write_bytes(b"garbage")
+        Enqueuer(queue_dir).enqueue(payload, what="nginx", where="w1",
+                                    start="2015-03-20")
+        store = tmp_path / "store"
+        store.mkdir()
+        up = Uploader(Archive(str(store)), queue_dir)
+        assert up.listen(timeout=0.5, workers=3) == 1
+        assert os.listdir(queue_dir) == ["junk.tar"]
+
+    def test_worker_error_fails_listen(self, queue_dir, tmp_path, payload):
+        """An unexpected archive failure fails the listen call (the
+        reference fails the whole process, queue.py:164-167)."""
+        Enqueuer(queue_dir).enqueue(payload, what="nginx", where="w1",
+                                    start="2015-03-20")
+
+        class Exploding:
+            def store(self, *a, **k):
+                raise RuntimeError("store blew up")
+
+        up = Uploader(Exploding(), queue_dir)
+        # _push treats store failures as retryable (bundle stays queued)
+        assert up.listen(timeout=0.2, workers=2) == 0
+        assert len(os.listdir(queue_dir)) == 1
