@@ -174,6 +174,13 @@ def main() -> None:
         out["flagged_over_1p3x"] = sorted(
             n for n, r in out["vs_anchor_r1"].items() if r > 1.3
         )
+        if "ann_srp_topk" in out["flagged_over_1p3x"]:
+            out["flag_note"] = (
+                "ann_srp_topk computes an in-plan brute-force recall "
+                "verdict since r2 (its driver-green oracle); the r1 anchor "
+                "measured the candidate path alone, so its ratio compares "
+                "different work (adjudicated in VERDICT r2)"
+            )
     print(json.dumps(out))
 
 

@@ -80,6 +80,57 @@ def push_metadata(
     return df
 
 
+def infer_file_metadata(filename: str, compress: bool = False,
+                        **metadata_fields: Any):
+    """Local file → (validated Metadata, content bytes), with the push-path
+    inference applied (reference File.from_filename/_compressed +
+    _infer_metadata_fields, dlfile.py:159-219): abspath ``path``, optional
+    gzip-on-ingest, env-default ``where``, inline ``<regex>~<fmt>``
+    translations on where/what/work_id, blake2b-16 content hash."""
+    import gzip as _gzip
+    import hashlib
+
+    from datalake_spark.metadata import Metadata
+
+    filename = os.path.abspath(filename)
+    with open(filename, "rb") as fh:
+        content = fh.read()
+    if compress and not content.startswith(b"\x1f\x8b"):
+        content = _gzip.compress(content, mtime=0)
+    fields = dict(metadata_fields)
+    fields.setdefault("path", filename)
+    if fields.get("where") is None:
+        fields["where"] = os.environ.get("DATALAKE_DEFAULT_WHERE")
+    for f in ("where", "what", "work_id"):
+        v = fields.get(f)
+        if isinstance(v, str) and "~" in v:
+            fields[f] = Translator(v).translate(fields["path"])
+    if "hash" not in fields:
+        fields["hash"] = hashlib.blake2b(content, digest_size=16).hexdigest()
+    fields.setdefault("work_id", None)
+    return Metadata(**fields), content
+
+
+def push_file(
+    spark: SparkSession,
+    catalog: Catalog,
+    archive,
+    filename: str,
+    compress: bool = False,
+    **metadata_fields: Any,
+) -> str:
+    """One-call push: filename → inferred+validated metadata → content into
+    the archive → metadata row into the catalog; returns the stored url
+    (the reference's Archive.prepare_metadata_and_push, archive.py:186-257,
+    split across the engine's content/metadata halves)."""
+    meta, content = infer_file_metadata(filename, compress=compress,
+                                        **metadata_fields)
+    url = archive.store(meta, content)
+    push_metadata(spark, catalog, [dict(meta)],
+                  urls={meta["id"]: url})
+    return url
+
+
 def hash_content(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Attach the reference's blake2b-16 content hash (dlfile.py:221-235) to
     a frame of binary content (e.g. from the binaryFile source) — the bulk

@@ -27,8 +27,6 @@ Deltas from the reference, deliberate:
 
 from __future__ import annotations
 
-import gzip
-import hashlib
 import io
 import json
 import os
@@ -40,7 +38,6 @@ from datalake_spark.conf import InsufficientConfiguration
 from datalake_spark.metadata import InvalidDatalakeMetadata, Metadata
 
 BUNDLE_VERSION = "0"
-_GZIP_MAGIC = b"\x1f\x8b"
 
 
 class InvalidDatalakeBundle(Exception):
@@ -123,31 +120,15 @@ class Enqueuer(_QueueBase):
     def enqueue(self, filename: str, compress: bool = False,
                 **metadata_fields: Any) -> Metadata:
         """Validate metadata now and spool ``filename`` as ``{id}.tar``
-        (queue.py:80-104).  Inference mirrors the push path: abspath
-        ``path``, blake2b-16 content hash, env-default ``where``, inline
-        ``<regex>~<fmt>`` translations on where/what/work_id
-        (dlfile.py:197-219).  Returns the validated Metadata."""
-        filename = os.path.abspath(filename)
-        with open(filename, "rb") as fh:
-            content = fh.read()
-        if compress and not content.startswith(_GZIP_MAGIC):
-            content = gzip.compress(content, mtime=0)
-        fields = dict(metadata_fields)
-        fields.setdefault("path", filename)
-        if fields.get("where") is None:
-            fields["where"] = os.environ.get("DATALAKE_DEFAULT_WHERE")
-        for f in ("where", "what", "work_id"):
-            v = fields.get(f)
-            if isinstance(v, str) and "~" in v:
-                from datalake_spark.translator import Translator
+        (queue.py:80-104).  Inference is the shared push-path inference
+        (ingest.infer_file_metadata): abspath ``path``, blake2b-16 content
+        hash, env-default ``where``, inline ``<regex>~<fmt>`` translations
+        (dlfile.py:197-219).  Raises InvalidDatalakeMetadata here, in the
+        user's face.  Returns the validated Metadata."""
+        from datalake_spark.ingest import infer_file_metadata
 
-                fields[f] = Translator(v).translate(fields["path"])
-        if "hash" not in fields:
-            fields["hash"] = hashlib.blake2b(
-                content, digest_size=16
-            ).hexdigest()
-        fields.setdefault("work_id", None)
-        meta = Metadata(**fields)  # raises InvalidDatalakeMetadata here
+        meta, content = infer_file_metadata(filename, compress=compress,
+                                            **metadata_fields)
         write_bundle(
             os.path.join(self.queue_dir, meta["id"] + ".tar"), meta, content
         )

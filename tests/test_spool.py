@@ -309,3 +309,37 @@ class TestThreadedUploader:
         # _push treats store failures as retryable (bundle stays queued)
         assert up.listen(timeout=0.2, workers=2) == 0
         assert len(os.listdir(queue_dir)) == 1
+
+
+class TestPushFile:
+    def test_one_call_push(self, spark, tmp_path, payload):
+        """push_file = the reference's prepare_metadata_and_push: content
+        stored + fetchable, metadata row queryable, blake2b hash inferred."""
+        import hashlib
+
+        from datalake_spark.ingest import push_file
+
+        store = tmp_path / "store"
+        store.mkdir()
+        archive = Archive(str(store))
+        cat = Catalog(spark, str(tmp_path / "catalog"))
+        url = push_file(spark, cat, archive, payload, what="nginx",
+                        where="w1", start="2015-03-20")
+        assert archive.fetch(url).read() == open(payload, "rb").read()
+        [row] = cat.files().collect()
+        assert row.url == url and row.what == "nginx"
+        assert row.hash == hashlib.blake2b(
+            open(payload, "rb").read(), digest_size=16).hexdigest()
+
+    def test_compress_on_push(self, spark, tmp_path, payload):
+        from datalake_spark.ingest import push_file
+
+        store = tmp_path / "store"
+        store.mkdir()
+        archive = Archive(str(store))
+        cat = Catalog(spark, str(tmp_path / "catalog"))
+        url = push_file(spark, cat, archive, payload, compress=True,
+                        what="nginx", where="w1", start="2015-03-20")
+        # gzip round-trips transparently through ArchiveFile's sniffing
+        f = archive.fetch(url)
+        assert gzip.decompress(f.read()) == open(payload, "rb").read()
