@@ -47,6 +47,22 @@ def image_dims(b: bytes) -> tuple[int, int, str]:
     if b[:2] == b"BM" and len(b) >= 26:
         w, h = struct.unpack("<ii", b[18:26])
         return w, abs(h), "bmp"
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 30:
+        # three container flavors (public WebP container spec)
+        chunk = b[12:16]
+        if chunk == b"VP8 ":  # lossy: dims in the VP8 keyframe header
+            w, h = struct.unpack("<HH", b[26:30])
+            return w & 0x3FFF, h & 0x3FFF, "webp"
+        if chunk == b"VP8L":  # lossless: 14-bit minus-one fields
+            bits = struct.unpack("<I", b[21:25])[0]
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "webp"
+        if chunk == b"VP8X":  # extended: 24-bit minus-one canvas fields
+            w = int.from_bytes(b[24:27], "little") + 1
+            h = int.from_bytes(b[27:30], "little") + 1
+            return w, h, "webp"
+        raise UnsupportedMedia("unrecognized webp flavor")
+    if b[:4] in (b"II*\x00", b"MM\x00*") and len(b) >= 8:
+        return _tiff_dims(b)
     if b[:2] == b"\xff\xd8":
         i = 2
         while i + 9 < len(b):
@@ -65,6 +81,37 @@ def image_dims(b: bytes) -> tuple[int, int, str]:
             i += 2 + seg_len
         raise UnsupportedMedia("jpeg without SOF marker")
     raise UnsupportedMedia("unrecognized image format")
+
+
+def _tiff_dims(b: bytes) -> tuple[int, int, str]:
+    """Walk the first IFD for ImageWidth (256) / ImageLength (257); handles
+    both byte orders and SHORT/LONG value types (public TIFF 6.0 layout)."""
+    bo = "<" if b[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", b[4:8])
+    if ifd_off + 2 > len(b):
+        raise UnsupportedMedia("truncated tiff")
+    (n_entries,) = struct.unpack(bo + "H", b[ifd_off:ifd_off + 2])
+    w = h = None
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(b):
+            break
+        tag, typ = struct.unpack(bo + "HH", b[off:off + 4])
+        if tag not in (256, 257):
+            continue
+        if typ == 3:  # SHORT, value left-packed in the 4-byte field
+            (val,) = struct.unpack(bo + "H", b[off + 8:off + 10])
+        elif typ == 4:  # LONG
+            (val,) = struct.unpack(bo + "I", b[off + 8:off + 12])
+        else:
+            continue
+        if tag == 256:
+            w = val
+        else:
+            h = val
+    if w is None or h is None:
+        raise UnsupportedMedia("tiff without dimension tags")
+    return w, h, "tiff"
 
 
 # -- PNG decode (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced) -------

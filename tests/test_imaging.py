@@ -489,3 +489,69 @@ class TestJpegCodec:
 
         with pytest.raises(UnsupportedMedia):
             jpeg_decode(b"\x89PNG....")
+
+
+class TestWebpTiffDims:
+    """Header-only dimension sniffing for the web-corpus formats (WebP's
+    three container flavors, TIFF both byte orders) — hand-built blobs per
+    the public container layouts."""
+
+    def _riff(self, fourcc, payload):
+        inner = fourcc + len(payload).to_bytes(4, "little") + payload
+        return b"RIFF" + (4 + len(inner)).to_bytes(4, "little") + b"WEBP" + inner
+
+    def test_webp_vp8_lossy(self):
+        from datalake_spark.functions.imaging import image_dims
+
+        payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + \
+            (320).to_bytes(2, "little") + (240).to_bytes(2, "little") + b"\x00" * 8
+        assert image_dims(self._riff(b"VP8 ", payload)) == (320, 240, "webp")
+
+    def test_webp_vp8l_lossless(self):
+        from datalake_spark.functions.imaging import image_dims
+
+        w, h = 100, 60
+        bits = (w - 1) | ((h - 1) << 14)
+        payload = b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 8
+        assert image_dims(self._riff(b"VP8L", payload)) == (100, 60, "webp")
+
+    def test_webp_vp8x_extended(self):
+        from datalake_spark.functions.imaging import image_dims
+
+        payload = b"\x00\x00\x00\x00" + (799).to_bytes(3, "little") + \
+            (599).to_bytes(3, "little") + b"\x00" * 6
+        assert image_dims(self._riff(b"VP8X", payload)) == (800, 600, "webp")
+
+    def _tiff(self, bo, w, h, wtype=3, htype=4):
+        import struct
+
+        def entry(tag, typ, val):
+            fld = struct.pack(bo + ("H" if typ == 3 else "I"), val)
+            fld = fld + b"\x00" * (4 - len(fld)) if bo == "<" else \
+                fld + b"\x00" * (4 - len(fld))
+            return struct.pack(bo + "HHI", tag, typ, 1) + fld
+
+        hdr = (b"II*\x00" if bo == "<" else b"MM\x00*") + \
+            struct.pack(bo + "I", 8)
+        ifd = struct.pack(bo + "H", 2) + entry(256, wtype, w) + \
+            entry(257, htype, h) + struct.pack(bo + "I", 0)
+        return hdr + ifd
+
+    def test_tiff_little_endian(self):
+        from datalake_spark.functions.imaging import image_dims
+
+        assert image_dims(self._tiff("<", 640, 480)) == (640, 480, "tiff")
+
+    def test_tiff_big_endian(self):
+        from datalake_spark.functions.imaging import image_dims
+
+        assert image_dims(self._tiff(">", 31, 17)) == (31, 17, "tiff")
+
+    def test_tiff_missing_tags(self):
+        from datalake_spark.functions.imaging import UnsupportedMedia, image_dims
+
+        import struct
+        hdr = b"II*\x00" + struct.pack("<I", 8)
+        ifd = struct.pack("<H", 0) + struct.pack("<I", 0)
+        with pytest.raises(UnsupportedMedia):
+            image_dims(hdr + ifd)
