@@ -272,6 +272,13 @@ def _mk() -> list[Q]:
             {"promo_revenue": "d4", "total_revenue": "d4", "promo_share_pct": "d"}),
         Sub(q(tpch2, "q22_dormant_customers", "q22_dormant_customers", "Q22_SQL"),
             {"cntrycode": "v", "numcust": "v", "totacctbal": "d4"}),
+        Sub(q(tpch2, "q2_min_cost_supplier", "q2_min_cost_supplier", "Q2_SQL"),
+            {"p_partkey": "v", "s_name": "v", "n_name": "v",
+             "s_acctbal": "d", "cost": "d"}),
+        Sub(q(tpch2, "q4_order_priority", "q4_order_priority", "Q4_SQL"),
+            {"o_orderpriority": "v", "order_count": "v"}),
+        Sub(q(tpch2, "q21_waiting_supplier", "q21_waiting_supplier", "Q21_SQL"),
+            {"s_name": "v", "numwait": "v"}),
     ]
     pipeline = [
         Sub(q(ops, "image_roundtrip", "image_roundtrip", "IMAGE_ROUNDTRIP_SQL"),

@@ -167,3 +167,150 @@ WHERE c_acctbal > v
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY cntrycode
 """
+
+
+# -- Q2 shape: correlated regional-minimum over a derived supply table -------
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's plan shape (part × supply options × supplier → nation →
+    region, keep rows achieving the per-part regional minimum cost).  The
+    driver schema has no partsupp, so the supply table derives from
+    lineitem: (l_partkey, l_suppkey) → MIN(l_extendedprice) — same join
+    topology, aggregation-derived dimension included.  Spark expresses the
+    correlated scalar MIN as a window over the region-filtered join (one
+    shuffle, no second scan); the oracle keeps TPC-H's literal correlated
+    subquery — two different plans, same rows."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("cost"))
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    joined = (
+        ps.join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select("p_partkey", "s_name", "n_name", "s_acctbal", "cost")
+    )
+
+
+Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice) AS cost
+  FROM lineitem GROUP BY 1, 2)
+SELECT p_partkey, s_name, n_name, s_acctbal, cost
+FROM ps
+JOIN part ON ps_partkey = p_partkey
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND p_type = 'SMALL' AND p_size <= 10
+  AND cost = (
+    SELECT MIN(ps2.cost) FROM ps ps2
+    JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+"""
+
+
+# -- Q4 shape: correlated EXISTS with a cross-table date predicate ----------
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: orders in a window with EXISTS a "late" line — the
+    correlated predicate compares columns of BOTH tables
+    (l_shipdate > o_orderdate + 60 days stands in for the missing
+    commitdate/receiptdate pair), so it must ride the semi-join condition,
+    not a pre-filter."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# -- Q21 shape: EXISTS + NOT EXISTS on the same table, different correlation -
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21, the hardest join shape in the suite: a supplier's late
+    line in a multi-supplier order where NO OTHER supplier was late —
+    semi-join then anti-join against the same lineitem table with
+    different correlated predicates, preserving l1 multiplicity."""
+    li = load(spark, sf_dir, "lineitem")
+    cutoff = F.lit("2001-01-01").cast("timestamp_ntz")
+    l1 = li.filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_suppkey"
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late_others = li.filter(F.col("l_shipdate") > cutoff).select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    waiting = l1.join(
+        others,
+        (F.col("o2_orderkey") == F.col("l_orderkey"))
+        & (F.col("o2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("o3_orderkey") == F.col("l_orderkey"))
+        & (F.col("o3_suppkey") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        waiting.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_shipdate > TIMESTAMP '2001-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > TIMESTAMP '2001-01-01')
+GROUP BY s_name
+"""
