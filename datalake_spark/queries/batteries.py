@@ -279,6 +279,13 @@ def _mk() -> list[Q]:
             {"o_orderpriority": "v", "order_count": "v"}),
         Sub(q(tpch2, "q21_waiting_supplier", "q21_waiting_supplier", "Q21_SQL"),
             {"s_name": "v", "numwait": "v"}),
+        Sub(q(tpch2, "q15_top_supplier", "q15_top_supplier", "Q15_SQL"),
+            {"s_suppkey": "v", "s_name": "v", "total_revenue": "d4"}),
+        Sub(q(tpch2, "q16_supplier_cnt", "q16_supplier_cnt", "Q16_SQL"),
+            {"p_brand": "v", "p_type": "v", "p_size": "v",
+             "supplier_cnt": "v"}),
+        Sub(q(tpch2, "q20_excess_suppliers", "q20_excess_suppliers", "Q20_SQL"),
+            {"s_suppkey": "v", "s_name": "v"}),
     ]
     pipeline = [
         Sub(q(ops, "image_roundtrip", "image_roundtrip", "IMAGE_ROUNDTRIP_SQL"),

@@ -314,3 +314,129 @@ WHERE l1.l_shipdate > TIMESTAMP '2001-01-01'
                     AND l3.l_shipdate > TIMESTAMP '2001-01-01')
 GROUP BY s_name
 """
+
+
+# -- Q15 shape: derived revenue view + scalar-max selection ------------------
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: a revenue-per-supplier view consumed twice — once for the
+    global MAX, once to select the row(s) achieving it.  Decimal-exact
+    revenue so the max comparison is bit-identical across engines; Spark
+    compares against a broadcast 1-row global max (an unpartitioned window
+    MAX would funnel every supplier through one partition at scale)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(20,4)")
+             * (F.lit(1).cast("decimal(20,4)")
+                - F.col("l_discount").cast("decimal(20,4)")))
+        ).alias("_rev_dec")
+    )
+    mx = rev.agg(F.max("_rev_dec").alias("_max"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("_rev_dec") == F.col("_max"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("_rev_dec"), 4).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(20,4))
+             * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4))))
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       CAST(ROUND(total_rev, 4) AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+"""
+
+
+# -- Q16 shape: anti-set filter + COUNT(DISTINCT) grouping -------------------
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: part attribute grouping counting DISTINCT suppliers,
+    excluding a supplier blacklist via NOT IN (anti join) — negative
+    acctbal stands in for the missing comment-pattern complaint filter."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("bad_suppkey"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("bad_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# -- Q20 shape: nested IN-chains with a correlated aggregate threshold -------
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers (in one nation) having some part whose stocked
+    quantity exceeds half that part-supplier's yearly demand — an IN over a
+    correlated-aggregate subquery, nested inside a second IN.  The
+    "availqty" derives from lineitem (driver schema has no partsupp):
+    avail = MAX(l_quantity), demand = SUM(l_quantity) in the window; the
+    semantics (per-(part,supplier) threshold on a correlated aggregate)
+    keep Q20's plan shape intact."""
+    li = load(spark, sf_dir, "lineitem")
+    win = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    agg = win.groupBy("l_partkey", "l_suppkey").agg(
+        F.max("l_quantity").alias("avail"),
+        F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("demand"),
+    )
+    qualifying = agg.filter(
+        F.col("avail").cast("decimal(20,4)")
+        > F.col("demand") * F.lit(0.4).cast("decimal(4,2)")
+    ).select(F.col("l_suppkey").alias("q_suppkey")).distinct()
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    out = (
+        supp.join(qualifying, F.col("s_suppkey") == F.col("q_suppkey"),
+                  "left_semi")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"),
+              "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+    return out
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM (
+      SELECT l_partkey, l_suppkey,
+             MAX(l_quantity) AS avail,
+             SUM(CAST(l_quantity AS DECIMAL(20,4))) AS demand
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey)
+    WHERE CAST(avail AS DECIMAL(20,4)) > demand * CAST(0.4 AS DECIMAL(4,2)))
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7')
+"""
