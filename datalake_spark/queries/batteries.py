@@ -286,6 +286,12 @@ def _mk() -> list[Q]:
              "supplier_cnt": "v"}),
         Sub(q(tpch2, "q20_excess_suppliers", "q20_excess_suppliers", "Q20_SQL"),
             {"s_suppkey": "v", "s_name": "v"}),
+        Sub(q(tpch2, "q8_market_share", "q8_market_share", "Q8_SQL"),
+            {"o_year": "v", "mkt_share": "d"}),
+        Sub(q(tpch2, "q9_product_profit", "q9_product_profit", "Q9_SQL"),
+            {"nation": "v", "o_year": "v", "sum_profit": "d4"}),
+        Sub(q(tpch2, "q11_important_stock", "q11_important_stock", "Q11_SQL"),
+            {"l_partkey": "v", "part_value": "d4"}),
     ]
     pipeline = [
         Sub(q(ops, "image_roundtrip", "image_roundtrip", "IMAGE_ROUNDTRIP_SQL"),

@@ -440,3 +440,173 @@ WHERE s_suppkey IN (
     WHERE CAST(avail AS DECIMAL(20,4)) > demand * CAST(0.4 AS DECIMAL(4,2)))
   AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7')
 """
+
+
+# -- Q8 shape: market-share ratio of conditional sums per year ---------------
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: all-nation volume per order-year vs one nation's slice —
+    a conditional-sum ratio over a 5-table join.  Decimal-exact volumes;
+    the share division happens on the exact sums cast to double (identical
+    IEEE division in both engines)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(20,4)")
+        * (F.lit(1).cast("decimal(20,4)")
+           - F.col("l_discount").cast("decimal(20,4)"))
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n_name"),
+        )
+    )
+    tgt = F.when(F.col("n_name") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0).cast(joined.schema["volume"].dataType)
+    )
+    return joined.groupBy("o_year").agg(
+        (F.sum(tgt).cast("double") / F.sum("volume").cast("double")).alias(
+            "mkt_share"
+        )
+    )
+
+
+Q8_SQL = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(20,4))
+           * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4))) AS volume,
+         n_name
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND p_type = 'ECONOMY')
+GROUP BY o_year
+"""
+
+
+# -- Q9 shape: profit decomposition by nation and year -----------------------
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: per-(nation, year) profit over lineitem joined through
+    part/supplier/nation/orders.  The driver schema has no
+    ps_supplycost, so cost derives from the part dimension
+    (p_retailprice·l_quantity·0.1) — same join graph and the same
+    sum-of-products decimal discipline."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice").cast("decimal(20,4)")
+        * (F.lit(1).cast("decimal(20,4)")
+           - F.col("l_discount").cast("decimal(20,4)"))
+        - F.col("p_retailprice").cast("decimal(20,4)")
+        * F.col("l_quantity").cast("decimal(20,4)")
+        * F.lit(0.1).cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 4).cast("double").alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(ROUND(SUM(
+         CAST(l_extendedprice AS DECIMAL(20,4))
+           * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4)))
+         - CAST(p_retailprice AS DECIMAL(20,4))
+           * CAST(l_quantity AS DECIMAL(20,4))
+           * CAST(0.1 AS DECIMAL(4,2))), 4) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE 'small%'
+GROUP BY n_name, o_year
+"""
+
+
+# -- Q11 shape: group HAVING > fraction-of-global-total ----------------------
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: per-part value with HAVING value > fraction × the global
+    total — the global scalar rides a broadcast 1-row aggregate (same
+    no-single-partition pattern as q15).  Value derives from lineitem
+    (no partsupp): SUM(l_extendedprice·l_quantity) for one nation's
+    suppliers."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    val = (
+        F.col("l_extendedprice").cast("decimal(20,4)")
+        * F.col("l_quantity").cast("decimal(20,4)")
+    )
+    base = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"),
+              "left_semi")
+        .select(F.col("l_partkey"), val.alias("value"))
+    )
+    per_part = base.groupBy("l_partkey").agg(
+        F.sum("value").alias("_val_dec")
+    )
+    total = per_part.agg(
+        (F.sum("_val_dec") * F.lit(0.001).cast("decimal(6,4)")).alias("_thr")
+    )
+    return (
+        per_part.join(F.broadcast(total),
+                      F.col("_val_dec") > F.col("_thr"))
+        .select(
+            "l_partkey",
+            F.round(F.col("_val_dec"), 4).cast("double").alias("part_value"),
+        )
+    )
+
+
+Q11_SQL = """
+WITH base AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice AS DECIMAL(20,4))
+           * CAST(l_quantity AS DECIMAL(20,4)) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'),
+per_part AS (
+  SELECT l_partkey, SUM(value) AS val FROM base GROUP BY l_partkey)
+SELECT l_partkey, CAST(ROUND(val, 4) AS DOUBLE) AS part_value
+FROM per_part
+WHERE val > (SELECT SUM(val) * CAST(0.001 AS DECIMAL(6,4)) FROM per_part)
+"""
