@@ -28,19 +28,26 @@ def asof_join(
     suffix: str = "_right",
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest (backward) /
-    least (forward) ``on`` value not beyond the left's, per ``by`` group.
+    least (forward) ``on`` value not beyond the left's, per ``by`` group —
+    or the absolutely closest one (``nearest``, ties to the backward match,
+    pandas merge_asof semantics).
 
     Union + window: tag sides, sort by (by, on, tag), carry last right row
     forward (or next backward) with ignoreNulls last(), keep left rows.
+    ``nearest`` computes both carries in ONE exchange (same partition keys,
+    two sort specs) and picks per row by distance.
     """
-    assert direction in ("backward", "forward")
+    assert direction in ("backward", "forward", "nearest")
     rcols = [c for c in right.columns if c not in by and c != on]
+    on_t = right.schema[on].dataType.simpleString()
     l_tag = left.withColumn("_side", F.lit(1)).withColumn("_r", F.lit(None).cast(
-        "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in rcols) + ">"
+        "struct<_on:" + on_t + ","
+        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in rcols) + ">"
     ))
     r_tag = (
         right.withColumn("_side", F.lit(0))
-        .withColumn("_r", F.struct(*[F.col(c) for c in rcols]))
+        .withColumn("_r", F.struct(F.col(on).alias("_on"),
+                                   *[F.col(c) for c in rcols]))
         .select(*by, on, "_side", "_r")
     )
     l_cols = [c for c in left.columns]
@@ -52,21 +59,38 @@ def asof_join(
             r_full = r_full.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     r_full = r_full.select(*l_cols, "_side", "_r")
     u = l_full.unionByName(r_full)
+    wb = (
+        W.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy(*by)
+        .orderBy(F.col(on).desc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     if direction == "backward":
-        w = (
-            W.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("_side").asc())
-            .rowsBetween(W.unboundedPreceding, 0)
+        u = u.withColumn("_m", F.last("_r", ignorenulls=True).over(wb))
+    elif direction == "forward":
+        u = u.withColumn("_m", F.last("_r", ignorenulls=True).over(wf))
+    else:  # nearest: both carries, one exchange; tie -> backward
+        u = (
+            u.withColumn("_mb", F.last("_r", ignorenulls=True).over(wb))
+            .withColumn("_mf", F.last("_r", ignorenulls=True).over(wf))
+            .withColumn(
+                "_m",
+                F.when(F.col("_mb").isNull(), F.col("_mf"))
+                .when(F.col("_mf").isNull(), F.col("_mb"))
+                .when(
+                    (F.col("_mf._on") - F.col(on))
+                    < (F.col(on) - F.col("_mb._on")),
+                    F.col("_mf"),
+                )
+                .otherwise(F.col("_mb")),
+            )
+            .drop("_mb", "_mf")
         )
-        carried = F.last("_r", ignorenulls=True).over(w)
-    else:
-        w = (
-            W.partitionBy(*by)
-            .orderBy(F.col(on).desc(), F.col("_side").asc())
-            .rowsBetween(W.unboundedPreceding, 0)
-        )
-        carried = F.last("_r", ignorenulls=True).over(w)
-    out = u.withColumn("_m", carried).filter(F.col("_side") == 1).drop("_side", "_r")
+    out = u.filter(F.col("_side") == 1).drop("_side", "_r")
     for c in rcols:
         name = c if c not in l_cols else f"{c}{suffix}"
         out = out.withColumn(name, F.col(f"_m.{c}"))

@@ -244,6 +244,78 @@ class TestAsof:
         out = asof.asof_join(left, right, on="ts", by=["user"], direction="forward").collect()
         assert out[0]["tag"] == "next"
 
+    def test_asof_nearest_basic(self, spark):
+        left = spark.createDataFrame(
+            [("u1", 100), ("u1", 210), ("u2", 50)], ["user", "ts"]
+        )
+        right = spark.createDataFrame(
+            [("u1", 90, "close_b"), ("u1", 220, "close_f"), ("u2", 500, "far")],
+            ["user", "ts", "tag"],
+        )
+        out = {
+            (r["user"], r["ts"]): r["tag"]
+            for r in asof.asof_join(
+                left, right, on="ts", by=["user"], direction="nearest"
+            ).collect()
+        }
+        # 100 is 10 from 90 and 120 from 220 -> backward; 210 is 10 from 220
+        # -> forward; u2 has only a far forward match -> still matched
+        assert out == {("u1", 100): "close_b", ("u1", 210): "close_f",
+                       ("u2", 50): "far"}
+
+    def test_asof_nearest_tie_prefers_backward(self, spark):
+        left = spark.createDataFrame([("u1", 100)], ["user", "ts"])
+        right = spark.createDataFrame(
+            [("u1", 90, "b"), ("u1", 110, "f")], ["user", "ts", "tag"]
+        )
+        out = asof.asof_join(left, right, on="ts", by=["user"],
+                             direction="nearest").collect()
+        assert out[0]["tag"] == "b"
+
+    def test_asof_nearest_matches_pandas(self, spark):
+        """Column-based nearest == pandas merge_asof(direction='nearest')
+        on random data including exact-tie distances."""
+        import random
+
+        import pandas as pd
+
+        rng = random.Random(7)
+        lrows = [("u%d" % rng.randint(0, 2), rng.randint(0, 50) * 10)
+                 for _ in range(60)]
+        seen: dict[tuple, str] = {}
+        for i in range(40):
+            # unique (user, ts) on the right: with duplicate keys the pick
+            # among equals is unspecified in BOTH engines
+            seen.setdefault(
+                ("u%d" % rng.randint(0, 2), rng.randint(0, 50) * 10 + 5),
+                "t%d" % i,
+            )
+        rrows = [(u, t, tag) for (u, t), tag in seen.items()]
+        left = spark.createDataFrame(lrows, ["user", "ts"]).dropDuplicates(
+            ["user", "ts"])
+        right = spark.createDataFrame(rrows, ["user", "ts", "tag"])
+        got = {
+            (r["user"], r["ts"]): r["tag"]
+            for r in asof.asof_join(
+                left, right, on="ts", by=["user"], direction="nearest"
+            ).collect()
+        }
+        lpdf = left.toPandas()
+        rpdf = right.toPandas()
+        exp = {}
+        for u in lpdf["user"].unique():
+            lp = lpdf[lpdf["user"] == u].sort_values("ts")
+            rp = rpdf[rpdf["user"] == u].sort_values("ts")
+            if len(rp) == 0:
+                m = lp.assign(tag=None)
+            else:
+                m = pd.merge_asof(lp, rp.drop(columns=["user"]), on="ts",
+                                  direction="nearest")
+            for _, row in m.iterrows():
+                exp[(u, int(row["ts"]))] = row["tag"] if isinstance(
+                    row["tag"], str) else None
+        assert got == exp
+
     def test_asof_pandas_matches_window(self, spark):
         import random
 
