@@ -473,3 +473,89 @@ class TestStreamingDedup:
         )
         kept = sorted(r.doc_id for r in exact_dedup(df).collect())
         assert kept == [1, 5]
+
+
+class TestStreamJoins:
+    """Watermarked stream-stream join (impression×click attribution shape)
+    and stream-static dimension enrichment (streaming/joins.py)."""
+
+    T0 = 1420070400000
+
+    def _start(self, spark, l_dir, r_dir, out, ckpt, how="inner"):
+        from datalake_spark.schema import INGEST_EVENT_SCHEMA
+        from datalake_spark.streaming.joins import stream_stream_join
+
+        def src(d, idcol):
+            return (
+                spark.readStream.schema(INGEST_EVENT_SCHEMA)
+                .json(d)
+                .select(
+                    "event_time",
+                    F.col("metadata.what").alias("what"),
+                    F.col("metadata.id").alias(idcol),
+                )
+            )
+
+        joined = stream_stream_join(
+            src(l_dir, "imp_id"), src(r_dir, "click_id"),
+            key="what", watermark="30 minutes", band="15 minutes", how=how,
+        ).select("_lkey", "imp_id", "click_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(90)
+
+    def test_band_join_matches_and_excludes(self, spark, tmp_path):
+        l_dir, r_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        T0 = self.T0
+        m = 60000
+        # impressions at 00:00 (nginx, syslog); clicks at +10m (inside the
+        # 15m band), +20m (outside), and a key with no impression
+        write_events(l_dir, [
+            event("i1", what="nginx", event_time=T0),
+            event("i2", what="syslog", event_time=T0),
+        ], "l.json")
+        write_events(r_dir, [
+            event("c1", what="nginx", event_time=T0 + 10 * m),
+            event("c2", what="syslog", event_time=T0 + 20 * m),
+            event("c3", what="app", event_time=T0 + 5 * m),
+        ], "r.json")
+        self._start(spark, l_dir, r_dir, out, ckpt)
+        got = {(r["imp_id"], r["click_id"])
+               for r in spark.read.parquet(out).collect()}
+        assert got == {("i1", "c1")}  # only the in-band same-key pair
+
+    def test_stream_static_enrich_broadcasts(self, spark, tmp_path):
+        from datalake_spark.schema import INGEST_EVENT_SCHEMA
+        from datalake_spark.streaming.joins import stream_static_enrich
+
+        landing = str(tmp_path / "landing")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        write_events(landing, [event("a", what="nginx"),
+                               event("b", what="unknown")], "b.json")
+        dim = spark.createDataFrame(
+            [("nginx", "web")], ["what", "category"])
+        stream = (
+            spark.readStream.schema(INGEST_EVENT_SCHEMA)
+            .json(landing)
+            .select(F.col("metadata.what").alias("what"),
+                    F.col("metadata.id").alias("fid"))
+        )
+        q = (
+            stream_static_enrich(stream, dim)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = {r["fid"]: r["category"]
+               for r in spark.read.parquet(out).collect()}
+        assert got == {"a": "web", "b": None}  # left join keeps unmatched
