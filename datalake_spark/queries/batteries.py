@@ -133,6 +133,7 @@ def _mk() -> list[Q]:
     from datalake_spark.queries import relational as r1
     from datalake_spark.queries import relational2 as r2
     from datalake_spark.queries import ops_q as ops
+    from datalake_spark.queries import streaming_q as sq
     from datalake_spark.queries import windows_q as wq
 
     def q(mod, name, fn_name, sql_name):
@@ -149,6 +150,9 @@ def _mk() -> list[Q]:
             {"nationkey": "v", "n_neg_customers": "v", "n_neg_suppliers": "v"}),
         Sub(q(ops, "q_cross_join", "q_cross_join", "Q_CROSS_SQL"),
             {"r_name": "v", "n_name": "v", "pair": "v"}),
+        Sub(q(sq, "stream_band_join_batch", "stream_band_join_batch",
+              "STREAM_BAND_JOIN_SQL"),
+            {"user_id": "v", "imp_id": "v", "click_id": "v"}),
         Sub(q(r2, "q_disjunctive_join", "q_disjunctive_join", "Q_DISJUNCTIVE_SQL"),
             {"revenue": "d4", "n_rows": "v"}),
     ]

@@ -111,3 +111,41 @@ QUERIES = [
         "readStream → classify → foreachBatch catalog append, end to end",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Batch twin of the watermarked stream-stream band join (streaming/joins.py):
+# the SAME stream_stream_join function runs here on batch frames (Spark's
+# unified API ignores watermarks in batch), so the oracle hash-checks the
+# join's key+band logic that the streaming tests drive with real streams —
+# view→click attribution within 15 minutes per user.
+# ---------------------------------------------------------------------------
+def stream_band_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.streaming.joins import stream_stream_join
+
+    ev = load(spark, sf_dir, "events")
+    imp = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("k"),
+        F.col("ts_ms").alias("event_time"),
+        F.col("event_id").alias("imp_id"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"),
+        F.col("ts_ms").alias("event_time"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = stream_stream_join(
+        imp, clk, key="k", watermark="30 minutes", band="15 minutes"
+    )
+    return out.select(
+        F.col("_lkey").alias("user_id"), "imp_id", "click_id"
+    )
+
+
+STREAM_BAND_JOIN_SQL = """
+SELECT a.user_id, a.event_id AS imp_id, b.event_id AS click_id
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'view' AND b.event_type = 'click'
+  AND epoch_ms(b.ts) >= epoch_ms(a.ts)
+  AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 900000
+"""
