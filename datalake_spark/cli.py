@@ -131,6 +131,10 @@ def build_parser() -> argparse.ArgumentParser:
                     default=1_000_000)
     mp.add_argument("--keep-versions", dest="keep_versions", type=int,
                     default=2, help="retained snapshots incl. current")
+    mp.add_argument("--if-over", dest="if_over", type=int, default=None,
+                    help="only compact when some partition exceeds this "
+                         "many files (cheap listing check; the streaming "
+                         "small-file guard)")
 
     vp = sub.add_parser("versions", help="list retained files-table versions")
     vp.add_argument("--keep-versions", dest="keep_versions", type=int,
@@ -219,7 +223,14 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
     )
 
     if args.command == "compact":
-        catalog.compact(target_file_rows=args.target_file_rows)
+        if args.if_over is not None:
+            ran = catalog.maybe_compact(
+                max_files_per_partition=args.if_over,
+                target_file_rows=args.target_file_rows,
+            )
+            print(f"compacted: {ran}", file=out)
+        else:
+            catalog.compact(target_file_rows=args.target_file_rows)
         for entry in catalog.table_versions():
             print(f"v{entry['version']} {entry['dir']}", file=out)
         return 0

@@ -146,3 +146,20 @@ def test_cli_translate(capsys):
     )
     assert rc == 0
     assert out.getvalue().strip() == "nginx:web01:123"
+
+
+class TestConditionalCompact:
+    def test_if_over_skips_then_runs(self, spark, catalog_dir):
+        for i in range(3):
+            rc, _ = _run(
+                spark,
+                ["push", "--what", "nginx", "--where", f"w{i}", "--path",
+                 "/var/log/nginx.log", "--start", "2015-01-01"],
+                catalog_dir,
+            )
+            assert rc == 0
+        # 3 appends -> 3 files in the partition; threshold 16 skips
+        rc, lines = _run(spark, ["compact", "--if-over", "16"], catalog_dir)
+        assert rc == 0 and lines[0] == "compacted: False"
+        rc, lines = _run(spark, ["compact", "--if-over", "2"], catalog_dir)
+        assert rc == 0 and lines[0] == "compacted: True"
