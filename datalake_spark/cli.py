@@ -54,6 +54,11 @@ def _evaluate_time(path: str | None, t: str | None):
     if t == "now":
         return int(_time.time() * 1000)
     if t == "crtime":
+        if path is None:
+            raise SystemExit(
+                "--start/--end crtime requires a local file path "
+                "(crtime is read from the file's inode)"
+            )
         from datalake_spark.crtime import get_crtime
 
         return int(get_crtime(path) * 1000)

@@ -424,6 +424,11 @@ def jpeg_decode(b: bytes) -> np.ndarray:
         if b[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < n and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = b[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2

@@ -40,10 +40,12 @@ def asof_join(
     assert direction in ("backward", "forward", "nearest")
     rcols = [c for c in right.columns if c not in by and c != on]
     on_t = right.schema[on].dataType.simpleString()
-    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_r", F.lit(None).cast(
-        "struct<_on:" + on_t + ","
-        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in rcols) + ">"
-    ))
+    _r_fields = ["_on:" + on_t] + [
+        f"{c}:{right.schema[c].dataType.simpleString()}" for c in rcols
+    ]
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast("struct<" + ",".join(_r_fields) + ">")
+    )
     r_tag = (
         right.withColumn("_side", F.lit(0))
         .withColumn("_r", F.struct(F.col(on).alias("_on"),

@@ -172,6 +172,11 @@ class Uploader(_QueueBase):
             # busy-loop the poison file
             self._failed[name] = mtime
             return False
+        # Upload failures (store/metadata append) are RETRYABLE: the bundle
+        # stays queued and is reattempted when its mtime changes.  Faults
+        # past this point (unlink, callback) are unexpected worker faults
+        # and propagate — in threaded listen they abort the whole call,
+        # mirroring the reference's fail-the-process stance.
         try:
             url = self._archive.store(meta, content)
             if self._catalog is not None:

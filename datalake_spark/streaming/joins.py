@@ -30,32 +30,38 @@ def stream_stream_join(
     watermark: str = "30 minutes",
     band: str = "15 minutes",
     how: str = "inner",
+    suffix: str = "_right",
 ) -> DataFrame:
     """Join two event streams on ``key`` where the right event lands within
     ``[left_time, left_time + band]`` — impression→click attribution.
 
     Both sides get the same ``watermark``; epoch-ms long time columns
-    become proper timestamps (`_lts`/`_rts` in the output).  Outer modes
-    emit the unmatched side once its watermark expires (Spark semantics).
-    Works identically on batch frames (unified API, watermarks ignored) —
-    which is what the oracle-checked batch twin relies on.
+    become proper timestamps (`_lts`/`_rts` in the output).  Right-side
+    payload columns that collide with a left-side name get ``suffix``
+    (as asof_join does), so name-based selection stays unambiguous.
+    Outer modes emit the unmatched side once its watermark expires (Spark
+    semantics).  Works identically on batch frames (unified API,
+    watermarks ignored) — which is what the oracle-checked batch twin
+    relies on.
     """
     if how not in ("inner", "left_outer", "right_outer", "full_outer"):
         raise ValueError(f"unsupported stream-stream join mode {how!r}")
+    l_payload = [c for c in left.columns if c not in (key, left_time)]
     l = (
         left.withColumn("_lts", F.timestamp_millis(F.col(left_time)))
         .withWatermark("_lts", watermark)
-        .select(
-            F.col(key).alias("_lkey"), "_lts",
-            *[c for c in left.columns if c not in (key, left_time)],
-        )
+        .select(F.col(key).alias("_lkey"), "_lts", *l_payload)
     )
+    taken = set(l_payload) | {key, left_time, "_lkey", "_lts"}
     r = (
         right.withColumn("_rts", F.timestamp_millis(F.col(right_time)))
         .withWatermark("_rts", watermark)
         .select(
             F.col(key).alias("_rkey"), "_rts",
-            *[c for c in right.columns if c not in (key, right_time)],
+            *[
+                F.col(c).alias(c + suffix) if c in taken else F.col(c)
+                for c in right.columns if c not in (key, right_time)
+            ],
         )
     )
     cond = (

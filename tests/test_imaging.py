@@ -439,6 +439,21 @@ class TestJpegCodec:
         sizes = [len(jpeg_encode(img, quality=q)) for q in (10, 50, 90)]
         assert sizes[0] < sizes[1] < sizes[2]
 
+    def test_fill_bytes_before_markers(self):
+        """T.81 B.1.1.2 allows runs of 0xFF fill bytes before any marker;
+        the scanner must skip them rather than read a segment length out
+        of the padding."""
+        from datalake_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+        img = self._gradient(24, 24)
+        b = jpeg_encode(img, quality=90)
+        # inject fill bytes before the DQT marker (FF DB)
+        i = b.index(b"\xff\xdb")
+        padded = b[:i] + b"\xff\xff\xff" + b[i:]
+        out = jpeg_decode(padded)
+        assert out.shape == img.shape
+        assert np.array_equal(out, jpeg_decode(b))
+
     def test_dims_sniff_agrees(self):
         from datalake_spark.functions.imaging import image_dims
         from datalake_spark.functions.jpeg import jpeg_encode

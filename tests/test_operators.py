@@ -236,6 +236,16 @@ class TestAsof:
         }
         assert out == {("u1", 100): "a", ("u1", 250): "b", ("u2", 50): None}
 
+    def test_asof_no_payload_right(self, spark):
+        """Degenerate right frame (only by+on columns): the null-struct cast
+        must be 'struct<_on:T>' with no trailing comma — the join then acts
+        as an existence probe (left rows pass through unchanged)."""
+        left = spark.createDataFrame([("u1", 100), ("u2", 50)], ["user", "ts"])
+        right = spark.createDataFrame([("u1", 90)], ["user", "ts"])
+        out = asof.asof_join(left, right, on="ts", by=["user"])
+        assert sorted(out.columns) == ["ts", "user"]
+        assert out.count() == 2
+
     def test_asof_forward(self, spark):
         left = spark.createDataFrame([("u1", 100)], ["user", "ts"])
         right = spark.createDataFrame(

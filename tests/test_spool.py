@@ -240,6 +240,17 @@ class TestCliVerbs:
         assert abs(meta["start"] - int(time.time() * 1000)) < 600_000
 
 
+    def test_push_crtime_without_path_is_clean_error(self, tmp_path):
+        """push --start crtime with no --path must die with a clear message,
+        not a TypeError from os.path.exists(None)."""
+        from datalake_spark.cli import run
+
+        with pytest.raises(SystemExit, match="crtime requires"):
+            run(["--catalog", str(tmp_path / "cat"), "push",
+                 "--what", "nginx", "--where", "w1", "--start", "crtime"],
+                spark=None, out=io.StringIO())
+
+
 class TestCrtime:
     def test_injectable_facility(self):
         assert get_crtime("/whatever", crtime_facility=lambda p: 1234.5) \
@@ -295,9 +306,11 @@ class TestThreadedUploader:
         assert up.listen(timeout=0.5, workers=3) == 1
         assert os.listdir(queue_dir) == ["junk.tar"]
 
-    def test_worker_error_fails_listen(self, queue_dir, tmp_path, payload):
-        """An unexpected archive failure fails the listen call (the
-        reference fails the whole process, queue.py:164-167)."""
+    def test_store_error_is_retryable(self, queue_dir, tmp_path, payload):
+        """Upload (store) failures are RETRYABLE: the bundle stays queued
+        and listen completes normally — it is reattempted when the bundle's
+        mtime changes (deliberate divergence from the reference's
+        fail-the-process stance for the store path; queue.py:164-167)."""
         Enqueuer(queue_dir).enqueue(payload, what="nginx", where="w1",
                                     start="2015-03-20")
 
@@ -306,9 +319,26 @@ class TestThreadedUploader:
                 raise RuntimeError("store blew up")
 
         up = Uploader(Exploding(), queue_dir)
-        # _push treats store failures as retryable (bundle stays queued)
         assert up.listen(timeout=0.2, workers=2) == 0
         assert len(os.listdir(queue_dir)) == 1
+
+    def test_worker_fault_fails_listen(self, queue_dir, tmp_path, payload):
+        """A fault PAST the upload (here: the post-upload callback) is an
+        unexpected worker fault and fails the whole listen call, mirroring
+        the reference's fail-the-process stance (queue.py:164-167)."""
+        Enqueuer(queue_dir).enqueue(payload, what="nginx", where="w1",
+                                    start="2015-03-20")
+
+        class OkStore:
+            def store(self, *a, **k):
+                return "file:///dev/null"
+
+        def bad_callback(path):
+            raise RuntimeError("callback blew up")
+
+        up = Uploader(OkStore(), queue_dir, callback=bad_callback)
+        with pytest.raises(RuntimeError, match="callback blew up"):
+            up.listen(timeout=2.0, workers=2)
 
 
 class TestPushFile:

@@ -559,3 +559,18 @@ class TestStreamJoins:
         got = {r["fid"]: r["category"]
                for r in spark.read.parquet(out).collect()}
         assert got == {"a": "web", "b": None}  # left join keeps unmatched
+
+    def test_band_join_suffixes_colliding_payload(self, spark):
+        """Both sides carrying a same-named payload column ('uid') must not
+        produce duplicate output columns; the right side gets _right (the
+        unified API lets the batch frames exercise the select logic)."""
+        from datalake_spark.streaming.joins import stream_stream_join
+
+        left = spark.createDataFrame(
+            [("nginx", 1000, "lu")], ["what", "event_time", "uid"])
+        right = spark.createDataFrame(
+            [("nginx", 2000, "ru")], ["what", "event_time", "uid"])
+        out = stream_stream_join(left, right, key="what", band="15 minutes")
+        assert out.columns.count("uid") == 1
+        row = out.collect()[0]
+        assert row["uid"] == "lu" and row["uid_right"] == "ru"
