@@ -180,7 +180,19 @@ def minhash_lsh_pairs(
     equivalence every round) while doing |buckets|×k² work instead of
     |shingle join| work.
     """
-    sig = _minhash_sig(df, text_col, id_col, num_hashes, band_rows, shingle_n)
+    # The sig frame feeds THREE subtrees (banding + both verify join
+    # sides).  Spark does NOT reuse the exchange across them — the r3 plan
+    # audit found 3× `Scan parquet` and zero ReusedExchange (column pruning
+    # gives each consumer a differently-pruned aggregate, so the subtrees
+    # never canonicalize equal) — so without a persist the corpus is
+    # scanned, shingled, and collect_list-aggregated three times.  Persist
+    # (memory-and-disk, ~8 bytes/token — smaller than the text it came
+    # from) turns that into one pass + two cache reads; recompute-on-loss
+    # keeps it safe on a real cluster, and LRU eviction bounds the
+    # footprint.  tests/test_plan_hygiene.py pins the single-scan shape.
+    sig = _minhash_sig(
+        df, text_col, id_col, num_hashes, band_rows, shingle_n
+    ).persist()
     banded = _minhash_banded(sig)
     # candidate pairs: same (band, bandhash) bucket; cap degenerate buckets
     buckets = banded.groupBy("_band", "_bh").agg(
@@ -200,10 +212,7 @@ def minhash_lsh_pairs(
     # side (the pairs), and at 100 TB it keeps shuffled joins — either way
     # the corpus-wide hash lists are never broadcast (the r1 form hinted
     # broadcast(sig) and would OOM the moment the corpus outgrew the
-    # driver).  No persist either: the three sig subtrees (banding + both
-    # join sides) materialize as independent parallel stages, which beats
-    # serializing them through a cache write at every scale where the
-    # cluster has idle slots — and recomputation is map-only work.
+    # driver).  Both join sides read the persisted sig (see above).
     # Shingle identity is its xxhash64; a false collision needs two distinct
     # shingles of one doc pair agreeing in 64 bits (P ≈ n²/2^64 per pair —
     # negligible against the gate's exact oracle).
@@ -343,9 +352,18 @@ def ngram_jaccard_pairs(
         )
         .withColumn("_h", F.xxhash64("_s"))
     )
+    # buckets (shingle-major posting lists) is the ONE materialization the
+    # whole operator derives from: pairs explode it, and sig is re-derived
+    # by exploding it back doc-major (legal because shingles() emits
+    # distinct shingles per doc).  Without the persist, Spark computes the
+    # scan+explode subtree three times (r3 plan audit: 3× `Scan parquet`,
+    # zero ReusedExchange); with it, one pass + cache reads.  Size ≈ one
+    # (long, id) per doc-shingle — the same order as sh_flat itself; disk
+    # spill + LRU eviction bound the footprint, recompute-on-loss keeps it
+    # cluster-safe.  tests/test_plan_hygiene.py pins the single-scan shape.
     buckets = sh_flat.groupBy("_h").agg(
         F.sort_array(F.collect_list("_id")).alias("_ids")
-    )
+    ).persist()
     pairs = (
         buckets.filter((F.size("_ids") > 1) & (F.size("_ids") <= max_df))
         .select(F.explode(F.expr(
@@ -354,8 +372,16 @@ def ngram_jaccard_pairs(
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
-    sig = sh_flat.groupBy("_id").agg(
-        F.collect_list("_h").alias("_hps"), F.count(F.lit(1)).alias("_n_sh")
+    # sig feeds both verify join sides — persisted so the doc-major
+    # regroup shuffle happens once, not per side
+    sig = (
+        buckets.select(F.col("_h"), F.explode("_ids").alias("_id"))
+        .groupBy("_id")
+        .agg(
+            F.collect_list("_h").alias("_hps"),
+            F.count(F.lit(1)).alias("_n_sh"),
+        )
+        .persist()
     )
     sa = sig.select(
         F.col("_id").alias("doc_a"),

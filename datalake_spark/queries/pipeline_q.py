@@ -147,9 +147,20 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.repartition(par, "doc_id").select(
         "doc_id", F.explode(shingles).alias("shingle")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # One materialization for the whole operator: pairs explode the
+    # persisted posting lists, and per-doc sizes are re-derived from them
+    # (shingles are distinct per doc).  Without the persist, each broadcast
+    # side and the bucket pass recomputes scan+explode (3× `Scan parquet`,
+    # no ReusedExchange — the repartition leaves groupBy exchange-free, so
+    # there is no exchange to reuse).
     buckets = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
+    ).persist()
+    sizes = (
+        buckets.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .persist()  # tiny (one row per doc); read by both broadcast sides
     )
     common = (
         buckets.filter(F.size("ids") > 1)

@@ -59,6 +59,56 @@ def test_no_cartesian_products_or_single_partition_sorts(spark):
     assert not offenders, f"plan hazards: {offenders}"
 
 
+def test_near_dup_sig_frames_are_persisted_single_pass(spark):
+    """The r3 plan audit found the MinHash/ngram sig subtrees execute 3×
+    (zero ReusedExchange: column pruning de-canonicalizes the consumers,
+    and the id-repartition leaves the groupBy exchange-free, so there is
+    nothing for ReuseExchange to match).  The fix persists the shared
+    frame; this pins that every consumer reads the cache — the physical
+    plan must carry cached-relation reads and, outside the cached relation
+    itself, no repeated parquet scan.
+    """
+    from datalake_spark.queries import registry
+
+    def leaf_names(jplan):
+        out = []
+        stack = [jplan]
+        while stack:
+            n = stack.pop()
+            cs = n.children()
+            if cs.isEmpty():
+                out.append(n.nodeName())
+            else:
+                for i in range(cs.size()):
+                    stack.append(cs.apply(i))
+        return out
+
+    spark.catalog.clearCache()
+    qs = {q.name: q.build for q in registry()}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("minhash_lsh_dedup", "ngram_jaccard"):
+            df = qs[name](spark, SF_DIR)
+            # AQE off -> executedPlan is the final static SparkPlan; the
+            # cached relation's subtree is NOT part of this tree, so a
+            # FileScan leaf means a consumer re-derived the corpus instead
+            # of reading the cache
+            leaves = leaf_names(df._jdf.queryExecution().executedPlan())
+            cache_reads = sum(
+                1 for n in leaves if "InMemoryTableScan" in n
+            )
+            file_scans = [n for n in leaves if "Scan parquet" in n]
+            # >= 2 cache reads (a ReusedExchange leaf may stand in for a
+            # third consumer — e.g. ngram's sa/sb broadcasts of the cached
+            # sizes frame canonicalize equal and genuinely reuse); the hard
+            # invariant is ZERO parquet-scan leaves
+            assert cache_reads >= 2, (name, leaves)
+            assert not file_scans, (name, leaves)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.catalog.clearCache()
+
+
 def test_surface_is_fully_registered(spark):
     """Every battery sub keeps both a Spark build and an oracle, and the
     flat registry holds exactly the 50 driver-gated slots."""
