@@ -1,8 +1,19 @@
 """Benchmark the declared query surface at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+Prints TWO JSON lines:
+  1. compact   {"metric", "value", "unit", "sf", "canary_sec"} — short
+     enough that a bounded tail capture always parses the headline number
+     (the r3 detailed line overflowed the driver's capture window)
+  2. detailed  adds per-query timings, the extras, and the anchor ratios
+
+Noise control: a fixed-work CPU canary (100M-row xxhash64 aggregate —
+constant work regardless of SF or code under test) is timed min-of-3 at
+run start and again at run end.  `canary_sec` vs `CANARY_REF_SEC` (pinned
+on an idle r4 machine) measures co-tenant load during the run, and
+`vs_anchor_r1_normalized` divides the raw ratios by that factor — the r3
+round lost ~40% uniformly to sandbox co-tenants and the artifact could
+not prove it.
 
 Each query is materialized through the noop sink so every output column is
 computed (a bare .count() would let Catalyst prune the interesting work).
@@ -83,6 +94,32 @@ ANCHOR_SF01 = {
 }
 
 
+# Idle-machine min-of-3 canary time, pinned r4 (local[32]).  The canary is
+# CONSTANT WORK — co-tenant load shows up as canary_sec / CANARY_REF_SEC > 1.
+CANARY_REF_SEC = 0.25
+
+
+def _canary(spark) -> float:
+    """Fixed-work CPU probe: 100M xxhash64-of-string rows, map-side agg.
+    No table reads, no shuffle — measures available CPU, nothing else."""
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(0, 100_000_000, 1, 32)
+            .select(
+                (F.xxhash64(F.col("id").cast("string")) % 1000000).alias("h")
+            )
+            .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -113,6 +150,7 @@ def main() -> None:
     spark.range(10000).repartition(64).select(_warm("id")).write.mode(
         "overwrite"
     ).format("noop").save()
+    canary_start = _canary(spark)
     qs = {q.name: q.build for q in registry()}
     # battery-folded sub-queries stay benchable in their raw form (the
     # digest fold is gate plumbing, not the operator under test)
@@ -128,6 +166,10 @@ def main() -> None:
     for _pass in range(2):
         for name in HEADLINE:
             build = qs[name]
+            # the near-dup queries persist() their sig frames; drop those
+            # caches so every timed run pays the one-pass materialization
+            # the anchor paid (pass 2 would otherwise read pass 1's cache)
+            spark.catalog.clearCache()
             t0 = time.time()
             df = build(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
@@ -146,41 +188,60 @@ def main() -> None:
     for name in extras:
         if name not in qs:
             continue
+        spark.catalog.clearCache()
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         extra_timings[name] = round(time.time() - t0, 3)
-    out = {
+    canary_end = _canary(spark)
+    # load factor > 1 means the machine was slower than the idle reference
+    # during this run; ratios are normalized by it below.  Mean of the two
+    # probes: max would overstate load and mask real regressions, min
+    # would understate it and re-flag noise.
+    load = round(
+        (canary_start + canary_end) / 2 / CANARY_REF_SEC, 2
+    )
+    compact = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "extra_queries": extra_timings,
         "sf": sf,
+        "canary_sec": [canary_start, canary_end],
+        "canary_ref_sec": CANARY_REF_SEC,
+        "canary_load_factor": load,
     }
+    # line 1: always parseable under a bounded tail capture
+    print(json.dumps(compact))
+    out = dict(compact)
+    out["queries"] = timings
+    out["extra_queries"] = extra_timings
     if abs(sf - 0.1) < 1e-9:
         anchor = ANCHOR_SF01["queries"]
         out["anchor_total_r1"] = ANCHOR_SF01["total"]
-        out["anchor_note"] = (
-            "r1 anchor was single-pass; r2+ values are min-of-2 passes, so "
-            "sub-1.0 ratios partly reflect the lower-noise estimator"
-        )
-        out["warmup_note"] = (
-            "r3+: untimed warmup runs a q1-shaped decimal hash-aggregate, "
-            "so q1 no longer carries first-query codegen compilation"
-        )
         out["vs_anchor_r1"] = {
             n: round(t / anchor[n], 2) for n, t in timings.items() if n in anchor
+        }
+        # raw flags, then the canary-normalized view: a query is only a
+        # real regression if it is slow AFTER dividing out machine load
+        out["vs_anchor_r1_normalized"] = {
+            n: round(r / max(load, 1.0), 2)
+            for n, r in out["vs_anchor_r1"].items()
         }
         out["flagged_over_1p3x"] = sorted(
             n for n, r in out["vs_anchor_r1"].items() if r > 1.3
         )
-        if "ann_srp_topk" in out["flagged_over_1p3x"]:
-            out["flag_note"] = (
-                "ann_srp_topk computes an in-plan brute-force recall "
-                "verdict since r2 (its driver-green oracle); the r1 anchor "
-                "measured the candidate path alone, so its ratio compares "
-                "different work (adjudicated in VERDICT r2)"
-            )
+        out["flagged_over_1p3x_normalized"] = sorted(
+            n
+            for n, r in out["vs_anchor_r1_normalized"].items()
+            if r > 1.3
+        )
+        # standing adjudications (see BASELINE.md): these two deliberately
+        # do more work than their r1 anchors measured
+        out["adjudicated"] = {
+            "ann_srp_topk": "in-plan brute-force recall verdict since r2",
+            "simhash_pairs": "md5-portable hash + exact hamming gate since r3",
+        }
+    # line 2: full detail (may exceed a bounded tail capture; line 1 is
+    # the contract)
     print(json.dumps(out))
 
 
