@@ -171,6 +171,58 @@ def decode_image(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+PIXEL_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("px", T.IntegerType(), True),
+        T.StructField("cnt", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def pixel_histogram(media: DataFrame, batch_rows: int = 128) -> DataFrame:
+    """Per-image pixel-value histogram: one (media_id, px, cnt) row per
+    distinct 0..255 value across all channels of the decoded image.
+
+    The corpus-QA primitive behind blank/over-dark/clipped-image detection
+    (a blank page is one dominant bin; a clipped photo has mass at 0/255)
+    — and the value-exact surface the JPEG codec gate checks through.
+    Decode errors yield a single (px=NULL, cnt=NULL, decode_error) row so a
+    corrupt blob never kills the stage.  Arrow-batched; np.bincount per
+    image, ≤256 output rows per image regardless of pixel count.
+    """
+    import numpy as np
+
+    from datalake_spark.functions.imaging import UnsupportedMedia, decode_pixels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                out: dict[str, list] = {
+                    "media_id": [], "px": [], "cnt": [], "decode_error": [],
+                }
+                for mid, content in zip(chunk["media_id"], chunk["content"]):
+                    try:
+                        pix = decode_pixels(bytes(content or b""))
+                    except UnsupportedMedia as e:
+                        out["media_id"].append(mid)
+                        out["px"].append(None)
+                        out["cnt"].append(None)
+                        out["decode_error"].append(str(e))
+                        continue
+                    hist = np.bincount(pix.ravel(), minlength=256)
+                    for v in np.nonzero(hist)[0]:
+                        out["media_id"].append(mid)
+                        out["px"].append(int(v))
+                        out["cnt"].append(int(hist[v]))
+                        out["decode_error"].append(None)
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=PIXEL_HIST_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),

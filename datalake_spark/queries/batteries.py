@@ -303,6 +303,8 @@ def _mk() -> list[Q]:
         Sub(q(ops, "jpeg_roundtrip", "jpeg_roundtrip", "JPEG_ROUNDTRIP_SQL"),
             {"doc_id": "v", "width": "v", "height": "v", "channels": "v",
              "mean_px": "d", "px_std": "d", "px_grad": "d"}),
+        Sub(q(ops, "jpeg_gradient", "jpeg_gradient", "JPEG_GRADIENT_SQL"),
+            {"doc_id": "v", "px": "v", "cnt": "v"}),
         Sub(q(ops, "audio_roundtrip", "audio_roundtrip", "AUDIO_ROUNDTRIP_SQL"),
             {"doc_id": "v", "channels": "v", "sample_rate": "v",
              "duration_ms": "v", "rms": "d", "peak": "d", "zcr": "d"}),

@@ -524,6 +524,115 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# AC + 4:2:0 gate for the JPEG codec — the flat member above only drives
+# the DC path.  Each doc gets a 16×16 gray RGB image of four 8×8 blocks;
+# block bi carries v(x) = m + t·σ_x with σ = [+,-,-,+,+,-,-,+], the SIGN
+# PATTERN of the u=4 DCT basis (cos((2x+1)π/4) = σ_x·√2/2).  That choice
+# is what keeps a lossy codec value-exact in a cross-engine gate: the only
+# nonzero coefficients are F(0,0) = 8(m−128) and F(4,0) = 8t EXACTLY (the
+# √2s cancel; a literal ramp would smear irrational mass over every
+# frequency and admit no closed form).  With q00=3, q40=5 at quality 90:
+#     kd = ⌊8(m−128)/3 + ½⌋,  ka = ⌊8t/5 + ½⌋      (encoder quantize)
+#     p(σ) = clamp ⌊128 + (3·kd + 5·σ·ka)/8 + ½⌋   (decoder pixel)
+# Exercised paths the flat member never touches: AC zigzag run-length
+# (run=13 to scan position 14), AC Huffman + EXTEND, per-block DC
+# prediction diffs, 2×2-luma MCUs, chroma box-average + upsample (gray
+# input ⇒ both chroma planes quantize to exactly 128, so RGB = Y).
+# Exclusions: (3kd ± 5ka) ≡ 4 (mod 8) sits ON the ⌊x+½⌋ pixel boundary
+# where float-DCT noise could flip — dropped (same discipline as the flat
+# member; quantizer boundaries are unreachable: 16Δ+3 is odd, 6 even, and
+# 16t+5 is odd, 10 even).  The check surface is the full per-image pixel
+# HISTOGRAM via the production pixel_histogram operator — no float stats,
+# pure integer multiset equality per document, every round.
+# ---------------------------------------------------------------------------
+_JPEG_SIGMA = (1, -1, -1, 1, 1, -1, -1, 1)
+
+
+def _jpeg_gradient_expectation() -> tuple[list[tuple[int, int]], list[int], list[int]]:
+    import math
+    from fractions import Fraction
+
+    q00, q40 = 3, 5  # _scaled_qt(_QT_LUMA, 90) raster entries 0 and 4
+    pairs, p_pos, p_neg = [], [], []
+    for m in range(92, 165, 4):
+        for t in (3, 4, 6, 7, 9, 11, 14, 17):
+            kd = math.floor(Fraction(8 * (m - 128), q00) + Fraction(1, 2))
+            ka = math.floor(Fraction(8 * t, q40) + Fraction(1, 2))
+            if (kd * q00 + ka * q40) % 8 == 4 or (kd * q00 - ka * q40) % 8 == 4:
+                continue
+            pp = math.floor(Fraction(kd * q00 + ka * q40, 8) + 128 + Fraction(1, 2))
+            pn = math.floor(Fraction(kd * q00 - ka * q40, 8) + 128 + Fraction(1, 2))
+            pairs.append((m, t))
+            p_pos.append(min(255, max(0, pp)))
+            p_neg.append(min(255, max(0, pn)))
+    return pairs, p_pos, p_neg
+
+
+_JPEG_GRAD_PAIRS, _JPEG_GRAD_PPOS, _JPEG_GRAD_PNEG = _jpeg_gradient_expectation()
+
+
+def jpeg_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from datalake_spark.functions.jpeg import jpeg_encode
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = _JPEG_GRAD_PAIRS
+    sigma = np.array(_JPEG_SIGMA, dtype=np.int64)
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            content = []
+            for d in ids:
+                img = np.zeros((16, 16), dtype=np.uint8)
+                for bi in range(4):
+                    m, t = pairs[(int(d) * 4 + bi) % len(pairs)]
+                    row = (m + t * sigma).astype(np.uint8)
+                    by, bx = (bi // 2) * 8, (bi % 2) * 8
+                    img[by:by + 8, bx:bx + 8] = row[None, :]
+                rgb = np.stack([img, img, img], axis=2)
+                content.append(jpeg_encode(rgb, quality=90, subsample=True))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.astype(str),
+                    "modality": "image",
+                    "content": content,
+                    "mime": None,
+                    "width": None,
+                    "height": None,
+                    "duration_ms": None,
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema=mm_ops.MEDIA_SCHEMA)
+    hist = mm_ops.pixel_histogram(media)
+    return hist.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "px",
+        "cnt",
+    )
+
+
+JPEG_GRADIENT_SQL = f"""
+WITH b AS (
+  SELECT doc_id, CAST((doc_id * 4 + bi.i) % {len(_JPEG_GRAD_PAIRS)} AS INTEGER) AS idx
+  FROM documents, UNNEST([0, 1, 2, 3]) AS bi(i)),
+v AS (
+  SELECT doc_id,
+         list_extract([{", ".join(str(p) for p in _JPEG_GRAD_PPOS)}], idx + 1) AS px
+  FROM b
+  UNION ALL
+  SELECT doc_id,
+         list_extract([{", ".join(str(p) for p in _JPEG_GRAD_PNEG)}], idx + 1) AS px
+  FROM b)
+SELECT doc_id, CAST(px AS INTEGER) AS px, CAST(96 * COUNT(*) AS BIGINT) AS cnt
+FROM v GROUP BY doc_id, px
+"""
+
+
+# ---------------------------------------------------------------------------
 # Real-codec gate for audio: synthesize a constant-amplitude 16-bit PCM WAV
 # per doc (amplitude k·4096, k = doc_id%7+1; n samples = 800 + doc_id%5·80),
 # run the production audio_features operator, emit the decoded fields.  For

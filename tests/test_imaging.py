@@ -439,6 +439,62 @@ class TestJpegCodec:
         sizes = [len(jpeg_encode(img, quality=q)) for q in (10, 50, 90)]
         assert sizes[0] < sizes[1] < sizes[2]
 
+    def test_gradient_model_matches_codec_all_pairs(self):
+        """The jpeg_gradient gate's integer model (queries/ops_q.py) must
+        agree with the real codec for EVERY (m, t) pair it bakes into the
+        oracle: a 16x16 gray RGB image whose four blocks carry the u=4
+        basis sign pattern reconstructs to exactly {p_pos x96, p_neg x96}
+        per block at quality 90, 4:2:0."""
+        from datalake_spark.functions.jpeg import jpeg_decode, jpeg_encode
+        from datalake_spark.queries.ops_q import (
+            _JPEG_GRAD_PAIRS,
+            _JPEG_GRAD_PNEG,
+            _JPEG_GRAD_PPOS,
+            _JPEG_SIGMA,
+        )
+
+        sigma = np.array(_JPEG_SIGMA, dtype=np.int64)
+        assert len(_JPEG_GRAD_PAIRS) > 100  # exclusions must not gut the set
+        for (m, t), pp, pn in zip(
+            _JPEG_GRAD_PAIRS, _JPEG_GRAD_PPOS, _JPEG_GRAD_PNEG
+        ):
+            row = (m + t * sigma).astype(np.uint8)
+            img = np.tile(row[None, :], (16, 2))
+            rgb = np.stack([img, img, img], axis=2)
+            out = jpeg_decode(jpeg_encode(rgb, quality=90, subsample=True))
+            hist = np.bincount(out.ravel(), minlength=256)
+            got = {int(v): int(hist[v]) for v in np.nonzero(hist)[0]}
+            want = {pp: 384, pn: 384} if pp != pn else {pp: 768}
+            assert got == want, (m, t, got, want)
+
+    def test_gradient_mixed_blocks_histogram(self):
+        """Four DIFFERENT (m, t) blocks in one image: per-block DC
+        prediction diffs and the shared chroma block must not perturb the
+        per-block expectations."""
+        from datalake_spark.functions.jpeg import jpeg_decode, jpeg_encode
+        from datalake_spark.queries.ops_q import (
+            _JPEG_GRAD_PAIRS,
+            _JPEG_GRAD_PNEG,
+            _JPEG_GRAD_PPOS,
+            _JPEG_SIGMA,
+        )
+
+        sigma = np.array(_JPEG_SIGMA, dtype=np.int64)
+        img = np.zeros((16, 16), dtype=np.uint8)
+        want: dict[int, int] = {}
+        for bi, idx in enumerate([0, 17, 44, 101]):
+            m, t = _JPEG_GRAD_PAIRS[idx]
+            row = (m + t * sigma).astype(np.uint8)
+            by, bx = (bi // 2) * 8, (bi % 2) * 8
+            img[by:by + 8, bx:bx + 8] = row[None, :]
+            for p in (_JPEG_GRAD_PPOS[idx], _JPEG_GRAD_PNEG[idx]):
+                want[p] = want.get(p, 0) + 96
+        rgb = np.stack([img, img, img], axis=2)
+        out = jpeg_decode(jpeg_encode(rgb, quality=90, subsample=True))
+        hist = np.bincount(out.ravel(), minlength=256)
+        got = {int(v): int(hist[v]) for v in np.nonzero(hist)[0]}
+        assert got == want
+
     def test_fill_bytes_before_markers(self):
         """T.81 B.1.1.2 allows runs of 0xFF fill bytes before any marker;
         the scanner must skip them rather than read a segment length out

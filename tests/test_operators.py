@@ -389,6 +389,28 @@ class TestMultimodal:
         assert len(out["m1"]["feature"]) == 4
         assert out["m3"]["n_bytes"] == 0
 
+    def test_pixel_histogram(self, spark):
+        """Counts match the image content; a corrupt blob yields one
+        error row instead of killing the stage."""
+        import numpy as np
+
+        from datalake_spark.functions.imaging import png_encode
+        from datalake_spark.operators.multimodal import pixel_histogram
+
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        img[:2] = 7  # 24 pixels of 7, 24 of 0
+        rows = [
+            ("ok", "image", bytearray(png_encode(img)), None, None, None, None),
+            ("bad", "image", bytearray(b"\x00garbage"), None, None, None, None),
+        ]
+        media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+        got = pixel_histogram(media).collect()
+        ok = {(r["px"], r["cnt"]) for r in got if r["media_id"] == "ok"}
+        assert ok == {(0, 24), (7, 24)}
+        bad = [r for r in got if r["media_id"] == "bad"]
+        assert len(bad) == 1 and bad[0]["decode_error"] is not None
+        assert bad[0]["px"] is None
+
     def test_decode_image_no_longer_needs_pil(self, spark):
         """decode_image is now the real stdlib header decoder (see
         tests/test_imaging.py for its coverage); an empty frame plans and
