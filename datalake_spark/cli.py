@@ -160,6 +160,13 @@ def build_parser() -> argparse.ArgumentParser:
     up.add_argument("--workers", type=int, default=1)
     up.add_argument("--queue-dir", dest="queue_dir", default=None)
     up.add_argument("--storage-url", dest="storage_url", default=None)
+
+    sp = sub.add_parser("serve", help="serve the reference's HTTP API "
+                                      "(files/latest/health) over the "
+                                      "query engine")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8080)
+    sp.add_argument("--storage-url", dest="storage_url", default=None)
     return p
 
 
@@ -315,6 +322,23 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
                 "work_id": args.work_id,
             }
         )
+    if args.command == "serve":
+        from datalake_spark.archive import Archive
+        from datalake_spark.http_api import DatalakeHttpApp, serve
+
+        storage = args.storage_url or _env_default("storage_url")
+        archive = Archive(storage) if storage else None
+        app = DatalakeHttpApp(
+            QueryEngine(catalog.files(), latest_table=catalog.latest_table()),
+            archive=archive,
+            storage_url=storage,
+        )
+        server = serve(app, host=args.host, port=args.port)
+        print(f"Serving on http://{server.server_address[0]}:"
+              f"{server.server_address[1]}", file=out)
+        server.serve_forever()
+        return 0
+
     engine = QueryEngine(catalog.files(), latest_table=catalog.latest_table())
     fmt = _FORMATTERS[args.format]
     if args.command == "list":
