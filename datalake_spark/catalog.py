@@ -277,6 +277,14 @@ class Catalog:
         try:
             (
                 with_bucket_date(df)
+                # co-locate each (what, bucket_date) on one task before the
+                # partitioned write: an N-task input would otherwise fan out
+                # to N files per touched partition and leave maybe_compact
+                # to repair the fragmentation after the fact.  Metadata rows
+                # are small, so one file per partition per append is the
+                # right grain; a single giant partition would be a data
+                # problem, not a metadata one.
+                .repartition(F.col("what"), F.col("bucket_date"))
                 # sort within partitions so parquet row-group stats make
                 # work_id and id lookups skippable without an index
                 .sortWithinPartitions("work_id", "id")
@@ -291,20 +299,34 @@ class Catalog:
                 except FileNotFoundError:
                     pass
 
-    def refresh_latest(self) -> None:
-        """Recompute the latest table: top-1 per (what, where) by
+    def refresh_latest(self, new_rows: DataFrame | None = None) -> None:
+        """Maintain the latest table: top-1 per (what, where) by
         (start, create_time) — the reference's conditional-upsert invariant
         'replace iff new.start >= existing.start', ties won by the newer write
         (storage.py:82, ingester/tests/test_storage.py:154+).
 
-        Batch analog of the streaming MERGE in streaming/ingest.py.
+        With ``new_rows`` (the rows just appended) and an existing latest
+        table, this is an incremental MERGE: union the one-row-per-key
+        latest table with the batch and re-take the top-1 — no full files
+        scan, mirroring the reference's per-file conditional put.  Without
+        it (or on first call), recompute from the full files table.  The
+        streaming micro-batch path delegates here per batch.
         """
-        files = self.files()
+        cols = [f.name for f in FILES_SCHEMA.fields]
+        existing = self.latest_table() if new_rows is not None else None
+        if existing is not None:
+            src = existing.select(*cols).unionByName(new_rows.select(*cols))
+        elif new_rows is not None and not os.path.isdir(self._files_dir()):
+            # first merge on a catalog with no files table yet (streaming
+            # writers merge latest before/independently of the files append)
+            src = new_rows.select(*cols)
+        else:
+            src = self.files()
         latest = (
-            files.groupBy("what", "where")
+            src.groupBy("what", "where")
             .agg(
                 F.max_by(
-                    F.struct(*[f.name for f in FILES_SCHEMA.fields]),
+                    F.struct(*cols),
                     F.struct(F.col("start"), F.col("create_time")),
                 ).alias("r")
             )

@@ -59,23 +59,9 @@ def _merge_latest(spark: SparkSession, catalog: Catalog, batch_files: DataFrame)
     The table is tiny (one row per what×where); the new version is committed
     via the catalog's manifest protocol (write-new-directory + atomic
     manifest flip — no in-place overwrite, no _tmp double-write, safe on
-    object storage)."""
-    existing = catalog.latest_table()
-    cols = [f.name for f in FILES_SCHEMA.fields]
-    fresh = batch_files.select(*cols)
-    if existing is not None:
-        fresh = existing.select(*cols).unionByName(fresh)
-    latest = (
-        fresh.groupBy("what", "where")
-        .agg(
-            F.max_by(F.struct(*cols), F.struct("start", "create_time")).alias("r")
-        )
-        .select(
-            F.concat_ws(":", F.col("what"), F.col("where")).alias("what_where_key"),
-            F.col("r.*"),
-        )
-    )
-    catalog.write_latest(latest)
+    object storage).  Delegates to Catalog.refresh_latest(new_rows=...),
+    the shared incremental MERGE for both batch and streaming writers."""
+    catalog.refresh_latest(new_rows=batch_files)
 
 
 class StreamingIngester:

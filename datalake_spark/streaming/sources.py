@@ -62,12 +62,19 @@ def event_stream(
                 "spark-sql-kafka-0-10_2.13:<spark-version>); the event "
                 f"envelope itself is transport-agnostic ({e})"
             )
-        return raw.select(
-            F.from_json(F.col("value").cast("string"), INGEST_EVENT_SCHEMA).alias(
-                "e"
-            )
-        ).select("e.*")
+        return parse_event_envelope(raw)
     raise ValueError(f"unknown event source {source!r}")
+
+
+def parse_event_envelope(raw: DataFrame) -> DataFrame:
+    """Project a Kafka-shaped frame (binary/string ``value`` column holding
+    one JSON event) onto INGEST_EVENT_SCHEMA.  Split out from the kafka
+    branch so the parse contract is testable on a static DataFrame without
+    the connector jar (tests/test_streaming.py pins it against the
+    landing-dir JSON read of the same bytes)."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), INGEST_EVENT_SCHEMA).alias("e")
+    ).select("e.*")
 
 
 def _rate_to_events(rate: DataFrame) -> DataFrame:

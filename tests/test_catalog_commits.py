@@ -284,3 +284,61 @@ class TestLatestCommit:
         cat.append(make_files_df(spark, _rows(0)))
         cat.refresh_latest()
         assert cat.latest_table().count() == 1
+
+    def test_incremental_refresh_matches_full_recompute(self, spark, tmp_path):
+        """refresh_latest(new_rows=...) merges against the current latest
+        table instead of rescanning files, and lands on the same result."""
+        cat = Catalog(spark, str(tmp_path))
+        batch0 = make_files_df(
+            spark,
+            [{"id": "a0", "what": "nginx", "where": "h1",
+              "start": T0, "end": None},
+             {"id": "b0", "what": "nginx", "where": "h2",
+              "start": T0, "end": None}],
+        )
+        cat.append(batch0)
+        cat.refresh_latest()
+        # batch1: newer for h1, OLDER for h2 (must not replace), new key h3
+        batch1 = make_files_df(
+            spark,
+            [{"id": "a1", "what": "nginx", "where": "h1",
+              "start": T0 + DAY_MS, "end": None},
+             {"id": "b1", "what": "nginx", "where": "h2",
+              "start": T0 - DAY_MS, "end": None},
+             {"id": "c1", "what": "nginx", "where": "h3",
+              "start": T0, "end": None}],
+        )
+        cat.append(batch1)
+        cat.refresh_latest(new_rows=batch1)
+        inc = {r["where"]: r["id"] for r in cat.latest_table().collect()}
+        assert inc == {"h1": "a1", "h2": "b0", "h3": "c1"}
+        # full recompute agrees
+        cat.refresh_latest()
+        full = {r["where"]: r["id"] for r in cat.latest_table().collect()}
+        assert full == inc
+
+    def test_incremental_refresh_skips_files_scan(self, spark, tmp_path):
+        """The incremental plan reads the latest-table version dir, never
+        the files table — no full-catalog scan per merge."""
+        cat = Catalog(spark, str(tmp_path))
+        cat.append(make_files_df(spark, _rows(0)))
+        cat.refresh_latest()
+        new = self._latest_df(spark, cat, T0 + 5 * DAY_MS)
+        cols = [f.name for f in cat.latest_table().schema.fields
+                if f.name != "what_where_key"]
+        merged = cat.latest_table().select(*cols).unionByName(new.select(*cols))
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert f"{os.sep}files" not in plan
+
+
+class TestAppendFragmentation:
+    def test_one_file_per_partition_per_append(self, spark, tmp_path):
+        """append repartitions by (what, bucket_date) pre-write, so a
+        many-task input writes one file per touched partition, not one
+        per input task."""
+        cat = Catalog(spark, str(tmp_path))
+        # 64 input tasks, 3 distinct bucket_dates
+        df = make_files_df(spark, _rows(0, n=64)).repartition(64)
+        cat.append(df)
+        files = glob.glob(f"{tmp_path}/files/**/*.parquet", recursive=True)
+        assert len(files) == 3

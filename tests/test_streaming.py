@@ -187,6 +187,38 @@ class TestIngest:
                 for f in INGEST_EVENT_SCHEMA["metadata"].dataType.fields]
         assert got == want
 
+    def test_kafka_envelope_matches_landing_dir_parse(self, spark, tmp_path):
+        """The kafka value-envelope projection over a static DataFrame must
+        equal the landing-dir JSON read of the same bytes — pins the
+        from_json contract without the connector jar."""
+        from datalake_spark.streaming.sources import parse_event_envelope
+
+        events = [
+            event("k1"),
+            event("k2", what="syslog", where="h9", end=1420070500000),
+            event("k3", name="ObjectCreated:Copy", size=0),
+        ]
+        # kafka-shaped frame: binary value column, one JSON event per row
+        kafka_like = spark.createDataFrame(
+            [(json.dumps(e).encode(),) for e in events], "value binary"
+        )
+        parsed = parse_event_envelope(kafka_like)
+        landing = str(tmp_path / "landing")
+        write_events(landing, events, "b.json")
+        from datalake_spark.schema import INGEST_EVENT_SCHEMA
+        ref = spark.read.schema(INGEST_EVENT_SCHEMA).json(landing)
+        assert parsed.schema == ref.schema
+        key = lambda r: r["file_id"]
+        assert sorted(parsed.collect(), key=key) == sorted(ref.collect(), key=key)
+
+    def test_kafka_envelope_malformed_value_yields_nulls(self, spark):
+        from datalake_spark.streaming.sources import parse_event_envelope
+
+        bad = spark.createDataFrame([(b"{not json",), (b"",)], "value binary")
+        rows = parse_event_envelope(bad).collect()
+        assert len(rows) == 2
+        assert all(r["file_id"] is None for r in rows)
+
     def test_unknown_source_and_missing_args(self, spark):
         from datalake_spark.streaming.sources import event_stream
 
