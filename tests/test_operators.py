@@ -530,6 +530,86 @@ class TestMultimodalResizeFrames:
         assert bad["frame_idx"] == -1 and bad["frame"] is None
         assert "av gate" in bad["frame_error"]
 
+    def test_av_branch_sampling_loop(self, spark, monkeypatch):
+        """Pin the mp4/webm av-branch logic (timeline sampling, max_frames
+        cap, rgb24 ndarray → PNG) with a stub av module, so the branch
+        doesn't bit-rot while the real lib is absent from this container."""
+        import numpy as np
+
+        from datalake_spark.functions.imaging import png_decode
+        from datalake_spark.operators import multimodal as mm
+
+        class FakeFrame:
+            def __init__(self, t, gray):
+                self.time = t
+                self._gray = gray
+
+            def to_ndarray(self, format):
+                assert format == "rgb24"
+                return np.full((2, 2, 3), self._gray, np.uint8)
+
+        class FakeContainer:
+            # 10 fps clip, 30 frames, gray value == frame index
+            class streams:
+                video = [object()]
+
+            def decode(self, stream):
+                for i in range(30):
+                    yield FakeFrame(i / 10.0, i)
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        class FakeAv:
+            @staticmethod
+            def open(buf):
+                return FakeContainer()
+
+        monkeypatch.setattr(mm, "_av", FakeAv, raising=False)
+        monkeypatch.setattr(mm, "_HAS_AV", True)
+        out = mm._real_frames(b"\x00\x00\x00\x18ftypmp42", every_ms=500, max_frames=4)
+        # 10fps sampled every 500ms -> frames 0,5,10,15 at ts 0,500,1000,1500
+        assert [ts for ts, _ in out] == [0, 500, 1000, 1500]
+        assert [int(png_decode(png).mean()) for _, png in out] == [0, 5, 10, 15]
+
+    @pytest.mark.skipif(
+        not __import__("datalake_spark.operators.multimodal", fromlist=["_HAS_AV"])._HAS_AV,
+        reason="optional av library not installed",
+    )
+    def test_real_mp4_frames_via_av(self, spark, tmp_path):
+        """With av present: encode a tiny mp4 and sample real frames."""
+        import av
+        import numpy as np
+
+        from datalake_spark.functions.imaging import png_decode
+        from datalake_spark.operators.multimodal import sample_frames
+
+        path = str(tmp_path / "clip.mp4")
+        with av.open(path, "w") as container:
+            stream = container.add_stream("mpeg4", rate=10)
+            stream.width, stream.height, stream.pix_fmt = 32, 32, "yuv420p"
+            for i in range(20):
+                img = np.full((32, 32, 3), min(i * 12, 255), np.uint8)
+                frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+                for packet in stream.encode(frame):
+                    container.mux(packet)
+            for packet in stream.encode():
+                container.mux(packet)
+        with open(path, "rb") as f:
+            blob = f.read()
+        media = self._media(spark, [("m", "video", blob, None, None, None, None)])
+        rows = sample_frames(
+            media, every_ms=500, max_frames=4, use_fake=False
+        ).collect()
+        assert [r["frame_ms"] for r in rows] == [0, 500, 1000, 1500]
+        assert all(r["frame_error"] is None for r in rows)
+        # brightness is monotone along the clip (lossy codec → inexact)
+        means = [float(png_decode(bytes(r["frame"])).mean()) for r in rows]
+        assert means == sorted(means) and means[-1] > means[0] + 50
+
     def test_real_features_and_gif_resize(self, spark):
         """extract_features(use_fake=False) emits pixel statistics for
         stdlib-decodable blobs and NULL for codec-gated ones; resize_images
