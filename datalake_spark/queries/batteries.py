@@ -264,6 +264,18 @@ def _mk() -> list[Q]:
             {"source": "v", "n_docs": "v", "n_unique_texts": "v",
              "dup_ratio": "d", "total_chars": "v", "total_tokens": "v",
              "n_en": "v"}),
+        Sub(q(pq, "repetition_signals", "repetition_signals",
+              "REPETITION_SIGNALS_SQL"),
+            {"doc_id": "v", "n_words": "v", "n_uniq_words": "v",
+             "dup_word_frac": "d", "top_bigram_cnt": "v",
+             "top_bigram_frac": "d", "dup_tri_occ": "v", "dup_tri_frac": "d"}),
+        Sub(q(pq, "chargram_commonness", "chargram_commonness",
+              "CHARGRAM_COMMONNESS_SQL"),
+            {"doc_id": "v", "n_grams": "v", "sum_cnt": "v",
+             "commonness_micro": "v"}),
+        Sub(q(pq, "c4_filter_cascade", "c4_filter_cascade", "C4_FILTER_SQL"),
+            {"doc_id": "v", "len_ok": "v", "stop_ok": "v", "lang_ok": "v",
+             "is_canonical": "v", "keep": "v"}),
     ]
     from datalake_spark.queries import tpch2
 
@@ -334,6 +346,12 @@ def _mk() -> list[Q]:
             {"vec_id": "v", "cluster_id": "v"}),
         Sub(q(pq, "kmeans_2iter", "kmeans_2iter", "KMEANS_SQL"),
             {"vec_id": "v", "cluster": "v", "dist_sq": "d"}),
+        Sub(q(pq, "deterministic_shuffle", "deterministic_shuffle",
+              "DETERMINISTIC_SHUFFLE_SQL"),
+            {"shard": "v", "pos": "v", "doc_id": "v", "skey": "v"}),
+        Sub(q(pq, "shard_stats", "shard_stats", "SHARD_STATS_SQL"),
+            {"shard": "v", "n_docs": "v", "total_chars": "v",
+             "min_doc": "v", "max_doc": "v"}),
     ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),

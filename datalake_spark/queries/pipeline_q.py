@@ -1017,6 +1017,309 @@ WHERE CAST(n_common AS DOUBLE) / psz.n >= 0.3
 """
 
 
+# ---------------------------------------------------------------------------
+# repetition_signals — Gopher-style repetition filters (Rae et al. 2021,
+# table A1): duplicate-word fraction, top-bigram fraction, fraction of
+# trigram occurrences that are duplicates.  Degenerate machine-generated
+# text scores high on all three; the thresholds a curation pass would
+# apply are the caller's policy, this computes the signals.  All ratios
+# are double divisions of exact integers (bit-identical cross-engine).
+# At scale: two explode→hash-agg jobs (bigram, trigram) + a doc_id join —
+# three shuffles, all map-side combinable, no skew risk beyond the doc key.
+# ---------------------------------------------------------------------------
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+
+    def gram(k: int) -> F.Column:
+        t = (
+            f"transform(sequence(1, size(w) - {k - 1}, 1), "
+            f"i -> concat_ws(' ', slice(w, i, {k})))"
+        )
+        return F.when(F.size("w") >= k, F.expr(t)).otherwise(
+            F.expr("cast(array() as array<string>)")
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("bigint").alias("n_uniq_words"),
+    )
+    bic = (
+        docs.select("doc_id", F.explode(gram(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bis = bic.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_cnt"),
+        F.sum("c").alias("n_bigrams"),
+    )
+    tric = (
+        docs.select("doc_id", F.explode(gram(3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tris = tric.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+            "dup_tri_occ"
+        ),
+        F.sum("c").alias("n_trigrams"),
+    )
+    return (
+        base.join(bis, "doc_id", "left")
+        .join(tris, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_uniq_words",
+            ((F.col("n_words") - F.col("n_uniq_words")) / F.col("n_words"))
+            .alias("dup_word_frac"),
+            F.coalesce(F.col("top_bigram_cnt"), F.lit(0)).cast("bigint")
+            .alias("top_bigram_cnt"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("top_bigram_cnt") / F.col("n_bigrams"),
+            ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce(F.col("dup_tri_occ"), F.lit(0)).cast("bigint")
+            .alias("dup_tri_occ"),
+            F.when(
+                F.col("n_trigrams") > 0,
+                F.col("dup_tri_occ") / F.col("n_trigrams"),
+            ).otherwise(F.lit(0.0)).alias("dup_tri_frac"),
+        )
+    )
+
+
+REPETITION_SIGNALS_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+base AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_uniq
+         FROM w),
+bi AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+       FROM w, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+bis AS (SELECT doc_id, MAX(c) AS top_bigram_cnt,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams FROM bic GROUP BY 1),
+tri AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        FROM w, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+tric AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+tris AS (SELECT doc_id,
+                CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                  AS dup_tri_occ,
+                CAST(SUM(c) AS BIGINT) AS n_trigrams FROM tric GROUP BY 1)
+SELECT base.doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_uniq AS BIGINT) AS n_uniq_words,
+       (n_words - n_uniq) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+       CAST(COALESCE(top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+       CASE WHEN n_bigrams > 0
+            THEN top_bigram_cnt / CAST(n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_frac,
+       CAST(COALESCE(dup_tri_occ, 0) AS BIGINT) AS dup_tri_occ,
+       CASE WHEN n_trigrams > 0
+            THEN dup_tri_occ / CAST(n_trigrams AS DOUBLE)
+            ELSE 0.0 END AS dup_tri_frac
+FROM base LEFT JOIN bis USING (doc_id) LEFT JOIN tris USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# chargram_commonness — character-bigram language-model proxy: a doc's
+# mean corpus-frequency of its char 2-grams.  Gibberish/binary-ish text
+# scores low because its grams are rare in the corpus.  The score is the
+# integer rational (sum_cnt·10⁶ div n_grams) — an ln-probability LM would
+# hit cross-libm ulp skew, and the integer form ranks identically.
+# At scale: the gram-frequency table is ≤|charset|² rows → broadcast
+# join; one explode-agg over the corpus + one per-doc agg.  sum_cnt
+# reaches ~corpus_grams²/|charset|² per doc; past ~10¹² docs·grams move
+# the 10⁶ scaling into DECIMAL(38,0).
+# ---------------------------------------------------------------------------
+def chargram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1, 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        grams.join(F.broadcast(counts), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("cnt").alias("sum_cnt"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("sum_cnt").cast("bigint").alias("sum_cnt"),
+            F.expr("(sum_cnt * 1000000L) div n_grams").alias(
+                "commonness_micro"
+            ),
+        )
+    )
+
+
+CHARGRAM_COMMONNESS_SQL = """
+WITH g AS (
+  SELECT doc_id, substr(text, i, 2) AS g
+  FROM (SELECT doc_id, text FROM documents WHERE len(text) >= 2) d,
+       UNNEST(generate_series(1, len(text) - 1)) AS t(i)),
+c AS (SELECT g, COUNT(*) AS cnt FROM g GROUP BY 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+       CAST((SUM(cnt) * 1000000) // COUNT(*) AS BIGINT) AS commonness_micro
+FROM g JOIN c USING (g)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# c4_filter_cascade — a C4-style keep/drop decision per document composing
+# the individual signals: length band, stopword floor, language, and
+# exact-dup canonicality (only the min-doc_id holder of a content
+# fingerprint survives, the same fingerprint as dedup_exact).  Emits the
+# per-rule booleans so a curation report can attribute drops.  The
+# stopword floor is the integer comparison n_stop·20 ≥ n_words (ratio ≥
+# 0.05) — no float thresholds.  At scale: pure Column work + one window
+# shuffle on the fingerprint (uniform md5 key, skew-free).
+# ---------------------------------------------------------------------------
+def c4_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, 6)))
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+        .cast("bigint")
+        .alias("n_stop"),
+        fp.alias("fp"),
+    ).withColumn(
+        "fp_keeper", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    return enriched.select(
+        "doc_id",
+        (F.col("n_words") >= 20) & (F.col("n_words") <= 200),
+        (F.col("n_stop") * 20 >= F.col("n_words")),
+        (F.col("lang") == "en"),
+        (F.col("doc_id") == F.col("fp_keeper")),
+    ).toDF("doc_id", "len_ok", "stop_ok", "lang_ok", "is_canonical").withColumn(
+        "keep",
+        F.col("len_ok") & F.col("stop_ok") & F.col("lang_ok")
+        & F.col("is_canonical"),
+    )
+
+
+C4_FILTER_SQL = """
+WITH e AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a'))) AS n_stop,
+         md5(array_to_string(string_split(text, ' ')[1:6], ' ')) AS fp
+  FROM documents),
+k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS fp_keeper FROM e)
+SELECT doc_id,
+       n_words >= 20 AND n_words <= 200 AS len_ok,
+       n_stop * 20 >= n_words AS stop_ok,
+       lang = 'en' AS lang_ok,
+       doc_id = fp_keeper AS is_canonical,
+       (n_words >= 20 AND n_words <= 200) AND n_stop * 20 >= n_words
+         AND lang = 'en' AND doc_id = fp_keeper AS keep
+FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic_shuffle — reproducible training-order shuffle, sharded the
+# way a 100 TB run actually materializes it: hash each doc to a shard
+# (md5 high bits), order within the shard by the full hash.  The global
+# order is (shard, pos) — no global sort anywhere, one partitioned-window
+# shuffle; shards write independently.  Emits the first 8 positions of
+# each of 8 shards (the head a training loader would read first).
+# ---------------------------------------------------------------------------
+def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    keyed = docs.select(
+        "doc_id",
+        key.alias("skey"),
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("skey", 1, 8), 16, 10).cast("bigint") % 8),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 8)
+        .select(
+            "shard", F.col("pos").cast("bigint").alias("pos"), "doc_id", "skey"
+        )
+    )
+
+
+DETERMINISTIC_SHUFFLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents),
+sharded AS (
+  SELECT doc_id, skey,
+         CAST(CONCAT('0x', SUBSTR(skey, 1, 8)) AS BIGINT) % 8 AS shard
+  FROM keyed)
+SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id, skey
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY shard ORDER BY skey, doc_id) AS pos
+      FROM sharded)
+WHERE pos <= 8
+"""
+
+
+# ---------------------------------------------------------------------------
+# shard_stats — the balance report for the shuffle above: per-shard doc
+# count, char volume, id range.  The md5 shard key is uniform, so a
+# skewed report means upstream dedup collapsed docs unevenly — the check
+# a pipeline runs before writing training shards.  One map + one 8-group
+# agg; scale-free.
+# ---------------------------------------------------------------------------
+def shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    shard = F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % 8
+    return (
+        docs.select(shard.alias("shard"), "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+SHARD_STATS_SQL = """
+SELECT CAST(CONCAT('0x', SUBSTR(md5('shuf42:' || CAST(doc_id AS VARCHAR)),
+                          1, 8)) AS BIGINT) % 8 AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = [
     Q("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup by fingerprint"),
     Q("text_stats", text_stats, TEXT_STATS_SQL, "token counting + ratios"),
