@@ -183,6 +183,9 @@ def main() -> None:
         "dedup_clusters", "kmeans_2iter", "tfidf_top_terms", "pii_scrub",
         "stratified_sample", "video_roundtrip", "corpus_report",
         "embedding_dedup_clusters",
+        # r4 curation additions
+        "repetition_signals", "chargram_commonness", "c4_filter_cascade",
+        "deterministic_shuffle", "shard_stats",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:

@@ -1,0 +1,107 @@
+"""Training-shard export: materialize a curated corpus as N deterministic
+parquet shards a training loader can stream.
+
+The layout is the one a 100 TB run wants:
+
+- every row hashes to a shard by a seeded, engine-portable key
+  (``md5(seed:id)``) — re-running the export with the same seed and corpus
+  reproduces byte-identical shard membership and order, which is what makes
+  a training run restartable and its data order auditable;
+- rows are sorted *within* each shard by the full hash — the global
+  "shuffled" order is (shard, position), so no global sort exists anywhere
+  in the plan (cf. queries/pipeline_q.py:deterministic_shuffle, the
+  driver-gated query twin of this writer);
+- one output file per shard (``repartition`` on the shard id before a
+  ``partitionBy`` write), so the file count is the shard count, not the
+  input task count.
+
+The reference has no training-export analog; this is LLM-pipeline surface
+(round-4 brief).  The manifest keeps per-shard row counts — an ``n_shards``-
+row driver read, bounded by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SHARD_COL = "shard"
+KEY_COL = "_skey"
+MANIFEST = "_training_manifest.json"
+
+
+def shard_key(id_col: str, seed: str) -> F.Column:
+    """Engine-portable shuffle key: md5 of ``seed:id``.  Uniform, so shard
+    sizes concentrate tightly around n_rows / n_shards."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+
+
+def shard_of(key: F.Column, n_shards: int) -> F.Column:
+    """Shard id from the key's first 8 hex chars (32 uniform bits)."""
+    return (F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % n_shards)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shuf42",
+) -> dict:
+    """Write ``df`` as ``n_shards`` deterministic parquet shards under
+    ``path`` (dirs ``shard=K``, one data file each) and return the manifest.
+
+    The input should already be curated (deduped/filtered); this writer
+    only fixes membership and order.  Keeps ``_skey`` in the output so a
+    reader can verify or re-establish intra-shard order without knowing
+    the seed.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    keyed = df.withColumn(KEY_COL, shard_key(id_col, seed)).withColumn(
+        SHARD_COL, shard_of(F.col(KEY_COL), n_shards)
+    )
+    (
+        keyed.repartition(n_shards, F.col(SHARD_COL))
+        .sortWithinPartitions(KEY_COL, id_col)
+        .write.mode("overwrite")
+        .partitionBy(SHARD_COL)
+        .parquet(path)
+    )
+    counts = {
+        int(r[SHARD_COL]): int(r["n"])
+        for r in keyed.groupBy(SHARD_COL)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: n_shards rows
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "seed": seed,
+        "id_col": id_col,
+        "rows_per_shard": {str(k): counts.get(k, 0) for k in range(n_shards)},
+        "n_rows": sum(counts.values()),
+    }
+    with open(os.path.join(path, MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_training_shard(
+    spark: SparkSession, path: str, shard: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """One shard, in training order.  Parquet scans don't guarantee row
+    order, so the order is re-established from the persisted key — a sort
+    of one shard, never the corpus."""
+    return (
+        spark.read.parquet(path)
+        .filter(F.col(SHARD_COL) == shard)
+        .orderBy(KEY_COL, id_col)
+    )
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as fh:
+        return json.load(fh)

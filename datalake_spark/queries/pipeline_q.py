@@ -1129,10 +1129,12 @@ FROM base LEFT JOIN bis USING (doc_id) LEFT JOIN tris USING (doc_id)
 # scores low because its grams are rare in the corpus.  The score is the
 # integer rational (sum_cnt·10⁶ div n_grams) — an ln-probability LM would
 # hit cross-libm ulp skew, and the integer form ranks identically.
-# At scale: the gram-frequency table is ≤|charset|² rows → broadcast
-# join; one explode-agg over the corpus + one per-doc agg.  sum_cnt
-# reaches ~corpus_grams²/|charset|² per doc; past ~10¹² docs·grams move
-# the 10⁶ scaling into DECIMAL(38,0).
+# At scale: ONE explode pass — per-(doc, gram) counts first (map-side
+# combinable shuffle), then the ≤|charset|²-row gram-total table derives
+# FROM those counts and broadcasts back; sum_cnt = Σ c_dg·cnt_g needs no
+# second pass over the raw grams.  sum_cnt reaches
+# ~corpus_grams²/|charset|² per doc; past ~10¹² docs·grams move the 10⁶
+# scaling into DECIMAL(38,0).
 # ---------------------------------------------------------------------------
 def chargram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 2)
@@ -1145,13 +1147,14 @@ def chargram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    counts = tf.groupBy("g").agg(F.sum("c").alias("cnt"))
     return (
-        grams.join(F.broadcast(counts), "g")
+        tf.join(F.broadcast(counts), "g")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("cnt").alias("sum_cnt"),
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("cnt")).alias("sum_cnt"),
         )
         .select(
             "doc_id",

@@ -1,0 +1,77 @@
+"""Training-shard export: deterministic membership/order, one file per
+shard, manifest integrity, ordered reads."""
+
+import glob
+import os
+
+import pytest
+
+from datalake_spark.export import (
+    MANIFEST,
+    read_manifest,
+    read_training_shard,
+    write_training_shards,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.range(0, 200).selectExpr(
+        "id as doc_id", "concat('text-', id) as text"
+    )
+
+
+class TestWriteTrainingShards:
+    def test_membership_and_order_deterministic(self, spark, corpus, tmp_path):
+        m1 = write_training_shards(corpus, str(tmp_path / "a"), n_shards=4)
+        m2 = write_training_shards(corpus, str(tmp_path / "b"), n_shards=4)
+        assert m1["rows_per_shard"] == m2["rows_per_shard"]
+        for s in range(4):
+            a = [r["doc_id"] for r in
+                 read_training_shard(spark, str(tmp_path / "a"), s).collect()]
+            b = [r["doc_id"] for r in
+                 read_training_shard(spark, str(tmp_path / "b"), s).collect()]
+            assert a == b and len(a) == m1["rows_per_shard"][str(s)]
+
+    def test_one_file_per_shard_and_full_coverage(self, spark, corpus, tmp_path):
+        path = str(tmp_path / "sh")
+        m = write_training_shards(corpus, path, n_shards=8)
+        for s in range(8):
+            files = glob.glob(os.path.join(path, f"shard={s}", "*.parquet"))
+            assert len(files) == 1, f"shard {s}: {files}"
+        got = sorted(
+            r["doc_id"] for r in spark.read.parquet(path).collect()
+        )
+        assert got == list(range(200))
+        assert m["n_rows"] == 200
+        assert sum(m["rows_per_shard"].values()) == 200
+
+    def test_order_follows_persisted_key(self, spark, corpus, tmp_path):
+        path = str(tmp_path / "ord")
+        write_training_shards(corpus, path, n_shards=2)
+        rows = read_training_shard(spark, path, 0).collect()
+        keys = [r["_skey"] for r in rows]
+        assert keys == sorted(keys)
+        # a different seed permutes the order
+        write_training_shards(corpus, str(tmp_path / "seed2"), n_shards=2,
+                              seed="other")
+        other = [r["doc_id"] for r in
+                 read_training_shard(spark, str(tmp_path / "seed2"), 0).collect()]
+        mine = [r["doc_id"] for r in rows]
+        assert other != mine
+
+    def test_manifest_roundtrip_and_single_shard(self, spark, corpus, tmp_path):
+        path = str(tmp_path / "one")
+        m = write_training_shards(corpus, path, n_shards=1)
+        assert m == read_manifest(path)
+        assert m["rows_per_shard"] == {"0": 200}
+        assert os.path.exists(os.path.join(path, MANIFEST))
+        with pytest.raises(ValueError):
+            write_training_shards(corpus, path, n_shards=0)
+
+    def test_uniformity(self, spark, corpus, tmp_path):
+        """md5 sharding is uniform: no shard is pathologically loaded."""
+        m = write_training_shards(corpus, str(tmp_path / "u"), n_shards=4)
+        sizes = list(m["rows_per_shard"].values())
+        assert min(sizes) > 0
+        assert max(sizes) < 2.5 * (200 / 4)
