@@ -1,0 +1,135 @@
+"""End-to-end corpus curation: quality rules → near-dup removal →
+deterministic training shards, as one composable pipeline.
+
+Each stage is an operator that exists (and is verified) on its own —
+``quality_rules`` is the generic form of the driver-gated
+``c4_filter_cascade`` query, dedup is :func:`operators.dedup.dedup_corpus`,
+the writer is :func:`export.write_training_shards`.  This module is the
+user story: a reference user with a raw document table runs one call and
+gets audited training shards.
+
+Scale notes: the rule pass is pure Column work plus one window shuffle on
+the content fingerprint; dedup cost is the chosen tier's (LSH-banded by
+default); the export adds one hash-partitioned write.  The report numbers
+ride existing aggregations — no extra full-table passes beyond the two
+count jobs the report needs, and those are single-column scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datalake_spark.export import write_training_shards
+from datalake_spark.operators.dedup import dedup_corpus
+
+DEFAULT_STOPWORDS = ("the", "a")
+
+
+def quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    langs: tuple[str, ...] = ("en",),
+    min_words: int = 20,
+    max_words: int = 200,
+    stop_ratio_den: int = 20,
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    fp_tokens: int = 6,
+) -> DataFrame:
+    """Per-document keep/drop with per-rule attribution columns
+    (``len_ok``, ``stop_ok``, ``lang_ok``, ``is_canonical``, ``keep``).
+
+    The stopword floor is the integer comparison
+    ``n_stop * stop_ratio_den >= n_words`` (ratio ≥ 1/den) — no float
+    thresholds, so the decision is engine-portable.  Canonicality keeps
+    only the min-id holder of each ``fp_tokens``-token md5 prefix
+    fingerprint (the dedup_exact fingerprint).  One window shuffle on the
+    fingerprint; everything else is map-side Column work.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, fp_tokens)))
+    enriched = df.withColumn("_n_words", F.size(toks).cast("bigint")).withColumn(
+        "_n_stop",
+        F.size(F.filter(toks, lambda x: x.isin(*stopwords))).cast("bigint"),
+    ).withColumn("_fp", fp).withColumn(
+        "_fp_keeper", F.min(id_col).over(Window.partitionBy("_fp"))
+    )
+    lang_ok = (
+        F.col(lang_col).isin(*langs) if lang_col is not None else F.lit(True)
+    )
+    out = enriched.withColumn(
+        "len_ok",
+        (F.col("_n_words") >= min_words) & (F.col("_n_words") <= max_words),
+    ).withColumn(
+        "stop_ok",
+        F.col("_n_stop") * stop_ratio_den >= F.col("_n_words"),
+    ).withColumn("lang_ok", lang_ok).withColumn(
+        "is_canonical", F.col(id_col) == F.col("_fp_keeper")
+    ).withColumn(
+        "keep",
+        F.col("len_ok") & F.col("stop_ok") & F.col("lang_ok")
+        & F.col("is_canonical"),
+    )
+    return out.drop("_n_words", "_n_stop", "_fp", "_fp_keeper")
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedup_strategy: str = "minhash",
+    dedup_threshold: float = 0.5,
+    rule_kwargs: dict | None = None,
+    **dedup_kwargs,
+) -> DataFrame:
+    """Quality rules then near-dup dedup; returns the surviving rows of
+    ``df`` (original columns only)."""
+    ruled = quality_rules(
+        df, text_col=text_col, id_col=id_col, **(rule_kwargs or {})
+    )
+    kept = ruled.filter(F.col("keep")).select(*df.columns)
+    return dedup_corpus(
+        kept,
+        text_col=text_col,
+        id_col=id_col,
+        strategy=dedup_strategy,
+        threshold=dedup_threshold,
+        **dedup_kwargs,
+    )
+
+
+def curate_and_export(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "shuf42",
+    **curate_kwargs,
+) -> dict:
+    """The one-call pipeline: curate then shard.  Returns the shard
+    manifest extended with a curation report (input / post-curation
+    counts and the drop rate)."""
+    n_input = df.count()
+    curated = curate_corpus(df, text_col=text_col, id_col=id_col, **curate_kwargs)
+    manifest = write_training_shards(
+        curated, path, n_shards, id_col=id_col, seed=seed
+    )
+    manifest["curation"] = {
+        "n_input": n_input,
+        "n_kept": manifest["n_rows"],
+        "drop_rate": round(1.0 - manifest["n_rows"] / max(n_input, 1), 6),
+    }
+    # re-persist so the on-disk manifest carries the curation report too
+    import json
+    import os
+
+    from datalake_spark.export import MANIFEST
+
+    with open(os.path.join(path, MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest

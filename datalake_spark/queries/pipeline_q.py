@@ -1193,32 +1193,11 @@ GROUP BY doc_id
 # shuffle on the fingerprint (uniform md5 key, skew-free).
 # ---------------------------------------------------------------------------
 def c4_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from datalake_spark.pipeline import quality_rules
 
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, 6)))
-    enriched = docs.select(
-        "doc_id",
-        "lang",
-        F.size(toks).cast("bigint").alias("n_words"),
-        F.size(F.filter(toks, lambda x: x.isin("the", "a")))
-        .cast("bigint")
-        .alias("n_stop"),
-        fp.alias("fp"),
-    ).withColumn(
-        "fp_keeper", F.min("doc_id").over(Window.partitionBy("fp"))
-    )
-    return enriched.select(
-        "doc_id",
-        (F.col("n_words") >= 20) & (F.col("n_words") <= 200),
-        (F.col("n_stop") * 20 >= F.col("n_words")),
-        (F.col("lang") == "en"),
-        (F.col("doc_id") == F.col("fp_keeper")),
-    ).toDF("doc_id", "len_ok", "stop_ok", "lang_ok", "is_canonical").withColumn(
-        "keep",
-        F.col("len_ok") & F.col("stop_ok") & F.col("lang_ok")
-        & F.col("is_canonical"),
+    return quality_rules(docs).select(
+        "doc_id", "len_ok", "stop_ok", "lang_ok", "is_canonical", "keep"
     )
 
 

@@ -849,3 +849,27 @@ class TestScaleClaimPlans:
         plan = stratified_sample(spark, sf)._jdf.queryExecution(
         ).executedPlan().toString()
         assert plan.count("Exchange hashpartitioning(source") == 1
+
+    def test_chargram_broadcasts_gram_totals_only(self, spark):
+        """The ≤|charset|²-row gram-total table broadcasts back onto the
+        per-(doc,gram) counts; the counts frame (corpus-sized) must never
+        be the broadcast side or sort-merge against the totals."""
+        from datalake_spark.queries.pipeline_q import chargram_commonness
+
+        sf = "/root/testdata/sf0.001"
+        plan = chargram_commonness(spark, sf)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_deterministic_shuffle_no_global_sort(self, spark):
+        """Training-order shuffle is sharded: the only exchange is the
+        hash partition on the shard id — a global sort (SinglePartition
+        exchange) must never appear."""
+        from datalake_spark.queries.pipeline_q import deterministic_shuffle
+
+        sf = "/root/testdata/sf0.001"
+        plan = deterministic_shuffle(spark, sf)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan
+        assert "Exchange hashpartitioning(shard" in plan

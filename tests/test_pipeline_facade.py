@@ -1,0 +1,69 @@
+"""curate_corpus / curate_and_export: the one-call raw-docs → training
+shards pipeline composing quality rules, near-dup dedup, and the shard
+writer."""
+
+import pytest
+
+from datalake_spark.export import read_manifest
+from datalake_spark.pipeline import curate_and_export, curate_corpus, quality_rules
+
+
+def _docs(spark):
+    """60 docs: 50 good English, near-dup pair (51 ~ 1), short doc (52),
+    no-stopword doc (53), German doc (54), exact fingerprint dup (55 of 2)."""
+    rows = []
+    for i in range(51):
+        # unique body per doc (distinct shingles), stopword ratio >= 1/20
+        body = " ".join(f"the w{i}x{j} a w{i}y{j}" for j in range(8))
+        rows.append((i, f"doc {i} opens the story here {body}", "en"))
+    # near-dup of doc 1: different 6-token prefix, body shingles shared
+    rows.append((51, "doc 51 opens the story here " +
+                 rows[1][1].split(" ", 6)[-1] + " tail", "en"))
+    rows.append((52, "the a short", "en"))
+    rows.append((53, " ".join(f"w{j}" for j in range(30)), "en"))
+    rows.append((54, "der schnelle braune fuchs " * 8, "de"))
+    rows.append((55, rows[2][1], "en"))  # exact dup of doc 2
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestQualityRules:
+    def test_rule_attribution(self, spark):
+        out = {r["doc_id"]: r for r in quality_rules(_docs(spark)).collect()}
+        assert out[52]["len_ok"] is False
+        assert out[53]["stop_ok"] is False
+        assert out[54]["lang_ok"] is False
+        assert out[55]["is_canonical"] is False and out[2]["is_canonical"] is True
+        assert out[0]["keep"] is True
+        assert all(not out[i]["keep"] for i in (52, 53, 54, 55))
+
+    def test_original_columns_preserved(self, spark):
+        df = _docs(spark)
+        out = quality_rules(df)
+        assert set(df.columns) < set(out.columns)
+        assert not [c for c in out.columns if c.startswith("_")]
+
+
+class TestCurateCorpus:
+    def test_drops_rule_failures_and_near_dups(self, spark):
+        kept = curate_corpus(_docs(spark), dedup_threshold=0.4)
+        ids = {r["doc_id"] for r in kept.collect()}
+        assert not ids & {52, 53, 54, 55}
+        # near-dup cluster {1, 51} keeps only the min id
+        assert 1 in ids and 51 not in ids
+        assert 0 in ids and 2 in ids
+        assert kept.columns == ["doc_id", "text", "lang"]
+
+
+class TestCurateAndExport:
+    def test_end_to_end_manifest(self, spark, tmp_path):
+        path = str(tmp_path / "shards")
+        m = curate_and_export(
+            _docs(spark), path, n_shards=4, dedup_threshold=0.4
+        )
+        assert m["curation"]["n_input"] == 56
+        assert m["curation"]["n_kept"] == m["n_rows"] < 56
+        assert 0 < m["curation"]["drop_rate"] < 1
+        assert m == read_manifest(path)
+        back = spark.read.parquet(path)
+        assert back.count() == m["n_rows"]
+        assert set(back.columns) >= {"doc_id", "text", "lang", "shard"}

@@ -9,6 +9,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from datalake_spark import sql as dsql
 from datalake_spark.catalog import Catalog
 from datalake_spark.ingest import hash_content
@@ -83,6 +85,23 @@ class TestSources:
         got = {r["id"]: (r["m"], r["a"]) for r in back.collect()}
         assert got[1] == ({"k": "x"}, [1, 2])
         assert got[2] == (None, [])
+
+    def test_orc_roundtrip_with_pushdown(self, spark, tmp_path):
+        """ORC is a first-class source: typed roundtrip plus predicate
+        pushdown reaching the scan (the same columnar-skipping contract
+        the parquet catalog relies on)."""
+        src = spark.createDataFrame(
+            [(i, f"s{i}", float(i) / 4) for i in range(100)],
+            "id long, s string, v double",
+        )
+        path = str(tmp_path / "orc")
+        src.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+        filtered = back.filter(F.col("id") == 7).select("s")
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(id), EqualTo(id,7)]" in plan
+        assert [r["s"] for r in filtered.collect()] == ["s7"]
 
     def test_binaryfile_ingest_and_hash(self, spark, tmp_path):
         media_dir = tmp_path / "media"
