@@ -37,6 +37,7 @@ def quality_rules(
     stop_ratio_den: int = 20,
     stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
     fp_tokens: int = 6,
+    canonicality: bool = True,
 ) -> DataFrame:
     """Per-document keep/drop with per-rule attribution columns
     (``len_ok``, ``stop_ok``, ``lang_ok``, ``is_canonical``, ``keep``).
@@ -47,6 +48,11 @@ def quality_rules(
     only the min-id holder of each ``fp_tokens``-token md5 prefix
     fingerprint (the dedup_exact fingerprint).  One window shuffle on the
     fingerprint; everything else is map-side Column work.
+
+    ``canonicality=False`` skips the fingerprint window (a full-history
+    MIN — not a streaming-safe aggregate) and reports ``is_canonical``
+    as true; streaming callers own exact-dup removal via the
+    watermark-bounded hash dedup instead (streaming/curation.py).
     """
     from pyspark.sql import Window
 
@@ -55,9 +61,15 @@ def quality_rules(
     enriched = df.withColumn("_n_words", F.size(toks).cast("bigint")).withColumn(
         "_n_stop",
         F.size(F.filter(toks, lambda x: x.isin(*stopwords))).cast("bigint"),
-    ).withColumn("_fp", fp).withColumn(
-        "_fp_keeper", F.min(id_col).over(Window.partitionBy("_fp"))
     )
+    if canonicality:
+        enriched = enriched.withColumn("_fp", fp).withColumn(
+            "_fp_keeper", F.min(id_col).over(Window.partitionBy("_fp"))
+        )
+    else:
+        enriched = enriched.withColumn("_fp", F.lit(None)).withColumn(
+            "_fp_keeper", F.col(id_col)
+        )
     lang_ok = (
         F.col(lang_col).isin(*langs) if lang_col is not None else F.lit(True)
     )

@@ -1,0 +1,98 @@
+"""Streaming corpus curation: documents arriving as a stream pass the same
+quality rules and dedup funnel as the batch pipeline, landing in the shard
+layout a training loader reads.
+
+Composition (every stage is the verified batch/stream primitive):
+
+1. ``readStream`` over a landing dir of document JSON (any streaming
+   DataFrame with (doc_id, text, lang, event ms) works — the transport is
+   pluggable exactly like streaming/sources.py).
+2. Stateless quality rules — ``pipeline.quality_rules`` minus the
+   canonicality rule: a per-fingerprint MIN over all history is not a
+   streaming-safe aggregate, so exact dup removal is done by the
+   watermark-bounded content-hash dedup (stage 3) for twins inside the
+   horizon, and by the batch ``exact_dedup`` as terminal cleanup — the
+   same at-least-once contract streaming ingest has with query-time
+   dedup-by-id.
+3. ``dedup_stream_within_watermark`` on the normalized content hash.
+4. ``foreachBatch`` append into ``shard=K`` dirs via the same seeded
+   md5 membership as export.write_training_shards; within a micro-batch
+   each touched shard gets one file (pre-write repartition).  Order
+   within a shard is re-established at read time from the persisted
+   ``_skey`` (export.read_training_shard) — a stream cannot emit a
+   globally sorted shard, so the sort key column IS the order contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_spark.export import KEY_COL, SHARD_COL, shard_key, shard_of
+from datalake_spark.streaming.dedup import dedup_stream_within_watermark
+
+DOC_EVENT_SCHEMA = "doc_id long, text string, lang string, ms long"
+
+
+def doc_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """JSON document events from a landing directory."""
+    return spark.readStream.schema(DOC_EVENT_SCHEMA).json(landing_dir)
+
+
+def curate_stream(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    **rule_kwargs,
+) -> DataFrame:
+    """quality rules (stateless subset) + watermark-bounded exact dedup on
+    the content hash.  Returns the stream of surviving documents."""
+    from datalake_spark.pipeline import quality_rules
+
+    ruled = quality_rules(stream, canonicality=False, **rule_kwargs)
+    # is_canonical is a full-history MIN (not streaming-safe); the hash
+    # dedup below owns exact-dup removal inside the watermark horizon
+    kept = ruled.filter(
+        F.col("len_ok") & F.col("stop_ok") & F.col("lang_ok")
+    ).drop("len_ok", "stop_ok", "lang_ok", "is_canonical", "keep")
+    hashed = kept.withColumn("hash", F.md5(F.col("text")))
+    return dedup_stream_within_watermark(
+        hashed, key_cols=["hash"], time_col="ms", watermark=watermark
+    ).drop("hash")
+
+
+class StreamingCurator:
+    """readStream(docs) → rules → dedup → shard-layout append."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        shards_path: str,
+        n_shards: int = 8,
+        seed: str = "shuf42",
+        id_col: str = "doc_id",
+    ):
+        self.spark = spark
+        self.shards_path = shards_path
+        self.n_shards = n_shards
+        self.seed = seed
+        self.id_col = id_col
+
+    def _write_batch(self, batch: DataFrame, _epoch: int) -> None:
+        keyed = batch.withColumn(
+            KEY_COL, shard_key(self.id_col, self.seed)
+        ).withColumn(SHARD_COL, shard_of(F.col(KEY_COL), self.n_shards))
+        (
+            keyed.repartition(self.n_shards, F.col(SHARD_COL))
+            .write.mode("append")
+            .partitionBy(SHARD_COL)
+            .parquet(self.shards_path)
+        )
+
+    def start(self, landing_dir: str, checkpoint_dir: str, **curate_kwargs):
+        curated = curate_stream(doc_stream(self.spark, landing_dir), **curate_kwargs)
+        return (
+            curated.writeStream.foreachBatch(self._write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -321,6 +321,26 @@ class TestCatalog:
         # correctness: only the 3 overlapping days' files return
         assert q.count() == 3
 
+    def test_work_id_filter_pushed_to_scan(self, spark, tmp_path):
+        """work_id / id point lookups must reach the parquet scan as
+        PushedFilters — with append's sortWithinPartitions("work_id",
+        "id") keeping row-group stats tight, that is what makes the
+        lookup skip row groups instead of scanning the partition."""
+        cat = Catalog(spark, str(tmp_path))
+        rows = [
+            {"id": f"f{i}", "what": "nginx", "where": "h1",
+             "start": T0, "end": None, "work_id": f"w{i % 5}"}
+            for i in range(20)
+        ]
+        cat.append(make_files_df(spark, rows))
+        eng = QueryEngine(cat.files())
+        plan = eng.by_work_id("w3", "nginx")._jdf.queryExecution(
+        ).executedPlan().toString()
+        pushed = plan.split("PushedFilters")[1][:200]
+        assert "EqualTo(work_id,w3)" in pushed
+        by_id = eng.by_id("f7")._jdf.queryExecution().executedPlan().toString()
+        assert "EqualTo(id,f7)" in by_id.split("PushedFilters")[1][:200]
+
 
 class TestQueryValidation:
     """Error contract — ported from api/tests/test_bad_queries.py:32-135."""

@@ -1,0 +1,69 @@
+"""Streaming curation: rules + watermarked dedup + shard-layout append."""
+
+import glob
+import json
+import os
+
+from datalake_spark.export import read_training_shard
+from datalake_spark.streaming.curation import StreamingCurator
+
+T0 = 1_420_070_400_000
+
+
+def _doc(i, text, lang="en", ms=None):
+    return {"doc_id": i, "text": text, "lang": lang, "ms": ms or (T0 + i)}
+
+
+def _write(landing, docs, name):
+    os.makedirs(landing, exist_ok=True)
+    with open(os.path.join(landing, name), "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+
+def _good(i):
+    body = " ".join(f"the s{i}w{j} a s{i}v{j}" for j in range(8))
+    return f"doc {i} begins the tale here {body}"
+
+
+class TestStreamingCuration:
+    def test_rules_dedup_and_shard_layout(self, spark, tmp_path):
+        landing = str(tmp_path / "landing")
+        shards = str(tmp_path / "shards")
+        ckpt = str(tmp_path / "ckpt")
+        docs = [_doc(i, _good(i)) for i in range(20)]
+        docs += [
+            _doc(100, "the a tiny"),            # fails length band
+            _doc(101, _good(5), ms=T0 + 5),     # in-watermark dup of doc 5's text
+            _doc(102, _good(7), lang="de"),     # fails language
+        ]
+        _write(landing, docs, "b1.json")
+        cur = StreamingCurator(spark, shards, n_shards=4)
+        q = cur.start(landing, ckpt)
+        q.awaitTermination(120)
+
+        out = spark.read.parquet(shards)
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == list(range(20))  # 100/101/102 all dropped
+        # shard dirs exist; membership matches the batch writer's key math
+        assert {os.path.basename(p).split("=")[1]
+                for p in glob.glob(f"{shards}/shard=*")} <= {"0", "1", "2", "3"}
+        total = 0
+        for s in range(4):
+            rows = read_training_shard(spark, shards, s).collect()
+            keys = [r["_skey"] for r in rows]
+            assert keys == sorted(keys)
+            total += len(rows)
+        assert total == 20
+
+    def test_restart_appends_only_new_batches(self, spark, tmp_path):
+        landing = str(tmp_path / "landing")
+        shards = str(tmp_path / "shards")
+        ckpt = str(tmp_path / "ckpt")
+        _write(landing, [_doc(i, _good(i)) for i in range(5)], "b1.json")
+        cur = StreamingCurator(spark, shards, n_shards=2)
+        cur.start(landing, ckpt).awaitTermination(120)
+        _write(landing, [_doc(i, _good(i)) for i in range(5, 8)], "b2.json")
+        cur.start(landing, ckpt).awaitTermination(120)
+        ids = sorted(r["doc_id"] for r in spark.read.parquet(shards).collect())
+        assert ids == list(range(8))
