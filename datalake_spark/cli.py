@@ -167,6 +167,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8080)
     sp.add_argument("--storage-url", dest="storage_url", default=None)
+
+    cu = sub.add_parser("curate", help="quality-filter + near-dup dedup a "
+                                       "document table and write "
+                                       "deterministic training shards")
+    cu.add_argument("input", help="parquet path with (doc_id, text, lang)")
+    cu.add_argument("output", help="shard output directory")
+    cu.add_argument("--n-shards", dest="n_shards", type=int, default=8)
+    cu.add_argument("--strategy", default="minhash",
+                    choices=["exact", "fingerprint", "minhash", "simhash"])
+    cu.add_argument("--threshold", type=float, default=0.5)
+    cu.add_argument("--seed", default="shuf42")
     return p
 
 
@@ -322,6 +333,22 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
                 "work_id": args.work_id,
             }
         )
+    if args.command == "curate":
+        import json as _json
+
+        from datalake_spark.pipeline import curate_and_export
+
+        manifest = curate_and_export(
+            spark.read.parquet(args.input),
+            args.output,
+            args.n_shards,
+            seed=args.seed,
+            dedup_strategy=args.strategy,
+            dedup_threshold=args.threshold,
+        )
+        print(_json.dumps(manifest, sort_keys=True), file=out)
+        return 0
+
     if args.command == "serve":
         from datalake_spark.archive import Archive
         from datalake_spark.http_api import DatalakeHttpApp, serve

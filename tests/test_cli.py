@@ -163,3 +163,29 @@ class TestConditionalCompact:
         assert rc == 0 and lines[0] == "compacted: False"
         rc, lines = _run(spark, ["compact", "--if-over", "2"], catalog_dir)
         assert rc == 0 and lines[0] == "compacted: True"
+
+
+class TestCurateCommand:
+    def test_curate_writes_shards_and_manifest(self, spark, catalog_dir, tmp_path):
+        src = str(tmp_path / "docs")
+        outdir = str(tmp_path / "shards")
+        rows = []
+        for i in range(30):
+            body = " ".join(f"the c{i}w{j} a c{i}v{j}" for j in range(8))
+            rows.append((i, f"doc {i} starts the piece here {body}", "en"))
+        rows.append((99, "the a short", "en"))  # dropped by length band
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).write.parquet(src)
+        rc, lines = _run(
+            spark,
+            ["curate", src, outdir, "--n-shards", "4", "--strategy", "minhash"],
+            catalog_dir,
+        )
+        assert rc == 0
+        manifest = json.loads(lines[0])
+        assert manifest["curation"]["n_input"] == 31
+        assert manifest["curation"]["n_kept"] == 30
+        back = spark.read.parquet(outdir)
+        assert back.count() == 30
+        assert "shard" in back.columns
