@@ -105,3 +105,43 @@ def read_training_shard(
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST)) as fh:
         return json.load(fh)
+
+
+def shard_file_counts(path: str) -> dict[int, int]:
+    """Data files per shard dir — the fragmentation metric streaming
+    appends degrade (one file per shard per micro-batch).  Driver-side
+    listing; at object-store scale feed this from the inventory."""
+    counts: dict[int, int] = {}
+    for entry in os.listdir(path):
+        if not entry.startswith(f"{SHARD_COL}="):
+            continue
+        n = sum(
+            1
+            for f in os.listdir(os.path.join(path, entry))
+            if f.endswith(".parquet")
+        )
+        counts[int(entry.split("=", 1)[1])] = n
+    return counts
+
+
+def compact_shards(
+    spark: SparkSession, path: str, max_files_per_shard: int = 16
+) -> bool:
+    """Rewrite the shard layout to one file per shard when a streaming
+    writer has fragmented it past the threshold; returns whether a
+    rewrite ran.  Membership and order live in the persisted shard/_skey
+    columns, so the rewrite is a pure repartition+sort — no re-hash, and
+    a training loader sees identical shards afterwards.  Local-mode
+    overwrite-in-place; on object storage, write to a version dir and
+    flip a manifest exactly like Catalog.compact."""
+    counts = shard_file_counts(path)
+    if not counts or max(counts.values()) <= max_files_per_shard:
+        return False
+    df = spark.read.parquet(path)
+    n_shards = len(counts)
+    # materialize before the overwrite clobbers the source files
+    rows = df.repartition(n_shards, F.col(SHARD_COL)).sortWithinPartitions(
+        KEY_COL
+    ).localCheckpoint(eager=True)
+    rows.write.mode("overwrite").partitionBy(SHARD_COL).parquet(path)
+    return True

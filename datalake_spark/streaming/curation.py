@@ -70,14 +70,20 @@ class StreamingCurator:
         n_shards: int = 8,
         seed: str = "shuf42",
         id_col: str = "doc_id",
+        compact_every: int = 0,
+        max_files_per_shard: int = 16,
     ):
         self.spark = spark
         self.shards_path = shards_path
         self.n_shards = n_shards
         self.seed = seed
         self.id_col = id_col
+        # every N micro-batches, threshold-check shard fragmentation and
+        # rewrite to one file per shard (export.compact_shards); 0 = off
+        self.compact_every = compact_every
+        self.max_files_per_shard = max_files_per_shard
 
-    def _write_batch(self, batch: DataFrame, _epoch: int) -> None:
+    def _write_batch(self, batch: DataFrame, epoch: int) -> None:
         keyed = batch.withColumn(
             KEY_COL, shard_key(self.id_col, self.seed)
         ).withColumn(SHARD_COL, shard_of(F.col(KEY_COL), self.n_shards))
@@ -87,6 +93,12 @@ class StreamingCurator:
             .partitionBy(SHARD_COL)
             .parquet(self.shards_path)
         )
+        if self.compact_every and (epoch + 1) % self.compact_every == 0:
+            from datalake_spark.export import compact_shards
+
+            compact_shards(
+                self.spark, self.shards_path, self.max_files_per_shard
+            )
 
     def start(self, landing_dir: str, checkpoint_dir: str, **curate_kwargs):
         curated = curate_stream(doc_stream(self.spark, landing_dir), **curate_kwargs)

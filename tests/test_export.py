@@ -75,3 +75,41 @@ class TestWriteTrainingShards:
         sizes = list(m["rows_per_shard"].values())
         assert min(sizes) > 0
         assert max(sizes) < 2.5 * (200 / 4)
+
+
+class TestCompactShards:
+    def test_streaming_fragmentation_compacts_to_one_file(self, spark, corpus, tmp_path):
+        from datalake_spark.export import (
+            compact_shards,
+            shard_file_counts,
+            write_training_shards,
+        )
+
+        path = str(tmp_path / "frag")
+        write_training_shards(corpus, path, n_shards=2)
+        # simulate micro-batch appends: 5 more files per shard
+        extra = spark.range(200, 400).selectExpr(
+            "id as doc_id", "concat('text-', id) as text"
+        )
+        from datalake_spark.export import KEY_COL, SHARD_COL, shard_key, shard_of
+        from pyspark.sql import functions as F
+
+        keyed = extra.withColumn(KEY_COL, shard_key("doc_id", "shuf42")) \
+            .withColumn(SHARD_COL, shard_of(F.col(KEY_COL), 2))
+        for i in range(5):
+            batch = keyed.filter((F.col("doc_id") % 5) == i)
+            batch.repartition(2, F.col(SHARD_COL)).write.mode("append") \
+                .partitionBy(SHARD_COL).parquet(path)
+        assert max(shard_file_counts(path).values()) >= 6
+        before = sorted(r["doc_id"] for r in spark.read.parquet(path).collect())
+        assert compact_shards(spark, path, max_files_per_shard=4) is True
+        assert shard_file_counts(path) == {0: 1, 1: 1}
+        after = sorted(r["doc_id"] for r in spark.read.parquet(path).collect())
+        assert after == before == list(range(400))
+        # below threshold: no-op
+        assert compact_shards(spark, path, max_files_per_shard=4) is False
+        # intra-shard order restored
+        from datalake_spark.export import read_training_shard
+
+        keys = [r["_skey"] for r in read_training_shard(spark, path, 0).collect()]
+        assert keys == sorted(keys)

@@ -67,3 +67,19 @@ class TestStreamingCuration:
         cur.start(landing, ckpt).awaitTermination(120)
         ids = sorted(r["doc_id"] for r in spark.read.parquet(shards).collect())
         assert ids == list(range(8))
+
+    def test_compact_every_bounds_shard_files(self, spark, tmp_path):
+        from datalake_spark.export import shard_file_counts
+
+        landing = str(tmp_path / "landing")
+        shards = str(tmp_path / "shards")
+        ckpt = str(tmp_path / "ckpt")
+        cur = StreamingCurator(spark, shards, n_shards=2, compact_every=1,
+                               max_files_per_shard=2)
+        for b in range(4):
+            _write(landing, [_doc(b * 10 + k, _good(b * 10 + k))
+                             for k in range(3)], f"b{b}.json")
+            cur.start(landing, ckpt).awaitTermination(120)
+        assert max(shard_file_counts(shards).values()) <= 2
+        ids = sorted(r["doc_id"] for r in spark.read.parquet(shards).collect())
+        assert len(ids) == 12
