@@ -523,6 +523,7 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 50,
+    local_edge_budget: int = 2_000_000,
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``pairs``, where
     cluster_id is the MINIMUM node id of its connected component — the
@@ -542,7 +543,16 @@ def connected_components(
 
     Near-dup clusters are typically tiny and shallow; the loop exits on
     the first round with no label changes.  ``max_iter`` bounds
-    adversarial chains."""
+    adversarial chains.
+
+    Scale adaptivity: the pair tiers cap their output (max_bucket /
+    max_df), so the edge list is usually FAR smaller than the corpus.
+    When it fits ``local_edge_budget`` (driver memory bound: ~32 bytes per
+    edge → the 2M default is ~64 MB) the component labeling runs as an
+    in-driver union-find — one collect, zero iterative jobs — exactly the
+    small-graph shortcut GraphFrames-style systems take before falling
+    back to distributed label propagation.  Both paths produce the same
+    min-id labeling; a test pins them equal."""
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -553,6 +563,10 @@ def connected_components(
         # round-plan analysis
         .localCheckpoint()
     )
+    # count is cheap on the checkpointed edges; the collect is bounded by
+    # the budget we just verified
+    if edges.count() <= local_edge_budget:
+        return _local_components(edges)
     comp = edges.select(F.col("a").alias("id")).distinct().withColumn(
         "comp", F.col("id")
     )
@@ -603,6 +617,34 @@ def connected_components(
         if changed == 0:
             break
     return comp.select("id", F.col("comp").alias("cluster_id"))
+
+
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a budget-bounded edge list; min-root
+    unions make every component's final root its minimum id, matching the
+    distributed min-label result exactly."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges.collect():
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    id_type = edges.schema["a"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("cluster_id", id_type),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(rows, schema)
 
 
 def _simhash_banded(

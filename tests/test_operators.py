@@ -99,10 +99,13 @@ class TestDedup:
     def test_fingerprint_dedup_runs(self, docs):
         assert dedup.fingerprint_dedup(docs).count() <= docs.count()
 
-    def test_connected_components_matches_union_find(self, spark):
+    @pytest.mark.parametrize("budget", [2_000_000, 0])
+    def test_connected_components_matches_union_find(self, spark, budget):
         """Min-label propagation + path compression must equal a reference
         union-find on a random graph plus a 41-node chain (the chain
-        forces the O(log diameter) doubling to actually iterate)."""
+        forces the O(log diameter) doubling to actually iterate).
+        budget=0 forces the distributed path; the default takes the
+        in-driver union-find shortcut — both must agree exactly."""
         import random
 
         rng = random.Random(42)
@@ -131,7 +134,9 @@ class TestDedup:
         df = spark.createDataFrame(edges, "doc_a long, doc_b long")
         got = {
             r.id: r.cluster_id
-            for r in dedup.connected_components(df).collect()
+            for r in dedup.connected_components(
+                df, local_edge_budget=budget
+            ).collect()
         }
         assert got == expect
 
