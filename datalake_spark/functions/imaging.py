@@ -461,3 +461,101 @@ def wav_features(b: bytes) -> list[float]:
     peak = float(np.max(np.abs(x)))
     zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
     return [rms, peak, zcr, len(x) / rate]
+
+
+# -- MP3 / FLAC header-only metadata ----------------------------------------
+# Compressed audio can't give you samples without a codec, but the headers
+# are pure arithmetic: MP3 frame headers (ISO 11172-3) carry
+# bitrate/rate/mode indices, FLAC's STREAMINFO block (the mandatory first
+# metadata block) carries rate/channels/total-samples.  These are the
+# audio analogs of the WebP/TIFF dimension sniffers — header math only,
+# no decode, so they run in bulk over binary columns.
+
+_MP3_BITRATE_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112,
+                      128, 160, 192, 224, 256, 320)
+_MP3_BITRATE_V2_L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64,
+                      80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000),   # MPEG1
+              2: (22050, 24000, 16000),   # MPEG2
+              0: (11025, 12000, 8000)}    # MPEG2.5
+
+
+def mp3_info(b: bytes) -> tuple[int, int, int, int, int]:
+    """(channels, sample_rate, duration_ms, mean_bitrate_kbps, n_frames)
+    by walking Layer-III frame headers (CBR and VBR both sum exactly;
+    an ID3v2 tag is skipped via its synchsafe size)."""
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) | \
+               ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        pos = 10 + size
+    n_frames = 0
+    dur_s = 0.0
+    bits = 0
+    channels = sample_rate = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF or (b[pos + 1] & 0xE0) != 0xE0:
+            raise UnsupportedMedia(f"lost sync at {pos}")
+        version = (b[pos + 1] >> 3) & 3
+        layer = (b[pos + 1] >> 1) & 3
+        if version == 1 or layer != 1:  # reserved version / not Layer III
+            raise UnsupportedMedia("only Layer III supported")
+        br_idx = b[pos + 2] >> 4
+        sr_idx = (b[pos + 2] >> 2) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise UnsupportedMedia("free-form/invalid bitrate or rate")
+        table = _MP3_BITRATE_V1_L3 if version == 3 else _MP3_BITRATE_V2_L3
+        bitrate = table[br_idx] * 1000
+        rate = _MP3_RATES[version][sr_idx]
+        padding = (b[pos + 2] >> 1) & 1
+        mode = b[pos + 3] >> 6
+        spf = 1152 if version == 3 else 576
+        frame_len = (spf // 8) * bitrate // rate + padding
+        if frame_len <= 4:
+            raise UnsupportedMedia("degenerate frame length")
+        channels = 1 if mode == 3 else 2
+        sample_rate = rate
+        n_frames += 1
+        dur_s += spf / rate
+        bits += bitrate * (spf / rate)
+        pos += frame_len
+    if n_frames == 0:
+        raise UnsupportedMedia("no MP3 frames")
+    return (channels, sample_rate, int(dur_s * 1000),
+            int(round(bits / dur_s / 1000)), n_frames)
+
+
+def flac_info(b: bytes) -> tuple[int, int, int, int, int]:
+    """(channels, sample_rate, duration_ms, bits_per_sample, total_samples)
+    from the mandatory STREAMINFO metadata block."""
+    if b[:4] != b"fLaC" or len(b) < 8 + 34:
+        raise UnsupportedMedia("not a FLAC stream")
+    if (b[4] & 0x7F) != 0:  # first block must be STREAMINFO (type 0)
+        raise UnsupportedMedia("missing STREAMINFO")
+    info = b[8:8 + 34]
+    packed = int.from_bytes(info[10:18], "big")
+    sample_rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bps = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if sample_rate == 0:
+        raise UnsupportedMedia("zero sample rate")
+    return (channels, sample_rate, int(total * 1000 / sample_rate),
+            bps, total)
+
+
+def audio_info_any(b: bytes) -> tuple[str, int, int, int]:
+    """(container, channels, sample_rate, duration_ms) for WAV, MP3 (with
+    or without ID3v2) and FLAC — the dispatcher bulk metadata extraction
+    uses."""
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        ch, rate, dur = wav_info(b)
+        return ("wav", ch, rate, dur)
+    if b[:4] == b"fLaC":
+        ch, rate, dur, _bps, _total = flac_info(b)
+        return ("flac", ch, rate, dur)
+    if b[:3] == b"ID3" or (len(b) > 1 and b[0] == 0xFF
+                           and (b[1] & 0xE0) == 0xE0):
+        ch, rate, dur, _kbps, _n = mp3_info(b)
+        return ("mp3", ch, rate, dur)
+    raise UnsupportedMedia("unknown audio container")

@@ -341,6 +341,57 @@ def audio_features(media: DataFrame, batch_rows: int = 128) -> DataFrame:
     return media.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("meta_error", T.StringType(), True),
+    ]
+)
+
+
+def audio_metadata(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Header-only audio metadata for WAV / MP3 / FLAC — container,
+    channels, rate, duration from frame headers and STREAMINFO, no codec
+    (functions/imaging.py:mp3_info,flac_info).  The bulk triage pass an
+    audio corpus runs before deciding what to decode; undecodable blobs
+    get a meta_error row, never a failed stage."""
+    from datalake_spark.functions.imaging import (
+        UnsupportedMedia,
+        audio_info_any,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                out: dict[str, list] = {
+                    k.name: [] for k in AUDIO_META_SCHEMA.fields
+                }
+                for mid, content in zip(chunk["media_id"], chunk["content"]):
+                    out["media_id"].append(mid)
+                    try:
+                        kind, ch, rate, dur = audio_info_any(
+                            bytes(content or b"")
+                        )
+                        out["container"].append(kind)
+                        out["channels"].append(ch)
+                        out["sample_rate"].append(rate)
+                        out["duration_ms"].append(dur)
+                        out["meta_error"].append(None)
+                    except UnsupportedMedia as e:
+                        for k in ("container", "channels", "sample_rate",
+                                  "duration_ms"):
+                            out[k].append(None)
+                        out["meta_error"].append(str(e))
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),

@@ -320,6 +320,10 @@ def _mk() -> list[Q]:
         Sub(q(ops, "audio_roundtrip", "audio_roundtrip", "AUDIO_ROUNDTRIP_SQL"),
             {"doc_id": "v", "channels": "v", "sample_rate": "v",
              "duration_ms": "v", "rms": "d", "peak": "d", "zcr": "d"}),
+        Sub(q(ops, "audio_sniff_roundtrip", "audio_sniff_roundtrip",
+              "AUDIO_SNIFF_SQL"),
+            {"doc_id": "v", "container": "v", "channels": "v",
+             "sample_rate": "v", "flac_duration_ms": "v"}),
         Sub(q(ops, "video_roundtrip", "video_roundtrip", "VIDEO_ROUNDTRIP_SQL"),
             {"doc_id": "v", "frame_idx": "v", "frame_ms": "v", "width": "v",
              "height": "v", "mean_px": "d"}),

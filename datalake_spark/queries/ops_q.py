@@ -702,6 +702,88 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Header-sniff gate for compressed AUDIO: per doc, synthesize a real MP3
+# (even ids: CBR Layer-III frames, bitrate/rate/frame-count derived from
+# the id) or FLAC (odd ids: STREAMINFO with total = rate·k samples), run
+# the production audio_metadata header walk, and emit the parsed fields.
+# All outputs are closed-form integers of doc_id; FLAC duration is exact
+# because total is a rate multiple, and MP3 duration is intentionally NOT
+# gated (float-summed frame durations truncate at engine-dependent ulps)
+# — frame count and rate pin the walk instead via sample_rate.
+# ---------------------------------------------------------------------------
+def audio_sniff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    rates = (44100, 48000, 32000)
+    bitrates = (64, 96, 128, 160, 192)
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            blobs = []
+            for i in ids:
+                i = int(i)
+                if i % 2 == 0:
+                    kbps = bitrates[i % 5]
+                    rate_idx = i % 3
+                    rate = rates[rate_idx]
+                    br_idx = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                              160, 192, 224, 256, 320).index(kbps)
+                    b2 = (br_idx << 4) | (rate_idx << 2)
+                    frame = bytes([0xFF, 0xFB, b2, 0x00])
+                    frame += b"\x00" * (144 * kbps * 1000 // rate - 4)
+                    blobs.append(frame * (i % 4 + 2))
+                else:
+                    rate, ch = 44100, i % 8 + 1
+                    total = rate * (i % 3 + 1)
+                    packed = (rate << 44) | ((ch - 1) << 41) | (15 << 36) | total
+                    blobs.append(
+                        b"fLaC" + bytes([0x80, 0, 0, 34]) + b"\x00" * 10
+                        + packed.to_bytes(8, "big") + b"\x00" * 16
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.astype(str),
+                    "modality": "audio",
+                    "content": blobs,
+                    "mime": None,
+                    "width": None,
+                    "height": None,
+                    "duration_ms": None,
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema=mm_ops.MEDIA_SCHEMA)
+    out = mm_ops.audio_metadata(media)
+    return out.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "container",
+        F.col("channels").cast("bigint").alias("channels"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.when(F.col("container") == "flac", F.col("duration_ms")).alias(
+            "flac_duration_ms"
+        ),
+    )
+
+
+AUDIO_SNIFF_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'flac' END AS container,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2
+                 ELSE doc_id % 8 + 1 END AS BIGINT) AS channels,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN
+                 CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                 ELSE 32000 END
+                 ELSE 44100 END AS BIGINT) AS sample_rate,
+       CASE WHEN doc_id % 2 = 1
+            THEN CAST((doc_id % 3 + 1) * 1000 AS BIGINT) END
+         AS flac_duration_ms
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Real-codec gate for VIDEO: per doc, synthesize an animated GIF (nf =
 # 2+id%3 solid frames of gray v_j = (id*31 + j*17) % 251, delay d =
 # 200+(id%4)*100 ms, w = 4+id%3, h = 3+id%2), run the production

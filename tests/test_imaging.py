@@ -626,3 +626,80 @@ class TestWebpTiffDims:
         ifd = struct.pack("<H", 0) + struct.pack("<I", 0)
         with pytest.raises(UnsupportedMedia):
             image_dims(hdr + ifd)
+
+
+class TestAudioHeaderSniff:
+    """MP3 frame-header walk + FLAC STREAMINFO parse — header math only,
+    vectors synthesized from the public specs (ISO 11172-3 frame header,
+    FLAC format.rst STREAMINFO layout)."""
+
+    @staticmethod
+    def _mp3_frame(bitrate_kbps=128, rate_idx=0, padding=0, mono=False):
+        # MPEG1 Layer III, no CRC: 0xFF 0xFB
+        br_idx = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                  160, 192, 224, 256, 320).index(bitrate_kbps)
+        b2 = (br_idx << 4) | (rate_idx << 2) | (padding << 1)
+        b3 = 0xC0 if mono else 0x00
+        rate = (44100, 48000, 32000)[rate_idx]
+        frame_len = 144 * bitrate_kbps * 1000 // rate + padding
+        return bytes([0xFF, 0xFB, b2, b3]) + b"\x00" * (frame_len - 4)
+
+    def test_mp3_cbr(self):
+        from datalake_spark.functions.imaging import mp3_info
+
+        blob = self._mp3_frame() * 10  # 10 frames @128kbps 44.1kHz stereo
+        ch, rate, dur, kbps, n = mp3_info(blob)
+        assert (ch, rate, n, kbps) == (2, 44100, 10, 128)
+        assert dur == int(10 * 1152 / 44100 * 1000)
+
+    def test_mp3_vbr_with_id3_and_padding(self):
+        from datalake_spark.functions.imaging import mp3_info
+
+        id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+        frames = (self._mp3_frame(64, rate_idx=1, mono=True)
+                  + self._mp3_frame(192, rate_idx=1, padding=1, mono=True)
+                  + self._mp3_frame(320, rate_idx=1, mono=True))
+        ch, rate, dur, kbps, n = mp3_info(id3 + frames)
+        assert (ch, rate, n) == (1, 48000, 3)
+        assert dur == int(3 * 1152 / 48000 * 1000)
+        assert kbps == (64 + 192 + 320) // 3
+
+    def test_mp3_garbage_raises(self):
+        from datalake_spark.functions.imaging import (
+            UnsupportedMedia,
+            mp3_info,
+        )
+
+        with pytest.raises(UnsupportedMedia):  # bitrate index 15 = invalid
+            mp3_info(b"\xff\xfb\xf0\x00" + b"\x00" * 10)
+        with pytest.raises(UnsupportedMedia):
+            mp3_info(b"random bytes")
+        with pytest.raises(UnsupportedMedia):  # Layer I rejected
+            mp3_info(b"\xff\xfe\x92\x00" + b"\x00" * 10)
+
+    @staticmethod
+    def _flac(rate=44100, channels=2, bps=16, total=44100 * 3):
+        packed = (rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | total
+        info = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+        return b"fLaC" + bytes([0x80, 0, 0, 34]) + info
+
+    def test_flac_streaminfo(self):
+        from datalake_spark.functions.imaging import flac_info
+
+        ch, rate, dur, bps, total = flac_info(self._flac())
+        assert (ch, rate, bps, total) == (2, 44100, 16, 132300)
+        assert dur == 3000
+        ch, rate, dur, bps, total = flac_info(
+            self._flac(rate=96000, channels=6, bps=24, total=96000))
+        assert (ch, rate, bps, dur) == (6, 96000, 24, 1000)
+
+    def test_audio_info_any_dispatch(self):
+        from datalake_spark.functions.imaging import (
+            UnsupportedMedia,
+            audio_info_any,
+        )
+
+        assert audio_info_any(self._flac())[0] == "flac"
+        assert audio_info_any(self._mp3_frame() * 2)[0] == "mp3"
+        with pytest.raises(UnsupportedMedia):
+            audio_info_any(b"OggS whatever")

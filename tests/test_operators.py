@@ -878,3 +878,32 @@ class TestScaleClaimPlans:
         ).executedPlan().toString()
         assert "Exchange SinglePartition" not in plan
         assert "Exchange hashpartitioning(shard" in plan
+
+
+class TestAudioMetadataOp:
+    def test_bulk_header_sniff(self, spark):
+        from datalake_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            audio_metadata,
+        )
+        from tests.test_imaging import TestAudioHeaderSniff as V
+
+        mp3 = V._mp3_frame() * 4
+        flac = V._flac(rate=22050, channels=1, bps=16, total=22050)
+        media = spark.createDataFrame(
+            [
+                ("m1", "audio", mp3, None, None, None, None),
+                ("f1", "audio", flac, None, None, None, None),
+                ("bad", "audio", b"OggS nope", None, None, None, None),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+        got = {r["media_id"]: r for r in audio_metadata(media).collect()}
+        assert got["m1"]["container"] == "mp3"
+        assert (got["m1"]["channels"], got["m1"]["sample_rate"]) == (2, 44100)
+        assert got["m1"]["duration_ms"] == int(4 * 1152 / 44100 * 1000)
+        assert got["f1"]["container"] == "flac"
+        assert (got["f1"]["channels"], got["f1"]["sample_rate"],
+                got["f1"]["duration_ms"]) == (1, 22050, 1000)
+        assert got["bad"]["container"] is None
+        assert "unknown audio container" in got["bad"]["meta_error"]
