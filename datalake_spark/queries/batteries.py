@@ -356,6 +356,10 @@ def _mk() -> list[Q]:
         Sub(q(pq, "shard_stats", "shard_stats", "SHARD_STATS_SQL"),
             {"shard": "v", "n_docs": "v", "total_chars": "v",
              "min_doc": "v", "max_doc": "v"}),
+        Sub(q(pq, "embedding_quantize", "embedding_quantize",
+              "EMBEDDING_QUANTIZE_SQL"),
+            {"vec_id": "v", "n_dims": "v", "sum_q": "v", "sum_abs_q": "v",
+             "max_abs_q": "v"}),
     ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),

@@ -1302,6 +1302,59 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding_quantize — symmetric int8 quantization (the ANN memory-
+# compression step: 4× smaller vectors, q = round(x·127/max|x|)).  The
+# rounding is FLOOR(x·scale + 0.5) — pure IEEE double arithmetic, so the
+# quantized integers are bit-identical cross-engine (an engine round()
+# would hit banker's-rounding differences).  Map-only: no shuffle, no
+# UDF; the digests are exact integer folds of the quantized vector.
+# ---------------------------------------------------------------------------
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    max_abs = F.array_max(F.transform(x, F.abs))
+    scale = F.when(max_abs > 0, F.lit(127.0) / max_abs).otherwise(F.lit(0.0))
+    with_q = emb.select(
+        "vec_id",
+        F.transform(
+            x, lambda v: F.floor(v * scale + F.lit(0.5)).cast("bigint")
+        ).alias("q"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return with_q.select(
+        "vec_id",
+        F.size("q").cast("bigint").alias("n_dims"),
+        F.aggregate("q", zero, lambda a, v: a + v).alias("sum_q"),
+        F.aggregate("q", zero, lambda a, v: a + F.abs(v)).alias("sum_abs_q"),
+        F.array_max(F.transform("q", F.abs)).alias("max_abs_q"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH scaled AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 e -> abs(CAST(e AS DOUBLE)))) AS max_abs
+  FROM embeddings),
+q AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           e -> CAST(FLOOR(CAST(e AS DOUBLE)
+                           * (CASE WHEN max_abs > 0
+                                   THEN 127.0 / max_abs ELSE 0.0 END)
+                           + 0.5) AS BIGINT)) AS q
+  FROM scaled)
+SELECT vec_id,
+       CAST(len(q) AS BIGINT) AS n_dims,
+       CAST(list_sum(q) AS BIGINT) AS sum_q,
+       CAST(list_sum(list_transform(q, v -> abs(v))) AS BIGINT) AS sum_abs_q,
+       CAST(list_max(list_transform(q, v -> abs(v))) AS BIGINT) AS max_abs_q
+FROM q
+"""
+
+
 QUERIES = [
     Q("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup by fingerprint"),
     Q("text_stats", text_stats, TEXT_STATS_SQL, "token counting + ratios"),

@@ -115,3 +115,27 @@ class TestSources:
         assert bytes(got["img1.png"][0]) == payload
         assert got["img1.png"][1] == hashlib.blake2b(payload, digest_size=16).hexdigest()
         assert set(got) == {"img1.png", "img2.png"}
+
+    def test_json_corrupt_records_permissive(self, spark, tmp_path):
+        """Malformed JSON rows land in _corrupt_record instead of failing
+        the scan — the at-scale contract for dirty landing dirs."""
+        p = tmp_path / "dirty"
+        os.makedirs(p)
+        (p / "a.json").write_text('{"id": 1, "v": "ok"}\n{broken\n{"id": 3}\n')
+        df = spark.read.schema(
+            "id long, v string, _corrupt_record string"
+        ).json(str(p))
+        rows = df.collect()
+        good = {r["id"]: r["v"] for r in rows if r["_corrupt_record"] is None}
+        bad = [r for r in rows if r["_corrupt_record"] is not None]
+        assert good == {1: "ok", 3: None}
+        assert len(bad) == 1 and "{broken" in bad[0]["_corrupt_record"]
+
+    def test_json_dropmalformed_mode(self, spark, tmp_path):
+        p = tmp_path / "dirty2"
+        os.makedirs(p)
+        (p / "a.json").write_text('{"id": 1}\nnonsense\n{"id": 2}\n')
+        df = spark.read.schema("id long").option(
+            "mode", "DROPMALFORMED"
+        ).json(str(p))
+        assert sorted(r["id"] for r in df.collect()) == [1, 2]
