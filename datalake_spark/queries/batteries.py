@@ -139,6 +139,8 @@ def _mk() -> list[Q]:
     def q(mod, name, fn_name, sql_name):
         return Q(name, getattr(mod, fn_name), getattr(mod, sql_name), "")
 
+    from datalake_spark.queries import pipeline_q as pq
+
     joins = [
         Sub(q(r1, "q_semi_join", "q_semi_join", "Q_SEMI_SQL"),
             {"c_mktsegment": "v", "n_customers_with_orders": "v"}),
@@ -155,6 +157,8 @@ def _mk() -> list[Q]:
             {"user_id": "v", "imp_id": "v", "click_id": "v"}),
         Sub(q(r2, "q_disjunctive_join", "q_disjunctive_join", "Q_DISJUNCTIVE_SQL"),
             {"revenue": "d4", "n_rows": "v"}),
+        Sub(q(pq, "fuzzy_join_lev1", "fuzzy_join_lev1", "FUZZY_JOIN_SQL"),
+            {"s_a": "v", "s_b": "v", "dist": "v"}),
     ]
     aggs = [
         Sub(q(r1, "q_rollup", "q_rollup", "Q_ROLLUP_SQL"),
@@ -238,8 +242,6 @@ def _mk() -> list[Q]:
         Sub(q(r2, "q_sql_subqueries", "q_sql_subqueries", "_SUBQ_SQL"),
             {"c_mktsegment": "v", "n_customers": "v"}),
     ]
-    from datalake_spark.queries import pipeline_q as pq
-
     text = [
         Sub(q(pq, "text_stats", "text_stats", "TEXT_STATS_SQL"),
             {"doc_id": "v", "lang": "v", "n_chars_computed": "v", "n_tokens": "v",

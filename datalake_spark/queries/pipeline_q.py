@@ -1303,6 +1303,65 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# fuzzy_join_lev1 — entity-resolution fuzzy join: supplier-name pairs
+# within edit distance 1, by FastSS deletion-neighborhood blocking
+# (Bocek et al. 2007): every string joins on its original + all
+# single-char deletions (L+1 variants), so any lev≤1 pair MUST share a
+# variant (substitution → same deletion; indel → one is the other's
+# deletion); exact levenshtein then kills the false positives (e.g.
+# 'ab'/'ba' share variant 'a' at distance 2).  The oracle is the
+# BRUTE-FORCE all-pairs join — a hash-green row proves the blocking has
+# zero recall loss, the same candidates-then-verify discipline as
+# MinHash-LSH.  At scale: n·(L+1) variant rows, one equi-join shuffle on
+# the variant string (near-unique keys, skew-free), verify on candidates
+# only — never n².
+# ---------------------------------------------------------------------------
+def fuzzy_join_lev1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("key"),
+        F.col("s_name").alias("name"),
+    )
+    var = sup.select(
+        "key",
+        "name",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(name), 1), i -> "
+                "CASE WHEN i = 0 THEN name "
+                "ELSE concat(substring(name, 1, i - 1), "
+                "substring(name, i + 1, length(name))) END)"
+            )
+        ).alias("v"),
+    )
+    cand = (
+        var.alias("a")
+        .join(var.alias("b"), "v")
+        .filter(F.col("a.key") < F.col("b.key"))
+        .select(
+            F.col("a.key").alias("s_a"),
+            F.col("a.name").alias("na"),
+            F.col("b.key").alias("s_b"),
+            F.col("b.name").alias("nb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("na", "nb"))
+        .filter(F.col("dist") <= 1)
+        .select("s_a", "s_b", F.col("dist").cast("bigint").alias("dist"))
+    )
+
+
+FUZZY_JOIN_SQL = """
+SELECT a.s_suppkey AS s_a, b.s_suppkey AS s_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # embedding_quantize — symmetric int8 quantization (the ANN memory-
 # compression step: 4× smaller vectors, q = round(x·127/max|x|)).  The
 # rounding is FLOOR(x·scale + 0.5) — pure IEEE double arithmetic, so the
