@@ -278,6 +278,9 @@ def _mk() -> list[Q]:
         Sub(q(pq, "c4_filter_cascade", "c4_filter_cascade", "C4_FILTER_SQL"),
             {"doc_id": "v", "len_ok": "v", "stop_ok": "v", "lang_ok": "v",
              "is_canonical": "v", "keep": "v"}),
+        Sub(q(pq, "ngram_novelty", "ngram_novelty", "NGRAM_NOVELTY_SQL"),
+            {"doc_id": "v", "n_shingles": "v", "n_novel": "v",
+             "novelty": "d"}),
     ]
     from datalake_spark.queries import tpch2
 
@@ -362,6 +365,9 @@ def _mk() -> list[Q]:
               "EMBEDDING_QUANTIZE_SQL"),
             {"vec_id": "v", "n_dims": "v", "sum_q": "v", "sum_abs_q": "v",
              "max_abs_q": "v"}),
+        Sub(q(pq, "near_dup_triangles", "near_dup_triangles",
+              "NEAR_DUP_TRIANGLES_SQL"),
+            {"v1": "v", "v2": "v", "v3": "v"}),
     ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),

@@ -1303,6 +1303,112 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# ngram_novelty — per-document novelty: the fraction of a doc's distinct
+# 3-gram shingles never seen in any LOWER-id document (the streaming-
+# arrival order proxy).  Boilerplate and template-heavy docs score near
+# zero novel grams; the signal Lee et al. 2022 ("Deduplicating Training
+# Data Makes Language Models Better") motivates.  first_seen = MIN(doc_id)
+# per shingle — one agg over the exploded shingles, broadcast-free join
+# back on the shingle key, one per-doc agg.  Ratios are exact-integer
+# double divisions.
+# ---------------------------------------------------------------------------
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(w) >= 3,
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 2, 1), "
+                    "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                ),
+            ).otherwise(F.expr("cast(array() as array<string>)"))
+        ).alias("g"),
+    ).distinct()
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_seen"))
+    return (
+        sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_seen") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_novel").cast("bigint").alias("n_novel"),
+            (F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
+        )
+    )
+
+
+NGRAM_NOVELTY_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+       FROM w, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+first AS (SELECT g, MIN(doc_id) AS first_seen FROM sh GROUP BY 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       SUM(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM sh JOIN first USING (g)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# near_dup_triangles — triangle census of the embedding near-dup graph: a
+# triangle means three mutually-similar docs (a tight dup cluster), an
+# open wedge means chained similarity (the transitivity failure
+# connected-components papers warn about).  Classic two-way self-join on
+# ordered edges (a<b<c), the standard distributed triangle count — edge
+# list is the capped near-dup output, so the join is candidate-sized,
+# never corpus-sized.
+# ---------------------------------------------------------------------------
+def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = embedding_near_dup(spark, sf_dir).select("id_a", "id_b")
+    e = pairs.select(
+        F.least("id_a", "id_b").alias("a"),
+        F.greatest("id_a", "id_b").alias("b"),
+    ).distinct()
+    tri = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            F.col("e1.b") == F.col("e2.a"),
+        )
+        .join(
+            e.alias("e3"),
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("v1"),
+            F.col("e1.b").alias("v2"),
+            F.col("e2.b").alias("v3"),
+        )
+    )
+    return tri
+
+
+NEAR_DUP_TRIANGLES_SQL = (
+    "WITH pairs AS (" + EMBEDDING_NEAR_DUP_SQL + """),
+e AS (SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+      FROM pairs)
+SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+FROM e e1
+JOIN e e2 ON e1.b = e2.a
+JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # fuzzy_join_lev1 — entity-resolution fuzzy join: supplier-name pairs
 # within edit distance 1, by FastSS deletion-neighborhood blocking
 # (Bocek et al. 2007): every string joins on its original + all
