@@ -185,7 +185,9 @@ def main() -> None:
         "embedding_dedup_clusters",
         # r4 curation additions
         "repetition_signals", "chargram_commonness", "c4_filter_cascade",
-        "deterministic_shuffle", "shard_stats",
+        "deterministic_shuffle", "shard_stats", "embedding_quantize",
+        "fuzzy_join_lev1", "ngram_novelty", "near_dup_triangles",
+        "audio_sniff_roundtrip",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:
