@@ -1423,38 +1423,19 @@ JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
 # only — never n².
 # ---------------------------------------------------------------------------
 def fuzzy_join_lev1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.operators.dedup import fuzzy_pairs_lev1
+
     sup = load(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("bigint").alias("key"),
         F.col("s_name").alias("name"),
     )
-    var = sup.select(
-        "key",
-        "name",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, length(name), 1), i -> "
-                "CASE WHEN i = 0 THEN name "
-                "ELSE concat(substring(name, 1, i - 1), "
-                "substring(name, i + 1, length(name))) END)"
-            )
-        ).alias("v"),
-    )
-    cand = (
-        var.alias("a")
-        .join(var.alias("b"), "v")
-        .filter(F.col("a.key") < F.col("b.key"))
-        .select(
-            F.col("a.key").alias("s_a"),
-            F.col("a.name").alias("na"),
-            F.col("b.key").alias("s_b"),
-            F.col("b.name").alias("nb"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn("dist", F.levenshtein("na", "nb"))
-        .filter(F.col("dist") <= 1)
-        .select("s_a", "s_b", F.col("dist").cast("bigint").alias("dist"))
+    # max_block never binds on natural keys (variant blocks are a handful
+    # of strings), so the brute-force oracle stays hash-exact; degenerate
+    # corpora are bounded by the cap + quantified by fuzzy_truncated_blocks
+    return fuzzy_pairs_lev1(sup, "name", "key", max_block=64).select(
+        F.col("id_a").alias("s_a"),
+        F.col("id_b").alias("s_b"),
+        "dist",
     )
 
 

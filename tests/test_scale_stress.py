@@ -145,3 +145,37 @@ class TestHotKeySalting:
         n = salted_join(hot_events, dim, ["k"], salt=16).count()
         assert n == 100_000
         assert time.monotonic() - t0 < 90
+
+
+class TestFuzzyBlockCap:
+    def test_identical_names_bounded_by_cap(self, spark):
+        """1000 identical strings share every deletion variant: uncapped
+        blocking would expand ~n^2/2 candidates; the cap bounds it at
+        C(cap,2) and the detector reports every over-full block."""
+        from datalake_spark.operators.dedup import (
+            fuzzy_pairs_lev1,
+            fuzzy_truncated_blocks,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "same-name") for i in range(1000)], "id long, name string"
+        )
+        pairs = fuzzy_pairs_lev1(df, "name", "id", max_block=40)
+        n = pairs.count()
+        assert 0 < n <= 40 * 39 // 2
+        trunc = fuzzy_truncated_blocks(df, "name", "id", max_block=40)
+        # original + len("same-name") deletions, all blocks of 1000
+        rows = trunc.collect()
+        assert len(rows) == len("same-name") + 1
+        assert all(r["block_size"] == 1000 for r in rows)
+
+    def test_natural_keys_cap_never_binds(self, spark):
+        """Unique-ish names: the detector is empty, so the capped pairs
+        are PROVEN exact (the driver gate separately hash-matches them
+        against the brute-force oracle)."""
+        from datalake_spark.operators.dedup import fuzzy_truncated_blocks
+
+        df = spark.createDataFrame(
+            [(i, f"item#{i:06d}") for i in range(500)], "id long, name string"
+        )
+        assert fuzzy_truncated_blocks(df, "name", "id", max_block=64).count() == 0
