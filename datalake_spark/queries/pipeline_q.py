@@ -1373,10 +1373,13 @@ GROUP BY doc_id
 # ---------------------------------------------------------------------------
 def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_near_dup(spark, sf_dir).select("id_a", "id_b")
+    # the edge list feeds all three join legs — persist it so the
+    # near-dup pipeline (norms + dot products) runs once, not thrice
+    # (the sig-frame discipline from the LSH operators)
     e = pairs.select(
         F.least("id_a", "id_b").alias("a"),
         F.greatest("id_a", "id_b").alias("b"),
-    ).distinct()
+    ).distinct().persist()
     tri = (
         e.alias("e1")
         .join(
