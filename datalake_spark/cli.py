@@ -178,6 +178,8 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["exact", "fingerprint", "minhash", "simhash"])
     cu.add_argument("--threshold", type=float, default=0.5)
     cu.add_argument("--seed", default="shuf42")
+    cu.add_argument("--quarantine", default=None,
+                    help="also write dropped docs with per-rule attribution")
     return p
 
 
@@ -345,6 +347,7 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
             seed=args.seed,
             dedup_strategy=args.strategy,
             dedup_threshold=args.threshold,
+            quarantine_path=args.quarantine,
         )
         print(_json.dumps(manifest, sort_keys=True), file=out)
         return 0

@@ -89,6 +89,9 @@ def quality_rules(
     return out.drop("_n_words", "_n_stop", "_fp", "_fp_keeper")
 
 
+RULE_COLS = ("len_ok", "stop_ok", "lang_ok", "is_canonical", "keep")
+
+
 def curate_corpus(
     df: DataFrame,
     text_col: str = "text",
@@ -96,15 +99,24 @@ def curate_corpus(
     dedup_strategy: str = "minhash",
     dedup_threshold: float = 0.5,
     rule_kwargs: dict | None = None,
+    quarantine_path: str | None = None,
     **dedup_kwargs,
 ) -> DataFrame:
     """Quality rules then near-dup dedup; returns the surviving rows of
-    ``df`` (original columns only)."""
+    ``df`` (original columns only).
+
+    With ``quarantine_path``, every dropped document is written there
+    with a ``drop_stage`` column plus the per-rule attribution booleans —
+    the audit trail that lets a curation run answer "why is doc X not in
+    the training set" without re-running anything.  Rule failures record
+    their failing rules; near-dup losers record stage ``near_dup`` (their
+    cluster canonical survived).
+    """
     ruled = quality_rules(
         df, text_col=text_col, id_col=id_col, **(rule_kwargs or {})
     )
     kept = ruled.filter(F.col("keep")).select(*df.columns)
-    return dedup_corpus(
+    surviving = dedup_corpus(
         kept,
         text_col=text_col,
         id_col=id_col,
@@ -112,6 +124,26 @@ def curate_corpus(
         threshold=dedup_threshold,
         **dedup_kwargs,
     )
+    if quarantine_path is not None:
+        rule_drops = ruled.filter(~F.col("keep")).select(
+            *df.columns, *RULE_COLS, F.lit("rules").alias("drop_stage")
+        )
+        dup_drops = (
+            kept.join(
+                surviving.select(F.col(id_col).alias("_kid")),
+                F.col(id_col) == F.col("_kid"),
+                "left_anti",
+            )
+            .select(
+                *df.columns,
+                *[F.lit(True).alias(c) for c in RULE_COLS],
+                F.lit("near_dup").alias("drop_stage"),
+            )
+        )
+        rule_drops.unionByName(dup_drops).write.mode("overwrite").parquet(
+            quarantine_path
+        )
+    return surviving
 
 
 def curate_and_export(
@@ -121,13 +153,21 @@ def curate_and_export(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: str = "shuf42",
+    quarantine_path: str | None = None,
     **curate_kwargs,
 ) -> dict:
     """The one-call pipeline: curate then shard.  Returns the shard
     manifest extended with a curation report (input / post-curation
-    counts and the drop rate)."""
+    counts and the drop rate).  ``quarantine_path`` writes dropped docs
+    with per-rule attribution (see curate_corpus)."""
     n_input = df.count()
-    curated = curate_corpus(df, text_col=text_col, id_col=id_col, **curate_kwargs)
+    curated = curate_corpus(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        quarantine_path=quarantine_path,
+        **curate_kwargs,
+    )
     manifest = write_training_shards(
         curated, path, n_shards, id_col=id_col, seed=seed
     )

@@ -67,3 +67,31 @@ class TestCurateAndExport:
         back = spark.read.parquet(path)
         assert back.count() == m["n_rows"]
         assert set(back.columns) >= {"doc_id", "text", "lang", "shard"}
+
+
+class TestQuarantine:
+    def test_dropped_docs_carry_attribution(self, spark, tmp_path):
+        qpath = str(tmp_path / "quarantine")
+        kept = curate_corpus(
+            _docs(spark), dedup_threshold=0.4, quarantine_path=qpath
+        )
+        kept_ids = {r["doc_id"] for r in kept.collect()}
+        q = {r["doc_id"]: r for r in spark.read.parquet(qpath).collect()}
+        # quarantine + survivors partition the input exactly
+        assert set(q) | kept_ids == set(range(52)) | {52, 53, 54, 55, 51}
+        assert not set(q) & kept_ids
+        assert q[52]["drop_stage"] == "rules" and q[52]["len_ok"] is False
+        assert q[53]["drop_stage"] == "rules" and q[53]["stop_ok"] is False
+        assert q[54]["drop_stage"] == "rules" and q[54]["lang_ok"] is False
+        assert q[55]["drop_stage"] == "rules" and q[55]["is_canonical"] is False
+        assert q[51]["drop_stage"] == "near_dup"
+        # near-dup losers passed every rule
+        assert q[51]["keep"] is True and q[51]["len_ok"] is True
+
+    def test_export_wires_quarantine(self, spark, tmp_path):
+        m = curate_and_export(
+            _docs(spark), str(tmp_path / "shards"), n_shards=2,
+            dedup_threshold=0.4, quarantine_path=str(tmp_path / "qr"),
+        )
+        dropped = spark.read.parquet(str(tmp_path / "qr")).count()
+        assert m["curation"]["n_input"] == m["curation"]["n_kept"] + dropped
