@@ -173,6 +173,9 @@ def _mk() -> list[Q]:
             {"n_name": "v", "n_suppliers": "v", "supplier_names": "v"}),
         Sub(q(ops, "q_percentiles", "q_percentiles", "Q_PERCENTILES_SQL"),
             {"o_orderstatus": "v", "p50": "d", "p90": "d", "p99": "d"}),
+        Sub(q(pq, "hll_distinct_verdict", "hll_distinct_verdict",
+              "HLL_DISTINCT_SQL"),
+            {"segment": "v", "n_exact": "v", "within_2pct": "v"}),
     ]
     windows = [
         Sub(q(r1, "q_window_running", "q_window_running", "Q_RUNNING_SQL"),

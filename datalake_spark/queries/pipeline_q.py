@@ -1303,6 +1303,60 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# hll_distinct_verdict — MERGEABLE distinct-count sketches: one HLL
+# sketch per customer segment, estimates read per segment AND from the
+# union of all sketches (the re-aggregation a warehouse rollup needs —
+# exact distincts can't merge, sketches can).  DuckDB cannot replay
+# Spark's DataSketches binary, so the gate uses the recall-verdict trick
+# (cf. ann_srp_topk): emit the EXACT distinct count plus the boolean
+# "sketch estimate within 2% of exact" — HLL is deterministic for fixed
+# input, so the booleans are stable and the oracle pins them true.  At
+# scale: sketches are fixed-size (lgK=12 → ~4 KB), partial-aggregated
+# map-side; the union row moves 5 sketches, not 5 distinct sets.
+# ---------------------------------------------------------------------------
+def hll_distinct_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    per = cust.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count_distinct("c_custkey").alias("n_exact"),
+    )
+    seg = per.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(
+                F.hll_sketch_estimate("sk").cast("double") - F.col("n_exact")
+            )
+            <= 0.02 * F.col("n_exact")
+        ).alias("within_2pct"),
+    )
+    allrow = per.agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.sum("n_exact").alias("n_exact"),  # custkey is unique per customer
+    ).select(
+        F.lit("ALL").alias("segment"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(
+                F.hll_sketch_estimate("sk").cast("double") - F.col("n_exact")
+            )
+            <= 0.02 * F.col("n_exact")
+        ).alias("within_2pct"),
+    )
+    return seg.unionByName(allrow)
+
+
+HLL_DISTINCT_SQL = """
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_exact,
+       TRUE AS within_2pct
+FROM customer GROUP BY 1
+UNION ALL
+SELECT 'ALL', CAST(COUNT(DISTINCT c_custkey) AS BIGINT), TRUE FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
 # ngram_novelty — per-document novelty: the fraction of a doc's distinct
 # 3-gram shingles never seen in any LOWER-id document (the streaming-
 # arrival order proxy).  Boilerplate and template-heavy docs score near
