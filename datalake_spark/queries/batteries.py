@@ -176,6 +176,9 @@ def _mk() -> list[Q]:
         Sub(q(pq, "hll_distinct_verdict", "hll_distinct_verdict",
               "HLL_DISTINCT_SQL"),
             {"segment": "v", "n_exact": "v", "within_2pct": "v"}),
+        Sub(q(pq, "q_moments", "q_moments", "Q_MOMENTS_SQL"),
+            {"o_orderpriority": "v", "n": "v", "stddev_price": "d",
+             "corr_xy": "d", "regr_slope": "d"}),
     ]
     windows = [
         Sub(q(r1, "q_window_running", "q_window_running", "Q_RUNNING_SQL"),

@@ -1303,6 +1303,87 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# q_moments — statistical moments (stddev, correlation, regression slope)
+# per order-priority group.  Engine built-ins (stddev/corr/regr_slope)
+# stream in partition order, so their float accumulation is
+# order-dependent and can differ cross-engine in late ulps; instead the
+# moments derive from DECIMAL-exact power sums (Σx, Σx², Σy, Σy², Σxy
+# over decimal-cast inputs), which are order-insensitive, then a single
+# double evaluation per group.  ROUND(_, 6) for the 'd' canon.  One
+# map-side-combinable aggregation; the moment math is per-group scalar
+# work.
+# ---------------------------------------------------------------------------
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(20,2)")
+    y = (F.col("o_custkey") % 97).cast("decimal(20,2)") + (
+        F.col("o_orderkey") % 7
+    ).cast("decimal(20,2)")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = (sxx - sx * sx / n) / (n - 1)
+    var_y = (syy - sy * sy / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    # no explicit ROUND: sqrt is IEEE-correctly-rounded and the inputs are
+    # identical doubles, so the raw values are bit-identical and the
+    # battery's 'd' canon (FLOOR(x·1e6+0.5)) does the only quantization —
+    # an engine ROUND(x, 6) here could double-round differently near ties
+    return agg.select(
+        F.col("o_orderpriority"),
+        F.col("n").cast("bigint").alias("n"),
+        F.sqrt(var_x).alias("stddev_price"),
+        (cov / F.sqrt(var_x * var_y)).alias("corr_xy"),
+        (cov / var_x).alias("regr_slope"),
+    )
+
+
+Q_MOMENTS_SQL = """
+WITH a AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS sx,
+         SUM(CAST(o_totalprice AS DECIMAL(20,2))
+             * CAST(o_totalprice AS DECIMAL(20,2))) AS sxx,
+         SUM(CAST(o_custkey % 97 AS DECIMAL(20,2))
+             + CAST(o_orderkey % 7 AS DECIMAL(20,2))) AS sy,
+         SUM((CAST(o_custkey % 97 AS DECIMAL(20,2))
+              + CAST(o_orderkey % 7 AS DECIMAL(20,2)))
+             * (CAST(o_custkey % 97 AS DECIMAL(20,2))
+                + CAST(o_orderkey % 7 AS DECIMAL(20,2)))) AS syy,
+         SUM(CAST(o_totalprice AS DECIMAL(20,2))
+             * (CAST(o_custkey % 97 AS DECIMAL(20,2))
+                + CAST(o_orderkey % 7 AS DECIMAL(20,2)))) AS sxy
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n,
+       SQRT(var_x) AS stddev_price,
+       cov / SQRT(var_x * var_y) AS corr_xy,
+       cov / var_x AS regr_slope
+FROM (
+  SELECT o_orderpriority, n,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_x,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_y,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS cov
+  FROM a)
+"""
+
+
+# ---------------------------------------------------------------------------
 # hll_distinct_verdict — MERGEABLE distinct-count sketches: one HLL
 # sketch per customer segment, estimates read per segment AND from the
 # union of all sketches (the re-aggregation a warehouse rollup needs —
