@@ -836,3 +836,91 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def duplicated_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document exact duplicated-span removal: delete every token that
+    sits inside a ``k``-word gram occurring in >= ``min_df`` DISTINCT
+    documents, and reassemble what survives (the substring-dedup shape of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", at word-gram granularity — no reference analog; LLM-brief item).
+    Unlike whole-document dedup it removes boilerplate *inside* otherwise
+    unique documents.
+
+    Returns (id, n_tokens, n_dup_starts, n_removed, cleaned_text) with the
+    original column names preserved for ``id_col``.
+
+    Plan shape (the scale path):
+      map:       tokenize; emit (doc, start, gram) — a k-token sliding
+                 window, |tokens| rows, built JVM-side (transform+slice)
+      shuffle 1: groupBy(gram) -> distinct-doc count; min_df filter
+      shuffle 2: left-semi join grams x dup-grams on gram -> dup starts
+      map:       explode start -> start+k-1 covered positions; distinct
+                 (shuffle 3, bounded by k x |tokens|)
+      shuffle 4: left-anti join tokens x covered -> survivors; per-doc
+                 sort-and-concat re-assembly (one agg)
+
+    Every shuffle key is a gram hash or (doc, pos) — uniform, skew-free.
+    Hot grams (corpus-wide boilerplate) cost |occurrences| join rows, never
+    |occurrences|^2: spans are removed per-document, not paired.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_parts"))
+    words = base.select(
+        "_id", F.posexplode("_parts").alias("_pos", "_word")
+    )
+    # 1-based slice starts 1..n-k+1; posexplode index s0 = start - 1 aligns
+    # with the 0-based _pos of the first covered token.
+    gram_arr = F.when(
+        F.size("_parts") >= k,
+        F.expr(
+            f"transform(sequence(1, size(_parts) - {k - 1}), "
+            f"i -> concat_ws(' ', slice(_parts, i, {k})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select("_id", F.posexplode(gram_arr).alias("_s0", "_gram"))
+    dupg = (
+        grams.groupBy("_gram")
+        .agg(F.count_distinct("_id").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_gram")
+    )
+    dstart = grams.join(dupg, "_gram", "left_semi").select("_id", "_s0")
+    covered = dstart.select(
+        "_id",
+        F.explode(
+            F.sequence(F.col("_s0"), F.col("_s0") + F.lit(k - 1))
+        ).alias("_pos"),
+    ).distinct()
+    kept = words.join(covered, ["_id", "_pos"], "left_anti")
+    reasm = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_word"))),
+                lambda s: s["_word"],
+            ),
+        ).alias("_cleaned"),
+    )
+    starts = dstart.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_starts"))
+    return (
+        base.select("_id", F.size("_parts").alias("n_tokens"))
+        .join(starts, "_id", "left")
+        .join(reasm, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("_n_starts"), F.lit(0)).cast("bigint").alias("n_dup_starts"),
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("_cleaned"), F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -374,6 +374,9 @@ def _mk() -> list[Q]:
         Sub(q(pq, "near_dup_triangles", "near_dup_triangles",
               "NEAR_DUP_TRIANGLES_SQL"),
             {"v1": "v", "v2": "v", "v3": "v"}),
+        Sub(q(pq, "span_dedup", "span_dedup", "SPAN_DEDUP_SQL"),
+            {"doc_id": "v", "n_tokens": "v", "n_dup_starts": "v",
+             "n_removed": "v", "cleaned_md5": "v"}),
     ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),

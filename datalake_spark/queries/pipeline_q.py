@@ -1653,3 +1653,65 @@ QUERIES = [
     Q("text_normalize", text_normalize, TEXT_NORMALIZE_SQL, "canonicalization pass"),
     Q("dataset_split", dataset_split, DATASET_SPLIT_SQL, "deterministic train/val/test split"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# span_dedup — cross-document duplicated-span removal (exact substring dedup
+# at 8-word-gram granularity; Lee et al. 2022 shape).  The operator proper
+# lives in operators/dedup.py:duplicated_span_dedup; here its reassembled
+# text is surfaced as an md5 so the full cleaned CONTENT (order included) is
+# value-verified against the oracle, not just the counts.
+# ---------------------------------------------------------------------------
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.operators.dedup import duplicated_span_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    out = duplicated_span_dedup(docs, text_col="text", id_col="doc_id", k=8, min_df=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_starts",
+        "n_removed",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    )
+
+
+SPAN_DEDUP_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+words AS (
+  SELECT t.doc_id, g.i - 1 AS pos, t.parts[g.i] AS word
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.parts))) AS i) g
+),
+grams AS (
+  SELECT t.doc_id, g.i - 1 AS s0,
+         array_to_string(t.parts[g.i:g.i + 7], ' ') AS gram
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, len(t.parts) - 7)) AS i
+  ) g
+  WHERE len(t.parts) >= 8
+),
+dupg AS (SELECT gram FROM grams GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+dstart AS (SELECT g.doc_id, g.s0 FROM grams g JOIN dupg USING (gram)),
+cov AS (
+  SELECT DISTINCT d.doc_id, d.s0 + o.o AS pos
+  FROM dstart d, LATERAL (SELECT unnest(generate_series(0, 7)) AS o) o
+),
+kept AS (
+  SELECT w.doc_id, w.pos, w.word
+  FROM words w ANTI JOIN cov c ON w.doc_id = c.doc_id AND w.pos = c.pos
+),
+reasm AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY pos) AS cleaned
+  FROM kept GROUP BY 1
+),
+starts AS (SELECT doc_id, COUNT(*) AS n_starts FROM dstart GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(t.parts) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.n_starts, 0) AS BIGINT) AS n_dup_starts,
+       CAST(len(t.parts) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(r.cleaned, '')) AS cleaned_md5
+FROM t
+LEFT JOIN starts s ON t.doc_id = s.doc_id
+LEFT JOIN reasm r ON t.doc_id = r.doc_id
+"""

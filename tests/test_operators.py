@@ -907,3 +907,61 @@ class TestAudioMetadataOp:
                 got["f1"]["duration_ms"]) == (1, 22050, 1000)
         assert got["bad"]["container"] is None
         assert "unknown audio container" in got["bad"]["meta_error"]
+
+
+class TestSpanDedup:
+    """duplicated_span_dedup: cross-document k-gram span removal."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def test_shared_span_removed_both_docs(self, spark):
+        # 8-gram "a b c d e f g h" appears in docs 1 and 2; unique tails stay
+        span = "a b c d e f g h"
+        df = self._mk(
+            spark,
+            [(1, span + " unique one tail"), (2, span + " other two tail"),
+             (3, "totally different words here nine ten eleven twelve")],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.duplicated_span_dedup(df, k=8, min_df=2).collect()
+        }
+        assert out[1]["n_removed"] == 8 and out[2]["n_removed"] == 8
+        assert out[1]["cleaned_text"] == "unique one tail"
+        assert out[2]["cleaned_text"] == "other two tail"
+        assert out[3]["n_removed"] == 0
+        assert out[3]["cleaned_text"].startswith("totally different")
+
+    def test_overlapping_spans_cover_union(self, spark):
+        # dup gram at starts 0 and 1 -> covered positions 0..8 (union, not 16)
+        nine = "a b c d e f g h i"
+        df = self._mk(
+            spark, [(1, nine + " x y z"), (2, nine + " p q r")]
+        )
+        out = {r["doc_id"]: r for r in dedup.duplicated_span_dedup(df, k=8).collect()}
+        # both 8-grams inside the shared 9 words are duplicated
+        assert out[1]["n_dup_starts"] == 2
+        assert out[1]["n_removed"] == 9
+        assert out[1]["cleaned_text"] == "x y z"
+
+    def test_within_doc_repeat_not_removed(self, spark):
+        # the repeated span lives in ONE doc only -> distinct-doc df == 1
+        span = "a b c d e f g h"
+        df = self._mk(
+            spark,
+            [(1, span + " " + span), (2, "nothing in common with that")],
+        )
+        out = dedup.duplicated_span_dedup(df, k=8).filter("doc_id = 1").first()
+        assert out["n_removed"] == 0
+
+    def test_short_docs_pass_through(self, spark):
+        df = self._mk(spark, [(1, "too short"), (2, "too short")])
+        rows = {r["doc_id"]: r for r in dedup.duplicated_span_dedup(df, k=8).collect()}
+        assert rows[1]["n_removed"] == 0 and rows[1]["cleaned_text"] == "too short"
+
+    def test_fully_removed_doc_yields_empty_text(self, spark):
+        span = "a b c d e f g h"
+        df = self._mk(spark, [(1, span), (2, span)])
+        rows = dedup.duplicated_span_dedup(df, k=8).collect()
+        assert all(r["n_removed"] == 8 and r["cleaned_text"] == "" for r in rows)
