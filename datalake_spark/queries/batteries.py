@@ -179,6 +179,10 @@ def _mk() -> list[Q]:
         Sub(q(pq, "q_moments", "q_moments", "Q_MOMENTS_SQL"),
             {"o_orderpriority": "v", "n": "v", "stddev_price": "d",
              "corr_xy": "d", "regr_slope": "d"}),
+        Sub(q(pq, "q_quantile_verdict", "q_quantile_verdict",
+              "Q_QUANTILE_VERDICT_SQL"),
+            {"o_orderstatus": "v", "n": "v", "p50_exact": "d",
+             "p90_exact": "d", "p50_in_bounds": "v", "p90_in_bounds": "v"}),
     ]
     windows = [
         Sub(q(r1, "q_window_running", "q_window_running", "Q_RUNNING_SQL"),
@@ -287,6 +291,9 @@ def _mk() -> list[Q]:
         Sub(q(pq, "ngram_novelty", "ngram_novelty", "NGRAM_NOVELTY_SQL"),
             {"doc_id": "v", "n_shingles": "v", "n_novel": "v",
              "novelty": "d"}),
+        Sub(q(pq, "vocab_report", "vocab_report", "VOCAB_REPORT_SQL"),
+            {"source": "v", "n_tokens": "v", "n_terms": "v", "n_hapax": "v",
+             "top_term": "v", "top_cnt": "v", "top_share": "d"}),
     ]
     from datalake_spark.queries import tpch2
 
@@ -377,6 +384,8 @@ def _mk() -> list[Q]:
         Sub(q(pq, "span_dedup", "span_dedup", "SPAN_DEDUP_SQL"),
             {"doc_id": "v", "n_tokens": "v", "n_dup_starts": "v",
              "n_removed": "v", "cleaned_md5": "v"}),
+        Sub(q(pq, "domain_mix_sample", "domain_mix_sample", "DOMAIN_MIX_SQL"),
+            {"source": "v", "doc_id": "v", "bucket": "v"}),
     ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),

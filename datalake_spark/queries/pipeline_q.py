@@ -1715,3 +1715,194 @@ FROM t
 LEFT JOIN starts s ON t.doc_id = s.doc_id
 LEFT JOIN reasm r ON t.doc_id = r.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# vocab_report — per-source vocabulary statistics: total token occurrences,
+# distinct terms, hapax-legomena count (terms seen once — the Heaps'-law
+# tail that dominates tokenizer vocab growth), and the top term with its
+# corpus share (the Zipf head).  Plan: explode -> ONE groupBy(source, term)
+# count -> ONE per-source agg; the top term comes from min(struct(-cnt,
+# term)) inside that same agg — deterministic (count desc, term asc) without
+# a window over the vocabulary.  Term-count rows are Heaps-sublinear in
+# corpus size, so the second shuffle is tiny at any scale.
+# ---------------------------------------------------------------------------
+def vocab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    tc = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = tc.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.min(
+            F.struct((-F.col("cnt")).alias("nc"), F.col("word").alias("w"))
+        ).alias("_m"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_terms",
+        "n_hapax",
+        F.col("_m.w").alias("top_term"),
+        (-F.col("_m.nc")).cast("bigint").alias("top_cnt"),
+        ((-F.col("_m.nc")).cast("double") / F.col("n_tokens")).alias("top_share"),
+    )
+
+
+VOCAB_REPORT_SQL = """
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tc AS (SELECT source, word, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
+ranked AS (
+  SELECT source, word, cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY cnt DESC, word ASC
+         ) AS rnk
+  FROM tc
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM tc GROUP BY 1
+)
+SELECT a.source, a.n_tokens, a.n_terms, a.n_hapax,
+       r.word AS top_term,
+       CAST(r.cnt AS BIGINT) AS top_cnt,
+       CAST(r.cnt AS DOUBLE) / a.n_tokens AS top_share
+FROM agg a JOIN ranked r ON a.source = r.source AND r.rnk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# domain_mix_sample — token-budget domain mixing: sample the corpus down to
+# a 60% token budget allocated EQUALLY across sources, via a DETERMINISTIC
+# per-doc hash threshold (no rand(), no resampling drift between runs or
+# engines).  rate_s = min(1, budget_tokens / n_sources / tokens_s) — a
+# source below its allocation is kept whole (the low-resource upweight cap
+# every real pretraining mix applies), an over-represented source is thinned
+# to its share.  keep(doc) <=> md5-bucket(doc_id) < floor(rate_s * 1e6): the
+# decision is a pure function of the doc id, so adding executors, reordering
+# input, or re-running yields the identical sample.  Plan: one tiny
+# per-source token agg (broadcast back), then a map-side filter — the corpus
+# itself is never shuffled.
+# ---------------------------------------------------------------------------
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    per = docs.select("source", n_toks.alias("_nt")).groupBy("source").agg(
+        F.sum("_nt").alias("tok_s")
+    )
+    tot = per.agg(
+        F.sum("tok_s").alias("tok_all"), F.count(F.lit(1)).alias("n_src")
+    )
+    thr = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(0.6)
+                * F.col("tok_all").cast("double")
+                / F.col("n_src")
+                / F.col("tok_s"),
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("thr"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % F.lit(1000000)
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .join(F.broadcast(thr), "source")
+        .filter(F.col("bucket") < F.col("thr"))
+        .select("source", "doc_id", F.col("bucket").cast("bigint").alias("bucket"))
+    )
+
+
+DOMAIN_MIX_SQL = """
+WITH per AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_s
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(tok_s) AS BIGINT) AS tok_all, COUNT(*) AS n_src FROM per
+),
+thr AS (
+  SELECT p.source,
+         CAST(FLOOR(LEAST(1.0,
+                0.6 * CAST(t.tok_all AS DOUBLE) / t.n_src / p.tok_s)
+              * 1000000.0) AS BIGINT) AS thr
+  FROM per p, tot t
+)
+SELECT d.source, d.doc_id,
+       CAST(CONCAT('0x', SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % 1000000 AS bucket
+FROM documents d JOIN thr t ON d.source = t.source
+WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) % 1000000 < t.thr
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_quantile_verdict — approximate-percentile sketch with an IN-PLAN
+# exactness verdict, the quantile twin of hll_distinct_verdict: per group,
+# Spark's mergeable Greenwald-Khanna sketch (approx_percentile, accuracy
+# 10000 -> rank error <= 1e-4) must land inside the exact percentile values
+# at rank +/- 0.005 — computed in the SAME plan.  The oracle re-computes the
+# exact percentiles and pins the verdict TRUE, so the sketch's accuracy
+# contract is value-verified every round, not assumed.  At 100 TB the
+# sketch path is the only viable one (exact percentile sorts the group);
+# the verdict makes its error budget observable instead of trusted.
+# ---------------------------------------------------------------------------
+def q_quantile_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9), 10000)"
+        ).alias("ap"),
+        F.expr(
+            "percentile(o_totalprice, array(0.495, 0.5, 0.505))"
+        ).alias("e50"),
+        F.expr(
+            "percentile(o_totalprice, array(0.895, 0.9, 0.905))"
+        ).alias("e90"),
+    )
+    return g.select(
+        "o_orderstatus",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("e50")[1], 4).alias("p50_exact"),
+        F.round(F.col("e90")[1], 4).alias("p90_exact"),
+        (
+            (F.col("ap")[0] >= F.col("e50")[0])
+            & (F.col("ap")[0] <= F.col("e50")[2])
+        ).alias("p50_in_bounds"),
+        (
+            (F.col("ap")[1] >= F.col("e90")[0])
+            & (F.col("ap")[1] <= F.col("e90")[2])
+        ).alias("p90_in_bounds"),
+    )
+
+
+Q_QUANTILE_VERDICT_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+       TRUE AS p50_in_bounds,
+       TRUE AS p90_in_bounds
+FROM orders GROUP BY 1
+"""

@@ -9,6 +9,8 @@ from collections import Counter
 
 import pytest
 
+from tests.conftest import SF_DIR
+
 from datalake_spark.queries.pipeline_q import (
     chargram_commonness,
     repetition_signals,
@@ -93,3 +95,63 @@ class TestSignalModels:
             r = got[d]
             assert (r["n_grams"], r["sum_cnt"], r["commonness_micro"]) == (
                 n, s, micro), d
+
+
+def _write_mix(spark, tmp_path, rows, name):
+    """rows: (doc_id, text, source)."""
+    sf_dir = str(tmp_path / name)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).selectExpr(
+        "doc_id", "text", "'en' as lang", "source", "length(text) as n_chars"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+class TestVocabReport:
+    def test_matches_counter_model(self, spark, tmp_path):
+        from datalake_spark.queries.pipeline_q import vocab_report
+
+        rows = _corpus(5)
+        sf_dir = _write(spark, tmp_path, rows, "vocab")
+        words = [w for _, t in rows for w in t.split(" ")]
+        c = Counter(words)
+        got = {r["source"]: r for r in vocab_report(spark, sf_dir).collect()}
+        r = got["s"]
+        assert r["n_tokens"] == len(words)
+        assert r["n_terms"] == len(c)
+        assert r["n_hapax"] == sum(1 for v in c.values() if v == 1)
+        # deterministic tie-break: count desc, term asc
+        top = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (r["top_term"], r["top_cnt"]) == top
+        assert r["top_share"] == top[1] / len(words)
+
+
+class TestDomainMixSample:
+    def test_small_source_kept_whole_big_source_thinned(self, spark, tmp_path):
+        from datalake_spark.queries.pipeline_q import domain_mix_sample
+
+        # big: 90 docs x 10 tokens; small: 10 docs x 10 tokens.
+        # budget = 0.6 * 1000 / 2 = 300 tokens/source ->
+        # big rate = 300/900 = 1/3, small rate = min(1, 300/100) = 1.
+        rows = [(i, " ".join(["t"] * 10), "big") for i in range(90)]
+        rows += [(100 + i, " ".join(["t"] * 10), "small") for i in range(10)]
+        sf_dir = _write_mix(spark, tmp_path, rows, "mix")
+        out = domain_mix_sample(spark, sf_dir).collect()
+        by_src = Counter(r["source"] for r in out)
+        assert by_src["small"] == 10  # capped at 1.0 -> kept whole
+        # hash-thinned to ~1/3: binomial(90, 1/3), 5-sigma bounds
+        assert 8 <= by_src["big"] <= 53
+        # determinism: second run yields the identical doc set
+        again = {r["doc_id"] for r in domain_mix_sample(spark, sf_dir).collect()}
+        assert again == {r["doc_id"] for r in out}
+
+
+class TestQuantileVerdict:
+    def test_sketch_lands_in_rank_bounds(self, spark):
+        from datalake_spark.queries.pipeline_q import q_quantile_verdict
+
+        rows = q_quantile_verdict(spark, SF_DIR).collect()
+        assert rows and all(
+            r["p50_in_bounds"] and r["p90_in_bounds"] for r in rows
+        )

@@ -154,17 +154,24 @@ class TestIngest:
         try:
             deadline = time.time() + 60
             n = 0
+            latest_seen = False
+            # wait for BOTH the files append and the latest merge: stop()
+            # interrupts the micro-batch thread, so stopping the moment the
+            # files rows appear can abort the same epoch's latest write
+            # mid-flight (exactly-once would replay it from the checkpoint
+            # on restart — but this test never restarts)
             while time.time() < deadline:
                 try:
                     n = cat.files().count()
                 except Exception:
                     n = 0
-                if n >= 8:
+                latest_seen = latest_seen or cat.latest_table() is not None
+                if n >= 8 and latest_seen:
                     break
                 time.sleep(1)
         finally:
             q.stop()
-        assert n >= 8
+        assert n >= 8 and latest_seen
         rows = cat.files().collect()
         assert all(r["what"] == "rate" for r in rows)
         assert {r["where"] for r in rows} <= {f"host{i}" for i in range(4)}
