@@ -386,6 +386,9 @@ def _mk() -> list[Q]:
              "n_removed": "v", "cleaned_md5": "v"}),
         Sub(q(pq, "domain_mix_sample", "domain_mix_sample", "DOMAIN_MIX_SQL"),
             {"source": "v", "doc_id": "v", "bucket": "v"}),
+        Sub(q(pq, "minhash_incremental", "minhash_incremental",
+              "MINHASH_INCREMENTAL_SQL"),
+            {"doc_a": "v", "doc_b": "v", "n_common": "v", "jaccard": "d"}),
     ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),

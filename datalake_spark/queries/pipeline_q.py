@@ -1906,3 +1906,42 @@ SELECT o_orderstatus,
        TRUE AS p90_in_bounds
 FROM orders GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# minhash_incremental — incremental near-dup maintenance: the corpus below
+# doc_id 300 plays the standing archive, docs >= 300 the newly-arrived
+# batch; operators/dedup.py:minhash_incremental_pairs probes batch-vs-
+# corpus and batch-vs-batch WITHOUT re-pairing the corpus.  The oracle is
+# the exact all-pairs Jaccard restricted to pairs touching the batch — the
+# same equivalence claim the full minhash_lsh_dedup gate makes, so the
+# incremental path's recall is value-verified, not assumed.
+# ---------------------------------------------------------------------------
+def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.operators.dedup import minhash_incremental_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 300)
+    new = docs.filter(F.col("doc_id") >= 300)
+    return minhash_incremental_pairs(old, new, threshold=0.5)
+
+
+MINHASH_INCREMENTAL_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE b.doc_id >= 300
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""

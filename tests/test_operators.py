@@ -965,3 +965,48 @@ class TestSpanDedup:
         df = self._mk(spark, [(1, span), (2, span)])
         rows = dedup.duplicated_span_dedup(df, k=8).collect()
         assert all(r["n_removed"] == 8 and r["cleaned_text"] == "" for r in rows)
+
+
+class TestMinhashIncremental:
+    """minhash_incremental_pairs: batch-vs-corpus near-dup maintenance."""
+
+    def _pairs(self, df):
+        return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+    def test_matches_full_operator_restricted(self, spark, docs):
+        full = self._pairs(dedup.minhash_lsh_pairs(docs, threshold=0.5))
+        old = docs.filter("doc_id < 60")
+        new = docs.filter("doc_id >= 60")
+        inc = self._pairs(
+            dedup.minhash_incremental_pairs(old, new, threshold=0.5)
+        )
+        assert inc == {p for p in full if p[1] >= 60}
+
+    def test_no_old_old_pairs(self, spark, docs):
+        old = docs.filter("doc_id < 60")
+        new = docs.filter("doc_id >= 60")
+        inc = self._pairs(dedup.minhash_incremental_pairs(old, new))
+        assert all(b >= 60 for _a, b in inc)
+
+    def test_precomputed_corpus_sig(self, spark, docs):
+        old = docs.filter("doc_id < 60")
+        new = docs.filter("doc_id >= 60")
+        sig = dedup.minhash_signatures(old)
+        via_sig = self._pairs(
+            dedup.minhash_incremental_pairs(None, new, corpus_sig=sig)
+        )
+        direct = self._pairs(dedup.minhash_incremental_pairs(old, new))
+        assert via_sig == direct
+
+    def test_interleaved_batch_ids(self, spark):
+        # new-batch ids BELOW the corpus ids: the pair's doc_b is then an
+        # OLD doc, which the verify join must still resolve
+        t = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame(
+            [(1, t), (10, t), (20, "completely unrelated text with other words")],
+            "doc_id int, text string",
+        )
+        old = df.filter("doc_id >= 10")
+        new = df.filter("doc_id < 10")
+        inc = self._pairs(dedup.minhash_incremental_pairs(old, new, threshold=0.5))
+        assert inc == {(1, 10)}
