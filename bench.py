@@ -188,6 +188,9 @@ def main() -> None:
         "deterministic_shuffle", "shard_stats", "embedding_quantize",
         "fuzzy_join_lev1", "ngram_novelty", "near_dup_triangles",
         "audio_sniff_roundtrip",
+        # r4 second-session additions
+        "span_dedup", "vocab_report", "domain_mix_sample",
+        "minhash_incremental", "funnel_analysis", "cohort_retention",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:

@@ -398,6 +398,13 @@ def _mk() -> list[Q]:
         Sub(q(wq, "q_session_window", "q_session_window", "Q_SESSION_WINDOW_SQL"),
             {"user_id": "v", "session_start_ms": "v", "session_end_ms": "v",
              "n_events": "v", "sum_value": "d4"}),
+        Sub(q(pq, "funnel_analysis", "funnel_analysis", "FUNNEL_SQL"),
+            {"user_id": "v", "stage": "v", "t1_ms": "v", "t2_ms": "v",
+             "t3_ms": "v"}),
+        Sub(q(pq, "cohort_retention", "cohort_retention",
+              "COHORT_RETENTION_SQL"),
+            {"cohort_week": "v", "week_offset": "v", "n_active": "v",
+             "n_cohort": "v", "retention": "d"}),
     ]
 
     return [

@@ -1945,3 +1945,159 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel_analysis — ordered conversion funnel view -> click -> purchase with
+# a 24h conversion window per step: t2 is the user's first click AFTER the
+# first view and within 24h of it; t3 the first purchase after that click,
+# within 24h.  Per-user stage reached + the three step timestamps, all
+# epoch-ms bigints (exact cross-engine).  Plan: three per-user min-ts aggs
+# chained by user_id equi-joins — each shuffle key is user_id (uniform),
+# events are filtered by type BEFORE any join, and the per-user frames are
+# tiny next to the event stream, so AQE broadcasts them at bench scale and
+# shuffles them at 100 TB; no window over the raw events is needed.
+# ---------------------------------------------------------------------------
+_FUNNEL_WINDOW_MS = 86_400_000
+
+
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts_ms")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t1_ms"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(
+            (F.col("ts_ms") > F.col("t1_ms"))
+            & (F.col("ts_ms") <= F.col("t1_ms") + F.lit(_FUNNEL_WINDOW_MS))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t2_ms"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(
+            (F.col("ts_ms") > F.col("t2_ms"))
+            & (F.col("ts_ms") <= F.col("t2_ms") + F.lit(_FUNNEL_WINDOW_MS))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t3_ms"))
+    )
+    stage = (
+        F.when(F.col("t1_ms").isNull(), 0)
+        .when(F.col("t2_ms").isNull(), 1)
+        .when(F.col("t3_ms").isNull(), 2)
+        .otherwise(3)
+    )
+    return (
+        ev.select("user_id")
+        .distinct()
+        .join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            stage.cast("int").alias("stage"),
+            "t1_ms",
+            "t2_ms",
+            "t3_ms",
+        )
+    )
+
+
+FUNNEL_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+t1 AS (
+  SELECT user_id, MIN(ts_ms) AS t1_ms FROM e
+  WHERE event_type = 'view' GROUP BY 1),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts_ms) AS t2_ms
+  FROM e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts_ms > t1.t1_ms
+    AND e.ts_ms <= t1.t1_ms + {_FUNNEL_WINDOW_MS}
+  GROUP BY 1),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts_ms) AS t3_ms
+  FROM e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_ms > t2.t2_ms
+    AND e.ts_ms <= t2.t2_ms + {_FUNNEL_WINDOW_MS}
+  GROUP BY 1)
+SELECT u.user_id,
+       CAST(CASE WHEN t1.t1_ms IS NULL THEN 0
+                 WHEN t2.t2_ms IS NULL THEN 1
+                 WHEN t3.t3_ms IS NULL THEN 2
+                 ELSE 3 END AS INT) AS stage,
+       t1.t1_ms, t2.t2_ms, t3.t3_ms
+FROM (SELECT DISTINCT user_id FROM e) u
+LEFT JOIN t1 ON u.user_id = t1.user_id
+LEFT JOIN t2 ON u.user_id = t2.user_id
+LEFT JOIN t3 ON u.user_id = t3.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention — weekly cohort retention matrix: users are cohorted by
+# the epoch-week of their FIRST event; for each (cohort_week, week_offset)
+# cell, the distinct users active that many weeks later, the cohort size,
+# and the retention ratio.  All time math is integer epoch-ms -> epoch-day
+# -> week floor-division, so both engines agree bit-for-bit with no
+# timezone/date-function surface.  Plan: one per-user min agg, one
+# user_id join back, one distinct + count agg per cell — every shuffle
+# key uniform (user_id, then the small cell key).
+# ---------------------------------------------------------------------------
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ms div 86400000").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cells = (
+        ev.join(first, "user_id")
+        .select(
+            F.expr("cohort_day div 7").alias("cohort_week"),
+            "user_id",
+            F.expr("(day - cohort_day) div 7").alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = first.select(F.expr("cohort_day div 7").alias("cohort_week")).groupBy(
+        "cohort_week"
+    ).agg(F.count(F.lit(1)).alias("n_cohort"))
+    return cells.join(sizes, "cohort_week").select(
+        F.col("cohort_week").cast("bigint").alias("cohort_week"),
+        F.col("week_offset").cast("bigint").alias("week_offset"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("n_cohort").cast("bigint").alias("n_cohort"),
+        (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1),
+cells AS (
+  SELECT f.cohort_day // 7 AS cohort_week, e.user_id,
+         (e.day - f.cohort_day) // 7 AS week_offset
+  FROM e JOIN first f ON e.user_id = f.user_id
+  GROUP BY 1, 2, 3),
+act AS (
+  SELECT cohort_week, week_offset, COUNT(*) AS n_active
+  FROM cells GROUP BY 1, 2),
+sizes AS (
+  SELECT cohort_day // 7 AS cohort_week, COUNT(*) AS n_cohort
+  FROM first GROUP BY 1)
+SELECT CAST(a.cohort_week AS BIGINT) AS cohort_week,
+       CAST(a.week_offset AS BIGINT) AS week_offset,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(s.n_cohort AS BIGINT) AS n_cohort,
+       CAST(a.n_active AS DOUBLE) / s.n_cohort AS retention
+FROM act a JOIN sizes s ON a.cohort_week = s.cohort_week
+"""

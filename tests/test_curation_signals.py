@@ -155,3 +155,73 @@ class TestQuantileVerdict:
         assert rows and all(
             r["p50_in_bounds"] and r["p90_in_bounds"] for r in rows
         )
+
+
+def _write_events(spark, tmp_path, rows, name):
+    """rows: (event_id, ts_ms, user_id, event_type)."""
+    sf_dir = str(tmp_path / name)
+    spark.createDataFrame(
+        rows, "event_id long, ts_ms long, user_id string, event_type string"
+    ).selectExpr(
+        "event_id", "timestamp_millis(ts_ms) as ts", "user_id",
+        "event_type", "cast(1.0 as double) as value", "'{}' as props",
+    ).write.parquet(f"{sf_dir}/events.parquet")
+    return sf_dir
+
+
+HOUR = 3_600_000
+DAY = 24 * HOUR
+
+
+class TestFunnelAnalysis:
+    def test_stages_and_conversion_window(self, spark, tmp_path):
+        from datalake_spark.queries.pipeline_q import funnel_analysis
+
+        rows = [
+            # u1 completes: view@0 -> click@1h -> purchase@2h
+            (1, 0, "u1", "view"), (2, HOUR, "u1", "click"),
+            (3, 2 * HOUR, "u1", "purchase"),
+            # u2 stalls at click: purchase precedes the click
+            (4, 0, "u2", "view"), (5, 2 * HOUR, "u2", "click"),
+            (6, HOUR, "u2", "purchase"),
+            # u3: click only outside the 24h window -> stage 1
+            (7, 0, "u3", "view"), (8, 25 * HOUR, "u3", "click"),
+            # u4: never viewed -> stage 0
+            (9, 0, "u4", "click"), (10, HOUR, "u4", "purchase"),
+            # u5: click at exactly +24h converts (closed bound), then
+            # purchase 1ms later
+            (11, 0, "u5", "view"), (12, DAY, "u5", "click"),
+            (13, DAY + 1, "u5", "purchase"),
+        ]
+        sf_dir = _write_events(spark, tmp_path, rows, "funnel")
+        got = {r["user_id"]: r for r in funnel_analysis(spark, sf_dir).collect()}
+        assert got["u1"]["stage"] == 3 and got["u1"]["t3_ms"] == 2 * HOUR
+        assert got["u2"]["stage"] == 2 and got["u2"]["t2_ms"] == 2 * HOUR
+        assert got["u3"]["stage"] == 1 and got["u3"]["t2_ms"] is None
+        assert got["u4"]["stage"] == 0 and got["u4"]["t1_ms"] is None
+        assert got["u5"]["stage"] == 3 and got["u5"]["t2_ms"] == DAY
+
+
+class TestCohortRetention:
+    def test_matrix_matches_hand_model(self, spark, tmp_path):
+        from datalake_spark.queries.pipeline_q import cohort_retention
+
+        W0 = 0          # days 0-6 -> epoch week 0
+        rows = [
+            # u1 first event day 1 (week 0), active again day 9 (offset 1)
+            (1, 1 * DAY, "u1", "view"), (2, 9 * DAY, "u1", "view"),
+            # u2 first day 2 (week 0), never returns
+            (3, 2 * DAY, "u2", "view"),
+            # u3 first day 8 (week 1), active day 8 + day 22 (offset 2)
+            (4, 8 * DAY, "u3", "view"), (5, 22 * DAY, "u3", "view"),
+        ]
+        sf_dir = _write_events(spark, tmp_path, rows, "cohort")
+        got = {
+            (r["cohort_week"], r["week_offset"]): (r["n_active"], r["n_cohort"])
+            for r in cohort_retention(spark, sf_dir).collect()
+        }
+        assert got[(W0, 0)] == (2, 2)       # u1+u2 active in their week 0
+        assert got[(W0, 1)] == (1, 2)       # only u1 returns
+        assert got[(1, 0)] == (1, 1)
+        assert got[(1, 2)] == (1, 1)
+        assert (W0, 2) not in got
