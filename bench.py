@@ -191,6 +191,7 @@ def main() -> None:
         # r4 second-session additions
         "span_dedup", "vocab_report", "domain_mix_sample",
         "minhash_incremental", "funnel_analysis", "cohort_retention",
+        "postings_index", "pagerank_2iter",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:

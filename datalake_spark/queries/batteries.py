@@ -294,6 +294,8 @@ def _mk() -> list[Q]:
         Sub(q(pq, "vocab_report", "vocab_report", "VOCAB_REPORT_SQL"),
             {"source": "v", "n_tokens": "v", "n_terms": "v", "n_hapax": "v",
              "top_term": "v", "top_cnt": "v", "top_share": "d"}),
+        Sub(q(pq, "postings_index", "postings_index", "POSTINGS_INDEX_SQL"),
+            {"term": "v", "df": "v", "n_stored": "v", "posting": "v"}),
     ]
     from datalake_spark.queries import tpch2
 
@@ -389,6 +391,8 @@ def _mk() -> list[Q]:
         Sub(q(pq, "minhash_incremental", "minhash_incremental",
               "MINHASH_INCREMENTAL_SQL"),
             {"doc_a": "v", "doc_b": "v", "n_common": "v", "jaccard": "d"}),
+        Sub(q(pq, "pagerank_2iter", "pagerank_2iter", "PAGERANK_SQL"),
+            {"node": "v", "rank_micro": "v"}),
     ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),

@@ -2101,3 +2101,145 @@ SELECT CAST(a.cohort_week AS BIGINT) AS cohort_week,
        CAST(a.n_active AS DOUBLE) / s.n_cohort AS retention
 FROM act a JOIN sizes s ON a.cohort_week = s.cohort_week
 """
+
+
+# ---------------------------------------------------------------------------
+# postings_index — inverted-index build: term -> document-frequency + the
+# id-sorted posting list (capped at _POSTING_CAP entries, the head every
+# search index stores hot; df keeps the TRUE frequency so cap loss is
+# observable).  One explode + one groupBy(term) shuffle; posting lists are
+# bounded by the cap so a stop-word term costs one counter, not an
+# unbounded array.  At 100 TB the same frame partitions by term-hash and
+# writes straight to parquet as the index segment.
+# ---------------------------------------------------------------------------
+_POSTING_CAP = 32
+
+
+def postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("term"),
+    )
+    return terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.size(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTING_CAP)
+        ).cast("bigint").alias("n_stored"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTING_CAP),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("posting"),
+    )
+
+
+POSTINGS_INDEX_SQL = f"""
+WITH t AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+g AS (
+  SELECT term, COUNT(*) AS df,
+         list_sort(list(doc_id))[1:{_POSTING_CAP}] AS plist
+  FROM t GROUP BY 1)
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(len(plist) AS BIGINT) AS n_stored,
+       array_to_string(plist, ',') AS posting
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# pagerank_2iter — two unrolled PageRank iterations over the bipartite
+# customer<->supplier trade graph (distinct (cust, supp) pairs from
+# lineitem x orders, bidirected).  All arithmetic is INTEGER micro-rank
+# (SCALE = 1e12): r0 = SCALE div N; contribution = r div deg; r' =
+# (15*(SCALE div N)) div 100 + (85 * sum contrib) div 100 — floor division
+# and bigint sums are order-insensitive and bit-identical across engines,
+# sidestepping the float-accumulation trap an iterative double formulation
+# would hit (same discipline as tfidf's score_micro).  Per iteration: one
+# join on src + one groupBy(dst) — the canonical PageRank shuffle pair;
+# degrees/ranks are node-sized (graph nodes << edges), so AQE broadcasts
+# them at bench scale and shuffles at 100 TB.  Fixed iteration count keeps
+# the plan static (the convergence-loop variant belongs to the
+# connected-components driver-loop family).
+# ---------------------------------------------------------------------------
+_PR_SCALE = 1_000_000_000_000
+
+
+def pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    nodes = edges.select("src").distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = F.expr(f"(15 * ({_PR_SCALE} div n)) div 100")
+
+    def step(r):  # r: (src, r)
+        s = (
+            edges.join(r, "src")
+            .join(deg, "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        return (
+            nodes.join(s, nodes.src == s.dst, "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "src",
+                (base + F.expr("(85 * coalesce(s, 0)) div 100")).alias("r"),
+            )
+        )
+
+    r0 = nodes.crossJoin(F.broadcast(nn)).select(
+        "src", F.expr(f"{_PR_SCALE} div n").alias("r")
+    )
+    r2 = step(step(r0))
+    return r2.select(
+        F.col("src").alias("node"), F.col("r").cast("bigint").alias("rank_micro")
+    )
+
+
+PAGERANK_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b AS src, a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT src, {_PR_SCALE} // n AS r FROM nodes, nn),
+s1 AS (
+  SELECT e.dst, SUM(r0.r // d.deg) AS s
+  FROM edges e JOIN r0 ON e.src = r0.src JOIN deg d ON e.src = d.src
+  GROUP BY 1),
+r1 AS (
+  SELECT nodes.src,
+         (15 * ({_PR_SCALE} // nn.n)) // 100 + (85 * COALESCE(s1.s, 0)) // 100 AS r
+  FROM nodes LEFT JOIN s1 ON nodes.src = s1.dst, nn),
+s2 AS (
+  SELECT e.dst, SUM(r1.r // d.deg) AS s
+  FROM edges e JOIN r1 ON e.src = r1.src JOIN deg d ON e.src = d.src
+  GROUP BY 1),
+r2 AS (
+  SELECT nodes.src,
+         (15 * ({_PR_SCALE} // nn.n)) // 100 + (85 * COALESCE(s2.s, 0)) // 100 AS r
+  FROM nodes LEFT JOIN s2 ON nodes.src = s2.dst, nn)
+SELECT src AS node, CAST(r AS BIGINT) AS rank_micro FROM r2
+"""

@@ -225,3 +225,43 @@ class TestCohortRetention:
         assert got[(1, 0)] == (1, 1)
         assert got[(1, 2)] == (1, 1)
         assert (W0, 2) not in got
+
+
+class TestPostingsIndex:
+    def test_df_true_posting_capped(self, spark, tmp_path):
+        from datalake_spark.queries.pipeline_q import postings_index, _POSTING_CAP
+
+        # "hot" appears in 40 docs (over the 32 cap); "rare" in 2
+        rows = [(i, "hot filler%d" % i) for i in range(40)]
+        rows += [(100, "rare one"), (101, "rare two")]
+        sf_dir = _write(spark, tmp_path, rows, "postings")
+        got = {r["term"]: r for r in postings_index(spark, sf_dir).collect()}
+        assert got["hot"]["df"] == 40               # true df survives the cap
+        assert got["hot"]["n_stored"] == _POSTING_CAP
+        assert got["hot"]["posting"] == ",".join(str(i) for i in range(_POSTING_CAP))
+        assert got["rare"]["df"] == 2 and got["rare"]["posting"] == "100,101"
+
+    def test_within_doc_repeats_count_once(self, spark, tmp_path):
+        from datalake_spark.queries.pipeline_q import postings_index
+
+        sf_dir = _write(spark, tmp_path, [(1, "x x x y")], "postings2")
+        got = {r["term"]: r for r in postings_index(spark, sf_dir).collect()}
+        assert got["x"]["df"] == 1 and got["x"]["posting"] == "1"
+
+
+class TestPagerank:
+    def test_rank_mass_conserved_and_hubs_win(self, spark):
+        from datalake_spark.queries.pipeline_q import pagerank_2iter, _PR_SCALE
+
+        rows = pagerank_2iter(spark, SF_DIR).collect()
+        n = len(rows)
+        total = sum(r["rank_micro"] for r in rows)
+        # floor division loses < 1 micro-unit per edge-contribution per
+        # step — bound the total leak at 0.01% of the rank mass
+        assert 0 < _PR_SCALE - total < _PR_SCALE // 10000
+        # suppliers are the high-degree side of the bipartite graph: every
+        # supplier must outrank the uniform share
+        by = {r["node"]: r["rank_micro"] for r in rows}
+        supp = [v for k, v in by.items() if k.startswith("s")]
+        cust = [v for k, v in by.items() if k.startswith("c")]
+        assert min(supp) > _PR_SCALE // n > max(cust)
