@@ -191,7 +191,7 @@ def main() -> None:
         # r4 second-session additions
         "span_dedup", "vocab_report", "domain_mix_sample",
         "minhash_incremental", "funnel_analysis", "cohort_retention",
-        "postings_index", "pagerank_2iter",
+        "postings_index", "pagerank_2iter", "pmi_collocations",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:

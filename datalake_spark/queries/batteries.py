@@ -296,6 +296,8 @@ def _mk() -> list[Q]:
              "top_term": "v", "top_cnt": "v", "top_share": "d"}),
         Sub(q(pq, "postings_index", "postings_index", "POSTINGS_INDEX_SQL"),
             {"term": "v", "df": "v", "n_stored": "v", "posting": "v"}),
+        Sub(q(pq, "pmi_collocations", "pmi_collocations", "PMI_SQL"),
+            {"l": "v", "r": "v", "c_xy": "v", "pmi_micro": "v"}),
     ]
     from datalake_spark.queries import tpch2
 

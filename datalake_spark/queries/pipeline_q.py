@@ -2243,3 +2243,74 @@ r2 AS (
   FROM nodes LEFT JOIN s2 ON nodes.src = s2.dst, nn)
 SELECT src AS node, CAST(r AS BIGINT) AS rank_micro FROM r2
 """
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations — collocation (phrase) mining: pointwise mutual
+# information over adjacent word pairs, the classic phrase detector
+# (Mikolov et al. 2013 phrase vocab; Church & Hanks 1990 PMI).  Score kept
+# as an integer rational — micro = (c_xy * N * 1e6) // (c_x * c_y) with
+# c_x / c_y the left/right positional marginals and N the total bigram
+# count — so both engines agree exactly, no log() floats.  Plan: ONE
+# bigram count shuffle; both marginals derive from the counted frame (no
+# second pass over the corpus); N is a 1-row broadcast.  min-count filter
+# keeps the output the interesting head, not the hapax tail.
+# ---------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bi = docs.select(
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> struct(element_at(split(text, ' '), i) as l, "
+                    "element_at(split(text, ' '), i + 1) as r))"
+                ),
+            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        ).alias("b")
+    ).select(F.col("b.l").alias("l"), F.col("b.r").alias("r"))
+    cxy = bi.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_xy"))
+    cx = cxy.groupBy("l").agg(F.sum("c_xy").alias("c_x"))
+    cy = cxy.groupBy("r").agg(F.sum("c_xy").alias("c_y"))
+    nn = cxy.agg(F.sum("c_xy").alias("n_bi"))
+    return (
+        cxy.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+        .join(cx, "l")
+        .join(cy, "r")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "l",
+            "r",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.expr("(c_xy * n_bi * 1000000) div (c_x * c_y)")
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )
+
+
+PMI_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+bi AS (
+  SELECT t.parts[g.i] AS l, t.parts[g.i + 1] AS r
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, len(t.parts) - 1)) AS i
+  ) g
+  WHERE len(t.parts) >= 2),
+cxy AS (SELECT l, r, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
+cx AS (SELECT l, SUM(c_xy) AS c_x FROM cxy GROUP BY 1),
+cy AS (SELECT r, SUM(c_xy) AS c_y FROM cxy GROUP BY 1),
+nn AS (SELECT SUM(c_xy) AS n_bi FROM cxy)
+SELECT cxy.l, cxy.r, CAST(cxy.c_xy AS BIGINT) AS c_xy,
+       CAST((cxy.c_xy * nn.n_bi * 1000000) // (cx.c_x * cy.c_y) AS BIGINT)
+         AS pmi_micro
+FROM cxy
+JOIN cx ON cxy.l = cx.l
+JOIN cy ON cxy.r = cy.r, nn
+WHERE cxy.c_xy >= {_PMI_MIN_COUNT}
+"""

@@ -265,3 +265,34 @@ class TestPagerank:
         supp = [v for k, v in by.items() if k.startswith("s")]
         cust = [v for k, v in by.items() if k.startswith("c")]
         assert min(supp) > _PR_SCALE // n > max(cust)
+
+
+class TestPmiCollocations:
+    def test_matches_counter_model(self, spark, tmp_path):
+        from datalake_spark.queries.pipeline_q import (
+            pmi_collocations, _PMI_MIN_COUNT,
+        )
+
+        rows = _corpus(13, n_docs=60)
+        sf_dir = _write(spark, tmp_path, rows, "pmi")
+        bi = [
+            (w[i], w[i + 1])
+            for _, t in rows
+            for w in [t.split(" ")]
+            if len(w) >= 2
+            for i in range(len(w) - 1)
+        ]
+        cxy = Counter(bi)
+        cx = Counter(l for l, _ in bi)
+        cy = Counter(r for _, r in bi)
+        n = len(bi)
+        model = {
+            (l, r): (c, (c * n * 1_000_000) // (cx[l] * cy[r]))
+            for (l, r), c in cxy.items()
+            if c >= _PMI_MIN_COUNT
+        }
+        got = {
+            (r["l"], r["r"]): (r["c_xy"], r["pmi_micro"])
+            for r in pmi_collocations(spark, sf_dir).collect()
+        }
+        assert got == model
