@@ -139,6 +139,7 @@ def _mk() -> list[Q]:
     def q(mod, name, fn_name, sql_name):
         return Q(name, getattr(mod, fn_name), getattr(mod, sql_name), "")
 
+    from datalake_spark.queries import datalake_q as dq
     from datalake_spark.queries import pipeline_q as pq
 
     joins = [
@@ -411,6 +412,10 @@ def _mk() -> list[Q]:
               "COHORT_RETENTION_SQL"),
             {"cohort_week": "v", "week_offset": "v", "n_active": "v",
              "n_cohort": "v", "retention": "d"}),
+        Sub(q(dq, "dl_freshness", "dl_freshness", "DL_FRESHNESS_SQL"),
+            {"what": "v", "n_files": "v", "n_instant": "v",
+             "p50_lag_ms": "d", "p99_lag_ms": "d", "max_lag_ms": "v",
+             "work_id_share": "d"}),
     ]
 
     return [

@@ -447,3 +447,45 @@ QUERIES = [
     Q("content_sniff", content_sniff, CONTENT_SNIFF_SQL,
       "O11/O21 bulk content-type + gzip sniffing"),
 ]
+
+
+# ---------------------------------------------------------------------------
+# dl_freshness — archive operational health: per producer (`what`), file
+# counts, the instant-file share, ingest-lag percentiles (create_time -
+# start), and work-id coverage.  The report every archive operator watches;
+# the reference exposes the raw ingestion reports (README "Datalake
+# Ingester Report Format") but leaves aggregation to the reader — here it
+# is one exact-percentile agg over the files view, broadcast-free.
+# ---------------------------------------------------------------------------
+def dl_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = files_from_events(spark, sf_dir)
+    files.createOrReplaceTempView("dl_files_v")
+    return spark.sql(
+        """
+        SELECT what,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(CASE WHEN end_ms IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_instant,
+               ROUND(percentile(create_time - start_ms, 0.5), 4) AS p50_lag_ms,
+               ROUND(percentile(create_time - start_ms, 0.99), 4) AS p99_lag_ms,
+               CAST(MAX(create_time - start_ms) AS BIGINT) AS max_lag_ms,
+               CAST(SUM(CASE WHEN work_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS work_id_share
+        FROM dl_files_v GROUP BY what
+        """
+    )
+
+
+DL_FRESHNESS_SQL = f"""
+WITH {FILES_CTE}
+SELECT what,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN end_ms IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_instant,
+       ROUND(quantile_cont(create_time - start_ms, 0.5), 4) AS p50_lag_ms,
+       ROUND(quantile_cont(create_time - start_ms, 0.99), 4) AS p99_lag_ms,
+       CAST(MAX(create_time - start_ms) AS BIGINT) AS max_lag_ms,
+       CAST(SUM(CASE WHEN work_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS work_id_share
+FROM files GROUP BY what
+"""
