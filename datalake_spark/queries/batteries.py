@@ -396,6 +396,9 @@ def _mk() -> list[Q]:
             {"doc_a": "v", "doc_b": "v", "n_common": "v", "jaccard": "d"}),
         Sub(q(pq, "pagerank_2iter", "pagerank_2iter", "PAGERANK_SQL"),
             {"node": "v", "rank_micro": "v"}),
+        Sub(q(pq, "k_anonymize", "k_anonymize", "K_ANONYMIZE_SQL"),
+            {"doc_id": "v", "lang_out": "v", "source_out": "v",
+             "band_out": "v", "gen_level": "v"}),
     ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),

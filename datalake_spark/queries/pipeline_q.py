@@ -2314,3 +2314,71 @@ JOIN cx ON cxy.l = cx.l
 JOIN cy ON cxy.r = cy.r, nn
 WHERE cxy.c_xy >= {_PMI_MIN_COUNT}
 """
+
+
+# ---------------------------------------------------------------------------
+# k_anonymize — k-anonymity via a fixed generalization ladder over the
+# quasi-identifier (lang, source, length-band): a doc keeps its full quasi
+# tuple if >= K docs share it; otherwise the band generalizes to '*' (if
+# the (lang, source) pair itself has >= K members), else the whole tuple
+# suppresses.  Optimal k-anonymity is NP-hard; the fixed ladder is the
+# deterministic, auditable form a compliance pipeline actually ships, and
+# pairs with pii_scrub (content-level) as the record-level privacy gate.
+# Plan: two count aggs over the quasi keys + two broadcast-sized joins
+# back; the corpus is scanned once and never shuffled on a skewed key.
+# ---------------------------------------------------------------------------
+_KANON_K = 5
+
+
+def k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.expr("n_chars div 100").alias("band"),
+    )
+    g2 = docs.groupBy("lang", "source", "band").agg(
+        F.count(F.lit(1)).alias("n_full")
+    )
+    g1 = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_pair"))
+    k = F.lit(_KANON_K)
+    return (
+        docs.join(g2, ["lang", "source", "band"])
+        .join(g1, ["lang", "source"])
+        .select(
+            "doc_id",
+            F.when(F.col("n_full") >= k, F.col("lang"))
+            .when(F.col("n_pair") >= k, F.col("lang"))
+            .otherwise(F.lit("*")).alias("lang_out"),
+            F.when(F.col("n_full") >= k, F.col("source"))
+            .when(F.col("n_pair") >= k, F.col("source"))
+            .otherwise(F.lit("*")).alias("source_out"),
+            F.when(F.col("n_full") >= k, F.col("band").cast("string"))
+            .otherwise(F.lit("*")).alias("band_out"),
+            F.when(F.col("n_full") >= k, F.lit(0))
+            .when(F.col("n_pair") >= k, F.lit(1))
+            .otherwise(F.lit(2)).cast("int").alias("gen_level"),
+        )
+    )
+
+
+K_ANONYMIZE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars // 100 AS band FROM documents),
+g2 AS (
+  SELECT lang, source, band, COUNT(*) AS n_full FROM d GROUP BY 1, 2, 3),
+g1 AS (SELECT lang, source, COUNT(*) AS n_pair FROM d GROUP BY 1, 2)
+SELECT d.doc_id,
+       CASE WHEN g2.n_full >= {_KANON_K} THEN d.lang
+            WHEN g1.n_pair >= {_KANON_K} THEN d.lang
+            ELSE '*' END AS lang_out,
+       CASE WHEN g2.n_full >= {_KANON_K} THEN d.source
+            WHEN g1.n_pair >= {_KANON_K} THEN d.source
+            ELSE '*' END AS source_out,
+       CASE WHEN g2.n_full >= {_KANON_K} THEN CAST(d.band AS VARCHAR)
+            ELSE '*' END AS band_out,
+       CAST(CASE WHEN g2.n_full >= {_KANON_K} THEN 0
+                 WHEN g1.n_pair >= {_KANON_K} THEN 1
+                 ELSE 2 END AS INT) AS gen_level
+FROM d
+JOIN g2 ON d.lang = g2.lang AND d.source = g2.source AND d.band = g2.band
+JOIN g1 ON d.lang = g1.lang AND d.source = g1.source
+"""

@@ -296,3 +296,38 @@ class TestPmiCollocations:
             for r in pmi_collocations(spark, sf_dir).collect()
         }
         assert got == model
+
+
+class TestKAnonymize:
+    def test_consistency_sets_reach_k(self, spark):
+        """Every released record must be CONSISTENT (wildcard matches any
+        value) with >= K records of the original table — the k-anonymity
+        guarantee under generalization semantics."""
+        from datalake_spark.queries.pipeline_q import k_anonymize, _KANON_K
+
+        docs = {
+            r["doc_id"]: r
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .selectExpr("doc_id", "lang", "source", "n_chars div 100 as band")
+            .collect()
+        }
+        rel = k_anonymize(spark, SF_DIR).collect()
+        assert len(rel) == len(docs)
+        for r in rel:
+            n = sum(
+                1
+                for d in docs.values()
+                if (r["lang_out"] == "*" or d["lang"] == r["lang_out"])
+                and (r["source_out"] == "*" or d["source"] == r["source_out"])
+                and (r["band_out"] == "*" or str(d["band"]) == r["band_out"])
+            )
+            assert n >= _KANON_K, (r, n)
+
+    def test_levels_untouched_when_group_big_enough(self, spark, tmp_path):
+        from datalake_spark.queries.pipeline_q import k_anonymize
+
+        # 6 docs, all same (lang, source), same length -> one band of 6
+        rows = [(i, "x " * 50, "s") for i in range(6)]
+        sf_dir = _write_mix(spark, tmp_path, rows, "kanon")
+        out = k_anonymize(spark, sf_dir).collect()
+        assert all(r["gen_level"] == 0 and r["band_out"] != "*" for r in out)
