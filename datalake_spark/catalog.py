@@ -356,8 +356,30 @@ class Catalog:
     def files(self) -> DataFrame:
         return self.spark.read.parquet(self._files_dir())
 
-    def latest_table(self) -> DataFrame | None:
+    def latest_table(self, version: int | None = None) -> DataFrame | None:
+        """Current latest table, or — with ``version`` — a TIME-TRAVEL read
+        of a retained snapshot (Iceberg-style: the manifest's bounded
+        ``history`` keeps the last ``keep_versions - 1`` superseded
+        directories on disk; construct the catalog with a larger
+        ``keep_versions`` to buy a deeper travel window).  Raises KeyError
+        for a version that exists in lineage but fell out of the retention
+        window, so a reader never silently gets the wrong snapshot."""
         m = _read_manifest(self.latest_path)
+        if version is not None:
+            if m is None:
+                raise KeyError(f"no latest-table versions exist yet ({version=})")
+            if version == m["version"]:
+                dirname = m["dir"]
+            else:
+                by_v = {h["version"]: h["dir"] for h in m.get("history", [])}
+                if version not in by_v:
+                    raise KeyError(
+                        f"latest-table version {version} not retained "
+                        f"(have {sorted(self.latest_versions())}; raise "
+                        f"keep_versions to widen the window)"
+                    )
+                dirname = by_v[version]
+            return self.spark.read.parquet(os.path.join(self.latest_path, dirname))
         try:
             if m is not None:
                 return self.spark.read.parquet(
@@ -366,6 +388,16 @@ class Catalog:
             return self.spark.read.parquet(self.latest_path)  # legacy layout
         except Exception:
             return None
+
+    def latest_versions(self) -> list[int]:
+        """Retained latest-table versions, newest first (current + the
+        manifest's history window)."""
+        m = _read_manifest(self.latest_path)
+        if m is None:
+            return []
+        return [m["version"]] + [
+            h["version"] for h in reversed(m.get("history", []))
+        ]
 
     def partition_file_counts(self) -> dict[str, int]:
         """Data-file count per (what, bucket_date) partition of the current

@@ -342,3 +342,44 @@ class TestAppendFragmentation:
         cat.append(df)
         files = glob.glob(f"{tmp_path}/files/**/*.parquet", recursive=True)
         assert len(files) == 3
+
+
+class TestTimeTravel:
+    """latest_table(version=N): Iceberg-style snapshot reads within the
+    manifest's retention window."""
+
+    def _cat(self, spark, tmp_path, keep=3):
+        return Catalog(spark, str(tmp_path / "cat"), keep_versions=keep)
+
+    @staticmethod
+    def _one(i):
+        return [{"id": f"f{i}", "what": f"w{i}", "where": "h1",
+                 "start": T0 + i, "end": None}]
+
+    def test_reads_retained_snapshots(self, spark, tmp_path):
+        cat = self._cat(spark, tmp_path)
+        for i in range(3):
+            cat.append(make_files_df(spark, self._one(i)))
+            cat.refresh_latest()
+        assert cat.latest_versions() == [3, 2, 1]
+        # version 1 saw only w0; version 3 sees all three producers
+        assert {r["what"] for r in cat.latest_table(version=1).collect()} == {"w0"}
+        assert {r["what"] for r in cat.latest_table(version=3).collect()} == {
+            "w0", "w1", "w2"}
+        # default read == newest version
+        assert cat.latest_table().count() == cat.latest_table(version=3).count()
+
+    def test_gc_ed_version_raises_not_misreads(self, spark, tmp_path):
+        cat = self._cat(spark, tmp_path, keep=2)
+        for i in range(4):
+            cat.append(make_files_df(spark, self._one(i)))
+            cat.refresh_latest()
+        assert cat.latest_versions() == [4, 3]
+        with pytest.raises(KeyError, match="not retained"):
+            cat.latest_table(version=1)
+
+    def test_empty_catalog(self, spark, tmp_path):
+        cat = self._cat(spark, tmp_path)
+        assert cat.latest_versions() == []
+        with pytest.raises(KeyError):
+            cat.latest_table(version=1)
