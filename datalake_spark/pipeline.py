@@ -100,17 +100,26 @@ def curate_corpus(
     dedup_threshold: float = 0.5,
     rule_kwargs: dict | None = None,
     quarantine_path: str | None = None,
+    span_dedup_k: int | None = None,
     **dedup_kwargs,
 ) -> DataFrame:
     """Quality rules then near-dup dedup; returns the surviving rows of
     ``df`` (original columns only).
+
+    With ``span_dedup_k``, a third stage runs cross-document duplicated-
+    span removal (operators/dedup.py:duplicated_span_dedup) over the
+    near-dup survivors: every k-word gram shared by >= 2 surviving docs is
+    deleted IN PLACE (the text column is replaced by the reassembled
+    remainder), and docs scrubbed down to nothing are dropped.  Whole-doc
+    dedup first, span dedup second is the cost-correct order — cluster
+    losers are gone before their spans are counted.
 
     With ``quarantine_path``, every dropped document is written there
     with a ``drop_stage`` column plus the per-rule attribution booleans —
     the audit trail that lets a curation run answer "why is doc X not in
     the training set" without re-running anything.  Rule failures record
     their failing rules; near-dup losers record stage ``near_dup`` (their
-    cluster canonical survived).
+    cluster canonical survived); span-emptied docs record ``span_empty``.
     """
     ruled = quality_rules(
         df, text_col=text_col, id_col=id_col, **(rule_kwargs or {})
@@ -124,6 +133,26 @@ def curate_corpus(
         threshold=dedup_threshold,
         **dedup_kwargs,
     )
+    span_emptied = None
+    if span_dedup_k is not None:
+        from datalake_spark.operators.dedup import duplicated_span_dedup
+
+        spans = duplicated_span_dedup(
+            surviving, text_col=text_col, id_col=id_col, k=span_dedup_k
+        ).select(
+            F.col(id_col).alias("_sid"),
+            F.col("cleaned_text").alias("_cleaned"),
+        )
+        rewritten = surviving.join(
+            spans, F.col(id_col) == F.col("_sid")
+        ).withColumn(text_col, F.col("_cleaned"))
+        if quarantine_path is not None:
+            span_emptied = rewritten.filter(F.col(text_col) == "").select(
+                *df.columns,
+                *[F.lit(True).alias(c) for c in RULE_COLS],
+                F.lit("span_empty").alias("drop_stage"),
+            )
+        surviving = rewritten.filter(F.col(text_col) != "").select(*df.columns)
     if quarantine_path is not None:
         rule_drops = ruled.filter(~F.col("keep")).select(
             *df.columns, *RULE_COLS, F.lit("rules").alias("drop_stage")
@@ -140,9 +169,16 @@ def curate_corpus(
                 F.lit("near_dup").alias("drop_stage"),
             )
         )
-        rule_drops.unionByName(dup_drops).write.mode("overwrite").parquet(
-            quarantine_path
-        )
+        drops = rule_drops.unionByName(dup_drops)
+        if span_emptied is not None:
+            # span-emptied ids would otherwise double-report as near_dup
+            # (they are absent from `surviving`): keep the specific stage
+            drops = drops.join(
+                span_emptied.select(F.col(id_col).alias("_eid")),
+                F.col(id_col) == F.col("_eid"),
+                "left_anti",
+            ).unionByName(span_emptied)
+        drops.write.mode("overwrite").parquet(quarantine_path)
     return surviving
 
 

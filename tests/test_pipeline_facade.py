@@ -95,3 +95,56 @@ class TestQuarantine:
         )
         dropped = spark.read.parquet(str(tmp_path / "qr")).count()
         assert m["curation"]["n_input"] == m["curation"]["n_kept"] + dropped
+
+
+class TestSpanStage:
+    def test_span_stage_rewrites_and_quarantines(self, spark, tmp_path):
+        from datalake_spark.pipeline import curate_corpus
+
+        boiler = " ".join(f"b{i}" for i in range(8))
+        uniq = ["alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon",
+                "one two three four five six seven eight nine ten eleven "
+                "twelve thirteen fourteen fifteen sixteen seventeen "
+                "eighteen nineteen twenty"]
+        rows = [
+            # two docs sharing the trailing 8-gram boilerplate; unique
+            # 20-word heads keep their first-6-token canonicality
+            # fingerprints distinct (else the rules stage dedups them)
+            (1, uniq[0] + " " + boiler, "en"),
+            (2, uniq[1] + " " + boiler, "en"),
+            # a doc that IS only boilerplate x3 (24 words) -> span-emptied
+            (3, boiler + " " + boiler + " " + boiler, "en"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        qpath = str(tmp_path / "quar")
+        out = curate_corpus(
+            df,
+            rule_kwargs={"min_words": 5, "max_words": 100,
+                         "stopwords": ("b0",), "stop_ratio_den": 200},
+            span_dedup_k=8,
+            quarantine_path=qpath,
+        ).collect()
+        got = {r["doc_id"]: r["text"] for r in out}
+        # survivors keep only their unique tails
+        assert got[1] == uniq[0] and got[2] == uniq[1]
+        assert 3 not in got
+        quar = {r["doc_id"]: r["drop_stage"]
+                for r in spark.read.parquet(qpath).collect()}
+        assert quar[3] == "span_empty"
+
+    def test_span_stage_off_by_default(self, spark):
+        from datalake_spark.pipeline import curate_corpus
+
+        text = " ".join(f"w{i}" for i in range(30))
+        df = spark.createDataFrame(
+            [(1, text, "en"), (2, text + " distinct tail words here", "en")],
+            "doc_id long, text string, lang string",
+        )
+        out = curate_corpus(
+            df,
+            rule_kwargs={"min_words": 5, "max_words": 100,
+                         "stopwords": ("w0",), "stop_ratio_den": 200},
+        )
+        assert all(r["text"] in (text, text + " distinct tail words here")
+                   for r in out.collect())
