@@ -192,7 +192,7 @@ def main() -> None:
         "span_dedup", "vocab_report", "domain_mix_sample",
         "minhash_incremental", "funnel_analysis", "cohort_retention",
         "postings_index", "pagerank_2iter", "pmi_collocations",
-        "k_anonymize", "dl_freshness",
+        "k_anonymize", "dl_freshness", "rolling_active_users",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:

@@ -419,6 +419,9 @@ def _mk() -> list[Q]:
             {"what": "v", "n_files": "v", "n_instant": "v",
              "p50_lag_ms": "d", "p99_lag_ms": "d", "max_lag_ms": "v",
              "work_id_share": "d"}),
+        Sub(q(pq, "rolling_active_users", "rolling_active_users",
+              "ROLLING_ACTIVE_SQL"),
+            {"day": "v", "dau": "v", "wau": "v", "stickiness": "d"}),
     ]
 
     return [

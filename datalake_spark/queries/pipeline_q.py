@@ -2382,3 +2382,62 @@ FROM d
 JOIN g2 ON d.lang = g2.lang AND d.source = g2.source AND d.band = g2.band
 JOIN g1 ON d.lang = g1.lang AND d.source = g1.source
 """
+
+
+# ---------------------------------------------------------------------------
+# rolling_active_users — trailing-7-day distinct active users per day
+# (WAU), plus the day's own distinct actives (DAU) and stickiness
+# (DAU/WAU).  Sliding-window COUNT(DISTINCT) does not fold into a frame
+# window (distinct is not decomposable), so the scale-correct shape is the
+# contribute-explode: each (user, active-day) pair fans out to the <= 7
+# window-end days it keeps the user active for, then one distinct + one
+# count agg.  Fan-out is bounded by the window length — 7x the DISTINCT
+# daily-active pairs, far below raw events — and every shuffle key is
+# uniform.  Only days with >= 1 event in range appear (epoch-day integers,
+# no calendar surface).
+# ---------------------------------------------------------------------------
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ms div 86400000").alias("day")
+    )
+    days = ev.select("day").distinct()
+    daily = ev.distinct()  # (user, day) active pairs
+    dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = daily.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("wday")
+    ).distinct()
+    wau = (
+        contrib.join(days, contrib.wday == days.day)
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.wday)
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+ROLLING_ACTIVE_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+daily AS (SELECT DISTINCT user_id, day FROM e),
+days AS (SELECT DISTINCT day FROM e),
+dau AS (SELECT day, COUNT(*) AS dau FROM daily GROUP BY 1),
+contrib AS (
+  SELECT DISTINCT d.user_id, d.day + o.o AS wday
+  FROM daily d, LATERAL (SELECT unnest(generate_series(0, 6)) AS o) o),
+wau AS (
+  SELECT c.wday, COUNT(*) AS wau
+  FROM contrib c JOIN days ON c.wday = days.day
+  GROUP BY 1)
+SELECT CAST(dau.day AS BIGINT) AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+FROM dau JOIN wau ON dau.day = wau.wday
+"""

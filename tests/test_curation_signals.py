@@ -331,3 +331,24 @@ class TestKAnonymize:
         sf_dir = _write_mix(spark, tmp_path, rows, "kanon")
         out = k_anonymize(spark, sf_dir).collect()
         assert all(r["gen_level"] == 0 and r["band_out"] != "*" for r in out)
+
+
+class TestRollingActiveUsers:
+    def test_trailing_window_semantics(self, spark, tmp_path):
+        from datalake_spark.queries.pipeline_q import rolling_active_users
+
+        rows = [
+            # u1 active day 0; u2 active days 0 and 8; u3 day 3 only
+            (1, 0 * DAY, "u1", "view"), (2, 0 * DAY, "u2", "view"),
+            (3, 3 * DAY, "u3", "view"), (4, 8 * DAY, "u2", "view"),
+            (5, 8 * DAY + HOUR, "u2", "click"),  # same-day dup, one active
+        ]
+        sf_dir = _write_events(spark, tmp_path, rows, "wau")
+        got = {r["day"]: (r["dau"], r["wau"]) for r in
+               rolling_active_users(spark, sf_dir).collect()}
+        # only event-bearing days appear
+        assert set(got) == {0, 3, 8}
+        assert got[0] == (2, 2)          # u1, u2
+        assert got[3] == (1, 3)          # dau=u3; window 0..3 saw u1,u2,u3
+        # day 8: window 2..8 -> u3 (day 3) + u2 (day 8); day-0 actives aged out
+        assert got[8] == (1, 2)
