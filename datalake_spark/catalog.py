@@ -65,6 +65,7 @@ def _commit_version(
     dirname: str,
     prev: dict | None = None,
     keep_versions: int = 2,
+    extra: dict | None = None,
 ) -> dict:
     """Atomically point _CURRENT at ``dirname`` (tmp write + rename of the
     manifest FILE only — a single-object PUT, never a directory move).
@@ -79,6 +80,7 @@ def _commit_version(
         hist.append({"version": prev["version"], "dir": prev["dir"]})
     hist = hist[-(keep_versions - 1):] if keep_versions > 1 else []
     manifest = {"version": version, "dir": dirname, "history": hist}
+    manifest.update(extra or {})
     tmp = os.path.join(root, f"{_MANIFEST}.tmp.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -398,6 +400,83 @@ class Catalog:
         return [m["version"]] + [
             h["version"] for h in reversed(m.get("history", []))
         ]
+
+    # -- work-id secondary index --------------------------------------------
+    # The reference maintains a SECOND DynamoDB index keyed by
+    # work_id_index_key = "{work_id}:{what}" (client/datalake/common/
+    # record.py:59, ingester writes both keys) precisely because work-id
+    # point lookups cannot be served by the time index.  The Spark analog:
+    # a projection of the files table partitioned by a hash bucket of
+    # work_id, so a work-id query prunes to 1/num_buckets of the data
+    # instead of scanning every (what, bucket_date) partition.
+
+    @property
+    def work_id_index_path(self) -> str:
+        return os.path.join(self.root, "work_id_index")
+
+    @staticmethod
+    def _wid_bucket(col, num_buckets: int):
+        return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
+
+    def build_work_id_index(self, num_buckets: int = 64) -> None:
+        """Full (re)build of the work-id index projection, committed with
+        the same versioned-directory + atomic-manifest protocol as the
+        latest table (object-store safe, readers never torn).  Size
+        ``num_buckets`` so one bucket ≈ one task's worth of rows at your
+        scale; the bucket count is recorded in the manifest and reused by
+        the incremental append path."""
+        cols = [f.name for f in FILES_SCHEMA.fields]
+        src = self.files().select(*cols).filter(F.col("work_id").isNotNull())
+        m = _read_manifest(self.work_id_index_path)
+        version = (m["version"] + 1) if m else 1
+        dirname = _new_version_dir(self.work_id_index_path, version)
+        (
+            src.withColumn(
+                "wid_bucket", self._wid_bucket(F.col("work_id"), num_buckets)
+            )
+            .repartition(F.col("wid_bucket"))
+            .write.partitionBy("wid_bucket")
+            .parquet(os.path.join(self.work_id_index_path, dirname))
+        )
+        manifest = _commit_version(
+            self.work_id_index_path, version, dirname, m, self.keep_versions,
+            extra={"num_buckets": num_buckets},
+        )
+        keep = {dirname} | {h["dir"] for h in manifest["history"]}
+        _gc_versions(self.work_id_index_path, keep)
+
+    def append_work_id_index(self, new_rows: DataFrame) -> bool:
+        """Incrementally index just-appended rows (append-only part files
+        into the current version directory — a pure PUT, no rewrite).
+        Returns False when no index exists yet (callers then either skip
+        or build)."""
+        m = _read_manifest(self.work_id_index_path)
+        if m is None:
+            return False
+        cols = [f.name for f in FILES_SCHEMA.fields]
+        nb = m["num_buckets"]
+        (
+            new_rows.select(*cols)
+            .filter(F.col("work_id").isNotNull())
+            .withColumn("wid_bucket", self._wid_bucket(F.col("work_id"), nb))
+            .repartition(F.col("wid_bucket"))
+            .write.mode("append")
+            .partitionBy("wid_bucket")
+            .parquet(os.path.join(self.work_id_index_path, m["dir"]))
+        )
+        return True
+
+    def work_id_index(self) -> tuple[DataFrame, int] | None:
+        """(index DataFrame, num_buckets) or None if never built."""
+        m = _read_manifest(self.work_id_index_path)
+        if m is None:
+            return None
+        return (
+            self.spark.read.parquet(
+                os.path.join(self.work_id_index_path, m["dir"])
+            ),
+            m["num_buckets"],
+        )
 
     def partition_file_counts(self) -> dict[str, int]:
         """Data-file count per (what, bucket_date) partition of the current

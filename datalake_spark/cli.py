@@ -359,7 +359,8 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
         storage = args.storage_url or _env_default("storage_url")
         archive = Archive(storage) if storage else None
         app = DatalakeHttpApp(
-            QueryEngine(catalog.files(), latest_table=catalog.latest_table()),
+            QueryEngine(catalog.files(), latest_table=catalog.latest_table(),
+                        work_id_index=catalog.work_id_index()),
             archive=archive,
             storage_url=storage,
         )
@@ -369,7 +370,8 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
         server.serve_forever()
         return 0
 
-    engine = QueryEngine(catalog.files(), latest_table=catalog.latest_table())
+    engine = QueryEngine(catalog.files(), latest_table=catalog.latest_table(),
+                         work_id_index=catalog.work_id_index())
     fmt = _FORMATTERS[args.format]
     if args.command == "list":
         if params.get("work_id") is not None:

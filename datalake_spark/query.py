@@ -138,9 +138,18 @@ def bucket_prune(qstart: int, qend: int) -> F.Column:
 
 
 class QueryEngine:
-    def __init__(self, files: DataFrame, latest_table: DataFrame | None = None):
+    def __init__(
+        self,
+        files: DataFrame,
+        latest_table: DataFrame | None = None,
+        work_id_index: "tuple[DataFrame, int] | None" = None,
+    ):
         self.files_df = files
         self._latest = latest_table
+        # (bucketed projection, num_buckets) from Catalog.work_id_index():
+        # the analog of the reference's second DynamoDB index
+        # (record.py:59 work_id_index_key) — see by_work_id
+        self._wid_index = work_id_index
         self._has_bucket_date = "bucket_date" in files.columns
 
     # -- O1/O3: time-interval query ----------------------------------------
@@ -158,9 +167,23 @@ class QueryEngine:
 
     # -- O2: work-id query --------------------------------------------------
     def by_work_id(self, work_id: str, what: str, where: str | None = None) -> DataFrame:
-        df = self.files_df.filter(
-            (F.col("work_id") == work_id) & (F.col("what") == what)
-        )
+        if self._wid_index is not None:
+            # hash-bucket partition pruning: the bucket expression folds to
+            # a literal (xxhash64 of a constant), so the scan touches
+            # 1/num_buckets of the index instead of every (what,
+            # bucket_date) partition of the files table — the reference
+            # pays one DynamoDB hash-key read here (querier.py:192-215)
+            idx, nb = self._wid_index
+            df = idx.filter(
+                (F.col("wid_bucket")
+                 == F.pmod(F.xxhash64(F.lit(work_id)), F.lit(nb)).cast("int"))
+                & (F.col("work_id") == work_id)
+                & (F.col("what") == what)
+            ).drop("wid_bucket")
+        else:
+            df = self.files_df.filter(
+                (F.col("work_id") == work_id) & (F.col("what") == what)
+            )
         if where is not None:
             df = df.filter(F.col("where") == where)
         return df.dropDuplicates(["id"])

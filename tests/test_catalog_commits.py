@@ -383,3 +383,66 @@ class TestTimeTravel:
         assert cat.latest_versions() == []
         with pytest.raises(KeyError):
             cat.latest_table(version=1)
+
+
+class TestWorkIdIndex:
+    """The work-id secondary index: hash-bucketed projection + pruned
+    lookups (the reference's second DynamoDB index, record.py:59)."""
+
+    def _rows(self, n=30, what="nginx"):
+        return [
+            {"id": f"f{i}", "what": what, "where": f"h{i % 3}",
+             "start": T0 + (i % 5) * DAY_MS, "end": None,
+             "work_id": None if i % 4 == 0 else f"job{i % 7}"}
+            for i in range(n)
+        ]
+
+    def test_lookup_matches_full_scan(self, spark, tmp_path):
+        from datalake_spark.query import QueryEngine
+
+        cat = Catalog(spark, str(tmp_path))
+        cat.append(make_files_df(spark, self._rows()))
+        cat.build_work_id_index(num_buckets=8)
+        scan = QueryEngine(cat.files())
+        fast = QueryEngine(cat.files(), work_id_index=cat.work_id_index())
+        for wid in ("job1", "job6", "nope"):
+            a = sorted(r["id"] for r in scan.by_work_id(wid, "nginx").collect())
+            b = sorted(r["id"] for r in fast.by_work_id(wid, "nginx").collect())
+            assert a == b, wid
+        assert fast.by_work_id("job1", "nginx").count() > 0
+
+    def test_plan_prunes_to_one_bucket(self, spark, tmp_path):
+        from datalake_spark.query import QueryEngine
+
+        cat = Catalog(spark, str(tmp_path))
+        cat.append(make_files_df(spark, self._rows()))
+        cat.build_work_id_index(num_buckets=8)
+        eng = QueryEngine(cat.files(), work_id_index=cat.work_id_index())
+        plan = (
+            eng.by_work_id("job1", "nginx")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the bucket predicate must reach PartitionFilters (folded literal)
+        assert "PartitionFilters" in plan and "wid_bucket" in plan.split(
+            "PartitionFilters", 1)[1].split("]", 1)[0]
+
+    def test_incremental_append(self, spark, tmp_path):
+        from datalake_spark.query import QueryEngine
+
+        cat = Catalog(spark, str(tmp_path))
+        cat.append(make_files_df(spark, self._rows()))
+        cat.build_work_id_index(num_buckets=8)
+        extra = [{"id": "new1", "what": "nginx", "where": "h9",
+                  "start": T0, "end": None, "work_id": "jobnew"}]
+        df = make_files_df(spark, extra)
+        cat.append(df)
+        assert cat.append_work_id_index(df) is True
+        eng = QueryEngine(cat.files(), work_id_index=cat.work_id_index())
+        assert [r["id"] for r in eng.by_work_id("jobnew", "nginx").collect()] == ["new1"]
+
+    def test_append_without_index_is_noop(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path))
+        df = make_files_df(spark, self._rows(n=4))
+        cat.append(df)
+        assert cat.append_work_id_index(df) is False
+        assert cat.work_id_index() is None
