@@ -871,7 +871,11 @@ def duplicated_span_dedup(
     |occurrences|^2: spans are removed per-document, not paired.
     """
     toks = F.split(F.col(text_col), " ")
-    base = df.select(F.col(id_col).alias("_id"), toks.alias("_parts"))
+    # base feeds FOUR subtrees (words, grams x2 via dupg/dstart, the final
+    # n_tokens join); unpersisted, each re-scans and re-splits the corpus
+    # (5 parquet scans observed).  Persist once — same discipline as the
+    # MinHash sig frame; recompute-on-loss keeps it cluster-safe.
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_parts")).persist()
     words = base.select(
         "_id", F.posexplode("_parts").alias("_pos", "_word")
     )

@@ -1963,11 +1963,13 @@ _FUNNEL_WINDOW_MS = 86_400_000
 
 def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts_ms")
+    # t1/t2 each feed the next step's join AND the final left join;
+    # persist so each per-user min-agg shuffle runs once
     t1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts_ms").alias("t1_ms"))
-    )
+    ).persist()
     t2 = (
         ev.filter(F.col("event_type") == "click")
         .join(t1, "user_id")
@@ -1977,7 +1979,7 @@ def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts_ms").alias("t2_ms"))
-    )
+    ).persist()
     t3 = (
         ev.filter(F.col("event_type") == "purchase")
         .join(t2, "user_id")
@@ -2055,7 +2057,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.expr("ts_ms div 86400000").alias("day")
     )
-    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    # first-event frame feeds the cell join AND the cohort sizes; persist
+    # so the per-user min shuffle runs once
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day")).persist()
     cells = (
         ev.join(first, "user_id")
         .select(
@@ -2180,9 +2184,12 @@ def pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # the edge list feeds every consumer (both step()s, deg, nodes);
+    # unpersisted, the lineitem-orders join + distinct would re-execute
+    # per consumer — persist once (same discipline as the triangle census)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    ).persist()
     nodes = edges.select("src").distinct()
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -2274,7 +2281,9 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
         ).alias("b")
     ).select(F.col("b.l").alias("l"), F.col("b.r").alias("r"))
-    cxy = bi.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_xy"))
+    # the bigram-count frame feeds four consumers (filter, both marginals,
+    # the total); persist so the corpus-wide count shuffle runs once
+    cxy = bi.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_xy")).persist()
     cx = cxy.groupBy("l").agg(F.sum("c_xy").alias("c_x"))
     cy = cxy.groupBy("r").agg(F.sum("c_xy").alias("c_y"))
     nn = cxy.agg(F.sum("c_xy").alias("n_bi"))
@@ -2400,8 +2409,11 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.expr("ts_ms div 86400000").alias("day")
     )
-    days = ev.select("day").distinct()
-    daily = ev.distinct()  # (user, day) active pairs
+    # (user, day) distinct pairs feed both DAU and the window fan-out;
+    # persist so the distinct shuffle runs once; the day list derives from
+    # the cache too (no second raw-event scan)
+    daily = ev.distinct().persist()
+    days = daily.select("day").distinct()
     dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     contrib = daily.select(
         "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("wday")

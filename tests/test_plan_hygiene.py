@@ -87,7 +87,16 @@ def test_near_dup_sig_frames_are_persisted_single_pass(spark):
     qs = {q.name: q.build for q in registry()}
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        for name in ("minhash_lsh_dedup", "ngram_jaccard"):
+        from datalake_spark.queries.batteries import BATTERY_SUBS
+
+        for subs in BATTERY_SUBS.values():
+            for sub in subs:
+                qs.setdefault(sub.q.name, sub.q.build)
+        # every operator whose shared frame is persisted must read the
+        # cache in ALL consumers: zero parquet-scan leaves
+        for name in ("minhash_lsh_dedup", "ngram_jaccard", "span_dedup",
+                     "pagerank_2iter", "pmi_collocations"):
+            spark.catalog.clearCache()
             df = qs[name](spark, SF_DIR)
             # AQE off -> executedPlan is the final static SparkPlan; the
             # cached relation's subtree is NOT part of this tree, so a
