@@ -137,6 +137,9 @@ class StreamingIngester:
             if n_ok:
                 self.catalog.append(files)
                 _merge_latest(spark, self.catalog, files)
+                # keep the work-id secondary index fresh at batch cost —
+                # no-op until someone builds it (Catalog.build_work_id_index)
+                self.catalog.append_work_id_index(files)
             # report side-output (ingester.py:27-65 shape, flattened)
             report = spark.createDataFrame(
                 [

@@ -16,7 +16,8 @@ from datalake_spark.streaming.ingest import StreamingIngester, classify_events
 
 
 def event(file_id, what="nginx", where="h1", start=1420070400000, end=None,
-          name="ObjectCreated:Put", version="2.1", event_time=None, size=10):
+          name="ObjectCreated:Put", version="2.1", event_time=None, size=10,
+          work_id=None):
     return {
         "event_name": name,
         "event_version": version,
@@ -34,7 +35,7 @@ def event(file_id, what="nginx", where="h1", start=1420070400000, end=None,
             "id": file_id,
             "hash": "h" + file_id,
             "path": "/var/log/x",
-            "work_id": None,
+            "work_id": work_id,
         },
     }
 
@@ -613,3 +614,35 @@ class TestStreamJoins:
         assert out.columns.count("uid") == 1
         row = out.collect()[0]
         assert row["uid"] == "lu" and row["uid_right"] == "ru"
+
+
+class TestStreamingWorkIdIndex:
+    def test_batches_maintain_existing_index(self, spark, tmp_path):
+        """Once the work-id index exists, every micro-batch extends it; the
+        pruned lookup then sees streamed rows without a rebuild."""
+        import os as _os
+
+        from datalake_spark.query import QueryEngine
+
+        root = str(tmp_path)
+        cat = Catalog(spark, _os.path.join(root, "cat"))
+        # seed the catalog + index with one batch
+        cat, ing = run_ingest(
+            spark, root, [event("a1", work_id="jobx")], name="b1.json"
+        )
+        cat.build_work_id_index(num_buckets=4)
+        # second micro-batch through the SAME ingester pipeline
+        landing = _os.path.join(root, "landing")
+        write_events(landing, [event("a2", work_id="joby")], "b2.json")
+        q = ing.start(landing, _os.path.join(root, "ckpt"))
+        q.awaitTermination(60)
+        eng = QueryEngine(cat.files(), work_id_index=cat.work_id_index())
+        assert [r["id"] for r in eng.by_work_id("joby", "nginx").collect()] == ["a2"]
+        assert [r["id"] for r in eng.by_work_id("jobx", "nginx").collect()] == ["a1"]
+
+    def test_no_index_no_failure(self, spark, tmp_path):
+        cat, ing = run_ingest(
+            spark, str(tmp_path), [event("z1", work_id="jobz")]
+        )
+        assert cat.work_id_index() is None
+        assert {r["id"] for r in cat.files().collect()} == {"z1"}
