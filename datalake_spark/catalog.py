@@ -506,6 +506,31 @@ class Catalog:
         self.compact(**compact_kwargs)
         return True
 
+    def delete_where(self, predicate, target_file_rows: int = 1_000_000) -> None:
+        """Hard-delete matching rows (GDPR/right-to-be-forgotten at the
+        metadata-archive level): rewrite the files table WITHOUT rows
+        matching ``predicate`` (a Column or SQL string) under compact's
+        full commit protocol — exclusive lock, lease drain, versioned
+        directory, atomic manifest flip — then cascade: the latest table
+        recomputes (a deleted file must stop being anyone's "latest") and
+        the work-id index rebuilds at its recorded bucket count.
+
+        Scope: rows present at the rewrite's scan.  A row appended
+        CONCURRENTLY that happens to match the predicate survives (the
+        straggler sweeps copy raced-in files verbatim) — deletion is a
+        point-in-time operation, not a standing filter; re-run it for
+        late arrivals.  Note the previous table version remains readable
+        via files_at() until the retention window rolls it out — run a
+        second compact() (or set keep_versions=1) when the deletion must
+        also purge history.
+        """
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        self.compact(target_file_rows=target_file_rows, _drop_where=pred)
+        self.refresh_latest()
+        idx = self.work_id_index()
+        if idx is not None:
+            self.build_work_id_index(num_buckets=idx[1])
+
     def table_versions(self) -> list[dict]:
         """Retained files-table versions, newest first: the current entry
         plus up to ``keep_versions - 1`` history entries whose directories
@@ -540,7 +565,8 @@ class Catalog:
         )
 
     def compact(
-        self, target_file_rows: int = 1_000_000, _race_hook=None
+        self, target_file_rows: int = 1_000_000, _race_hook=None,
+        _drop_where=None,
     ) -> None:
         """Rewrite the files table to bounded file counts per partition.
 
@@ -589,8 +615,9 @@ class Catalog:
             }
             dirname = _new_version_dir(self.files_path, version)
             new_dir = os.path.join(self.files_path, dirname)
+            out = df if _drop_where is None else df.filter(~_drop_where)
             (
-                df.repartition(F.col("what"), F.col("bucket_date"))
+                out.repartition(F.col("what"), F.col("bucket_date"))
                 .sortWithinPartitions("work_id", "id")
                 .write.mode("overwrite")
                 .option("maxRecordsPerFile", target_file_rows)

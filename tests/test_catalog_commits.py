@@ -8,6 +8,7 @@ import glob
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from datalake_spark.catalog import Catalog
 from datalake_spark.metadata import DAY_MS
@@ -446,3 +447,48 @@ class TestWorkIdIndex:
         cat.append(df)
         assert cat.append_work_id_index(df) is False
         assert cat.work_id_index() is None
+
+
+class TestDeleteWhere:
+    """delete_where: point-in-time hard delete under compact's protocol."""
+
+    def _seed(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path))
+        rows = [
+            {"id": f"f{i}", "what": "nginx", "where": f"h{i % 2}",
+             "start": T0 + i, "end": None,
+             "work_id": f"job{i % 3}"}
+            for i in range(12)
+        ]
+        cat.append(make_files_df(spark, rows))
+        cat.refresh_latest()
+        return cat
+
+    def test_rows_gone_and_latest_cascades(self, spark, tmp_path):
+        cat = self._seed(spark, tmp_path)
+        # f11 (start T0+11) is the latest for h1 before deletion
+        latest_before = {r["id"] for r in cat.latest_table().collect()}
+        assert "f11" in latest_before
+        cat.delete_where("id in ('f11', 'f3')")
+        ids = {r["id"] for r in cat.files().collect()}
+        assert ids == {f"f{i}" for i in range(12)} - {"f11", "f3"}
+        # latest recomputed: h1's crown passes to f9
+        latest = {r["id"] for r in cat.latest_table().collect()}
+        assert "f11" not in latest and "f9" in latest
+
+    def test_work_id_index_rebuilt(self, spark, tmp_path):
+        from datalake_spark.query import QueryEngine
+
+        cat = self._seed(spark, tmp_path)
+        cat.build_work_id_index(num_buckets=4)
+        cat.delete_where(F.col("work_id") == "job0")
+        idx = cat.work_id_index()
+        assert idx is not None and idx[1] == 4  # bucket count preserved
+        eng = QueryEngine(cat.files(), work_id_index=idx)
+        assert eng.by_work_id("job0", "nginx").count() == 0
+        assert eng.by_work_id("job1", "nginx").count() == 4
+
+    def test_delete_nothing_is_safe(self, spark, tmp_path):
+        cat = self._seed(spark, tmp_path)
+        cat.delete_where("id = 'absent'")
+        assert cat.files().count() == 12
