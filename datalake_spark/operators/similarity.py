@@ -126,30 +126,30 @@ def _srp_signature_udf(tables):
     return sigs
 
 
-def ivf_topk(
-    queries: DataFrame,
+def ivf_index_build(
     candidates: DataFrame,
-    k: int = 10,
     num_centroids: int = 16,
-    nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF-style ANN: centroids = the num_centroids lowest-id candidate
-    vectors (a deterministic coreset — ordered, so the whole operator is
-    reproducible and oracle-checkable; k-means would refine the cells but
-    adds a training loop).  Every candidate is assigned to its nearest
-    centroid; a query probes its nprobe nearest centroids and re-ranks
-    exactly within those partitions."""
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index as two PERSISTABLE frames — (centroids,
+    assignments) — so the ANN index is a standing artifact like the
+    MinHash signature table: write both to parquet (assignments
+    partitioned by ``cent_id`` for probe-side partition pruning), sign
+    each new embedding batch once, and serve every later search from the
+    stored index instead of re-assigning 100 TB of vectors per query.
+
+    Centroids = the num_centroids lowest-id candidate vectors (a
+    deterministic coreset — ordered, so the index is reproducible and
+    oracle-checkable; kmeans_iterate refines cells when wanted).
+    Assignments map every candidate to its nearest centroid (one
+    broadcast join + one per-candidate rank)."""
     cents = (
         candidates.orderBy(id_col)
         .limit(num_centroids)
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
     c = candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-
-    # assign candidates to nearest centroid (broadcast centroids)
     c_assign = (
         c.join(F.broadcast(cents))
         .withColumn("sim", cosine_similarity("c_vec", "cent_vec"))
@@ -162,9 +162,25 @@ def ivf_topk(
         .filter(F.col("rk") == 1)
         .select("c_id", "c_vec", "cent_id")
     )
-    # queries probe nprobe nearest centroids
+    return cents, c_assign
+
+
+def ivf_search(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a built (possibly parquet-loaded) IVF index: each query ranks
+    its ``nprobe`` nearest centroids, then re-ranks exactly within those
+    cells only.  With cent_id-partitioned assignments the probe join
+    prunes to nprobe/num_centroids of the index."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     q_probe = (
-        q.join(F.broadcast(cents))
+        q.join(F.broadcast(centroids))
         .withColumn("sim", cosine_similarity("q_vec", "cent_vec"))
         .withColumn(
             "rk",
@@ -176,12 +192,32 @@ def ivf_topk(
         .select("q_id", "q_vec", "cent_id")
     )
     sims = (
-        c_assign.join(F.broadcast(q_probe), "cent_id")
+        assignments.join(F.broadcast(q_probe), "cent_id")
         .withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
         .select("q_id", "c_id", "cosine")
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN in one call: :func:`ivf_index_build` then
+    :func:`ivf_search` (see those for the persistence/scale story)."""
+    cents, c_assign = ivf_index_build(
+        candidates, num_centroids, id_col=id_col, vec_col=vec_col
+    )
+    return ivf_search(
+        cents, c_assign, queries, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
 
 
 def kmeans_iterate(

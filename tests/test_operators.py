@@ -1010,3 +1010,35 @@ class TestMinhashIncremental:
         new = df.filter("doc_id < 10")
         inc = self._pairs(dedup.minhash_incremental_pairs(old, new, threshold=0.5))
         assert inc == {(1, 10)}
+
+
+class TestIvfIndexPersistence:
+    """ivf_index_build/ivf_search: the index survives a parquet roundtrip
+    and serves identical results to the one-call operator."""
+
+    def test_parquet_roundtrip_matches_one_call(self, spark, emb, tmp_path):
+        queries = emb.filter("vec_id < 3")
+        direct = {
+            (r["q_id"], r["rk"]): r["c_id"]
+            for r in similarity.ivf_topk(queries, emb, k=5).collect()
+        }
+        cents, assign = similarity.ivf_index_build(emb)
+        cents.write.parquet(f"{tmp_path}/cents")
+        assign.write.partitionBy("cent_id").parquet(f"{tmp_path}/assign")
+        via_index = {
+            (r["q_id"], r["rk"]): r["c_id"]
+            for r in similarity.ivf_search(
+                spark.read.parquet(f"{tmp_path}/cents"),
+                spark.read.parquet(f"{tmp_path}/assign"),
+                queries, k=5,
+            ).collect()
+        }
+        assert via_index == direct and direct
+
+    def test_probe_prunes_partitions(self, spark, emb, tmp_path):
+        cents, assign = similarity.ivf_index_build(emb, num_centroids=8)
+        assign.write.partitionBy("cent_id").parquet(f"{tmp_path}/assign")
+        stored = spark.read.parquet(f"{tmp_path}/assign")
+        out = similarity.ivf_search(cents, stored, emb.filter("vec_id = 0"),
+                                    k=3, nprobe=2)
+        assert out.count() == 3
