@@ -299,6 +299,8 @@ def _mk() -> list[Q]:
             {"term": "v", "df": "v", "n_stored": "v", "posting": "v"}),
         Sub(q(pq, "pmi_collocations", "pmi_collocations", "PMI_SQL"),
             {"l": "v", "r": "v", "c_xy": "v", "pmi_micro": "v"}),
+        Sub(q(pq, "bpe_merges", "bpe_merges", "BPE_MERGES_SQL"),
+            {"rank": "v", "left": "v", "right": "v", "pair_count": "v"}),
     ]
     from datalake_spark.queries import tpch2
 

@@ -2453,3 +2453,53 @@ SELECT CAST(dau.day AS BIGINT) AS day,
        CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
 FROM dau JOIN wau ON dau.day = wau.wday
 """
+
+
+# ---------------------------------------------------------------------------
+# bpe_merges — BPE tokenizer TRAINING on the corpus (operators/bpe.py):
+# the first three learned merge rules with their weighted pair counts.
+# One corpus shuffle builds the word-frequency dict; each merge round then
+# works on the vocabulary only (Heaps-sublinear), exactly the classic
+# algorithm's cost structure.  The oracle unrolls the same three rounds in
+# SQL — scalar-subquery top pair per round, replace-to-fixpoint merge
+# application — so the learned rules are value-verified across engines.
+# ---------------------------------------------------------------------------
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.operators.bpe import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_train(docs, text_col="text", n_merges=3)
+
+
+def _bpe_sql(n_rounds: int = 3, passes: int = 10) -> str:
+    parts = ["""WITH wc AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+  WHERE w <> '' GROUP BY 1),
+s0 AS (SELECT freq, array_to_string(string_split(w, ''), ' ') AS seq FROM wc)"""]
+    for r in range(1, n_rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(f"""p{r} AS (
+  SELECT t.parts[g.i] AS a, t.parts[g.i + 1] AS b, SUM(t.freq) AS cnt
+  FROM (SELECT freq, string_split(seq, ' ') AS parts FROM {prev}) t,
+       LATERAL (SELECT unnest(generate_series(1, len(t.parts) - 1)) AS i) g
+  GROUP BY 1, 2),
+t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)""")
+        if r < n_rounds:
+            expr = f"' ' || {prev}.seq || ' '"
+            for _ in range(passes):
+                expr = (f"REPLACE({expr}, ' ' || t{r}.a || ' ' || t{r}.b || ' ', "
+                        f"' ' || t{r}.a || t{r}.b || ' ')")
+            parts.append(
+                f"s{r} AS (SELECT {prev}.freq, trim({expr}) AS seq "
+                f"FROM {prev}, t{r})"
+            )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS rank, a AS \"left\", b AS \"right\", "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM t{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return ",\n".join(parts) + "\n" + selects
+
+
+BPE_MERGES_SQL = _bpe_sql()

@@ -352,3 +352,76 @@ class TestRollingActiveUsers:
         assert got[3] == (1, 3)          # dau=u3; window 0..3 saw u1,u2,u3
         # day 8: window 2..8 -> u3 (day 3) + u2 (day 8); day-0 actives aged out
         assert got[8] == (1, 2)
+
+
+def _model_bpe(texts, n):
+    """Pure-Python Sennrich BPE trainer (greedy left-to-right merge-all)."""
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    seqs = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(n):
+        pc = Counter()
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, cnt))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+@pytest.mark.parametrize("seed", [3, 77])
+class TestBpeTrain:
+    def test_matches_reference_trainer(self, spark, tmp_path, seed):
+        from datalake_spark.operators.bpe import bpe_train
+
+        rng = random.Random(seed)
+        vocab = ["loop", "pool", "lolo", "ooo", "x", "lllll", "pp"]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+            for i in range(30)
+        ]
+        sf_dir = _write(spark, tmp_path, rows, f"bpe{seed}")
+        model, _ = _model_bpe([t for _, t in rows], 4)
+        got = [
+            (r["left"], r["right"], r["pair_count"])
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .transform(lambda d: bpe_train(d, n_merges=4))
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == model
+
+    def test_segment_matches_trained_merges(self, spark, tmp_path, seed):
+        from datalake_spark.operators.bpe import bpe_segment
+
+        rng = random.Random(seed + 1)
+        vocab = ["loop", "pool", "lolo", "banana", "ana"]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10))))
+            for i in range(20)
+        ]
+        sf_dir = _write(spark, tmp_path, rows, f"bpeseg{seed}")
+        model_merges, model_seqs = _model_bpe([t for _, t in rows], 3)
+        merges = [(a, b) for a, b, _ in model_merges]
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = {r["doc_id"]: r["bpe_seq"]
+               for r in bpe_segment(df, merges).collect()}
+        for doc_id, text in rows:
+            want = " ▁ ".join(
+                " ".join(model_seqs[w]) for w in text.split(" ")
+            )
+            assert out[doc_id] == want, doc_id
