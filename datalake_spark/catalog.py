@@ -531,6 +531,37 @@ class Catalog:
         if idx is not None:
             self.build_work_id_index(num_buckets=idx[1])
 
+    def collect_stats(self) -> DataFrame:
+        """ANALYZE-style column statistics for the files table: one row
+        per column with null count, approximate NDV (HLL sketch — the
+        mergeable estimator a 100 TB table requires; exact distinct would
+        shuffle every column), and min/max rendered as strings.  One full
+        scan computes every column's stats in a single aggregate (no
+        per-column passes).  Persist the returned frame next to the table
+        to drive broadcast/skew decisions and freshness monitoring."""
+        df = self.files()
+        aggs = []
+        for f in FILES_SCHEMA.fields:
+            c = f.name
+            aggs += [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint").alias(f"{c}__nulls"),
+                F.hll_sketch_estimate(F.hll_sketch_agg(F.col(c).cast("string")))
+                .cast("bigint").alias(f"{c}__ndv"),
+                F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+                F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            ]
+        wide = df.agg(F.count(F.lit(1)).cast("bigint").alias("__rows"), *aggs)
+        cols = [f.name for f in FILES_SCHEMA.fields]
+        stack = ", ".join(
+            f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c in cols
+        )
+        return wide.selectExpr(
+            "__rows as n_rows",
+            f"stack({len(cols)}, {stack}) as "
+            "(column, n_nulls, approx_ndv, min_str, max_str)",
+        ).select("column", "n_rows", "n_nulls", "approx_ndv", "min_str", "max_str")
+
     def table_versions(self) -> list[dict]:
         """Retained files-table versions, newest first: the current entry
         plus up to ``keep_versions - 1`` history entries whose directories

@@ -492,3 +492,25 @@ class TestDeleteWhere:
         cat = self._seed(spark, tmp_path)
         cat.delete_where("id = 'absent'")
         assert cat.files().count() == 12
+
+
+class TestCollectStats:
+    def test_single_pass_column_stats(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path))
+        rows = [
+            {"id": f"f{i}", "what": "nginx" if i < 8 else "app",
+             "where": f"h{i % 3}", "start": T0 + i, "end": None,
+             "work_id": None if i % 2 == 0 else f"job{i % 3}"}
+            for i in range(12)
+        ]
+        cat.append(make_files_df(spark, rows))
+        stats = {r["column"]: r for r in cat.collect_stats().collect()}
+        assert stats["id"]["n_rows"] == 12 and stats["id"]["n_nulls"] == 0
+        assert stats["end"]["n_nulls"] == 12
+        assert stats["work_id"]["n_nulls"] == 6
+        assert stats["what"]["min_str"] == "app" and stats["what"]["max_str"] == "nginx"
+        # HLL on 12 tiny cardinalities is exact
+        assert stats["id"]["approx_ndv"] == 12
+        assert stats["what"]["approx_ndv"] == 2
+        # one job, one scan: the whole frame came from a single agg
+        assert stats["start"]["approx_ndv"] == 12
