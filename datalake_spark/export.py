@@ -50,9 +50,17 @@ def write_training_shards(
     n_shards: int,
     id_col: str = "doc_id",
     seed: str = "shuf42",
+    fmt: str = "parquet",
+    compression: str | None = None,
 ) -> dict:
-    """Write ``df`` as ``n_shards`` deterministic parquet shards under
-    ``path`` (dirs ``shard=K``, one data file each) and return the manifest.
+    """Write ``df`` as ``n_shards`` deterministic shards under ``path``
+    (dirs ``shard=K``, one data file each) and return the manifest.
+
+    ``fmt`` is ``parquet`` (columnar, default) or ``jsonl`` (the
+    line-delimited form most training loaders stream; pass
+    ``compression="gzip"`` for .json.gz shard files).  Membership and
+    order are format-independent — the same seed yields the same shards
+    either way.
 
     The input should already be curated (deduped/filtered); this writer
     only fixes membership and order.  Keeps ``_skey`` in the output so a
@@ -61,16 +69,23 @@ def write_training_shards(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"fmt must be parquet or jsonl, got {fmt!r}")
     keyed = df.withColumn(KEY_COL, shard_key(id_col, seed)).withColumn(
         SHARD_COL, shard_of(F.col(KEY_COL), n_shards)
     )
-    (
+    writer = (
         keyed.repartition(n_shards, F.col(SHARD_COL))
         .sortWithinPartitions(KEY_COL, id_col)
         .write.mode("overwrite")
         .partitionBy(SHARD_COL)
-        .parquet(path)
     )
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    if fmt == "jsonl":
+        writer.json(path)
+    else:
+        writer.parquet(path)
     counts = {
         int(r[SHARD_COL]): int(r["n"])
         for r in keyed.groupBy(SHARD_COL)
@@ -81,6 +96,7 @@ def write_training_shards(
         "n_shards": n_shards,
         "seed": seed,
         "id_col": id_col,
+        "format": fmt,
         "rows_per_shard": {str(k): counts.get(k, 0) for k in range(n_shards)},
         "n_rows": sum(counts.values()),
     }
@@ -90,13 +106,20 @@ def write_training_shards(
 
 
 def read_training_shard(
-    spark: SparkSession, path: str, shard: int, id_col: str = "doc_id"
+    spark: SparkSession, path: str, shard: int, id_col: str = "doc_id",
+    fmt: str | None = None,
 ) -> DataFrame:
-    """One shard, in training order.  Parquet scans don't guarantee row
+    """One shard, in training order.  File scans don't guarantee row
     order, so the order is re-established from the persisted key — a sort
-    of one shard, never the corpus."""
+    of one shard, never the corpus.  ``fmt`` defaults to the manifest's."""
+    if fmt is None:
+        try:
+            fmt = read_manifest(path).get("format", "parquet")
+        except FileNotFoundError:
+            fmt = "parquet"
+    reader = spark.read.json if fmt == "jsonl" else spark.read.parquet
     return (
-        spark.read.parquet(path)
+        reader(path)
         .filter(F.col(SHARD_COL) == shard)
         .orderBy(KEY_COL, id_col)
     )

@@ -113,3 +113,46 @@ class TestCompactShards:
 
         keys = [r["_skey"] for r in read_training_shard(spark, path, 0).collect()]
         assert keys == sorted(keys)
+
+
+class TestJsonlShards:
+    def test_jsonl_roundtrip_same_membership_and_order(self, spark, tmp_path):
+        from datalake_spark.export import (
+            read_training_shard, write_training_shards,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+        )
+        pq, js = str(tmp_path / "pq"), str(tmp_path / "js")
+        m1 = write_training_shards(df, pq, 4)
+        m2 = write_training_shards(df, js, 4, fmt="jsonl")
+        assert m2["format"] == "jsonl"
+        assert m1["rows_per_shard"] == m2["rows_per_shard"]
+        for k in range(4):
+            a = [r["doc_id"] for r in read_training_shard(spark, pq, k).collect()]
+            b = [int(r["doc_id"]) for r in
+                 read_training_shard(spark, js, k).collect()]
+            assert a == b, k
+
+    def test_gzip_jsonl_files(self, spark, tmp_path):
+        import glob
+
+        from datalake_spark.export import write_training_shards
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+        )
+        path = str(tmp_path / "gz")
+        write_training_shards(df, path, 2, fmt="jsonl", compression="gzip")
+        files = glob.glob(f"{path}/shard=*/*.json.gz")
+        assert len(files) == 2
+
+    def test_bad_format_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from datalake_spark.export import write_training_shards
+
+        df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="fmt"):
+            write_training_shards(df, str(tmp_path / "x"), 2, fmt="csv")
