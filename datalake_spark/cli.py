@@ -145,6 +145,20 @@ def build_parser() -> argparse.ArgumentParser:
     vp.add_argument("--keep-versions", dest="keep_versions", type=int,
                     default=2)
 
+    ip = sub.add_parser("index", help="build (or rebuild) the work-id "
+                                      "secondary index")
+    ip.add_argument("--buckets", type=int, default=64,
+                    help="hash buckets; size so one bucket ~ one task")
+
+    dp = sub.add_parser("delete", help="hard-delete rows matching a SQL "
+                                       "predicate (rewrites the table, "
+                                       "cascades latest + work-id index)")
+    dp.add_argument("predicate", help="SQL boolean over the files columns, "
+                                      "e.g. \"id = 'abc'\"")
+
+    st = sub.add_parser("stats", help="ANALYZE: per-column null counts, "
+                                      "approx NDV, min/max")
+
     ep = sub.add_parser("enqueue", help="spool a file+metadata bundle for "
                                         "the uploader (O20)")
     for f in ("what", "where", "start", "end", "work-id"):
@@ -263,6 +277,27 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
     if args.command == "versions":
         for entry in catalog.table_versions():
             print(f"v{entry['version']} {entry['dir']}", file=out)
+        return 0
+
+    if args.command == "index":
+        catalog.build_work_id_index(num_buckets=args.buckets)
+        idx = catalog.work_id_index()
+        n = idx[0].count() if idx else 0
+        print(f"indexed {n} rows in {args.buckets} buckets", file=out)
+        return 0
+
+    if args.command == "delete":
+        before = catalog.files().count()
+        catalog.delete_where(args.predicate)
+        after = catalog.files().count()
+        print(f"deleted {before - after} rows", file=out)
+        return 0
+
+    if args.command == "stats":
+        for r in catalog.collect_stats().collect():
+            print(f"{r['column']}\tnulls={r['n_nulls']}\t"
+                  f"ndv~{r['approx_ndv']}\tmin={r['min_str']}\t"
+                  f"max={r['max_str']}", file=out)
         return 0
 
     if args.command == "uploader":

@@ -189,3 +189,29 @@ class TestCurateCommand:
         back = spark.read.parquet(outdir)
         assert back.count() == 30
         assert "shard" in back.columns
+
+
+class TestMaintenanceCommands:
+    def _seed(self, spark, catalog_dir, n=3):
+        for i in range(n):
+            rc, _ = _run(
+                spark,
+                ["push", "--what", "nginx", "--where", f"w{i}", "--path",
+                 f"/var/log/f{i}.log", "--start", "2015-01-01",
+                 "--work-id", f"job{i % 2}"],
+                catalog_dir,
+            )
+            assert rc == 0
+
+    def test_index_then_delete_then_stats(self, spark, catalog_dir):
+        self._seed(spark, catalog_dir)
+        rc, lines = _run(spark, ["index", "--buckets", "4"], catalog_dir)
+        assert rc == 0 and lines[0] == "indexed 3 rows in 4 buckets"
+        rc, lines = _run(
+            spark, ["delete", "work_id = 'job0'"], catalog_dir
+        )
+        assert rc == 0 and lines[0] == "deleted 2 rows"
+        rc, lines = _run(spark, ["stats"], catalog_dir)
+        assert rc == 0
+        by_col = dict(ln.split("\t", 1) for ln in lines)
+        assert "nulls=0" in by_col["id"] and "what" in by_col
