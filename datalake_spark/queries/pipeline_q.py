@@ -2176,30 +2176,39 @@ _PR_SCALE = 1_000_000_000_000
 def pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # distinct on the INT pair before string labels (narrower shuffle rows),
+    # persist the half-size pair list once — both edge directions, degrees,
+    # and the node set all derive from this cache (map-only unions)
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
         )
-        .distinct()
+        .persist()
     )
-    # the edge list feeds every consumer (both step()s, deg, nodes);
-    # unpersisted, the lineitem-orders join + distinct would re-execute
-    # per consumer — persist once (same discipline as the triangle census)
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist()
-    nodes = edges.select("src").distinct()
+    )
+    # nodes (a distinct over the edge list) and deg each feed every round
+    # plus r0/nn — persist or the shuffles re-run per consumer
+    nodes = edges.select("src").distinct().persist()
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     base = F.expr(f"(15 * ({_PR_SCALE} div n)) div 100")
 
     def step(r):  # r: (src, r)
+        # fold r/deg NODE-side first (node-sized join), so the edge list is
+        # touched by exactly ONE join + one groupBy per round — the minimal
+        # PageRank shuffle pair.  AQE broadcasts the node-sized side at
+        # bench scale and shuffles it at 100 TB.
+        contrib = r.join(deg, "src").select(
+            "src", F.expr("r div deg").alias("c")
+        )
         s = (
-            edges.join(r, "src")
-            .join(deg, "src")
-            .select("dst", F.expr("r div deg").alias("c"))
+            edges.join(contrib, "src")
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
