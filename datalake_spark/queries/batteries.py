@@ -301,6 +301,10 @@ def _mk() -> list[Q]:
             {"l": "v", "r": "v", "c_xy": "v", "pmi_micro": "v"}),
         Sub(q(pq, "bpe_merges", "bpe_merges", "BPE_MERGES_SQL"),
             {"rank": "v", "left": "v", "right": "v", "pair_count": "v"}),
+        Sub(q(pq, "bpe_segment_corpus", "bpe_segment_corpus",
+              "BPE_SEGMENT_SQL"),
+            {"doc_id": "v", "n_char_syms": "v", "n_bpe_syms": "v",
+             "saved_micro": "v"}),
     ]
     from datalake_spark.queries import tpch2
 

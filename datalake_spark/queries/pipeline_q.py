@@ -2512,3 +2512,100 @@ t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)""")
 
 
 BPE_MERGES_SQL = _bpe_sql()
+
+
+# ---------------------------------------------------------------------------
+# bpe_segment_corpus — apply the in-plan LEARNED merges (bpe_train, 3
+# rounds) to every document and report the per-doc symbol counts before /
+# after plus the integer-micro compression gain.  The merge table never
+# leaves the plan: the three (left, right) rows pivot into one broadcast
+# row and drive column-pattern replaces over the per-doc symbol sequence
+# (words separated by the ▁ symbol), exactly bpe_segment's semantics —
+# so the driver gate value-verifies segmentation corpus-wide, not just
+# the merge table.
+# ---------------------------------------------------------------------------
+def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.operators.bpe import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, text_col="text", n_merges=3)
+    one = merges.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("rank") == r,
+                    F.struct(F.col("left").alias("a"), F.col("right").alias("b")),
+                )
+            ).alias(f"m{r}")
+            for r in (1, 2, 3)
+        ]
+    )
+    spaced = F.concat_ws(
+        " ▁ ",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.concat_ws(" ", F.split(w, "")),
+        ),
+    )
+    fused = F.concat(F.lit(" "), spaced, F.lit(" "))
+    for r in (1, 2, 3):
+        pat = F.concat(
+            F.lit(" "), F.col(f"m{r}.a"), F.lit(" "), F.col(f"m{r}.b"), F.lit(" ")
+        )
+        rep = F.concat(F.lit(" "), F.col(f"m{r}.a"), F.col(f"m{r}.b"), F.lit(" "))
+        for _ in range(10):
+            fused = F.replace(fused, pat, rep)
+    seq = F.trim(fused)
+    n_char_syms = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + F.size(F.split(F.col("text"), " ")) - 1
+    ).cast("bigint")
+    n_bpe = F.size(F.split(seq, " ")).cast("bigint")
+    return (
+        docs.crossJoin(F.broadcast(one))
+        .select(
+            "doc_id",
+            n_char_syms.alias("n_char_syms"),
+            n_bpe.alias("n_bpe_syms"),
+            F.expr(
+                "(n_char_syms - n_bpe_syms) * 1000000 div n_char_syms"
+            ).alias("saved_micro"),
+        )
+        .withColumn("saved_micro", F.col("saved_micro").cast("bigint"))
+    )
+
+
+def _bpe_segment_sql(passes: int = 10) -> str:
+    # reuse the trainer CTE chain (t1..t3 hold the learned pairs), then
+    # apply them to per-doc symbol sequences
+    train = _bpe_sql()  # ends with the UNION ALL selects — strip them
+    ctes = train.rsplit("\nSELECT CAST(1", 1)[0]
+    expr = "' ' || d.seq || ' '"
+    for r in (1, 2, 3):
+        for _ in range(passes):
+            expr = (
+                f"REPLACE({expr}, ' ' || t{r}.a || ' ' || t{r}.b || ' ', "
+                f"' ' || t{r}.a || t{r}.b || ' ')"
+            )
+    return f"""{ctes},
+docseq AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(string_split(text, ' '),
+                          w -> array_to_string(string_split(w, ''), ' ')),
+           ' ▁ ') AS seq,
+         CAST(length(REPLACE(text, ' ', ''))
+              + len(string_split(text, ' ')) - 1 AS BIGINT) AS n_char_syms
+  FROM documents),
+seg AS (
+  SELECT d.doc_id, d.n_char_syms,
+         CAST(len(string_split(trim({expr}), ' ')) AS BIGINT) AS n_bpe_syms
+  FROM docseq d, t1, t2, t3)
+SELECT doc_id, n_char_syms, n_bpe_syms,
+       CAST((n_char_syms - n_bpe_syms) * 1000000 // n_char_syms AS BIGINT)
+         AS saved_micro
+FROM seg
+"""
+
+
+BPE_SEGMENT_SQL = _bpe_segment_sql()
