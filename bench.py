@@ -193,7 +193,7 @@ def main() -> None:
         "minhash_incremental", "funnel_analysis", "cohort_retention",
         "postings_index", "pagerank_2iter", "pmi_collocations",
         "k_anonymize", "dl_freshness", "rolling_active_users",
-        "bpe_merges",
+        "bpe_merges", "bpe_segment_corpus",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:
