@@ -184,6 +184,8 @@ def _mk() -> list[Q]:
               "Q_QUANTILE_VERDICT_SQL"),
             {"o_orderstatus": "v", "n": "v", "p50_exact": "d",
              "p90_exact": "d", "p50_in_bounds": "v", "p90_in_bounds": "v"}),
+        Sub(q(pq, "q_corr_matrix", "q_corr_matrix", "Q_CORR_MATRIX_SQL"),
+            {"col_a": "v", "col_b": "v", "n": "v", "corr": "d"}),
     ]
     windows = [
         Sub(q(r1, "q_window_running", "q_window_running", "Q_RUNNING_SQL"),
