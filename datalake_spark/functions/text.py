@@ -113,3 +113,24 @@ def doc_fingerprint(text: Column | str, k: int = 8) -> Column:
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i * k + 1, k))),
     )
     return F.xxhash64(F.concat_ws(",", F.transform(groups, lambda g: g.cast("string"))))
+
+
+# -- PII scrubbing (shared by the batch pii_scrub query and the streaming
+#    curation stage; pure regexp Columns, no UDF, streaming-stateless) ----
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b555-\d{4}\b"
+
+
+def scrub_pii(col) -> F.Column:
+    """Redact emails, IPv4 literals, and (fixture-shaped) phone numbers to
+    typed placeholders.  A Column-only transform: safe in batch, streaming,
+    and foreachBatch alike."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )

@@ -549,9 +549,11 @@ FROM documents GROUP BY source
 """
 
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-_PII_PHONE = r"\b555-\d{4}\b"
+from datalake_spark.functions.text import (  # noqa: E402 (shared patterns)
+    PII_EMAIL as _PII_EMAIL,
+    PII_IP as _PII_IP,
+    PII_PHONE as _PII_PHONE,
+)
 
 
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

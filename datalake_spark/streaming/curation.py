@@ -42,12 +42,23 @@ def doc_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
 def curate_stream(
     stream: DataFrame,
     watermark: str = "1 hour",
+    scrub_pii: bool = False,
     **rule_kwargs,
 ) -> DataFrame:
     """quality rules (stateless subset) + watermark-bounded exact dedup on
-    the content hash.  Returns the stream of surviving documents."""
+    the content hash.  Returns the stream of surviving documents.
+
+    ``scrub_pii`` redacts emails/IPs/phones in the text BEFORE hashing —
+    a pure-Column transform (functions/text.scrub_pii), so it is
+    streaming-stateless; scrubbing first means two docs differing only in
+    their PII dedup as the same content, which is the curation-correct
+    order."""
     from datalake_spark.pipeline import quality_rules
 
+    if scrub_pii:
+        from datalake_spark.functions.text import scrub_pii as _scrub
+
+        stream = stream.withColumn("text", _scrub("text"))
     ruled = quality_rules(stream, canonicality=False, **rule_kwargs)
     # is_canonical is a full-history MIN (not streaming-safe); the hash
     # dedup below owns exact-dup removal inside the watermark horizon

@@ -83,3 +83,46 @@ class TestStreamingCuration:
         assert max(shard_file_counts(shards).values()) <= 2
         ids = sorted(r["doc_id"] for r in spark.read.parquet(shards).collect())
         assert len(ids) == 12
+
+
+class TestStreamingPiiStage:
+    def test_scrub_before_hash_dedups_pii_variants(self, spark, tmp_path):
+        """Two docs identical except for their embedded PII must collapse
+        to one after the scrub stage (scrub runs BEFORE the content
+        hash), and the surviving text carries the typed placeholders."""
+        from datalake_spark.streaming.curation import (
+            StreamingCurator, curate_stream, doc_stream,
+        )
+
+        landing = str(tmp_path / "landing")
+        shards = str(tmp_path / "shards")
+        ckpt = str(tmp_path / "ckpt")
+        base = _good(1)
+        docs = [
+            _doc(1, base + " mail alice@example.com from 10.0.0.7"),
+            _doc(2, base + " mail bob@other.org from 192.168.1.9",
+                 ms=T0 + 1),
+        ]
+        _write(landing, docs, "b1.json")
+        cur = StreamingCurator(spark, shards, n_shards=2)
+        q = cur.start(landing, ckpt, scrub_pii=True)
+        q.awaitTermination(120)
+        rows = spark.read.parquet(shards).collect()
+        assert len(rows) == 1
+        assert "<EMAIL>" in rows[0]["text"] and "<IP>" in rows[0]["text"]
+        assert "alice@example.com" not in rows[0]["text"]
+
+    def test_scrub_off_keeps_both(self, spark, tmp_path):
+        from datalake_spark.streaming.curation import StreamingCurator
+
+        landing = str(tmp_path / "landing")
+        base = _good(2)
+        docs = [
+            _doc(1, base + " mail alice@example.com now ok"),
+            _doc(2, base + " mail bob@other.org now ok", ms=T0 + 1),
+        ]
+        _write(landing, docs, "b1.json")
+        cur = StreamingCurator(spark, str(tmp_path / "s2"), n_shards=2)
+        q = cur.start(landing, str(tmp_path / "c2"))
+        q.awaitTermination(120)
+        assert spark.read.parquet(str(tmp_path / "s2")).count() == 2
