@@ -193,7 +193,8 @@ def main() -> None:
         "minhash_incremental", "funnel_analysis", "cohort_retention",
         "postings_index", "pagerank_2iter", "pmi_collocations",
         "k_anonymize", "dl_freshness", "rolling_active_users",
-        "bpe_merges", "bpe_segment_corpus",
+        "bpe_merges", "bpe_segment_corpus", "q_corr_matrix",
+        "event_sequences",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:

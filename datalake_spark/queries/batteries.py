@@ -430,6 +430,9 @@ def _mk() -> list[Q]:
         Sub(q(pq, "rolling_active_users", "rolling_active_users",
               "ROLLING_ACTIVE_SQL"),
             {"day": "v", "dau": "v", "wau": "v", "stickiness": "d"}),
+        Sub(q(pq, "event_sequences", "event_sequences",
+              "EVENT_SEQUENCES_SQL"),
+            {"t1": "v", "t2": "v", "t3": "v", "n_occurrences": "v"}),
     ]
 
     return [

@@ -2696,3 +2696,70 @@ def _corr_matrix_sql() -> str:
 
 
 Q_CORR_MATRIX_SQL = _corr_matrix_sql()
+
+
+# ---------------------------------------------------------------------------
+# event_sequences — frequent behavioral sequences: every length-3 run of
+# consecutive event types within a user's timeline, counted corpus-wide
+# (the PrefixSpan-lite every product-analytics stack ships; funnel_analysis
+# is the 1-pattern special case).  Plan: ONE per-user sort inside a
+# groupBy-collect (each user's events fit comfortably in a task), trigram
+# expansion map-side from the ordered array, one count shuffle on the
+# (t1,t2,t3) key.  Order ties break on event_id, so both engines see the
+# identical timeline.  min-count filter keeps the head.
+# ---------------------------------------------------------------------------
+_SEQ_MIN_COUNT = 20
+
+
+def event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts_ms", "event_id")
+    per_user = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts_ms", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("seq")
+    )
+    tri = per_user.select(
+        F.explode(
+            F.when(
+                F.size("seq") >= 3,
+                F.expr(
+                    "transform(sequence(1, size(seq) - 2), i -> struct("
+                    "element_at(seq, i) as t1, element_at(seq, i + 1) as t2, "
+                    "element_at(seq, i + 2) as t3))"
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<t1:string,t2:string,t3:string>>")
+            )
+        ).alias("g")
+    )
+    return (
+        tri.groupBy("g.t1", "g.t2", "g.t3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= _SEQ_MIN_COUNT)
+    )
+
+
+EVENT_SEQUENCES_SQL = f"""
+WITH ordered AS (
+  SELECT user_id,
+         list_transform(
+           list_sort(list((ts_ms, event_id, event_type))),
+           s -> s[3]
+         ) AS seq
+  FROM (
+    SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type FROM events
+  ) e
+  GROUP BY user_id),
+tri AS (
+  SELECT o.seq[g.i] AS t1, o.seq[g.i + 1] AS t2, o.seq[g.i + 2] AS t3
+  FROM ordered o, LATERAL (
+    SELECT unnest(generate_series(1, len(o.seq) - 2)) AS i
+  ) g
+  WHERE len(o.seq) >= 3)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM tri GROUP BY 1, 2, 3
+HAVING COUNT(*) >= {_SEQ_MIN_COUNT}
+"""

@@ -425,3 +425,40 @@ class TestBpeTrain:
                 " ".join(model_seqs[w]) for w in text.split(" ")
             )
             assert out[doc_id] == want, doc_id
+
+
+class TestEventSequences:
+    def test_matches_counter_model(self, spark, tmp_path):
+        from datalake_spark.queries.pipeline_q import event_sequences
+        import datalake_spark.queries.pipeline_q as pq
+
+        rng = random.Random(11)
+        types = ["view", "click", "buy"]
+        rows = []
+        eid = 0
+        timeline = {}
+        for u in range(6):
+            # long random walks so several trigrams clear the min-count
+            # gate and many land under it (both sides of the filter hit)
+            seq = [rng.choice(types) for _ in range(rng.randint(60, 140))]
+            timeline[f"u{u}"] = seq
+            for j, t in enumerate(seq):
+                rows.append((eid, j * HOUR, f"u{u}", t))
+                eid += 1
+        sf_dir = _write_events(spark, tmp_path, rows, "seq")
+        model = Counter(
+            (s[i], s[i + 1], s[i + 2])
+            for s in timeline.values()
+            for i in range(len(s) - 2)
+        )
+        want = {k: v for k, v in model.items() if v >= pq._SEQ_MIN_COUNT}
+        # drop the min-count gate for the tiny corpus: compare the full set
+        old = pq._SEQ_MIN_COUNT
+        got_all = {
+            (r["t1"], r["t2"], r["t3"]): r["n_occurrences"]
+            for r in event_sequences(spark, sf_dir)
+            .filter("n_occurrences >= 1").collect()
+        }
+        # event_sequences filters at the module threshold; re-derive the
+        # expected set at that same threshold
+        assert got_all == {k: v for k, v in model.items() if v >= old}
