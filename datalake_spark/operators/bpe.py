@@ -29,16 +29,18 @@ from functools import reduce
 from pyspark.sql import DataFrame, functions as F
 
 
-def _pairs_of(seq_col: str):
-    """Adjacent symbol pairs of a space-joined symbol sequence (guarded:
-    1-symbol words yield no pairs, not a descending sequence() error)."""
+def _pairs_of(syms_col: str):
+    """Adjacent symbol pairs of a pre-split symbol ARRAY column (guarded:
+    1-symbol words yield no pairs, not a descending sequence() error).
+    Takes the array, not the string — element_at(split(..)) inside the
+    lambda would re-split the sequence per position."""
     return F.explode(
         F.when(
-            F.size(F.split(F.col(seq_col), " ")) >= 2,
+            F.size(F.col(syms_col)) >= 2,
             F.expr(
-                f"transform(sequence(1, size(split({seq_col}, ' ')) - 1), "
-                f"i -> struct(element_at(split({seq_col}, ' '), i) as a, "
-                f"element_at(split({seq_col}, ' '), i + 1) as b))"
+                f"transform(sequence(1, size({syms_col}) - 1), "
+                f"i -> struct(element_at({syms_col}, i) as a, "
+                f"element_at({syms_col}, i + 1) as b))"
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     )
@@ -69,7 +71,8 @@ def bpe_train(
     merges = []
     for r in range(1, n_merges + 1):
         pair_cnt = (
-            seq.select("freq", _pairs_of("seq").alias("p"))
+            seq.select("freq", F.split(F.col("seq"), " ").alias("_syms"))
+            .select("freq", _pairs_of("_syms").alias("p"))
             .select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .groupBy("a", "b")
             .agg(F.sum("freq").alias("cnt"))

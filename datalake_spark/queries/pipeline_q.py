@@ -1451,15 +1451,18 @@ SELECT 'ALL', CAST(COUNT(DISTINCT c_custkey) AS BIGINT), TRUE FROM customer
 # ---------------------------------------------------------------------------
 def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
+    # split once into an array column first — slice(split(..)) inside the
+    # transform lambda would re-split the string per shingle position
     sh = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_parts")
+    ).select(
         "doc_id",
         F.explode(
             F.when(
-                F.size(w) >= 3,
+                F.size("_parts") >= 3,
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 2, 1), "
-                    "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                    "transform(sequence(1, size(_parts) - 2, 1), "
+                    "i -> concat_ws(' ', slice(_parts, i, 3)))"
                 ),
             ).otherwise(F.expr("cast(array() as array<string>)"))
         ).alias("g"),
@@ -2279,15 +2282,18 @@ _PMI_MIN_COUNT = 5
 
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    bi = docs.select(
+    # split ONCE into a materialized array column — an element_at(split(..))
+    # inside the transform lambda would re-split the string per position
+    # (O(words^2) character work per doc)
+    parts = docs.select(F.split(F.col("text"), " ").alias("_parts"))
+    bi = parts.select(
         F.explode(
             F.when(
-                F.size(w) >= 2,
+                F.size("_parts") >= 2,
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1), "
-                    "i -> struct(element_at(split(text, ' '), i) as l, "
-                    "element_at(split(text, ' '), i + 1) as r))"
+                    "transform(sequence(1, size(_parts) - 1), "
+                    "i -> struct(element_at(_parts, i) as l, "
+                    "element_at(_parts, i + 1) as r))"
                 ),
             ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
         ).alias("b")
