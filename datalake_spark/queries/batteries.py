@@ -307,6 +307,9 @@ def _mk() -> list[Q]:
               "BPE_SEGMENT_SQL"),
             {"doc_id": "v", "n_char_syms": "v", "n_bpe_syms": "v",
              "saved_micro": "v"}),
+        Sub(q(pq, "length_histogram", "length_histogram",
+              "LENGTH_HISTOGRAM_SQL"),
+            {"source": "v", "bin": "v", "bin_lo": "v", "n_docs": "v"}),
     ]
     from datalake_spark.queries import tpch2
 

@@ -2769,3 +2769,59 @@ SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_occurrences
 FROM tri GROUP BY 1, 2, 3
 HAVING COUNT(*) >= {_SEQ_MIN_COUNT}
 """
+
+
+# ---------------------------------------------------------------------------
+# length_histogram — equal-width histogram of document length per source:
+# 8 bins spanning the corpus [min, max], all INTEGER math (bin = (x-lo) *
+# nbins div (span+1)), so bin edges and counts are bit-identical across
+# engines with no float binning surface.  The [min, max] frame is a 1-row
+# broadcast; the histogram itself is one groupBy — the distribution
+# profile every corpus report needs next to its means (cf. vocab_report,
+# corpus_report).
+# ---------------------------------------------------------------------------
+_HIST_BINS = 8
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    mm = docs.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    b = _HIST_BINS
+    return (
+        docs.crossJoin(F.broadcast(mm))
+        .select(
+            "source",
+            "lo",
+            "hi",
+            F.expr(f"(n_chars - lo) * {b} div (hi - lo + 1)").alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(
+                F.expr(f"lo + bin * (hi - lo + 1) div {b}")
+            ).cast("bigint").alias("bin_lo"),
+        )
+        .select(
+            "source",
+            F.col("bin").cast("bigint").alias("bin"),
+            "bin_lo",
+            "n_docs",
+        )
+    )
+
+
+LENGTH_HISTOGRAM_SQL = f"""
+WITH mm AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents),
+binned AS (
+  SELECT d.source, mm.lo, mm.hi,
+         (d.n_chars - mm.lo) * {_HIST_BINS} // (mm.hi - mm.lo + 1) AS bin
+  FROM documents d, mm)
+SELECT source,
+       CAST(bin AS BIGINT) AS bin,
+       CAST(MIN(lo + bin * (hi - lo + 1) // {_HIST_BINS}) AS BIGINT) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM binned GROUP BY source, bin
+"""
