@@ -274,6 +274,13 @@ class Catalog:
         ``compact`` either waits for this write or makes this write wait
         and land in the new version.  ``_no_lease`` (tests only) models a
         non-cooperating writer, which only the straggler sweeps protect.
+
+        Also maintains the work-id secondary index (no-op until someone
+        builds it): the reference's ingester writes BOTH index keys on
+        every put (client/datalake/common/record.py:58-59), so every
+        append path — batch uploader, CLI push, streaming — must keep the
+        index fresh or work-id queries served from it silently miss the
+        new rows.
         """
         lease = None if _no_lease else self._acquire_append_lease()
         try:
@@ -294,6 +301,7 @@ class Catalog:
                 .partitionBy("what", "bucket_date")
                 .parquet(self._files_dir())
             )
+            self.append_work_id_index(df)
         finally:
             if lease is not None:
                 try:
@@ -445,25 +453,53 @@ class Catalog:
         keep = {dirname} | {h["dir"] for h in manifest["history"]}
         _gc_versions(self.work_id_index_path, keep)
 
-    def append_work_id_index(self, new_rows: DataFrame) -> bool:
+    def append_work_id_index(self, new_rows: DataFrame, _race_hook=None) -> bool:
         """Incrementally index just-appended rows (append-only part files
         into the current version directory — a pure PUT, no rewrite).
         Returns False when no index exists yet (callers then either skip
-        or build)."""
+        or build).  Called automatically by :meth:`append`, so every
+        ingest path keeps the index fresh.
+
+        Rebuild race: a concurrent ``build_work_id_index`` commits a NEW
+        version directory and GCs the old one, which would silently
+        discard part files appended into the old directory mid-flight.
+        Guard: after writing, re-read the manifest; if the version moved,
+        retry the write into the new directory.  The retry can duplicate
+        rows already captured by the rebuild's scan — harmless, because
+        every query-path consumer dedups by ``id`` (the reference's
+        tolerated-duplicate-puts invariant, storage.py:64-73); losing the
+        rows is the failure mode, duplicating them is not.
+
+        ``_race_hook`` is test-only: called between the part-file write
+        and the manifest re-read to simulate a concurrent rebuild.
+        """
         m = _read_manifest(self.work_id_index_path)
         if m is None:
             return False
         cols = [f.name for f in FILES_SCHEMA.fields]
-        nb = m["num_buckets"]
-        (
+        bucketed = (
             new_rows.select(*cols)
             .filter(F.col("work_id").isNotNull())
-            .withColumn("wid_bucket", self._wid_bucket(F.col("work_id"), nb))
-            .repartition(F.col("wid_bucket"))
-            .write.mode("append")
-            .partitionBy("wid_bucket")
-            .parquet(os.path.join(self.work_id_index_path, m["dir"]))
         )
+        for _attempt in range(5):
+            nb = m["num_buckets"]
+            (
+                bucketed
+                .withColumn(
+                    "wid_bucket", self._wid_bucket(F.col("work_id"), nb)
+                )
+                .repartition(F.col("wid_bucket"))
+                .write.mode("append")
+                .partitionBy("wid_bucket")
+                .parquet(os.path.join(self.work_id_index_path, m["dir"]))
+            )
+            if _race_hook is not None:
+                hook, _race_hook = _race_hook, None
+                hook()
+            m2 = _read_manifest(self.work_id_index_path)
+            if m2 is None or m2["version"] == m["version"]:
+                return True
+            m = m2  # rebuild won the race; land the rows in its version
         return True
 
     def work_id_index(self) -> tuple[DataFrame, int] | None:
@@ -646,7 +682,18 @@ class Catalog:
             }
             dirname = _new_version_dir(self.files_path, version)
             new_dir = os.path.join(self.files_path, dirname)
-            out = df if _drop_where is None else df.filter(~_drop_where)
+            # Drop ONLY rows where the predicate is definitely true.  A bare
+            # ~pred silently deletes NULL-evaluating rows too (e.g.
+            # work_id = 'job0' against a NULL work_id → NULL → ~NULL = NULL
+            # → filtered out): under SQL three-valued logic filter() keeps
+            # only TRUE, so rows with a NULL verdict would be hard-deleted
+            # along with the matches.  coalesce(pred, false) pins the NULL
+            # verdict to "not a match" before negating.
+            out = (
+                df
+                if _drop_where is None
+                else df.filter(~F.coalesce(_drop_where, F.lit(False)))
+            )
             (
                 out.repartition(F.col("what"), F.col("bucket_date"))
                 .sortWithinPartitions("work_id", "id")

@@ -135,11 +135,10 @@ class StreamingIngester:
             n_ok = int(obs_files.get["n_ok"])
             n_err = int(obs_cls.get["n_err"] or 0)
             if n_ok:
+                # Catalog.append also keeps the work-id secondary index
+                # fresh at batch cost (no-op until someone builds it)
                 self.catalog.append(files)
                 _merge_latest(spark, self.catalog, files)
-                # keep the work-id secondary index fresh at batch cost —
-                # no-op until someone builds it (Catalog.build_work_id_index)
-                self.catalog.append_work_id_index(files)
             # report side-output (ingester.py:27-65 shape, flattened)
             report = spark.createDataFrame(
                 [

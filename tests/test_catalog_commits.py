@@ -436,8 +436,10 @@ class TestWorkIdIndex:
         extra = [{"id": "new1", "what": "nginx", "where": "h9",
                   "start": T0, "end": None, "work_id": "jobnew"}]
         df = make_files_df(spark, extra)
+        # Catalog.append maintains the index itself — every batch path
+        # (uploader, CLI push, streaming) keeps work-id queries fresh
+        # without an explicit index call
         cat.append(df)
-        assert cat.append_work_id_index(df) is True
         eng = QueryEngine(cat.files(), work_id_index=cat.work_id_index())
         assert [r["id"] for r in eng.by_work_id("jobnew", "nginx").collect()] == ["new1"]
 
@@ -447,6 +449,31 @@ class TestWorkIdIndex:
         cat.append(df)
         assert cat.append_work_id_index(df) is False
         assert cat.work_id_index() is None
+
+    def test_append_survives_concurrent_rebuild(self, spark, tmp_path):
+        """A rebuild that commits (and GCs the old version dir) while an
+        incremental index append is in flight must not lose the appended
+        rows: the appender re-reads the manifest and retries into the new
+        version.  The hook fires between the part-file write and the
+        manifest re-read — the exact lost-update window."""
+        from datalake_spark.query import QueryEngine
+
+        cat = Catalog(spark, str(tmp_path), keep_versions=1)
+        cat.append(make_files_df(spark, self._rows()))
+        cat.build_work_id_index(num_buckets=8)
+        # rows indexed but NOT in the files table: a rebuild cannot see
+        # them, so only the retry path can land them in the live version
+        extra = [{"id": "race1", "what": "nginx", "where": "h9",
+                  "start": T0, "end": None, "work_id": "jobrace"}]
+        df = make_files_df(spark, extra)
+        assert cat.append_work_id_index(
+            df, _race_hook=lambda: cat.build_work_id_index(num_buckets=8)
+        ) is True
+        idx = cat.work_id_index()
+        eng = QueryEngine(cat.files(), work_id_index=idx)
+        assert [
+            r["id"] for r in eng.by_work_id("jobrace", "nginx").collect()
+        ] == ["race1"]
 
 
 class TestDeleteWhere:
@@ -492,6 +519,26 @@ class TestDeleteWhere:
         cat = self._seed(spark, tmp_path)
         cat.delete_where("id = 'absent'")
         assert cat.files().count() == 12
+
+    def test_null_predicate_rows_survive(self, spark, tmp_path):
+        """Rows where the predicate evaluates NULL (not TRUE) must NOT be
+        deleted: work_id = 'job0' against a NULL work_id is NULL under
+        three-valued logic, and a naive ~pred filter would silently
+        hard-delete those rows along with the matches."""
+        cat = Catalog(spark, str(tmp_path))
+        rows = [
+            {"id": "keep_null", "what": "nginx", "where": "h0",
+             "start": T0, "end": None, "work_id": None},
+            {"id": "drop_match", "what": "nginx", "where": "h0",
+             "start": T0 + 1, "end": None, "work_id": "job0"},
+            {"id": "keep_other", "what": "nginx", "where": "h0",
+             "start": T0 + 2, "end": None, "work_id": "job1"},
+        ]
+        cat.append(make_files_df(spark, rows))
+        cat.refresh_latest()
+        cat.delete_where("work_id = 'job0'")
+        ids = {r["id"] for r in cat.files().collect()}
+        assert ids == {"keep_null", "keep_other"}
 
 
 class TestCollectStats:
