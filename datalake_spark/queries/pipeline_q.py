@@ -2343,20 +2343,36 @@ WHERE cxy.c_xy >= {_PMI_MIN_COUNT}
 
 
 # ---------------------------------------------------------------------------
-# k_anonymize — k-anonymity via a fixed generalization ladder over the
-# quasi-identifier (lang, source, length-band): a doc keeps its full quasi
-# tuple if >= K docs share it; otherwise the band generalizes to '*' (if
-# the (lang, source) pair itself has >= K members), else the whole tuple
-# suppresses.  Optimal k-anonymity is NP-hard; the fixed ladder is the
-# deterministic, auditable form a compliance pipeline actually ships, and
-# pairs with pii_scrub (content-level) as the record-level privacy gate.
-# Plan: two count aggs over the quasi keys + two broadcast-sized joins
-# back; the corpus is scanned once and never shuffled on a skewed key.
+# k_anonymize — TRUE k-anonymity via a fixed generalization ladder over
+# the quasi-identifier (lang, source, length-band).  The subtlety (r4 bug,
+# fixed r5): each ladder level must count the equivalence class it
+# ACTUALLY RELEASES, not a superset.  A doc generalizing its band to '*'
+# joins a class containing only the OTHER generalized docs of its (lang,
+# source) pair — the pair members that kept full bands publish distinct
+# tuples and do not hide it.  Counting the whole pair (n_pair) let
+# sub-K classes leak (e.g. 6 docs keep a full band, the remaining 4
+# share '*': the 4-doc class violates K=5).  Ladder, exact at each rung:
+#   level 0  publish (lang, source, band)   iff n_full  >= K
+#   level 1  publish (lang, source, '*')    iff n_gen   >= K, counting
+#            ONLY the docs NOT publishable at level 0
+#   level 2  publish ('*', '*', '*')        iff the residual global
+#            class itself has >= K members; otherwise the rows are
+#            RECORD-SUPPRESSED (dropped, gen_level 3 audit rows) —
+#            generalization is exhausted, so releasing them at all
+#            would leak a sub-K class
+# Every released class provably has >= K members.  Optimal k-anonymity
+# is NP-hard; the fixed ladder is the deterministic, auditable form a
+# compliance pipeline actually ships, and pairs with pii_scrub
+# (content-level) as the record-level privacy gate.  Plan: three count
+# aggs over the quasi keys (each strictly smaller than the last) + two
+# broadcast-sized joins back; the corpus is scanned once and never
+# shuffled on a skewed key.
 # ---------------------------------------------------------------------------
 _KANON_K = 5
 
 
 def k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.lit(_KANON_K)
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source",
         F.expr("n_chars div 100").alias("band"),
@@ -2364,25 +2380,40 @@ def k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     g2 = docs.groupBy("lang", "source", "band").agg(
         F.count(F.lit(1)).alias("n_full")
     )
-    g1 = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_pair"))
-    k = F.lit(_KANON_K)
-    return (
+    # class sizes per released tuple, each counting only its own members:
+    # docs that fail level 0 contribute to the (lang, source, '*') class
+    gen = docs.join(g2, ["lang", "source", "band"]).filter(F.col("n_full") < k)
+    g1 = gen.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_gen"))
+    # docs that also fail level 1 all collapse to the one global class
+    n_sup = (
+        gen.join(g1, ["lang", "source"])
+        .filter(F.col("n_gen") < k)
+        .agg(F.count(F.lit(1)).alias("n_sup"))
+    )
+    lvl = (
         docs.join(g2, ["lang", "source", "band"])
-        .join(g1, ["lang", "source"])
-        .select(
-            "doc_id",
-            F.when(F.col("n_full") >= k, F.col("lang"))
-            .when(F.col("n_pair") >= k, F.col("lang"))
-            .otherwise(F.lit("*")).alias("lang_out"),
-            F.when(F.col("n_full") >= k, F.col("source"))
-            .when(F.col("n_pair") >= k, F.col("source"))
-            .otherwise(F.lit("*")).alias("source_out"),
-            F.when(F.col("n_full") >= k, F.col("band").cast("string"))
-            .otherwise(F.lit("*")).alias("band_out"),
+        .join(g1, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(n_sup))
+        .withColumn(
+            "gen_level",
             F.when(F.col("n_full") >= k, F.lit(0))
-            .when(F.col("n_pair") >= k, F.lit(1))
-            .otherwise(F.lit(2)).cast("int").alias("gen_level"),
+            .when(F.col("n_gen") >= k, F.lit(1))
+            .when(F.col("n_sup") >= k, F.lit(2))
+            .otherwise(F.lit(3))
+            .cast("int"),
         )
+    )
+    return lvl.select(
+        "doc_id",
+        F.when(F.col("gen_level") <= 1, F.col("lang"))
+        .otherwise(F.lit("*")).alias("lang_out"),
+        F.when(F.col("gen_level") <= 1, F.col("source"))
+        .otherwise(F.lit("*")).alias("source_out"),
+        F.when(F.col("gen_level") == 0, F.col("band").cast("string"))
+        .otherwise(F.lit("*")).alias("band_out"),
+        # gen_level 3 = record-suppressed: emitted for the audit trail;
+        # a publishing consumer filters gen_level <= 2
+        "gen_level",
     )
 
 
@@ -2391,22 +2422,32 @@ WITH d AS (
   SELECT doc_id, lang, source, n_chars // 100 AS band FROM documents),
 g2 AS (
   SELECT lang, source, band, COUNT(*) AS n_full FROM d GROUP BY 1, 2, 3),
-g1 AS (SELECT lang, source, COUNT(*) AS n_pair FROM d GROUP BY 1, 2)
-SELECT d.doc_id,
-       CASE WHEN g2.n_full >= {_KANON_K} THEN d.lang
-            WHEN g1.n_pair >= {_KANON_K} THEN d.lang
-            ELSE '*' END AS lang_out,
-       CASE WHEN g2.n_full >= {_KANON_K} THEN d.source
-            WHEN g1.n_pair >= {_KANON_K} THEN d.source
-            ELSE '*' END AS source_out,
-       CASE WHEN g2.n_full >= {_KANON_K} THEN CAST(d.band AS VARCHAR)
+gen AS (
+  SELECT d.* FROM d
+  JOIN g2 ON d.lang = g2.lang AND d.source = g2.source AND d.band = g2.band
+  WHERE g2.n_full < {_KANON_K}),
+g1 AS (SELECT lang, source, COUNT(*) AS n_gen FROM gen GROUP BY 1, 2),
+sup AS (
+  SELECT COUNT(*) AS n_sup FROM gen
+  JOIN g1 ON gen.lang = g1.lang AND gen.source = g1.source
+  WHERE g1.n_gen < {_KANON_K}),
+lvl AS (
+  SELECT d.doc_id, d.lang, d.source, d.band,
+         CAST(CASE WHEN g2.n_full >= {_KANON_K} THEN 0
+                   WHEN g1.n_gen >= {_KANON_K} THEN 1
+                   WHEN sup.n_sup >= {_KANON_K} THEN 2
+                   ELSE 3 END AS INT) AS gen_level
+  FROM d
+  JOIN g2 ON d.lang = g2.lang AND d.source = g2.source AND d.band = g2.band
+  LEFT JOIN g1 ON d.lang = g1.lang AND d.source = g1.source
+  CROSS JOIN sup)
+SELECT doc_id,
+       CASE WHEN gen_level <= 1 THEN lang ELSE '*' END AS lang_out,
+       CASE WHEN gen_level <= 1 THEN source ELSE '*' END AS source_out,
+       CASE WHEN gen_level = 0 THEN CAST(band AS VARCHAR)
             ELSE '*' END AS band_out,
-       CAST(CASE WHEN g2.n_full >= {_KANON_K} THEN 0
-                 WHEN g1.n_pair >= {_KANON_K} THEN 1
-                 ELSE 2 END AS INT) AS gen_level
-FROM d
-JOIN g2 ON d.lang = g2.lang AND d.source = g2.source AND d.band = g2.band
-JOIN g1 ON d.lang = g1.lang AND d.source = g1.source
+       gen_level
+FROM lvl
 """
 
 

@@ -332,6 +332,58 @@ class TestKAnonymize:
         out = k_anonymize(spark, sf_dir).collect()
         assert all(r["gen_level"] == 0 and r["band_out"] != "*" for r in out)
 
+    def test_released_classes_reach_k(self, spark):
+        """STRICT k-anonymity: group the released rows by their released
+        tuple; every equivalence class — including the generalized '*'
+        classes, which contain ONLY the generalized docs, not their
+        full-band pair-mates — must have >= K members.  (The r4 ladder
+        counted the whole (lang, source) pair for the level-1 decision
+        and could release sub-K '*' classes.)"""
+        from collections import Counter
+
+        from datalake_spark.queries.pipeline_q import k_anonymize, _KANON_K
+
+        rel = k_anonymize(spark, SF_DIR).collect()
+        classes = Counter(
+            (r["lang_out"], r["source_out"], r["band_out"])
+            for r in rel if r["gen_level"] <= 2
+        )
+        assert classes, "no released rows at all"
+        bad = {c: n for c, n in classes.items() if n < _KANON_K}
+        assert not bad, bad
+
+    def test_sub_k_star_class_suppressed(self, spark, tmp_path):
+        """The advisor's counterexample: 6 docs keep a full band, 4 more
+        share the same (lang, source) but are spread over sub-K bands.
+        The 4 generalized docs alone form the '*' class (< K) — they must
+        NOT be released as (lang, source, '*'); with no other suppressed
+        docs in the corpus the global class is also < K, so they are
+        record-suppressed (gen_level 3)."""
+        from datalake_spark.queries.pipeline_q import k_anonymize
+
+        rows = [(i, "x " * 50, "s") for i in range(6)]  # band 100//100=1, n=6
+        rows += [(10 + i, "y" * (300 + 100 * i), "s") for i in range(4)]
+        sf_dir = _write_mix(spark, tmp_path, rows, "kanon_star")
+        out = {r["doc_id"]: r for r in k_anonymize(spark, sf_dir).collect()}
+        assert all(out[i]["gen_level"] == 0 for i in range(6))
+        for i in range(10, 14):
+            r = out[i]
+            assert r["gen_level"] == 3, r
+            assert (r["lang_out"], r["source_out"], r["band_out"]) == ("*", "*", "*")
+
+    def test_star_class_released_when_big_enough(self, spark, tmp_path):
+        """5 generalized docs of one pair DO form a valid level-1 class."""
+        from datalake_spark.queries.pipeline_q import k_anonymize
+
+        rows = [(i, "x " * 50, "s") for i in range(6)]
+        rows += [(10 + i, "y" * (300 + 100 * i), "s") for i in range(5)]
+        sf_dir = _write_mix(spark, tmp_path, rows, "kanon_ok")
+        out = {r["doc_id"]: r for r in k_anonymize(spark, sf_dir).collect()}
+        for i in range(10, 15):
+            r = out[i]
+            assert r["gen_level"] == 1, r
+            assert (r["lang_out"], r["source_out"], r["band_out"]) == ("en", "s", "*")
+
 
 class TestRollingActiveUsers:
     def test_trailing_window_semantics(self, spark, tmp_path):
