@@ -143,14 +143,24 @@ def curate_corpus(
             F.col(id_col).alias("_sid"),
             F.col("cleaned_text").alias("_cleaned"),
         )
-        rewritten = surviving.join(
-            spans, F.col(id_col) == F.col("_sid")
-        ).withColumn(text_col, F.col("_cleaned"))
+        rewritten = (
+            surviving.join(spans, F.col(id_col) == F.col("_sid"))
+            # keep the pre-rewrite text alongside: the quarantine audit
+            # trail must store the ORIGINAL document (like rule/near-dup
+            # drops do), not the emptied cleaned text — else "why is doc
+            # X not in the training set" inspection has nothing to show
+            .withColumn("_orig_text", F.col(text_col))
+            .withColumn(text_col, F.col("_cleaned"))
+        )
         if quarantine_path is not None:
-            span_emptied = rewritten.filter(F.col(text_col) == "").select(
-                *df.columns,
-                *[F.lit(True).alias(c) for c in RULE_COLS],
-                F.lit("span_empty").alias("drop_stage"),
+            span_emptied = (
+                rewritten.filter(F.col(text_col) == "")
+                .withColumn(text_col, F.col("_orig_text"))
+                .select(
+                    *df.columns,
+                    *[F.lit(True).alias(c) for c in RULE_COLS],
+                    F.lit("span_empty").alias("drop_stage"),
+                )
             )
         surviving = rewritten.filter(F.col(text_col) != "").select(*df.columns)
     if quarantine_path is not None:

@@ -129,9 +129,12 @@ class TestSpanStage:
         # survivors keep only their unique tails
         assert got[1] == uniq[0] and got[2] == uniq[1]
         assert 3 not in got
-        quar = {r["doc_id"]: r["drop_stage"]
-                for r in spark.read.parquet(qpath).collect()}
-        assert quar[3] == "span_empty"
+        quar = {r["doc_id"]: r for r in spark.read.parquet(qpath).collect()}
+        assert quar[3]["drop_stage"] == "span_empty"
+        # the audit row must preserve the ORIGINAL text (like rule and
+        # near-dup drops), not the emptied post-rewrite text — a ''
+        # quarantine record answers nothing about why the doc was dropped
+        assert quar[3]["text"] == boiler + " " + boiler + " " + boiler
 
     def test_span_stage_off_by_default(self, spark):
         from datalake_spark.pipeline import curate_corpus
