@@ -11,22 +11,98 @@ the VOCABULARY (Heaps-sublinear in corpus size), so training cost is
 dominated by a single pass over the data no matter how many merges follow.
 
 Determinism/portability discipline:
-- ties broken (count desc, left asc, right asc) via min(struct(-cnt, a, b))
-  — no window over the pair table;
-- the top pair stays IN-PLAN (1-row broadcast cross join), never collected;
+- ties broken (count desc, left asc, right asc) — in-plan via
+  min(struct(-cnt, a, b)) with no window over the pair table, in-driver
+  via the identical heap key;
+- per distributed round, exactly one 1-row aggregate job picks the
+  winner and one vocabulary-sized job materializes the fused frame
+  (bounding the cache to two frames — no persisted-frame leak across
+  rounds);
 - merge application is plain string replace of " a b " inside the
   space-padded symbol sequence, iterated a fixed ``replace_passes`` times:
   both engines' replace() fuses non-overlapping occurrences left-to-right,
   and repeating it to fixpoint reproduces the canonical merge-all
   application (a run of m repeated symbols converges in <= ceil(m/2)
   passes, so passes = half the longest word is exact).
+
+Two equivalent trainers behind one budget gate: the word-frequency dict
+is Heaps-sublinear in corpus size, so when it fits
+``local_vocab_budget`` the merge loop runs in-driver (incremental pair
+counts + lazy heap — 32 k merges in seconds); otherwise the distributed
+replace-to-fixpoint rounds run.  A test pins both paths equal.
 """
 
 from __future__ import annotations
 
-from functools import reduce
+import heapq
+from collections import Counter, defaultdict
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _local_bpe_train(
+    rows: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """In-driver Sennrich trainer over a collected (word, freq) dict.
+
+    Incrementally maintained: a pair→count table, a pair→{containing
+    words} index, and a lazy-deletion max-heap over the counts, so each
+    merge costs O(symbols of affected words + log-heap) rather than a
+    full vocabulary rescan — the structure that makes 32 k merges
+    tractable.  Tie-break matches the in-plan aggregate exactly:
+    (count desc, left asc, right asc)."""
+    freqs = [f for _, f in rows]
+    seqs = [list(w) for w, _ in rows]
+    pc: Counter = Counter()
+    where: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for wid, syms in enumerate(seqs):
+        f = freqs[wid]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pc[p] += f
+            where[p].add(wid)
+    heap = [(-c, a, b) for (a, b), c in pc.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges and heap:
+        nc, a, b = heapq.heappop(heap)
+        cur = pc.get((a, b), 0)
+        if cur <= 0 or -nc != cur:  # stale heap entry (lazy deletion)
+            continue
+        merges.append((a, b, cur))
+        ab = a + b
+        touched: Counter = Counter()
+        for wid in sorted(where[(a, b)]):
+            syms = seqs[wid]
+            f = freqs[wid]
+            # retract the word's whole pair contribution, merge greedily
+            # left-to-right non-overlapping, then re-add — simple and
+            # exactly the reference merge-all application
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] -= f
+                touched[p] += 0
+                if pc[p] <= 0:
+                    pc.pop(p, None)
+                where[p].discard(wid)
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[wid] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pc[p] += f
+                touched[p] += 0
+                where[p].add(wid)
+        for p in touched:
+            if p in pc:
+                heapq.heappush(heap, (-pc[p], p[0], p[1]))
+    return merges
 
 
 def _pairs_of(syms_col: str):
@@ -51,6 +127,7 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 3,
     replace_passes: int = 10,
+    local_vocab_budget: int = 1_000_000,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merge rules over the corpus.
 
@@ -59,16 +136,41 @@ def bpe_train(
     moment it was chosen.  ``replace_passes`` bounds merge application per
     round; it must be >= half the longest word's length for exactness
     (10 covers words up to 20 chars — raise for longer-tailed corpora).
+
+    Scale adaptivity (the connected_components budget pattern,
+    dedup.py): after the single corpus-wide shuffle to the
+    word-frequency dict, the dict's size is counted against
+    ``local_vocab_budget``.  Vocabulary is Heaps-sublinear in corpus
+    size, so even a 100 TB corpus usually lands a dict of a few million
+    entries (~100 B each → the 1M default is ~100 MB of driver heap) —
+    under budget the merge loop runs in-driver with incrementally
+    maintained pair counts + a lazy heap, making a realistic 32 k-merge
+    vocabulary seconds of driver CPU instead of 32 k sequential Spark
+    jobs.  Over budget, the distributed in-plan rounds run (vocabulary-
+    sized per round; each round unpersists its predecessor).  Both paths
+    emit the identical merge table — a test pins them equal.
     """
     words = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
     )
-    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq")).persist()
+    if wc.count() <= local_vocab_budget:
+        rows = [(r["w"], r["freq"]) for r in wc.collect()]
+        wc.unpersist()
+        merges = _local_bpe_train(rows, n_merges)
+        return df.sparkSession.createDataFrame(
+            [
+                (r + 1, a, b, cnt)
+                for r, (a, b, cnt) in enumerate(merges)
+            ],
+            "rank int, left string, right string, pair_count bigint",
+        )
     seq = wc.select(
         "freq", F.concat_ws(" ", F.split(F.col("w"), "")).alias("seq")
     ).persist()
-    merges = []
+    wc.unpersist()
+    merge_rows: list[tuple[int, str, str, int]] = []
     for r in range(1, n_merges + 1):
         pair_cnt = (
             seq.select("freq", F.split(F.col("seq"), " ").alias("_syms"))
@@ -77,7 +179,10 @@ def bpe_train(
             .groupBy("a", "b")
             .agg(F.sum("freq").alias("cnt"))
         )
-        top = pair_cnt.agg(
+        # the winner is a deterministic 1-row aggregate (ties broken
+        # count desc, left asc, right asc via min(struct)) — one
+        # vocabulary-sized job per round
+        trow = pair_cnt.agg(
             F.min(
                 F.struct(
                     (-F.col("cnt")).alias("nc"),
@@ -85,30 +190,27 @@ def bpe_train(
                     F.col("b").alias("tb"),
                 )
             ).alias("m")
-        ).select(
-            F.col("m.ta").alias("ta"),
-            F.col("m.tb").alias("tb"),
-            (-F.col("m.nc")).alias("tcnt"),
-        )
-        merges.append(
-            top.select(
-                F.lit(r).cast("int").alias("rank"),
-                F.col("ta").alias("left"),
-                F.col("tb").alias("right"),
-                F.col("tcnt").cast("bigint").alias("pair_count"),
-            )
-        )
-        pat = F.concat(F.lit(" "), F.col("ta"), F.lit(" "), F.col("tb"), F.lit(" "))
-        rep = F.concat(F.lit(" "), F.col("ta"), F.col("tb"), F.lit(" "))
+        ).select("m.ta", "m.tb", (-F.col("m.nc")).alias("tcnt")).collect()[0]
+        if trow["ta"] is None:  # no pairs left (all words fused to 1 symbol)
+            break
+        merge_rows.append((r, trow["ta"], trow["tb"], int(trow["tcnt"])))
+        pat = F.lit(f" {trow['ta']} {trow['tb']} ")
+        rep = F.lit(f" {trow['ta']}{trow['tb']} ")
         fused = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
         for _ in range(replace_passes):
             fused = F.replace(fused, pat, rep)
-        seq = (
-            seq.crossJoin(F.broadcast(top))
-            .select("freq", F.trim(fused).alias("seq"))
-            .persist()
-        )
-    return reduce(DataFrame.unionByName, merges)
+        new_seq = seq.select("freq", F.trim(fused).alias("seq")).persist()
+        # materialize the round's frame while its predecessor is still
+        # cached (else the unpersist forces a full-lineage recompute),
+        # then release the predecessor — bounds the training to two
+        # vocabulary-sized cached frames instead of leaking one per merge
+        new_seq.count()
+        seq.unpersist()
+        seq = new_seq
+    seq.unpersist()
+    return df.sparkSession.createDataFrame(
+        merge_rows, "rank int, left string, right string, pair_count bigint"
+    )
 
 
 def bpe_segment(

@@ -5,6 +5,7 @@ must match the Spark operators exactly — including the degenerate docs
 testdata never hits."""
 
 import random
+import time
 from collections import Counter
 
 import pytest
@@ -448,14 +449,45 @@ class TestBpeTrain:
         ]
         sf_dir = _write(spark, tmp_path, rows, f"bpe{seed}")
         model, _ = _model_bpe([t for _, t in rows], 4)
-        got = [
-            (r["left"], r["right"], r["pair_count"])
-            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .transform(lambda d: bpe_train(d, n_merges=4))
-            .orderBy("rank")
-            .collect()
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        def table(d):
+            return [
+                (r["left"], r["right"], r["pair_count"])
+                for r in d.orderBy("rank").collect()
+            ]
+
+        # default budget -> in-driver trainer; budget 0 -> distributed
+        # in-plan rounds.  Both must equal the pure-Python reference.
+        assert table(bpe_train(df, n_merges=4)) == model
+        assert table(bpe_train(df, n_merges=4, local_vocab_budget=0)) == model
+
+    def test_many_merges_fast_in_driver(self, spark, tmp_path, seed):
+        """A realistic-vocabulary training must not scale as one Spark job
+        per merge: 200 merges over a few hundred distinct words completes
+        in seconds via the budgeted in-driver path."""
+        from datalake_spark.operators.bpe import bpe_train
+
+        rng = random.Random(seed)
+        alphabet = "abcdefgh"
+        vocab = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 12)))
+            for _ in range(400)
         ]
-        assert got == model
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(40)))
+            for i in range(50)
+        ]
+        sf_dir = _write(spark, tmp_path, rows, f"bpebig{seed}")
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.time()
+        got = bpe_train(df, n_merges=200).collect()
+        assert time.time() - t0 < 30, "driver-path training too slow"
+        model, _ = _model_bpe([t for _, t in rows], 200)
+        assert [
+            (r["left"], r["right"], r["pair_count"])
+            for r in sorted(got, key=lambda r: r["rank"])
+        ] == model
 
     def test_segment_matches_trained_merges(self, spark, tmp_path, seed):
         from datalake_spark.operators.bpe import bpe_segment
