@@ -16,6 +16,8 @@ import os
 import sys
 from typing import Any
 
+from pyspark.sql import functions as F
+
 from datalake_spark.catalog import Catalog
 from datalake_spark.ingest import prepare_metadata, push_metadata
 from datalake_spark.query import QueryEngine, validate_query_params
@@ -181,6 +183,30 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8080)
     sp.add_argument("--storage-url", dest="storage_url", default=None)
+
+    ln = sub.add_parser("listen", help="run the streaming metadata-ingest "
+                                       "daemon: watch a landing dir of "
+                                       "S3-event JSON and ingest into the "
+                                       "catalog (files + latest + reports; "
+                                       "the reference's `datalake_tool "
+                                       "listen`, ingester/cli.py:36-39)")
+    ln.add_argument("landing_dir", help="directory the event JSON lands in")
+    ln.add_argument("--checkpoint", default=None,
+                    help="stream checkpoint dir (default "
+                         "<catalog>/_checkpoints/ingest — survives "
+                         "restarts, exactly-once per event file)")
+    ln.add_argument("--reports", default=None,
+                    help="ingest-report side-output path "
+                         "(default <catalog>/reports)")
+    ln.add_argument("--once", action="store_true",
+                    help="drain currently-visible events and exit "
+                         "(availableNow trigger) instead of running "
+                         "continuously")
+    ln.add_argument("--interval", default="10 seconds",
+                    help="micro-batch pacing in continuous mode")
+    ln.add_argument("--timeout", type=float, default=None,
+                    help="stop the daemon after this many seconds "
+                         "(bounded runs/tests; default: run until killed)")
 
     cu = sub.add_parser("curate", help="quality-filter + near-dup dedup a "
                                        "document table and write "
@@ -370,6 +396,41 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
                 "work_id": args.work_id,
             }
         )
+    if args.command == "listen":
+        from datalake_spark.streaming.ingest import StreamingIngester
+
+        ingester = StreamingIngester(spark, catalog, reports_path=args.reports)
+        ckpt = args.checkpoint or os.path.join(
+            catalog.root, "_checkpoints", "ingest"
+        )
+        query = ingester.start(
+            args.landing_dir,
+            ckpt,
+            available_now=args.once,
+            trigger_interval=args.interval,
+        )
+        if args.once:
+            query.awaitTermination()
+        elif args.timeout is not None:
+            query.awaitTermination(args.timeout)
+            query.stop()
+            query.awaitTermination()
+        else:  # daemon: run until killed
+            query.awaitTermination()
+        rep = ingester.reports()
+        if rep is not None:
+            agg = rep.agg(
+                F.sum("n_records").alias("n"), F.sum("n_errors").alias("e")
+            ).collect()[0]
+            print(
+                f"ingested {agg['n'] or 0} records "
+                f"({agg['e'] or 0} errors) -> {catalog.root}",
+                file=out,
+            )
+        else:
+            print(f"ingested 0 records -> {catalog.root}", file=out)
+        return 0
+
     if args.command == "curate":
         import json as _json
 

@@ -158,26 +158,44 @@ class StreamingIngester:
             files.unpersist()
             spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
 
-    def start(self, landing_dir: str, checkpoint_dir: str, available_now: bool = True):
+    def start(
+        self,
+        landing_dir: str,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        trigger_interval: str | None = None,
+    ):
         stream = (
             self.spark.readStream.schema(INGEST_EVENT_SCHEMA)
             .json(landing_dir)
         )
-        return self.start_stream(stream, checkpoint_dir, available_now)
+        return self.start_stream(
+            stream, checkpoint_dir, available_now, trigger_interval
+        )
 
     def start_stream(
-        self, events: DataFrame, checkpoint_dir: str, available_now: bool = True
+        self,
+        events: DataFrame,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        trigger_interval: str | None = None,
     ):
         """Run the pipeline over ANY streaming DataFrame in
         INGEST_EVENT_SCHEMA shape — the transport (landing dir, rate
         source, Kafka) is chosen by streaming/sources.py:event_stream;
-        the batch body is identical."""
+        the batch body is identical.  ``available_now`` drains the
+        currently-visible events and stops (batch catch-up / tests);
+        otherwise the query runs continuously, with ``trigger_interval``
+        (e.g. "10 seconds") pacing the micro-batches — the daemon mode
+        behind the ``listen`` CLI command."""
         writer = (
             events.writeStream.foreachBatch(self._handle_batch)
             .option("checkpointLocation", checkpoint_dir)
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
+        elif trigger_interval is not None:
+            writer = writer.trigger(processingTime=trigger_interval)
         return writer.start()
 
     def reports(self) -> DataFrame | None:

@@ -215,3 +215,64 @@ class TestMaintenanceCommands:
         assert rc == 0
         by_col = dict(ln.split("\t", 1) for ln in lines)
         assert "nulls=0" in by_col["id"] and "what" in by_col
+
+
+class TestListenCommand:
+    """`datalake-spark listen` — the reference's `datalake_tool listen`
+    ingester entry point (ingester/datalake_ingester/cli.py:36-39) as a
+    Structured Streaming daemon over a landing dir."""
+
+    def test_once_drains_landing_dir(self, spark, tmp_path, catalog_dir):
+        from tests.test_streaming import event, write_events
+
+        landing = str(tmp_path / "landing")
+        write_events(
+            landing,
+            [event("f1"), event("f2", where="h2", start=1420070500000)],
+        )
+        rc, lines = _run(
+            spark, ["listen", landing, "--once"], catalog_dir
+        )
+        assert rc == 0
+        assert lines[-1].startswith("ingested 2 records (0 errors)")
+        # files + latest + work-id-queryable catalog state
+        from datalake_spark.catalog import Catalog
+
+        cat = Catalog(spark, catalog_dir)
+        assert {r["id"] for r in cat.files().collect()} == {"f1", "f2"}
+        assert cat.latest_table().count() == 2
+
+    def test_once_is_restart_safe(self, spark, tmp_path, catalog_dir):
+        """Second run over the same landing dir re-ingests nothing (the
+        checkpoint under the catalog root survives across invocations)."""
+        from tests.test_streaming import event, write_events
+
+        landing = str(tmp_path / "landing")
+        write_events(landing, [event("f1")], "a.json")
+        rc, _ = _run(spark, ["listen", landing, "--once"], catalog_dir)
+        assert rc == 0
+        write_events(landing, [event("f9")], "b.json")
+        rc, lines = _run(spark, ["listen", landing, "--once"], catalog_dir)
+        assert rc == 0
+        from datalake_spark.catalog import Catalog
+
+        cat = Catalog(spark, catalog_dir)
+        # f1 appears once: the second drain processed only b.json
+        ids = sorted(r["id"] for r in cat.files().collect())
+        assert ids == ["f1", "f9"]
+
+    def test_timeout_bounded_daemon(self, spark, tmp_path, catalog_dir):
+        """Continuous mode with --timeout: the daemon ingests what lands
+        and exits when the clock runs out."""
+        from tests.test_streaming import event, write_events
+
+        landing = str(tmp_path / "landing")
+        write_events(landing, [event("f1")])
+        rc, lines = _run(
+            spark,
+            ["listen", landing, "--timeout", "20",
+             "--interval", "1 seconds"],
+            catalog_dir,
+        )
+        assert rc == 0
+        assert lines[-1].startswith("ingested 1 records")
