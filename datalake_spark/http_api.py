@@ -38,6 +38,9 @@ WSGI server in front for concurrency — the app object is stateless).
 from __future__ import annotations
 
 import json
+import threading
+import time
+from collections import deque
 from datetime import datetime, timezone
 from typing import Iterable
 from urllib.parse import parse_qs, quote, urlencode
@@ -85,10 +88,90 @@ def _record(row, base_url: str) -> dict:
     }
 
 
+def _route_label(path: str) -> str:
+    """Collapse path params so latency aggregates group by ROUTE, not by
+    id (the cardinality-bounding Sentry does with route transactions)."""
+    parts = [p for p in path.split("/") if p]
+    if (
+        len(parts) == 5
+        and parts[:3] == ["v0", "archive", "files"]
+        and parts[4] in ("data", "metadata")
+    ):
+        return f"/v0/archive/files/<id>/{parts[4]}"
+    if len(parts) in (5, 6) and parts[:3] == ["v0", "archive", "latest"]:
+        tail = "/data" if len(parts) == 6 else ""
+        return f"/v0/archive/latest/<what>/<where>{tail}"
+    return path or "/"
+
+
 class _HttpError(Exception):
     def __init__(self, status: int, code: str, message: str) -> None:
         super().__init__(message)
         self.status, self.code, self.message = status, code, message
+
+
+class RequestMonitor:
+    """Per-request tracing — the reference instruments every API route
+    with Sentry transactions (api/datalake_api/sentry.py:39-54
+    ``monitor_performance``); this is the self-contained analog: every
+    request records (route pattern, status, latency ms, error code) into
+    a bounded ring buffer plus per-(route, status) running aggregates.
+
+    Memory is bounded (``keep_last`` raw records + one aggregate row per
+    route×status), so it is safe under unbounded request volume; call
+    :meth:`flush_parquet` from an operator loop to persist the buffered
+    records to a reports table (one append per flush — never one Spark
+    write per request).  Thread-safe: a real WSGI server in front of the
+    app may drive it concurrently."""
+
+    def __init__(self, keep_last: int = 1000) -> None:
+        self._lock = threading.Lock()
+        self.records: deque = deque(maxlen=keep_last)
+        self.by_route: dict[tuple[str, int], dict] = {}
+
+    def record(
+        self, route: str, status: int, ms: float, code: str | None = None
+    ) -> None:
+        with self._lock:
+            self.records.append(
+                {"route": route, "status": status, "ms": ms, "code": code,
+                 "ts_ms": int(time.time() * 1000)}
+            )
+            agg = self.by_route.setdefault(
+                (route, status),
+                {"n": 0, "sum_ms": 0.0, "max_ms": 0.0, "n_err": 0},
+            )
+            agg["n"] += 1
+            agg["sum_ms"] += ms
+            agg["max_ms"] = max(agg["max_ms"], ms)
+            agg["n_err"] += 1 if code is not None else 0
+
+    def snapshot(self) -> list[dict]:
+        """Aggregate view: one row per (route, status) with count, mean
+        and max latency, and error count."""
+        with self._lock:
+            return [
+                {
+                    "route": route, "status": status, "n": a["n"],
+                    "mean_ms": a["sum_ms"] / a["n"], "max_ms": a["max_ms"],
+                    "n_err": a["n_err"],
+                }
+                for (route, status), a in sorted(self.by_route.items())
+            ]
+
+    def flush_parquet(self, spark, path: str) -> int:
+        """Append the buffered raw records to a parquet reports table and
+        clear the buffer; returns rows written."""
+        with self._lock:
+            rows = list(self.records)
+            self.records.clear()
+        if not rows:
+            return 0
+        spark.createDataFrame(
+            rows,
+            "route string, status int, ms double, code string, ts_ms long",
+        ).coalesce(1).write.mode("append").parquet(path)
+        return len(rows)
 
 
 class DatalakeHttpApp:
@@ -107,26 +190,36 @@ class DatalakeHttpApp:
             getattr(archive, "storage_url", None)
         )
         self.page_size = page_size
+        # per-request tracing (sentry.py:39-54 monitor_performance analog)
+        self.monitor = RequestMonitor()
 
     # -- WSGI ---------------------------------------------------------------
 
     def __call__(self, environ, start_response) -> Iterable[bytes]:
+        t0 = time.perf_counter()
+        err_code = None
         try:
             status, headers, body = self._route(environ)
         except _HttpError as e:
-            status = e.status
+            status, err_code = e.status, e.code
             body = json.dumps({"code": e.code, "message": e.message}).encode()
             headers = [("Content-Type", "application/json")]
         except InvalidQuery as e:
-            status = 400
+            status, err_code = 400, e.code
             body = json.dumps({"code": e.code, "message": str(e)}).encode()
             headers = [("Content-Type", "application/json")]
         except InvalidDatalakePath as e:
             # NoSuchDatalakeFile and its parent: the reference 404s both
             # shapes as NoSuchFile (v0.py:436-441)
-            status = 404
+            status, err_code = 404, "NoSuchFile"
             body = json.dumps({"code": "NoSuchFile", "message": str(e)}).encode()
             headers = [("Content-Type", "application/json")]
+        self.monitor.record(
+            _route_label(environ.get("PATH_INFO", "/")),
+            status,
+            (time.perf_counter() - t0) * 1000.0,
+            err_code,
+        )
         phrase = {200: "OK", 302: "Found", 400: "Bad Request",
                   404: "Not Found", 405: "Method Not Allowed"}[status]
         headers = list(headers) + [("Content-Length", str(len(body)))]

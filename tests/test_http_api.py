@@ -231,3 +231,53 @@ class TestRoutes:
         ids1 = {r["metadata"]["id"] for r in page1["records"]}
         ids2 = {r["metadata"]["id"] for r in page2["records"]}
         assert not ids1 & ids2  # no duplicates across pages
+
+
+class TestRequestMonitor:
+    """Per-request tracing hook — the reference's monitor_performance
+    Sentry instrumentation (api/datalake_api/sentry.py:39-54) as a
+    bounded in-process recorder on the WSGI app."""
+
+    @staticmethod
+    def _call(app, path, qs=""):
+        environ = {"REQUEST_METHOD": "GET", "PATH_INFO": path,
+                   "QUERY_STRING": qs, "wsgi.url_scheme": "http",
+                   "HTTP_HOST": "test"}
+        seen = {}
+        body = app(environ, lambda status, headers: seen.update(s=status))
+        return seen["s"], b"".join(body)
+
+    def test_timed_record_per_request(self, engine):
+        app = DatalakeHttpApp(engine)
+        assert self._call(app, "/health/")[0] == "200 OK"
+        assert self._call(app, "/health/")[0] == "200 OK"
+        # a 400 (no args) and a 404 carry their error codes
+        assert self._call(app, "/v0/archive/files/")[0].startswith("400")
+        assert self._call(app, "/nope")[0].startswith("404")
+        recs = list(app.monitor.records)
+        assert len(recs) == 4
+        assert all(r["ms"] >= 0 for r in recs)
+        agg = {(r["route"], r["status"]): r for r in app.monitor.snapshot()}
+        assert agg[("/health/", 200)]["n"] == 2
+        assert agg[("/health/", 200)]["n_err"] == 0
+        assert agg[("/v0/archive/files/", 400)]["n_err"] == 1
+        assert agg[("/nope", 404)]["n_err"] == 1
+        assert agg[("/health/", 200)]["max_ms"] >= agg[("/health/", 200)]["mean_ms"] / 2
+
+    def test_route_labels_collapse_ids(self, engine):
+        app = DatalakeHttpApp(engine)
+        self._call(app, "/v0/archive/files/zzz/metadata")
+        self._call(app, "/v0/archive/files/yyy/metadata")
+        routes = {r["route"] for r in app.monitor.records}
+        assert routes == {"/v0/archive/files/<id>/metadata"}
+
+    def test_flush_parquet(self, spark, engine, tmp_path):
+        app = DatalakeHttpApp(engine)
+        self._call(app, "/health/")
+        self._call(app, "/v0/archive/")
+        path = str(tmp_path / "http_reports")
+        assert app.monitor.flush_parquet(spark, path) == 2
+        assert app.monitor.flush_parquet(spark, path) == 0  # buffer drained
+        back = spark.read.parquet(path)
+        assert back.count() == 2
+        assert {r["route"] for r in back.collect()} == {"/health/", "/v0/archive/"}
