@@ -1,0 +1,405 @@
+"""Randomized differential fuzzing: Spark SQL vs DuckDB on the gate tables.
+
+The suite's other invariants are hand-picked; this harness generates
+random small query plans from a seeded grammar — scans, equi-join chains,
+filter stacks, aggregates with HAVING, window functions — renders each as
+ONE portable ANSI-SQL string, runs it through BOTH engines on the same
+parquet tables, and compares row count, column names, and order-
+insensitive canonical values (the same canon as tools/check_parity).  On
+a mismatch it SHRINKS: clauses are dropped one at a time while the
+mismatch persists, so the failure report is the minimal spec, not a
+20-clause monster.
+
+Cross-engine exactness rules (the repo's standing discipline):
+- aggregates only over integer-typed expressions, CAST to BIGINT
+  (DuckDB's SUM(BIGINT) -> HUGEINT needs pinning; double sums are
+  association-order-dependent in any engine);
+- doubles appear only in WHERE comparisons and MIN/MAX (value
+  *selection* is exact even when arithmetic is not);
+- window ORDER BY always includes a unique tiebreaker key;
+- no engine-specific syntax: the same string must parse in both.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+N_PLANS = 100
+
+# table -> (unique key, int cols, varchar cols, double cols)
+TABLES = {
+    "nation": ("n_nationkey", ["n_nationkey", "n_regionkey"], ["n_name"], []),
+    "customer": (
+        "c_custkey",
+        ["c_custkey", "c_nationkey"],
+        ["c_name", "c_mktsegment"],
+        ["c_acctbal"],
+    ),
+    "orders": (
+        "o_orderkey",
+        ["o_orderkey", "o_custkey"],
+        ["o_orderstatus", "o_orderpriority"],
+        ["o_totalprice"],
+    ),
+    "lineitem": (
+        "l_orderkey",  # not unique alone; combined with l_linenumber below
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    ),
+    "documents": (
+        "doc_id",
+        ["doc_id", "n_chars"],
+        ["lang", "source"],
+        [],
+    ),
+}
+# join graph: (left table, right table, ON clause)
+JOINS = {
+    "customer": [("nation", "c_nationkey = n_nationkey")],
+    "orders": [("customer", "o_custkey = c_custkey")],
+    "lineitem": [("orders", "l_orderkey = o_orderkey")],
+    "nation": [],
+    "documents": [],
+}
+# total-order tiebreaker per table (for window determinism).  NB the
+# synthetic lineitem has DUPLICATE (l_orderkey, l_linenumber) pairs —
+# the fuzzer itself found that out (seeds 63/93, r5) — but full rows are
+# distinct, so its tiebreaker is the whole row.
+UNIQUE_KEY = {
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "lineitem": (
+        "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, "
+        "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+        "l_shipdate"
+    ),
+    "documents": "doc_id",
+}
+
+
+class Spec:
+    """A generated query plan: table [+ join] + preds + projection or
+    aggregation [+ window / having].  Mutable so the shrinker can drop
+    clauses."""
+
+    def __init__(self):
+        self.table = "nation"
+        self.join = None          # (right_table, on_sql) | None
+        self.preds: list[str] = []
+        self.mode = "project"     # project | agg
+        self.cols: list[str] = []         # project mode: "expr AS alias"
+        self.group: list[str] = []        # agg mode
+        self.aggs: list[str] = []         # agg mode: "expr AS alias"
+        self.having: str | None = None
+        self.windows: list[str] = []      # project mode: "expr AS alias"
+
+    def sql(self) -> str:
+        frm = self.table
+        if self.join is not None:
+            frm += f" JOIN {self.join[0]} ON {self.join[1]}"
+        where = f" WHERE {' AND '.join(self.preds)}" if self.preds else ""
+        if self.mode == "agg":
+            sel = ", ".join(self.group + self.aggs) or "COUNT(*) AS n"
+            grp = (
+                f" GROUP BY {', '.join(str(i + 1) for i in range(len(self.group)))}"
+                if self.group
+                else ""
+            )
+            hav = f" HAVING {self.having}" if self.having else ""
+            return f"SELECT {sel} FROM {frm}{where}{grp}{hav}"
+        sel = ", ".join(self.cols + self.windows) or "1 AS one"
+        return f"SELECT {sel} FROM {frm}{where}"
+
+    def clauses(self):
+        """(label, dropper) pairs for the shrinker, most-droppable first."""
+        out = []
+        for i, p in enumerate(self.preds):
+            out.append((f"pred:{p}", lambda s, i=i: s.preds.pop(i)))
+        if self.having:
+            out.append(("having", lambda s: setattr(s, "having", None)))
+        for i, w in enumerate(self.windows):
+            out.append((f"window:{w}", lambda s, i=i: s.windows.pop(i)))
+        if self.mode == "agg" and len(self.aggs) > 1:
+            for i, a in enumerate(self.aggs):
+                out.append((f"agg:{a}", lambda s, i=i: s.aggs.pop(i)))
+        if self.mode == "agg" and len(self.group) > 1 and not self.having:
+            for i, g in enumerate(self.group):
+                out.append((f"group:{g}", lambda s, i=i: s.group.pop(i)))
+        if self.mode == "project" and len(self.cols) > 1:
+            for i, c in enumerate(self.cols):
+                out.append((f"col:{c}", lambda s, i=i: s.cols.pop(i)))
+        if self.join is not None:
+            out.append(("join", lambda s: setattr(s, "join", None)))
+        return out
+
+    def copy(self) -> "Spec":
+        s = Spec()
+        s.__dict__.update(
+            {
+                k: (list(v) if isinstance(v, list) else v)
+                for k, v in self.__dict__.items()
+            }
+        )
+        return s
+
+
+def _cols_in_scope(spec):
+    key, ints, strs, dbls = TABLES[spec.table]
+    ints, strs, dbls = list(ints), list(strs), list(dbls)
+    if spec.join is not None:
+        k2, i2, s2, d2 = TABLES[spec.join[0]]
+        ints, strs, dbls = ints + list(i2), strs + list(s2), dbls + list(d2)
+    return ints, strs, dbls
+
+
+def _int_expr(rng, ints):
+    c = rng.choice(ints)
+    return rng.choice(
+        [
+            c,
+            f"{c} % {rng.randint(2, 13)}",
+            f"ABS({c} - {rng.randint(0, 50)})",
+            f"CASE WHEN {c} % {rng.randint(3, 9)} = 0 THEN NULL ELSE {c} END",
+        ]
+    )
+
+
+def _pred(rng, spec, str_values):
+    ints, strs, dbls = _cols_in_scope(spec)
+    kind = rng.randrange(6)
+    if kind == 0:
+        return f"{rng.choice(ints)} {rng.choice(['<', '<=', '>', '>=', '=', '<>'])} {rng.randint(0, 60)}"
+    if kind == 1:
+        c = rng.choice(ints)
+        lo = rng.randint(0, 40)
+        return f"{c} BETWEEN {lo} AND {lo + rng.randint(0, 30)}"
+    if kind == 2 and dbls:
+        return f"{rng.choice(dbls)} {rng.choice(['<', '>='])} {round(rng.uniform(0, 5000), 2)}"
+    if kind == 3:
+        c = rng.choice(strs)
+        vals = str_values.get(c)
+        if vals:
+            picks = rng.sample(vals, k=min(len(vals), rng.randint(1, 3)))
+            quoted = ", ".join("'" + v.replace("'", "''") + "'" for v in picks)
+            neg = "NOT " if rng.random() < 0.3 else ""
+            return f"{c} {neg}IN ({quoted})"
+        return f"LENGTH({c}) > {rng.randint(1, 12)}"
+    if kind == 4:
+        c = rng.choice(strs)
+        letter = rng.choice("ABCDEFGHIJKLMNOPRS")
+        return rng.choice(
+            [
+                f"{c} LIKE '{letter}%'",
+                f"UPPER({c}) LIKE '%{letter}%'",
+                f"SUBSTR({c}, 1, 1) = '{letter}'",
+            ]
+        )
+    left = f"{rng.choice(ints)} % {rng.randint(2, 7)} = 0"
+    right = f"LENGTH({rng.choice(strs)}) <= {rng.randint(4, 15)}"
+    return f"({left} OR {right})"
+
+
+def generate(seed: int, str_values) -> Spec:
+    rng = random.Random(seed)
+    spec = Spec()
+    spec.table = rng.choice(list(TABLES))
+    if JOINS[spec.table] and rng.random() < 0.5:
+        spec.join = rng.choice(JOINS[spec.table])
+    for _ in range(rng.randrange(3)):
+        spec.preds.append(_pred(rng, spec, str_values))
+    ints, strs, dbls = _cols_in_scope(spec)
+    spec.mode = rng.choice(["project", "agg"])
+    if spec.mode == "agg":
+        for g in rng.sample(strs + ints, k=rng.randint(1, 2)):
+            spec.group.append(g)
+        n_aggs = rng.randint(1, 3)
+        for i in range(n_aggs):
+            spec.aggs.append(
+                rng.choice(
+                    [
+                        f"COUNT(*) AS agg{i}",
+                        f"CAST(COUNT(DISTINCT {rng.choice(ints)}) AS BIGINT) AS agg{i}",
+                        f"CAST(SUM(CAST({_int_expr(rng, ints)} AS BIGINT)) AS BIGINT) AS agg{i}",
+                        f"CAST(MIN({rng.choice(ints)}) AS BIGINT) AS agg{i}",
+                        f"CAST(MAX({rng.choice(ints)}) AS BIGINT) AS agg{i}",
+                        f"MIN({rng.choice(strs)}) AS agg{i}",
+                        f"MAX({rng.choice(dbls if dbls else ints)}) AS agg{i}",
+                    ]
+                )
+            )
+        if rng.random() < 0.4:
+            spec.having = f"COUNT(*) {rng.choice(['>', '>='])} {rng.randint(1, 5)}"
+    else:
+        picks = rng.sample(ints + strs, k=rng.randint(1, 3))
+        spec.cols = [
+            rng.choice(
+                [
+                    c,
+                    f"UPPER({c}) AS u_{i}" if c in strs else f"{c} + 1 AS p_{i}",
+                    f"COALESCE(CASE WHEN LENGTH(CAST({c} AS VARCHAR(40))) > 3 "
+                    f"THEN NULL ELSE CAST({c} AS VARCHAR(40)) END, 'x') AS z_{i}",
+                ]
+            )
+            for i, c in enumerate(picks)
+        ]
+        if rng.random() < 0.4:
+            part = rng.choice(strs)
+            uniq = UNIQUE_KEY[spec.table]
+            spec.windows.append(
+                rng.choice(
+                    [
+                        f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {uniq}) AS w0",
+                        f"CAST(SUM(CAST({rng.choice(ints)} AS BIGINT)) OVER "
+                        f"(PARTITION BY {part} ORDER BY {uniq} ROWS BETWEEN "
+                        f"UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS w0",
+                        f"RANK() OVER (PARTITION BY {part} ORDER BY {rng.choice(ints)}) AS w0",
+                    ]
+                )
+            )
+    return spec
+
+
+# -- execution + canonical comparison ---------------------------------------
+
+
+def _canon_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    try:
+        import pandas as pd
+
+        if pd.isna(v):
+            return "<null>"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def _canon(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    out = pdf.map(_canon_cell)
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
+
+def mismatch(spark, con, sql: str) -> str | None:
+    """None = the engines agree.  One engine erroring while the other
+    answers is a portability finding; BOTH erroring is agreement (the
+    query is invalid — e.g. a shrink step dropped a join a projection
+    column depended on), not a differential."""
+    spk_err = dck_err = None
+    try:
+        spk = _canon(spark.sql(sql).toPandas())
+    except Exception as e:
+        spk_err = e
+    try:
+        dck = _canon(con.execute(sql).df())
+    except Exception as e:
+        dck_err = e
+    if spk_err is not None and dck_err is not None:
+        return None
+    if spk_err is not None:
+        return f"spark-only error: {spk_err}"
+    if dck_err is not None:
+        return f"duckdb-only error: {dck_err}"
+    if list(spk.columns) != list(dck.columns):
+        return f"columns {list(spk.columns)} vs {list(dck.columns)}"
+    if len(spk) != len(dck):
+        return f"rows {len(spk)} vs {len(dck)}"
+    if not spk.equals(dck):
+        neq = (spk != dck).any(axis=1)
+        i = list(spk.index[neq])[0]
+        return (
+            f"values @{i}: spark={spk.loc[i].to_dict()} "
+            f"duck={dck.loc[i].to_dict()}"
+        )
+    return None
+
+
+def shrink(spark, con, spec: Spec) -> Spec:
+    """Greedy clause-dropping to a local minimum that still mismatches."""
+    cur = spec
+    changed = True
+    while changed:
+        changed = False
+        for _label, drop in cur.clauses():
+            cand = cur.copy()
+            drop(cand)
+            if mismatch(spark, con, cand.sql()) is not None:
+                cur = cand
+                changed = True
+                break
+    return cur
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def spark_tables(spark):
+    for t in TABLES:
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").createOrReplaceTempView(t)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def str_values(duck):
+    """A few real values per varchar column so IN-list predicates hit."""
+    out = {}
+    for t, (_k, _i, strs, _d) in TABLES.items():
+        for c in strs:
+            if c in ("c_name", "n_name"):
+                continue  # high-cardinality names add nothing
+            vals = [
+                r[0]
+                for r in duck.execute(
+                    f"SELECT DISTINCT {c} FROM {t} ORDER BY {c} LIMIT 5"
+                ).fetchall()
+            ]
+            out[c] = vals
+    return out
+
+
+class TestDifferentialFuzz:
+    def test_seeded_plans_agree(self, spark_tables, duck, str_values):
+        failures = []
+        for seed in range(N_PLANS):
+            spec = generate(seed, str_values)
+            err = mismatch(spark_tables, duck, spec.sql())
+            if err is not None:
+                small = shrink(spark_tables, duck, spec)
+                failures.append(
+                    f"seed {seed}: {err}\n  full:   {spec.sql()}\n"
+                    f"  shrunk: {small.sql()}\n"
+                    f"  shrunk mismatch: {mismatch(spark_tables, duck, small.sql())}"
+                )
+        assert not failures, "\n".join(failures)
+
+    def test_shrinker_reduces_a_planted_mismatch(self, spark_tables, duck):
+        """Sanity-check the shrinking machinery itself with a spec whose
+        mismatch survives clause-dropping: an engine-specific function in
+        one projection column (DuckDB-only) always errors, so every
+        shrink step keeps it and drops everything else."""
+        spec = Spec()
+        spec.table = "nation"
+        spec.preds = ["n_nationkey > 3", "n_regionkey < 4"]
+        spec.cols = ["n_nationkey", "list_value(1) AS boom", "n_name"]
+        assert mismatch(spark_tables, duck, spec.sql()) is not None
+        small = shrink(spark_tables, duck, spec)
+        assert small.preds == [] and small.cols == ["list_value(1) AS boom"]
