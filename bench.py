@@ -102,6 +102,33 @@ ANCHOR_SF01 = {
 CANARY_REF_SEC = 0.25
 
 
+# Extras anchor, pinned r5 (min-of-2 full runs at load 1.4-1.6, sf0.1,
+# local[32]).  The extras are timed SINGLE-pass (min-of-2 only across
+# whole-bench repeats), so their single-run variance is higher than the
+# headline set's — the flag threshold is 1.5x normalized, vs 1.3x for the
+# anchored headline.  A missing key (a new extra) is simply unflagged
+# until the next anchor refresh.
+ANCHOR_EXTRAS_R5 = {
+    "dedup_clusters": 5.173, "kmeans_2iter": 1.347,
+    "tfidf_top_terms": 0.989, "pii_scrub": 0.535,
+    "stratified_sample": 0.281, "video_roundtrip": 1.645,
+    "corpus_report": 0.379, "embedding_dedup_clusters": 2.757,
+    "repetition_signals": 1.501, "chargram_commonness": 3.096,
+    "c4_filter_cascade": 0.348, "deterministic_shuffle": 0.217,
+    "shard_stats": 0.197, "embedding_quantize": 1.152,
+    "fuzzy_join_lev1": 0.893, "ngram_novelty": 1.428,
+    "near_dup_triangles": 2.382, "audio_sniff_roundtrip": 0.522,
+    "span_dedup": 3.131, "vocab_report": 0.433,
+    "domain_mix_sample": 0.441, "minhash_incremental": 3.255,
+    "funnel_analysis": 0.737, "cohort_retention": 0.632,
+    "postings_index": 0.301, "pagerank_2iter": 6.345,
+    "pmi_collocations": 1.143, "k_anonymize": 0.641,
+    "dl_freshness": 0.844, "rolling_active_users": 1.405,
+    "bpe_merges": 0.656, "bpe_segment_corpus": 1.673,
+    "q_corr_matrix": 1.82, "event_sequences": 0.614,
+}
+
+
 def _canary(spark) -> float:
     """Fixed-work CPU probe: 100M xxhash64-of-string rows, map-side agg.
     No table reads, no shuffle — measures available CPU, nothing else."""
@@ -198,6 +225,8 @@ def main() -> None:
         "k_anonymize", "dl_freshness", "rolling_active_users",
         "bpe_merges", "bpe_segment_corpus", "q_corr_matrix",
         "event_sequences",
+        # r5 additions
+        "video_real_roundtrip",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:
@@ -248,6 +277,18 @@ def main() -> None:
             n
             for n, r in out["vs_anchor_r1_normalized"].items()
             if r > 1.3
+        )
+        # extras regression flags against the r5 anchor (single-pass
+        # timings -> higher variance -> 1.5x normalized threshold)
+        out["vs_anchor_extras_r5_normalized"] = {
+            n: round(t / ANCHOR_EXTRAS_R5[n] / max(load, 1.0), 2)
+            for n, t in extra_timings.items()
+            if n in ANCHOR_EXTRAS_R5
+        }
+        out["extras_flagged_over_1p5x_normalized"] = sorted(
+            n
+            for n, r in out["vs_anchor_extras_r5_normalized"].items()
+            if r > 1.5
         )
         # standing adjudications (see BASELINE.md): these two deliberately
         # do more work than their r1 anchors measured

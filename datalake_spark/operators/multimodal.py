@@ -419,15 +419,37 @@ def _real_frames(
     Animated GIF decodes with the stdlib LZW codec
     (functions/imaging.py:gif_frames) — per-frame delays form the
     timeline, and the frame active at each sample instant is re-encoded
-    as PNG.  Other containers (mp4/webm/...) go through the optional
-    ``av`` gate; with ``av`` absent they raise UnsupportedMedia and
-    surface as frame_error rows."""
+    as PNG.  MJPEG-in-AVI decodes fully in-repo (functions/avi.py RIFF
+    walk + functions/jpeg.py baseline decoder) — the real-video path
+    that needs no optional dependency.  Other containers (mp4/webm/...)
+    go through the optional ``av`` gate; with ``av`` absent they raise
+    UnsupportedMedia and surface as frame_error rows."""
     from datalake_spark.functions.imaging import (
         UnsupportedMedia,
         gif_frames,
         png_encode,
     )
 
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        from datalake_spark.functions.avi import BadAvi, avi_mjpeg_frames
+        from datalake_spark.functions.jpeg import jpeg_decode
+
+        try:
+            us_pf, jpegs = avi_mjpeg_frames(content)
+        except BadAvi as e:
+            raise UnsupportedMedia(f"bad AVI: {e}")
+        ms_pf = max(us_pf // 1000, 1)
+        total = ms_pf * len(jpegs)
+        out = []
+        ts = 0
+        decoded: dict[int, bytes] = {}  # sample instants can revisit a frame
+        while ts < total and len(out) < max_frames:
+            j = min(ts // ms_pf, len(jpegs) - 1)
+            if j not in decoded:
+                decoded[j] = png_encode(jpeg_decode(jpegs[j]))
+            out.append((ts, decoded[j]))
+            ts += every_ms
+        return out
     if content[:3] == b"GIF":
         decoded = gif_frames(content)
         # cumulative timeline: frame j is active in [start_j, start_j+delay_j)

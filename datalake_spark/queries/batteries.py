@@ -358,6 +358,10 @@ def _mk() -> list[Q]:
               "AUDIO_SNIFF_SQL"),
             {"doc_id": "v", "container": "v", "channels": "v",
              "sample_rate": "v", "flac_duration_ms": "v"}),
+        Sub(q(ops, "video_real_roundtrip", "video_real_roundtrip",
+              "VIDEO_REAL_ROUNDTRIP_SQL"),
+            {"doc_id": "v", "frame_idx": "v", "frame_ms": "v",
+             "px": "v", "cnt": "v"}),
         Sub(q(ops, "video_roundtrip", "video_roundtrip", "VIDEO_ROUNDTRIP_SQL"),
             {"doc_id": "v", "frame_idx": "v", "frame_ms": "v", "width": "v",
              "height": "v", "mean_px": "d"}),

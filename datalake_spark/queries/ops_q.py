@@ -877,6 +877,119 @@ WHERE i * 250 < nf * d
 
 
 # ---------------------------------------------------------------------------
+# video_real_roundtrip — REAL video through a REAL container with zero
+# optional dependencies: per doc, 2-4 flat 16x16 gray JPEG frames muxed
+# into an MJPEG AVI (functions/avi.py RIFF writer) at 5 fps, then the
+# production sample_frames REAL path (RIFF walk → in-repo baseline JPEG
+# decode → timeline sampling → PNG re-encode), then PNG-decode each
+# sampled frame into its pixel histogram.  Flat blocks quantize
+# deterministically: gray m round-trips to p(m) = ⌊(⌊8(m-128)/q00 + ½⌋ ·
+# q00)/8 + 128 + ½⌋ (q00 = 3 at quality 90), computed below in exact
+# rationals with the DC values sitting ON the ⌊x+½⌋ boundary excluded —
+# the same discipline as jpeg_gradient.  Every frame is one (px, cnt=768)
+# histogram row, so the oracle pins the container mux → demux → decode →
+# sample → encode → decode chain arithmetically, per doc, per frame.
+# ---------------------------------------------------------------------------
+def _avi_flat_expectation() -> tuple[list[int], list[int]]:
+    import math
+    from fractions import Fraction
+
+    q00 = 3  # _scaled_qt(_QT_LUMA, 90) raster entry 0
+    ms, ps = [], []
+    for m in range(64, 220, 3):
+        kd = math.floor(Fraction(8 * (m - 128), q00) + Fraction(1, 2))
+        if (kd * q00) % 8 == 4:  # rounding boundary — float DCT could flip
+            continue
+        p = math.floor(Fraction(kd * q00, 8) + 128 + Fraction(1, 2))
+        ms.append(m)
+        ps.append(min(255, max(0, p)))
+    return ms, ps
+
+
+_AVI_M, _AVI_P = _avi_flat_expectation()
+
+
+def video_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from datalake_spark.functions.avi import avi_encode_mjpeg
+    from datalake_spark.functions.imaging import png_decode
+    from datalake_spark.functions.jpeg import jpeg_encode
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            blobs = []
+            for i in ids:
+                i = int(i)
+                nf = 2 + i % 3
+                jpegs = []
+                for j in range(nf):
+                    m = _AVI_M[(i * 3 + j * 7) % len(_AVI_M)]
+                    img = np.full((16, 16, 3), m, dtype=np.uint8)
+                    jpegs.append(jpeg_encode(img, quality=90, subsample=True))
+                blobs.append(
+                    avi_encode_mjpeg(jpegs, 16, 16, us_per_frame=200_000)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.astype(str),
+                    "modality": "video",
+                    "content": blobs,
+                    "mime": None,
+                    "width": None,
+                    "height": None,
+                    "duration_ms": None,
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema=mm_ops.MEDIA_SCHEMA)
+    frames = mm_ops.sample_frames(
+        media, every_ms=200, max_frames=8, use_fake=False
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "frame_ms",
+                                   "px", "cnt")}
+            for mid, idx, ms, png in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame_ms"],
+                pdf["frame"],
+            ):
+                pix = png_decode(bytes(png))
+                hist = np.bincount(pix.ravel(), minlength=256)
+                for v in np.nonzero(hist)[0]:
+                    out["doc_id"].append(int(mid))
+                    out["frame_idx"].append(int(idx))
+                    out["frame_ms"].append(int(ms))
+                    out["px"].append(int(v))
+                    out["cnt"].append(int(hist[v]))
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(
+        dec,
+        "doc_id bigint, frame_idx bigint, frame_ms bigint, "
+        "px int, cnt bigint",
+    )
+
+
+VIDEO_REAL_ROUNDTRIP_SQL = f"""
+WITH s AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * 200 AS BIGINT) AS frame_ms,
+       CAST(list_extract([{", ".join(str(p) for p in _AVI_P)}],
+            ((doc_id * 3 + i * 7) % {len(_AVI_M)}) + 1) AS INTEGER) AS px,
+       CAST(768 AS BIGINT) AS cnt
+FROM s, UNNEST(generate_series(0, 7)) AS t(i)
+WHERE i < nf
+"""
+
+
+# ---------------------------------------------------------------------------
 # Grouped-map applyInPandas — the per-group custom-aggregator escape hatch
 # (one Arrow batch per group).  Outputs are integer-exact so the oracle
 # matches bit for bit.  At scale: one shuffle on the group key; group size

@@ -703,3 +703,115 @@ class TestAudioHeaderSniff:
         assert audio_info_any(self._mp3_frame() * 2)[0] == "mp3"
         with pytest.raises(UnsupportedMedia):
             audio_info_any(b"OggS whatever")
+
+
+class TestAviMjpeg:
+    """MJPEG-in-AVI container codec (functions/avi.py): RIFF writer +
+    tolerant walker, composing with the in-repo baseline JPEG codec."""
+
+    @staticmethod
+    def _frames(values, size=16):
+        import numpy as np
+
+        from datalake_spark.functions.jpeg import jpeg_encode
+
+        return [
+            jpeg_encode(
+                np.full((size, size, 3), v, dtype=np.uint8),
+                quality=90, subsample=True,
+            )
+            for v in values
+        ]
+
+    def test_mux_demux_roundtrip(self):
+        from datalake_spark.functions.avi import (
+            avi_encode_mjpeg, avi_mjpeg_frames,
+        )
+
+        jpegs = self._frames([100, 140, 200])
+        avi = avi_encode_mjpeg(jpegs, 16, 16, us_per_frame=125_000)
+        assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+        us, back = avi_mjpeg_frames(avi)
+        assert us == 125_000
+        assert back == jpegs  # byte-exact payloads
+
+    def test_odd_sized_frames_pad_correctly(self):
+        from datalake_spark.functions.avi import (
+            avi_encode_mjpeg, avi_mjpeg_frames,
+        )
+
+        # force odd payload lengths: append a comment-free trailing byte
+        # is invalid JPEG, so instead check with raw odd/even blobs (the
+        # walker does not parse JPEG, only chunk framing)
+        blobs = [b"\xff\xd8odd!!\xff\xd9", b"\xff\xd8even!\xff\xd9x"]
+        assert len(blobs[0]) % 2 == 1 or len(blobs[1]) % 2 == 1
+        avi = avi_encode_mjpeg(blobs, 4, 4)
+        us, back = avi_mjpeg_frames(avi)
+        assert back == blobs
+
+    def test_walker_ignores_unknown_chunks(self):
+        import struct
+
+        from datalake_spark.functions.avi import (
+            avi_encode_mjpeg, avi_mjpeg_frames,
+        )
+
+        jpegs = self._frames([80])
+        avi = bytearray(avi_encode_mjpeg(jpegs, 16, 16))
+        junk = b"JUNK" + struct.pack("<I", 6) + b"foobar"
+        out = avi[:12] + junk + avi[12:]
+        out[4:8] = struct.pack("<I", len(out) - 8)
+        us, back = avi_mjpeg_frames(bytes(out))
+        assert back == jpegs
+
+    def test_bad_inputs_raise(self):
+        import pytest as _pytest
+
+        from datalake_spark.functions.avi import (
+            BadAvi, avi_encode_mjpeg, avi_mjpeg_frames,
+        )
+
+        with _pytest.raises(BadAvi):
+            avi_mjpeg_frames(b"not an avi at all")
+        with _pytest.raises(BadAvi):
+            avi_encode_mjpeg([], 16, 16)
+        good = avi_encode_mjpeg(self._frames([90]), 16, 16)
+        with _pytest.raises(BadAvi):
+            avi_mjpeg_frames(good[:40])  # truncated mid-chunk
+
+    def test_sample_frames_real_path_decodes_avi(self, spark):
+        import numpy as np
+
+        from datalake_spark.functions.avi import avi_encode_mjpeg
+        from datalake_spark.functions.imaging import png_decode
+        from datalake_spark.operators import multimodal as mm
+
+        # 4 frames @ 250 ms; sample every 500 ms -> frames 0 and 2 only
+        jpegs = self._frames([100, 120, 140, 160])
+        avi = avi_encode_mjpeg(jpegs, 16, 16, us_per_frame=250_000)
+        media = spark.createDataFrame(
+            [("v1", "video", bytearray(avi), None, None, None, None)],
+            mm.MEDIA_SCHEMA,
+        )
+        rows = mm.sample_frames(
+            media, every_ms=500, max_frames=8, use_fake=False
+        ).collect()
+        assert [(r["frame_idx"], r["frame_ms"]) for r in rows] == [
+            (0, 0), (1, 500),
+        ]
+        got = [
+            int(np.unique(png_decode(bytes(r["frame"])))[0]) for r in rows
+        ]
+        assert got == [100, 140]  # flat values at q90 round-trip exactly
+
+    def test_corrupt_avi_yields_frame_error_row(self, spark):
+        from datalake_spark.operators import multimodal as mm
+
+        bogus = b"RIFF" + b"\x08\x00\x00\x00" + b"AVI " + b"\x00" * 4
+        media = spark.createDataFrame(
+            [("bad", "video", bytearray(bogus), None, None, None, None)],
+            mm.MEDIA_SCHEMA,
+        )
+        rows = mm.sample_frames(media, use_fake=False).collect()
+        assert len(rows) == 1 and rows[0]["frame_idx"] == -1
+        assert "AVI" in rows[0]["frame_error"] or "avih" in rows[0]["frame_error"]
