@@ -15,7 +15,7 @@ accuracy-contract boolean.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalake_spark.operators import asof as asof_ops
@@ -59,13 +59,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
         )
     )
-    sizes = labeled.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return labeled.join(sizes, "cluster_id").select(
+    # cluster sizes as a window count: ONE shuffle on cluster_id and one
+    # evaluation of `labeled`, vs the groupBy+re-join shape (two shuffles
+    # and the docs-join lineage computed twice).  Cluster ids are
+    # hash-uniform (near-dup clusters are tiny), so no skewed partition.
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
         "doc_id",
         "cluster_id",
-        "cluster_size",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).cast("bigint").alias("keep"),
     )
 
