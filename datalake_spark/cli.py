@@ -208,6 +208,33 @@ def build_parser() -> argparse.ArgumentParser:
                     help="stop the daemon after this many seconds "
                          "(bounded runs/tests; default: run until killed)")
 
+    cs = sub.add_parser("curate-stream", help="streaming curation daemon: "
+                                             "watch a landing dir of "
+                                             "document JSON, apply quality "
+                                             "rules + watermark-bounded "
+                                             "dedup, append training shards")
+    cs.add_argument("landing_dir", help="directory document JSON lands in "
+                                        "(doc_id, text, lang, ms)")
+    cs.add_argument("shards", help="training-shard output directory")
+    cs.add_argument("--checkpoint", default=None,
+                    help="stream checkpoint dir (default "
+                         "<shards>/_checkpoint)")
+    cs.add_argument("--n-shards", dest="n_shards", type=int, default=8)
+    cs.add_argument("--watermark", default="1 hour",
+                    help="late-data horizon for exact-dup state")
+    cs.add_argument("--scrub-pii", dest="scrub_pii", action="store_true",
+                    help="redact emails/IPs/phones before hashing so "
+                         "PII-only variants dedup")
+    cs.add_argument("--compact-every", dest="compact_every", type=int,
+                    default=0, help="threshold-compact shards every N "
+                                    "micro-batches (0 = off)")
+    cs.add_argument("--once", action="store_true",
+                    help="drain visible documents and exit")
+    cs.add_argument("--interval", default="10 seconds",
+                    help="micro-batch pacing in continuous mode")
+    cs.add_argument("--timeout", type=float, default=None,
+                    help="stop the daemon after this many seconds")
+
     cu = sub.add_parser("curate", help="quality-filter + near-dup dedup a "
                                        "document table and write "
                                        "deterministic training shards")
@@ -429,6 +456,37 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
             )
         else:
             print(f"ingested 0 records -> {catalog.root}", file=out)
+        return 0
+
+    if args.command == "curate-stream":
+        from datalake_spark.streaming.curation import StreamingCurator
+
+        curator = StreamingCurator(
+            spark, args.shards, n_shards=args.n_shards,
+            compact_every=args.compact_every,
+        )
+        ckpt = args.checkpoint or os.path.join(args.shards, "_checkpoint")
+        query = curator.start(
+            args.landing_dir,
+            ckpt,
+            available_now=args.once,
+            trigger_interval=args.interval,
+            watermark=args.watermark,
+            scrub_pii=args.scrub_pii,
+        )
+        if args.once:
+            query.awaitTermination()
+        elif args.timeout is not None:
+            query.awaitTermination(args.timeout)
+            query.stop()
+            query.awaitTermination()
+        else:  # daemon: run until killed
+            query.awaitTermination()
+        try:
+            n = spark.read.parquet(args.shards).count()
+        except Exception:
+            n = 0
+        print(f"curated shards hold {n} docs -> {args.shards}", file=out)
         return 0
 
     if args.command == "curate":

@@ -301,6 +301,10 @@ def _mk() -> list[Q]:
             {"term": "v", "df": "v", "n_stored": "v", "posting": "v"}),
         Sub(q(pq, "pmi_collocations", "pmi_collocations", "PMI_SQL"),
             {"l": "v", "r": "v", "c_xy": "v", "pmi_micro": "v"}),
+        Sub(q(pq, "quality_classifier", "quality_classifier",
+              "QUALITY_CLASSIFIER_SQL"),
+            {"doc_id": "v", "n_terms": "v", "score_micro": "v",
+             "label": "v"}),
         Sub(q(pq, "bpe_merges", "bpe_merges", "BPE_MERGES_SQL"),
             {"rank": "v", "left": "v", "right": "v", "pair_count": "v"}),
         Sub(q(pq, "bpe_segment_corpus", "bpe_segment_corpus",
@@ -414,6 +418,10 @@ def _mk() -> list[Q]:
         Sub(q(pq, "k_anonymize", "k_anonymize", "K_ANONYMIZE_SQL"),
             {"doc_id": "v", "lang_out": "v", "source_out": "v",
              "band_out": "v", "gen_level": "v"}),
+        Sub(q(pq, "curriculum_interleave", "curriculum_interleave",
+              "CURRICULUM_INTERLEAVE_SQL"),
+            {"doc_id": "v", "source": "v", "band": "v",
+             "rank_in_source": "v", "pos": "v"}),
     ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),

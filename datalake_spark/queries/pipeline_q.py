@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from datalake_spark.functions.hashing import sql_md5hash60
 from datalake_spark.queries import Q, load, dsum, sql_dsum
 
 
@@ -2865,4 +2866,185 @@ SELECT source,
        CAST(MIN(lo + bin * (hi - lo + 1) // {_HIST_BINS}) AS BIGINT) AS bin_lo,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM binned GROUP BY source, bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier — fastText-style hashed linear classifier INFERENCE,
+# entirely in-plan: terms = word unigrams + bigrams, each hashed into a
+# weight table by the cross-engine md5-60 hash, weight(t) = (h(t) % 2001)
+# - 1000 micro-units (a deterministic stand-in for trained weights — the
+# plumbing, hashing trick, and reduction are exactly what serving a real
+# hashed-bag-of-ngrams model takes; swap the arithmetic weight for a
+# lookup join against a trained table and nothing else changes).
+# Zero shuffle, zero UDF: pre-split once, build the bigram array from the
+# split array (never re-split inside a lambda), and fold the weights with
+# a single aggregate() — the whole classifier is one narrow map stage
+# that scales embarrassingly at 100 TB.  Score in integer micro-units so
+# the DuckDB oracle matches bit for bit.
+# ---------------------------------------------------------------------------
+_QC_MOD = 2001
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.functions.hashing import md5hash60
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit("")
+    )
+    d = docs.select("doc_id", words.alias("_w"))
+    bigrams = F.when(
+        F.size("_w") >= 2,
+        F.expr(
+            "transform(sequence(1, size(_w) - 1), "
+            "i -> concat(element_at(_w, i), '_', element_at(_w, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    terms = F.concat(F.col("_w"), bigrams)
+    score = F.aggregate(
+        terms,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + (F.pmod(md5hash60(t), F.lit(_QC_MOD)) - 1000),
+    )
+    return d.select(
+        "doc_id",
+        F.size(terms).cast("bigint").alias("n_terms"),
+        score.alias("score_micro"),
+        F.when(score >= 0, F.lit("keep")).otherwise(F.lit("flag")).alias(
+            "label"
+        ),
+    )
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents),
+t AS (
+  SELECT doc_id,
+         list_concat(
+           ws,
+           CASE WHEN len(ws) >= 2 THEN
+             list_transform(generate_series(1, len(ws) - 1),
+                            i -> ws[i] || '_' || ws[i + 1])
+           ELSE [] END) AS terms
+  FROM w)
+SELECT doc_id,
+       CAST(len(terms) AS BIGINT) AS n_terms,
+       CAST(COALESCE(list_aggregate(
+         list_transform(terms,
+                        s -> ({sql_md5hash60('s')}) % {_QC_MOD} - 1000),
+         'sum'), 0) AS BIGINT) AS score_micro,
+       CASE WHEN COALESCE(list_aggregate(
+         list_transform(terms,
+                        s -> ({sql_md5hash60('s')}) % {_QC_MOD} - 1000),
+         'sum'), 0) >= 0 THEN 'keep' ELSE 'flag' END AS label
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# curriculum_interleave — deterministic training-order curriculum over a
+# mixed corpus: within each source, docs run easy -> hard (length-band
+# asc) with a hash-shuffled order inside each band; across sources the
+# positions round-robin (source k occupies positions ≡ k-1 mod S), so a
+# trainer reading in `pos` order consumes a stable easy-to-hard
+# curriculum with every batch mixed across sources.  The scale shape:
+# NO per-source global sort (that would put a whole source on one task —
+# the plan-hygiene sweep bans it).  Ranks are windowed per (source,
+# band) — uniform hash-spread partitions — and promoted to per-source
+# ranks by adding the cumulative counts of earlier bands (a tiny
+# per-source running sum over the band-count aggregate, broadcast back).
+# The source index comes from an S^2 self-join on the distinct-source
+# dim (S is small), not a single-partition rank window.  All integer
+# arithmetic; the oracle replays it exactly.
+# ---------------------------------------------------------------------------
+_CURR_BAND_CHARS = 500
+
+
+def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.functions.hashing import md5hash60
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("band", F.expr(f"n_chars div {_CURR_BAND_CHARS}"))
+        .withColumn("tie", md5hash60(F.col("doc_id").cast("string")))
+    )
+    ranked = d.withColumn(
+        "rib",
+        F.row_number().over(
+            W.partitionBy("source", "band").orderBy("tie", "doc_id")
+        ),
+    )
+    counts = d.groupBy("source", "band").agg(F.count(F.lit(1)).alias("c"))
+    offs = counts.select(
+        "source",
+        "band",
+        F.coalesce(
+            F.sum("c").over(
+                W.partitionBy("source")
+                .orderBy("band")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    srcs = d.select("source").distinct()
+    si = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("b.source") <= F.col("a.source"))
+        .groupBy(F.col("a.source").alias("source"))
+        .agg(F.count(F.lit(1)).alias("si"))
+    )
+    ns = srcs.agg(F.count(F.lit(1)).alias("s"))
+    rank_in_source = F.col("off") + F.col("rib")
+    return (
+        ranked.join(F.broadcast(offs), ["source", "band"])
+        .join(F.broadcast(si), "source")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "doc_id",
+            "source",
+            F.col("band").cast("bigint").alias("band"),
+            rank_in_source.cast("bigint").alias("rank_in_source"),
+            ((rank_in_source - 1) * F.col("s") + F.col("si") - 1)
+            .cast("bigint")
+            .alias("pos"),
+        )
+    )
+
+
+CURRICULUM_INTERLEAVE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars // {_CURR_BAND_CHARS} AS band,
+         {sql_md5hash60("CAST(doc_id AS VARCHAR)")} AS tie
+  FROM documents),
+rib AS (
+  SELECT doc_id, source, band,
+         ROW_NUMBER() OVER (PARTITION BY source, band
+                            ORDER BY tie, doc_id) AS rib
+  FROM d),
+cnt AS (SELECT source, band, COUNT(*) AS c FROM d GROUP BY 1, 2),
+off AS (
+  SELECT source, band,
+         COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY band
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS off
+  FROM cnt),
+srcs AS (SELECT DISTINCT source FROM d),
+si AS (
+  SELECT a.source, COUNT(*) AS si
+  FROM srcs a JOIN srcs b ON b.source <= a.source
+  GROUP BY a.source),
+ns AS (SELECT COUNT(*) AS s FROM srcs)
+SELECT r.doc_id, r.source,
+       CAST(r.band AS BIGINT) AS band,
+       CAST(o.off + r.rib AS BIGINT) AS rank_in_source,
+       CAST((o.off + r.rib - 1) * ns.s + si.si - 1 AS BIGINT) AS pos
+FROM rib r
+JOIN off o ON r.source = o.source AND r.band = o.band
+JOIN si ON r.source = si.source, ns
 """

@@ -111,11 +111,25 @@ class StreamingCurator:
                 self.spark, self.shards_path, self.max_files_per_shard
             )
 
-    def start(self, landing_dir: str, checkpoint_dir: str, **curate_kwargs):
+    def start(
+        self,
+        landing_dir: str,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        trigger_interval: str | None = None,
+        **curate_kwargs,
+    ):
+        """``available_now`` drains the currently-visible documents and
+        stops (tests / batch catch-up); otherwise the query runs as a
+        daemon with ``trigger_interval`` pacing micro-batches — the mode
+        behind the ``curate-stream`` CLI command."""
         curated = curate_stream(doc_stream(self.spark, landing_dir), **curate_kwargs)
-        return (
+        writer = (
             curated.writeStream.foreachBatch(self._write_batch)
             .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
         )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_interval is not None:
+            writer = writer.trigger(processingTime=trigger_interval)
+        return writer.start()

@@ -276,3 +276,50 @@ class TestListenCommand:
         )
         assert rc == 0
         assert lines[-1].startswith("ingested 1 records")
+
+
+class TestCurateStreamCommand:
+    """`datalake-spark curate-stream` — the streaming curation twin as a
+    daemon subcommand (landing dir -> rules -> watermark dedup -> training
+    shards)."""
+
+    def test_once_curates_into_shards(self, spark, tmp_path, catalog_dir):
+        from tests.test_streaming_curation import _doc, _good, _write
+
+        landing = str(tmp_path / "landing")
+        shards = str(tmp_path / "shards")
+        docs = [_doc(i, _good(i)) for i in range(12)]
+        docs.append(_doc(100, "the a tiny"))  # fails the length rule
+        _write(landing, docs, "b1.json")
+        rc, lines = _run(
+            spark,
+            ["curate-stream", landing, shards, "--once", "--n-shards", "2"],
+            catalog_dir,
+        )
+        assert rc == 0
+        assert lines[-1].startswith("curated shards hold 12 docs")
+        out = spark.read.parquet(shards)
+        assert sorted(r["doc_id"] for r in out.collect()) == list(range(12))
+        # checkpoint defaults under the shard dir and is invisible to the
+        # parquet reader (leading underscore)
+        import os
+
+        assert os.path.isdir(os.path.join(shards, "_checkpoint"))
+
+    def test_restart_resumes_from_checkpoint(self, spark, tmp_path, catalog_dir):
+        from tests.test_streaming_curation import _doc, _good, _write
+
+        landing = str(tmp_path / "landing")
+        shards = str(tmp_path / "shards")
+        _write(landing, [_doc(1, _good(1))], "a.json")
+        rc, _ = _run(
+            spark, ["curate-stream", landing, shards, "--once"], catalog_dir
+        )
+        assert rc == 0
+        _write(landing, [_doc(2, _good(2))], "b.json")
+        rc, lines = _run(
+            spark, ["curate-stream", landing, shards, "--once"], catalog_dir
+        )
+        assert rc == 0 and lines[-1].startswith("curated shards hold 2 docs")
+        out = spark.read.parquet(shards)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
