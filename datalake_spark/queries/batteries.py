@@ -305,6 +305,8 @@ def _mk() -> list[Q]:
               "QUALITY_CLASSIFIER_SQL"),
             {"doc_id": "v", "n_terms": "v", "score_micro": "v",
              "label": "v"}),
+        Sub(q(pq, "bm25_topk", "bm25_topk", "BM25_TOPK_SQL"),
+            {"doc_id": "v", "score_micro": "v"}),
         Sub(q(pq, "bpe_merges", "bpe_merges", "BPE_MERGES_SQL"),
             {"rank": "v", "left": "v", "right": "v", "pair_count": "v"}),
         Sub(q(pq, "bpe_segment_corpus", "bpe_segment_corpus",

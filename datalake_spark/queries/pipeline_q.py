@@ -3048,3 +3048,128 @@ FROM rib r
 JOIN off o ON r.source = o.source AND r.band = o.band
 JOIN si ON r.source = si.source, ns
 """
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk — BM25 retrieval over the corpus for a fixed query, computed
+# WITHOUT a single corpus shuffle: per-doc term frequencies come from
+# array ops on the pre-split token array (map-only), the collection
+# statistics (N, total tokens L, per-term df) are ONE tiny aggregate
+# broadcast back, scoring is pure arithmetic, and the top-k is
+# TakeOrderedAndProject.  At 100 TB this is a scan + a 1-row broadcast +
+# a per-partition heap — the minimal possible plan for ad-hoc ranked
+# retrieval (the standing postings_index operator is the amortized
+# many-query path; this is the one-shot path).
+#
+# Cross-engine exactness: BM25's log-idf is replaced by the rational
+# surrogate idf_r = (N - df + 1)/(df + 1) (same monotonicity, exact
+# arithmetic).  With k1 = 6/5 and b = 3/4 the per-term contribution
+#   idf_r * tf(k1+1) / (tf + k1(1-b) + k1*b*dl*N/L)
+# multiplies out to the integer ratio
+#   (N-df+1) * 22*L*tf / ((df+1) * (10*L*tf + 3*L + 9*dl*N)),
+# floored at 1e6 scale per term and summed — products reach ~1e20, so
+# Spark computes them in DECIMAL(38,0) with `div` (exact) and DuckDB in
+# HUGEINT with `//`.
+# ---------------------------------------------------------------------------
+_BM25_QUERY = ("hash", "join", "vector", "spark", "window")
+_BM25_K = 10
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit("")
+    )
+    def _tf(i: int, t: str):
+        # NB a `lambda w, t=t:` default would make the lambda 2-ary and
+        # PySpark would bind the array INDEX to t — closure via def
+        return (
+            F.size(F.filter("_w", lambda w: w == F.lit(t)))
+            .cast("long")
+            .alias(f"tf_{i}")
+        )
+
+    d = docs.select("doc_id", words.alias("_w")).select(
+        "doc_id",
+        F.size("_w").cast("long").alias("dl"),
+        *[_tf(i, t) for i, t in enumerate(_BM25_QUERY)],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("l_tot"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_QUERY))
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    dec = "decimal(38,0)"
+    contrib = []
+    for i in range(len(_BM25_QUERY)):
+        tf = F.col(f"tf_{i}").cast(dec)
+        df_ = F.col(f"df_{i}").cast(dec)
+        n = F.col("n_docs").cast(dec)
+        lt = F.col("l_tot").cast(dec)
+        dl = F.col("dl").cast(dec)
+        num = (
+            F.lit(1_000_000).cast(dec) * (n - df_ + 1) * F.lit(22).cast(dec)
+            * lt * tf
+        )
+        den = (df_ + 1) * (
+            F.lit(10).cast(dec) * lt * tf + F.lit(3).cast(dec) * lt
+            + F.lit(9).cast(dec) * dl * n
+        )
+        contrib.append(
+            F.when(tf > 0, F.expr(f"_num_{i} div _den_{i}")).otherwise(
+                F.lit(0)
+            )
+        )
+        scored = scored.withColumn(f"_num_{i}", num).withColumn(
+            f"_den_{i}", den
+        )
+    score = sum(contrib[1:], contrib[0]).cast("long")
+    return (
+        scored.select("doc_id", score.alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(_BM25_K)
+    )
+
+
+_BM25_TF_SQL = ",\n         ".join(
+    f"len(list_filter(ws, x -> x = '{t}')) AS tf_{i}"
+    for i, t in enumerate(_BM25_QUERY)
+)
+_BM25_DF_SQL = ",\n         ".join(
+    f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+    for i in range(len(_BM25_QUERY))
+)
+_BM25_SCORE_SQL = " + ".join(
+    f"""CASE WHEN tf_{i} > 0 THEN
+      (1000000::HUGEINT * (n_docs - df_{i} + 1)::HUGEINT * 22
+       * l_tot::HUGEINT * tf_{i}::HUGEINT)
+      // ((df_{i} + 1)::HUGEINT
+          * (10::HUGEINT * l_tot * tf_{i} + 3::HUGEINT * l_tot
+             + 9::HUGEINT * dl * n_docs))
+    ELSE 0 END"""
+    for i in range(len(_BM25_QUERY))
+)
+
+BM25_TOPK_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents),
+d AS (
+  SELECT doc_id, len(ws) AS dl,
+         {_BM25_TF_SQL}
+  FROM w),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS l_tot,
+         {_BM25_DF_SQL}
+  FROM d)
+SELECT doc_id,
+       CAST({_BM25_SCORE_SQL} AS BIGINT) AS score_micro
+FROM d, stats
+ORDER BY score_micro DESC, doc_id
+LIMIT {_BM25_K}
+"""
