@@ -29,7 +29,7 @@ import duckdb
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
-N_PLANS = 100
+N_PLANS = 150
 
 # table -> (unique key, int cols, varchar cols, double cols)
 TABLES = {
@@ -93,12 +93,14 @@ class Spec:
         self.table = "nation"
         self.join = None          # (right_table, on_sql) | None
         self.preds: list[str] = []
-        self.mode = "project"     # project | agg
-        self.cols: list[str] = []         # project mode: "expr AS alias"
+        self.mode = "project"     # project | agg | setop
+        self.cols: list[str] = []         # project/setop: "expr AS alias"
         self.group: list[str] = []        # agg mode
         self.aggs: list[str] = []         # agg mode: "expr AS alias"
         self.having: str | None = None
         self.windows: list[str] = []      # project mode: "expr AS alias"
+        self.setop: str | None = None     # setop mode: the operator
+        self.preds_b: list[str] = []      # setop mode: right-side WHERE
 
     def sql(self) -> str:
         frm = self.table
@@ -115,13 +117,26 @@ class Spec:
             hav = f" HAVING {self.having}" if self.having else ""
             return f"SELECT {sel} FROM {frm}{where}{grp}{hav}"
         sel = ", ".join(self.cols + self.windows) or "1 AS one"
-        return f"SELECT {sel} FROM {frm}{where}"
+        left = f"SELECT {sel} FROM {frm}{where}"
+        if self.mode == "setop" and self.setop is not None:
+            where_b = (
+                f" WHERE {' AND '.join(self.preds_b)}" if self.preds_b else ""
+            )
+            return f"{left} {self.setop} SELECT {sel} FROM {frm}{where_b}"
+        return left
 
     def clauses(self):
         """(label, dropper) pairs for the shrinker, most-droppable first."""
         out = []
         for i, p in enumerate(self.preds):
             out.append((f"pred:{p}", lambda s, i=i: s.preds.pop(i)))
+        for i, p in enumerate(self.preds_b):
+            out.append((f"pred_b:{p}", lambda s, i=i: s.preds_b.pop(i)))
+        if self.mode == "setop":
+            def collapse(s):
+                s.mode, s.setop, s.preds_b = "project", None, []
+
+            out.append(("setop", collapse))
         if self.having:
             out.append(("having", lambda s: setattr(s, "having", None)))
         for i, w in enumerate(self.windows):
@@ -171,9 +186,27 @@ def _int_expr(rng, ints):
     )
 
 
-def _pred(rng, spec, str_values):
+def _pred(rng, spec, str_values, allow_subquery=True):
     ints, strs, dbls = _cols_in_scope(spec)
-    kind = rng.randrange(6)
+    kind = rng.randrange(8 if allow_subquery else 6)
+    if kind >= 6:
+        # correlated EXISTS / IN subquery along the join edge (only when
+        # the spec has no explicit join, to keep column scopes unambiguous)
+        if spec.join is None and JOINS[spec.table]:
+            right, on = rng.choice(JOINS[spec.table])
+            r_ints = TABLES[right][1]
+            inner = f"{rng.choice(r_ints)} % {rng.randint(2, 7)} = 0"
+            if kind == 6:
+                neg = "NOT " if rng.random() < 0.4 else ""
+                return (
+                    f"{neg}EXISTS (SELECT 1 FROM {right} "
+                    f"WHERE {on} AND {inner})"
+                )
+            lk, rk = [s.strip() for s in on.split("=")]
+            return (
+                f"{lk} IN (SELECT {rk} FROM {right} WHERE {inner})"
+            )
+        kind = rng.randrange(6)
     if kind == 0:
         return f"{rng.choice(ints)} {rng.choice(['<', '<=', '>', '>=', '=', '<>'])} {rng.randint(0, 60)}"
     if kind == 1:
@@ -215,7 +248,18 @@ def generate(seed: int, str_values) -> Spec:
     for _ in range(rng.randrange(3)):
         spec.preds.append(_pred(rng, spec, str_values))
     ints, strs, dbls = _cols_in_scope(spec)
-    spec.mode = rng.choice(["project", "agg"])
+    spec.mode = rng.choice(["project", "agg", "project", "agg", "setop"])
+    if spec.mode == "setop" and spec.join is None:
+        spec.setop = rng.choice(
+            ["UNION", "UNION ALL", "EXCEPT", "INTERSECT"]
+        )
+        # plain columns only: both sides must project the same shape
+        spec.cols = rng.sample(ints + strs, k=rng.randint(1, 3))
+        for _ in range(rng.randint(1, 2)):
+            spec.preds_b.append(_pred(rng, spec, str_values))
+        return spec
+    if spec.mode == "setop":  # join + setop is more than we model
+        spec.mode = "project"
     if spec.mode == "agg":
         for g in rng.sample(strs + ints, k=rng.randint(1, 2)):
             spec.group.append(g)
@@ -231,6 +275,9 @@ def generate(seed: int, str_values) -> Spec:
                         f"CAST(MAX({rng.choice(ints)}) AS BIGINT) AS agg{i}",
                         f"MIN({rng.choice(strs)}) AS agg{i}",
                         f"MAX({rng.choice(dbls if dbls else ints)}) AS agg{i}",
+                        f"CAST(SUM(CASE WHEN "
+                        f"{_pred(rng, spec, str_values, allow_subquery=False)} "
+                        f"THEN 1 ELSE 0 END) AS BIGINT) AS agg{i}",
                     ]
                 )
             )
@@ -314,13 +361,14 @@ def mismatch(spark, con, sql: str) -> str | None:
         return f"columns {list(spk.columns)} vs {list(dck.columns)}"
     if len(spk) != len(dck):
         return f"rows {len(spk)} vs {len(dck)}"
-    if not spk.equals(dck):
-        neq = (spk != dck).any(axis=1)
-        i = list(spk.index[neq])[0]
-        return (
-            f"values @{i}: spark={spk.loc[i].to_dict()} "
-            f"duck={dck.loc[i].to_dict()}"
-        )
+    # compare as row tuples: pandas .equals is dtype-sensitive, which
+    # false-alarms on EMPTY frames (map() keeps the original dtypes when
+    # there are no rows to canonicalize)
+    a = [tuple(r) for r in spk.itertuples(index=False)]
+    b = [tuple(r) for r in dck.itertuples(index=False)]
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if ra != rb:
+            return f"values @{i}: spark={ra} duck={rb}"
     return None
 
 
