@@ -168,3 +168,158 @@ def compact_shards(
     ).localCheckpoint(eager=True)
     rows.write.mode("overwrite").partitionBy(SHARD_COL).parquet(path)
     return True
+
+
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shuf42",
+    text_col: str = "text",
+) -> dict:
+    """Write the corpus as WebDataset-style tar shards: ``shard-KKKKK.tar``
+    files whose members come in ``{key}.txt`` (the document) /
+    ``{key}.json`` (all other columns) pairs — the layout streaming
+    multimodal/LLM loaders (webdataset, torchdata) consume directly.
+
+    Same membership contract as :func:`write_training_shards`: the seeded
+    md5 key fixes shard assignment AND intra-shard order, so the same
+    (corpus, seed) reproduces BYTE-identical tars — member headers are
+    pinned (mtime 0, uid/gid 0, ustar format), keys embed the shuffle
+    hash so member order is the deterministic shuffled order, and the
+    manifest records each shard's md5 as the reproducibility receipt.
+
+    Scale shape: rows are hash-partitioned by shard id and each executor
+    task STREAMS its shard(s) straight into the tar (no per-shard
+    buffering of the corpus in memory); stats come back as one tiny
+    frame.  Tar member count per shard = corpus/n_shards — size shards
+    so one fits a loader's sequential-read window (~1-10 GB).
+    """
+    import pandas as pd
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    os.makedirs(path, exist_ok=True)
+    meta_cols = [c for c in df.columns if c != text_col]
+    keyed = df.withColumn(KEY_COL, shard_key(id_col, seed)).withColumn(
+        SHARD_COL, shard_of(F.col(KEY_COL), n_shards)
+    )
+    arranged = keyed.repartition(n_shards, F.col(SHARD_COL)) \
+        .sortWithinPartitions(SHARD_COL, KEY_COL, id_col)
+
+    def write_part(batches):
+        import hashlib
+        import tarfile
+
+        class _HashingFile:
+            def __init__(self, fpath):
+                self.f = open(fpath, "wb")
+                self.h = hashlib.md5()
+                self.n = 0
+
+            def write(self, b):
+                self.h.update(b)
+                self.n += len(b)
+                return self.f.write(b)
+
+            def tell(self):
+                return self.f.tell()
+
+            def close(self):
+                self.f.close()
+
+        open_tars: dict[int, tuple] = {}  # shard -> (tar, hfile, count)
+
+        def tar_for(shard: int):
+            if shard not in open_tars:
+                hf = _HashingFile(
+                    os.path.join(path, f"shard-{shard:05d}.tar")
+                )
+                t = tarfile.open(
+                    fileobj=hf, mode="w", format=tarfile.USTAR_FORMAT
+                )
+                open_tars[shard] = [t, hf, 0]
+            return open_tars[shard]
+
+        def add(t, name: str, data: bytes):
+            import io
+
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            info.mode = 0o644
+            t.addfile(info, io.BytesIO(data))
+
+        for pdf in batches:
+            # dict records, not itertuples: namedtuples positionalize
+            # underscore-leading names like _skey
+            for d in pdf.to_dict("records"):
+                shard = int(d[SHARD_COL])
+                ent = tar_for(shard)
+                # the seeded md5 hex IS the shuffle position: prefixing
+                # it makes lexicographic member order the stored order
+                key = f"{d[KEY_COL]}-{d[id_col]}"
+                meta = {
+                    c: d[c]
+                    for c in meta_cols
+                    if c not in (KEY_COL, SHARD_COL)
+                }
+                add(ent[0], f"{key}.txt",
+                    str(d[text_col] or "").encode("utf-8"))
+                add(
+                    ent[0],
+                    f"{key}.json",
+                    json.dumps(meta, sort_keys=True, default=str).encode(),
+                )
+                ent[2] += 1
+        out = {"shard": [], "n_members": [], "n_bytes": [], "md5": []}
+        for shard, (t, hf, cnt) in sorted(open_tars.items()):
+            t.close()
+            hf.close()
+            out["shard"].append(shard)
+            out["n_members"].append(cnt)
+            out["n_bytes"].append(hf.n)
+            out["md5"].append(hf.h.hexdigest())
+        yield pd.DataFrame(out)
+
+    stats = arranged.mapInPandas(
+        write_part, "shard int, n_members long, n_bytes long, md5 string"
+    ).collect()
+    manifest = {
+        "n_shards": n_shards,
+        "seed": seed,
+        "id_col": id_col,
+        "format": "webdataset",
+        "rows_per_shard": {
+            str(r["shard"]): int(r["n_members"]) for r in stats
+        },
+        "md5_per_shard": {str(r["shard"]): r["md5"] for r in stats},
+        "n_rows": int(sum(r["n_members"] for r in stats)),
+    }
+    with open(os.path.join(path, MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_webdataset_shard(path: str, shard: int):
+    """Iterate (key, text, meta) tuples of one tar shard in stored order
+    — the loader-side contract of :func:`write_webdataset`."""
+    import tarfile
+
+    with tarfile.open(
+        os.path.join(path, f"shard-{shard:05d}.tar"), "r"
+    ) as t:
+        pending: dict[str, dict] = {}
+        for m in t:
+            base, ext = m.name.rsplit(".", 1)
+            slot = pending.setdefault(base, {})
+            data = t.extractfile(m).read()
+            slot[ext] = data
+            if "txt" in slot and "json" in slot:
+                yield base, slot["txt"].decode("utf-8"), json.loads(
+                    slot["json"]
+                )
+                del pending[base]

@@ -139,3 +139,92 @@ class TestSources:
             "mode", "DROPMALFORMED"
         ).json(str(p))
         assert sorted(r["id"] for r in df.collect()) == [1, 2]
+
+
+class TestZOrder:
+    """Z-order clustering (functions/zorder.py): Morton-interleaved
+    layout localizes per-file min/max on EVERY participating column."""
+
+    def test_morton_key_matches_model(self, spark):
+        from pyspark.sql import functions as F
+
+        from datalake_spark.functions.zorder import morton_key
+
+        rows = [(x, y) for x in range(8) for y in range(8)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = {
+            (r["x"], r["y"]): r["z"]
+            for r in df.select(
+                "x", "y",
+                morton_key([F.col("x"), F.col("y")], bits=3).alias("z"),
+            ).collect()
+        }
+
+        def model(x, y, bits=3):
+            z = 0
+            for b in range(bits):
+                z |= ((x >> b) & 1) << (2 * b)
+                z |= ((y >> b) & 1) << (2 * b + 1)
+            return z
+
+        assert got == {(x, y): model(x, y) for x, y in rows}
+
+    @staticmethod
+    def _per_file_span(spark, path, col, lo, hi):
+        """Mean fraction of [lo, hi] covered by each parquet part file."""
+        import glob
+
+        fracs = []
+        for p in sorted(glob.glob(f"{path}/part-*.parquet")):
+            r = spark.read.parquet(p).agg(
+                {col: "min"}
+            ).collect()[0][0], spark.read.parquet(p).agg(
+                {col: "max"}
+            ).collect()[0][0]
+            fracs.append((r[1] - r[0]) / (hi - lo))
+        return sum(fracs) / len(fracs)
+
+    def test_layout_localizes_both_dimensions(self, spark, tmp_path):
+        import random
+
+        from datalake_spark.functions.zorder import zorder_frame
+
+        rng = random.Random(7)
+        rows = [
+            (i, rng.randrange(100_000), rng.randrange(100_000))
+            for i in range(40_000)
+        ]
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        naive = str(tmp_path / "naive")
+        zpath = str(tmp_path / "zorder")
+        # naive: cluster on x only
+        df.repartitionByRange(16, "x").sortWithinPartitions("x") \
+            .write.parquet(naive)
+        zorder_frame(df, ["x", "y"], num_files=16).write.parquet(zpath)
+        # same rows survive the rewrite
+        assert spark.read.parquet(zpath).count() == 40_000
+        a = spark.read.parquet(zpath).agg({"id": "sum"}).collect()[0][0]
+        assert a == sum(r[0] for r in rows)
+        # naive layout: x localized, y useless (each file spans ~all of y)
+        assert self._per_file_span(spark, naive, "x", 0, 100_000) < 0.15
+        assert self._per_file_span(spark, naive, "y", 0, 100_000) > 0.9
+        # z-order: BOTH dimensions localized — 16 partitions ~= 2 bit
+        # levels per dimension, so each file covers ~1/4 of each axis
+        zx = self._per_file_span(spark, zpath, "x", 0, 100_000)
+        zy = self._per_file_span(spark, zpath, "y", 0, 100_000)
+        assert zx < 0.6 and zy < 0.6, (zx, zy)
+
+    def test_key_fits_and_guards(self, spark):
+        import pytest as _pytest
+
+        from datalake_spark.functions.zorder import zorder_frame
+
+        df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+        with _pytest.raises(ValueError):
+            zorder_frame(df, ["a", "b", "c"], bits=22)
+        # constant column (span 0) must not divide by zero
+        out = zorder_frame(
+            spark.createDataFrame([(5, 1), (5, 2)], "a long, b long"),
+            ["a", "b"], num_files=1,
+        ).collect()
+        assert len(out) == 2
