@@ -295,8 +295,11 @@ class Catalog:
                 # problem, not a metadata one.
                 .repartition(F.col("what"), F.col("bucket_date"))
                 # sort within partitions so parquet row-group stats make
-                # work_id and id lookups skippable without an index
-                .sortWithinPartitions("work_id", "id")
+                # work_id and id lookups skippable without an index;
+                # leads with the partition columns so the dynamic-
+                # partition writer keeps this order instead of inserting
+                # its own (unstable) partition-column sort
+                .sortWithinPartitions("what", "bucket_date", "work_id", "id")
                 .write.mode("append")
                 .partitionBy("what", "bucket_date")
                 .parquet(self._files_dir())
@@ -632,8 +635,8 @@ class Catalog:
         )
 
     def compact(
-        self, target_file_rows: int = 1_000_000, _race_hook=None,
-        _drop_where=None,
+        self, target_file_rows: int = 1_000_000, layout: str = "sort",
+        _race_hook=None, _drop_where=None,
     ) -> None:
         """Rewrite the files table to bounded file counts per partition.
 
@@ -642,6 +645,16 @@ class Catalog:
         many small files and scan task scheduling dominates IO.  Compaction
         rewrites each partition's rows into ceil(rows / target_file_rows)
         files, re-sorting on (work_id, id) so row-group stats stay skippable.
+
+        ``layout="zorder"`` instead clusters each partition on the Morton
+        interleave of (start, hash(work_id)) — the Delta OPTIMIZE ZORDER
+        move: row-group min/max stats become selective for BOTH of the
+        catalog's query dimensions (time-interval scans prune on start,
+        work-id lookups prune on the hash) without maintaining the
+        secondary index.  Useful when the table is wide enough that
+        row-group skipping matters inside a single (what, bucket_date)
+        partition; the default single-column sort stays right for small
+        partitions.
 
         Commit protocol (object-store-safe, rename-free):
 
@@ -694,10 +707,41 @@ class Catalog:
                 if _drop_where is None
                 else df.filter(~F.coalesce(_drop_where, F.lit(False)))
             )
+            if layout == "zorder":
+                from datalake_spark.functions.zorder import morton_key
+
+                bits = 12
+                top = (1 << bits) - 1
+                stats = out.agg(
+                    F.min("start").alias("_zlo"), F.max("start").alias("_zhi")
+                )
+                scaled = [
+                    F.expr(
+                        f"(start - _zlo) * {top} "
+                        f"DIV GREATEST(_zhi - _zlo, 1L)"
+                    ),
+                    F.pmod(
+                        F.xxhash64(F.coalesce(F.col("work_id"), F.lit(""))),
+                        F.lit(1 << bits),
+                    ).cast("long"),
+                ]
+                arranged = (
+                    out.crossJoin(F.broadcast(stats))
+                    .withColumn("_zv", morton_key(scaled, bits))
+                    .repartition(F.col("what"), F.col("bucket_date"))
+                    # the sort must LEAD with the partition columns: the
+                    # dynamic-partition writer requires ordering by them
+                    # and would otherwise insert its own (unstable) sort,
+                    # destroying the clustering
+                    .sortWithinPartitions("what", "bucket_date", "_zv")
+                    .drop("_zv", "_zlo", "_zhi")
+                )
+            else:
+                arranged = out.repartition(
+                    F.col("what"), F.col("bucket_date")
+                ).sortWithinPartitions("what", "bucket_date", "work_id", "id")
             (
-                out.repartition(F.col("what"), F.col("bucket_date"))
-                .sortWithinPartitions("work_id", "id")
-                .write.mode("overwrite")
+                arranged.write.mode("overwrite")
                 .option("maxRecordsPerFile", target_file_rows)
                 .partitionBy("what", "bucket_date")
                 .parquet(new_dir)

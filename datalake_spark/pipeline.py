@@ -200,12 +200,16 @@ def curate_and_export(
     id_col: str = "doc_id",
     seed: str = "shuf42",
     quarantine_path: str | None = None,
+    fmt: str = "parquet",
     **curate_kwargs,
 ) -> dict:
     """The one-call pipeline: curate then shard.  Returns the shard
     manifest extended with a curation report (input / post-curation
     counts and the drop rate).  ``quarantine_path`` writes dropped docs
-    with per-rule attribution (see curate_corpus)."""
+    with per-rule attribution (see curate_corpus).  ``fmt`` is
+    ``parquet`` / ``jsonl`` (write_training_shards) or ``webdataset``
+    (tar shards with {key}.txt/{key}.json member pairs) — all three
+    share the same seeded membership and order contract."""
     n_input = df.count()
     curated = curate_corpus(
         df,
@@ -214,9 +218,17 @@ def curate_and_export(
         quarantine_path=quarantine_path,
         **curate_kwargs,
     )
-    manifest = write_training_shards(
-        curated, path, n_shards, id_col=id_col, seed=seed
-    )
+    if fmt == "webdataset":
+        from datalake_spark.export import write_webdataset
+
+        manifest = write_webdataset(
+            curated, path, n_shards, id_col=id_col, seed=seed,
+            text_col=text_col,
+        )
+    else:
+        manifest = write_training_shards(
+            curated, path, n_shards, id_col=id_col, seed=seed, fmt=fmt
+        )
     manifest["curation"] = {
         "n_input": n_input,
         "n_kept": manifest["n_rows"],

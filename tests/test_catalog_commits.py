@@ -561,3 +561,61 @@ class TestCollectStats:
         assert stats["what"]["approx_ndv"] == 2
         # one job, one scan: the whole frame came from a single agg
         assert stats["start"]["approx_ndv"] == 12
+
+
+class TestZOrderCompact:
+    def test_zorder_layout_preserves_rows_and_clusters(self, spark, tmp_path):
+        """compact(layout='zorder'): same rows, same schema, and within a
+        partition's file the stored order follows the Morton interleave
+        of (start, hash(work_id)) — both query dimensions skippable."""
+        from pyspark.sql import functions as F
+
+        cat = Catalog(spark, str(tmp_path))
+        rows = [
+            {"id": f"f{i}", "what": "nginx", "where": f"h{i % 3}",
+             "start": T0 + (i * 7919) % 86_400_000, "end": None,
+             "work_id": f"job{i % 5}" if i % 4 else None}
+            for i in range(64)
+        ]
+        cat.append(make_files_df(spark, rows))
+        before = {r["id"] for r in cat.files().collect()}
+        cat.compact(layout="zorder")
+        after = cat.files()
+        assert {r["id"] for r in after.collect()} == before
+        assert "_zv" not in after.columns and "_zlo" not in after.columns
+        # recompute the z-key over one part file's stored order
+        import glob
+
+        part = sorted(glob.glob(
+            f"{cat.files_path}/v*/what=nginx/bucket_date=*/part-*.parquet"
+        ))[0]
+        pdf = spark.read.parquet(part).toPandas()
+        lo = min(r["start"] for r in rows)
+        hi = max(r["start"] for r in rows)
+        wid_hash = {
+            r["work_id"]: rw["h"]
+            for r, rw in zip(
+                rows,
+                spark.createDataFrame(
+                    [(r["work_id"],) for r in rows], "work_id string"
+                ).select(
+                    F.pmod(
+                        F.xxhash64(F.coalesce(F.col("work_id"), F.lit(""))),
+                        F.lit(1 << 12),
+                    ).alias("h")
+                ).collect(),
+            )
+        }
+
+        def z(start, work_id):
+            s = (start - lo) * ((1 << 12) - 1) // max(hi - lo, 1)
+            w = wid_hash[work_id]
+            out = 0
+            for b in range(12):
+                out |= ((s >> b) & 1) << (2 * b)
+                out |= ((w >> b) & 1) << (2 * b + 1)
+            return out
+
+        zs = [z(r["start"], r["work_id"]) for r in pdf.to_dict("records")]
+        assert zs == sorted(zs), "file not stored in z-order"
+        assert len(zs) > 5  # the partition actually has substance
