@@ -142,6 +142,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="only compact when some partition exceeds this "
                          "many files (cheap listing check; the streaming "
                          "small-file guard)")
+    mp.add_argument("--layout", default="sort", choices=["sort", "zorder"],
+                    help="within-partition clustering: single-key sort "
+                         "(default) or Morton z-order on (start, "
+                         "hash(work_id)) for two-dimensional row-group "
+                         "skipping")
 
     vp = sub.add_parser("versions", help="list retained files-table versions")
     vp.add_argument("--keep-versions", dest="keep_versions", type=int,
@@ -319,10 +324,13 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
             ran = catalog.maybe_compact(
                 max_files_per_partition=args.if_over,
                 target_file_rows=args.target_file_rows,
+                layout=args.layout,
             )
             print(f"compacted: {ran}", file=out)
         else:
-            catalog.compact(target_file_rows=args.target_file_rows)
+            catalog.compact(
+                target_file_rows=args.target_file_rows, layout=args.layout
+            )
         for entry in catalog.table_versions():
             print(f"v{entry['version']} {entry['dir']}", file=out)
         return 0

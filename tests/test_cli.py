@@ -37,6 +37,15 @@ class TestCompactAndVersions:
         assert rc == 0 and lines[0].startswith("v1 ")
         rc, lines = _run(spark, ["versions"], catalog_dir)
         assert rc == 0 and len(lines) >= 1
+        # z-order layout pass commits a new version, rows intact
+        rc, lines = _run(spark, ["compact", "--layout", "zorder"], catalog_dir)
+        assert rc == 0 and lines[0].startswith("v2 ")
+        rc, lines = _run(
+            spark,
+            ["list", "nginx", "--start", "2015-01-01", "--end", "2015-01-03"],
+            catalog_dir,
+        )
+        assert rc == 0 and len(lines) == 1
 
 
 class TestCliRoundtrip:
