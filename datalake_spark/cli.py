@@ -252,6 +252,11 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--seed", default="shuf42")
     cu.add_argument("--quarantine", default=None,
                     help="also write dropped docs with per-rule attribution")
+    cu.add_argument("--fmt", default="parquet",
+                    choices=["parquet", "jsonl", "webdataset"],
+                    help="shard layout: parquet, line-delimited JSON, or "
+                         "WebDataset tar shards — same seeded membership "
+                         "in all three")
     return p
 
 
@@ -510,6 +515,7 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
             dedup_strategy=args.strategy,
             dedup_threshold=args.threshold,
             quarantine_path=args.quarantine,
+            fmt=args.fmt,
         )
         print(_json.dumps(manifest, sort_keys=True), file=out)
         return 0

@@ -199,6 +199,34 @@ class TestCurateCommand:
         assert back.count() == 30
         assert "shard" in back.columns
 
+    def test_curate_webdataset_format(self, spark, catalog_dir, tmp_path):
+        from datalake_spark.export import read_webdataset_shard
+
+        src = str(tmp_path / "docs")
+        outdir = str(tmp_path / "wds")
+        rows = []
+        for i in range(20):
+            body = " ".join(f"the d{i}w{j} a d{i}v{j}" for j in range(8))
+            rows.append((i, f"doc {i} opens the story here {body}", "en"))
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).write.parquet(src)
+        rc, lines = _run(
+            spark,
+            ["curate", src, outdir, "--n-shards", "2",
+             "--fmt", "webdataset"],
+            catalog_dir,
+        )
+        assert rc == 0
+        manifest = json.loads(lines[0])
+        assert manifest["format"] == "webdataset"
+        got = set()
+        for k in range(2):
+            if manifest["rows_per_shard"].get(str(k), 0):
+                for _key, _text, meta in read_webdataset_shard(outdir, k):
+                    got.add(meta["doc_id"])
+        assert got == set(range(20))
+
 
 class TestMaintenanceCommands:
     def _seed(self, spark, catalog_dir, n=3):

@@ -101,6 +101,8 @@ class Spec:
         self.windows: list[str] = []      # project mode: "expr AS alias"
         self.setop: str | None = None     # setop mode: the operator
         self.preds_b: list[str] = []      # setop mode: right-side WHERE
+        self.rollup = False               # agg mode: GROUP BY ROLLUP
+        self.order: tuple[str, int] | None = None  # (ORDER BY sql, LIMIT n)
 
     def sql(self) -> str:
         frm = self.table
@@ -109,15 +111,19 @@ class Spec:
         where = f" WHERE {' AND '.join(self.preds)}" if self.preds else ""
         if self.mode == "agg":
             sel = ", ".join(self.group + self.aggs) or "COUNT(*) AS n"
-            grp = (
-                f" GROUP BY {', '.join(str(i + 1) for i in range(len(self.group)))}"
-                if self.group
-                else ""
-            )
+            if self.group and self.rollup:
+                grp = f" GROUP BY ROLLUP({', '.join(self.group)})"
+            elif self.group:
+                grp = f" GROUP BY {', '.join(str(i + 1) for i in range(len(self.group)))}"
+            else:
+                grp = ""
             hav = f" HAVING {self.having}" if self.having else ""
             return f"SELECT {sel} FROM {frm}{where}{grp}{hav}"
         sel = ", ".join(self.cols + self.windows) or "1 AS one"
-        left = f"SELECT {sel} FROM {frm}{where}"
+        tail = ""
+        if self.order is not None:
+            tail = f" ORDER BY {self.order[0]} LIMIT {self.order[1]}"
+        left = f"SELECT {sel} FROM {frm}{where}{tail}"
         if self.mode == "setop" and self.setop is not None:
             where_b = (
                 f" WHERE {' AND '.join(self.preds_b)}" if self.preds_b else ""
@@ -139,6 +145,10 @@ class Spec:
             out.append(("setop", collapse))
         if self.having:
             out.append(("having", lambda s: setattr(s, "having", None)))
+        if self.rollup:
+            out.append(("rollup", lambda s: setattr(s, "rollup", False)))
+        if self.order is not None:
+            out.append(("order", lambda s: setattr(s, "order", None)))
         for i, w in enumerate(self.windows):
             out.append((f"window:{w}", lambda s, i=i: s.windows.pop(i)))
         if self.mode == "agg" and len(self.aggs) > 1:
@@ -281,6 +291,8 @@ def generate(seed: int, str_values) -> Spec:
                     ]
                 )
             )
+        if rng.random() < 0.3:
+            spec.rollup = True
         if rng.random() < 0.4:
             spec.having = f"COUNT(*) {rng.choice(['>', '>='])} {rng.randint(1, 5)}"
     else:
@@ -309,6 +321,12 @@ def generate(seed: int, str_values) -> Spec:
                         f"RANK() OVER (PARTITION BY {part} ORDER BY {rng.choice(ints)}) AS w0",
                     ]
                 )
+            )
+        if rng.random() < 0.3 and not spec.windows:
+            lead = rng.choice(ints + strs)
+            spec.order = (
+                f"{lead}, {UNIQUE_KEY[spec.table]}",
+                rng.randint(3, 40),
             )
     return spec
 
