@@ -506,16 +506,29 @@ class Catalog:
         return True
 
     def work_id_index(self) -> tuple[DataFrame, int] | None:
-        """(index DataFrame, num_buckets) or None if never built."""
+        """(index DataFrame, num_buckets) or None if never built.
+
+        An index built over a corpus with only NULL work_ids is an EMPTY
+        directory (nothing passes the isNotNull filter and the dynamic
+        partition write emits no files); parquet cannot infer a schema
+        from it, so that case returns an empty typed frame rather than
+        erroring — the correct answer for every lookup against it."""
+        from pyspark.sql import types as T
+
         m = _read_manifest(self.work_id_index_path)
         if m is None:
             return None
-        return (
-            self.spark.read.parquet(
+        try:
+            df = self.spark.read.parquet(
                 os.path.join(self.work_id_index_path, m["dir"])
-            ),
-            m["num_buckets"],
-        )
+            )
+        except Exception:
+            schema = T.StructType(
+                list(FILES_SCHEMA.fields)
+                + [T.StructField("wid_bucket", T.IntegerType(), True)]
+            )
+            df = self.spark.createDataFrame([], schema)
+        return (df, m["num_buckets"])
 
     def partition_file_counts(self) -> dict[str, int]:
         """Data-file count per (what, bucket_date) partition of the current
@@ -798,6 +811,128 @@ class Catalog:
                 shutil.copy2(os.path.join(old_dir, rel), os.path.join(dst, name))
                 copied.add(rel)
         return copied
+
+    def fsck(self, deep: bool = True) -> dict:
+        """Catalog invariant check — the operational health verb a 100 TB
+        deployment runs after incidents and before GC policy changes.
+
+        Cheap structural checks (always): manifests parse and their
+        directories exist; version directories not referenced by any
+        manifest are reported as GC candidates (never deleted here);
+        expired locks/leases counted.  ``deep=True`` adds three bounded
+        data checks: latest-table rows whose file id is missing from the
+        files table (a broken cascade after delete), work-id-index rows
+        whose id is missing (index staleness the retry/rebuild path
+        should have prevented), and files rows with a non-null work_id
+        missing FROM the index (freshness gap).  Each deep check is one
+        join — the latest table is tiny and the index a projection of
+        files, so cost is ~2 scans of metadata, not data.
+
+        Returns a report dict; ``report["ok"]`` is False when any
+        invariant is violated (orphan dirs and expired locks are
+        informational, not violations).
+        """
+        import time as _time
+
+        report: dict = {"problems": [], "info": {}}
+
+        def check_table(root: str, name: str) -> None:
+            m = _read_manifest(root)
+            if m is None:
+                report["info"][f"{name}_versioned"] = os.path.isdir(root)
+                return
+            cur = os.path.join(root, m["dir"])
+            if not os.path.isdir(cur):
+                report["problems"].append(
+                    f"{name}: manifest points at missing dir {m['dir']}"
+                )
+            referenced = {m["dir"]} | {
+                h["dir"] for h in m.get("history", [])
+            }
+            orphans = sorted(
+                e
+                for e in os.listdir(root)
+                if e.startswith("v") and os.path.isdir(os.path.join(root, e))
+                and e not in referenced
+            )
+            if orphans:
+                report["info"][f"{name}_orphan_dirs"] = orphans
+            missing_history = sorted(
+                h["dir"]
+                for h in m.get("history", [])
+                if not os.path.isdir(os.path.join(root, h["dir"]))
+            )
+            if missing_history:
+                report["problems"].append(
+                    f"{name}: history dirs missing {missing_history}"
+                )
+
+        check_table(self.files_path, "files")
+        check_table(self.latest_path, "latest")
+        check_table(self.work_id_index_path, "work_id_index")
+        # expired lock / leases (informational: TTL takeover handles them)
+        now = _time.time()
+        try:
+            with open(self._lock_path()) as fh:
+                if json.load(fh).get("expiry", 0) < now:
+                    report["info"]["expired_lock"] = True
+        except FileNotFoundError:
+            pass
+        except Exception:
+            report["problems"].append("files: unparseable _LOCK file")
+        lease_dir = os.path.join(self.files_path, _LEASE_DIR)
+        if os.path.isdir(lease_dir):
+            expired = 0
+            for name in os.listdir(lease_dir):
+                try:
+                    with open(os.path.join(lease_dir, name)) as fh:
+                        if json.load(fh).get("expiry", 0) < now:
+                            expired += 1
+                except Exception:
+                    expired += 1
+            if expired:
+                report["info"]["expired_leases"] = expired
+        report["info"]["partition_file_counts_max"] = max(
+            self.partition_file_counts().values(), default=0
+        )
+        if deep and os.path.isdir(self._files_dir()):
+            ids = self.files().select("id", "work_id")
+            latest = self.latest_table()
+            if latest is not None:
+                stale = (
+                    latest.select("id")
+                    .join(ids.select("id"), "id", "left_anti")
+                    .count()
+                )
+                if stale:
+                    report["problems"].append(
+                        f"latest: {stale} rows reference deleted/missing ids"
+                    )
+            idx = self.work_id_index()
+            if idx is not None:
+                stale_idx = (
+                    idx[0].select("id")
+                    .join(ids.select("id"), "id", "left_anti")
+                    .count()
+                )
+                if stale_idx:
+                    report["problems"].append(
+                        f"work_id_index: {stale_idx} rows reference "
+                        f"deleted/missing ids"
+                    )
+                unindexed = (
+                    ids.filter(F.col("work_id").isNotNull())
+                    .select("id")
+                    .join(idx[0].select("id"), "id", "left_anti")
+                    .count()
+                )
+                if unindexed:
+                    report["problems"].append(
+                        f"work_id_index: {unindexed} files with work_id "
+                        f"missing from the index"
+                    )
+        report["ok"] = not report["problems"]
+        return report
 
     def file_buckets(self) -> DataFrame:
         """Reference's DatalakeRecord view: the per-bucket fan-out with the

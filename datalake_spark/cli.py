@@ -166,6 +166,12 @@ def build_parser() -> argparse.ArgumentParser:
     st = sub.add_parser("stats", help="ANALYZE: per-column null counts, "
                                       "approx NDV, min/max")
 
+    fs = sub.add_parser("fsck", help="catalog invariant check: manifests, "
+                                     "orphan version dirs, expired "
+                                     "locks/leases, latest/index staleness")
+    fs.add_argument("--shallow", action="store_true",
+                    help="skip the join-based data checks")
+
     ep = sub.add_parser("enqueue", help="spool a file+metadata bundle for "
                                         "the uploader (O20)")
     for f in ("what", "where", "start", "end", "work-id"):
@@ -365,6 +371,15 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
                   f"ndv~{r['approx_ndv']}\tmin={r['min_str']}\t"
                   f"max={r['max_str']}", file=out)
         return 0
+
+    if args.command == "fsck":
+        report = catalog.fsck(deep=not args.shallow)
+        for p in report["problems"]:
+            print(f"PROBLEM {p}", file=out)
+        for k, v in sorted(report["info"].items()):
+            print(f"info {k}={v}", file=out)
+        print("ok" if report["ok"] else "NOT OK", file=out)
+        return 0 if report["ok"] else 1
 
     if args.command == "uploader":
         from datalake_spark.archive import Archive

@@ -619,3 +619,76 @@ class TestZOrderCompact:
         zs = [z(r["start"], r["work_id"]) for r in pdf.to_dict("records")]
         assert zs == sorted(zs), "file not stored in z-order"
         assert len(zs) > 5  # the partition actually has substance
+
+
+class TestFsck:
+    def test_healthy_catalog_is_ok(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path))
+        cat.append(make_files_df(spark, _rows(0)))
+        cat.refresh_latest()
+        cat.build_work_id_index(num_buckets=4)
+        cat.compact()
+        report = cat.fsck()
+        assert report["ok"], report
+        assert report["problems"] == []
+        assert report["info"]["partition_file_counts_max"] >= 1
+
+    def test_detects_orphan_version_and_stale_latest(self, spark, tmp_path):
+        import os as _os
+
+        cat = Catalog(spark, str(tmp_path))
+        rows = [
+            {"id": f"f{i}", "what": "nginx", "where": f"h{i % 2}",
+             "start": T0 + i, "end": None, "work_id": f"job{i % 2}"}
+            for i in range(6)
+        ]
+        cat.append(make_files_df(spark, rows))
+        cat.refresh_latest()
+        cat.compact()
+        # break the latest cascade by hand: delete rows WITHOUT refresh
+        cat.compact(_drop_where=F.col("id").isin("f4", "f5"))
+        # orphan version dir: present on disk, referenced by no manifest
+        # (planted after the compact — compaction's GC sweeps unreferenced
+        # dirs itself, which is the healthy-path behavior)
+        _os.makedirs(_os.path.join(cat.files_path, "v999-deadbeef"))
+        report = cat.fsck()
+        assert not report["ok"]
+        assert any("latest" in p for p in report["problems"]), report
+        assert "v999-deadbeef" in report["info"].get("files_orphan_dirs", [])
+        # repairing the cascade clears it
+        cat.refresh_latest()
+        assert cat.fsck()["ok"] is True
+
+    def test_detects_unindexed_files(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path))
+        cat.append(make_files_df(spark, [
+            {"id": "a1", "what": "nginx", "where": "h1",
+             "start": T0, "end": None, "work_id": "j1"}]))
+        cat.build_work_id_index(num_buckets=2)
+        # bypass append's index maintenance (foreign writer)
+        import datalake_spark.catalog as catmod
+
+        orig = catmod.Catalog.append_work_id_index
+        try:
+            catmod.Catalog.append_work_id_index = lambda self, df, **k: False
+            cat.append(make_files_df(spark, [
+                {"id": "a2", "what": "nginx", "where": "h1",
+                 "start": T0 + 1, "end": None, "work_id": "j2"}]))
+        finally:
+            catmod.Catalog.append_work_id_index = orig
+        report = cat.fsck()
+        assert not report["ok"]
+        assert any("missing from the index" in p for p in report["problems"])
+
+    def test_cli_fsck(self, spark, tmp_path):
+        import io
+
+        from datalake_spark.cli import run
+
+        cat = Catalog(spark, str(tmp_path / "cat"))
+        cat.append(make_files_df(spark, _rows(0)))
+        cat.refresh_latest()
+        out = io.StringIO()
+        rc = run(["--catalog", str(tmp_path / "cat"), "fsck"],
+                 spark=spark, out=out)
+        assert rc == 0 and out.getvalue().strip().endswith("ok")
