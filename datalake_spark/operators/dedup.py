@@ -957,6 +957,7 @@ def minhash_incremental_pairs(
     shingle_n: int = 3,
     max_bucket: int = 1000,
     corpus_sig: DataFrame | None = None,
+    frames_out: list | None = None,
 ) -> DataFrame:
     """Incremental near-dup: probe a NEW batch against an existing corpus
     (plus the batch itself) WITHOUT re-pairing the corpus — the maintenance
@@ -996,6 +997,11 @@ def minhash_incremental_pairs(
     sig_new = _minhash_sig(
         new, text_col, id_col, num_hashes, band_rows, shingle_n
     ).persist()
+    if frames_out is not None:
+        # loop-driving callers (streaming curation probes one batch per
+        # micro-batch, forever) unpersist these after their action —
+        # otherwise every batch leaks two cached signature frames
+        frames_out.extend([sig_old, sig_new])
     banded_old = _minhash_banded(sig_old)
     banded_new = _minhash_banded(sig_new)
     # cross candidates: capped old bucket membership x new band rows

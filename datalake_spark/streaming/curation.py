@@ -25,6 +25,8 @@ Composition (every stage is the verified batch/stream primitive):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -83,6 +85,8 @@ class StreamingCurator:
         id_col: str = "doc_id",
         compact_every: int = 0,
         max_files_per_shard: int = 16,
+        near_dup_threshold: float | None = None,
+        sig_path: str | None = None,
     ):
         self.spark = spark
         self.shards_path = shards_path
@@ -93,8 +97,66 @@ class StreamingCurator:
         # rewrite to one file per shard (export.compact_shards); 0 = off
         self.compact_every = compact_every
         self.max_files_per_shard = max_files_per_shard
+        # near-dup stage: probe each micro-batch against the STANDING
+        # MinHash signature store (operators/dedup.minhash_incremental_
+        # pairs) — the corpus is never re-paired, per-batch cost only;
+        # survivors' signatures append to the store.  None = off (exact
+        # watermark dedup still runs upstream in curate_stream).
+        self.near_dup_threshold = near_dup_threshold
+        self.sig_path = sig_path or os.path.join(
+            shards_path, "_signatures"
+        )
+
+    def _near_dup_filter(self, batch: DataFrame) -> DataFrame:
+        from datalake_spark.operators.dedup import (
+            minhash_incremental_pairs,
+            minhash_signatures,
+        )
+
+        try:
+            corpus_sig = self.spark.read.parquet(self.sig_path)
+        except Exception:
+            # first batch: no standing signatures yet — an empty typed
+            # frame keeps the probe's plan shape identical
+            corpus_sig = minhash_signatures(batch.limit(0), id_col=self.id_col)
+        frames: list = []
+        pairs = minhash_incremental_pairs(
+            None,
+            batch,
+            id_col=self.id_col,
+            threshold=self.near_dup_threshold,
+            corpus_sig=corpus_sig,
+            frames_out=frames,
+        )
+        cid = corpus_sig.select(F.col("_id").alias("_cid"))
+        # drop a NEW doc when it matches anything already retained (the
+        # corpus side of a pair, whichever side its id sorted to), or a
+        # smaller-id doc within its own batch (keep-first, matching the
+        # batch pipeline's canonical-min rule)
+        drop_vs_corpus_b = pairs.join(
+            cid, F.col("doc_a") == F.col("_cid")
+        ).select(F.col("doc_b").alias("_drop"))
+        drop_vs_corpus_a = pairs.join(
+            cid, F.col("doc_b") == F.col("_cid")
+        ).select(F.col("doc_a").alias("_drop"))
+        in_batch = (
+            pairs.join(cid, F.col("doc_a") == F.col("_cid"), "left_anti")
+            .join(cid, F.col("doc_b") == F.col("_cid"), "left_anti")
+            .select(F.col("doc_b").alias("_drop"))
+        )
+        drops = drop_vs_corpus_b.unionByName(drop_vs_corpus_a).unionByName(
+            in_batch
+        ).distinct()
+        survivors = batch.join(
+            drops, F.col(self.id_col) == F.col("_drop"), "left_anti"
+        ).persist()
+        frames.append(survivors)
+        return survivors, frames
 
     def _write_batch(self, batch: DataFrame, epoch: int) -> None:
+        frames: list = []
+        if self.near_dup_threshold is not None:
+            batch, frames = self._near_dup_filter(batch)
         keyed = batch.withColumn(
             KEY_COL, shard_key(self.id_col, self.seed)
         ).withColumn(SHARD_COL, shard_of(F.col(KEY_COL), self.n_shards))
@@ -104,6 +166,19 @@ class StreamingCurator:
             .partitionBy(SHARD_COL)
             .parquet(self.shards_path)
         )
+        if self.near_dup_threshold is not None:
+            # survivors' signatures extend the standing store (the
+            # cached survivor frame pays the probe once for both writes);
+            # at-least-once replays re-append the same ids, which the
+            # pair logic tolerates — self-pairs are excluded by the
+            # strict doc_a < doc_b orientation
+            from datalake_spark.operators.dedup import minhash_signatures
+
+            minhash_signatures(batch, id_col=self.id_col).write.mode(
+                "append"
+            ).parquet(self.sig_path)
+            for f in frames:
+                f.unpersist()
         if self.compact_every and (epoch + 1) % self.compact_every == 0:
             from datalake_spark.export import compact_shards
 

@@ -126,3 +126,57 @@ class TestStreamingPiiStage:
         q = cur.start(landing, str(tmp_path / "c2"))
         q.awaitTermination(120)
         assert spark.read.parquet(str(tmp_path / "s2")).count() == 2
+
+
+class TestStreamingNearDup:
+    """Incremental MinHash near-dup inside the streaming curator: each
+    micro-batch probes the STANDING signature store (never re-pairing the
+    corpus) and survivors extend it."""
+
+    def _curator(self, spark, shards):
+        return StreamingCurator(
+            spark, shards, n_shards=2, near_dup_threshold=0.5
+        )
+
+    def test_cross_batch_near_dup_dropped(self, spark, tmp_path):
+        landing = str(tmp_path / "landing")
+        shards = str(tmp_path / "shards")
+        cur = self._curator(spark, shards)
+        # batch 1: distinct docs
+        _write(landing, [_doc(i, _good(i)) for i in range(6)], "b1.json")
+        q = cur.start(landing, str(tmp_path / "ck"))
+        q.awaitTermination(120)
+        # batch 2: doc 50 is a light edit of doc 2 (same long body, one
+        # appended word -> Jaccard >> 0.5, but a DIFFERENT exact hash, so
+        # only the near-dup stage can catch it); doc 51 is fresh
+        _write(
+            landing,
+            [_doc(50, _good(2) + " extraword"), _doc(51, _good(51))],
+            "b2.json",
+        )
+        q = cur.start(landing, str(tmp_path / "ck"))
+        q.awaitTermination(120)
+        ids = sorted(r["doc_id"] for r in spark.read.parquet(shards).collect())
+        assert 51 in ids and 50 not in ids
+        assert ids == [0, 1, 2, 3, 4, 5, 51]
+        # the signature store grew to exactly the survivors
+        sigs = spark.read.parquet(f"{shards}/_signatures")
+        assert sorted(r["_id"] for r in sigs.select("_id").collect()) == [
+            "0", "1", "2", "3", "4", "5", "51",
+        ] or sorted(
+            int(r["_id"]) for r in sigs.select("_id").collect()
+        ) == [0, 1, 2, 3, 4, 5, 51]
+
+    def test_in_batch_near_dup_keeps_min_id(self, spark, tmp_path):
+        landing = str(tmp_path / "landing")
+        shards = str(tmp_path / "shards")
+        cur = self._curator(spark, shards)
+        _write(
+            landing,
+            [_doc(7, _good(7)), _doc(8, _good(7) + " tailword")],
+            "b1.json",
+        )
+        q = cur.start(landing, str(tmp_path / "ck"))
+        q.awaitTermination(120)
+        ids = sorted(r["doc_id"] for r in spark.read.parquet(shards).collect())
+        assert ids == [7]
