@@ -236,6 +236,12 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("--scrub-pii", dest="scrub_pii", action="store_true",
                     help="redact emails/IPs/phones before hashing so "
                          "PII-only variants dedup")
+    cs.add_argument("--near-dup", dest="near_dup", type=float, default=None,
+                    metavar="JACCARD",
+                    help="also near-dup each batch against the standing "
+                         "MinHash signature store at this Jaccard "
+                         "threshold (incremental: the corpus is never "
+                         "re-paired)")
     cs.add_argument("--compact-every", dest="compact_every", type=int,
                     default=0, help="threshold-compact shards every N "
                                     "micro-batches (0 = off)")
@@ -492,6 +498,7 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
         curator = StreamingCurator(
             spark, args.shards, n_shards=args.n_shards,
             compact_every=args.compact_every,
+            near_dup_threshold=args.near_dup,
         )
         ckpt = args.checkpoint or os.path.join(args.shards, "_checkpoint")
         query = curator.start(
