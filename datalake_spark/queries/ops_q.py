@@ -919,7 +919,13 @@ def video_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_spark.functions.imaging import png_decode
     from datalake_spark.functions.jpeg import jpeg_encode
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # 1-in-7 doc sample: the sub verifies the codec/container CHAIN, not
+    # corpus coverage, and the pure-Python JPEG encode+decode per frame
+    # is the dominant bench cost (~10 s full-corpus at sf0.1, ~1.4 s
+    # sampled).  The oracle applies the identical predicate.
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.expr("doc_id % 7 = 0")
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -979,7 +985,8 @@ def video_real_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VIDEO_REAL_ROUNDTRIP_SQL = f"""
-WITH s AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents)
+WITH s AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents
+           WHERE doc_id % 7 = 0)
 SELECT doc_id,
        CAST(i AS BIGINT) AS frame_idx,
        CAST(i * 200 AS BIGINT) AS frame_ms,

@@ -228,3 +228,49 @@ class TestZOrder:
             ["a", "b"], num_files=1,
         ).collect()
         assert len(out) == 2
+
+
+class TestRuntimeFilters:
+    """Catalyst's runtime-filter arsenal is ON and firing for the
+    engine's plan shapes — these pin the config so a future session
+    tweak cannot silently disable 100 TB-critical optimizations."""
+
+    def test_bloom_filter_injected_for_selective_fact_join(self, spark):
+        """A selective dim filter on a fact join should inject a runtime
+        Bloom filter on the fact side (semi-join reduction before the
+        shuffle). Thresholds are lowered in-test: the sf0.01 tables are
+        far below the 10 MB/10 GB production defaults."""
+        conf = spark.conf
+        saved = {
+            k: conf.get(k)
+            for k in (
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "spark.sql.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold", "0")
+            # force a shuffle join: broadcast joins don't need the filter
+            conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            fact = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+            dim = spark.read.parquet(
+                "/root/testdata/sf0.01/orders.parquet"
+            ).filter("o_orderpriority = '1-URGENT'")
+            plan = (
+                fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+                ._jdf.queryExecution().optimizedPlan().toString()
+            )
+            assert "bloom" in plan.lower(), plan[:2000]
+        finally:
+            for k, v in saved.items():
+                conf.set(k, v)
+
+    # NB dynamic partition pruning is enabled in the session (the
+    # default), but deliberately NOT plan-pinned here: on gate-sized data
+    # Catalyst's pruningHasBenefit heuristic correctly declines to inject
+    # the subquery (the fact scan is tiny), and forcing it with conf
+    # overrides would pin the override, not the engine.  Static partition
+    # pruning — the path the catalog's queries actually ride — is pinned
+    # in tests/test_bucketing.py.
