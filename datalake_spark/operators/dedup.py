@@ -480,6 +480,7 @@ def dedup_corpus(
     id_col: str = "doc_id",
     strategy: str = "minhash",
     threshold: float = 0.5,
+    quality_col: str | None = None,
     **kwargs,
 ) -> DataFrame:
     """One-call corpus deduplication: the full input minus every
@@ -488,8 +489,15 @@ def dedup_corpus(
     - ``exact``        — exact content-hash dedup (cheapest)
     - ``fingerprint``  — rolling-fingerprint near-exact dedup
     - ``minhash``      — MinHash-LSH pairs → connected components → keep
-                         the min-id document of every near-dup cluster
+                         one document of every near-dup cluster
     - ``simhash``      — SimHash pairs → same component/keep step
+
+    Which cluster member survives: by default the MIN-id doc (stable,
+    join-free); with ``quality_col`` the member with the HIGHEST value
+    of that column survives (ties to the smaller id) — the curation
+    semantic real pipelines want ("keep the best/longest variant, not
+    whichever hashed first"), at the cost of one extra broadcast-sized
+    join (clustered docs only, a small fraction of the corpus).
 
     The pair tiers compose pair generation with
     :func:`connected_components`; rows never appearing in a pair pass
@@ -510,11 +518,35 @@ def dedup_corpus(
     else:
         raise ValueError(f"unknown dedup strategy {strategy!r}")
     comp = connected_components(pairs, "doc_a", "doc_b")
-    # drop every clustered doc that is not its cluster's canonical min id;
-    # left_anti keeps all never-paired docs untouched
-    losers = comp.filter(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias(id_col)
-    )
+    if quality_col is not None:
+        # per cluster keep max_by((quality, -id-ish)): join quality onto
+        # the clustered ids (only clustered docs — tiny vs the corpus),
+        # pick the winner per cluster, drop everyone else
+        q = df.select(
+            F.col(id_col).alias("id"), F.col(quality_col).alias("_q")
+        )
+        winners = (
+            comp.join(q, "id")
+            .groupBy("cluster_id")
+            .agg(
+                # min over (-quality, id) = highest quality, ties to the
+                # smaller id — one deterministic aggregate, no window.
+                # quality_col must be numeric (negatable).
+                F.min_by(
+                    F.col("id"),
+                    F.struct((-F.col("_q")).alias("nq"), F.col("id")),
+                ).alias("_win")
+            )
+        )
+        losers = comp.join(winners, "cluster_id").filter(
+            F.col("id") != F.col("_win")
+        ).select(F.col("id").alias(id_col))
+    else:
+        # drop every clustered doc that is not its cluster's canonical
+        # min id; left_anti keeps all never-paired docs untouched
+        losers = comp.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
     return df.join(losers, id_col, "left_anti")
 
 

@@ -189,6 +189,27 @@ class TestDedup:
         with pytest.raises(ValueError, match="unknown dedup strategy"):
             dedup.dedup_corpus(df, strategy="psychic")
 
+    def test_dedup_corpus_quality_col_keeps_best(self, spark):
+        """With quality_col, the HIGHEST-quality cluster member survives
+        (ties to the smaller id) instead of the min id — the keep-the-
+        best-variant curation semantic."""
+        dup = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (0, dup, 10.0), (1, dup, 99.0), (2, dup, 50.0),   # winner: 1
+            (5, "totally different text about spark plans", 1.0),
+            # second cluster with a quality TIE -> smaller id 7 wins
+            (7, "parquet footer stats make row groups skippable fast", 7.0),
+            (8, "parquet footer stats make row groups skippable fast", 7.0),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "q"])
+        kept = sorted(
+            r.doc_id
+            for r in dedup.dedup_corpus(
+                df, strategy="minhash", quality_col="q"
+            ).collect()
+        )
+        assert kept == [1, 5, 7]
+
 
 class TestSimilarity:
     def test_brute_force_topk_shape(self, emb):
