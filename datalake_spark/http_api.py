@@ -247,6 +247,10 @@ class DatalakeHttpApp:
             return self._json(_spec())
         if path == "/health/":
             return self._json({})
+        if path == "/metrics/":
+            # per-route latency aggregates from the request monitor (the
+            # sentry.py monitor_performance analog, self-served)
+            return self._json({"routes": self.monitor.snapshot()})
         if path == "/v0/archive/":
             return self._json({"storage_url": self.storage_url})
         if path == "/v0/archive/files/":
@@ -365,7 +369,7 @@ class DatalakeHttpApp:
 
 
 _ENDPOINTS = (
-    "/docs/", "/spec/", "/health/", "/v0/archive/",
+    "/docs/", "/spec/", "/health/", "/metrics/", "/v0/archive/",
     "/v0/archive/files/", "/v0/archive/files/<id>/data",
     "/v0/archive/files/<id>/metadata", "/v0/archive/latest/<what>/<where>",
     "/v0/archive/latest/<what>/<where>/data",

@@ -281,3 +281,19 @@ class TestRequestMonitor:
         back = spark.read.parquet(path)
         assert back.count() == 2
         assert {r["route"] for r in back.collect()} == {"/health/", "/v0/archive/"}
+
+
+class TestMetricsEndpoint:
+    def test_metrics_reports_latency_aggregates(self, engine):
+        app = DatalakeHttpApp(engine)
+        call = TestRequestMonitor._call
+        call(app, "/health/")
+        call(app, "/health/")
+        status, body = call(app, "/metrics/")
+        assert status == "200 OK"
+        routes = {
+            (r["route"], r["status"]): r
+            for r in json.loads(body)["routes"]
+        }
+        h = routes[("/health/", 200)]
+        assert h["n"] == 2 and h["mean_ms"] >= 0 and h["n_err"] == 0
