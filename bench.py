@@ -126,6 +126,8 @@ ANCHOR_EXTRAS_R5 = {
     "dl_freshness": 0.844, "rolling_active_users": 1.405,
     "bpe_merges": 0.656, "bpe_segment_corpus": 1.673,
     "q_corr_matrix": 1.82, "event_sequences": 0.614,
+    # r5 late additions (single idle-run pins, refresh next round)
+    "video_real_roundtrip": 1.578,
 }
 
 
