@@ -583,6 +583,60 @@ class Catalog:
         if idx is not None:
             self.build_work_id_index(num_buckets=idx[1])
 
+    def update_where(
+        self,
+        predicate,
+        assignments: dict[str, object],
+        target_file_rows: int = 1_000_000,
+    ) -> None:
+        """UPDATE ... SET — rewrite matching rows with new column values
+        under compact's full commit protocol (exclusive lock, lease
+        drain, versioned directory, atomic manifest flip), completing the
+        catalog's DML triad next to append and delete_where.  The
+        reference's ingester has exactly one update path (an
+        ObjectCreated:Copy re-puts the record, storage.py update
+        disposition); this is its set-based generalization — fix a
+        mis-pushed work_id, rewrite relocated urls, patch a bad size —
+        with the same point-in-time scope and cascade semantics as
+        delete_where.
+
+        ``assignments`` maps existing column name -> Column or SQL
+        expression string; each value is cast back to the column's
+        current type so the table schema cannot drift.  Rows where the
+        predicate is NULL or FALSE are byte-preserved (three-valued
+        logic pinned the same way as delete_where).  Cascades: latest
+        recomputes and the work-id index rebuilds at its recorded bucket
+        count (updates may change the columns either derives from).
+        """
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        cols = {f.name: f.dataType for f in FILES_SCHEMA.fields}
+        for c in assignments:
+            if c not in cols and c != "bucket_date":
+                raise ValueError(f"unknown column {c!r} in assignments")
+
+        def transform(df: DataFrame) -> DataFrame:
+            hit = F.coalesce(pred, F.lit(False))
+            out = df
+            for c, expr in assignments.items():
+                val = F.expr(expr) if isinstance(expr, str) else expr
+                tgt = dict(cols, bucket_date=None).get(c)
+                if tgt is not None:
+                    val = val.cast(tgt)
+                out = out.withColumn(
+                    c, F.when(hit, val).otherwise(F.col(c))
+                )
+            # start edits can move a file across day buckets: recompute
+            # the partition column from the (possibly updated) start
+            if "start" in assignments and "bucket_date" not in assignments:
+                out = with_bucket_date(out.drop("bucket_date"))
+            return out
+
+        self.compact(target_file_rows=target_file_rows, _transform=transform)
+        self.refresh_latest()
+        idx = self.work_id_index()
+        if idx is not None:
+            self.build_work_id_index(num_buckets=idx[1])
+
     def collect_stats(self) -> DataFrame:
         """ANALYZE-style column statistics for the files table: one row
         per column with null count, approximate NDV (HLL sketch — the
@@ -649,7 +703,7 @@ class Catalog:
 
     def compact(
         self, target_file_rows: int = 1_000_000, layout: str = "sort",
-        _race_hook=None, _drop_where=None,
+        _race_hook=None, _drop_where=None, _transform=None,
     ) -> None:
         """Rewrite the files table to bounded file counts per partition.
 
@@ -720,6 +774,8 @@ class Catalog:
                 if _drop_where is None
                 else df.filter(~F.coalesce(_drop_where, F.lit(False)))
             )
+            if _transform is not None:
+                out = _transform(out)
             if layout == "zorder":
                 from datalake_spark.functions.zorder import morton_key
 

@@ -163,6 +163,15 @@ def build_parser() -> argparse.ArgumentParser:
     dp.add_argument("predicate", help="SQL boolean over the files columns, "
                                       "e.g. \"id = 'abc'\"")
 
+    ud = sub.add_parser("update", help="UPDATE ... SET: rewrite matching "
+                                       "rows under the commit protocol "
+                                       "(cascades latest + work-id index)")
+    ud.add_argument("predicate", help="SQL boolean over the files columns")
+    ud.add_argument("--set", dest="assignments", action="append",
+                    required=True, metavar="COL=EXPR",
+                    help="column assignment, repeatable; EXPR is a SQL "
+                         "expression over the row")
+
     st = sub.add_parser("stats", help="ANALYZE: per-column null counts, "
                                       "approx NDV, min/max")
 
@@ -369,6 +378,19 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
         catalog.delete_where(args.predicate)
         after = catalog.files().count()
         print(f"deleted {before - after} rows", file=out)
+        return 0
+
+    if args.command == "update":
+        sets = {}
+        for a in args.assignments:
+            if "=" not in a:
+                print(f"bad --set {a!r}: want COL=EXPR", file=sys.stderr)
+                return 2
+            c, expr = a.split("=", 1)
+            sets[c.strip()] = expr
+        before = catalog.files().filter(args.predicate).count()
+        catalog.update_where(args.predicate, sets)
+        print(f"updated {before} rows", file=out)
         return 0
 
     if args.command == "stats":

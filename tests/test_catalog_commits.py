@@ -692,3 +692,70 @@ class TestFsck:
         rc = run(["--catalog", str(tmp_path / "cat"), "fsck"],
                  spark=spark, out=out)
         assert rc == 0 and out.getvalue().strip().endswith("ok")
+
+
+class TestUpdateWhere:
+    def _seed(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path))
+        rows = [
+            {"id": f"f{i}", "what": "nginx", "where": f"h{i % 2}",
+             "start": T0 + i, "end": None,
+             "work_id": f"job{i % 3}" if i % 4 else None}
+            for i in range(12)
+        ]
+        cat.append(make_files_df(spark, rows))
+        cat.refresh_latest()
+        return cat
+
+    def test_set_column_with_cascade(self, spark, tmp_path):
+        cat = self._seed(spark, tmp_path)
+        cat.build_work_id_index(num_buckets=4)
+        cat.update_where("work_id = 'job1'", {"work_id": "'job9'"})
+        wids = {r["work_id"] for r in cat.files().collect()}
+        assert "job1" not in wids and "job9" in wids
+        # NULL-predicate rows (work_id NULL) untouched
+        assert sum(1 for r in cat.files().collect()
+                   if r["work_id"] is None) == 3
+        # index rebuilt: job9 queryable, job1 gone
+        from datalake_spark.query import QueryEngine
+
+        eng = QueryEngine(cat.files(), work_id_index=cat.work_id_index())
+        assert eng.by_work_id("job9", "nginx").count() > 0
+        assert eng.by_work_id("job1", "nginx").count() == 0
+
+    def test_start_update_moves_bucket_and_latest(self, spark, tmp_path):
+        from datalake_spark.metadata import DAY_MS
+
+        cat = self._seed(spark, tmp_path)
+        latest_before = {r["id"] for r in cat.latest_table().collect()}
+        assert "f11" in latest_before  # newest for h1
+        # push f3 three days forward: new day bucket + new latest for h1
+        cat.update_where("id = 'f3'", {"start": f"start + {3 * DAY_MS}"})
+        row = cat.files().filter("id = 'f3'").collect()[0]
+        assert row["start"] == T0 + 3 + 3 * DAY_MS
+        assert str(row["bucket_date"]) != str(
+            cat.files().filter("id = 'f1'").collect()[0]["bucket_date"]
+        )
+        latest = {r["id"] for r in cat.latest_table().collect()}
+        assert "f3" in latest and "f11" not in latest
+
+    def test_unknown_column_rejected(self, spark, tmp_path):
+        cat = self._seed(spark, tmp_path)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown column"):
+            cat.update_where("id = 'f1'", {"nope": "'x'"})
+
+    def test_cli_update(self, spark, tmp_path):
+        import io
+
+        from datalake_spark.cli import run
+
+        cat = self._seed(spark, tmp_path / "c")
+        out = io.StringIO()
+        rc = run(["--catalog", str(tmp_path / "c"), "update",
+                  "where = 'h0'", "--set", "size=123"],
+                 spark=spark, out=out)
+        assert rc == 0 and out.getvalue().startswith("updated 6 rows")
+        assert all(r["size"] == 123 for r in
+                   cat.files().filter("where = 'h0'").collect())
