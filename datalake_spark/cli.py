@@ -103,6 +103,9 @@ def build_parser() -> argparse.ArgumentParser:
     lp.add_argument("--where")
     lp.add_argument("--work-id", dest="work_id")
     lp.add_argument("--format", choices=sorted(_FORMATTERS), default="url")
+    lp.add_argument("--at-version", dest="at_version", type=int, default=None,
+                    help="time-travel: query a retained files-table "
+                         "snapshot (see `versions`) instead of current")
 
     fp = sub.add_parser("fetch", help="fetch url(s) to templated filenames")
     fp.add_argument("urls", nargs="*")
@@ -582,8 +585,14 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
         server.serve_forever()
         return 0
 
-    engine = QueryEngine(catalog.files(), latest_table=catalog.latest_table(),
-                         work_id_index=catalog.work_id_index())
+    at_version = getattr(args, "at_version", None)
+    if at_version is not None:
+        # snapshot read: no latest fast path or index (they track current)
+        engine = QueryEngine(catalog.files_at(at_version))
+    else:
+        engine = QueryEngine(catalog.files(),
+                             latest_table=catalog.latest_table(),
+                             work_id_index=catalog.work_id_index())
     fmt = _FORMATTERS[args.format]
     if args.command == "list":
         if params.get("work_id") is not None:

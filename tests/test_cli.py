@@ -360,3 +360,25 @@ class TestCurateStreamCommand:
         assert rc == 0 and lines[-1].startswith("curated shards hold 2 docs")
         out = spark.read.parquet(shards)
         assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+class TestListAtVersion:
+    def test_time_travel_list(self, spark, catalog_dir):
+        """--at-version reads a retained snapshot: after a delete, the
+        previous version still lists the deleted row (bad-delete
+        recovery through the ordinary query CLI)."""
+        for w in ("w1", "w2"):
+            _run(spark, ["push", "--what", "nginx", "--where", w,
+                         "--path", f"/var/log/{w}.log",
+                         "--start", "2015-01-01"], catalog_dir)
+        _run(spark, ["compact"], catalog_dir)            # v1: both rows
+        rc, lines = _run(spark, ["delete", "where = 'w2'"], catalog_dir)
+        assert rc == 0 and lines[0] == "deleted 1 rows"  # v2: one row
+        rc, cur = _run(
+            spark, ["list", "nginx", "--start", "2015-01-01",
+                    "--end", "2015-01-02"], catalog_dir)
+        assert rc == 0 and len(cur) == 1
+        rc, old = _run(
+            spark, ["list", "nginx", "--start", "2015-01-01",
+                    "--end", "2015-01-02", "--at-version", "1"], catalog_dir)
+        assert rc == 0 and len(old) == 2
