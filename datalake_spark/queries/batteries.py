@@ -140,6 +140,7 @@ def _mk() -> list[Q]:
         return Q(name, getattr(mod, fn_name), getattr(mod, sql_name), "")
 
     from datalake_spark.queries import datalake_q as dq
+    from datalake_spark.queries import fuzz_q as fq
     from datalake_spark.queries import pipeline_q as pq
 
     joins = [
@@ -254,6 +255,8 @@ def _mk() -> list[Q]:
             {"below_avg_price": "d4", "n_rows": "v"}),
         Sub(q(r2, "q_sql_subqueries", "q_sql_subqueries", "_SUBQ_SQL"),
             {"c_mktsegment": "v", "n_customers": "v"}),
+        Sub(q(fq, "fuzz_plans", "fuzz_plans", "FUZZ_PLANS_SQL"),
+            {"seed": "v", "n_rows": "v", "vhash": "v"}),
     ]
     text = [
         Sub(q(pq, "text_stats", "text_stats", "TEXT_STATS_SQL"),

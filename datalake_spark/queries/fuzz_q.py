@@ -1,0 +1,77 @@
+"""Driver-gated randomized differential testing: a frozen set of seeded
+random query plans (datalake_spark/fuzzgen.py grammar) digested through
+BOTH engines every correctness round.
+
+The exploratory fuzz harness (tests/test_fuzz_differential.py) hunts
+with fresh shapes and a shrinker; this module freezes a gate-safe
+subset — no windows, no double-typed outputs (see fuzzgen.gate_safe) —
+into ONE query: each seed's plan runs as a subquery reduced to
+(seed, row count, order-insensitive value hash), and the per-seed
+digests are UNION ALLed.  The Spark side and the DuckDB oracle share
+the identical CORE plan text; only the md5->int digest plumbing
+differs per engine (Spark spells it CONV(SUBSTR(MD5 ..)), DuckDB
+CAST('0x' || SUBSTR(md5 ..))) — the repo's standing portable-hash
+pattern (functions/hashing.py:md5hash60).
+
+A hash mismatch on ANY seed fails the driver's value check for the
+whole battery sub, so the gate now certifies not just the hand-written
+operator surface but a sample of the open query space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datalake_spark.fuzzgen import TABLES, gate_safe, generate
+from datalake_spark.functions.hashing import sql_md5hash60
+
+_N_GATE_PLANS = 20
+_MOD = 1_000_000_007
+
+
+def _gate_specs():
+    """First ``_N_GATE_PLANS`` gate-safe specs from seed 200 upward —
+    disjoint from the exploratory harness's 0..149 so the two suites
+    never sample the same shapes."""
+    out = []
+    seed = 200
+    while len(out) < _N_GATE_PLANS:
+        spec = generate(seed)
+        if gate_safe(spec):
+            out.append((seed, spec))
+        seed += 1
+    return out
+
+
+def _spark_hash(expr: str) -> str:
+    return f"CAST(CONV(SUBSTR(MD5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _wrap(seed: int, spec, hash_fn) -> str:
+    canon = ", ".join(
+        f"COALESCE(CAST({c} AS VARCHAR(64)), '<null>')"
+        for c in spec.out_cols()
+    )
+    rowstr = f"CONCAT_WS('|', {canon})"
+    return (
+        f"SELECT {seed} AS seed, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST(COALESCE(SUM(({hash_fn(rowstr)}) % {_MOD}), 0) AS BIGINT) "
+        f"AS vhash FROM ({spec.sql()}) _t{seed}"
+    )
+
+
+_SPECS = _gate_specs()
+
+_SPARK_TEXT = "\nUNION ALL\n".join(
+    _wrap(seed, spec, _spark_hash) for seed, spec in _SPECS
+)
+
+FUZZ_PLANS_SQL = "\nUNION ALL\n".join(
+    _wrap(seed, spec, sql_md5hash60) for seed, spec in _SPECS
+)
+
+
+def fuzz_plans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql(_SPARK_TEXT)

@@ -23,7 +23,6 @@ Cross-engine exactness rules (the repo's standing discipline):
 from __future__ import annotations
 
 import math
-import random
 
 import duckdb
 import pytest
@@ -31,305 +30,9 @@ import pytest
 SF_DIR = "/root/testdata/sf0.001"
 N_PLANS = 150
 
-# table -> (unique key, int cols, varchar cols, double cols)
-TABLES = {
-    "nation": ("n_nationkey", ["n_nationkey", "n_regionkey"], ["n_name"], []),
-    "customer": (
-        "c_custkey",
-        ["c_custkey", "c_nationkey"],
-        ["c_name", "c_mktsegment"],
-        ["c_acctbal"],
-    ),
-    "orders": (
-        "o_orderkey",
-        ["o_orderkey", "o_custkey"],
-        ["o_orderstatus", "o_orderpriority"],
-        ["o_totalprice"],
-    ),
-    "lineitem": (
-        "l_orderkey",  # not unique alone; combined with l_linenumber below
-        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
-        ["l_returnflag", "l_linestatus"],
-        ["l_quantity", "l_extendedprice", "l_discount"],
-    ),
-    "documents": (
-        "doc_id",
-        ["doc_id", "n_chars"],
-        ["lang", "source"],
-        [],
-    ),
-}
-# join graph: (left table, right table, ON clause)
-JOINS = {
-    "customer": [("nation", "c_nationkey = n_nationkey")],
-    "orders": [("customer", "o_custkey = c_custkey")],
-    "lineitem": [("orders", "l_orderkey = o_orderkey")],
-    "nation": [],
-    "documents": [],
-}
-# total-order tiebreaker per table (for window determinism).  NB the
-# synthetic lineitem has DUPLICATE (l_orderkey, l_linenumber) pairs —
-# the fuzzer itself found that out (seeds 63/93, r5) — but full rows are
-# distinct, so its tiebreaker is the whole row.
-UNIQUE_KEY = {
-    "nation": "n_nationkey",
-    "customer": "c_custkey",
-    "orders": "o_orderkey",
-    "lineitem": (
-        "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, "
-        "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
-        "l_shipdate"
-    ),
-    "documents": "doc_id",
-}
-
-
-class Spec:
-    """A generated query plan: table [+ join] + preds + projection or
-    aggregation [+ window / having].  Mutable so the shrinker can drop
-    clauses."""
-
-    def __init__(self):
-        self.table = "nation"
-        self.join = None          # (right_table, on_sql) | None
-        self.preds: list[str] = []
-        self.mode = "project"     # project | agg | setop
-        self.cols: list[str] = []         # project/setop: "expr AS alias"
-        self.group: list[str] = []        # agg mode
-        self.aggs: list[str] = []         # agg mode: "expr AS alias"
-        self.having: str | None = None
-        self.windows: list[str] = []      # project mode: "expr AS alias"
-        self.setop: str | None = None     # setop mode: the operator
-        self.preds_b: list[str] = []      # setop mode: right-side WHERE
-        self.rollup = False               # agg mode: GROUP BY ROLLUP
-        self.order: tuple[str, int] | None = None  # (ORDER BY sql, LIMIT n)
-
-    def sql(self) -> str:
-        frm = self.table
-        if self.join is not None:
-            frm += f" JOIN {self.join[0]} ON {self.join[1]}"
-        where = f" WHERE {' AND '.join(self.preds)}" if self.preds else ""
-        if self.mode == "agg":
-            sel = ", ".join(self.group + self.aggs) or "COUNT(*) AS n"
-            if self.group and self.rollup:
-                grp = f" GROUP BY ROLLUP({', '.join(self.group)})"
-            elif self.group:
-                grp = f" GROUP BY {', '.join(str(i + 1) for i in range(len(self.group)))}"
-            else:
-                grp = ""
-            hav = f" HAVING {self.having}" if self.having else ""
-            return f"SELECT {sel} FROM {frm}{where}{grp}{hav}"
-        sel = ", ".join(self.cols + self.windows) or "1 AS one"
-        tail = ""
-        if self.order is not None:
-            tail = f" ORDER BY {self.order[0]} LIMIT {self.order[1]}"
-        left = f"SELECT {sel} FROM {frm}{where}{tail}"
-        if self.mode == "setop" and self.setop is not None:
-            where_b = (
-                f" WHERE {' AND '.join(self.preds_b)}" if self.preds_b else ""
-            )
-            return f"{left} {self.setop} SELECT {sel} FROM {frm}{where_b}"
-        return left
-
-    def clauses(self):
-        """(label, dropper) pairs for the shrinker, most-droppable first."""
-        out = []
-        for i, p in enumerate(self.preds):
-            out.append((f"pred:{p}", lambda s, i=i: s.preds.pop(i)))
-        for i, p in enumerate(self.preds_b):
-            out.append((f"pred_b:{p}", lambda s, i=i: s.preds_b.pop(i)))
-        if self.mode == "setop":
-            def collapse(s):
-                s.mode, s.setop, s.preds_b = "project", None, []
-
-            out.append(("setop", collapse))
-        if self.having:
-            out.append(("having", lambda s: setattr(s, "having", None)))
-        if self.rollup:
-            out.append(("rollup", lambda s: setattr(s, "rollup", False)))
-        if self.order is not None:
-            out.append(("order", lambda s: setattr(s, "order", None)))
-        for i, w in enumerate(self.windows):
-            out.append((f"window:{w}", lambda s, i=i: s.windows.pop(i)))
-        if self.mode == "agg" and len(self.aggs) > 1:
-            for i, a in enumerate(self.aggs):
-                out.append((f"agg:{a}", lambda s, i=i: s.aggs.pop(i)))
-        if self.mode == "agg" and len(self.group) > 1 and not self.having:
-            for i, g in enumerate(self.group):
-                out.append((f"group:{g}", lambda s, i=i: s.group.pop(i)))
-        if self.mode == "project" and len(self.cols) > 1:
-            for i, c in enumerate(self.cols):
-                out.append((f"col:{c}", lambda s, i=i: s.cols.pop(i)))
-        if self.join is not None:
-            out.append(("join", lambda s: setattr(s, "join", None)))
-        return out
-
-    def copy(self) -> "Spec":
-        s = Spec()
-        s.__dict__.update(
-            {
-                k: (list(v) if isinstance(v, list) else v)
-                for k, v in self.__dict__.items()
-            }
-        )
-        return s
-
-
-def _cols_in_scope(spec):
-    key, ints, strs, dbls = TABLES[spec.table]
-    ints, strs, dbls = list(ints), list(strs), list(dbls)
-    if spec.join is not None:
-        k2, i2, s2, d2 = TABLES[spec.join[0]]
-        ints, strs, dbls = ints + list(i2), strs + list(s2), dbls + list(d2)
-    return ints, strs, dbls
-
-
-def _int_expr(rng, ints):
-    c = rng.choice(ints)
-    return rng.choice(
-        [
-            c,
-            f"{c} % {rng.randint(2, 13)}",
-            f"ABS({c} - {rng.randint(0, 50)})",
-            f"CASE WHEN {c} % {rng.randint(3, 9)} = 0 THEN NULL ELSE {c} END",
-        ]
-    )
-
-
-def _pred(rng, spec, str_values, allow_subquery=True):
-    ints, strs, dbls = _cols_in_scope(spec)
-    kind = rng.randrange(8 if allow_subquery else 6)
-    if kind >= 6:
-        # correlated EXISTS / IN subquery along the join edge (only when
-        # the spec has no explicit join, to keep column scopes unambiguous)
-        if spec.join is None and JOINS[spec.table]:
-            right, on = rng.choice(JOINS[spec.table])
-            r_ints = TABLES[right][1]
-            inner = f"{rng.choice(r_ints)} % {rng.randint(2, 7)} = 0"
-            if kind == 6:
-                neg = "NOT " if rng.random() < 0.4 else ""
-                return (
-                    f"{neg}EXISTS (SELECT 1 FROM {right} "
-                    f"WHERE {on} AND {inner})"
-                )
-            lk, rk = [s.strip() for s in on.split("=")]
-            return (
-                f"{lk} IN (SELECT {rk} FROM {right} WHERE {inner})"
-            )
-        kind = rng.randrange(6)
-    if kind == 0:
-        return f"{rng.choice(ints)} {rng.choice(['<', '<=', '>', '>=', '=', '<>'])} {rng.randint(0, 60)}"
-    if kind == 1:
-        c = rng.choice(ints)
-        lo = rng.randint(0, 40)
-        return f"{c} BETWEEN {lo} AND {lo + rng.randint(0, 30)}"
-    if kind == 2 and dbls:
-        return f"{rng.choice(dbls)} {rng.choice(['<', '>='])} {round(rng.uniform(0, 5000), 2)}"
-    if kind == 3:
-        c = rng.choice(strs)
-        vals = str_values.get(c)
-        if vals:
-            picks = rng.sample(vals, k=min(len(vals), rng.randint(1, 3)))
-            quoted = ", ".join("'" + v.replace("'", "''") + "'" for v in picks)
-            neg = "NOT " if rng.random() < 0.3 else ""
-            return f"{c} {neg}IN ({quoted})"
-        return f"LENGTH({c}) > {rng.randint(1, 12)}"
-    if kind == 4:
-        c = rng.choice(strs)
-        letter = rng.choice("ABCDEFGHIJKLMNOPRS")
-        return rng.choice(
-            [
-                f"{c} LIKE '{letter}%'",
-                f"UPPER({c}) LIKE '%{letter}%'",
-                f"SUBSTR({c}, 1, 1) = '{letter}'",
-            ]
-        )
-    left = f"{rng.choice(ints)} % {rng.randint(2, 7)} = 0"
-    right = f"LENGTH({rng.choice(strs)}) <= {rng.randint(4, 15)}"
-    return f"({left} OR {right})"
-
-
-def generate(seed: int, str_values) -> Spec:
-    rng = random.Random(seed)
-    spec = Spec()
-    spec.table = rng.choice(list(TABLES))
-    if JOINS[spec.table] and rng.random() < 0.5:
-        spec.join = rng.choice(JOINS[spec.table])
-    for _ in range(rng.randrange(3)):
-        spec.preds.append(_pred(rng, spec, str_values))
-    ints, strs, dbls = _cols_in_scope(spec)
-    spec.mode = rng.choice(["project", "agg", "project", "agg", "setop"])
-    if spec.mode == "setop" and spec.join is None:
-        spec.setop = rng.choice(
-            ["UNION", "UNION ALL", "EXCEPT", "INTERSECT"]
-        )
-        # plain columns only: both sides must project the same shape
-        spec.cols = rng.sample(ints + strs, k=rng.randint(1, 3))
-        for _ in range(rng.randint(1, 2)):
-            spec.preds_b.append(_pred(rng, spec, str_values))
-        return spec
-    if spec.mode == "setop":  # join + setop is more than we model
-        spec.mode = "project"
-    if spec.mode == "agg":
-        for g in rng.sample(strs + ints, k=rng.randint(1, 2)):
-            spec.group.append(g)
-        n_aggs = rng.randint(1, 3)
-        for i in range(n_aggs):
-            spec.aggs.append(
-                rng.choice(
-                    [
-                        f"COUNT(*) AS agg{i}",
-                        f"CAST(COUNT(DISTINCT {rng.choice(ints)}) AS BIGINT) AS agg{i}",
-                        f"CAST(SUM(CAST({_int_expr(rng, ints)} AS BIGINT)) AS BIGINT) AS agg{i}",
-                        f"CAST(MIN({rng.choice(ints)}) AS BIGINT) AS agg{i}",
-                        f"CAST(MAX({rng.choice(ints)}) AS BIGINT) AS agg{i}",
-                        f"MIN({rng.choice(strs)}) AS agg{i}",
-                        f"MAX({rng.choice(dbls if dbls else ints)}) AS agg{i}",
-                        f"CAST(SUM(CASE WHEN "
-                        f"{_pred(rng, spec, str_values, allow_subquery=False)} "
-                        f"THEN 1 ELSE 0 END) AS BIGINT) AS agg{i}",
-                    ]
-                )
-            )
-        if rng.random() < 0.3:
-            spec.rollup = True
-        if rng.random() < 0.4:
-            spec.having = f"COUNT(*) {rng.choice(['>', '>='])} {rng.randint(1, 5)}"
-    else:
-        picks = rng.sample(ints + strs, k=rng.randint(1, 3))
-        spec.cols = [
-            rng.choice(
-                [
-                    c,
-                    f"UPPER({c}) AS u_{i}" if c in strs else f"{c} + 1 AS p_{i}",
-                    f"COALESCE(CASE WHEN LENGTH(CAST({c} AS VARCHAR(40))) > 3 "
-                    f"THEN NULL ELSE CAST({c} AS VARCHAR(40)) END, 'x') AS z_{i}",
-                ]
-            )
-            for i, c in enumerate(picks)
-        ]
-        if rng.random() < 0.4:
-            part = rng.choice(strs)
-            uniq = UNIQUE_KEY[spec.table]
-            spec.windows.append(
-                rng.choice(
-                    [
-                        f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {uniq}) AS w0",
-                        f"CAST(SUM(CAST({rng.choice(ints)} AS BIGINT)) OVER "
-                        f"(PARTITION BY {part} ORDER BY {uniq} ROWS BETWEEN "
-                        f"UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS w0",
-                        f"RANK() OVER (PARTITION BY {part} ORDER BY {rng.choice(ints)}) AS w0",
-                    ]
-                )
-            )
-        if rng.random() < 0.3 and not spec.windows:
-            lead = rng.choice(ints + strs)
-            spec.order = (
-                f"{lead}, {UNIQUE_KEY[spec.table]}",
-                rng.randint(3, 40),
-            )
-    return spec
-
+from datalake_spark.fuzzgen import (  # noqa: E402
+    JOINS, Spec, TABLES, UNIQUE_KEY, generate,
+)
 
 # -- execution + canonical comparison ---------------------------------------
 
