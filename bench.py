@@ -109,17 +109,17 @@ CANARY_REF_SEC = 0.25
 # anchored headline.  A missing key (a new extra) is simply unflagged
 # until the next anchor refresh.
 ANCHOR_EXTRAS_R5 = {
-    "dedup_clusters": 5.173, "kmeans_2iter": 1.347,
+    "dedup_clusters": 4.57, "kmeans_2iter": 1.347,
     "tfidf_top_terms": 0.989, "pii_scrub": 0.535,
-    "stratified_sample": 0.281, "video_roundtrip": 1.645,
+    "stratified_sample": 0.281, "video_roundtrip": 1.628,
     "corpus_report": 0.379, "embedding_dedup_clusters": 2.757,
     "repetition_signals": 1.501, "chargram_commonness": 3.096,
     "c4_filter_cascade": 0.348, "deterministic_shuffle": 0.217,
     "shard_stats": 0.197, "embedding_quantize": 1.152,
     "fuzzy_join_lev1": 0.893, "ngram_novelty": 1.428,
-    "near_dup_triangles": 2.382, "audio_sniff_roundtrip": 0.522,
+    "near_dup_triangles": 2.382, "audio_sniff_roundtrip": 0.468,
     "span_dedup": 3.131, "vocab_report": 0.433,
-    "domain_mix_sample": 0.441, "minhash_incremental": 3.255,
+    "domain_mix_sample": 0.441, "minhash_incremental": 3.212,
     "funnel_analysis": 0.737, "cohort_retention": 0.632,
     "postings_index": 0.301, "pagerank_2iter": 6.345,
     "pmi_collocations": 1.143, "k_anonymize": 0.641,
@@ -127,7 +127,7 @@ ANCHOR_EXTRAS_R5 = {
     "bpe_merges": 0.656, "bpe_segment_corpus": 1.673,
     "q_corr_matrix": 1.82, "event_sequences": 0.614,
     # r5 late additions (single idle-run pins, refresh next round)
-    "video_real_roundtrip": 1.578,
+    "video_real_roundtrip": 1.576,
 }
 
 
