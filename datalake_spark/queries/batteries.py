@@ -310,6 +310,9 @@ def _mk() -> list[Q]:
              "label": "v"}),
         Sub(q(pq, "bm25_topk", "bm25_topk", "BM25_TOPK_SQL"),
             {"doc_id": "v", "score_micro": "v"}),
+        Sub(q(pq, "skeleton_dedup", "skeleton_dedup", "SKELETON_DEDUP_SQL"),
+            {"doc_id": "v", "skel_key": "v", "n_twins": "v",
+             "canonical": "v"}),
         Sub(q(pq, "bpe_merges", "bpe_merges", "BPE_MERGES_SQL"),
             {"rank": "v", "left": "v", "right": "v", "pair_count": "v"}),
         Sub(q(pq, "bpe_segment_corpus", "bpe_segment_corpus",

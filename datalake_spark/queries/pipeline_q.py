@@ -3173,3 +3173,55 @@ FROM d, stats
 ORDER BY score_micro DESC, doc_id
 LIMIT {_BM25_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# skeleton_dedup — spoof-resistant duplicate keys via a confusable
+# skeleton (Unicode TR39 idea, subset): lowercase, map common Cyrillic
+# homoglyphs onto their Latin look-alikes, collapse every non-alnum run
+# to one space, trim, hash.  Catches the dedup evasion exact hashing
+# misses — "sраm оffеr" with Cyrillic а/р/о/е collides with its Latin
+# twin, as does punctuation/whitespace respinning.  Pure Column
+# (lower/translate/regexp_replace + the portable md5-60 key): one map
+# stage plus one window shuffle on the skeleton hash — uniform keys,
+# scale-indifferent.  Output: every doc with its skeleton key, twin
+# count, and the cluster's canonical min id.
+# ---------------------------------------------------------------------------
+_CONF_FROM = "аеорсхуіԁѕ"   # Cyrillic lowercase homoglyphs (public confusables)
+_CONF_TO = "aeopcxyids"
+
+
+def skeleton_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.functions.hashing import md5hash60
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    skel = F.trim(
+        F.regexp_replace(
+            F.translate(F.lower(F.col("text")), _CONF_FROM, _CONF_TO),
+            "[^a-z0-9]+",
+            " ",
+        )
+    )
+    d = docs.select("doc_id", md5hash60(skel).alias("skel_key"))
+    w = W.partitionBy("skel_key")
+    return d.select(
+        "doc_id",
+        "skel_key",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_twins"),
+        F.min("doc_id").over(w).alias("canonical"),
+    )
+
+
+SKELETON_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         {sql_md5hash60(
+             "trim(regexp_replace(translate(lower(text), "
+             f"'{_CONF_FROM}', '{_CONF_TO}'), '[^a-z0-9]+', ' ', 'g'))"
+         )} AS skel_key
+  FROM documents)
+SELECT doc_id, skel_key,
+       CAST(COUNT(*) OVER (PARTITION BY skel_key) AS BIGINT) AS n_twins,
+       MIN(doc_id) OVER (PARTITION BY skel_key) AS canonical
+FROM d
+"""

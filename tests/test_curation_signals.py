@@ -546,3 +546,25 @@ class TestEventSequences:
         # event_sequences filters at the module threshold; re-derive the
         # expected set at that same threshold
         assert got_all == {k: v for k, v in model.items() if v >= old}
+
+
+class TestSkeletonDedup:
+    def test_homoglyph_and_respacing_twins_collide(self, spark, tmp_path):
+        """The skeleton key must collide Latin text with (a) its Cyrillic
+        homoglyph respin and (b) its punctuation/whitespace respin, while
+        keeping genuinely different docs apart."""
+        from datalake_spark.queries.pipeline_q import skeleton_dedup
+
+        base = "special spam offer for you today"
+        homoglyph = "sресіаl sраm оffеr fоr уоu tоdау"  # Cyrillic с/е/і/а/р/о/у
+        respaced = "special,  spam---offer FOR you!! today"
+        rows = [
+            (1, base, "s"), (2, homoglyph, "s"), (3, respaced, "s"),
+            (9, "a completely different document body", "s"),
+        ]
+        sf_dir = _write_mix(spark, tmp_path, rows, "skel")
+        out = {r["doc_id"]: r for r in skeleton_dedup(spark, sf_dir).collect()}
+        assert out[1]["skel_key"] == out[2]["skel_key"] == out[3]["skel_key"]
+        assert out[1]["n_twins"] == 3 and out[1]["canonical"] == 1
+        assert out[9]["skel_key"] != out[1]["skel_key"]
+        assert out[9]["n_twins"] == 1
