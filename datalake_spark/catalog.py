@@ -104,6 +104,26 @@ def _gc_versions(root: str, keep_dirs: set[str]) -> None:
                 shutil.rmtree(p, ignore_errors=True)
 
 
+def _dir_has_data_files(vdir: str) -> bool:
+    """True when a version directory holds at least one data part file.
+
+    Distinguishes the legitimate empty-index case (dynamic partition
+    write over zero rows emits nothing) from a real read failure over
+    existing data.  Non-local URLs are conservatively reported as
+    non-empty so remote read errors always re-raise instead of being
+    masked as empty."""
+    if "://" in vdir and not vdir.startswith("file://"):
+        return True
+    local = vdir[len("file://"):] if vdir.startswith("file://") else vdir
+    if not os.path.isdir(local):
+        return False
+    for _root, _dirs, files in os.walk(local):
+        for name in files:
+            if not name.startswith((".", "_")):
+                return True
+    return False
+
+
 def with_bucket_date(df: DataFrame) -> DataFrame:
     """Add the derived day-partition column (record.py:151-160's bucket)."""
     return df.withColumn(
@@ -503,6 +523,17 @@ class Catalog:
             if m2 is None or m2["version"] == m["version"]:
                 return True
             m = m2  # rebuild won the race; land the rows in its version
+        # Five consecutive races is not a race, it's livelock or a bug —
+        # the last write may have landed in a GC'd directory.  Returning
+        # True here would silently drop the rows; surface it instead so
+        # the caller can rebuild.
+        m3 = _read_manifest(self.work_id_index_path)
+        if m3 is not None and m3["version"] != m["version"]:
+            raise RuntimeError(
+                "append_work_id_index: index version moved on every one of "
+                "5 attempts; appended rows may be lost — rebuild the index "
+                "(build_work_id_index) to restore consistency"
+            )
         return True
 
     def work_id_index(self) -> tuple[DataFrame, int] | None:
@@ -512,17 +543,25 @@ class Catalog:
         directory (nothing passes the isNotNull filter and the dynamic
         partition write emits no files); parquet cannot infer a schema
         from it, so that case returns an empty typed frame rather than
-        erroring — the correct answer for every lookup against it."""
+        erroring — the correct answer for every lookup against it.
+
+        That empty-frame fallback is gated on the directory actually
+        being data-free: a read failure over a directory that DOES hold
+        part files (corrupt part, permission error, partial GC) is a real
+        error and re-raises — ``by_work_id`` serves exclusively from this
+        index, so masking it would silently turn every work-id query into
+        zero rows."""
         from pyspark.sql import types as T
 
         m = _read_manifest(self.work_id_index_path)
         if m is None:
             return None
+        vdir = os.path.join(self.work_id_index_path, m["dir"])
         try:
-            df = self.spark.read.parquet(
-                os.path.join(self.work_id_index_path, m["dir"])
-            )
+            df = self.spark.read.parquet(vdir)
         except Exception:
+            if _dir_has_data_files(vdir):
+                raise
             schema = T.StructType(
                 list(FILES_SCHEMA.fields)
                 + [T.StructField("wid_bucket", T.IntegerType(), True)]

@@ -213,8 +213,18 @@ def write_webdataset(
         import tarfile
 
         class _HashingFile:
+            # Writes go to a task-attempt-unique temp name, atomically
+            # renamed into place on close: a speculative duplicate (or
+            # retried) attempt can never interleave bytes into the final
+            # shard file — last finished attempt wins whole, and both
+            # attempts produce byte-identical tars (deterministic member
+            # set + order), so whichever stats row Spark keeps is right.
             def __init__(self, fpath):
-                self.f = open(fpath, "wb")
+                import uuid as _uuid
+
+                self.final = fpath
+                self.tmp = f"{fpath}.tmp-{_uuid.uuid4().hex[:12]}"
+                self.f = open(self.tmp, "wb")
                 self.h = hashlib.md5()
                 self.n = 0
 
@@ -228,6 +238,7 @@ def write_webdataset(
 
             def close(self):
                 self.f.close()
+                os.replace(self.tmp, self.final)
 
         open_tars: dict[int, tuple] = {}  # shard -> (tar, hfile, count)
 

@@ -531,10 +531,19 @@ def dedup_corpus(
             .agg(
                 # min over (-quality, id) = highest quality, ties to the
                 # smaller id — one deterministic aggregate, no window.
-                # quality_col must be numeric (negatable).
+                # quality_col must be numeric (negatable).  NULL quality
+                # must LOSE to any real value (struct comparison sorts
+                # NULL fields first, which would make it win), so it is
+                # coalesced to +inf on the negated axis.
                 F.min_by(
                     F.col("id"),
-                    F.struct((-F.col("_q")).alias("nq"), F.col("id")),
+                    F.struct(
+                        F.coalesce(
+                            -F.col("_q").cast("double"),
+                            F.lit(float("inf")),
+                        ).alias("nq"),
+                        F.col("id"),
+                    ),
                 ).alias("_win")
             )
         )

@@ -25,7 +25,9 @@ Composition (every stage is the verified batch/stream primitive):
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -107,7 +109,9 @@ class StreamingCurator:
             shards_path, "_signatures"
         )
 
-    def _near_dup_filter(self, batch: DataFrame) -> DataFrame:
+    def _near_dup_filter(
+        self, batch: DataFrame
+    ) -> tuple[DataFrame, list]:
         from datalake_spark.operators.dedup import (
             minhash_incremental_pairs,
             minhash_signatures,
@@ -154,18 +158,47 @@ class StreamingCurator:
         return survivors, frames
 
     def _write_batch(self, batch: DataFrame, epoch: int) -> None:
+        """foreachBatch sink.  The shard append is made idempotent per
+        epoch: the batch is written (mode=overwrite, replay-safe) to a
+        staging dir keyed by epoch id, then each part file is renamed
+        into its ``shard=K/`` dir under a DETERMINISTIC
+        ``epoch-<id>-<seq>`` name.  A crash-and-replay of the same epoch
+        re-runs the identical plan and os.replace()s the same file names
+        — exactly-once shard contents, no duplicate docs, and the
+        reader-visible layout stays plain ``shard=K/*.parquet``.  (On an
+        object store, the rename step becomes copy+delete or a manifest
+        flip as in Catalog.compact.)"""
         frames: list = []
         if self.near_dup_threshold is not None:
             batch, frames = self._near_dup_filter(batch)
         keyed = batch.withColumn(
             KEY_COL, shard_key(self.id_col, self.seed)
         ).withColumn(SHARD_COL, shard_of(F.col(KEY_COL), self.n_shards))
+        staging = os.path.join(
+            self.shards_path, "_staging", f"epoch-{epoch}"
+        )
         (
             keyed.repartition(self.n_shards, F.col(SHARD_COL))
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy(SHARD_COL)
-            .parquet(self.shards_path)
+            .parquet(staging)
         )
+        for sdir in sorted(
+            glob.glob(os.path.join(staging, f"{SHARD_COL}=*"))
+        ):
+            dest = os.path.join(self.shards_path, os.path.basename(sdir))
+            os.makedirs(dest, exist_ok=True)
+            parts = sorted(
+                p for p in os.listdir(sdir) if p.endswith(".parquet")
+            )
+            for i, p in enumerate(parts):
+                os.replace(
+                    os.path.join(sdir, p),
+                    os.path.join(
+                        dest, f"epoch-{epoch:010d}-{i:05d}.parquet"
+                    ),
+                )
+        shutil.rmtree(staging, ignore_errors=True)
         if self.near_dup_threshold is not None:
             # survivors' signatures extend the standing store (the
             # cached survivor frame pays the probe once for both writes);

@@ -450,6 +450,60 @@ class TestWorkIdIndex:
         assert cat.append_work_id_index(df) is False
         assert cat.work_id_index() is None
 
+    def test_index_read_failure_over_real_data_raises(self, spark, tmp_path):
+        """A corrupt part file in a NON-empty index version dir must
+        surface as an error, not be masked as the empty-index case —
+        by_work_id serves exclusively from the index, so masking would
+        silently turn every work-id query into zero rows."""
+        cat = Catalog(spark, str(tmp_path))
+        cat.append(make_files_df(spark, self._rows()))
+        cat.build_work_id_index(num_buckets=4)
+        from datalake_spark import catalog as catmod
+
+        m = catmod._read_manifest(cat.work_id_index_path)
+        vdir = os.path.join(cat.work_id_index_path, m["dir"])
+        parts = [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(vdir)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        assert parts
+        for p in parts:
+            with open(p, "wb") as fh:
+                fh.write(b"not a parquet file")
+        with pytest.raises(Exception):
+            cat.work_id_index()[0].count()
+
+    def test_persistent_rebuild_race_raises_not_silent_loss(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """If the index version moves on every retry attempt (livelock or
+        a GC bug), append_work_id_index must raise rather than return
+        True with the rows possibly landed in a GC'd directory."""
+        from datalake_spark import catalog as catmod
+
+        cat = Catalog(spark, str(tmp_path))
+        cat.append(make_files_df(spark, self._rows()))
+        cat.build_work_id_index(num_buckets=4)
+        real = catmod._read_manifest(cat.work_id_index_path)
+        counter = {"v": real["version"]}
+
+        def always_moving(root):
+            if root != cat.work_id_index_path:
+                return catmod._read_manifest.__wrapped__(root)  # pragma: no cover
+            counter["v"] += 1
+            return {**real, "version": counter["v"]}
+
+        monkeypatch.setattr(catmod, "_read_manifest", always_moving)
+        df = make_files_df(
+            spark,
+            [{"id": "r1", "what": "nginx", "where": "h1", "start": T0,
+              "end": None, "work_id": "jobx"}],
+        )
+        with pytest.raises(RuntimeError, match="version moved"):
+            cat.append_work_id_index(df)
+
     def test_append_survives_concurrent_rebuild(self, spark, tmp_path):
         """A rebuild that commits (and GCs the old version dir) while an
         incremental index append is in flight must not lose the appended

@@ -210,6 +210,26 @@ class TestDedup:
         )
         assert kept == [1, 5, 7]
 
+    def test_dedup_corpus_null_quality_loses(self, spark):
+        """A cluster member with NULL quality must lose to any member
+        with a real quality value (struct comparison would otherwise
+        sort the NULL field first and crown it the winner)."""
+        dup = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (0, dup, None), (1, dup, 5.0),      # winner: 1, not NULL 0
+            (3, "completely unrelated filler text about row groups", None),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, q double"
+        )
+        kept = sorted(
+            r.doc_id
+            for r in dedup.dedup_corpus(
+                df, strategy="minhash", quality_col="q"
+            ).collect()
+        )
+        assert kept == [1, 3]
+
 
 class TestSimilarity:
     def test_brute_force_topk_shape(self, emb):
