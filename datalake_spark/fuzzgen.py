@@ -12,14 +12,19 @@ Two consumers:
   across engines.
 
 Grammar: scans, equi-join chains (nation/customer/orders/lineitem/
-documents), filter stacks (comparisons, BETWEEN, IN lists over frozen
-real values, LIKE/SUBSTR, OR combinations, correlated EXISTS / IN
-subqueries along the join graph), grouped aggregates (COUNT/SUM-int/
-COUNT DISTINCT/MIN/MAX/conditional SUM, optional ROLLUP and HAVING),
-window functions with total-order tiebreaks, set operations, and
-ORDER BY ... LIMIT tails.  Exactness discipline: integer aggregates
-pinned to BIGINT; doubles confined to WHERE comparisons and (in the
-exploratory harness only) MIN/MAX.
+documents; INNER / LEFT / RIGHT since r6), filter stacks (comparisons,
+BETWEEN, IN lists over frozen real values, LIKE/SUBSTR, OR
+combinations, correlated EXISTS / IN subqueries along the join graph),
+grouped aggregates (COUNT/SUM-int/COUNT DISTINCT/MIN/MAX/conditional
+SUM, optional ROLLUP and HAVING), window functions with total-order
+NULLS FIRST tiebreaks, set operations, and ORDER BY ... LIMIT tails
+with explicit direction + null ordering.  Exactness discipline:
+integer aggregates pinned to BIGINT; doubles appear raw, through one
+exact IEEE add, or under MIN/MAX (value selection — never accumulated),
+with their output aliases tracked in ``Spec.dbl_out`` so digest
+consumers canonicalize them (FLOOR(x*1e6+0.5)).  ROLLUP plans carry an
+identity HAVING COUNT(*) >= 1 guard — see Spec.sql() for the real
+engine divergence (empty-input grouping sets) it collapses.
 """
 
 from __future__ import annotations
@@ -105,6 +110,8 @@ class Spec:
     def __init__(self):
         self.table = "nation"
         self.join = None          # (right_table, on_sql) | None
+        self.join_type = "JOIN"   # JOIN | LEFT JOIN | RIGHT JOIN
+        self.dbl_out: set[str] = set()  # output aliases that are doubles
         self.preds: list[str] = []
         self.mode = "project"     # project | agg | setop
         self.cols: list[str] = []         # project/setop: "expr AS alias"
@@ -120,12 +127,22 @@ class Spec:
     def sql(self) -> str:
         frm = self.table
         if self.join is not None:
-            frm += f" JOIN {self.join[0]} ON {self.join[1]}"
+            frm += f" {self.join_type} {self.join[0]} ON {self.join[1]}"
         where = f" WHERE {' AND '.join(self.preds)}" if self.preds else ""
         if self.mode == "agg":
             sel = ", ".join(self.group + self.aggs) or "COUNT(*) AS n"
+            having = self.having
             if self.group and self.rollup:
                 grp = f" GROUP BY ROLLUP({', '.join(self.group)})"
+                # KNOWN ENGINE DIVERGENCE (found by this fuzzer, r6):
+                # grouping sets over an EMPTY input yield one grand-
+                # total row in DuckDB (per the standard) but ZERO rows
+                # in Spark.  COUNT(*) >= 1 is an identity on every
+                # non-empty group and collapses the divergent row, so
+                # rollup plans stay portable without shrinking the
+                # tested surface.
+                if not having:
+                    having = "COUNT(*) >= 1"
             elif self.group:
                 grp = (
                     " GROUP BY "
@@ -133,7 +150,7 @@ class Spec:
                 )
             else:
                 grp = ""
-            hav = f" HAVING {self.having}" if self.having else ""
+            hav = f" HAVING {having}" if having else ""
             return f"SELECT {sel} FROM {frm}{where}{grp}{hav}"
         sel = ", ".join(self.cols + self.windows) or "1 AS one"
         tail = ""
@@ -161,19 +178,6 @@ class Spec:
             return e.strip()
 
         return [alias(e) for e in exprs]
-
-    def uses_double_output(self) -> bool:
-        """True when any output column may be a double (cross-engine
-        stringification of doubles is not digest-safe)."""
-        dbl = {c for t in TABLES.values() for c in t[3]}
-        for e in self.out_cols():
-            if e in dbl:
-                return True
-        for e in (self.aggs or []):
-            head = e.split(" AS ")[0]
-            if any(d in head for d in dbl) and "CAST(" not in head:
-                return True
-        return False
 
     def clauses(self):
         """(label, dropper) pairs for the shrinker, most-droppable first."""
@@ -212,11 +216,27 @@ class Spec:
         s = Spec()
         s.__dict__.update(
             {
-                k: (list(v) if isinstance(v, list) else v)
+                k: (
+                    list(v) if isinstance(v, list)
+                    else set(v) if isinstance(v, set)
+                    else v
+                )
                 for k, v in self.__dict__.items()
             }
         )
         return s
+
+
+def _tiebreak(spec) -> str:
+    """Total-order sort key for window/LIMIT determinism: the base
+    table's unique key plus (under a join) the right table's — an outer
+    join can NULL one side's key, so each component carries an explicit
+    NULLS FIRST (Spark and DuckDB disagree on the default null order)."""
+    keys = [UNIQUE_KEY[spec.table]]
+    if spec.join is not None:
+        keys.append(UNIQUE_KEY[spec.join[0]])
+    cols = [c.strip() for k in keys for c in k.split(",")]
+    return ", ".join(f"{c} NULLS FIRST" for c in cols)
 
 
 def _cols_in_scope(spec):
@@ -299,6 +319,11 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
     spec.table = rng.choice(list(TABLES))
     if JOINS[spec.table] and rng.random() < 0.5:
         spec.join = rng.choice(JOINS[spec.table])
+        # outer joins exercise the null-producing side of the planner;
+        # both engines support the same LEFT/RIGHT JOIN ... ON grammar
+        spec.join_type = rng.choice(
+            ["JOIN", "JOIN", "LEFT JOIN", "RIGHT JOIN"]
+        )
     for _ in range(rng.randrange(3)):
         spec.preds.append(_pred(rng, spec, str_values))
     ints, strs, dbls = _cols_in_scope(spec)
@@ -317,71 +342,99 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
             spec.group.append(g)
         n_aggs = rng.randint(1, 3)
         for i in range(n_aggs):
-            spec.aggs.append(
-                rng.choice(
-                    [
-                        f"COUNT(*) AS agg{i}",
-                        f"CAST(COUNT(DISTINCT {rng.choice(ints)}) AS BIGINT) AS agg{i}",
-                        f"CAST(SUM(CAST({_int_expr(rng, ints)} AS BIGINT)) AS BIGINT) AS agg{i}",
-                        f"CAST(MIN({rng.choice(ints)}) AS BIGINT) AS agg{i}",
-                        f"CAST(MAX({rng.choice(ints)}) AS BIGINT) AS agg{i}",
-                        f"MIN({rng.choice(strs)}) AS agg{i}",
-                        f"MAX({rng.choice(dbls if dbls else ints)}) AS agg{i}",
-                        f"CAST(SUM(CASE WHEN "
-                        f"{_pred(rng, spec, str_values, allow_subquery=False)} "
-                        f"THEN 1 ELSE 0 END) AS BIGINT) AS agg{i}",
-                    ]
-                )
+            chosen = rng.choice(
+                [
+                    f"COUNT(*) AS agg{i}",
+                    f"CAST(COUNT(DISTINCT {rng.choice(ints)}) AS BIGINT) AS agg{i}",
+                    f"CAST(SUM(CAST({_int_expr(rng, ints)} AS BIGINT)) AS BIGINT) AS agg{i}",
+                    f"CAST(MIN({rng.choice(ints)}) AS BIGINT) AS agg{i}",
+                    f"CAST(MAX({rng.choice(ints)}) AS BIGINT) AS agg{i}",
+                    f"MIN({rng.choice(strs)}) AS agg{i}",
+                    f"MAX({rng.choice(dbls if dbls else ints)}) AS agg{i}",
+                    f"MIN({rng.choice(dbls if dbls else ints)}) AS agg{i}",
+                    f"CAST(SUM(CASE WHEN "
+                    f"{_pred(rng, spec, str_values, allow_subquery=False)} "
+                    f"THEN 1 ELSE 0 END) AS BIGINT) AS agg{i}",
+                ]
             )
+            # MIN/MAX over a double column is exact value SELECTION (no
+            # arithmetic), but the output is double-typed: record the
+            # alias so digests canonicalize it (FLOOR(x*1e6+0.5))
+            head = chosen.split(" AS ")[0]
+            if (
+                head.startswith(("MIN(", "MAX("))
+                and any(d in head for d in dbls)
+            ):
+                spec.dbl_out.add(f"agg{i}")
+            spec.aggs.append(chosen)
         if rng.random() < 0.3:
             spec.rollup = True
         if rng.random() < 0.4:
             cmp_ = rng.choice([">", ">="])
             spec.having = f"COUNT(*) {cmp_} {rng.randint(1, 5)}"
     else:
-        picks = rng.sample(ints + strs, k=rng.randint(1, 3))
-        spec.cols = [
-            rng.choice(
-                [
-                    c,
-                    f"UPPER({c}) AS u_{i}" if c in strs else f"{c} + 1 AS p_{i}",
-                    f"COALESCE(CASE WHEN LENGTH(CAST({c} AS VARCHAR(40))) > 3 "
-                    f"THEN NULL ELSE CAST({c} AS VARCHAR(40)) END, 'x') AS z_{i}",
-                ]
+        picks = rng.sample(ints + strs + dbls, k=rng.randint(1, 3))
+        for i, c in enumerate(picks):
+            if c in dbls:
+                # doubles project either raw or through one exact IEEE
+                # add — both bit-identical across engines; record the
+                # alias for digest canonicalization
+                if rng.random() < 0.5:
+                    spec.cols.append(c)
+                    spec.dbl_out.add(c)
+                else:
+                    spec.cols.append(f"{c} + 1 AS p_{i}")
+                    spec.dbl_out.add(f"p_{i}")
+                continue
+            spec.cols.append(
+                rng.choice(
+                    [
+                        c,
+                        f"UPPER({c}) AS u_{i}" if c in strs else f"{c} + 1 AS p_{i}",
+                        f"COALESCE(CASE WHEN LENGTH(CAST({c} AS VARCHAR(40))) > 3 "
+                        f"THEN NULL ELSE CAST({c} AS VARCHAR(40)) END, 'x') AS z_{i}",
+                    ]
+                )
             )
-            for i, c in enumerate(picks)
-        ]
         if rng.random() < 0.4:
             part = rng.choice(strs)
-            uniq = UNIQUE_KEY[spec.table]
+            tb = _tiebreak(spec)
             spec.windows.append(
                 rng.choice(
                     [
                         f"ROW_NUMBER() OVER (PARTITION BY {part} "
-                        f"ORDER BY {uniq}) AS w0",
+                        f"ORDER BY {tb}) AS w0",
                         f"CAST(SUM(CAST({rng.choice(ints)} AS BIGINT)) OVER "
-                        f"(PARTITION BY {part} ORDER BY {uniq} ROWS BETWEEN "
+                        f"(PARTITION BY {part} ORDER BY {tb} ROWS BETWEEN "
                         f"UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS w0",
+                        # explicit NULLS FIRST: outer joins can NULL the
+                        # rank key and the engines' default null order
+                        # differs
                         f"RANK() OVER (PARTITION BY {part} "
-                        f"ORDER BY {rng.choice(ints)}) AS w0",
+                        f"ORDER BY {rng.choice(ints)} NULLS FIRST) AS w0",
                     ]
                 )
             )
         if rng.random() < 0.3 and not spec.windows:
             lead = rng.choice(ints + strs)
+            direction = rng.choice(["ASC", "DESC"])
+            nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
             spec.order = (
-                f"{lead}, {UNIQUE_KEY[spec.table]}",
+                f"{lead} {direction} {nulls}, {_tiebreak(spec)}",
                 rng.randint(3, 40),
             )
     return spec
 
 
 def gate_safe(spec: Spec) -> bool:
-    """True when the spec's digest is SF-independent and portable:
+    """True when the spec's digest is portable across engines.
 
-    - no window functions (ROW_NUMBER determinism rests on full-row
-      uniqueness, which is a property of one dataset, not the grammar);
-    - no double-typed output columns (cross-engine double-to-string
-      formatting is not digest-safe; doubles stay in WHERE).
-    """
-    return not spec.windows and not spec.uses_double_output()
+    r6: the whole grammar is now digest-safe — window plans carry
+    total-order NULLS FIRST tiebreaks (base + join-side unique keys),
+    and double-typed outputs (raw columns / one exact IEEE add /
+    MIN-MAX selection — never accumulation) are declared in
+    ``spec.dbl_out`` so digests canonicalize them through the 'd'
+    canon, FLOOR(x*1e6+0.5), instead of engine-specific double
+    formatting.  Kept as a hook for future grammar growth that is not
+    digest-safe."""
+    return True

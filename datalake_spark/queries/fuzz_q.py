@@ -3,9 +3,12 @@ random query plans (datalake_spark/fuzzgen.py grammar) digested through
 BOTH engines every correctness round.
 
 The exploratory fuzz harness (tests/test_fuzz_differential.py) hunts
-with fresh shapes and a shrinker; this module freezes a gate-safe
-subset — no windows, no double-typed outputs (see fuzzgen.gate_safe) —
-into ONE query: each seed's plan runs as a subquery reduced to
+with fresh shapes and a shrinker; this module freezes 40 seeds (r6:
+window plans and double-typed outputs included — windows carry
+total-order NULLS FIRST tiebreaks, and double outputs are declared in
+Spec.dbl_out and canonicalized here through the 'd' canon,
+FLOOR(x*1e6+0.5), on BOTH engines) into ONE query: each seed's plan
+runs as a subquery reduced to
 (seed, row count, order-insensitive value hash), and the per-seed
 digests are UNION ALLed.  The Spark side and the DuckDB oracle share
 the identical CORE plan text; only the md5->int digest plumbing
@@ -25,14 +28,17 @@ from pyspark.sql import DataFrame, SparkSession
 from datalake_spark.fuzzgen import TABLES, gate_safe, generate
 from datalake_spark.functions.hashing import sql_md5hash60
 
-_N_GATE_PLANS = 20
+_N_GATE_PLANS = 40
 _MOD = 1_000_000_007
 
 
 def _gate_specs():
     """First ``_N_GATE_PLANS`` gate-safe specs from seed 200 upward —
     disjoint from the exploratory harness's 0..149 so the two suites
-    never sample the same shapes."""
+    never sample the same shapes.  Since r6 the whole grammar is
+    gate-safe (windows + canonicalized doubles), so this is seeds
+    200..239; gate_safe() stays in the loop as the hook for future
+    non-digest-safe grammar growth."""
     out = []
     seed = 200
     while len(out) < _N_GATE_PLANS:
@@ -48,10 +54,19 @@ def _spark_hash(expr: str) -> str:
 
 
 def _wrap(seed: int, spec, hash_fn) -> str:
-    canon = ", ".join(
-        f"COALESCE(CAST({c} AS VARCHAR(64)), '<null>')"
-        for c in spec.out_cols()
-    )
+    # double-typed outputs go through the repo's standing 'd' canon
+    # (FLOOR(x*1e6+0.5) as BIGINT) — identical IEEE ops in both engines
+    # — because double-to-string formatting is engine-specific; all
+    # other types stringify portably
+    def cell(c: str) -> str:
+        if c in spec.dbl_out:
+            return (
+                f"COALESCE(CAST(CAST(FLOOR({c} * 1000000 + 0.5) AS BIGINT)"
+                f" AS VARCHAR(64)), '<null>')"
+            )
+        return f"COALESCE(CAST({c} AS VARCHAR(64)), '<null>')"
+
+    canon = ", ".join(cell(c) for c in spec.out_cols())
     rowstr = f"CONCAT_WS('|', {canon})"
     return (
         f"SELECT {seed} AS seed, CAST(COUNT(*) AS BIGINT) AS n_rows, "

@@ -160,6 +160,34 @@ class TestDifferentialFuzz:
                 )
         assert not failures, "\n".join(failures)
 
+    def test_rollup_over_empty_input_divergence_is_guarded(
+        self, spark_tables, duck
+    ):
+        """Documents a REAL engine divergence the r6 grammar growth
+        exposed (seed 14): grouping sets over an empty input produce one
+        grand-total row in DuckDB (SQL standard) but zero rows in Spark.
+        The grammar guards every ROLLUP plan with an identity
+        HAVING COUNT(*) >= 1; this test pins (a) the divergence still
+        exists bare — if a Spark upgrade fixes it, the guard can go —
+        and (b) the guarded form agrees."""
+        bare = (
+            "SELECT n_regionkey, CAST(MIN(n_regionkey) AS BIGINT) AS agg1 "
+            "FROM nation WHERE n_name = '<no such nation>' "
+            "GROUP BY ROLLUP(n_regionkey)"
+        )
+        assert len(spark_tables.sql(bare).collect()) == 0
+        assert len(duck.execute(bare).fetchall()) == 1
+        assert mismatch(spark_tables, duck, bare + " HAVING COUNT(*) >= 1") is None
+        spec = Spec()
+        spec.table = "nation"
+        spec.mode = "agg"
+        spec.group = ["n_regionkey"]
+        spec.aggs = ["CAST(MIN(n_regionkey) AS BIGINT) AS agg1"]
+        spec.rollup = True
+        spec.preds = ["n_name = '<no such nation>'"]
+        assert "HAVING COUNT(*) >= 1" in spec.sql()
+        assert mismatch(spark_tables, duck, spec.sql()) is None
+
     def test_shrinker_reduces_a_planted_mismatch(self, spark_tables, duck):
         """Sanity-check the shrinking machinery itself with a spec whose
         mismatch survives clause-dropping: an engine-specific function in
