@@ -308,6 +308,10 @@ def _mk() -> list[Q]:
               "QUALITY_CLASSIFIER_SQL"),
             {"doc_id": "v", "n_terms": "v", "score_micro": "v",
              "label": "v"}),
+        Sub(q(pq, "quality_classifier_weighted", "quality_classifier_weighted",
+              "QUALITY_CLASSIFIER_WEIGHTED_SQL"),
+            {"doc_id": "v", "n_terms": "v", "score_micro": "v",
+             "label": "v"}),
         Sub(q(pq, "bm25_topk", "bm25_topk", "BM25_TOPK_SQL"),
             {"doc_id": "v", "score_micro": "v"}),
         Sub(q(pq, "skeleton_dedup", "skeleton_dedup", "SKELETON_DEDUP_SQL"),

@@ -2886,14 +2886,17 @@ FROM binned GROUP BY source, bin
 _QC_MOD = 2001
 
 
-def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datalake_spark.functions.hashing import md5hash60
-
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+def _qc_term_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, terms) where terms = word unigrams + '_'-joined bigrams —
+    the fastText-style feature extraction both classifier paths share.
+    Pre-splits ONCE and builds bigrams from the split array (never
+    re-splits inside a lambda — the O(words^2) anti-pattern)."""
     words = F.filter(
-        F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit("")
+        F.split(F.lower(F.col(text_col)), " "), lambda w: w != F.lit("")
     )
-    d = docs.select("doc_id", words.alias("_w"))
+    d = docs.select(F.col(id_col), words.alias("_w"))
     bigrams = F.when(
         F.size("_w") >= 2,
         F.expr(
@@ -2901,7 +2904,15 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> concat(element_at(_w, i), '_', element_at(_w, i + 1)))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    terms = F.concat(F.col("_w"), bigrams)
+    return d.select(id_col, F.concat(F.col("_w"), bigrams).alias("terms"))
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.functions.hashing import md5hash60
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _qc_term_frame(docs)
+    terms = F.col("terms")
     score = F.aggregate(
         terms,
         F.lit(0).cast("long"),
@@ -2915,6 +2926,73 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label"
         ),
     )
+
+
+def classify_quality_weighted(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Linear text classifier inference against a REAL (term,
+    weight_micro) table — the trained-model overload of
+    :func:`quality_classifier` (whose hash-derived weight table is a
+    synthetic default for gate determinism; swap in fastText/regression
+    weights here and the plumbing is identical).
+
+    Scale shape: terms explode map-side, the weight table broadcasts
+    (a 1-10 M term vocab is ~100 MB — well inside broadcast range), so
+    the join never shuffles the corpus; the only shuffle is the final
+    per-doc re-fold — uniform integer (id, weight) pairs keyed by doc
+    id.  Unmatched terms score 0; docs with zero terms survive
+    (explode_outer) with score 0."""
+    d = _qc_term_frame(docs, id_col, text_col)
+    e = d.select(id_col, F.explode_outer("terms").alias("_term"))
+    w = weights.select(
+        F.col("term").alias("_term"),
+        F.col("weight_micro").cast("long").alias("_wm"),
+    )
+    if broadcast_weights:
+        w = F.broadcast(w)
+    score = F.coalesce(F.sum("_wm"), F.lit(0).cast("long"))
+    return (
+        e.join(w, "_term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_term").cast("bigint").alias("n_terms"),
+            score.alias("score_micro"),
+        )
+        .withColumn(
+            "label",
+            F.when(F.col("score_micro") >= 0, F.lit("keep")).otherwise(
+                F.lit("flag")
+            ),
+        )
+    )
+
+
+def quality_classifier_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry for the real-weights path: the weight table is derived
+    IN-PLAN from corpus document frequency (weight_micro = 500 - 3*df —
+    any deterministic integer function works; the point is exercising
+    the explode -> broadcast-join -> per-doc fold pipeline end-to-end
+    with a genuine lookup table, not hash arithmetic)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    e = _qc_term_frame(docs).select(
+        "doc_id", F.explode("terms").alias("term")
+    )
+    wt = (
+        e.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .select(
+            "term",
+            (F.lit(500) - 3 * F.col("_df")).cast("long").alias(
+                "weight_micro"
+            ),
+        )
+    )
+    return classify_quality_weighted(docs, wt)
 
 
 QUALITY_CLASSIFIER_SQL = f"""
@@ -2942,6 +3020,36 @@ SELECT doc_id,
                         s -> ({sql_md5hash60('s')}) % {_QC_MOD} - 1000),
          'sum'), 0) >= 0 THEN 'keep' ELSE 'flag' END AS label
 FROM t
+"""
+
+
+QUALITY_CLASSIFIER_WEIGHTED_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents),
+t AS (
+  SELECT doc_id,
+         list_concat(
+           ws,
+           CASE WHEN len(ws) >= 2 THEN
+             list_transform(generate_series(1, len(ws) - 1),
+                            i -> ws[i] || '_' || ws[i + 1])
+           ELSE [] END) AS terms
+  FROM w),
+e AS (SELECT doc_id, unnest(terms) AS term FROM t),
+wt AS (
+  SELECT term,
+         500 - 3 * CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS weight_micro
+  FROM e GROUP BY term),
+sc AS (
+  SELECT e.doc_id, CAST(SUM(wt.weight_micro) AS BIGINT) AS s
+  FROM e JOIN wt USING (term) GROUP BY e.doc_id)
+SELECT t.doc_id,
+       CAST(len(t.terms) AS BIGINT) AS n_terms,
+       CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_micro,
+       CASE WHEN COALESCE(sc.s, 0) >= 0 THEN 'keep' ELSE 'flag' END AS label
+FROM t LEFT JOIN sc USING (doc_id)
 """
 
 

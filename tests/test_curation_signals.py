@@ -568,3 +568,67 @@ class TestSkeletonDedup:
         assert out[1]["n_twins"] == 3 and out[1]["canonical"] == 1
         assert out[9]["skel_key"] != out[1]["skel_key"]
         assert out[9]["n_twins"] == 1
+
+
+class TestQualityClassifierWeighted:
+    def test_hash_weight_table_reproduces_default_path(self, spark, tmp_path):
+        """The broadcast-join overload fed a weight table built from the
+        SAME hash arithmetic must reproduce quality_classifier's in-plan
+        hashed output exactly — pins join-path == arithmetic-path."""
+        from pyspark.sql import functions as F
+
+        from datalake_spark.functions.hashing import md5hash60
+        from datalake_spark.queries.pipeline_q import (
+            _QC_MOD,
+            _qc_term_frame,
+            classify_quality_weighted,
+            quality_classifier,
+        )
+
+        rows = [(i, t, "s") for i, t in enumerate(_corpus(7, n_docs=30))]
+        rows.append((99, "", "s"))  # zero-term doc must survive with score 0
+        sf_dir = _write_mix(spark, tmp_path, rows, "qcw")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        vocab = (
+            _qc_term_frame(docs)
+            .select(F.explode("terms").alias("term"))
+            .distinct()
+            .select(
+                "term",
+                (F.pmod(md5hash60(F.col("term")), F.lit(_QC_MOD)) - 1000)
+                .cast("long")
+                .alias("weight_micro"),
+            )
+        )
+        got = {
+            r["doc_id"]: (r["n_terms"], r["score_micro"], r["label"])
+            for r in classify_quality_weighted(docs, vocab).collect()
+        }
+        want = {
+            r["doc_id"]: (r["n_terms"], r["score_micro"], r["label"])
+            for r in quality_classifier(spark, sf_dir).collect()
+        }
+        assert got == want
+        assert got[99] == (0, 0, "keep")
+
+    def test_unknown_terms_score_zero(self, spark, tmp_path):
+        from datalake_spark.queries.pipeline_q import classify_quality_weighted
+
+        rows = [(1, "alpha beta", "s"), (2, "gamma gamma", "s")]
+        sf_dir = _write_mix(spark, tmp_path, rows, "qcw2")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        wt = spark.createDataFrame(
+            [("alpha", 7), ("alpha_beta", -3)],
+            "term string, weight_micro long",
+        )
+        got = {
+            r["doc_id"]: (r["n_terms"], r["score_micro"])
+            for r in classify_quality_weighted(docs, wt).collect()
+        }
+        # doc 1: alpha(7) + beta(0) + alpha_beta(-3) = 4 over 3 terms
+        # doc 2: no vocabulary hits at all
+        assert got == {1: (3, 4), 2: (3, 0)}
