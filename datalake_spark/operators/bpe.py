@@ -18,18 +18,21 @@ Determinism/portability discipline:
   winner and one vocabulary-sized job materializes the fused frame
   (bounding the cache to two frames — no persisted-frame leak across
   rounds);
-- merge application is plain string replace of " a b " inside the
-  space-padded symbol sequence, iterated a fixed ``replace_passes`` times:
-  both engines' replace() fuses non-overlapping occurrences left-to-right,
-  and repeating it to fixpoint reproduces the canonical merge-all
-  application (a run of m repeated symbols converges in <= ceil(m/2)
-  passes, so passes = half the longest word is exact).
+- merge application is ONE lookahead-regexp pass per rule over the
+  space-padded symbol sequence (``_merge_rule``): the trailing-space
+  boundary is a lookahead, so consecutive matches chain and one pass is
+  exactly the canonical greedy single-scan (i -> i+2 on match) — r6
+  replaced the iterated plain-replace here, which consumed its boundary
+  space and stranded singles inside same-symbol runs (" a a a a a a "
+  fixpointed at " aa a aa a " instead of greedy " aa aa aa "), an
+  under-merge the in-driver/pure-Python trainers never had.
 
 Two equivalent trainers behind one budget gate: the word-frequency dict
 is Heaps-sublinear in corpus size, so when it fits
 ``local_vocab_budget`` the merge loop runs in-driver (incremental pair
 counts + lazy heap — 32 k merges in seconds); otherwise the distributed
-replace-to-fixpoint rounds run.  A test pins both paths equal.
+single-scan rounds run.  A test pins both paths equal (including a
+30-char same-symbol-run corpus on the forced distributed path).
 """
 
 from __future__ import annotations
@@ -105,6 +108,44 @@ def _local_bpe_train(
     return merges
 
 
+def _enc_seq(col):
+    """Double-space encoding of a single-space symbol sequence: one pad
+    space at each end, TWO spaces between symbols.  Under this encoding
+    a pair pattern " l  r " consumes exactly one boundary space on each
+    side and leaves the other in the stream, so plain replace()'s
+    resume-after-match scanning chains across a run — one pass is
+    exactly the canonical greedy single-scan (i -> i+2 on match).
+
+    Iterated single-space ``replace(" l r ", " lr ")`` is NOT that
+    operator: a match eats its trailing space, the scan resumes
+    mid-pair, and same-symbol runs strand singles between merged
+    symbols (" a a a a a a " fixpoints at " aa a aa a " where greedy
+    BPE gives " aa aa aa ") — with no pass count fixing it."""
+    return F.concat(
+        F.lit(" "), F.replace(col, F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+
+
+def _apply_rule_enc(enc_col, left, right):
+    """One merge rule over an encoded sequence; ``left``/``right`` are
+    Columns, so learned rules can stay in-plan (broadcast row).  The
+    replacement " lr " keeps the encoding invariant (its pads fuse with
+    the neighbors' remaining separator spaces)."""
+    pat = F.concat(F.lit(" "), left, F.lit("  "), right, F.lit(" "))
+    rep = F.concat(F.lit(" "), left, right, F.lit(" "))
+    return F.replace(enc_col, pat, rep)
+
+
+def _dec_seq(col):
+    return F.replace(F.trim(col), F.lit("  "), F.lit(" "))
+
+
+def _merge_rule(col, left: str, right: str):
+    """Exact greedy single-scan application of one BPE merge rule to a
+    single-space symbol sequence (see :func:`_enc_seq` for why)."""
+    return _dec_seq(_apply_rule_enc(_enc_seq(col), F.lit(left), F.lit(right)))
+
+
 def _pairs_of(syms_col: str):
     """Adjacent symbol pairs of a pre-split symbol ARRAY column (guarded:
     1-symbol words yield no pairs, not a descending sequence() error).
@@ -126,16 +167,16 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 3,
-    replace_passes: int = 10,
     local_vocab_budget: int = 1_000_000,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merge rules over the corpus.
 
     Returns (rank, left, right, pair_count): rank-r is the r-th merge,
     pair_count its corpus frequency (weighted by word frequency) at the
-    moment it was chosen.  ``replace_passes`` bounds merge application per
-    round; it must be >= half the longest word's length for exactness
-    (10 covers words up to 20 chars — raise for longer-tailed corpora).
+    moment it was chosen.  Merge application on the distributed path is
+    one lookahead-regexp pass per round (:func:`_merge_rule`) — exact
+    greedy single-scan semantics with NO caller-trusted pass bound, so
+    arbitrarily long words (and same-symbol runs) merge correctly.
 
     Scale adaptivity (the connected_components budget pattern,
     dedup.py): after the single corpus-wide shuffle to the
@@ -194,12 +235,8 @@ def bpe_train(
         if trow["ta"] is None:  # no pairs left (all words fused to 1 symbol)
             break
         merge_rows.append((r, trow["ta"], trow["tb"], int(trow["tcnt"])))
-        pat = F.lit(f" {trow['ta']} {trow['tb']} ")
-        rep = F.lit(f" {trow['ta']}{trow['tb']} ")
-        fused = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
-        for _ in range(replace_passes):
-            fused = F.replace(fused, pat, rep)
-        new_seq = seq.select("freq", F.trim(fused).alias("seq")).persist()
+        fused = _merge_rule(F.col("seq"), trow["ta"], trow["tb"])
+        new_seq = seq.select("freq", fused.alias("seq")).persist()
         # materialize the round's frame while its predecessor is still
         # cached (else the unpersist forces a full-lineage recompute),
         # then release the predecessor — bounds the training to two
@@ -217,26 +254,25 @@ def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
-    replace_passes: int = 10,
 ) -> DataFrame:
     """Apply a learned merge table to a corpus: adds ``bpe_seq`` (the
     space-joined symbol sequence of the WHOLE text, words separated by the
     literal symbol ``▁``) and ``n_bpe_symbols``.  Merge rules apply in
-    rank order with the trainer's replace-to-fixpoint semantics, so
-    segmentation is exactly what the trained tokenizer would emit."""
+    rank order, each as one exact greedy single-scan pass
+    (:func:`_merge_rule`), so segmentation is exactly what the trained
+    tokenizer would emit — no pass bound to size to the corpus."""
     spaced = F.concat_ws(
         " ▁ ", F.transform(
             F.split(F.col(text_col), " "),
             lambda w: F.concat_ws(" ", F.split(w, "")),
         )
     )
-    fused = F.concat(F.lit(" "), spaced, F.lit(" "))
+    # encode once, apply every rule on the encoded form (the invariant
+    # survives each rule), decode once
+    fused = _enc_seq(spaced)
     for left, right in merges:
-        pat = F.lit(f" {left} {right} ")
-        rep = F.lit(f" {left}{right} ")
-        for _ in range(replace_passes):
-            fused = F.replace(fused, pat, rep)
-    out = F.trim(fused)
+        fused = _apply_rule_enc(fused, F.lit(left), F.lit(right))
+    out = _dec_seq(fused)
     return df.withColumn("bpe_seq", out).withColumn(
         "n_bpe_symbols", F.size(F.split(out, " ")).cast("bigint")
     )

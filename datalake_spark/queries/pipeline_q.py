@@ -2520,8 +2520,8 @@ FROM dau JOIN wau ON dau.day = wau.wday
 # One corpus shuffle builds the word-frequency dict; each merge round then
 # works on the vocabulary only (Heaps-sublinear), exactly the classic
 # algorithm's cost structure.  The oracle unrolls the same three rounds in
-# SQL — scalar-subquery top pair per round, replace-to-fixpoint merge
-# application — so the learned rules are value-verified across engines.
+# SQL — scalar-subquery top pair per round, one greedy single-scan
+# merge pass per round (_bpe_merge_sql) — so the learned rules are value-verified across engines.
 # ---------------------------------------------------------------------------
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_spark.operators.bpe import bpe_train
@@ -2530,7 +2530,21 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, text_col="text", n_merges=3)
 
 
-def _bpe_sql(n_rounds: int = 3, passes: int = 10) -> str:
+def _bpe_merge_sql(seq_expr: str, a: str, b: str) -> str:
+    """One exact greedy single-scan merge pass in SQL: the double-space
+    encoding (operators/bpe._enc_seq) makes plain REPLACE's
+    resume-after-match scanning chain across same-symbol runs, so one
+    REPLACE per rule IS canonical BPE application (the old nested
+    10-pass replace stranded singles in runs — under-merge)."""
+    enc = f"' ' || REPLACE({seq_expr}, ' ', '  ') || ' '"
+    rep = (
+        f"REPLACE({enc}, ' ' || {a} || '  ' || {b} || ' ', "
+        f"' ' || {a} || {b} || ' ')"
+    )
+    return f"REPLACE(trim({rep}), '  ', ' ')"
+
+
+def _bpe_sql(n_rounds: int = 3) -> str:
     parts = ["""WITH wc AS (
   SELECT w, COUNT(*) AS freq FROM (
     SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
@@ -2545,12 +2559,9 @@ s0 AS (SELECT freq, array_to_string(string_split(w, ''), ' ') AS seq FROM wc)"""
   GROUP BY 1, 2),
 t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)""")
         if r < n_rounds:
-            expr = f"' ' || {prev}.seq || ' '"
-            for _ in range(passes):
-                expr = (f"REPLACE({expr}, ' ' || t{r}.a || ' ' || t{r}.b || ' ', "
-                        f"' ' || t{r}.a || t{r}.b || ' ')")
+            expr = _bpe_merge_sql(f"{prev}.seq", f"t{r}.a", f"t{r}.b")
             parts.append(
-                f"s{r} AS (SELECT {prev}.freq, trim({expr}) AS seq "
+                f"s{r} AS (SELECT {prev}.freq, {expr} AS seq "
                 f"FROM {prev}, t{r})"
             )
     selects = "\nUNION ALL\n".join(
@@ -2575,7 +2586,12 @@ BPE_MERGES_SQL = _bpe_sql()
 # the merge table.
 # ---------------------------------------------------------------------------
 def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datalake_spark.operators.bpe import bpe_train
+    from datalake_spark.operators.bpe import (
+        _apply_rule_enc,
+        _dec_seq,
+        _enc_seq,
+        bpe_train,
+    )
 
     docs = load(spark, sf_dir, "documents")
     merges = bpe_train(docs, text_col="text", n_merges=3)
@@ -2597,15 +2613,13 @@ def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda w: F.concat_ws(" ", F.split(w, "")),
         ),
     )
-    fused = F.concat(F.lit(" "), spaced, F.lit(" "))
+    # one greedy single-scan pass per rule over the double-space
+    # encoding (operators/bpe._enc_seq) — exact BPE application, no
+    # replace-pass bound
+    fused = _enc_seq(spaced)
     for r in (1, 2, 3):
-        pat = F.concat(
-            F.lit(" "), F.col(f"m{r}.a"), F.lit(" "), F.col(f"m{r}.b"), F.lit(" ")
-        )
-        rep = F.concat(F.lit(" "), F.col(f"m{r}.a"), F.col(f"m{r}.b"), F.lit(" "))
-        for _ in range(10):
-            fused = F.replace(fused, pat, rep)
-    seq = F.trim(fused)
+        fused = _apply_rule_enc(fused, F.col(f"m{r}.a"), F.col(f"m{r}.b"))
+    seq = _dec_seq(fused)
     n_char_syms = (
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
         + F.size(F.split(F.col("text"), " ")) - 1
@@ -2625,18 +2639,15 @@ def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_segment_sql(passes: int = 10) -> str:
+def _bpe_segment_sql() -> str:
     # reuse the trainer CTE chain (t1..t3 hold the learned pairs), then
-    # apply them to per-doc symbol sequences
+    # apply them to per-doc symbol sequences — one greedy single-scan
+    # pass per rule (see _bpe_merge_sql)
     train = _bpe_sql()  # ends with the UNION ALL selects — strip them
     ctes = train.rsplit("\nSELECT CAST(1", 1)[0]
-    expr = "' ' || d.seq || ' '"
+    expr = "d.seq"
     for r in (1, 2, 3):
-        for _ in range(passes):
-            expr = (
-                f"REPLACE({expr}, ' ' || t{r}.a || ' ' || t{r}.b || ' ', "
-                f"' ' || t{r}.a || t{r}.b || ' ')"
-            )
+        expr = _bpe_merge_sql(expr, f"t{r}.a", f"t{r}.b")
     return f"""{ctes},
 docseq AS (
   SELECT doc_id,

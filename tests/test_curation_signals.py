@@ -462,6 +462,32 @@ class TestBpeTrain:
         assert table(bpe_train(df, n_merges=4)) == model
         assert table(bpe_train(df, n_merges=4, local_vocab_budget=0)) == model
 
+    def test_long_words_fully_merge_on_distributed_path(
+        self, spark, tmp_path, seed
+    ):
+        """A 30-char single-symbol run needs ~15 replace passes per
+        round; the old caller-trusted default of 10 silently
+        under-merged it on the distributed path.  The derived in-plan
+        bound (max word length) must make both paths match the pure-
+        Python reference."""
+        from datalake_spark.operators.bpe import bpe_train
+
+        rows = [(1, "a" * 30 + " " + "a" * 30), (2, "a" * 30)]
+        sf_dir = _write(spark, tmp_path, rows, f"bpelong{seed}")
+        model, _ = _model_bpe([t for _, t in rows], 3)
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        def table(d):
+            return [
+                (r["left"], r["right"], r["pair_count"])
+                for r in d.orderBy("rank").collect()
+            ]
+
+        assert table(bpe_train(df, n_merges=3)) == model
+        assert (
+            table(bpe_train(df, n_merges=3, local_vocab_budget=0)) == model
+        )
+
     def test_many_merges_fast_in_driver(self, spark, tmp_path, seed):
         """A realistic-vocabulary training must not scale as one Spark job
         per merge: 200 merges over a few hundred distinct words completes
