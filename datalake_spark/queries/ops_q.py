@@ -109,8 +109,13 @@ JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
 # ---------------------------------------------------------------------------
 # SimHash near-dup pairs, oracle-checked end-to-end: the md5-derived token
 # hash is DuckDB-replayable, and with max_hamming=3 < num_bands=4 the banded
-# result is provably the EXACT hamming<=3 pair set (pigeonhole), so the
-# brute-force SQL below is a true oracle for the banding + verify pipeline.
+# result is provably the EXACT hamming<=3 pair set (pigeonhole) as long as
+# no band bucket exceeds the operator's max_bucket cap.  The oracle
+# replicates the FULL declared semantics — banding, the deterministic
+# id-smallest-prefix bucket cap, candidate dedup, hamming verify — so the
+# gate stays exact at every SF: the sf1.0 scale run (r6) proved the
+# brute-force-only oracle diverges once tiled duplicate docs push hot
+# buckets past the cap (12 buckets > 1000 at sf1.0, max 2690).
 # Production default stays xxhash64 (faster); the operator logic is identical.
 # ---------------------------------------------------------------------------
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,11 +138,24 @@ masks AS (
   SELECT doc_id,
          CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << s) ELSE 0 END)
               AS BIGINT) AS sh
-  FROM votes GROUP BY doc_id)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-FROM masks a JOIN masks b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sh, b.sh)) <= 3
+  FROM votes GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, sh, band, (sh >> (band * 16)) & 65535 AS bh
+  FROM masks CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS band) bands),
+kept AS (
+  SELECT band, bh, doc_id, sh
+  FROM (SELECT band, bh, doc_id, sh,
+               ROW_NUMBER() OVER (PARTITION BY band, bh
+                                  ORDER BY doc_id) AS rn
+        FROM banded)
+  WHERE rn <= 1000),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sh AS sha, b.sh AS shb
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sha, shb)) <= 3
 """
 
 
