@@ -15,6 +15,38 @@ from datalake_spark.metadata import DAY_MS
 from tests.test_query_engine import T0, make_files_df
 
 
+@pytest.fixture(autouse=True)
+def fsck_after_every_mutation(request):
+    """Every catalog touched by a test in this module gets a deep fsck at
+    teardown: individual features (append/delete/update/compact/index)
+    have their own tests, but the invariant check after each SEQUENCE
+    catches cross-feature interactions for free.  Tests that
+    deliberately corrupt state opt out with @pytest.mark.no_fsck."""
+    made: list = []
+    orig = Catalog.__init__
+
+    def recording(self, *a, **k):
+        orig(self, *a, **k)
+        made.append(self)
+
+    Catalog.__init__ = recording
+    try:
+        yield
+    finally:
+        Catalog.__init__ = orig
+    if request.node.get_closest_marker("no_fsck"):
+        return
+    seen: set = set()
+    for cat in made:
+        if cat.root in seen or not os.path.isdir(cat.root):
+            continue
+        seen.add(cat.root)
+        report = cat.fsck(deep=True)
+        assert report["ok"], (
+            f"post-test fsck violations in {cat.root}: {report['problems']}"
+        )
+
+
 @pytest.fixture()
 def no_dir_renames(monkeypatch):
     """Forbid every rename/move of a DIRECTORY (object stores have no such
@@ -450,6 +482,7 @@ class TestWorkIdIndex:
         assert cat.append_work_id_index(df) is False
         assert cat.work_id_index() is None
 
+    @pytest.mark.no_fsck
     def test_index_read_failure_over_real_data_raises(self, spark, tmp_path):
         """A corrupt part file in a NON-empty index version dir must
         surface as an error, not be masked as the empty-index case —
@@ -475,6 +508,7 @@ class TestWorkIdIndex:
         with pytest.raises(Exception):
             cat.work_id_index()[0].count()
 
+    @pytest.mark.no_fsck
     def test_persistent_rebuild_race_raises_not_silent_loss(
         self, spark, tmp_path, monkeypatch
     ):
@@ -504,6 +538,7 @@ class TestWorkIdIndex:
         with pytest.raises(RuntimeError, match="version moved"):
             cat.append_work_id_index(df)
 
+    @pytest.mark.no_fsck  # deliberately indexes ids absent from files
     def test_append_survives_concurrent_rebuild(self, spark, tmp_path):
         """A rebuild that commits (and GCs the old version dir) while an
         incremental index append is in flight must not lose the appended
@@ -713,6 +748,7 @@ class TestFsck:
         cat.refresh_latest()
         assert cat.fsck()["ok"] is True
 
+    @pytest.mark.no_fsck  # final state is deliberately stale-indexed
     def test_detects_unindexed_files(self, spark, tmp_path):
         cat = Catalog(spark, str(tmp_path))
         cat.append(make_files_df(spark, [
