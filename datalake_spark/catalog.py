@@ -104,6 +104,32 @@ def _gc_versions(root: str, keep_dirs: set[str]) -> None:
                 shutil.rmtree(p, ignore_errors=True)
 
 
+def _local_root(root: str) -> str:
+    """Canonicalize a catalog root: plain local paths pass through,
+    ``file://`` URLs resolve to their local path (so callers that carry
+    Hadoop-style URIs work unchanged — manifest IO, versioned dirs, GC,
+    and Spark reads all agree on one form), and any OTHER scheme raises
+    a clear error up front instead of failing cryptically inside
+    ``open()`` deep in the commit protocol.  A real object-store
+    deployment swaps the driver-side IO helpers (_read_manifest /
+    _commit_version / _gc_versions) for store PUT/LIST/DELETE calls —
+    the protocol is already shaped for that (manifest flip = single
+    conditional PUT; GC = deletes only)."""
+    if root.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        u = urlparse(root)
+        if u.netloc not in ("", "localhost"):
+            raise ValueError(f"unsupported file:// host in {root!r}")
+        return unquote(u.path)
+    if "://" in root:
+        raise ValueError(
+            f"catalog root {root!r}: object-store URLs need the "
+            "store-specific IO layer; pass a local or file:// path"
+        )
+    return root
+
+
 def _dir_has_data_files(vdir: str) -> bool:
     """True when a version directory holds at least one data part file.
 
@@ -167,9 +193,9 @@ class Catalog:
                  lock_poll: float = 0.1, lock_wait: float = 600.0,
                  keep_versions: int = 2):
         self.spark = spark
-        self.root = root
-        self.files_path = os.path.join(root, "files")
-        self.latest_path = os.path.join(root, "latest")
+        self.root = _local_root(root)
+        self.files_path = os.path.join(self.root, "files")
+        self.latest_path = os.path.join(self.root, "latest")
         self.lock_ttl = lock_ttl
         self.append_lease_ttl = append_lease_ttl
         self.lock_poll = lock_poll

@@ -565,6 +565,53 @@ class TestWorkIdIndex:
         ] == ["race1"]
 
 
+class TestUrlSchemeRoots:
+    """The same catalog round-trip must work when the root arrives as a
+    file:// URL (Hadoop-style URI) as when it is a plain path — manifest
+    joins, versioned dirs, index maintenance, delete cascade, and GC all
+    go through one canonical form.  The autouse fixture deep-fscks the
+    final state either way."""
+
+    @pytest.mark.parametrize("scheme", ["plain", "file"])
+    def test_append_query_delete_compact_round_trip(
+        self, spark, tmp_path, scheme
+    ):
+        from datalake_spark.query import QueryEngine
+
+        root = str(tmp_path / "cat")
+        url = root if scheme == "plain" else "file://" + root
+        cat = Catalog(spark, url)
+        rows = [
+            {"id": f"u{i}", "what": "nginx", "where": f"h{i % 2}",
+             "start": T0 + i * DAY_MS, "end": None,
+             "work_id": f"job{i % 3}"}
+            for i in range(8)
+        ]
+        cat.append(make_files_df(spark, rows))
+        cat.build_work_id_index(num_buckets=2)
+        eng = QueryEngine(cat.files(), work_id_index=cat.work_id_index())
+        got = {
+            r["id"]
+            for r in eng.by_time("nginx", T0, T0 + 3 * DAY_MS).collect()
+        }
+        assert {"u0", "u1", "u2", "u3"} <= got
+        assert [r["id"] for r in eng.by_work_id("job1", "nginx").collect()] \
+            == ["u1", "u4", "u7"]
+        cat.delete_where("id = 'u3'")
+        assert {r["id"] for r in cat.files().collect()} == {
+            f"u{i}" for i in range(8)
+        } - {"u3"}
+        cat.compact()
+        # versioned layout + GC ran under the URL root exactly as local
+        assert {r["id"] for r in cat.files().collect()} == {
+            f"u{i}" for i in range(8)
+        } - {"u3"}
+
+    def test_object_store_url_rejected_with_clear_error(self, spark):
+        with pytest.raises(ValueError, match="store-specific IO"):
+            Catalog(spark, "s3a://bucket/prefix")
+
+
 class TestDeleteWhere:
     """delete_where: point-in-time hard delete under compact's protocol."""
 
