@@ -123,6 +123,42 @@ def _walk(data: bytes, pos: int, end: int):
         pos = body + size + (size % 2)
 
 
+def avi_info(b: bytes) -> dict:
+    """Header-only AVI metadata from the avih main header — the RIFF
+    sibling of functions/mp4.mp4_info: duration, stream count, dims,
+    with no frame decode (the movi payload is never touched)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise BadAvi("not a RIFF AVI")
+    found: dict | None = None
+
+    def scan(pos: int, end: int) -> None:
+        nonlocal found
+        for fourcc, body, size in _walk(b, pos, end):
+            if found is not None:
+                return
+            if fourcc == b"LIST":
+                scan(body + 4, body + size)
+            elif fourcc == b"avih" and size >= 40:
+                (us_per_frame, _mbps, _pad, _flags, total_frames, _init,
+                 streams, _buf, width, height) = struct.unpack_from(
+                    "<10I", b, body
+                )
+                found = {
+                    "container": "avi",
+                    "duration_ms": us_per_frame * total_frames // 1000,
+                    "n_tracks": streams,
+                    "n_video": 1 if total_frames else 0,
+                    "n_audio": max(0, streams - 1),
+                    "width": width,
+                    "height": height,
+                }
+
+    scan(12, len(b))
+    if found is None:
+        raise BadAvi("missing avih header")
+    return found
+
+
 def avi_mjpeg_frames(b: bytes) -> tuple[int, list[bytes]]:
     """(dwMicroSecPerFrame, [jpeg bytes per frame]) from an AVI blob."""
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":

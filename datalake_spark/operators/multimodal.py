@@ -16,6 +16,7 @@ where parsing belongs.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -390,6 +391,59 @@ def audio_metadata(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("n_video", T.IntegerType(), True),
+        T.StructField("n_audio", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("meta_error", T.StringType(), True),
+    ]
+)
+
+
+def video_metadata(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Header-only video metadata for mp4/mov (ISO-BMFF moov walk,
+    functions/mp4.py) and AVI (RIFF avih, functions/avi.py) — duration,
+    track count/kinds, dimensions, stdlib-only.  The audio_metadata
+    sibling for the video corpus: bulk triage decides what to decode
+    before any codec runs; frame PIXELS remain the only `av`-gated
+    surface.  Undecodable blobs get a meta_error row, never a failed
+    stage."""
+    from datalake_spark.functions.avi import BadAvi, avi_info
+    from datalake_spark.functions.mp4 import BadMp4, mp4_info
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                out: dict[str, list] = {
+                    k.name: [] for k in VIDEO_META_SCHEMA.fields
+                }
+                for mid, content in zip(chunk["media_id"], chunk["content"]):
+                    out["media_id"].append(mid)
+                    blob = bytes(content or b"")
+                    info = err = None
+                    try:
+                        if blob[:4] == b"RIFF":
+                            info = avi_info(blob)
+                        else:
+                            info = mp4_info(blob)
+                    except (BadMp4, BadAvi, struct.error) as e:
+                        err = str(e) or type(e).__name__
+                    for k in ("container", "duration_ms", "n_tracks",
+                              "n_video", "n_audio", "width", "height"):
+                        out[k].append(None if info is None else info.get(k))
+                    out["meta_error"].append(err)
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=VIDEO_META_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

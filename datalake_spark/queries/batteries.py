@@ -374,6 +374,11 @@ def _mk() -> list[Q]:
               "AUDIO_SNIFF_SQL"),
             {"doc_id": "v", "container": "v", "channels": "v",
              "sample_rate": "v", "flac_duration_ms": "v"}),
+        Sub(q(ops, "video_sniff_roundtrip", "video_sniff_roundtrip",
+              "VIDEO_SNIFF_SQL"),
+            {"doc_id": "v", "container": "v", "duration_ms": "v",
+             "n_tracks": "v", "n_video": "v", "n_audio": "v",
+             "width": "v", "height": "v"}),
         Sub(q(ops, "video_real_roundtrip", "video_real_roundtrip",
               "VIDEO_REAL_ROUNDTRIP_SQL"),
             {"doc_id": "v", "frame_idx": "v", "frame_ms": "v",

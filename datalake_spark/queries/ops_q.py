@@ -804,6 +804,98 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Header-sniff gate for VIDEO containers: per doc, synthesize a real
+# ISO-BMFF mp4 skeleton (even ids: moov/mvhd/trak/tkhd/mdia/hdlr with
+# closed-form timescale/duration/dims and 1 video + id%2... tracks) or an
+# MJPEG AVI header (odd ids: avih with derived frame timing), run the
+# production video_metadata box/RIFF walk, and emit the parsed fields —
+# all closed-form integers of doc_id, so the DuckDB oracle is pure
+# arithmetic.  The mp4 walk gives the container the same header-only
+# treatment MP3/FLAC already have (audio_sniff_roundtrip precedent),
+# shrinking the av-gated surface to frame pixels only.
+# ---------------------------------------------------------------------------
+def video_sniff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        from datalake_spark.functions.avi import avi_encode_mjpeg
+        from datalake_spark.functions.jpeg import jpeg_encode
+        from datalake_spark.functions.mp4 import mp4_build
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            blobs = []
+            for i in ids:
+                i = int(i)
+                if i % 2 == 0:
+                    ts = 1000 * (i % 4 + 1)
+                    dur = ts * (i % 5 + 1)          # exact seconds
+                    tracks = [
+                        {"kind": "vide", "width": 320 + 16 * (i % 8),
+                         "height": 240 + 8 * (i % 8)}
+                    ] + [{"kind": "soun"}] * (i % 3)
+                    blobs.append(mp4_build(ts, dur, tracks))
+                else:
+                    w, h = 8 + (i % 3) * 2, 6 + (i % 2) * 2
+                    frame = jpeg_encode(
+                        np.full((h, w), i % 251, dtype=np.uint8)
+                    )
+                    blobs.append(
+                        avi_encode_mjpeg(
+                            [frame] * (i % 4 + 1), w, h,
+                            us_per_frame=100_000 * (i % 3 + 1),
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.astype(str),
+                    "modality": "video",
+                    "content": blobs,
+                    "mime": None,
+                    "width": None,
+                    "height": None,
+                    "duration_ms": None,
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema=mm_ops.MEDIA_SCHEMA)
+    out = mm_ops.video_metadata(media)
+    return out.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "container",
+        "duration_ms",
+        F.col("n_tracks").cast("bigint").alias("n_tracks"),
+        F.col("n_video").cast("bigint").alias("n_video"),
+        F.col("n_audio").cast("bigint").alias("n_audio"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+    )
+
+
+VIDEO_SNIFF_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 5 + 1) * 1000
+                 ELSE 100 * (doc_id % 3 + 1) * (doc_id % 4 + 1)
+            END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3
+                 ELSE 1 END AS BIGINT) AS n_tracks,
+       CAST(1 AS BIGINT) AS n_video,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 3
+                 ELSE 0 END AS BIGINT) AS n_audio,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 320 + 16 * (doc_id % 8)
+                 ELSE 8 + (doc_id % 3) * 2 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 240 + 8 * (doc_id % 8)
+                 ELSE 6 + (doc_id % 2) * 2 END AS BIGINT) AS height
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Real-codec gate for VIDEO: per doc, synthesize an animated GIF (nf =
 # 2+id%3 solid frames of gray v_j = (id*31 + j*17) % 251, delay d =
 # 200+(id%4)*100 ms, w = 4+id%3, h = 3+id%2), run the production

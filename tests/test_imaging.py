@@ -815,3 +815,94 @@ class TestAviMjpeg:
         rows = mm.sample_frames(media, use_fake=False).collect()
         assert len(rows) == 1 and rows[0]["frame_idx"] == -1
         assert "AVI" in rows[0]["frame_error"] or "avih" in rows[0]["frame_error"]
+
+
+class TestMp4HeaderSniff:
+    def test_build_walk_roundtrip(self):
+        from datalake_spark.functions.mp4 import mp4_build, mp4_info
+
+        b = mp4_build(
+            2000, 7000,
+            [{"kind": "vide", "width": 640, "height": 360},
+             {"kind": "soun"}, {"kind": "soun"}],
+        )
+        info = mp4_info(b)
+        assert info["container"] == "mp4"
+        assert info["duration_ms"] == 3500  # 7000 / 2000 ticks
+        assert (info["n_tracks"], info["n_video"], info["n_audio"]) == (3, 1, 2)
+        assert (info["width"], info["height"]) == (640, 360)
+
+    def test_version1_mvhd_and_largesize(self):
+        import struct
+
+        from datalake_spark.functions.mp4 import _box, mp4_info
+
+        mvhd_v1 = _box(
+            b"mvhd",
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + struct.pack(">I", 90000) + struct.pack(">Q", 90000 * 4)
+            + b"\x00" * 80,
+        )
+        moov = _box(b"moov", mvhd_v1)
+        # wrap ftyp in a 64-bit largesize header to cover that branch
+        ftyp_payload = b"isom" + b"\x00" * 8
+        ftyp64 = (
+            struct.pack(">I", 1) + b"ftyp"
+            + struct.pack(">Q", 16 + len(ftyp_payload)) + ftyp_payload
+        )
+        info = mp4_info(ftyp64 + moov)
+        assert info["duration_ms"] == 4000 and info["timescale"] == 90000
+        assert info["n_tracks"] == 0
+
+    def test_rejects_non_bmff_and_fragmented(self):
+        import pytest as _pytest
+
+        from datalake_spark.functions.mp4 import BadMp4, _box, mp4_info
+
+        with _pytest.raises(BadMp4):
+            mp4_info(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        with _pytest.raises(BadMp4, match="no moov"):
+            mp4_info(_box(b"ftyp", b"isom" + b"\x00" * 8))
+
+    def test_avi_info_from_real_mux(self):
+        import numpy as np
+
+        from datalake_spark.functions.avi import avi_encode_mjpeg, avi_info
+        from datalake_spark.functions.jpeg import jpeg_encode
+
+        frame = jpeg_encode(np.full((6, 8), 100, dtype=np.uint8))
+        b = avi_encode_mjpeg([frame] * 3, 8, 6, us_per_frame=200_000)
+        info = avi_info(b)
+        assert info["container"] == "avi"
+        assert info["duration_ms"] == 600
+        assert (info["width"], info["height"]) == (8, 6)
+        assert info["n_tracks"] == 1 and info["n_video"] == 1
+
+    def test_video_metadata_operator_mixed_and_errors(self, spark):
+        import pandas as pd
+
+        from datalake_spark.functions.mp4 import mp4_build
+        from datalake_spark.operators import multimodal as mm
+
+        good = mp4_build(1000, 2000, [{"kind": "vide", "width": 64,
+                                       "height": 48}])
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "media_id": ["m1", "m2"],
+                    "modality": ["video", "video"],
+                    "content": [good, b"garbage bytes here!!"],
+                    "mime": [None, None],
+                    "width": [None, None],
+                    "height": [None, None],
+                    "duration_ms": [None, None],
+                }
+            ),
+            mm.MEDIA_SCHEMA,
+        )
+        rows = {r["media_id"]: r for r in mm.video_metadata(media).collect()}
+        assert rows["m1"]["container"] == "mp4"
+        assert rows["m1"]["duration_ms"] == 2000
+        assert rows["m1"]["meta_error"] is None
+        assert rows["m2"]["container"] is None
+        assert rows["m2"]["meta_error"]
