@@ -28,6 +28,41 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def quantize_micro(a: Column | str) -> Column:
+    """array<long> of FLOOR(x*1e6 + 0.5) per component — the repo's 'd'
+    canon applied to the embedding itself.  Pure IEEE double ops on the
+    same input floats, so every engine produces the identical integers."""
+    return F.transform(
+        _c(a),
+        lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+
+def cosine_micro_exact(a: Column | str, b: Column | str) -> Column:
+    """Cross-engine BIT-IDENTICAL cosine: quantize components to micro
+    ints, fold dot and norms as exact BIGINT sums (order-independent),
+    and finish with fixed IEEE double ops (cast<2^53 is exact, sqrt and
+    div are correctly rounded everywhere).  A plain double fold's sum
+    depends on accumulation order, and a ≤1-ulp disagreement is enough
+    to flip a nearest-centroid assignment and swap entire IVF probe
+    cells — observed at the sf1.0 scale run (r6) on near-parallel
+    vectors; this ranking key cannot drift."""
+    qa, qb = quantize_micro(a), quantize_micro(b)
+    zero = F.lit(0).cast("long")
+
+    def isum(arr):
+        return F.aggregate(arr, zero, lambda acc, x: acc + x)
+
+    d = isum(F.zip_with(qa, qb, lambda x, y: x * y))
+    na = isum(F.transform(qa, lambda x: x * x))
+    nb = isum(F.transform(qb, lambda x: x * x))
+    return d.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+
+
 def normalize(a: Column | str) -> Column:
     """Unit-normalize an embedding (array<double> out)."""
     n = l2_norm(a)

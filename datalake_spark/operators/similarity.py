@@ -12,6 +12,16 @@
 At 100 TB: signatures/centroid-ids are computed in the scan (map stage);
 the only shuffles are the bucket equi-join (SRP) or the centroid equi-join
 (IVF), versus brute force's broadcast-nested-loop over everything.
+
+Ranking exactness (r6): every rank-sensitive cosine here uses
+functions/vectors.cosine_micro_exact — micro-quantized components, exact
+BIGINT dot/norm sums, one fixed IEEE double finish — because a plain
+double fold's value depends on accumulation order: a <=1-ulp disagreement
+between engines (or between two partitionings of the same cluster!) can
+flip a nearest-centroid assignment and swap entire IVF probe cells, which
+the sf1.0 scale run demonstrated on near-parallel vectors.  Quantized
+ranking is also retry/partitioning-stable WITHIN Spark, not just
+cross-engine.
 """
 
 from __future__ import annotations
@@ -25,7 +35,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datalake_spark.functions.vectors import cosine_similarity
+from datalake_spark.functions.vectors import cosine_micro_exact
 
 
 def brute_force_topk(
@@ -40,7 +50,7 @@ def brute_force_topk(
     c = candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
     sims = (
         c.join(F.broadcast(q))
-        .withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
+        .withColumn("cosine", cosine_micro_exact("q_vec", "c_vec"))
         .select("q_id", "c_id", "cosine")
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
@@ -98,7 +108,7 @@ def srp_ann_topk(
     sims = (
         cand.join(c, "c_id")
         .join(F.broadcast(q), "q_id")
-        .withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
+        .withColumn("cosine", cosine_micro_exact("q_vec", "c_vec"))
         .select("q_id", "c_id", "cosine")
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
@@ -152,7 +162,7 @@ def ivf_index_build(
     c = candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
     c_assign = (
         c.join(F.broadcast(cents))
-        .withColumn("sim", cosine_similarity("c_vec", "cent_vec"))
+        .withColumn("sim", cosine_micro_exact("c_vec", "cent_vec"))
         .withColumn(
             "rk",
             F.row_number().over(
@@ -181,7 +191,7 @@ def ivf_search(
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     q_probe = (
         q.join(F.broadcast(centroids))
-        .withColumn("sim", cosine_similarity("q_vec", "cent_vec"))
+        .withColumn("sim", cosine_micro_exact("q_vec", "cent_vec"))
         .withColumn(
             "rk",
             F.row_number().over(
@@ -193,7 +203,7 @@ def ivf_search(
     )
     sims = (
         assignments.join(F.broadcast(q_probe), "cent_id")
-        .withColumn("cosine", cosine_similarity("q_vec", "c_vec"))
+        .withColumn("cosine", cosine_micro_exact("q_vec", "c_vec"))
         .select("q_id", "c_id", "cosine")
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))

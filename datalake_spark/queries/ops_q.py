@@ -285,47 +285,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Deterministic IVF is fully relational, so it gets a real oracle: the SQL
 # replays centroid choice (16 lowest candidate ids), nearest-centroid
-# assignment, 4-probe, and the exact re-rank.  Cosines differ from Spark's
-# sequential double fold by ≤1 ulp (decimal-exact sums here), which can only
-# reorder candidates whose cosines tie within that ulp — not observed on the
-# test vectors, and the output carries ranks, not floats.
+# assignment, 4-probe, and the exact re-rank.  Every ranking key is the
+# micro-quantized EXACT cosine (functions/vectors.cosine_micro_exact):
+# components floor(x*1e6+0.5) -> BIGINT dot/norm sums -> one fixed chain
+# of IEEE double ops, bit-identical across engines.  The r6 sf1.0 scale
+# run proved the old double-fold-vs-decimal-sum pairing flips
+# nearest-centroid assignments on near-parallel vectors (a <=1-ulp
+# disagreement swaps whole probe cells), so exactness here is
+# load-bearing, not cosmetic.
 ANN_IVF_SQL = """
 WITH el AS (
-  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+  SELECT vec_id,
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS qv,
          UNNEST(generate_series(1, len(embedding))) AS pos
   FROM embeddings),
 norms AS (
-  SELECT vec_id, CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS nsq
+  SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nsq
   FROM el GROUP BY vec_id),
 cents AS (
   SELECT vec_id AS cent_id FROM embeddings WHERE vec_id >= 3
   ORDER BY vec_id LIMIT 16),
+-- pre-filter each join side into its own CTE: without this the planner
+-- can run the pos-equi-join BEFORE the centroid filter, a 640k x 20k
+-- per-pos explosion (observed: the sf1.0 oracle ran for minutes)
+ce AS (
+  SELECT e.vec_id AS cent_id, e.pos, e.qv
+  FROM el e JOIN cents ON e.vec_id = cents.cent_id),
 cdots AS (
-  SELECT a.vec_id AS c_id, b.vec_id AS cent_id,
-         CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
-  FROM el a JOIN el b ON a.pos = b.pos
-  WHERE a.vec_id >= 3 AND b.vec_id IN (SELECT cent_id FROM cents)
+  SELECT a.vec_id AS c_id, b.cent_id,
+         CAST(SUM(a.qv * b.qv) AS BIGINT) AS dt
+  FROM el a JOIN ce b ON a.pos = b.pos
+  WHERE a.vec_id >= 3
   GROUP BY 1, 2),
 cassign AS (
   SELECT c_id, cent_id FROM (
     SELECT c_id, cent_id,
            ROW_NUMBER() OVER (PARTITION BY c_id
-             ORDER BY dot / (SQRT(nc.nsq) * SQRT(nn.nsq)) DESC, cent_id) AS rk
+             ORDER BY CAST(dt AS DOUBLE) /
+                      (SQRT(CAST(nc.nsq AS DOUBLE)) *
+                       SQRT(CAST(nn.nsq AS DOUBLE))) DESC, cent_id) AS rk
     FROM cdots
     JOIN norms nc ON nc.vec_id = c_id
     JOIN norms nn ON nn.vec_id = cent_id)
   WHERE rk = 1),
+qe AS (SELECT vec_id, pos, qv FROM el WHERE vec_id < 3),
 qdots AS (
-  SELECT a.vec_id AS q_id, b.vec_id AS cent_id,
-         CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
-  FROM el a JOIN el b ON a.pos = b.pos
-  WHERE a.vec_id < 3 AND b.vec_id IN (SELECT cent_id FROM cents)
+  SELECT a.vec_id AS q_id, b.cent_id,
+         CAST(SUM(a.qv * b.qv) AS BIGINT) AS dt
+  FROM qe a JOIN ce b ON a.pos = b.pos
   GROUP BY 1, 2),
 qprobe AS (
   SELECT q_id, cent_id FROM (
     SELECT q_id, cent_id,
            ROW_NUMBER() OVER (PARTITION BY q_id
-             ORDER BY dot / (SQRT(nq.nsq) * SQRT(nn.nsq)) DESC, cent_id) AS rk
+             ORDER BY CAST(dt AS DOUBLE) /
+                      (SQRT(CAST(nq.nsq AS DOUBLE)) *
+                       SQRT(CAST(nn.nsq AS DOUBLE))) DESC, cent_id) AS rk
     FROM qdots
     JOIN norms nq ON nq.vec_id = q_id
     JOIN norms nn ON nn.vec_id = cent_id)
@@ -333,8 +349,7 @@ qprobe AS (
 pairs AS (
   SELECT q_id, c_id FROM qprobe JOIN cassign USING (cent_id)),
 fdots AS (
-  SELECT p.q_id, p.c_id,
-         CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  SELECT p.q_id, p.c_id, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dt
   FROM pairs p
   JOIN el a ON a.vec_id = p.q_id
   JOIN el b ON b.vec_id = p.c_id AND a.pos = b.pos
@@ -342,7 +357,9 @@ fdots AS (
 SELECT q_id, c_id, rk FROM (
   SELECT q_id, c_id,
          ROW_NUMBER() OVER (PARTITION BY q_id
-           ORDER BY dot / (SQRT(nq.nsq) * SQRT(nc.nsq)) DESC, c_id) AS rk
+           ORDER BY CAST(dt AS DOUBLE) /
+                    (SQRT(CAST(nq.nsq AS DOUBLE)) *
+                     SQRT(CAST(nc.nsq AS DOUBLE))) DESC, c_id) AS rk
   FROM fdots
   JOIN norms nq ON nq.vec_id = q_id
   JOIN norms nc ON nc.vec_id = c_id)

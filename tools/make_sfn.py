@@ -12,7 +12,7 @@ Tiling rules (tile i in 0..K-1):
 - region/nation: tiny dims, copied once (FKs from tiled tables still
   resolve because nationkeys are not shifted);
 - customer/supplier/part/orders/lineitem: primary keys shift by
-  i*max(key); FK columns shift by the same stride as their target, so
+  i*(max(key)+1); FK columns shift by the same stride as their target, so
   every tile is a self-contained TPC-H-ish sub-universe;
 - events: event_id and user_id shift (each tile = new users with the
   same activity shape, so per-user window/tie behavior matches sf0.1);
@@ -44,8 +44,12 @@ def build(src: str, dst: str, k: int) -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{src}/{t}.parquet'"
         )
+    # stride = max+1: several tables are 0-based, and a max-only stride
+    # collides tile i's lowest ids with tile i-1's highest (observed:
+    # duplicate vec_id rows with different vectors made Spark and DuckDB
+    # legitimately disagree on join/window row choice)
     strides = {
-        n: con.execute(f"SELECT MAX({key}) FROM {n}").fetchone()[0]
+        n: con.execute(f"SELECT MAX({key}) + 1 FROM {n}").fetchone()[0]
         for n, key in [
             ("customer", "c_custkey"),
             ("supplier", "s_suppkey"),
@@ -56,7 +60,7 @@ def build(src: str, dst: str, k: int) -> None:
             ("embeddings", "vec_id"),
         ]
     }
-    max_user = con.execute("SELECT MAX(user_id) FROM events").fetchone()[0]
+    max_user = con.execute("SELECT MAX(user_id) + 1 FROM events").fetchone()[0]
 
     def emit(name: str, select: str) -> None:
         con.execute(
