@@ -386,7 +386,14 @@ class Catalog:
             .agg(
                 F.max_by(
                     F.struct(*cols),
-                    F.struct(F.col("start"), F.col("create_time")),
+                    # id as the final tiebreak mirrors QueryEngine.
+                    # _latest_rank: (start, create_time) CAN tie across
+                    # distinct records, and the reference's newer-write
+                    # rule has no batch analog — the unique id keeps the
+                    # merge deterministic under any partitioning
+                    F.struct(
+                        F.col("start"), F.col("create_time"), F.col("id")
+                    ),
                 ).alias("r")
             )
             .select(

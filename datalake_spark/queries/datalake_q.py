@@ -168,7 +168,7 @@ FROM (
   SELECT *, ROW_NUMBER() OVER (
             PARTITION BY what, site
             ORDER BY LEAST(COALESCE(end_ms, start_ms) // {_DAY_MS}, {_NOW_BUCKET}) DESC,
-                     start_ms DESC, create_time DESC) AS rn
+                     start_ms DESC, create_time DESC, id DESC) AS rn
   FROM files
   WHERE start_ms < {(_NOW_BUCKET + 1) * _DAY_MS}
     AND COALESCE(end_ms, start_ms) >= {_LO_BUCKET * _DAY_MS}

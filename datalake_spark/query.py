@@ -198,10 +198,16 @@ class QueryEngine:
         an older bucket.  Rank = (newest bucket touched, capped at the walk's
         start bucket, then start, then create_time)."""
         end_eff = F.coalesce(F.col("end"), F.col("start"))
+        # final id tiebreak: two records CAN tie on (bucket, start,
+        # create_time) — e.g. same-payload uploads in one millisecond —
+        # and the reference resolves that by write order, which has no
+        # batch analog; the unique id makes the winner deterministic
+        # (caught by the r6 sf1.0 run, where tiled events tie exactly)
         return F.struct(
             F.least(F.floor(end_eff / F.lit(DAY_MS)), F.lit(now_bucket)),
             F.col("start"),
             F.col("create_time"),
+            F.col("id"),
         )
 
     def latest(
