@@ -229,6 +229,8 @@ def main() -> None:
         "event_sequences",
         # r5 additions
         "video_real_roundtrip",
+        # r6 additions (no frozen anchor yet — first round on the board)
+        "quality_classifier_weighted", "video_sniff_roundtrip",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:

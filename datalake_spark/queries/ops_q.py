@@ -74,9 +74,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_CLUSTERS_SQL = """
 WITH RECURSIVE
-w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+-- contract identical texts to their min-id representative BEFORE the
+-- pair closure: identical texts have Jaccard 1, so contraction is
+-- provably component-preserving, and the naive transitive closure is
+-- O(k^3) per iteration on a k-clique — the r6 sf1.0 run (10x duplicate
+-- tiles, ~700-doc cliques) spilled tens of GB through it, while the
+-- contracted graph (~70-node cliques) closes in seconds.  Labels expand
+-- back over all docs; the cluster canonical min doc id IS the min rep.
+rep AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+  FROM documents),
+w AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS words
+  FROM documents d JOIN rep ON rep.doc_id = d.doc_id
+  WHERE rep.rep_id = d.doc_id),
 sh AS (
-  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  -- md5-60 int shingles, not raw strings: see NGRAM_JACCARD_SQL — the
+  -- string self-join spilled tens of GB at sf1.0
+  SELECT DISTINCT doc_id,
+         CAST(CAST('0x' || SUBSTR(md5(array_to_string(words[i:i+2], ' ')),
+                           1, 15) AS BIGINT) AS BIGINT) AS shingle
   FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 pairs AS (
@@ -96,8 +113,8 @@ cc AS (
   SELECT e.a, cc.comp FROM edges e JOIN cc ON cc.id = e.b),
 lab AS (SELECT id, MIN(comp) AS cluster_id FROM cc GROUP BY id),
 allc AS (
-  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
-  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id)
+  SELECT r.doc_id, COALESCE(l.cluster_id, r.rep_id) AS cluster_id
+  FROM rep r LEFT JOIN lab l ON l.id = r.rep_id)
 SELECT a.doc_id, a.cluster_id, s.cluster_size,
        CAST(a.doc_id = a.cluster_id AS BIGINT) AS keep
 FROM allc a

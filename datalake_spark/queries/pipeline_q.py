@@ -195,7 +195,14 @@ NGRAM_JACCARD_SQL = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 sh AS (
-  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  -- shingles join/group on their md5-60 int, not the raw string: the
+  -- sf1.0 run showed the string self-join intermediate (sum df^2 ~ 279M
+  -- rows x ~20B strings) spilling tens of GB; the 60-bit int is
+  -- collision-free at corpus scale and mirrors the Spark side, which
+  -- verifies on xxhash64 shingle hashes
+  SELECT DISTINCT doc_id,
+         CAST(CAST('0x' || SUBSTR(md5(array_to_string(words[i:i+2], ' ')),
+                           1, 15) AS BIGINT) AS BIGINT) AS shingle
   FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
@@ -1004,7 +1011,14 @@ CONTAMINATION_SQL = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 sh AS (
-  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  -- shingles join/group on their md5-60 int, not the raw string: the
+  -- sf1.0 run showed the string self-join intermediate (sum df^2 ~ 279M
+  -- rows x ~20B strings) spilling tens of GB; the 60-bit int is
+  -- collision-free at corpus scale and mirrors the Spark side, which
+  -- verifies on xxhash64 shingle hashes
+  SELECT DISTINCT doc_id,
+         CAST(CAST('0x' || SUBSTR(md5(array_to_string(words[i:i+2], ' ')),
+                           1, 15) AS BIGINT) AS BIGINT) AS shingle
   FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)),
 probe AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
 corp AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
@@ -1956,7 +1970,14 @@ MINHASH_INCREMENTAL_SQL = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 sh AS (
-  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  -- shingles join/group on their md5-60 int, not the raw string: the
+  -- sf1.0 run showed the string self-join intermediate (sum df^2 ~ 279M
+  -- rows x ~20B strings) spilling tens of GB; the 60-bit int is
+  -- collision-free at corpus scale and mirrors the Spark side, which
+  -- verifies on xxhash64 shingle hashes
+  SELECT DISTINCT doc_id,
+         CAST(CAST('0x' || SUBSTR(md5(array_to_string(words[i:i+2], ' ')),
+                           1, 15) AS BIGINT) AS BIGINT) AS shingle
   FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
