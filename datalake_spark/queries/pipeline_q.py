@@ -2986,6 +2986,7 @@ def classify_quality_weighted(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_weights: bool = True,
+    terms_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Linear text classifier inference against a REAL (term,
     weight_micro) table — the trained-model overload of
@@ -2998,8 +2999,17 @@ def classify_quality_weighted(
     the join never shuffles the corpus; the only shuffle is the final
     per-doc re-fold — uniform integer (id, weight) pairs keyed by doc
     id.  Unmatched terms score 0; docs with zero terms survive
-    (explode_outer) with score 0."""
-    d = _qc_term_frame(docs, id_col, text_col)
+    (explode_outer) with score 0.
+
+    ``terms_frame``: a precomputed (id, terms) frame from
+    :func:`_qc_term_frame` — pass it (persisted) when the caller
+    already tokenized the corpus (e.g. to derive the weight table), so
+    the text is split once, not twice."""
+    d = (
+        terms_frame
+        if terms_frame is not None
+        else _qc_term_frame(docs, id_col, text_col)
+    )
     e = d.select(id_col, F.explode_outer("terms").alias("_term"))
     w = weights.select(
         F.col("term").alias("_term"),
@@ -3031,9 +3041,11 @@ def quality_classifier_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the explode -> broadcast-join -> per-doc fold pipeline end-to-end
     with a genuine lookup table, not hash arithmetic)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    e = _qc_term_frame(docs).select(
-        "doc_id", F.explode("terms").alias("term")
-    )
+    # tokenize ONCE: the persisted term frame feeds both the df
+    # aggregation and the scoring explode (split+bigram over the corpus
+    # was previously paid twice — the r6 idle bench flagged it)
+    d = _qc_term_frame(docs).persist()
+    e = d.select("doc_id", F.explode("terms").alias("term"))
     wt = (
         e.groupBy("term")
         .agg(F.countDistinct("doc_id").alias("_df"))
@@ -3044,7 +3056,7 @@ def quality_classifier_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return classify_quality_weighted(docs, wt)
+    return classify_quality_weighted(docs, wt, terms_frame=d)
 
 
 QUALITY_CLASSIFIER_SQL = f"""
