@@ -33,7 +33,23 @@ from datalake_spark.queries.pipeline_q import NGRAM_JACCARD_SQL
 # ---------------------------------------------------------------------------
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup_ops.minhash_lsh_pairs(docs, threshold=0.5)
+    pairs = dedup_ops.minhash_lsh_pairs(docs, threshold=0.5)
+    # truncation sentinel: the brute-force oracle equals the banded
+    # operator ONLY while no band bucket exceeds the cap (the simhash /
+    # fuzzy-join caps both started binding at sf1.0 — this one has not,
+    # but the minhash banding cannot be replicated in DuckDB SQL, since
+    # xxhash64 has no DuckDB analog).  Union the would-be-truncated
+    # buckets as self-describing rows (doc_a = -1): the oracle predicts
+    # zero of them, so if a future corpus makes the cap bind, parity
+    # fails with rows that SAY why instead of a mysterious missing-pairs
+    # diff.
+    trunc = dedup_ops.minhash_truncated_buckets(docs).select(
+        F.lit(-1).cast("long").alias("doc_a"),
+        F.col("band").cast("long").alias("doc_b"),
+        F.col("bucket_size").cast("long").alias("n_common"),
+        F.lit(-1.0).alias("jaccard"),
+    )
+    return pairs.unionByName(trunc)
 
 
 # ---------------------------------------------------------------------------
