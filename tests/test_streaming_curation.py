@@ -180,3 +180,47 @@ class TestStreamingNearDup:
         q.awaitTermination(120)
         ids = sorted(r["doc_id"] for r in spark.read.parquet(shards).collect())
         assert ids == [7]
+
+
+class TestEpochReplayIdempotence:
+    def test_replaying_an_epoch_does_not_duplicate_docs(self, spark, tmp_path):
+        """foreachBatch replays the last epoch after a crash between the
+        shard write and the checkpoint commit (at-least-once).  The
+        staged-overwrite + deterministic-rename write must make that
+        replay a no-op for shard CONTENTS: same docs, same file names,
+        no duplicates."""
+        shards = str(tmp_path / "shards")
+        cur = StreamingCurator(spark, shards, n_shards=2)
+        batch = spark.createDataFrame(
+            [(i, _good(i), "en", T0 + i) for i in range(6)],
+            "doc_id long, text string, lang string, ms long",
+        )
+        cur._write_batch(batch, epoch=0)
+        first = sorted(
+            os.path.relpath(p, shards)
+            for p in glob.glob(f"{shards}/shard=*/*.parquet")
+        )
+        ids_first = sorted(
+            r["doc_id"] for r in spark.read.parquet(shards).collect()
+        )
+        cur._write_batch(batch, epoch=0)  # the replay
+        second = sorted(
+            os.path.relpath(p, shards)
+            for p in glob.glob(f"{shards}/shard=*/*.parquet")
+        )
+        ids_second = sorted(
+            r["doc_id"] for r in spark.read.parquet(shards).collect()
+        )
+        assert first == second              # same deterministic file names
+        assert ids_first == ids_second == list(range(6))
+        # a NEW epoch appends alongside, old epoch files untouched
+        batch2 = spark.createDataFrame(
+            [(i, _good(i), "en", T0 + i) for i in range(6, 9)],
+            "doc_id long, text string, lang string, ms long",
+        )
+        cur._write_batch(batch2, epoch=1)
+        ids = sorted(r["doc_id"] for r in spark.read.parquet(shards).collect())
+        assert ids == list(range(9))
+        # staging epoch dirs are cleaned (the empty _staging parent may
+        # remain; Spark ignores underscore-prefixed dirs)
+        assert glob.glob(os.path.join(shards, "_staging", "epoch-*")) == []
