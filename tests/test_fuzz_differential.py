@@ -188,6 +188,29 @@ class TestDifferentialFuzz:
         assert "HAVING COUNT(*) >= 1" in spec.sql()
         assert mismatch(spark_tables, duck, spec.sql()) is None
 
+    def test_rollup_over_join_equality_divergence_is_guarded(
+        self, spark_tables, duck
+    ):
+        """Documents the second REAL engine divergence this fuzzer found
+        (r6, seed 375): with both sides of a join equality as ROLLUP
+        keys, DuckDB propagates the equality and emits the VALUE for
+        the rolled-up column in subtotal rows where the standard (and
+        Spark) emit NULL.  Pins (a) the bare divergence still exists —
+        if a DuckDB upgrade fixes it the generate() guard can go — and
+        (b) generate() never emits that shape."""
+        bare = (
+            "SELECT c_nationkey, n_nationkey, "
+            "CAST(COUNT(*) AS BIGINT) AS agg0 "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY ROLLUP(c_nationkey, n_nationkey)"
+        )
+        assert mismatch(spark_tables, duck, bare) is not None
+        for seed in range(0, 800):
+            spec = generate(seed)
+            if spec.rollup and spec.join is not None:
+                keys = {k.strip() for k in spec.join[1].split("=")}
+                assert not keys <= set(spec.group), f"seed {seed}"
+
     def test_shrinker_reduces_a_planted_mismatch(self, spark_tables, duck):
         """Sanity-check the shrinking machinery itself with a spec whose
         mismatch survives clause-dropping: an engine-specific function in
