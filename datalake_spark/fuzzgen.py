@@ -111,6 +111,10 @@ class Spec:
         self.table = "nation"
         self.join = None          # (right_table, on_sql) | None
         self.join_type = "JOIN"   # JOIN | LEFT JOIN | RIGHT JOIN
+        self.join2 = None         # second hop off join's right table
+        self.join2_type = "JOIN"
+        self.distinct = False     # project mode: SELECT DISTINCT
+        self.offset = 0           # with order: LIMIT n OFFSET m
         self.dbl_out: set[str] = set()  # output aliases that are doubles
         self.preds: list[str] = []
         self.mode = "project"     # project | agg | setop
@@ -128,6 +132,10 @@ class Spec:
         frm = self.table
         if self.join is not None:
             frm += f" {self.join_type} {self.join[0]} ON {self.join[1]}"
+            if self.join2 is not None:
+                frm += (
+                    f" {self.join2_type} {self.join2[0]} ON {self.join2[1]}"
+                )
         where = f" WHERE {' AND '.join(self.preds)}" if self.preds else ""
         if self.mode == "agg":
             sel = ", ".join(self.group + self.aggs) or "COUNT(*) AS n"
@@ -153,10 +161,13 @@ class Spec:
             hav = f" HAVING {having}" if having else ""
             return f"SELECT {sel} FROM {frm}{where}{grp}{hav}"
         sel = ", ".join(self.cols + self.windows) or "1 AS one"
+        dis = "DISTINCT " if self.distinct else ""
         tail = ""
         if self.order is not None:
             tail = f" ORDER BY {self.order[0]} LIMIT {self.order[1]}"
-        left = f"SELECT {sel} FROM {frm}{where}{tail}"
+            if self.offset:
+                tail += f" OFFSET {self.offset}"
+        left = f"SELECT {dis}{sel} FROM {frm}{where}{tail}"
         if self.mode == "setop" and self.setop is not None:
             where_b = (
                 f" WHERE {' AND '.join(self.preds_b)}" if self.preds_b else ""
@@ -197,6 +208,10 @@ class Spec:
             out.append(("rollup", lambda s: setattr(s, "rollup", False)))
         if self.order is not None:
             out.append(("order", lambda s: setattr(s, "order", None)))
+        if self.offset:
+            out.append(("offset", lambda s: setattr(s, "offset", 0)))
+        if self.distinct:
+            out.append(("distinct", lambda s: setattr(s, "distinct", False)))
         for i, w in enumerate(self.windows):
             out.append((f"window:{w}", lambda s, i=i: s.windows.pop(i)))
         if self.mode == "agg" and len(self.aggs) > 1:
@@ -208,8 +223,13 @@ class Spec:
         if self.mode == "project" and len(self.cols) > 1:
             for i, c in enumerate(self.cols):
                 out.append((f"col:{c}", lambda s, i=i: s.cols.pop(i)))
+        if self.join2 is not None:
+            out.append(("join2", lambda s: setattr(s, "join2", None)))
         if self.join is not None:
-            out.append(("join", lambda s: setattr(s, "join", None)))
+            def drop_join(s):
+                s.join = s.join2 = None
+
+            out.append(("join", drop_join))
         return out
 
     def copy(self) -> "Spec":
@@ -235,6 +255,8 @@ def _tiebreak(spec) -> str:
     keys = [UNIQUE_KEY[spec.table]]
     if spec.join is not None:
         keys.append(UNIQUE_KEY[spec.join[0]])
+        if spec.join2 is not None:
+            keys.append(UNIQUE_KEY[spec.join2[0]])
     cols = [c.strip() for k in keys for c in k.split(",")]
     return ", ".join(f"{c} NULLS FIRST" for c in cols)
 
@@ -245,6 +267,11 @@ def _cols_in_scope(spec):
     if spec.join is not None:
         _k2, i2, s2, d2 = TABLES[spec.join[0]]
         ints, strs, dbls = ints + list(i2), strs + list(s2), dbls + list(d2)
+        if spec.join2 is not None:
+            _k3, i3, s3, d3 = TABLES[spec.join2[0]]
+            ints = ints + [c for c in i3 if c not in ints]
+            strs = strs + [c for c in s3 if c not in strs]
+            dbls = dbls + [c for c in d3 if c not in dbls]
     return ints, strs, dbls
 
 
@@ -324,6 +351,17 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
         spec.join_type = rng.choice(
             ["JOIN", "JOIN", "LEFT JOIN", "RIGHT JOIN"]
         )
+        # second hop along the join graph (lineitem->orders->customer
+        # etc.): INNER only after an outer first hop — chaining an outer
+        # join's null side into another ON clause is valid SQL but adds
+        # no portable coverage worth the tie-analysis burden
+        if JOINS[spec.join[0]] and rng.random() < 0.4:
+            spec.join2 = rng.choice(JOINS[spec.join[0]])
+            spec.join2_type = (
+                rng.choice(["JOIN", "JOIN", "LEFT JOIN"])
+                if spec.join_type == "JOIN"
+                else "JOIN"
+            )
     for _ in range(rng.randrange(3)):
         spec.preds.append(_pred(rng, spec, str_values))
     ints, strs, dbls = _cols_in_scope(spec)
@@ -376,9 +414,13 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
         # NULL.  Skip rollup for exactly that shape; plain GROUP BY on
         # the same columns stays in the grammar (engines agree there).
         if spec.rollup and spec.join is not None:
-            keys = {k.strip() for k in spec.join[1].split("=")}
-            if keys <= set(spec.group):
-                spec.rollup = False
+            ons = [spec.join[1]] + (
+                [spec.join2[1]] if spec.join2 is not None else []
+            )
+            for on in ons:
+                keys = {k.strip() for k in on.split("=")}
+                if keys <= set(spec.group):
+                    spec.rollup = False
         if rng.random() < 0.4:
             cmp_ = rng.choice([">", ">="])
             spec.having = f"COUNT(*) {cmp_} {rng.randint(1, 5)}"
@@ -433,6 +475,13 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
                 f"{lead} {direction} {nulls}, {_tiebreak(spec)}",
                 rng.randint(3, 40),
             )
+            if rng.random() < 0.4:
+                spec.offset = rng.randint(1, 15)
+        elif not spec.windows and rng.random() < 0.25:
+            # DISTINCT only without order/windows: the ORDER BY tiebreak
+            # uses hidden columns, which SELECT DISTINCT forbids in both
+            # engines
+            spec.distinct = True
     return spec
 
 
