@@ -35,3 +35,40 @@ def random_metadata(rng: random.Random, **overrides) -> dict:
     }
     m.update(overrides)
     return m
+
+
+@pytest.fixture(autouse=True)
+def fsck_after_every_mutation(request):
+    """Every catalog a test builds gets a deep fsck at teardown —
+    individual features have their own tests, but the invariant sweep
+    after each SEQUENCE catches cross-feature interactions for free
+    (repo-wide since r6: streaming ingest, CLI, archive, and spool
+    tests all mutate catalogs too).  Tests that deliberately corrupt
+    state opt out with @pytest.mark.no_fsck."""
+    from datalake_spark.catalog import Catalog
+
+    made: list = []
+    orig = Catalog.__init__
+
+    def recording(self, *a, **k):
+        orig(self, *a, **k)
+        made.append(self)
+
+    Catalog.__init__ = recording
+    try:
+        yield
+    finally:
+        Catalog.__init__ = orig
+    if request.node.get_closest_marker("no_fsck") or not made:
+        return
+    import os as _os
+
+    seen: set = set()
+    for cat in made:
+        if cat.root in seen or not _os.path.isdir(cat.root):
+            continue
+        seen.add(cat.root)
+        report = cat.fsck(deep=True)
+        assert report["ok"], (
+            f"post-test fsck violations in {cat.root}: {report['problems']}"
+        )

@@ -15,38 +15,6 @@ from datalake_spark.metadata import DAY_MS
 from tests.test_query_engine import T0, make_files_df
 
 
-@pytest.fixture(autouse=True)
-def fsck_after_every_mutation(request):
-    """Every catalog touched by a test in this module gets a deep fsck at
-    teardown: individual features (append/delete/update/compact/index)
-    have their own tests, but the invariant check after each SEQUENCE
-    catches cross-feature interactions for free.  Tests that
-    deliberately corrupt state opt out with @pytest.mark.no_fsck."""
-    made: list = []
-    orig = Catalog.__init__
-
-    def recording(self, *a, **k):
-        orig(self, *a, **k)
-        made.append(self)
-
-    Catalog.__init__ = recording
-    try:
-        yield
-    finally:
-        Catalog.__init__ = orig
-    if request.node.get_closest_marker("no_fsck"):
-        return
-    seen: set = set()
-    for cat in made:
-        if cat.root in seen or not os.path.isdir(cat.root):
-            continue
-        seen.add(cat.root)
-        report = cat.fsck(deep=True)
-        assert report["ok"], (
-            f"post-test fsck violations in {cat.root}: {report['problems']}"
-        )
-
-
 @pytest.fixture()
 def no_dir_renames(monkeypatch):
     """Forbid every rename/move of a DIRECTORY (object stores have no such
