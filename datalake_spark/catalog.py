@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 
@@ -30,17 +29,21 @@ from pyspark.sql import functions as F
 
 from datalake_spark.metadata import DAY_MS
 from datalake_spark.schema import FILES_SCHEMA
+from datalake_spark.store import ObjectStore, join_key, open_store
 
 
 # -- object-store-safe table commits ----------------------------------------
 # Rewrites (latest-table merge, compaction) never rename or overwrite data
 # in place.  Each table root holds immutable version directories
 # (v00000017-<uuid>/) plus one small _CURRENT manifest; committing a version
-# is a single-file atomic replace — the local-FS analog of an object-store
-# PUT, the one primitive those stores make atomic.  Readers resolve the
-# manifest and read an immutable directory, so they can never observe a
-# half-swapped table; old versions are garbage-collected only after the
-# commit, and the previous version is always retained for in-flight readers.
+# is a single atomic object PUT — readers resolve the manifest and read an
+# immutable directory, so they can never observe a half-swapped table; old
+# versions are garbage-collected only after the commit, and the previous
+# version is always retained for in-flight readers.  Every driver-side IO
+# goes through datalake_spark.store.ObjectStore (GET/PUT/LIST/DELETE/COPY):
+# local catalogs use LocalStore, tests prove the protocol on the MemStore
+# fake, and a real S3/GCS deployment registers its SDK-backed store —
+# nothing here changes.
 
 _MANIFEST = "_CURRENT"
 _LOCK = "_LOCK"
@@ -51,24 +54,27 @@ class WriterLockHeld(Exception):
     """Another writer holds the table lock and the wait timed out."""
 
 
-def _read_manifest(root: str) -> dict | None:
+def _read_manifest(store: ObjectStore, table_key: str) -> dict | None:
+    raw = store.get(join_key(table_key, _MANIFEST))
+    if raw is None:
+        return None
     try:
-        with open(os.path.join(root, _MANIFEST)) as fh:
-            return json.load(fh)
-    except (FileNotFoundError, json.JSONDecodeError):
+        return json.loads(raw)
+    except json.JSONDecodeError:
         return None
 
 
 def _commit_version(
-    root: str,
+    store: ObjectStore,
+    table_key: str,
     version: int,
     dirname: str,
     prev: dict | None = None,
     keep_versions: int = 2,
     extra: dict | None = None,
 ) -> dict:
-    """Atomically point _CURRENT at ``dirname`` (tmp write + rename of the
-    manifest FILE only — a single-object PUT, never a directory move).
+    """Atomically point _CURRENT at ``dirname`` (one whole-object PUT of
+    the manifest only — never a directory move).
 
     The manifest carries a bounded ``history`` of superseded versions
     (Iceberg-style snapshot lineage): the previous current entry is
@@ -81,73 +87,38 @@ def _commit_version(
     hist = hist[-(keep_versions - 1):] if keep_versions > 1 else []
     manifest = {"version": version, "dir": dirname, "history": hist}
     manifest.update(extra or {})
-    tmp = os.path.join(root, f"{_MANIFEST}.tmp.{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(root, _MANIFEST))
+    store.put(join_key(table_key, _MANIFEST), json.dumps(manifest).encode())
     return manifest
 
 
-def _new_version_dir(root: str, version: int) -> str:
-    name = f"v{version:08d}-{uuid.uuid4().hex[:8]}"
-    os.makedirs(root, exist_ok=True)
-    return name
+def _new_version_dir(version: int) -> str:
+    return f"v{version:08d}-{uuid.uuid4().hex[:8]}"
 
 
-def _gc_versions(root: str, keep_dirs: set[str]) -> None:
+def _gc_versions(store: ObjectStore, table_key: str, keep_dirs: set[str]) -> None:
     """Delete version directories not in ``keep_dirs`` (deletes only —
     safe and non-atomic-OK on object stores; runs strictly after commit)."""
-    for entry in os.listdir(root):
-        if entry.startswith("v") and entry not in keep_dirs:
-            p = os.path.join(root, entry)
-            if os.path.isdir(p):
-                shutil.rmtree(p, ignore_errors=True)
+    for key in store.list(table_key):
+        rel = key[len(table_key) + 1:] if table_key else key
+        top = rel.split("/", 1)[0]
+        if top.startswith("v") and "/" in rel and top not in keep_dirs:
+            store.delete(key)
 
 
-def _local_root(root: str) -> str:
-    """Canonicalize a catalog root: plain local paths pass through,
-    ``file://`` URLs resolve to their local path (so callers that carry
-    Hadoop-style URIs work unchanged — manifest IO, versioned dirs, GC,
-    and Spark reads all agree on one form), and any OTHER scheme raises
-    a clear error up front instead of failing cryptically inside
-    ``open()`` deep in the commit protocol.  A real object-store
-    deployment swaps the driver-side IO helpers (_read_manifest /
-    _commit_version / _gc_versions) for store PUT/LIST/DELETE calls —
-    the protocol is already shaped for that (manifest flip = single
-    conditional PUT; GC = deletes only)."""
-    if root.startswith("file:"):
-        from urllib.parse import unquote, urlparse
-
-        u = urlparse(root)
-        if u.netloc not in ("", "localhost"):
-            raise ValueError(f"unsupported file:// host in {root!r}")
-        return unquote(u.path)
-    if "://" in root:
-        raise ValueError(
-            f"catalog root {root!r}: object-store URLs need the "
-            "store-specific IO layer; pass a local or file:// path"
-        )
-    return root
-
-
-def _dir_has_data_files(vdir: str) -> bool:
-    """True when a version directory holds at least one data part file.
-
-    Distinguishes the legitimate empty-index case (dynamic partition
-    write over zero rows emits nothing) from a real read failure over
-    existing data.  Non-local URLs are conservatively reported as
-    non-empty so remote read errors always re-raise instead of being
-    masked as empty."""
-    if "://" in vdir and not vdir.startswith("file://"):
-        return True
-    local = vdir[len("file://"):] if vdir.startswith("file://") else vdir
-    if not os.path.isdir(local):
-        return False
-    for _root, _dirs, files in os.walk(local):
-        for name in files:
-            if not name.startswith((".", "_")):
-                return True
-    return False
+def _version_dir_state(store: ObjectStore, vkey: str) -> str:
+    """Classify a committed version directory: ``"data"`` (holds at least
+    one data part file), ``"empty"`` (exists — the writer's _SUCCESS /
+    marker objects are there — but a dynamic partition write over zero
+    rows emitted no parts: the legitimate empty-index case), or
+    ``"missing"`` (no objects at all: the committed write ALWAYS leaves
+    markers, so a fully absent directory is GC corruption, not
+    emptiness)."""
+    names = [k.rsplit("/", 1)[-1] for k in store.list(vkey)]
+    if not names:
+        return "missing"
+    if any(not n.startswith((".", "_")) for n in names):
+        return "data"
+    return "empty"
 
 
 def with_bucket_date(df: DataFrame) -> DataFrame:
@@ -188,14 +159,24 @@ class Catalog:
     back the lock PUT with a conditional/if-match write.
     """
 
+    FILES_KEY = "files"
+    LATEST_KEY = "latest"
+    INDEX_KEY = "work_id_index"
+
     def __init__(self, spark: SparkSession, root: str,
                  lock_ttl: float = 3600.0, append_lease_ttl: float = 300.0,
                  lock_poll: float = 0.1, lock_wait: float = 600.0,
                  keep_versions: int = 2):
         self.spark = spark
-        self.root = _local_root(root)
-        self.files_path = os.path.join(self.root, "files")
-        self.latest_path = os.path.join(self.root, "latest")
+        # every driver-side control-plane IO (manifests, locks, leases,
+        # GC, sweeps) goes through the store; Spark data reads/writes use
+        # store.spark_url(key).  root/files_path/latest_path remain the
+        # Spark-visible data locations for callers that join paths onto
+        # them (checkpoints, reports, direct inspection).
+        self.store = open_store(root)
+        self.root = self.store.spark_url("")
+        self.files_path = self.store.spark_url(self.FILES_KEY)
+        self.latest_path = self.store.spark_url(self.LATEST_KEY)
         self.lock_ttl = lock_ttl
         self.append_lease_ttl = append_lease_ttl
         self.lock_poll = lock_poll
@@ -205,24 +186,28 @@ class Catalog:
         self.keep_versions = max(1, keep_versions)
 
     # -- writer exclusion ---------------------------------------------------
-    def _lock_path(self) -> str:
-        return os.path.join(self.files_path, _LOCK)
+    def _lock_key(self) -> str:
+        return join_key(self.FILES_KEY, _LOCK)
 
     def _read_lock(self) -> dict | None:
+        raw = self.store.get(self._lock_key())
+        if raw is None:
+            return None
         try:
-            with open(self._lock_path()) as fh:
-                lock = json.load(fh)
-        except (FileNotFoundError, json.JSONDecodeError):
+            lock = json.loads(raw)
+        except json.JSONDecodeError:
             return None
         return lock if lock.get("expiry", 0) > time.time() else None
 
     def _acquire_lock(self, purpose: str) -> str:
         """Take the exclusive writer lock: write-then-reread, so of N racing
         writers the last PUT wins and every loser observes a foreign owner
-        and keeps waiting.  Expired locks are taken over."""
+        and keeps waiting.  Expired locks are taken over.  Needs only
+        atomic PUT + read-after-write consistency (which S3/GCS provide);
+        a store with conditional PUT can swap in put_if_absent for the
+        cold-path create."""
         owner = uuid.uuid4().hex
         deadline = time.time() + self.lock_wait
-        os.makedirs(self.files_path, exist_ok=True)
         while True:
             held = self._read_lock()
             if held is not None and held["owner"] != owner:
@@ -232,13 +217,11 @@ class Catalog:
                     )
                 time.sleep(self.lock_poll)
                 continue
-            tmp = os.path.join(
-                self.files_path, f"{_LOCK}.tmp.{uuid.uuid4().hex[:8]}"
+            self.store.put(
+                self._lock_key(),
+                json.dumps({"owner": owner, "purpose": purpose,
+                            "expiry": time.time() + self.lock_ttl}).encode(),
             )
-            with open(tmp, "w") as fh:
-                json.dump({"owner": owner, "purpose": purpose,
-                           "expiry": time.time() + self.lock_ttl}, fh)
-            os.replace(tmp, self._lock_path())
             held = self._read_lock()
             if held is not None and held["owner"] == owner:
                 return owner
@@ -247,10 +230,7 @@ class Catalog:
     def _release_lock(self, owner: str) -> None:
         held = self._read_lock()
         if held is not None and held["owner"] == owner:
-            try:
-                os.remove(self._lock_path())
-            except FileNotFoundError:
-                pass
+            self.store.delete(self._lock_key())
 
     def _acquire_append_lease(self) -> str:
         """Register a shared append lease; blocks while a rewrite holds the
@@ -258,8 +238,6 @@ class Catalog:
         where the lock lands between our check and our registration: the
         rewriter drains leases AFTER locking, so either it sees our lease
         (and waits for us) or we see its lock (and back off)."""
-        lease_dir = os.path.join(self.files_path, _LEASE_DIR)
-        os.makedirs(lease_dir, exist_ok=True)
         deadline = time.time() + self.lock_wait
         while True:
             if self._read_lock() is not None:
@@ -267,46 +245,53 @@ class Catalog:
                     raise WriterLockHeld("table locked for rewrite")
                 time.sleep(self.lock_poll)
                 continue
-            path = os.path.join(lease_dir, f"append-{uuid.uuid4().hex}")
-            with open(path, "w") as fh:
-                json.dump({"expiry": time.time() + self.append_lease_ttl}, fh)
+            key = join_key(
+                self.FILES_KEY, _LEASE_DIR, f"append-{uuid.uuid4().hex}"
+            )
+            self.store.put(
+                key,
+                json.dumps(
+                    {"expiry": time.time() + self.append_lease_ttl}
+                ).encode(),
+            )
             if self._read_lock() is None:
-                return path
-            os.remove(path)  # a rewriter locked mid-registration; back off
+                return key
+            self.store.delete(key)  # a rewriter locked mid-registration
 
     def _wait_append_leases(self) -> None:
         """Drain shared leases: wait until every registered append has
-        released (normal) or expired (crashed holder), GCing spent files."""
-        lease_dir = os.path.join(self.files_path, _LEASE_DIR)
+        released (normal) or expired (crashed holder), GCing spent ones."""
+        lease_prefix = join_key(self.FILES_KEY, _LEASE_DIR)
         while True:
             live = False
-            for name in (os.listdir(lease_dir)
-                         if os.path.isdir(lease_dir) else []):
-                p = os.path.join(lease_dir, name)
+            for key in self.store.list(lease_prefix):
+                raw = self.store.get(key)
+                if raw is None:
+                    continue
                 try:
-                    with open(p) as fh:
-                        lease = json.load(fh)
-                except (FileNotFoundError, json.JSONDecodeError):
+                    lease = json.loads(raw)
+                except json.JSONDecodeError:
                     continue
                 if lease.get("expiry", 0) > time.time():
                     live = True
                 else:
-                    try:
-                        os.remove(p)
-                    except FileNotFoundError:
-                        pass
+                    self.store.delete(key)
             if not live:
                 return
             time.sleep(self.lock_poll)
 
-    def _files_dir(self) -> str:
-        """Current files data directory: manifest-resolved version dir, or
-        the legacy flat layout (pre-manifest catalogs) until the first
+    def _files_key(self) -> str:
+        """Current files data key: manifest-resolved version dir, or the
+        legacy flat layout (pre-manifest catalogs) until the first
         compaction migrates it."""
-        m = _read_manifest(self.files_path)
+        m = _read_manifest(self.store, self.FILES_KEY)
         if m is None:
-            return self.files_path
-        return os.path.join(self.files_path, m["dir"])
+            return self.FILES_KEY
+        return join_key(self.FILES_KEY, m["dir"])
+
+    def _files_dir(self) -> str:
+        """Spark URL of the current files data directory."""
+        return self.store.spark_url(self._files_key())
 
     # -- write path ---------------------------------------------------------
     def append(self, df: DataFrame, _no_lease: bool = False) -> None:
@@ -353,10 +338,7 @@ class Catalog:
             self.append_work_id_index(df)
         finally:
             if lease is not None:
-                try:
-                    os.remove(lease)
-                except FileNotFoundError:
-                    pass
+                self.store.delete(lease)
 
     def refresh_latest(self, new_rows: DataFrame | None = None) -> None:
         """Maintain the latest table: top-1 per (what, where) by
@@ -375,7 +357,9 @@ class Catalog:
         existing = self.latest_table() if new_rows is not None else None
         if existing is not None:
             src = existing.select(*cols).unionByName(new_rows.select(*cols))
-        elif new_rows is not None and not os.path.isdir(self._files_dir()):
+        elif new_rows is not None and not self.store.exists_prefix(
+            self._files_key()
+        ):
             # first merge on a catalog with no files table yet (streaming
             # writers merge latest before/independently of the files append)
             src = new_rows.select(*cols)
@@ -408,15 +392,18 @@ class Catalog:
         directory, atomically flip the manifest, GC versions older than the
         previous one.  Replaces the old double-write-through-_tmp (two
         rewrites + a leaked directory per batch) and is rename-free."""
-        m = _read_manifest(self.latest_path)
+        m = _read_manifest(self.store, self.LATEST_KEY)
         version = (m["version"] + 1) if m else 1
-        dirname = _new_version_dir(self.latest_path, version)
-        latest.write.parquet(os.path.join(self.latest_path, dirname))
+        dirname = _new_version_dir(version)
+        latest.write.parquet(
+            self.store.spark_url(join_key(self.LATEST_KEY, dirname))
+        )
         manifest = _commit_version(
-            self.latest_path, version, dirname, m, self.keep_versions
+            self.store, self.LATEST_KEY, version, dirname, m,
+            self.keep_versions,
         )
         keep = {dirname} | {h["dir"] for h in manifest["history"]}
-        _gc_versions(self.latest_path, keep)
+        _gc_versions(self.store, self.LATEST_KEY, keep)
 
     # -- read path ----------------------------------------------------------
     def files(self) -> DataFrame:
@@ -430,7 +417,7 @@ class Catalog:
         ``keep_versions`` to buy a deeper travel window).  Raises KeyError
         for a version that exists in lineage but fell out of the retention
         window, so a reader never silently gets the wrong snapshot."""
-        m = _read_manifest(self.latest_path)
+        m = _read_manifest(self.store, self.LATEST_KEY)
         if version is not None:
             if m is None:
                 raise KeyError(f"no latest-table versions exist yet ({version=})")
@@ -445,11 +432,13 @@ class Catalog:
                         f"keep_versions to widen the window)"
                     )
                 dirname = by_v[version]
-            return self.spark.read.parquet(os.path.join(self.latest_path, dirname))
+            return self.spark.read.parquet(
+                self.store.spark_url(join_key(self.LATEST_KEY, dirname))
+            )
         try:
             if m is not None:
                 return self.spark.read.parquet(
-                    os.path.join(self.latest_path, m["dir"])
+                    self.store.spark_url(join_key(self.LATEST_KEY, m["dir"]))
                 )
             return self.spark.read.parquet(self.latest_path)  # legacy layout
         except Exception:
@@ -458,7 +447,7 @@ class Catalog:
     def latest_versions(self) -> list[int]:
         """Retained latest-table versions, newest first (current + the
         manifest's history window)."""
-        m = _read_manifest(self.latest_path)
+        m = _read_manifest(self.store, self.LATEST_KEY)
         if m is None:
             return []
         return [m["version"]] + [
@@ -476,7 +465,7 @@ class Catalog:
 
     @property
     def work_id_index_path(self) -> str:
-        return os.path.join(self.root, "work_id_index")
+        return self.store.spark_url(self.INDEX_KEY)
 
     @staticmethod
     def _wid_bucket(col, num_buckets: int):
@@ -491,23 +480,23 @@ class Catalog:
         the incremental append path."""
         cols = [f.name for f in FILES_SCHEMA.fields]
         src = self.files().select(*cols).filter(F.col("work_id").isNotNull())
-        m = _read_manifest(self.work_id_index_path)
+        m = _read_manifest(self.store, self.INDEX_KEY)
         version = (m["version"] + 1) if m else 1
-        dirname = _new_version_dir(self.work_id_index_path, version)
+        dirname = _new_version_dir(version)
         (
             src.withColumn(
                 "wid_bucket", self._wid_bucket(F.col("work_id"), num_buckets)
             )
             .repartition(F.col("wid_bucket"))
             .write.partitionBy("wid_bucket")
-            .parquet(os.path.join(self.work_id_index_path, dirname))
+            .parquet(self.store.spark_url(join_key(self.INDEX_KEY, dirname)))
         )
         manifest = _commit_version(
-            self.work_id_index_path, version, dirname, m, self.keep_versions,
-            extra={"num_buckets": num_buckets},
+            self.store, self.INDEX_KEY, version, dirname, m,
+            self.keep_versions, extra={"num_buckets": num_buckets},
         )
         keep = {dirname} | {h["dir"] for h in manifest["history"]}
-        _gc_versions(self.work_id_index_path, keep)
+        _gc_versions(self.store, self.INDEX_KEY, keep)
 
     def append_work_id_index(self, new_rows: DataFrame, _race_hook=None) -> bool:
         """Incrementally index just-appended rows (append-only part files
@@ -529,7 +518,7 @@ class Catalog:
         ``_race_hook`` is test-only: called between the part-file write
         and the manifest re-read to simulate a concurrent rebuild.
         """
-        m = _read_manifest(self.work_id_index_path)
+        m = _read_manifest(self.store, self.INDEX_KEY)
         if m is None:
             return False
         cols = [f.name for f in FILES_SCHEMA.fields]
@@ -547,27 +536,28 @@ class Catalog:
                 .repartition(F.col("wid_bucket"))
                 .write.mode("append")
                 .partitionBy("wid_bucket")
-                .parquet(os.path.join(self.work_id_index_path, m["dir"]))
+                .parquet(
+                    self.store.spark_url(join_key(self.INDEX_KEY, m["dir"]))
+                )
             )
             if _race_hook is not None:
                 hook, _race_hook = _race_hook, None
                 hook()
-            m2 = _read_manifest(self.work_id_index_path)
+            m2 = _read_manifest(self.store, self.INDEX_KEY)
             if m2 is None or m2["version"] == m["version"]:
                 return True
             m = m2  # rebuild won the race; land the rows in its version
-        # Five consecutive races is not a race, it's livelock or a bug —
-        # the last write may have landed in a GC'd directory.  Returning
-        # True here would silently drop the rows; surface it instead so
-        # the caller can rebuild.
-        m3 = _read_manifest(self.work_id_index_path)
-        if m3 is not None and m3["version"] != m["version"]:
-            raise RuntimeError(
-                "append_work_id_index: index version moved on every one of "
-                "5 attempts; appended rows may be lost — rebuild the index "
-                "(build_work_id_index) to restore consistency"
-            )
-        return True
+        # Exhausting the loop PROVES loss risk: the only way here is that
+        # every attempt — including the last — observed the version move
+        # after its write, i.e. the final write's target directory was
+        # superseded (and likely GC'd) too.  Raise unconditionally; a
+        # further re-read proving "stable now" would say nothing about
+        # where the already-written rows landed.
+        raise RuntimeError(
+            "append_work_id_index: index version moved on every one of "
+            "5 attempts; appended rows may be lost — rebuild the index "
+            "(build_work_id_index) to restore consistency"
+        )
 
     def work_id_index(self) -> tuple[DataFrame, int] | None:
         """(index DataFrame, num_buckets) or None if never built.
@@ -583,17 +573,20 @@ class Catalog:
         part files (corrupt part, permission error, partial GC) is a real
         error and re-raises — ``by_work_id`` serves exclusively from this
         index, so masking it would silently turn every work-id query into
-        zero rows."""
+        zero rows.  A directory with NO objects at all also re-raises:
+        the committed write always leaves at least its _SUCCESS marker,
+        so a fully absent directory is a manifest pointing at GC'd state
+        (corruption), not the empty-index case."""
         from pyspark.sql import types as T
 
-        m = _read_manifest(self.work_id_index_path)
+        m = _read_manifest(self.store, self.INDEX_KEY)
         if m is None:
             return None
-        vdir = os.path.join(self.work_id_index_path, m["dir"])
+        vkey = join_key(self.INDEX_KEY, m["dir"])
         try:
-            df = self.spark.read.parquet(vdir)
+            df = self.spark.read.parquet(self.store.spark_url(vkey))
         except Exception:
-            if _dir_has_data_files(vdir):
+            if _version_dir_state(self.store, vkey) != "empty":
                 raise
             schema = T.StructType(
                 list(FILES_SCHEMA.fields)
@@ -608,13 +601,14 @@ class Catalog:
         (one file per micro-batch per partition).  Driver-side listing; on
         an object store at scale, feed this from the store's inventory
         instead."""
-        root = self._files_dir()
+        key = self._files_key()
         counts: dict[str, int] = {}
-        for base, _dirs, names in os.walk(root):
-            n = sum(1 for x in names if x.endswith(".parquet"))
-            if n:
-                rel = os.path.relpath(base, root)
-                counts[rel] = counts.get(rel, 0) + n
+        for k in self.store.list(key):
+            if not k.endswith(".parquet"):
+                continue
+            rel = k[len(key) + 1:] if key else k
+            part = os.path.dirname(rel) or "."
+            counts[part] = counts.get(part, 0) + 1
         return counts
 
     def maybe_compact(
@@ -744,7 +738,7 @@ class Catalog:
         """Retained files-table versions, newest first: the current entry
         plus up to ``keep_versions - 1`` history entries whose directories
         GC preserved (Iceberg-style snapshot listing)."""
-        m = _read_manifest(self.files_path)
+        m = _read_manifest(self.store, self.FILES_KEY)
         if m is None:
             return []
         out = [{"version": m["version"], "dir": m["dir"]}]
@@ -765,7 +759,7 @@ class Catalog:
         for entry in self.table_versions():
             if entry["version"] == version:
                 return self.spark.read.parquet(
-                    os.path.join(self.files_path, entry["dir"])
+                    self.store.spark_url(join_key(self.FILES_KEY, entry["dir"]))
                 )
         retained = [e["version"] for e in self.table_versions()]
         raise ValueError(
@@ -821,8 +815,9 @@ class Catalog:
         owner = self._acquire_lock("compact")
         try:
             self._wait_append_leases()
-            old_dir = self._files_dir()
-            m = _read_manifest(self.files_path)
+            old_key = self._files_key()
+            old_dir = self.store.spark_url(old_key)
+            m = _read_manifest(self.store, self.FILES_KEY)
             version = (m["version"] + 1) if m else 1
             df = self.spark.read.parquet(old_dir)
             scanned = {
@@ -832,8 +827,9 @@ class Catalog:
                 )
                 for p in df.inputFiles()
             }
-            dirname = _new_version_dir(self.files_path, version)
-            new_dir = os.path.join(self.files_path, dirname)
+            dirname = _new_version_dir(version)
+            new_key = join_key(self.FILES_KEY, dirname)
+            new_dir = self.store.spark_url(new_key)
             # Drop ONLY rows where the predicate is definitely true.  A bare
             # ~pred silently deletes NULL-evaluating rows too (e.g.
             # work_id = 'job0' against a NULL work_id → NULL → ~NULL = NULL
@@ -889,55 +885,52 @@ class Catalog:
             )
             if _race_hook is not None:
                 _race_hook()
-            swept = self._sweep_stragglers(old_dir, new_dir, scanned)
+            swept = self._sweep_stragglers(old_key, new_key, scanned)
             manifest = _commit_version(
-                self.files_path, version, dirname, m, self.keep_versions
+                self.store, self.FILES_KEY, version, dirname, m,
+                self.keep_versions,
             )
-            self._sweep_stragglers(old_dir, new_dir, scanned | swept)
+            self._sweep_stragglers(old_key, new_key, scanned | swept)
             keep = {dirname} | {h["dir"] for h in manifest["history"]}
-            if old_dir == self.files_path:
+            if old_key == self.FILES_KEY:
                 # one-time migration from the legacy flat layout: drop the
                 # old root-level partition dirs (new readers already resolve
                 # the manifest; legacy-path readers should re-open via the
                 # catalog)
-                for entry in os.listdir(self.files_path):
-                    p = os.path.join(self.files_path, entry)
-                    if (entry.startswith("v") or entry.startswith(_MANIFEST)
-                            or entry.startswith(_LOCK)
-                            or entry == _LEASE_DIR):
+                for k in self.store.list(self.FILES_KEY):
+                    rel = k[len(self.FILES_KEY) + 1:]
+                    top = rel.split("/", 1)[0]
+                    if (top == dirname or top.startswith(_MANIFEST)
+                            or top.startswith(_LOCK) or top == _LEASE_DIR):
                         continue
-                    shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
-                _gc_versions(self.files_path, {dirname})
+                    self.store.delete(k)
             else:
                 _gc_versions(
-                    self.files_path, keep | {os.path.basename(old_dir)}
+                    self.store, self.FILES_KEY,
+                    keep | {old_key.rsplit("/", 1)[-1]},
                 )
         finally:
             self._release_lock(owner)
 
-    @staticmethod
-    def _sweep_stragglers(old_dir: str, new_dir: str, known: set[str]) -> set[str]:
-        """Copy parquet files under ``old_dir`` (relative partition paths
-        preserved) that are not in ``known`` into ``new_dir``; returns the
-        relative paths copied."""
+    def _sweep_stragglers(
+        self, old_key: str, new_key: str, known: set[str]
+    ) -> set[str]:
+        """Server-side-copy parquet objects under ``old_key`` (relative
+        partition paths preserved) that are not in ``known`` into
+        ``new_key``; returns the relative paths copied.  Copies are pure
+        appends into the new version — object-store safe."""
         copied: set[str] = set()
-        for base, dirs, names in os.walk(old_dir):
-            # legacy-migration case: old_dir is the table root and contains
+        new_prefix = f"{new_key}/"
+        for k in self.store.list(old_key):
+            # legacy-migration case: old_key is the table root and contains
             # the new version dir — never sweep the output into itself
-            dirs[:] = [
-                d for d in dirs
-                if os.path.join(base, d) != new_dir
-            ]
-            for name in names:
-                if not name.endswith(".parquet"):
-                    continue
-                rel = os.path.relpath(os.path.join(base, name), old_dir)
-                if rel in known:
-                    continue
-                dst = os.path.join(new_dir, os.path.dirname(rel))
-                os.makedirs(dst, exist_ok=True)
-                shutil.copy2(os.path.join(old_dir, rel), os.path.join(dst, name))
-                copied.add(rel)
+            if k.startswith(new_prefix) or not k.endswith(".parquet"):
+                continue
+            rel = k[len(old_key) + 1:] if old_key else k
+            if rel in known:
+                continue
+            self.store.copy(k, join_key(new_key, rel))
+            copied.add(rel)
         return copied
 
     def fsck(self, deep: bool = True) -> dict:
@@ -964,13 +957,15 @@ class Catalog:
 
         report: dict = {"problems": [], "info": {}}
 
-        def check_table(root: str, name: str) -> None:
-            m = _read_manifest(root)
+        def check_table(table_key: str, name: str) -> None:
+            m = _read_manifest(self.store, table_key)
             if m is None:
-                report["info"][f"{name}_versioned"] = os.path.isdir(root)
+                report["info"][f"{name}_versioned"] = self.store.exists_prefix(
+                    table_key
+                )
                 return
-            cur = os.path.join(root, m["dir"])
-            if not os.path.isdir(cur):
+            top_dirs = set(self.store.subdirs(table_key))
+            if m["dir"] not in top_dirs:
                 report["problems"].append(
                     f"{name}: manifest points at missing dir {m['dir']}"
                 )
@@ -978,52 +973,47 @@ class Catalog:
                 h["dir"] for h in m.get("history", [])
             }
             orphans = sorted(
-                e
-                for e in os.listdir(root)
-                if e.startswith("v") and os.path.isdir(os.path.join(root, e))
-                and e not in referenced
+                d for d in top_dirs
+                if d.startswith("v") and d not in referenced
             )
             if orphans:
                 report["info"][f"{name}_orphan_dirs"] = orphans
             missing_history = sorted(
                 h["dir"]
                 for h in m.get("history", [])
-                if not os.path.isdir(os.path.join(root, h["dir"]))
+                if h["dir"] not in top_dirs
             )
             if missing_history:
                 report["problems"].append(
                     f"{name}: history dirs missing {missing_history}"
                 )
 
-        check_table(self.files_path, "files")
-        check_table(self.latest_path, "latest")
-        check_table(self.work_id_index_path, "work_id_index")
+        check_table(self.FILES_KEY, "files")
+        check_table(self.LATEST_KEY, "latest")
+        check_table(self.INDEX_KEY, "work_id_index")
         # expired lock / leases (informational: TTL takeover handles them)
         now = _time.time()
-        try:
-            with open(self._lock_path()) as fh:
-                if json.load(fh).get("expiry", 0) < now:
+        raw_lock = self.store.get(self._lock_key())
+        if raw_lock is not None:
+            try:
+                if json.loads(raw_lock).get("expiry", 0) < now:
                     report["info"]["expired_lock"] = True
-        except FileNotFoundError:
-            pass
-        except Exception:
-            report["problems"].append("files: unparseable _LOCK file")
-        lease_dir = os.path.join(self.files_path, _LEASE_DIR)
-        if os.path.isdir(lease_dir):
-            expired = 0
-            for name in os.listdir(lease_dir):
-                try:
-                    with open(os.path.join(lease_dir, name)) as fh:
-                        if json.load(fh).get("expiry", 0) < now:
-                            expired += 1
-                except Exception:
+            except Exception:
+                report["problems"].append("files: unparseable _LOCK file")
+        expired = 0
+        for key in self.store.list(join_key(self.FILES_KEY, _LEASE_DIR)):
+            try:
+                raw = self.store.get(key)
+                if raw is None or json.loads(raw).get("expiry", 0) < now:
                     expired += 1
-            if expired:
-                report["info"]["expired_leases"] = expired
+            except Exception:
+                expired += 1
+        if expired:
+            report["info"]["expired_leases"] = expired
         report["info"]["partition_file_counts_max"] = max(
             self.partition_file_counts().values(), default=0
         )
-        if deep and os.path.isdir(self._files_dir()):
+        if deep and _version_dir_state(self.store, self._files_key()) == "data":
             ids = self.files().select("id", "work_id")
             latest = self.latest_table()
             if latest is not None:

@@ -201,6 +201,15 @@ def write_webdataset(
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     os.makedirs(path, exist_ok=True)
+    # sweep stale temps from prior crashed runs (this run's attempts use
+    # fresh attempt-unique names, so nothing live matches)
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(path, "shard-*.tar.tmp-*")):
+        try:
+            os.remove(stale)
+        except FileNotFoundError:
+            pass
     meta_cols = [c for c in df.columns if c != text_col]
     keyed = df.withColumn(KEY_COL, shard_key(id_col, seed)).withColumn(
         SHARD_COL, shard_of(F.col(KEY_COL), n_shards)
@@ -219,6 +228,9 @@ def write_webdataset(
             # shard file — last finished attempt wins whole, and both
             # attempts produce byte-identical tars (deterministic member
             # set + order), so whichever stats row Spark keeps is right.
+            # close() is idempotent (tarfile may close the fileobj it was
+            # handed, and cleanup paths re-close); abort() unlinks the
+            # temp of a failed attempt instead of publishing it.
             def __init__(self, fpath):
                 import uuid as _uuid
 
@@ -227,6 +239,7 @@ def write_webdataset(
                 self.f = open(self.tmp, "wb")
                 self.h = hashlib.md5()
                 self.n = 0
+                self.closed = False
 
             def write(self, b):
                 self.h.update(b)
@@ -237,8 +250,21 @@ def write_webdataset(
                 return self.f.tell()
 
             def close(self):
+                if self.closed:
+                    return
+                self.closed = True
                 self.f.close()
                 os.replace(self.tmp, self.final)
+
+            def abort(self):
+                if self.closed:
+                    return
+                self.closed = True
+                self.f.close()
+                try:
+                    os.remove(self.tmp)
+                except FileNotFoundError:
+                    pass
 
         open_tars: dict[int, tuple] = {}  # shard -> (tar, hfile, count)
 
@@ -264,28 +290,39 @@ def write_webdataset(
             info.mode = 0o644
             t.addfile(info, io.BytesIO(data))
 
-        for pdf in batches:
-            # dict records, not itertuples: namedtuples positionalize
-            # underscore-leading names like _skey
-            for d in pdf.to_dict("records"):
-                shard = int(d[SHARD_COL])
-                ent = tar_for(shard)
-                # the seeded md5 hex IS the shuffle position: prefixing
-                # it makes lexicographic member order the stored order
-                key = f"{d[KEY_COL]}-{d[id_col]}"
-                meta = {
-                    c: d[c]
-                    for c in meta_cols
-                    if c not in (KEY_COL, SHARD_COL)
-                }
-                add(ent[0], f"{key}.txt",
-                    str(d[text_col] or "").encode("utf-8"))
-                add(
-                    ent[0],
-                    f"{key}.json",
-                    json.dumps(meta, sort_keys=True, default=str).encode(),
-                )
-                ent[2] += 1
+        try:
+            for pdf in batches:
+                # dict records, not itertuples: namedtuples positionalize
+                # underscore-leading names like _skey
+                for d in pdf.to_dict("records"):
+                    shard = int(d[SHARD_COL])
+                    ent = tar_for(shard)
+                    # the seeded md5 hex IS the shuffle position: prefixing
+                    # it makes lexicographic member order the stored order
+                    key = f"{d[KEY_COL]}-{d[id_col]}"
+                    meta = {
+                        c: d[c]
+                        for c in meta_cols
+                        if c not in (KEY_COL, SHARD_COL)
+                    }
+                    add(ent[0], f"{key}.txt",
+                        str(d[text_col] or "").encode("utf-8"))
+                    add(
+                        ent[0],
+                        f"{key}.json",
+                        json.dumps(meta, sort_keys=True, default=str).encode(),
+                    )
+                    ent[2] += 1
+        except BaseException:
+            # failed attempt: unlink temps instead of publishing them —
+            # a retry writes its own attempt-unique temp names
+            for t, hf, _cnt in open_tars.values():
+                try:
+                    t.close()
+                except Exception:
+                    pass
+                hf.abort()
+            raise
         out = {"shard": [], "n_members": [], "n_bytes": [], "md5": []}
         for shard, (t, hf, cnt) in sorted(open_tars.items()):
             t.close()

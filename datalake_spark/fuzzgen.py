@@ -14,11 +14,15 @@ Two consumers:
 Grammar: scans, equi-join chains (nation/customer/orders/lineitem/
 documents; INNER / LEFT / RIGHT since r6), filter stacks (comparisons,
 BETWEEN, IN lists over frozen real values, LIKE/SUBSTR, OR
-combinations, correlated EXISTS / IN subqueries along the join graph),
+combinations, correlated EXISTS / IN / scalar-aggregate subqueries
+along the join graph — scalar since r7, MIN/MAX under COALESCE so the
+empty-group NULL is pinned identically in both engines; COUNT excluded,
+its empty-group value rides each engine's decorrelation machinery),
 grouped aggregates (COUNT/SUM-int/COUNT DISTINCT/MIN/MAX/conditional
 SUM, optional ROLLUP and HAVING), window functions with total-order
-NULLS FIRST tiebreaks, set operations, and ORDER BY ... LIMIT tails
-with explicit direction + null ordering.  Exactness discipline:
+NULLS FIRST tiebreaks, set operations (over join results too since
+r7), CASE / integer-arithmetic / GREATEST-LEAST projections (r7), and
+ORDER BY ... LIMIT tails with explicit direction + null ordering.  Exactness discipline:
 integer aggregates pinned to BIGINT; doubles appear raw, through one
 exact IEEE add, or under MIN/MAX (value selection — never accumulated),
 with their output aliases tracked in ``Spec.dbl_out`` so digest
@@ -289,10 +293,11 @@ def _int_expr(rng, ints):
 
 def _pred(rng, spec, str_values, allow_subquery=True):
     ints, strs, dbls = _cols_in_scope(spec)
-    kind = rng.randrange(8 if allow_subquery else 6)
+    kind = rng.randrange(9 if allow_subquery else 6)
     if kind >= 6:
-        # correlated EXISTS / IN subquery along the join edge (only when
-        # the spec has no explicit join, to keep column scopes unambiguous)
+        # correlated EXISTS / IN / SCALAR subquery along the join edge
+        # (only when the spec has no explicit join, to keep column scopes
+        # unambiguous)
         if spec.join is None and JOINS[spec.table]:
             right, on = rng.choice(JOINS[spec.table])
             r_ints = TABLES[right][1]
@@ -303,8 +308,22 @@ def _pred(rng, spec, str_values, allow_subquery=True):
                     f"{neg}EXISTS (SELECT 1 FROM {right} "
                     f"WHERE {on} AND {inner})"
                 )
-            lk, rk = [s.strip() for s in on.split("=")]
-            return f"{lk} IN (SELECT {rk} FROM {right} WHERE {inner})"
+            if kind == 7:
+                lk, rk = [s.strip() for s in on.split("=")]
+                return f"{lk} IN (SELECT {rk} FROM {right} WHERE {inner})"
+            # r7: correlated SCALAR subquery comparison.  MIN/MAX/SUM are
+            # NULL on an empty correlated group in BOTH engines;
+            # COALESCE pins that row to a fixed verdict so the predicate
+            # never goes three-valued differently (COUNT is excluded: its
+            # empty-group value rides each engine's decorrelation
+            # machinery — the classic COUNT-bug surface — and buys no
+            # extra coverage over the pinned aggregates here).
+            agg = rng.choice(["MIN", "MAX"])
+            return (
+                f"{rng.choice(ints)} <= COALESCE((SELECT "
+                f"{agg}({rng.choice(r_ints)}) FROM {right} WHERE {on} "
+                f"AND {inner}), {rng.randint(5, 40)})"
+            )
         kind = rng.randrange(6)
     if kind == 0:
         op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
@@ -366,15 +385,17 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
         spec.preds.append(_pred(rng, spec, str_values))
     ints, strs, dbls = _cols_in_scope(spec)
     spec.mode = rng.choice(["project", "agg", "project", "agg", "setop"])
-    if spec.mode == "setop" and spec.join is None:
+    if spec.mode == "setop":
+        # r7: setops run over JOIN results too — both branches share the
+        # identical FROM (same join chain), so the projected shape always
+        # matches; only the WHERE stacks differ.  UNION ALL keeps
+        # duplicate multiplicity, which the digest SUM verifies exactly.
         spec.setop = rng.choice(["UNION", "UNION ALL", "EXCEPT", "INTERSECT"])
         # plain columns only: both sides must project the same shape
         spec.cols = rng.sample(ints + strs, k=rng.randint(1, 3))
         for _ in range(rng.randint(1, 2)):
             spec.preds_b.append(_pred(rng, spec, str_values))
         return spec
-    if spec.mode == "setop":  # join + setop is more than we model
-        spec.mode = "project"
     if spec.mode == "agg":
         for g in rng.sample(strs + ints, k=rng.randint(1, 2)):
             spec.group.append(g)
@@ -438,6 +459,10 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
                     spec.cols.append(f"{c} + 1 AS p_{i}")
                     spec.dbl_out.add(f"p_{i}")
                 continue
+            # r7 additions: CASE / integer arithmetic / GREATEST-LEAST
+            # projections (all int-typed -> portable stringify; % and *
+            # agree across engines on the non-negative key domain)
+            a, b = rng.choice(ints), rng.choice(ints)
             spec.cols.append(
                 rng.choice(
                     [
@@ -445,8 +470,27 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
                         f"UPPER({c}) AS u_{i}" if c in strs else f"{c} + 1 AS p_{i}",
                         f"COALESCE(CASE WHEN LENGTH(CAST({c} AS VARCHAR(40))) > 3 "
                         f"THEN NULL ELSE CAST({c} AS VARCHAR(40)) END, 'x') AS z_{i}",
+                        f"({a} * 2 - {b}) AS ar_{i}",
+                        f"CASE WHEN {a} % {rng.randint(2, 7)} = 0 "
+                        f"THEN {a} ELSE {b} END AS cs_{i}",
+                        f"GREATEST({a}, {b}) AS gr_{i}",
+                        f"LEAST({a} % {rng.randint(3, 11)}, {b}) AS ls_{i}",
                     ]
                 )
+            )
+        # r7: correlated scalar subquery in the projection (join-free
+        # specs only, same scoping rule as predicate subqueries);
+        # COALESCE pins the empty-group NULL identically in both engines
+        if (
+            spec.join is None and JOINS[spec.table]
+            and rng.random() < 0.25
+        ):
+            right, on = rng.choice(JOINS[spec.table])
+            r_ints = TABLES[right][1]
+            agg = rng.choice(["MIN", "MAX"])
+            spec.cols.append(
+                f"COALESCE((SELECT {agg}({rng.choice(r_ints)}) "
+                f"FROM {right} WHERE {on}), -1) AS sc_0"
             )
         if rng.random() < 0.4:
             part = rng.choice(strs)

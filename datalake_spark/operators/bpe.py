@@ -18,14 +18,18 @@ Determinism/portability discipline:
   winner and one vocabulary-sized job materializes the fused frame
   (bounding the cache to two frames — no persisted-frame leak across
   rounds);
-- merge application is ONE lookahead-regexp pass per rule over the
-  space-padded symbol sequence (``_merge_rule``): the trailing-space
-  boundary is a lookahead, so consecutive matches chain and one pass is
-  exactly the canonical greedy single-scan (i -> i+2 on match) — r6
-  replaced the iterated plain-replace here, which consumed its boundary
-  space and stranded singles inside same-symbol runs (" a a a a a a "
-  fixpointed at " aa a aa a " instead of greedy " aa aa aa "), an
-  under-merge the in-driver/pure-Python trainers never had.
+- merge application is ONE plain ``replace`` per rule over the
+  DOUBLE-SPACE encoding of the symbol sequence (``_enc_seq`` /
+  ``_merge_rule``): with one pad space at each end and two spaces
+  between symbols, the pattern " l  r " consumes exactly one boundary
+  space per side, so replace()'s resume-after-match scanning chains
+  across runs and one pass IS the canonical greedy single-scan
+  (i -> i+2 on match) — in Spark and DuckDB alike, no regex needed.
+  r6 replaced the iterated single-space replace here, which consumed
+  its boundary space and stranded singles inside same-symbol runs
+  (" a a a a a a " fixpointed at " aa a aa a " instead of greedy
+  " aa aa aa "), an under-merge the in-driver/pure-Python trainers
+  never had.
 
 Two equivalent trainers behind one budget gate: the word-frequency dict
 is Heaps-sublinear in corpus size, so when it fits
@@ -174,9 +178,10 @@ def bpe_train(
     Returns (rank, left, right, pair_count): rank-r is the r-th merge,
     pair_count its corpus frequency (weighted by word frequency) at the
     moment it was chosen.  Merge application on the distributed path is
-    one lookahead-regexp pass per round (:func:`_merge_rule`) — exact
-    greedy single-scan semantics with NO caller-trusted pass bound, so
-    arbitrarily long words (and same-symbol runs) merge correctly.
+    one plain replace per round over the double-space encoding
+    (:func:`_merge_rule`) — exact greedy single-scan semantics with NO
+    caller-trusted pass bound, so arbitrarily long words (and
+    same-symbol runs) merge correctly.
 
     Scale adaptivity (the connected_components budget pattern,
     dedup.py): after the single corpus-wide shuffle to the

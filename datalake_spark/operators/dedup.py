@@ -166,6 +166,7 @@ def minhash_lsh_pairs(
     band_rows: int = 2,
     shingle_n: int = 3,
     max_bucket: int = 1000,
+    trunc_out: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with Jaccard >= threshold via banded MinHash LSH.
 
@@ -179,6 +180,15 @@ def minhash_lsh_pairs(
     verified output equals the all-pairs answer (the oracle gate checks this
     equivalence every round) while doing |buckets|×k² work instead of
     |shingle join| work.
+
+    ``trunc_out`` (optional list): receives one DataFrame of (band,
+    band_hash, bucket_size) for every bucket the ``max_bucket`` cap
+    truncated, derived from the SAME bucket aggregation the pairs use —
+    bucket_size is a free ``count`` column on that groupBy, so the
+    sentinel costs zero extra shuffles (the standalone
+    :func:`minhash_truncated_buckets` re-bands and re-groups; use this
+    form whenever pairs are being computed anyway).  The shared bucket
+    frame is persisted since it feeds both subtrees.
     """
     # The sig frame feeds THREE subtrees (banding + both verify join
     # sides).  Spark does NOT reuse the exchange across them — the r3 plan
@@ -195,9 +205,23 @@ def minhash_lsh_pairs(
     ).persist()
     banded = _minhash_banded(sig)
     # candidate pairs: same (band, bandhash) bucket; cap degenerate buckets
-    buckets = banded.groupBy("_band", "_bh").agg(
+    agg_cols = [
         F.slice(F.sort_array(F.collect_list("_id")), 1, max_bucket).alias("_ids")
-    )
+    ]
+    if trunc_out is not None:
+        agg_cols.append(F.count(F.lit(1)).alias("_bsz"))
+    buckets = banded.groupBy("_band", "_bh").agg(*agg_cols)
+    if trunc_out is not None:
+        # one bucket agg feeds pairs AND sentinel — persist so the banding
+        # shuffle runs once (count is exact pre-cap size: free column)
+        buckets = buckets.persist()
+        trunc_out.append(
+            buckets.filter(F.col("_bsz") > max_bucket).select(
+                F.col("_band").alias("band"),
+                F.col("_bh").alias("band_hash"),
+                F.col("_bsz").alias("bucket_size"),
+            )
+        )
     pairs = (
         buckets.filter(F.size("_ids") > 1)
         .select(F.explode(F.expr(

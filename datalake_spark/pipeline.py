@@ -26,6 +26,88 @@ from datalake_spark.operators.dedup import dedup_corpus
 DEFAULT_STOPWORDS = ("the", "a")
 
 
+def load_classifier_weights(spark, path: str, scale: float = 1_000_000.0) -> DataFrame:
+    """Load a trained (term, weight) table into the exact-integer
+    (term, weight_micro) frame :func:`queries.pipeline_q.
+    classify_quality_weighted` consumes — the user-facing path from a
+    fastText-style model file to corpus inference.
+
+    Accepted formats (by extension):
+
+    - ``.parquet``: columns ``term`` + ``weight_micro`` (used verbatim)
+      or ``term`` + ``weight`` (scaled to micro-ints here);
+    - anything else is read as text (fastText ``.vec`` style / TSV /
+      space-separated): each line ``term <ws> weight``; extra columns
+      beyond the weight are ignored, and an optional ``<count> <dim>``
+      header line (both tokens bare integers — the fastText convention)
+      is dropped.  A REAL all-digit term with a bare-integer weight is
+      indistinguishable from that header; weights in practice carry a
+      sign or decimal point, and micro-scaling makes integers rare.
+
+    Weights quantize as FLOOR(w*scale + 0.5) — the repo's standing
+    cross-engine exact-int discipline (functions/vectors.py): scoring
+    becomes pure BIGINT folds, so inference verdicts are partitioning-
+    and engine-invariant.  The read is a distributed Spark scan either
+    way — a 10 M-term vocabulary is a normal small DataFrame, and the
+    consumer broadcasts it."""
+    if path.endswith(".parquet"):
+        w = spark.read.parquet(path)
+        if "weight_micro" in w.columns:
+            return w.select("term", F.col("weight_micro").cast("long"))
+        return w.select(
+            "term",
+            F.floor(F.col("weight").cast("double") * scale + F.lit(0.5))
+            .cast("long")
+            .alias("weight_micro"),
+        )
+    lines = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    return (
+        lines.select(
+            # F.get (not getItem): a blank/short line yields NULL instead
+            # of an array-index error, and the filter drops it
+            F.get(parts, 0).alias("term"),
+            F.get(parts, 1).alias("_w_raw"),
+        )
+        .filter(
+            F.col("_w_raw").isNotNull()
+            & (F.length("term") > 0)
+            # fastText "<n_terms> <dim>" header: both tokens bare ints
+            & ~(
+                F.col("term").rlike(r"^\d+$")
+                & F.col("_w_raw").rlike(r"^\d+$")
+            )
+        )
+        .select(
+            "term",
+            F.floor(F.col("_w_raw").cast("double") * scale + F.lit(0.5))
+            .cast("long")
+            .alias("weight_micro"),
+        )
+        .filter(F.col("weight_micro").isNotNull())
+    )
+
+
+def classify_corpus(
+    docs: DataFrame,
+    weights,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Facade: run the weighted quality classifier over a corpus.
+    ``weights`` is either the (term, weight_micro) DataFrame or a PATH
+    accepted by :func:`load_classifier_weights`."""
+    from datalake_spark.queries.pipeline_q import classify_quality_weighted
+
+    if isinstance(weights, str):
+        weights = load_classifier_weights(
+            docs.sparkSession, weights
+        )
+    return classify_quality_weighted(
+        docs, weights, id_col=id_col, text_col=text_col
+    )
+
+
 def quality_rules(
     df: DataFrame,
     text_col: str = "text",

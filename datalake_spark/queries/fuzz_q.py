@@ -3,11 +3,13 @@ random query plans (datalake_spark/fuzzgen.py grammar) digested through
 BOTH engines every correctness round.
 
 The exploratory fuzz harness (tests/test_fuzz_differential.py) hunts
-with fresh shapes and a shrinker; this module freezes 40 seeds (r6:
-window plans and double-typed outputs included — windows carry
-total-order NULLS FIRST tiebreaks, and double outputs are declared in
-Spec.dbl_out and canonicalized here through the 'd' canon,
-FLOOR(x*1e6+0.5), on BOTH engines) into ONE query: each seed's plan
+with fresh shapes and a shrinker; this module freezes 60 seeds (r6:
+window plans and double-typed outputs — windows carry total-order
+NULLS FIRST tiebreaks, and double outputs are declared in Spec.dbl_out
+and canonicalized here through the 'd' canon, FLOOR(x*1e6+0.5), on
+BOTH engines; r7: correlated scalar subqueries, setops over join
+results, CASE/arithmetic projections, 40 -> 60 seeds) into ONE query:
+each seed's plan
 runs as a subquery reduced to
 (seed, row count, order-insensitive value hash), and the per-seed
 digests are UNION ALLed.  The Spark side and the DuckDB oracle share
@@ -28,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from datalake_spark.fuzzgen import TABLES, gate_safe, generate
 from datalake_spark.functions.hashing import sql_md5hash60
 
-_N_GATE_PLANS = 40
+_N_GATE_PLANS = 60
 _MOD = 1_000_000_007
 
 
@@ -37,7 +39,7 @@ def _gate_specs():
     disjoint from the exploratory harness's 0..149 so the two suites
     never sample the same shapes.  Since r6 the whole grammar is
     gate-safe (windows + canonicalized doubles), so this is seeds
-    200..239; gate_safe() stays in the loop as the hook for future
+    200..259; gate_safe() stays in the loop as the hook for future
     non-digest-safe grammar growth."""
     out = []
     seed = 200

@@ -33,7 +33,6 @@ from datalake_spark.queries.pipeline_q import NGRAM_JACCARD_SQL
 # ---------------------------------------------------------------------------
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup_ops.minhash_lsh_pairs(docs, threshold=0.5)
     # truncation sentinel: the brute-force oracle equals the banded
     # operator ONLY while no band bucket exceeds the cap (the simhash /
     # fuzzy-join caps both started binding at sf1.0 — this one has not,
@@ -42,8 +41,15 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buckets as self-describing rows (doc_a = -1): the oracle predicts
     # zero of them, so if a future corpus makes the cap bind, parity
     # fails with rows that SAY why instead of a mysterious missing-pairs
-    # diff.
-    trunc = dedup_ops.minhash_truncated_buckets(docs).select(
+    # diff.  Since r7 the sentinel rides the pairs path's OWN bucket
+    # aggregation (trunc_out — bucket_size is a free count column on the
+    # groupBy the pairs already run), retiring the second banding
+    # shuffle the r6 form paid (~+65% on this entry).
+    trunc_frames: list = []
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs, threshold=0.5, trunc_out=trunc_frames
+    )
+    trunc = trunc_frames[0].select(
         F.lit(-1).cast("long").alias("doc_a"),
         F.col("band").cast("long").alias("doc_b"),
         F.col("bucket_size").cast("long").alias("n_common"),

@@ -25,14 +25,13 @@ Composition (every stage is the verified batch/stream primitive):
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datalake_spark.export import KEY_COL, SHARD_COL, shard_key, shard_of
+from datalake_spark.store import join_key, open_store
 from datalake_spark.streaming.dedup import dedup_stream_within_watermark
 
 DOC_EVENT_SCHEMA = "doc_id long, text string, lang string, ms long"
@@ -91,7 +90,13 @@ class StreamingCurator:
         sig_path: str | None = None,
     ):
         self.spark = spark
-        self.shards_path = shards_path
+        # every driver-side commit step goes through the store (the same
+        # GET/PUT/LIST/DELETE/COPY seam the catalog uses — LocalStore for
+        # plain paths, MemStore for mem://, a registered SDK store for a
+        # real bucket); shards_path stays the Spark-visible data root for
+        # the readers (export.read_training_shard, compact_shards)
+        self.store = open_store(shards_path)
+        self.shards_path = self.store.spark_url("")
         self.n_shards = n_shards
         self.seed = seed
         self.id_col = id_col
@@ -105,9 +110,7 @@ class StreamingCurator:
         # survivors' signatures append to the store.  None = off (exact
         # watermark dedup still runs upstream in curate_stream).
         self.near_dup_threshold = near_dup_threshold
-        self.sig_path = sig_path or os.path.join(
-            shards_path, "_signatures"
-        )
+        self.sig_path = sig_path or self.store.spark_url("_signatures")
 
     def _near_dup_filter(
         self, batch: DataFrame
@@ -160,45 +163,41 @@ class StreamingCurator:
     def _write_batch(self, batch: DataFrame, epoch: int) -> None:
         """foreachBatch sink.  The shard append is made idempotent per
         epoch: the batch is written (mode=overwrite, replay-safe) to a
-        staging dir keyed by epoch id, then each part file is renamed
-        into its ``shard=K/`` dir under a DETERMINISTIC
-        ``epoch-<id>-<seq>`` name.  A crash-and-replay of the same epoch
-        re-runs the identical plan and os.replace()s the same file names
-        — exactly-once shard contents, no duplicate docs, and the
-        reader-visible layout stays plain ``shard=K/*.parquet``.  (On an
-        object store, the rename step becomes copy+delete or a manifest
-        flip as in Catalog.compact.)"""
+        staging prefix keyed by epoch id, then each part object is
+        promoted into its ``shard=K/`` prefix under a DETERMINISTIC
+        ``epoch-<id>-<seq>`` name via store COPY + staging DELETE — the
+        object-store-safe commit (no renames; a PUT/COPY is atomic per
+        object).  A crash-and-replay of the same epoch re-runs the
+        identical plan and re-copies the same names with the same
+        contents — exactly-once shard contents, no duplicate docs, and
+        the reader-visible layout stays plain ``shard=K/*.parquet``."""
         frames: list = []
         if self.near_dup_threshold is not None:
             batch, frames = self._near_dup_filter(batch)
         keyed = batch.withColumn(
             KEY_COL, shard_key(self.id_col, self.seed)
         ).withColumn(SHARD_COL, shard_of(F.col(KEY_COL), self.n_shards))
-        staging = os.path.join(
-            self.shards_path, "_staging", f"epoch-{epoch}"
-        )
+        staging_key = join_key("_staging", f"epoch-{epoch}")
         (
             keyed.repartition(self.n_shards, F.col(SHARD_COL))
             .write.mode("overwrite")
             .partitionBy(SHARD_COL)
-            .parquet(staging)
+            .parquet(self.store.spark_url(staging_key))
         )
-        for sdir in sorted(
-            glob.glob(os.path.join(staging, f"{SHARD_COL}=*"))
-        ):
-            dest = os.path.join(self.shards_path, os.path.basename(sdir))
-            os.makedirs(dest, exist_ok=True)
-            parts = sorted(
-                p for p in os.listdir(sdir) if p.endswith(".parquet")
-            )
-            for i, p in enumerate(parts):
-                os.replace(
-                    os.path.join(sdir, p),
-                    os.path.join(
-                        dest, f"epoch-{epoch:010d}-{i:05d}.parquet"
+        by_shard: dict[str, list[str]] = {}
+        for k in self.store.list(staging_key):
+            rel = k[len(staging_key) + 1:]
+            if rel.endswith(".parquet") and rel.startswith(f"{SHARD_COL}="):
+                by_shard.setdefault(rel.split("/", 1)[0], []).append(k)
+        for shard_seg in sorted(by_shard):
+            for i, src in enumerate(sorted(by_shard[shard_seg])):
+                self.store.copy(
+                    src,
+                    join_key(
+                        shard_seg, f"epoch-{epoch:010d}-{i:05d}.parquet"
                     ),
                 )
-        shutil.rmtree(staging, ignore_errors=True)
+        self.store.delete_prefix(staging_key)
         if self.near_dup_threshold is not None:
             # survivors' signatures extend the standing store (the
             # cached survivor frame pays the probe once for both writes);

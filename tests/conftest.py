@@ -61,11 +61,9 @@ def fsck_after_every_mutation(request):
         Catalog.__init__ = orig
     if request.node.get_closest_marker("no_fsck") or not made:
         return
-    import os as _os
-
     seen: set = set()
     for cat in made:
-        if cat.root in seen or not _os.path.isdir(cat.root):
+        if cat.root in seen or not cat.store.exists_prefix(""):
             continue
         seen.add(cat.root)
         report = cat.fsck(deep=True)

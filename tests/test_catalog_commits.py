@@ -170,7 +170,8 @@ class TestWriterExclusion:
         cat._wait_append_leases()
         # waited for the holder to expire (with scheduling slack), then GCd
         assert time.time() >= expiry - 0.2
-        assert not _os.listdir(lease_dir)
+        # GCd (the store may also prune the now-empty lease dir itself)
+        assert not (_os.path.isdir(lease_dir) and _os.listdir(lease_dir))
 
     def test_stale_lock_is_taken_over(self, spark, tmp_path):
         import json
@@ -179,12 +180,12 @@ class TestWriterExclusion:
 
         cat = Catalog(spark, str(tmp_path))
         cat.append(make_files_df(spark, _rows(0)))
-        with open(cat._lock_path(), "w") as fh:
-            json.dump({"owner": "dead", "purpose": "compact",
-                       "expiry": time.time() - 10}, fh)
+        cat.store.put(cat._lock_key(), json.dumps(
+            {"owner": "dead", "purpose": "compact",
+             "expiry": time.time() - 10}).encode())
         cat.compact()  # must not wait for the dead owner
         assert cat.files().count() == 10
-        assert not _os.path.exists(cat._lock_path())  # released
+        assert cat.store.get(cat._lock_key()) is None  # released
 
     def test_lock_wait_timeout_raises(self, spark, tmp_path):
         import json
@@ -194,9 +195,9 @@ class TestWriterExclusion:
 
         cat = Catalog(spark, str(tmp_path), lock_poll=0.05, lock_wait=0.3)
         cat.append(make_files_df(spark, _rows(0)))
-        with open(cat._lock_path(), "w") as fh:
-            json.dump({"owner": "other", "purpose": "compact",
-                       "expiry": time.time() + 60}, fh)
+        cat.store.put(cat._lock_key(), json.dumps(
+            {"owner": "other", "purpose": "compact",
+             "expiry": time.time() + 60}).encode())
         with pytest.raises(WriterLockHeld):
             cat.append(make_files_df(spark, _rows(1)))
 
@@ -461,7 +462,7 @@ class TestWorkIdIndex:
         cat.build_work_id_index(num_buckets=4)
         from datalake_spark import catalog as catmod
 
-        m = catmod._read_manifest(cat.work_id_index_path)
+        m = catmod._read_manifest(cat.store, cat.INDEX_KEY)
         vdir = os.path.join(cat.work_id_index_path, m["dir"])
         parts = [
             os.path.join(r, f)
@@ -488,12 +489,13 @@ class TestWorkIdIndex:
         cat = Catalog(spark, str(tmp_path))
         cat.append(make_files_df(spark, self._rows()))
         cat.build_work_id_index(num_buckets=4)
-        real = catmod._read_manifest(cat.work_id_index_path)
+        real_fn = catmod._read_manifest
+        real = real_fn(cat.store, cat.INDEX_KEY)
         counter = {"v": real["version"]}
 
-        def always_moving(root):
-            if root != cat.work_id_index_path:
-                return catmod._read_manifest.__wrapped__(root)  # pragma: no cover
+        def always_moving(store, table_key):
+            if table_key != cat.INDEX_KEY:
+                return real_fn(store, table_key)  # pragma: no cover
             counter["v"] += 1
             return {**real, "version": counter["v"]}
 

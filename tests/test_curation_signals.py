@@ -465,11 +465,12 @@ class TestBpeTrain:
     def test_long_words_fully_merge_on_distributed_path(
         self, spark, tmp_path, seed
     ):
-        """A 30-char single-symbol run needs ~15 replace passes per
-        round; the old caller-trusted default of 10 silently
-        under-merged it on the distributed path.  The derived in-plan
-        bound (max word length) must make both paths match the pure-
-        Python reference."""
+        """A 30-char single-symbol run needed ~15 iterated-replace passes
+        per round under the old scheme, and the caller-trusted pass
+        bound of 10 silently under-merged it on the distributed path.
+        The double-space encoding (one plain replace per rule IS the
+        greedy single-scan, no pass bound at all) must make both paths
+        match the pure-Python reference."""
         from datalake_spark.operators.bpe import bpe_train
 
         rows = [(1, "a" * 30 + " " + "a" * 30), (2, "a" * 30)]

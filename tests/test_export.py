@@ -190,6 +190,28 @@ class TestWebdataset:
         for i, (text, lang, _k) in got.items():
             assert text.startswith(f"document body {i} ") and lang == "en"
 
+    def test_stale_temps_swept_and_none_left_behind(self, spark, tmp_path):
+        """A crashed prior attempt's .tmp-<uuid> leftovers are removed on
+        the next run, and a clean run publishes only final tar names —
+        close() renames exactly once (idempotent) and failed attempts
+        abort their temp instead of leaking it."""
+        import glob as _glob
+
+        from datalake_spark.export import write_webdataset
+
+        wd = str(tmp_path / "wd")
+        os.makedirs(wd)
+        stale = os.path.join(wd, "shard-00001.tar.tmp-deadbeefcafe")
+        with open(stale, "wb") as fh:
+            fh.write(b"half-written garbage")
+        write_webdataset(self._docs(spark), wd, n_shards=2)
+        assert not os.path.exists(stale)
+        assert _glob.glob(os.path.join(wd, "*.tmp-*")) == []
+        assert sorted(
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(wd, "shard-*.tar"))
+        ) == ["shard-00000.tar", "shard-00001.tar"]
+
     def test_membership_matches_parquet_shards(self, spark, tmp_path):
         """Same (corpus, seed) => same shard assignment in BOTH formats:
         a loader can switch layout without reshuffling data."""

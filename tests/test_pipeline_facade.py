@@ -151,3 +151,75 @@ class TestSpanStage:
         )
         assert all(r["text"] in (text, text + " distinct tail words here")
                    for r in out.collect())
+
+
+class TestClassifierWeightsLoading:
+    """User-facing path from a trained (term, weight) file to corpus
+    inference: load_classifier_weights quantizes to the exact micro-int
+    table classify_quality_weighted consumes (reference has no analog —
+    LLM-brief surface; fastText .vec conventions are the public
+    format)."""
+
+    def _corpus(self, spark):
+        rows = [
+            (1, "good good fine"),     # 2*0.5 + 0.25       -> keep
+            (2, "bad bad bad good"),   # 3*(-0.75) + 0.5    -> flag
+            (3, "unknown tokens only"),  # no hits           -> keep (0)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_vec_file_end_to_end(self, spark, tmp_path):
+        from datalake_spark.pipeline import classify_corpus, load_classifier_weights
+
+        vec = tmp_path / "model.vec"
+        # fastText-style: "<n> <dim>" header, then "term weight"
+        vec.write_text(
+            "4 1\n"
+            "good 0.5\n"
+            "fine 0.25\n"
+            "bad -0.75\n"
+            "meh 0.0\n"
+        )
+        w = load_classifier_weights(spark, str(vec))
+        got = {r["term"]: r["weight_micro"] for r in w.collect()}
+        # exact micro-int quantization, header dropped
+        assert got == {"good": 500000, "fine": 250000,
+                       "bad": -750000, "meh": 0}
+        out = {
+            r["doc_id"]: (r["score_micro"], r["label"])
+            for r in classify_corpus(
+                self._corpus(spark), str(vec)
+            ).collect()
+        }
+        assert out[1] == (1250000, "keep")
+        assert out[2] == (-1750000, "flag")
+        assert out[3] == (0, "keep")
+
+    def test_parquet_weight_and_micro_columns(self, spark, tmp_path):
+        from datalake_spark.pipeline import load_classifier_weights
+
+        p1 = str(tmp_path / "w_float.parquet")
+        spark.createDataFrame(
+            [("good", 0.5), ("bad", -0.75)], "term string, weight double"
+        ).write.parquet(p1)
+        w1 = {r["term"]: r["weight_micro"]
+              for r in load_classifier_weights(spark, p1).collect()}
+        assert w1 == {"good": 500000, "bad": -750000}
+        p2 = str(tmp_path / "w_micro.parquet")
+        spark.createDataFrame(
+            [("good", 123), ("bad", -456)], "term string, weight_micro long"
+        ).write.parquet(p2)
+        w2 = {r["term"]: r["weight_micro"]
+              for r in load_classifier_weights(spark, p2).collect()}
+        assert w2 == {"good": 123, "bad": -456}  # used verbatim, unscaled
+
+    def test_tsv_and_extra_columns_ignored(self, spark, tmp_path):
+        from datalake_spark.pipeline import load_classifier_weights
+
+        tsv = tmp_path / "weights.tsv"
+        tsv.write_text("good\t1.5\textra\nbad\t-2\n\n")
+        got = {r["term"]: r["weight_micro"]
+               for r in load_classifier_weights(spark, str(tsv)).collect()}
+        # third column ignored, blank line dropped, integer weight kept
+        # (single-line file -> no header ambiguity for non-digit terms)
+        assert got == {"good": 1500000, "bad": -2000000}

@@ -73,6 +73,34 @@ class TestDegenerateCorpusCaps:
             == 0
         )
 
+    def test_trunc_out_rides_pairs_agg_and_matches_standalone(
+        self, identical_docs
+    ):
+        """The folded sentinel (trunc_out on minhash_lsh_pairs) must report
+        exactly what the standalone second-groupBy form reports — same
+        buckets, same sizes — while sharing the pairs' aggregation."""
+        frames: list = []
+        pairs = dedup.minhash_lsh_pairs(
+            identical_docs, max_bucket=CAP, trunc_out=frames
+        )
+        assert pairs.count() > 0  # pairs path unaffected
+        got = {
+            (r.band, r.band_hash): r.bucket_size for r in frames[0].collect()
+        }
+        want = {
+            (r.band, r.band_hash): r.bucket_size
+            for r in dedup.minhash_truncated_buckets(
+                identical_docs, max_bucket=CAP
+            ).collect()
+        }
+        assert got == want and len(got) == 64
+        # non-binding cap -> empty sentinel
+        frames2: list = []
+        dedup.minhash_lsh_pairs(
+            identical_docs, max_bucket=N_DOCS, trunc_out=frames2
+        ).count()
+        assert frames2[0].count() == 0
+
     def test_simhash_bucket_cap_bounds_pairs(self, identical_docs):
         """Identical simhashes collapse all 4 bands into one bucket each."""
         n, secs = _timed(dedup.simhash_pairs(identical_docs, max_bucket=CAP))

@@ -4,6 +4,8 @@ import glob
 import json
 import os
 
+import pytest
+
 from datalake_spark.export import read_training_shard
 from datalake_spark.streaming.curation import StreamingCurator
 
@@ -183,14 +185,25 @@ class TestStreamingNearDup:
 
 
 class TestEpochReplayIdempotence:
-    def test_replaying_an_epoch_does_not_duplicate_docs(self, spark, tmp_path):
+    @pytest.mark.parametrize("scheme", ["plain", "mem"])
+    def test_replaying_an_epoch_does_not_duplicate_docs(
+        self, spark, tmp_path, scheme
+    ):
         """foreachBatch replays the last epoch after a crash between the
         shard write and the checkpoint commit (at-least-once).  The
-        staged-overwrite + deterministic-rename write must make that
-        replay a no-op for shard CONTENTS: same docs, same file names,
-        no duplicates."""
-        shards = str(tmp_path / "shards")
-        cur = StreamingCurator(spark, shards, n_shards=2)
+        staged-overwrite + deterministic copy-promote write must make
+        that replay a no-op for shard CONTENTS: same docs, same file
+        names, no duplicates — on a local root AND over the fake object
+        store (the commit is store COPY + DELETE, never a rename)."""
+        import uuid as _uuid
+
+        root = (
+            str(tmp_path / "shards")
+            if scheme == "plain"
+            else f"mem://cur-{_uuid.uuid4().hex[:8]}/shards"
+        )
+        cur = StreamingCurator(spark, root, n_shards=2)
+        shards = cur.shards_path  # Spark-visible data root (both schemes)
         batch = spark.createDataFrame(
             [(i, _good(i), "en", T0 + i) for i in range(6)],
             "doc_id long, text string, lang string, ms long",

@@ -3,6 +3,18 @@ Spark AND its DuckDB oracle on the same sf dir, compare row count, column
 names/dtypes, and order-insensitive values.
 
 Usage: python tools/check_parity.py [sf_dir] [query ...]
+       python tools/check_parity.py --sf1 [query ...]
+
+``--sf1`` is the fast scale-parity regression harness (r6's one-off
+sweep, frozen): it ensures the tiled sf1.0 dataset exists (building it
+via tools/make_sfn.py on first use, ~2 min) and runs the six entries r6
+identified as sf-SENSITIVE — the ones whose caps/tiebreaks/sketch
+verdicts only start binding under 10x duplication (PARITY_sf1.md
+findings 1-4): simhash_pairs, fuzzy_join_lev1, dl_latest_all,
+hll_distinct_verdict + q_approx_distinct, minhash_lsh_dedup,
+dedup_clusters.  Battery SUBS run standalone (their parent batteries
+carry sf1.0-hostile siblings like the 20k^2 embedding oracle), each
+compared against its own oracle.  Budget ~10 min; run once per round.
 """
 
 from __future__ import annotations
@@ -67,13 +79,54 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+SF1_DIR = "/root/repo/.sf1"
+# the sf-sensitive set (PARITY_sf1.md findings 1-4 + their guards)
+SF1_ENTRIES = [
+    "simhash_pairs", "fuzzy_join_lev1", "dl_latest_all",
+    "hll_distinct_verdict", "q_approx_distinct", "minhash_lsh_dedup",
+    "dedup_clusters",
+]
+
+
+def _ensure_sf1() -> str:
+    import os
+
+    if not os.path.isfile(f"{SF1_DIR}/lineitem.parquet"):
+        print(f"building sf1.0 testdata at {SF1_DIR} (one-time, ~2 min)")
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from make_sfn import build
+
+        build("/root/testdata/sf0.1", SF1_DIR, 10)
+    return SF1_DIR
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    sf1_mode = "--sf1" in argv
+    if sf1_mode:
+        argv.remove("--sf1")
+        sf_dir = _ensure_sf1()
+        only = set(argv) or set(SF1_ENTRIES)
+    else:
+        sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+        only = set(argv[1:])
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    if sf1_mode:
+        # battery subs run standalone: their parent batteries carry
+        # sf1.0-hostile siblings (embedding_near_dup's 20k^2 oracle)
+        from datalake_spark.queries import registry
+        from datalake_spark.queries.batteries import BATTERY_SUBS
+
+        registry()  # populate BATTERY_SUBS
+        for subs in BATTERY_SUBS.values():
+            for sub in subs:
+                if sub.q.name in only and sub.q.name not in qs:
+                    qs[sub.q.name] = sub.q.build
+                    if sub.q.oracle:
+                        oracles[sub.q.name] = sub.q.oracle
     spark = get_spark("parity")
     con = duckdb.connect()
     for t in TABLES:
