@@ -139,14 +139,14 @@ ANCHOR_EXTRAS_R5 = {
     "video_real_roundtrip": 1.576,
 }
 
-# r7 anchor refresh (min-of-2 full runs, sf0.1, local[32], canary-era
-# ~0.39): the two extras r6 left unanchored.  quality_classifier_weighted
-# is pinned at its post-single-tokenize-pass shape (the stale 7.56 s
-# pre-fix reading was never a valid anchor); values filled from this
-# round's min-of-2 measurement.
+# r7 anchor refresh (min-of-2 full runs, sf0.1, local[32], era load
+# 1.01-1.08 against the 0.39 reference — i.e. measured at current-
+# hardware idle): the two extras r6 left unanchored.
+# quality_classifier_weighted is pinned at its post-single-tokenize-pass
+# shape (the stale 7.56 s pre-fix reading was never a valid anchor).
 ANCHOR_EXTRAS_R7 = {
-    "quality_classifier_weighted": 2.1,   # refreshed below by r7 min-of-2
-    "video_sniff_roundtrip": 0.9,         # refreshed below by r7 min-of-2
+    "quality_classifier_weighted": 2.64,
+    "video_sniff_roundtrip": 1.05,
 }
 
 
@@ -335,6 +335,14 @@ def main() -> None:
         out["adjudicated"] = {
             "ann_srp_topk": "in-plan brute-force recall verdict since r2",
             "simhash_pairs": "md5-portable hash + exact hamming gate since r3",
+            "raw_flags_era_note": (
+                "raw ratios vs the r1 anchor are era-confounded: the r1 "
+                "numbers were taken on hardware whose canary floor was "
+                "0.25 s vs 0.39 s now (BASELINE.md r6) — the normalized "
+                "series divides that out and is the flag that matters; "
+                "minhash_lsh_dedup normalized returned to 1.0 in r7 after "
+                "the sentinel fold (was 1.22 in r6)"
+            ),
         }
     # line 2: full detail (may exceed a bounded tail capture)
     print(json.dumps(out))

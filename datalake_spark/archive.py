@@ -190,16 +190,21 @@ class Archive:
             if http_timeout is not None
             else float(os.environ.get("DATALAKE_READ_TIMEOUT_S", 60.0))
         )
-        if self.storage_url.startswith("file://"):
-            self._root = self.storage_url[len("file://"):]
-        elif "://" in self.storage_url:
-            raise InvalidDatalakePath(
-                f"unsupported storage scheme in {storage_url!r} "
-                "(mount the object store and pass a file:// url, or fetch "
-                "via an http url under the configured http_url)"
-            )
-        else:
-            self._root = self.storage_url
+        # blob IO goes through the store seam (datalake_spark/store.py):
+        # local and file:// roots use LocalStore, mem:// the fake, and an
+        # S3/GCS deployment registers its SDK store once — the reference's
+        # archive is s3-native (client/datalake/archive.py:100-109) and
+        # this is the Spark-repo analog of that dispatch.
+        from datalake_spark.store import open_store
+
+        try:
+            self._store = open_store(self.storage_url)
+        except ValueError as e:
+            raise InvalidDatalakePath(str(e))
+        # filesystem-visible data root (LocalStore: the directory itself;
+        # MemStore: the bucket's backing dir) — for callers that serve or
+        # inspect stored blobs as files
+        self._root = self._store.spark_url("")
 
     # -- store side (the content half of push, O12/O21) ---------------------
     def store(self, metadata: dict, content: bytes, compress: bool = False) -> str:
@@ -210,15 +215,14 @@ class Archive:
         already carries the gzip magic.  mtime=0 keeps the stream
         deterministic (byte-identical re-ingest ⇒ identical stored object).
         """
-        file_id = metadata["id"]
-        d = os.path.join(self._root, str(file_id))
-        os.makedirs(d, exist_ok=True)
+        file_id = str(metadata["id"])
         if compress and not content.startswith(_GZIP_MAGIC):
             content = gzip.compress(content, mtime=0)
-        with open(os.path.join(d, "data"), "wb") as fh:
-            fh.write(content)
-        with open(os.path.join(d, "metadata"), "w") as fh:
-            json.dump(metadata, fh, sort_keys=True)
+        self._store.put(f"{file_id}/data", content)
+        self._store.put(
+            f"{file_id}/metadata",
+            json.dumps(metadata, sort_keys=True).encode(),
+        )
         return self.url_from_id(file_id)
 
     def url_from_id(self, file_id: str) -> str:
@@ -238,24 +242,25 @@ class Archive:
                 f"{url} does not appear to be a fetchable url"
             )
         file_id = self._id_from_url(url)
-        data_path = os.path.join(self._root, file_id, "data")
-        meta_path = os.path.join(self._root, file_id, "metadata")
-        if not os.path.exists(data_path):
+        fh = self._store.open_read(f"{file_id}/data")
+        if fh is None:
             raise NoSuchDatalakeFile(f"Failed to find {url} in the datalake.")
-        try:
-            with open(meta_path) as fh:
-                metadata = json.load(fh)
-        except FileNotFoundError:
+        raw_meta = self._store.get(f"{file_id}/metadata")
+        if raw_meta is None:
+            fh.close()
             raise NoSuchDatalakeFile(
                 f"{url} has no metadata sidecar in the datalake."
             )
+        try:
+            metadata = json.loads(raw_meta)
         except (json.JSONDecodeError, UnicodeDecodeError) as e:
+            fh.close()
             raise InvalidDatalakePath(
                 f"metadata sidecar for {url} is corrupt: {e}"
             )
         if stream:
-            return ArchiveFile(open(data_path, "rb"), metadata)
-        with open(data_path, "rb") as fh:
+            return ArchiveFile(fh, metadata)
+        with fh:
             return ArchiveFile(io.BytesIO(fh.read()), metadata)
 
     def fetch_to_filename(self, url: str, filename_template: str | None = None) -> str:

@@ -56,12 +56,23 @@ def mp4_info(data: bytes) -> dict:
     """Header-only metadata from the moov tree.
 
     Returns {container, timescale, duration, duration_ms, n_tracks,
-    n_video, n_audio, width, height}; width/height come from the first
-    video track's tkhd (16.16 fixed -> integer pixels).  Raises
-    :class:`BadMp4` when the stream is not ISO-BMFF or moov is absent
-    (streaming-fragmented files without a moov are triaged as
-    undecodable-without-index, which is the right answer for a bulk
-    pass)."""
+    n_video, n_audio, width, height, fragmented, n_fragments}.
+    width/height come from the first video track's tkhd (16.16 fixed ->
+    integer pixels).
+
+    Fragmented (streaming-packaged) files are tolerated since r7:
+
+    - an fMP4 INIT-style file (moov carrying mvex) reports
+      ``fragmented=True``; when its mvhd duration is the 0 / all-ones
+      "unknown" the packager wrote, the duration comes from mvex/mehd's
+      fragment_duration instead (ISO 14496-12 8.8.2) — 0 if absent;
+    - a bare MEDIA SEGMENT (styp/moof/mdat, no moov — a DASH/CMAF chunk)
+      returns a minimal triage row: ``fragmented=True``, ``n_fragments``
+      counted from the top-level moof boxes, track/duration fields None
+      (that information lives in the init segment, not here).
+
+    Raises :class:`BadMp4` only when the stream is not ISO-BMFF at
+    all."""
     if len(data) < 12:
         raise BadMp4("too short")
     head = _walk(data, 0, len(data))
@@ -69,11 +80,30 @@ def mp4_info(data: bytes) -> dict:
         t0, _b, _e = next(head)
     except StopIteration:  # pragma: no cover - len guard above
         raise BadMp4("empty")
-    if t0 not in (b"ftyp", b"moov", b"wide", b"skip", b"free"):
+    if t0 not in (b"ftyp", b"styp", b"moov", b"moof", b"wide", b"skip",
+                  b"free"):
         raise BadMp4(f"not ISO-BMFF (leading box {t0!r})")
+    n_fragments = sum(
+        1 for t, _pb, _pe in _walk(data, 0, len(data)) if t == b"moof"
+    )
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
-        raise BadMp4("no moov box (fragmented/streaming file?)")
+        if n_fragments == 0:
+            raise BadMp4("no moov box and no moof (truncated file?)")
+        # bare media segment: triage what the chunk itself can answer
+        return {
+            "container": "mp4",
+            "timescale": None,
+            "duration": None,
+            "duration_ms": None,
+            "n_tracks": None,
+            "n_video": None,
+            "n_audio": None,
+            "width": None,
+            "height": None,
+            "fragmented": True,
+            "n_fragments": n_fragments,
+        }
     mb, me = moov
     mvhd = _find(data, mb, me, b"mvhd")
     if mvhd is None:
@@ -88,6 +118,22 @@ def mp4_info(data: bytes) -> dict:
         duration = struct.unpack(">I", data[hb + 16:hb + 20])[0]
     if timescale == 0:
         raise BadMp4("zero timescale")
+    # fMP4 init segment: mvex marks the file fragmented, and packagers
+    # write an unknown mvhd duration (0 or all-ones) — the whole-movie
+    # duration then comes from mvex/mehd when the packager knew it
+    mvex = _find(data, mb, me, b"mvex")
+    fragmented = mvex is not None or n_fragments > 0
+    unknown = (0, 0xFFFFFFFF, 0xFFFFFFFFFFFFFFFF)
+    if mvex is not None and duration in unknown:
+        mehd = _find(data, mvex[0], mvex[1], b"mehd")
+        if mehd is not None:
+            eb, _ee = mehd
+            if data[eb] == 1:
+                duration = struct.unpack(">Q", data[eb + 4:eb + 12])[0]
+            else:
+                duration = struct.unpack(">I", data[eb + 4:eb + 8])[0]
+        else:
+            duration = 0
     n_tracks = n_video = n_audio = 0
     width = height = None
     for t, b, e in _walk(data, mb, me):
@@ -120,6 +166,8 @@ def mp4_info(data: bytes) -> dict:
         "n_audio": n_audio,
         "width": width,
         "height": height,
+        "fragmented": fragmented,
+        "n_fragments": n_fragments,
     }
 
 
@@ -203,3 +251,57 @@ def mp4_build(
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     moov = _box(b"moov", _mvhd(timescale, duration) + traks)
     return ftyp + moov + _box(b"mdat", b"")
+
+
+def mp4_build_fragmented(
+    timescale: int,
+    fragment_duration: int,
+    tracks: list[dict],
+    n_fragments: int = 2,
+    with_mehd: bool = True,
+) -> bytes:
+    """Structurally valid fMP4: init part (ftyp + moov whose mvhd
+    duration is the packager's 0-unknown, carrying mvex [+ mehd v0 with
+    the real ``fragment_duration``] and one trex per track) followed by
+    ``n_fragments`` moof(mfhd)+mdat media fragments — the CMAF/DASH
+    streaming packaging shape mp4_info tolerates since r7."""
+    traks = b""
+    trexes = b""
+    for i, tr in enumerate(tracks):
+        kind = tr["kind"].encode() if isinstance(tr["kind"], str) else tr["kind"]
+        w = int(tr.get("width") or 0)
+        h = int(tr.get("height") or 0)
+        mdia = _box(b"mdia", _mdhd(timescale, 0) + _hdlr(kind))
+        traks += _box(
+            b"trak",
+            _tkhd(i + 1, 0, w if kind == b"vide" else 0,
+                  h if kind == b"vide" else 0) + mdia,
+        )
+        trexes += _box(
+            b"trex",
+            b"\x00" * 4 + struct.pack(">IIIII", i + 1, 1, 0, 0, 0),
+        )
+    mehd = (
+        _box(b"mehd", b"\x00" * 4 + struct.pack(">I", fragment_duration))
+        if with_mehd
+        else b""
+    )
+    mvex = _box(b"mvex", mehd + trexes)
+    ftyp = _box(
+        b"ftyp", b"iso5" + struct.pack(">I", 512) + b"iso5iso6cmfc"
+    )
+    out = ftyp + _box(b"moov", _mvhd(timescale, 0) + traks + mvex)
+    for seq in range(n_fragments):
+        mfhd = _box(b"mfhd", b"\x00" * 4 + struct.pack(">I", seq + 1))
+        out += _box(b"moof", mfhd) + _box(b"mdat", b"\x00" * 8)
+    return out
+
+
+def mp4_media_segment(n_fragments: int = 1, first_seq: int = 1) -> bytes:
+    """A bare DASH/CMAF media segment: styp + moof(mfhd)+mdat pairs, no
+    moov — the init-less chunk shape."""
+    out = _box(b"styp", b"msdh" + struct.pack(">I", 0) + b"msdhmsix")
+    for seq in range(n_fragments):
+        mfhd = _box(b"mfhd", b"\x00" * 4 + struct.pack(">I", first_seq + seq))
+        out += _box(b"moof", mfhd) + _box(b"mdat", b"\x00" * 8)
+    return out

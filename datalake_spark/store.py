@@ -89,6 +89,15 @@ class ObjectStore:
         ``key`` (local path here; ``s3a://bucket/key`` on a real store)."""
         raise NotImplementedError
 
+    def open_read(self, key: str):
+        """Binary file-like handle over an object (streaming reads).
+        Default materializes via get(); LocalStore streams from disk.
+        Returns None when the key does not exist."""
+        import io
+
+        data = self.get(key)
+        return None if data is None else io.BytesIO(data)
+
     # -- derived -------------------------------------------------------------
     def exists_prefix(self, prefix: str) -> bool:
         return bool(self.list(prefix))
@@ -189,6 +198,12 @@ class LocalStore(ObjectStore):
         os.makedirs(os.path.dirname(dpath), exist_ok=True)
         shutil.copy2(self._path(src), dpath)
 
+    def open_read(self, key: str):
+        try:
+            return open(self._path(key), "rb")
+        except (FileNotFoundError, IsADirectoryError):
+            return None
+
     def spark_url(self, key: str) -> str:
         return self._path(key)
 
@@ -202,7 +217,14 @@ class _MemBucket:
         self.name = name
         self.objects: dict[str, bytes] = {}
         self.lock = threading.Lock()
-        self.backing = tempfile.mkdtemp(prefix=f"memstore-{name}-")
+        # deterministic per bucket NAME (not mkdtemp): executor worker
+        # processes that open the same mem:// bucket resolve the same
+        # data plane, exactly as every process sees one real bucket.
+        # Tests isolate by unique bucket names.
+        self.backing = os.path.join(
+            tempfile.gettempdir(), "datalake-memstore", name
+        )
+        os.makedirs(self.backing, exist_ok=True)
 
 
 _MEM_BUCKETS: dict[str, _MemBucket] = {}
@@ -218,11 +240,16 @@ def mem_bucket(name: str) -> _MemBucket:
 
 
 class MemStore(ObjectStore):
-    """Fake object store: driver PUTs go to an in-memory dict (shared per
-    bucket name across instances — concurrent writers in one process see
-    each other, like a real store); Spark-written data objects live in
-    the bucket's backing directory.  No renames exist; LIST merges both
-    planes; COPY/DELETE work on either."""
+    """Fake object store, two-plane like the reference's deployment model
+    (DynamoDB metadata + S3 data): CONTROL-plane PUTs — any key with a
+    path segment starting with ``_`` (manifests, locks, leases) — go to
+    an in-memory dict (shared per bucket name across instances, so
+    concurrent writers in one process see each other; unreachable via
+    ``open()``, so a commit-protocol path that bypasses the store fails
+    loudly).  DATA-plane PUTs and Spark-written objects live in the
+    bucket's backing directory, visible to executor worker processes.
+    No renames exist; LIST merges both planes; COPY/DELETE/GET work on
+    either."""
 
     def __init__(self, bucket: _MemBucket, base: str = ""):
         self.bucket = bucket
@@ -234,6 +261,10 @@ class MemStore(ObjectStore):
 
     def _backing_path(self, abskey: str) -> str:
         return os.path.join(self.bucket.backing, *abskey.split("/"))
+
+    @staticmethod
+    def _control_plane(abskey: str) -> bool:
+        return any(seg.startswith("_") for seg in abskey.split("/"))
 
     def get(self, key: str) -> bytes | None:
         k = self._abs(key)
@@ -247,16 +278,37 @@ class MemStore(ObjectStore):
             return None
 
     def put(self, key: str, data: bytes) -> None:
-        with self.bucket.lock:
-            self.bucket.objects[self._abs(key)] = bytes(data)
+        k = self._abs(key)
+        if self._control_plane(k):
+            with self.bucket.lock:
+                self.bucket.objects[k] = bytes(data)
+            return
+        path = self._backing_path(k)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
 
     def put_if_absent(self, key: str, data: bytes) -> bool:
         k = self._abs(key)
         with self.bucket.lock:
             if k in self.bucket.objects or os.path.isfile(self._backing_path(k)):
                 return False
-            self.bucket.objects[k] = bytes(data)
-            return True
+            if self._control_plane(k):
+                self.bucket.objects[k] = bytes(data)
+                return True
+        # data plane: O_EXCL create under the bucket lock was released —
+        # the filesystem's atomic create is the arbiter
+        path = self._backing_path(k)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(data)
+        return True
 
     def delete(self, key: str) -> None:
         k = self._abs(key)
@@ -297,14 +349,10 @@ class MemStore(ObjectStore):
         return sorted(k[strip:] for k in keys)
 
     def copy(self, src: str, dst: str) -> None:
-        s, d = self._abs(src), self._abs(dst)
-        with self.bucket.lock:
-            if s in self.bucket.objects:
-                self.bucket.objects[d] = self.bucket.objects[s]
-                return
-        dpath = self._backing_path(d)
-        os.makedirs(os.path.dirname(dpath), exist_ok=True)
-        shutil.copy2(self._backing_path(s), dpath)
+        data = self.get(src)
+        if data is None:
+            raise FileNotFoundError(src)
+        self.put(dst, data)  # plane-aware: dst decides dict vs backing
 
     def spark_url(self, key: str) -> str:
         return self._backing_path(self._abs(key))

@@ -581,3 +581,71 @@ class TestTemplatingEquivalence:
             for r in rows:
                 want = archive._filename_from_template(t, r)
                 assert got[r["id"]] == want, (t, r["id"], got[r["id"]], want)
+
+
+class TestArchiveOverFakeStore:
+    """The archive's blob IO runs through the store seam: the same
+    store/fetch/fetch_bulk surface works over the fake object store
+    (mem://) — the test stand-in for the reference's s3-native archive
+    (client/datalake/archive.py:100-109)."""
+
+    def _mem_archive(self):
+        import uuid as _uuid
+
+        from datalake_spark.archive import Archive
+
+        return Archive(f"mem://arch-{_uuid.uuid4().hex[:8]}/lake")
+
+    def test_store_fetch_roundtrip(self):
+        arch = self._mem_archive()
+        meta = {"id": "abc123", "what": "nginx", "where": "h1",
+                "start": 1, "end": 2, "path": "/l", "hash": "x",
+                "work_id": None, "version": 0}
+        url = arch.store(meta, b"log line 1\nlog line 2\n")
+        assert url == f"{arch.storage_url}/abc123/data"
+        f = arch.fetch(url)
+        assert f.read() == b"log line 1\nlog line 2\n"
+        assert f.metadata["what"] == "nginx"
+        # streaming mode reads through the store handle too
+        f2 = arch.fetch(url, stream=True)
+        assert f2.read(4) == b"log "
+        f2.close()
+
+    def test_missing_blob_and_sidecar_errors(self):
+        import pytest as _pytest
+
+        from datalake_spark.archive import NoSuchDatalakeFile
+
+        arch = self._mem_archive()
+        with _pytest.raises(NoSuchDatalakeFile):
+            arch.fetch(arch.storage_url + "/nope/data")
+        # blob without sidecar: plant the data object only
+        from datalake_spark.store import open_store
+
+        st = open_store(arch.storage_url)
+        st.put("lonely/data", b"bytes")
+        with _pytest.raises(NoSuchDatalakeFile, match="sidecar"):
+            arch.fetch(arch.storage_url + "/lonely/data")
+
+    def test_fetch_bulk_over_mem(self, spark):
+        """Executor worker processes resolve the same mem bucket data
+        plane (deterministic backing) — the distributed O14 path works
+        over the fake store end to end."""
+        from datalake_spark.archive import fetch_bulk
+
+        arch = self._mem_archive()
+        urls = []
+        for i in range(6):
+            meta = {"id": f"f{i}", "what": "nginx", "where": "h1",
+                    "start": 1, "end": 2, "path": "/l", "hash": "x",
+                    "work_id": None, "version": 0}
+            urls.append(arch.store(meta, f"content-{i}".encode()))
+        urls.append(arch.storage_url + "/missing/data")
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        rows = {r["url"]: r for r in
+                fetch_bulk(df, arch.storage_url).collect()}
+        for i, u in enumerate(urls[:6]):
+            assert rows[u]["content"] == f"content-{i}".encode()
+            assert rows[u]["fetch_error"] is None
+        assert rows[urls[6]]["content"] is None
+        assert rows[urls[6]]["fetch_error"]

@@ -864,6 +864,51 @@ class TestMp4HeaderSniff:
         with _pytest.raises(BadMp4, match="no moov"):
             mp4_info(_box(b"ftyp", b"isom" + b"\x00" * 8))
 
+    def test_fragmented_init_duration_from_mehd(self):
+        """fMP4 init shape (r7): mvhd carries the packager's 0-unknown
+        duration; the real movie duration comes from mvex/mehd and the
+        file reports fragmented=True with its moof count."""
+        from datalake_spark.functions.mp4 import mp4_build_fragmented, mp4_info
+
+        b = mp4_build_fragmented(
+            90000, 90000 * 6,
+            [{"kind": "vide", "width": 1280, "height": 720},
+             {"kind": "soun"}],
+            n_fragments=3,
+        )
+        info = mp4_info(b)
+        assert info["fragmented"] is True and info["n_fragments"] == 3
+        assert info["duration_ms"] == 6000  # from mehd, not the 0 mvhd
+        assert (info["n_tracks"], info["n_video"], info["n_audio"]) == (2, 1, 1)
+        assert (info["width"], info["height"]) == (1280, 720)
+
+    def test_fragmented_init_without_mehd_reports_zero(self):
+        from datalake_spark.functions.mp4 import mp4_build_fragmented, mp4_info
+
+        b = mp4_build_fragmented(
+            1000, 5000, [{"kind": "soun"}], n_fragments=1, with_mehd=False
+        )
+        info = mp4_info(b)
+        assert info["fragmented"] is True
+        assert info["duration_ms"] == 0  # unknown, not a crash
+
+    def test_bare_media_segment_triage(self):
+        """A DASH/CMAF chunk (styp+moof+mdat, no moov) is triaged, not
+        rejected: fragment count from the chunk itself, track/duration
+        fields None (they live in the init segment)."""
+        from datalake_spark.functions.mp4 import mp4_info, mp4_media_segment
+
+        info = mp4_info(mp4_media_segment(n_fragments=2))
+        assert info["container"] == "mp4"
+        assert info["fragmented"] is True and info["n_fragments"] == 2
+        assert info["duration_ms"] is None and info["n_tracks"] is None
+
+    def test_plain_mp4_reports_unfragmented(self):
+        from datalake_spark.functions.mp4 import mp4_build, mp4_info
+
+        info = mp4_info(mp4_build(1000, 2000, [{"kind": "soun"}]))
+        assert info["fragmented"] is False and info["n_fragments"] == 0
+
     def test_avi_info_from_real_mux(self):
         import numpy as np
 
