@@ -54,6 +54,19 @@ class WriterLockHeld(Exception):
     """Another writer holds the table lock and the wait timed out."""
 
 
+class CommitConflict(Exception):
+    """Another writer committed this table version first (lost the
+    conditional-PUT race).  Callers re-read the current manifest,
+    recompute against it, and retry — the optimistic-concurrency loop
+    every numbered-commit table format runs (Delta/Iceberg style)."""
+
+
+# commit markers retained beyond the manifest's history window — a
+# writer paused across this many commits is assumed dead (its conflict
+# detection degrades to the manifest read-back guard in _commit_version)
+_KEEP_COMMIT_MARKERS = 16
+
+
 def _read_manifest(store: ObjectStore, table_key: str) -> dict | None:
     raw = store.get(join_key(table_key, _MANIFEST))
     if raw is None:
@@ -73,8 +86,20 @@ def _commit_version(
     keep_versions: int = 2,
     extra: dict | None = None,
 ) -> dict:
-    """Atomically point _CURRENT at ``dirname`` (one whole-object PUT of
-    the manifest only — never a directory move).
+    """Commit ``dirname`` as table ``version``: win the version's commit
+    MARKER with a conditional PUT, then point _CURRENT at it (one
+    whole-object PUT of the manifest — never a directory move).
+
+    The marker (``_commits/v{N}``, PUT-if-absent) serializes writers
+    that target the same next version: exactly one wins, every loser
+    gets :class:`CommitConflict` and retries against the winner's
+    manifest — which is what makes lockless maintenance commits (latest
+    merge, index rebuild) lost-update-free, not just last-writer-wins.
+    The reference's analog is DynamoDB's per-item conditional put
+    (ingester/datalake_ingester/storage.py:64-137); on S3 the marker is
+    an ``If-None-Match: *`` PUT.  A read-back guard covers the marker's
+    GC horizon: if the manifest has already advanced past ``version``,
+    the commit conflicts even when the marker was reclaimed.
 
     The manifest carries a bounded ``history`` of superseded versions
     (Iceberg-style snapshot lineage): the previous current entry is
@@ -87,7 +112,41 @@ def _commit_version(
     hist = hist[-(keep_versions - 1):] if keep_versions > 1 else []
     manifest = {"version": version, "dir": dirname, "history": hist}
     manifest.update(extra or {})
-    store.put(join_key(table_key, _MANIFEST), json.dumps(manifest).encode())
+    payload = json.dumps(manifest).encode()
+    marker = join_key(table_key, "_commits", f"v{version:08d}")
+    if not store.put_if_absent(marker, payload):
+        # Roll-forward: if the marker's winner died between winning and
+        # flipping _CURRENT, every successor would recompute this same
+        # version and conflict forever.  Completing the dead winner's
+        # flip from its marker payload unwedges the table; if the winner
+        # is actually alive its own flip writes identical bytes —
+        # idempotent either way.
+        cur = _read_manifest(store, table_key)
+        if cur is None or cur.get("version", 0) < version:
+            won = store.get(marker)
+            if won is not None:
+                try:
+                    json.loads(won)
+                except json.JSONDecodeError:
+                    pass
+                else:
+                    store.put(join_key(table_key, _MANIFEST), won)
+        raise CommitConflict(f"{table_key}: version {version} already committed")
+    cur = _read_manifest(store, table_key)
+    if cur is not None and cur.get("version", 0) >= version:
+        # stale writer beyond the marker GC horizon: someone advanced
+        # the manifest past us while our marker slot had been reclaimed
+        store.delete(marker)
+        raise CommitConflict(
+            f"{table_key}: manifest already at v{cur['version']} >= {version}"
+        )
+    store.put(join_key(table_key, _MANIFEST), payload)
+    # reclaim old markers (deletes only, strictly after the flip)
+    floor = version - _KEEP_COMMIT_MARKERS
+    for key in store.list(join_key(table_key, "_commits")):
+        name = key.rsplit("/", 1)[-1]
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < floor:
+            store.delete(key)
     return manifest
 
 
@@ -352,46 +411,64 @@ class Catalog:
         scan, mirroring the reference's per-file conditional put.  Without
         it (or on first call), recompute from the full files table.  The
         streaming micro-batch path delegates here per batch.
-        """
-        cols = [f.name for f in FILES_SCHEMA.fields]
-        existing = self.latest_table() if new_rows is not None else None
-        if existing is not None:
-            src = existing.select(*cols).unionByName(new_rows.select(*cols))
-        elif new_rows is not None and not self.store.exists_prefix(
-            self._files_key()
-        ):
-            # first merge on a catalog with no files table yet (streaming
-            # writers merge latest before/independently of the files append)
-            src = new_rows.select(*cols)
-        else:
-            src = self.files()
-        latest = (
-            src.groupBy("what", "where")
-            .agg(
-                F.max_by(
-                    F.struct(*cols),
-                    # id as the final tiebreak mirrors QueryEngine.
-                    # _latest_rank: (start, create_time) CAN tie across
-                    # distinct records, and the reference's newer-write
-                    # rule has no batch analog — the unique id keeps the
-                    # merge deterministic under any partitioning
-                    F.struct(
-                        F.col("start"), F.col("create_time"), F.col("id")
-                    ),
-                ).alias("r")
+
+        Concurrency: the commit is a conditional PUT on the target
+        version's marker, so two writers merging different batches can
+        NEVER silently drop one batch — the loser's
+        :class:`CommitConflict` re-reads the winner's latest table and
+        re-merges against it (optimistic-concurrency retry, the batch
+        analog of the reference's conditional-put-until-accepted upsert,
+        ingester/datalake_ingester/storage.py:82-137)."""
+        for _attempt in range(12):
+            cols = [f.name for f in FILES_SCHEMA.fields]
+            existing = self.latest_table() if new_rows is not None else None
+            if existing is not None:
+                src = existing.select(*cols).unionByName(new_rows.select(*cols))
+            elif new_rows is not None and not self.store.exists_prefix(
+                self._files_key()
+            ):
+                # first merge on a catalog with no files table yet (streaming
+                # writers merge latest before/independently of the files append)
+                src = new_rows.select(*cols)
+            else:
+                src = self.files()
+            latest = (
+                src.groupBy("what", "where")
+                .agg(
+                    F.max_by(
+                        F.struct(*cols),
+                        # id as the final tiebreak mirrors QueryEngine.
+                        # _latest_rank: (start, create_time) CAN tie across
+                        # distinct records, and the reference's newer-write
+                        # rule has no batch analog — the unique id keeps the
+                        # merge deterministic under any partitioning
+                        F.struct(
+                            F.col("start"), F.col("create_time"), F.col("id")
+                        ),
+                    ).alias("r")
+                )
+                .select(
+                    F.concat_ws(":", F.col("what"), F.col("where")).alias("what_where_key"),
+                    F.col("r.*"),
+                )
             )
-            .select(
-                F.concat_ws(":", F.col("what"), F.col("where")).alias("what_where_key"),
-                F.col("r.*"),
-            )
+            try:
+                self.write_latest(latest)
+                return
+            except CommitConflict:
+                continue  # re-read the winner's table and re-merge
+        raise RuntimeError(
+            "refresh_latest: commit conflicted on 12 consecutive attempts"
         )
-        self.write_latest(latest)
 
     def write_latest(self, latest: DataFrame) -> None:
         """Commit a new latest-table version: write a fresh immutable
-        directory, atomically flip the manifest, GC versions older than the
-        previous one.  Replaces the old double-write-through-_tmp (two
-        rewrites + a leaked directory per batch) and is rename-free."""
+        directory, win the version's commit marker (conditional PUT),
+        flip the manifest, GC versions older than the previous one.
+        Raises :class:`CommitConflict` when a concurrent writer took the
+        version first (refresh_latest re-merges and retries; the losing
+        attempt's directory is swept by the next successful commit's
+        GC).  Rename-free throughout."""
         m = _read_manifest(self.store, self.LATEST_KEY)
         version = (m["version"] + 1) if m else 1
         dirname = _new_version_dir(version)
@@ -480,23 +557,31 @@ class Catalog:
         the incremental append path."""
         cols = [f.name for f in FILES_SCHEMA.fields]
         src = self.files().select(*cols).filter(F.col("work_id").isNotNull())
-        m = _read_manifest(self.store, self.INDEX_KEY)
-        version = (m["version"] + 1) if m else 1
-        dirname = _new_version_dir(version)
-        (
-            src.withColumn(
-                "wid_bucket", self._wid_bucket(F.col("work_id"), num_buckets)
+        for _attempt in range(12):
+            m = _read_manifest(self.store, self.INDEX_KEY)
+            version = (m["version"] + 1) if m else 1
+            dirname = _new_version_dir(version)
+            (
+                src.withColumn(
+                    "wid_bucket", self._wid_bucket(F.col("work_id"), num_buckets)
+                )
+                .repartition(F.col("wid_bucket"))
+                .write.partitionBy("wid_bucket")
+                .parquet(self.store.spark_url(join_key(self.INDEX_KEY, dirname)))
             )
-            .repartition(F.col("wid_bucket"))
-            .write.partitionBy("wid_bucket")
-            .parquet(self.store.spark_url(join_key(self.INDEX_KEY, dirname)))
+            try:
+                manifest = _commit_version(
+                    self.store, self.INDEX_KEY, version, dirname, m,
+                    self.keep_versions, extra={"num_buckets": num_buckets},
+                )
+            except CommitConflict:
+                continue  # concurrent rebuild won this version; retry
+            keep = {dirname} | {h["dir"] for h in manifest["history"]}
+            _gc_versions(self.store, self.INDEX_KEY, keep)
+            return
+        raise RuntimeError(
+            "build_work_id_index: commit conflicted on 12 consecutive attempts"
         )
-        manifest = _commit_version(
-            self.store, self.INDEX_KEY, version, dirname, m,
-            self.keep_versions, extra={"num_buckets": num_buckets},
-        )
-        keep = {dirname} | {h["dir"] for h in manifest["history"]}
-        _gc_versions(self.store, self.INDEX_KEY, keep)
 
     def append_work_id_index(self, new_rows: DataFrame, _race_hook=None) -> bool:
         """Incrementally index just-appended rows (append-only part files
@@ -901,7 +986,8 @@ class Catalog:
                     rel = k[len(self.FILES_KEY) + 1:]
                     top = rel.split("/", 1)[0]
                     if (top == dirname or top.startswith(_MANIFEST)
-                            or top.startswith(_LOCK) or top == _LEASE_DIR):
+                            or top.startswith(_LOCK) or top == _LEASE_DIR
+                            or top == "_commits"):
                         continue
                     self.store.delete(k)
             else:
@@ -987,6 +1073,25 @@ class Catalog:
                 report["problems"].append(
                     f"{name}: history dirs missing {missing_history}"
                 )
+            # the current version's commit marker (when still retained)
+            # must agree with the manifest — a mismatch means a manual
+            # flip or partial roll-forward bypassed the CAS protocol
+            raw_marker = self.store.get(
+                join_key(table_key, "_commits", f"v{m['version']:08d}")
+            )
+            if raw_marker is not None:
+                try:
+                    mk = json.loads(raw_marker)
+                except json.JSONDecodeError:
+                    report["problems"].append(
+                        f"{name}: unparseable commit marker v{m['version']}"
+                    )
+                else:
+                    if mk.get("dir") != m["dir"]:
+                        report["problems"].append(
+                            f"{name}: commit marker v{m['version']} points "
+                            f"at {mk.get('dir')} but manifest at {m['dir']}"
+                        )
 
         check_table(self.FILES_KEY, "files")
         check_table(self.LATEST_KEY, "latest")

@@ -866,3 +866,138 @@ class TestUpdateWhere:
         assert rc == 0 and out.getvalue().startswith("updated 6 rows")
         assert all(r["size"] == 123 for r in
                    cat.files().filter("where = 'h0'").collect())
+
+
+class TestOptimisticCommits:
+    """Conditional-PUT commit markers (r7): lockless maintenance commits
+    (latest merge, index rebuild) are serialized per version — one
+    winner, losers get CommitConflict and re-merge against the winner's
+    table.  Closes the lost-update window the last-writer-wins manifest
+    PUT left open for concurrent latest merges."""
+
+    def _mem_cat(self, spark, keep=2):
+        import uuid as _uuid
+
+        return Catalog(spark, f"mem://cas-{_uuid.uuid4().hex[:8]}/cat",
+                       keep_versions=keep)
+
+    @pytest.mark.no_fsck  # fabricated manifests point at no real dirs
+    def test_marker_single_winner(self, spark, tmp_path):
+        from datalake_spark import catalog as catmod
+
+        cat = Catalog(spark, str(tmp_path))
+        st = cat.store
+        m1 = catmod._commit_version(st, "latest", 1, "v1-a", None)
+        # two writers race version 2 off the same prev manifest
+        catmod._commit_version(st, "latest", 2, "v2-winner", m1)
+        with pytest.raises(catmod.CommitConflict):
+            catmod._commit_version(st, "latest", 2, "v2-loser", m1)
+        got = catmod._read_manifest(st, "latest")
+        assert got["version"] == 2 and got["dir"] == "v2-winner"
+
+    @pytest.mark.no_fsck  # fabricated manifests point at no real dirs
+    def test_stale_writer_behind_manifest_conflicts(self, spark, tmp_path):
+        from datalake_spark import catalog as catmod
+
+        cat = Catalog(spark, str(tmp_path))
+        st = cat.store
+        m = None
+        for v in range(1, 20):  # past the marker GC horizon (16)
+            m = catmod._commit_version(st, "latest", v, f"v{v}-d", m)
+        # a writer that read the manifest at v2 long ago tries v3, whose
+        # marker has been GC'd — the read-back guard must still conflict
+        with pytest.raises(catmod.CommitConflict):
+            catmod._commit_version(st, "latest", 3, "v3-stale", None)
+        assert catmod._read_manifest(st, "latest")["version"] == 19
+
+    def test_concurrent_latest_merges_lose_nothing(self, spark):
+        """Two threads merge DIFFERENT batches into the latest table at
+        once.  Pre-CAS this was last-writer-wins on _CURRENT: one
+        batch's rows silently vanished until the next full recompute.
+        Now the loser re-reads the winner's table and re-merges."""
+        import threading
+
+        cat = self._mem_cat(spark)
+        mk = lambda host, start: make_files_df(spark, [
+            {"id": f"{host}-{start}", "what": "nginx", "where": host,
+             "start": start, "end": None, "work_id": None}])
+        cat.refresh_latest(mk("h0", T0))  # seed so both racers merge
+        barrier = threading.Barrier(2)
+        errs = []
+
+        def merge(host):
+            try:
+                barrier.wait(timeout=30)
+                cat.refresh_latest(mk(host, T0 + 5))
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=merge, args=(h,)) for h in ("h1", "h2")]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert not errs
+        got = {r["where"]: r["id"] for r in cat.latest_table().collect()}
+        # BOTH racing batches' keys present — no lost update
+        assert got == {"h0": f"h0-{T0}", "h1": f"h1-{T0 + 5}",
+                       "h2": f"h2-{T0 + 5}"}
+
+    def test_roll_forward_unwedges_dead_winner(self, spark):
+        """A winner that died between winning its marker and flipping
+        _CURRENT must not wedge the table: the next committer completes
+        the flip from the marker payload, then retries its own commit
+        on the following version."""
+        import json as _json
+
+        from datalake_spark import catalog as catmod
+
+        cat = self._mem_cat(spark)
+        cat.refresh_latest(make_files_df(spark, [
+            {"id": "a", "what": "nginx", "where": "h0",
+             "start": T0, "end": None, "work_id": None}]))
+        m = catmod._read_manifest(cat.store, "latest")
+        assert m["version"] == 1
+        # simulate a dead winner: marker for v2 exists (pointing at the
+        # still-live v1 directory — its data write completed), no flip
+        dead = {"version": 2, "dir": m["dir"], "history": []}
+        assert cat.store.put_if_absent(
+            "latest/_commits/v00000002", _json.dumps(dead).encode()
+        )
+        cat.refresh_latest(make_files_df(spark, [
+            {"id": "b", "what": "nginx", "where": "h1",
+             "start": T0 + 1, "end": None, "work_id": None}]))
+        final = catmod._read_manifest(cat.store, "latest")
+        assert final["version"] == 3  # rolled past the dead v2
+        assert {r["id"] for r in cat.latest_table().collect()} == {"a", "b"}
+
+    def test_concurrent_index_rebuilds_both_complete(self, spark):
+        import threading
+
+        cat = self._mem_cat(spark)
+        rows = [
+            {"id": f"r{i}", "what": "nginx", "where": "h0",
+             "start": T0 + i, "end": None, "work_id": f"job{i % 3}"}
+            for i in range(9)
+        ]
+        cat.append(make_files_df(spark, rows))
+        barrier = threading.Barrier(2)
+        errs = []
+
+        def rebuild(nb):
+            try:
+                barrier.wait(timeout=30)
+                cat.build_work_id_index(num_buckets=nb)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=rebuild, args=(nb,)) for nb in (2, 4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=180)
+        assert not errs
+        idx = cat.work_id_index()
+        assert idx is not None and idx[1] in (2, 4)
+        assert idx[0].count() == 9
+        assert cat.fsck(deep=True)["ok"]
