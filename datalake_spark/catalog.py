@@ -68,13 +68,40 @@ _KEEP_COMMIT_MARKERS = 16
 
 
 def _read_manifest(store: ObjectStore, table_key: str) -> dict | None:
+    """Resolve the table's current manifest.
+
+    The AUTHORITY is the commit-marker log (``_commits/v{N}`` — each
+    written exactly once via conditional PUT, never overwritten): the
+    retained marker with the highest version IS the current manifest.
+    ``_CURRENT`` is a convenience cache of it — and because plain PUTs
+    race, a marker winner's delayed flip can briefly overwrite a newer
+    committer's flip (manifest regression).  Resolving against the
+    marker log makes that window harmless: readers and committers never
+    observe a version older than the newest committed one.  ``_CURRENT``
+    remains the bootstrap for pre-marker catalogs and the fast answer
+    when no marker exceeds it; the next commit re-heals it."""
+    cur = None
     raw = store.get(join_key(table_key, _MANIFEST))
-    if raw is None:
-        return None
-    try:
-        return json.loads(raw)
-    except json.JSONDecodeError:
-        return None
+    if raw is not None:
+        try:
+            cur = json.loads(raw)
+        except json.JSONDecodeError:
+            cur = None
+    best_v = cur.get("version", 0) if cur else 0
+    best_key = None
+    for key in store.list(join_key(table_key, "_commits")):
+        name = key.rsplit("/", 1)[-1]
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) > best_v:
+            best_v = int(name[1:])
+            best_key = key
+    if best_key is not None:
+        raw = store.get(best_key)
+        if raw is not None:
+            try:
+                return json.loads(raw)
+            except json.JSONDecodeError:
+                pass
+    return cur
 
 
 def _commit_version(
@@ -133,12 +160,18 @@ def _commit_version(
                     store.put(join_key(table_key, _MANIFEST), won)
         raise CommitConflict(f"{table_key}: version {version} already committed")
     cur = _read_manifest(store, table_key)
-    if cur is not None and cur.get("version", 0) >= version:
+    if cur is not None and cur.get("version", 0) > version:
         # stale writer beyond the marker GC horizon: someone advanced
-        # the manifest past us while our marker slot had been reclaimed
+        # the manifest STRICTLY past us while our marker slot had been
+        # reclaimed.  (Equality is NOT a conflict: only one payload can
+        # ever win a version's marker, so a manifest already AT our
+        # version is our own payload — a concurrent loser's roll-forward
+        # heal raced ahead of this read-back.  Treating equality as a
+        # conflict livelocked two racing committers: each loser's heal
+        # made the next winner abort its own commit.)
         store.delete(marker)
         raise CommitConflict(
-            f"{table_key}: manifest already at v{cur['version']} >= {version}"
+            f"{table_key}: manifest already at v{cur['version']} > {version}"
         )
     store.put(join_key(table_key, _MANIFEST), payload)
     # reclaim old markers (deletes only, strictly after the flip)
@@ -154,14 +187,52 @@ def _new_version_dir(version: int) -> str:
     return f"v{version:08d}-{uuid.uuid4().hex[:8]}"
 
 
-def _gc_versions(store: ObjectStore, table_key: str, keep_dirs: set[str]) -> None:
+def _is_retryable_commit_race(e: Exception) -> bool:
+    """A Spark job failure whose signature is 'my snapshot/output was
+    removed under me by a concurrent committer's GC' — the read or write
+    races the sweep, bounded by keep_versions.  Retryable with the same
+    remedy as a CommitConflict: re-resolve the current manifest and
+    redo the attempt."""
+    msg = str(e)
+    return any(
+        s in msg
+        for s in ("FileNotFound", "PATH_NOT_FOUND", "does not exist",
+                  "No such file or directory")
+    )
+
+
+def _gc_versions(
+    store: ObjectStore,
+    table_key: str,
+    keep_dirs: set[str],
+    committed_version: int | None = None,
+) -> None:
     """Delete version directories not in ``keep_dirs`` (deletes only —
-    safe and non-atomic-OK on object stores; runs strictly after commit)."""
+    safe and non-atomic-OK on object stores; runs strictly after commit).
+
+    Lockless-concurrency guard: version directories are named
+    ``v{version:08d}-{uuid}``, and a committer's GC must never touch a
+    directory numbered BEYOND its own ``committed_version`` — that
+    directory belongs to a racing later committer (possibly already
+    flipped, possibly a marker-won dead winner awaiting roll-forward)
+    OR a same-version loser still mid-write (its Spark job races our
+    sweep; it will conflict on the marker and retry, and a LATER commit
+    sweeps its orphan).  Without the guard, committer A's GC (keep-set
+    computed from A's own manifest) could delete B's just-committed
+    v(N+1) data — or yank B's identically-numbered in-flight directory
+    out from under its write tasks — both observed in the two-thread
+    race tests.  Strictly-older dirs not in ``keep_dirs`` are true
+    orphans (superseded history, stale loser attempts) and go."""
     for key in store.list(table_key):
         rel = key[len(table_key) + 1:] if table_key else key
         top = rel.split("/", 1)[0]
-        if top.startswith("v") and "/" in rel and top not in keep_dirs:
-            store.delete(key)
+        if not (top.startswith("v") and "/" in rel) or top in keep_dirs:
+            continue
+        if committed_version is not None:
+            vpart = top[1:].split("-", 1)[0]
+            if vpart.isdigit() and int(vpart) >= committed_version:
+                continue  # a racing committer's (possibly live) directory
+        store.delete(key)
 
 
 def _version_dir_state(store: ObjectStore, vkey: str) -> str:
@@ -457,6 +528,10 @@ class Catalog:
                 return
             except CommitConflict:
                 continue  # re-read the winner's table and re-merge
+            except Exception as e:
+                if _is_retryable_commit_race(e):
+                    continue
+                raise
         raise RuntimeError(
             "refresh_latest: commit conflicted on 12 consecutive attempts"
         )
@@ -480,7 +555,7 @@ class Catalog:
             self.keep_versions,
         )
         keep = {dirname} | {h["dir"] for h in manifest["history"]}
-        _gc_versions(self.store, self.LATEST_KEY, keep)
+        _gc_versions(self.store, self.LATEST_KEY, keep, version)
 
     # -- read path ----------------------------------------------------------
     def files(self) -> DataFrame:
@@ -561,23 +636,30 @@ class Catalog:
             m = _read_manifest(self.store, self.INDEX_KEY)
             version = (m["version"] + 1) if m else 1
             dirname = _new_version_dir(version)
-            (
-                src.withColumn(
-                    "wid_bucket", self._wid_bucket(F.col("work_id"), num_buckets)
-                )
-                .repartition(F.col("wid_bucket"))
-                .write.partitionBy("wid_bucket")
-                .parquet(self.store.spark_url(join_key(self.INDEX_KEY, dirname)))
-            )
             try:
+                (
+                    src.withColumn(
+                        "wid_bucket",
+                        self._wid_bucket(F.col("work_id"), num_buckets),
+                    )
+                    .repartition(F.col("wid_bucket"))
+                    .write.partitionBy("wid_bucket")
+                    .parquet(
+                        self.store.spark_url(join_key(self.INDEX_KEY, dirname))
+                    )
+                )
                 manifest = _commit_version(
                     self.store, self.INDEX_KEY, version, dirname, m,
                     self.keep_versions, extra={"num_buckets": num_buckets},
                 )
             except CommitConflict:
                 continue  # concurrent rebuild won this version; retry
+            except Exception as e:
+                if _is_retryable_commit_race(e):
+                    continue
+                raise
             keep = {dirname} | {h["dir"] for h in manifest["history"]}
-            _gc_versions(self.store, self.INDEX_KEY, keep)
+            _gc_versions(self.store, self.INDEX_KEY, keep, version)
             return
         raise RuntimeError(
             "build_work_id_index: commit conflicted on 12 consecutive attempts"
@@ -993,7 +1075,7 @@ class Catalog:
             else:
                 _gc_versions(
                     self.store, self.FILES_KEY,
-                    keep | {old_key.rsplit("/", 1)[-1]},
+                    keep | {old_key.rsplit("/", 1)[-1]}, version,
                 )
         finally:
             self._release_lock(owner)

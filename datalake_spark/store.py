@@ -194,9 +194,17 @@ class LocalStore(ObjectStore):
         )
 
     def copy(self, src: str, dst: str) -> None:
+        spath = self._path(src)
+        # check the source BEFORE creating the destination's parents — a
+        # failed copy must not leave an empty directory behind (the
+        # property test caught exactly that local-vs-store divergence)
+        if not os.path.isfile(spath):
+            raise FileNotFoundError(src)
         dpath = self._path(dst)
+        if spath == dpath:
+            return  # self-copy succeeds on object stores; keep that here
         os.makedirs(os.path.dirname(dpath), exist_ok=True)
-        shutil.copy2(self._path(src), dpath)
+        shutil.copy2(spath, dpath)
 
     def open_read(self, key: str):
         try:

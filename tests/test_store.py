@@ -212,3 +212,61 @@ class TestCatalogOverFakeStore:
         report = cat.fsck(deep=False)
         assert not report["ok"]
         assert any("missing dir" in p for p in report["problems"])
+
+
+class TestStoreEquivalence:
+    """Property: LocalStore and MemStore are observably equivalent under
+    any verb sequence — same get() results, same list() keys, same
+    error on copying a missing object.  This is what licenses proving
+    the commit protocol on the fake and deploying it on a real store."""
+
+    def test_random_verb_sequences_agree(self, tmp_path):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        # mixed control-plane (_c/...) and data-plane key universe
+        keys = st.sampled_from(
+            ["a", "d/a", "d/b", "d/sub/c", "_c/m", "_c/sub/n", "tab/v1/p"]
+        )
+        vals = st.binary(min_size=0, max_size=8)
+        ops = st.lists(
+            st.one_of(
+                st.tuples(st.just("put"), keys, vals),
+                st.tuples(st.just("put_if_absent"), keys, vals),
+                st.tuples(st.just("delete"), keys, st.just(b"")),
+                st.tuples(st.just("copy"), keys, keys),
+            ),
+            max_size=12,
+        )
+        universe = ["a", "d/a", "d/b", "d/sub/c", "_c/m", "_c/sub/n",
+                    "tab/v1/p"]
+        counter = {"n": 0}
+
+        @settings(max_examples=60, deadline=None)
+        @given(ops)
+        def run(seq):
+            counter["n"] += 1
+            local = LocalStore(str(tmp_path / f"eq{counter['n']}"))
+            mem = MemStore(mem_bucket(f"eq-{uuid.uuid4().hex[:10]}"))
+            for op, k, arg in seq:
+                outcomes = []
+                for s in (local, mem):
+                    try:
+                        if op == "put":
+                            outcomes.append(("ok", s.put(k, arg)))
+                        elif op == "put_if_absent":
+                            outcomes.append(("ok", s.put_if_absent(k, arg)))
+                        elif op == "delete":
+                            outcomes.append(("ok", s.delete(k)))
+                        else:
+                            outcomes.append(("ok", s.copy(k, arg)))
+                    except FileNotFoundError:
+                        outcomes.append(("missing", None))
+                assert outcomes[0] == outcomes[1], (op, k, arg, outcomes)
+            for k in universe:
+                assert local.get(k) == mem.get(k), k
+            assert local.list("") == mem.list("")
+            for prefix in ("", "d", "_c", "tab"):
+                assert local.subdirs(prefix) == mem.subdirs(prefix), prefix
+
+        run()
