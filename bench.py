@@ -250,6 +250,8 @@ def main() -> None:
         "video_real_roundtrip",
         # r6 additions (no frozen anchor yet — first round on the board)
         "quality_classifier_weighted", "video_sniff_roundtrip",
+        # r7 additions (anchor next round)
+        "decontamination",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:

@@ -1120,3 +1120,86 @@ def minhash_incremental_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+def _word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, g): DISTINCT n-word grams per document.  Split once into an
+    array column first (the lambda re-split anti-pattern is O(words^2));
+    docs shorter than n words contribute no grams."""
+    return (
+        df.select(id_col, F.split(F.col(text_col), " ").alias("_parts"))
+        .select(
+            id_col,
+            F.explode(
+                F.when(
+                    F.size("_parts") >= n,
+                    F.expr(
+                        f"transform(sequence(1, size(_parts) - {n - 1}, 1), "
+                        f"i -> concat_ws(' ', slice(_parts, i, {n})))"
+                    ),
+                ).otherwise(F.expr("cast(array() as array<string>)"))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    min_hits: int = 1,
+    mode: str = "stats",
+) -> DataFrame:
+    """Benchmark decontamination: find (or drop) corpus documents that
+    share at least ``min_hits`` distinct ``n``-word grams with an
+    evaluation/benchmark set — the n-gram collision rule LLM training
+    pipelines run before training so eval questions don't leak into the
+    corpus (GPT-3 appendix C used 13-grams; PaLM/Llama variants differ
+    only in n).  No reference analog — LLM-brief surface.
+
+    ``mode="stats"`` returns one row per corpus doc:
+    (id, n_grams, n_contaminated, contaminated) — the audit view;
+    ``mode="drop"`` returns the clean corpus rows (original columns).
+
+    Scale shape: the benchmark side is SMALL by definition (an eval set),
+    so its distinct gram set BROADCASTS and the corpus-side exploded
+    grams join map-side — the corpus never shuffles on the gram key; the
+    only corpus-keyed shuffle is the per-doc count aggregate.  Corpus
+    explode is ~n_words rows per doc, the same cost envelope as every
+    shingle operator here.
+    """
+    if mode not in ("stats", "drop"):
+        raise ValueError(f"unknown mode {mode!r}")
+    bench_grams = (
+        _word_ngrams(
+            benchmark.select(
+                F.col(bench_text_col or text_col).alias("text")
+            ).withColumn("_bid", F.lit(1)),
+            "text", "_bid", n,
+        )
+        .select("g")
+        .distinct()
+    )
+    grams = _word_ngrams(corpus, text_col, id_col, n)
+    stats = (
+        grams.join(F.broadcast(bench_grams.withColumn("_hit", F.lit(1))),
+                   "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .withColumn(
+            "contaminated", F.col("n_contaminated") >= F.lit(min_hits)
+        )
+    )
+    if mode == "stats":
+        return stats
+    dirty = stats.filter(F.col("contaminated")).select(id_col)
+    return corpus.join(dirty, id_col, "left_anti")

@@ -465,6 +465,10 @@ def _mk() -> list[Q]:
         Sub(q(pq, "event_sequences", "event_sequences",
               "EVENT_SEQUENCES_SQL"),
             {"t1": "v", "t2": "v", "t3": "v", "n_occurrences": "v"}),
+        Sub(q(pq, "decontamination", "decontamination",
+              "DECONTAMINATION_SQL"),
+            {"doc_id": "v", "n_grams": "v", "n_contaminated": "v",
+             "contaminated": "v"}),
     ]
 
     return [

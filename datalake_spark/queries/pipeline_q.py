@@ -3397,3 +3397,42 @@ SELECT doc_id, skel_key,
        MIN(doc_id) OVER (PARTITION BY skel_key) AS canonical
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# decontamination — benchmark n-gram collision flags: which corpus docs
+# share any 8-word gram with the held-out "benchmark" slice (source =
+# 'src0' stands in for an eval set).  The pre-training hygiene step every
+# LLM pipeline runs (GPT-3 appendix C's 13-gram rule; n parameterized in
+# operators/dedup.decontaminate).  Spark plan: benchmark grams broadcast,
+# corpus grams explode map-side, one per-doc count shuffle.
+# ---------------------------------------------------------------------------
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.operators.dedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return decontaminate(corpus, bench, n=8).select(
+        "doc_id", "n_grams", "n_contaminated", "contaminated"
+    )
+
+
+DECONTAMINATION_SQL = """
+WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE source <> 'src0'),
+bench AS (SELECT string_split(text, ' ') AS w
+          FROM documents WHERE source = 'src0'),
+bg AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+       FROM bench, UNNEST(generate_series(1, len(w) - 7)) AS t(i)),
+cg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+       FROM corpus, UNNEST(generate_series(1, len(w) - 7)) AS t(i))
+SELECT cg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       SUM(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) >= 1
+         AS contaminated
+FROM cg LEFT JOIN bg ON cg.g = bg.g
+GROUP BY cg.doc_id
+"""

@@ -659,3 +659,62 @@ class TestQualityClassifierWeighted:
         # doc 1: alpha(7) + beta(0) + alpha_beta(-3) = 4 over 3 terms
         # doc 2: no vocabulary hits at all
         assert got == {1: (3, 4), 2: (3, 0)}
+
+
+class TestDecontamination:
+    """operators/dedup.decontaminate — the n-gram benchmark-collision
+    hygiene step (GPT-3 appendix C 13-gram rule, n parameterized)."""
+
+    def _frames(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # contains the benchmark 5-gram "quick brown fox jumps over"
+                (1, "prefix words quick brown fox jumps over and more text"),
+                # no 5-gram overlap
+                (2, "completely different content with no shared phrases at all"),
+                # too short for any 5-gram
+                (3, "tiny doc"),
+                # two distinct overlapping grams
+                (4, "the quick brown fox jumps over the lazy dog"),
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_stats_mode(self, spark):
+        from datalake_spark.operators.dedup import decontaminate
+
+        corpus, bench = self._frames(spark)
+        got = {
+            r["doc_id"]: (r["n_contaminated"], r["contaminated"])
+            for r in decontaminate(corpus, bench, n=5).collect()
+        }
+        assert got[1][1] is True and got[1][0] >= 1
+        assert got[2] == (0, False)
+        assert 3 not in got  # shorter than n words -> no grams, no row
+        assert got[4][1] is True and got[4][0] > got[1][0]
+
+    def test_drop_mode_and_min_hits(self, spark):
+        from datalake_spark.operators.dedup import decontaminate
+
+        corpus, bench = self._frames(spark)
+        clean = decontaminate(corpus, bench, n=5, mode="drop")
+        assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+        # raising min_hits spares the single-gram doc but not the heavy one
+        stats = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(corpus, bench, n=5, min_hits=4).collect()
+        }
+        assert stats[4] is True and stats[1] is False
+
+    def test_plan_broadcasts_benchmark(self, spark):
+        from datalake_spark.operators.dedup import decontaminate
+
+        corpus, bench = self._frames(spark)
+        plan = decontaminate(corpus, bench, n=5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
