@@ -281,6 +281,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="shard layout: parquet, line-delimited JSON, or "
                          "WebDataset tar shards — same seeded membership "
                          "in all three")
+    cu.add_argument("--benchmark", default=None,
+                    help="parquet path of an eval set: drop corpus docs "
+                         "sharing any n-gram with it (decontamination; "
+                         "quarantine stage 'contaminated')")
+    cu.add_argument("--decon-n", dest="decon_n", type=int, default=13,
+                    help="n-gram size for --benchmark decontamination "
+                         "(default 13, the GPT-3 rule)")
     return p
 
 
@@ -563,6 +570,11 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
             dedup_threshold=args.threshold,
             quarantine_path=args.quarantine,
             fmt=args.fmt,
+            benchmark=(
+                spark.read.parquet(args.benchmark)
+                if args.benchmark else None
+            ),
+            decontaminate_n=args.decon_n,
         )
         print(_json.dumps(manifest, sort_keys=True), file=out)
         return 0

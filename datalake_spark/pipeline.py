@@ -183,10 +183,21 @@ def curate_corpus(
     rule_kwargs: dict | None = None,
     quarantine_path: str | None = None,
     span_dedup_k: int | None = None,
+    benchmark: DataFrame | None = None,
+    decontaminate_n: int = 13,
+    decontaminate_min_hits: int = 1,
     **dedup_kwargs,
 ) -> DataFrame:
     """Quality rules then near-dup dedup; returns the surviving rows of
     ``df`` (original columns only).
+
+    With ``benchmark`` (an eval-set DataFrame with the same text
+    column), a decontamination stage drops documents sharing >=
+    ``decontaminate_min_hits`` distinct ``decontaminate_n``-grams with
+    it (operators/dedup.decontaminate — the pre-training n-gram
+    collision rule).  It runs after the rules (smaller corpus) and
+    before dedup (no point clustering docs that are leaving);
+    quarantined docs record stage ``contaminated``.
 
     With ``span_dedup_k``, a third stage runs cross-document duplicated-
     span removal (operators/dedup.py:duplicated_span_dedup) over the
@@ -207,6 +218,27 @@ def curate_corpus(
         df, text_col=text_col, id_col=id_col, **(rule_kwargs or {})
     )
     kept = ruled.filter(F.col("keep")).select(*df.columns)
+    decon_dropped = None
+    if benchmark is not None:
+        from datalake_spark.operators.dedup import decontaminate
+
+        dirty = (
+            decontaminate(
+                kept, benchmark, text_col=text_col, id_col=id_col,
+                n=decontaminate_n, min_hits=decontaminate_min_hits,
+            )
+            .filter(F.col("contaminated"))
+            .select(F.col(id_col).alias("_did"))
+        )
+        if quarantine_path is not None:
+            decon_dropped = kept.join(
+                dirty, F.col(id_col) == F.col("_did")
+            ).select(
+                *df.columns,
+                *[F.lit(True).alias(c) for c in RULE_COLS],
+                F.lit("contaminated").alias("drop_stage"),
+            )
+        kept = kept.join(dirty, F.col(id_col) == F.col("_did"), "left_anti")
     surviving = dedup_corpus(
         kept,
         text_col=text_col,
@@ -262,6 +294,8 @@ def curate_corpus(
             )
         )
         drops = rule_drops.unionByName(dup_drops)
+        if decon_dropped is not None:
+            drops = drops.unionByName(decon_dropped)
         if span_emptied is not None:
             # span-emptied ids would otherwise double-report as near_dup
             # (they are absent from `surviving`): keep the specific stage

@@ -199,6 +199,49 @@ class TestCurateCommand:
         assert back.count() == 30
         assert "shard" in back.columns
 
+
+    def test_curate_with_benchmark_decontaminates(
+        self, spark, catalog_dir, tmp_path
+    ):
+        """--benchmark drops corpus docs sharing an n-gram with the eval
+        set and attributes them in the quarantine as 'contaminated'."""
+        src = str(tmp_path / "docs2")
+        bench = str(tmp_path / "bench")
+        outdir = str(tmp_path / "shards2")
+        quar = str(tmp_path / "quar2")
+        leak = "the alpha a beta the gamma a delta the epsilon"
+        rows = []
+        for i in range(10):
+            body = " ".join(f"the c{i}w{j} a c{i}v{j}" for j in range(8))
+            rows.append((i, f"doc {i} starts the piece here {body}", "en"))
+        rows.append((50, f"an exam question leaked {leak} into the corpus "
+                         "and the a filler words pad the length band here "
+                         "nicely today", "en"))
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).write.parquet(src)
+        spark.createDataFrame(
+            [(0, f"eval prompt {leak} with its answer")],
+            "doc_id long, text string",
+        ).write.parquet(bench)
+        rc, lines = _run(
+            spark,
+            ["curate", src, outdir, "--n-shards", "2",
+             "--benchmark", bench, "--decon-n", "5",
+             "--quarantine", quar],
+            catalog_dir,
+        )
+        assert rc == 0
+        manifest = json.loads(lines[0])
+        assert manifest["curation"]["n_kept"] == 10
+        stages = {
+            r["doc_id"]: r["drop_stage"]
+            for r in spark.read.parquet(quar).collect()
+        }
+        assert stages[50] == "contaminated"
+        back = spark.read.parquet(outdir)
+        assert back.filter("doc_id = 50").count() == 0
+
     def test_curate_webdataset_format(self, spark, catalog_dir, tmp_path):
         from datalake_spark.export import read_webdataset_shard
 

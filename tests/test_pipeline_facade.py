@@ -223,3 +223,52 @@ class TestClassifierWeightsLoading:
         # third column ignored, blank line dropped, integer weight kept
         # (single-line file -> no header ambiguity for non-digit terms)
         assert got == {"good": 1500000, "bad": -2000000}
+
+
+class TestDecontaminationStage:
+    def test_contaminated_docs_quarantined_with_stage(self, spark, tmp_path):
+        from datalake_spark.pipeline import curate_corpus
+
+        bench = spark.createDataFrame(
+            [(900, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        rows = [
+            # shares a 5-gram with the benchmark -> contaminated
+            (1, "intro words alpha beta gamma delta epsilon and a tail here",
+             "en"),
+            # clean keeper (carries the stopword for the stop-ratio rule)
+            (2, "one two and three four five six seven eight nine ten", "en"),
+            # rule drop (too short) must still attribute to 'rules'
+            (3, "tiny", "en"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+        qpath = str(tmp_path / "quar")
+        out = curate_corpus(
+            df,
+            rule_kwargs={"min_words": 5, "max_words": 100,
+                         "stopwords": ("and",), "stop_ratio_den": 200},
+            benchmark=bench,
+            decontaminate_n=5,
+            quarantine_path=qpath,
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [2]
+        quar = {r["doc_id"]: r["drop_stage"]
+                for r in spark.read.parquet(qpath).collect()}
+        assert quar == {1: "contaminated", 3: "rules"}
+
+    def test_no_benchmark_is_passthrough(self, spark):
+        from datalake_spark.pipeline import curate_corpus
+
+        df = spark.createDataFrame(
+            [(1, "one two three four five six seven", "en")],
+            "doc_id long, text string, lang string",
+        )
+        out = curate_corpus(
+            df,
+            rule_kwargs={"min_words": 2, "max_words": 100,
+                         "stopwords": ("two",), "stop_ratio_den": 200},
+        )
+        assert [r["doc_id"] for r in out.collect()] == [1]
