@@ -1101,6 +1101,35 @@ class Catalog:
             copied.add(rel)
         return copied
 
+    def gc_orphans(self) -> dict[str, list[str]]:
+        """Reclaim orphan version directories — dirs no manifest (current
+        or history) references.  Under optimistic commits these accrue
+        routinely (every losing attempt leaves one until a strictly
+        newer commit sweeps its table), and ``fsck`` reports them as
+        informational; this is the operator verb that deletes them NOW.
+
+        Safety: a dir numbered >= the table's current version is never
+        touched (a racing committer may be writing it, or a marker-won
+        winner may be awaiting roll-forward) — identical to the
+        commit-time GC guard.  Returns {table: [deleted dirs]}."""
+        out: dict[str, list[str]] = {}
+        for table_key in (self.FILES_KEY, self.LATEST_KEY, self.INDEX_KEY):
+            m = _read_manifest(self.store, table_key)
+            if m is None:
+                continue
+            referenced = {m["dir"]} | {h["dir"] for h in m.get("history", [])}
+            victims = sorted(
+                d for d in self.store.subdirs(table_key)
+                if d.startswith("v") and d not in referenced
+                and d[1:].split("-", 1)[0].isdigit()
+                and int(d[1:].split("-", 1)[0]) < m["version"]
+            )
+            for d in victims:
+                self.store.delete_prefix(join_key(table_key, d))
+            if victims:
+                out[table_key] = victims
+        return out
+
     def fsck(self, deep: bool = True) -> dict:
         """Catalog invariant check — the operational health verb a 100 TB
         deployment runs after incidents and before GC policy changes.

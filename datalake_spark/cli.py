@@ -183,6 +183,10 @@ def build_parser() -> argparse.ArgumentParser:
                                      "locks/leases, latest/index staleness")
     fs.add_argument("--shallow", action="store_true",
                     help="skip the join-based data checks")
+    fs.add_argument("--gc-orphans", dest="gc_orphans", action="store_true",
+                    help="delete unreferenced version dirs first (losing "
+                         "optimistic-commit attempts; never touches dirs "
+                         "at or beyond each table's current version)")
 
     ep = sub.add_parser("enqueue", help="spool a file+metadata bundle for "
                                         "the uploader (O20)")
@@ -411,6 +415,9 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
         return 0
 
     if args.command == "fsck":
+        if args.gc_orphans:
+            for table, gone in sorted(catalog.gc_orphans().items()):
+                print(f"gc {table}: removed {' '.join(gone)}", file=out)
         report = catalog.fsck(deep=not args.shallow)
         for p in report["problems"]:
             print(f"PROBLEM {p}", file=out)

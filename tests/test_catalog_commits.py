@@ -1001,3 +1001,44 @@ class TestOptimisticCommits:
         assert idx is not None and idx[1] in (2, 4)
         assert idx[0].count() == 9
         assert cat.fsck(deep=True)["ok"]
+
+
+class TestGcOrphans:
+    def test_reclaims_losers_protects_current_and_future(self, spark):
+        import uuid as _uuid
+
+        cat = Catalog(spark, f"mem://go-{_uuid.uuid4().hex[:8]}/cat")
+        cat.refresh_latest(make_files_df(spark, [
+            {"id": "a", "what": "nginx", "where": "h0",
+             "start": T0, "end": None, "work_id": None}]))
+        cat.refresh_latest(make_files_df(spark, [
+            {"id": "b", "what": "nginx", "where": "h1",
+             "start": T0 + 1, "end": None, "work_id": None}]))
+        # plant: an old losing attempt (v1-loser), and a future dir a
+        # racing committer might be writing (v9-race) — only the loser
+        # may be reclaimed
+        cat.store.put("latest/v00000001-loser0/part-x.parquet", b"x")
+        cat.store.put("latest/v00000009-race00/part-y.parquet", b"y")
+        gone = cat.gc_orphans()
+        assert gone.get("latest") == ["v00000001-loser0"]
+        assert not cat.store.list("latest/v00000001-loser0")
+        assert cat.store.list("latest/v00000009-race00")
+        # table still reads; the planted future dir is mere info to fsck
+        assert {r["id"] for r in cat.latest_table().collect()} == {"a", "b"}
+
+    def test_cli_fsck_gc_orphans(self, spark, tmp_path):
+        import io
+
+        from datalake_spark.cli import run
+
+        cat = Catalog(spark, str(tmp_path / "cat"))
+        cat.append(make_files_df(spark, _rows(0)))
+        cat.refresh_latest()
+        cat.refresh_latest()  # second version so current > 1
+        cat.store.put("latest/v00000001-stale0/part-z.parquet", b"z")
+        out = io.StringIO()
+        rc = run(["--catalog", str(tmp_path / "cat"), "fsck", "--gc-orphans"],
+                 spark=spark, out=out)
+        text = out.getvalue()
+        assert rc == 0 and "gc latest: removed v00000001-stale0" in text
+        assert text.strip().endswith("ok")
