@@ -251,7 +251,7 @@ def main() -> None:
         # r6 additions (no frozen anchor yet — first round on the board)
         "quality_classifier_weighted", "video_sniff_roundtrip",
         # r7 additions (anchor next round)
-        "decontamination",
+        "decontamination", "sequence_packing",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:

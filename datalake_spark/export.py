@@ -371,3 +371,54 @@ def read_webdataset_shard(path: str, shard: int):
                     slot["json"]
                 )
                 del pending[base]
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "shuf42",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing map: which fixed-token-budget
+    training sequence does each document land in, and at what token
+    offset — the packing step a training-data pipeline runs so short
+    documents don't waste context-window tokens as padding.  No
+    reference analog (LLM-brief surface).
+
+    Documents take their deterministic shard+shuffle order (the same
+    seeded md5 key as write_training_shards, so packing matches the
+    shard layout byte-for-byte), a per-shard running token total
+    assigns ``seq_id = floor(tokens_before / budget)`` and
+    ``offset_tokens = tokens_before % budget`` — exactly concatenate-
+    then-split-at-budget-boundaries, expressed as ONE partitioned
+    window (no global sort; shards pack independently, the 100 TB
+    shape).  A doc may straddle two sequences (its tail flows into
+    seq_id + 1), as concat-and-chunk training intends.
+
+    Returns (id, shard, n_tokens, seq_id, offset_tokens).
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    ).cast("bigint")
+    keyed = df.select(
+        F.col(id_col),
+        shard_key(id_col, seed).alias("_skey"),
+        toks.alias("n_tokens"),
+    ).withColumn("shard", shard_of(F.col("_skey"), n_shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_skey", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    return keyed.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(before / budget_tokens).cast("bigint").alias("seq_id"),
+        (before % budget_tokens).cast("bigint").alias("offset_tokens"),
+    )

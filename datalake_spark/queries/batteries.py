@@ -439,6 +439,14 @@ def _mk() -> list[Q]:
               "CURRICULUM_INTERLEAVE_SQL"),
             {"doc_id": "v", "source": "v", "band": "v",
              "rank_in_source": "v", "pos": "v"}),
+        Sub(q(pq, "decontamination", "decontamination",
+              "DECONTAMINATION_SQL"),
+            {"doc_id": "v", "n_grams": "v", "n_contaminated": "v",
+             "contaminated": "v"}),
+        Sub(q(pq, "sequence_packing", "sequence_packing",
+              "SEQUENCE_PACKING_SQL"),
+            {"doc_id": "v", "shard": "v", "n_tokens": "v", "seq_id": "v",
+             "offset_tokens": "v"}),
     ]
     event_windows = [
         Sub(q(wq, "q_tumbling_window", "q_tumbling_window", "Q_TUMBLING_SQL"),
@@ -465,10 +473,6 @@ def _mk() -> list[Q]:
         Sub(q(pq, "event_sequences", "event_sequences",
               "EVENT_SEQUENCES_SQL"),
             {"t1": "v", "t2": "v", "t3": "v", "n_occurrences": "v"}),
-        Sub(q(pq, "decontamination", "decontamination",
-              "DECONTAMINATION_SQL"),
-            {"doc_id": "v", "n_grams": "v", "n_contaminated": "v",
-             "contaminated": "v"}),
     ]
 
     return [

@@ -3436,3 +3436,42 @@ SELECT cg.doc_id,
 FROM cg LEFT JOIN bg ON cg.g = bg.g
 GROUP BY cg.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# sequence_packing — concat-and-chunk packing map (export.pack_sequences):
+# per deterministic shard, a running token total assigns every doc its
+# training sequence id and token offset under a fixed budget.  One
+# partitioned window, no global sort; the per-shard order is the shard
+# writer's own (_skey, id), so packing matches the materialized layout.
+# ---------------------------------------------------------------------------
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.export import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, budget_tokens=512, n_shards=4)
+
+
+SEQUENCE_PACKING_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS skey,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents),
+sharded AS (
+  SELECT doc_id, skey, n_tokens,
+         CAST(CONCAT('0x', SUBSTR(skey, 1, 8)) AS BIGINT) % 4 AS shard
+  FROM keyed),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY skey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS before
+  FROM sharded)
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR(before / 512) AS BIGINT) AS seq_id,
+       CAST(before % 512 AS BIGINT) AS offset_tokens
+FROM cum
+"""

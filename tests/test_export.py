@@ -247,3 +247,61 @@ class TestWebdataset:
                 continue
             keys = [key for key, _t, _m in read_webdataset_shard(wd, k)]
             assert keys == sorted(keys)  # hash-prefixed keys: stored order
+
+
+class TestSequencePacking:
+    def test_matches_hand_packed_model(self, spark):
+        """Single shard, tiny budget: seq_id/offset follow the exact
+        concat-and-chunk arithmetic over the deterministic order."""
+        import hashlib
+
+        rows = [(i, " ".join(f"t{j}" for j in range(3 + i))) for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from datalake_spark.export import pack_sequences
+
+        got = {r["doc_id"]: r for r in
+               pack_sequences(df, budget_tokens=10, n_shards=1).collect()}
+        # replicate: order by (md5 key, id), running cumsum
+        order = sorted(
+            rows,
+            key=lambda r: (hashlib.md5(f"shuf42:{r[0]}".encode()).hexdigest(),
+                           r[0]),
+        )
+        before = 0
+        for doc_id, text in order:
+            n = len(text.split(" "))
+            r = got[doc_id]
+            assert (r["shard"], r["n_tokens"]) == (0, n), doc_id
+            assert r["seq_id"] == before // 10, doc_id
+            assert r["offset_tokens"] == before % 10, doc_id
+            before += n
+
+    def test_empty_and_whitespace_docs_pack_as_zero_tokens(self, spark):
+        from datalake_spark.export import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "  "), (3, "one two")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["n_tokens"]
+               for r in pack_sequences(df, n_shards=1).collect()}
+        assert got == {1: 0, 2: 0, 3: 2}
+
+    def test_matches_shard_membership_of_writer(self, spark, tmp_path):
+        """Packing's shard assignment equals write_training_shards'
+        membership for the same seed — the map describes the layout."""
+        from datalake_spark.export import pack_sequences, write_training_shards
+
+        rows = [(i, f"some text body number {i}") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        path = str(tmp_path / "shards")
+        write_training_shards(df, path, n_shards=4)
+        stored = {
+            r["doc_id"]: r["shard"]
+            for r in spark.read.parquet(path).collect()
+        }
+        packed = {
+            r["doc_id"]: r["shard"]
+            for r in pack_sequences(df, n_shards=4).collect()
+        }
+        assert packed == stored
