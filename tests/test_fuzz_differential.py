@@ -32,8 +32,8 @@ SF_DIR = "/root/testdata/sf0.001"
 # OFFSET, outer joins, null ordering, windows, doubles); the r6 hunts
 # additionally cleared seeds 300-1199 at sf0.001/sf0.01 one-off.
 # r7 grammar (correlated scalar subqueries, setops over join results,
-# CASE/arithmetic projections): a one-off hunt cleared fresh seeds
-# 1200-2199 with 0 divergences.
+# CASE/arithmetic projections): one-off hunts cleared fresh seeds
+# 1200-2199 at sf0.001 and 1200-1699 at sf0.01, 0 divergences.
 N_PLANS = 200
 
 from datalake_spark.fuzzgen import (  # noqa: E402
