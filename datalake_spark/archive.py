@@ -58,6 +58,52 @@ class NoSuchDatalakeFile(InvalidDatalakePath):
 
 _HEADER_BYTES = 1024
 _GZIP_MAGIC = b"\x1f\x8b\x08"
+
+# streaming push granularities, both reference-pinned: content hashes in
+# 64 KiB blocks (dlfile.py:221-235 _HASH_BUF_SIZE) and store writers
+# flush DATALAKE_CHUNK_SIZE_MB parts (archive.py:45-48 CHUNK_SIZE — the
+# S3 multipart sizing, 5 MB minimum / 5 GB single-PUT cap)
+_HASH_BUF_SIZE = 65536
+
+
+def _gzip_bytes(data: bytes) -> bytes:
+    """Deterministic gzip (mtime=0, no filename) via GzipFile — the SAME
+    primitive the streaming path wraps around its writer, so eager and
+    streamed stores of one input are byte-identical and dedup to one
+    content hash.  (gzip.compress writes a different OS header byte on
+    modern Pythons, which would silently fork the two paths' hashes.)"""
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(data)
+    return buf.getvalue()
+
+
+def chunk_size_bytes() -> int:
+    return int(float(os.environ.get("DATALAKE_CHUNK_SIZE_MB", 100)) * 1024 * 1024)
+
+
+class _HashingTee:
+    """Pass-through writer that blake2b-16s and counts everything written
+    to the underlying store writer — the hash the metadata records is the
+    hash of the STORED bytes (post-compression), same as the eager path."""
+
+    def __init__(self, sink):
+        import hashlib
+
+        self.sink = sink
+        self.h = hashlib.blake2b(digest_size=16)
+        self.n = 0
+
+    def write(self, b) -> int:
+        self.h.update(b)
+        self.n += len(b)
+        return self.sink.write(b)
+
+    def tell(self) -> int:
+        return self.sink.tell()
+
+    def flush(self) -> None:  # GzipFile calls flush on close
+        pass
 # a path like name.csv-<32..40 hex> carries a trailing checksum; content type
 # is sniffed from the stripped path (api/datalake_api/fetcher.py:35-42)
 _TRAILING_CHECKSUM = re.compile(r"(?P<path>.+)-[0-9a-f]{32,40}?")
@@ -217,8 +263,60 @@ class Archive:
         """
         file_id = str(metadata["id"])
         if compress and not content.startswith(_GZIP_MAGIC):
-            content = gzip.compress(content, mtime=0)
+            content = _gzip_bytes(content)
         self._store.put(f"{file_id}/data", content)
+        self._store.put(
+            f"{file_id}/metadata",
+            json.dumps(metadata, sort_keys=True).encode(),
+        )
+        return self.url_from_id(file_id)
+
+    def store_stream(self, metadata: dict, fileobj,
+                     compress: bool = False,
+                     chunk_size: int | None = None) -> str:
+        """Stream content into the store without ever materializing the
+        blob: 64 KiB read blocks (reference dlfile.py:221-235 hash loop),
+        blake2b-16 computed on the fly over the STORED bytes, written
+        through the store's streaming writer — a temp-file rename
+        locally, a multipart upload of ``chunk_size`` parts on S3
+        (reference archive.py:45-48 CHUNK_SIZE / DATALAKE_CHUNK_SIZE_MB).
+        Peak driver memory is one part, regardless of blob size.
+
+        Produces byte-identical stored objects to :meth:`store` for the
+        same input (gzip mtime=0, same magic sniff), so eager and
+        streaming pushes of one file dedup to the same content hash.
+        Fills ``metadata["hash"]`` (and ``"size"``, the stored byte
+        count) when absent, writes the sidecar after the content
+        publishes, and returns the fetchable url.  A mid-stream failure
+        aborts the store writer — no partial object is ever visible."""
+        file_id = str(metadata["id"])
+        writer = self._store.open_write(
+            f"{file_id}/data", chunk_size or chunk_size_bytes()
+        )
+        tee = _HashingTee(writer)
+        try:
+            head = fileobj.read(len(_GZIP_MAGIC))
+            gz = None
+            out = tee
+            if compress and not head.startswith(_GZIP_MAGIC):
+                gz = gzip.GzipFile(fileobj=tee, mode="wb", mtime=0)
+                out = gz
+            out.write(head)
+            while True:
+                block = fileobj.read(_HASH_BUF_SIZE)
+                if not block:
+                    break
+                out.write(block)
+            if gz is not None:
+                gz.close()  # flush the gzip trailer through the tee
+        except Exception:
+            writer.abort()
+            raise
+        writer.close()
+        if not metadata.get("hash"):
+            metadata["hash"] = tee.h.hexdigest()
+        if not metadata.get("size"):
+            metadata["size"] = tee.n
         self._store.put(
             f"{file_id}/metadata",
             json.dumps(metadata, sort_keys=True).encode(),

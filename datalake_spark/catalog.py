@@ -49,6 +49,11 @@ _MANIFEST = "_CURRENT"
 _LOCK = "_LOCK"
 _LEASE_DIR = "_leases"
 
+# distinguishes "caller passed no base manifest" from "base manifest is
+# None (no table existed)" in write_latest — the two mean different CAS
+# targets (re-read vs version 1)
+_UNSET: dict = {}
+
 
 class WriterLockHeld(Exception):
     """Another writer holds the table lock and the wait timed out."""
@@ -187,18 +192,38 @@ def _new_version_dir(version: int) -> str:
     return f"v{version:08d}-{uuid.uuid4().hex[:8]}"
 
 
-def _is_retryable_commit_race(e: Exception) -> bool:
+def _is_retryable_commit_race(
+    e: Exception,
+    store: ObjectStore | None = None,
+    table_key: str | None = None,
+    started_version: int | None = None,
+) -> bool:
     """A Spark job failure whose signature is 'my snapshot/output was
     removed under me by a concurrent committer's GC' — the read or write
     races the sweep, bounded by keep_versions.  Retryable with the same
     remedy as a CommitConflict: re-resolve the current manifest and
-    redo the attempt."""
+    redo the attempt.
+
+    The message substrings are broad ('does not exist' matches a missing
+    INPUT path and real GC corruption too), so callers that know the
+    table pass (store, table_key, started_version): the race is only
+    confirmed — and the attempt only retried — when the table's manifest
+    actually ADVANCED past the version observed when the attempt began.
+    A missing path with no concurrent commit is a real error and raises
+    on the first attempt instead of burning 12 full Spark retries and
+    being misreported as a commit conflict."""
     msg = str(e)
-    return any(
+    if not any(
         s in msg
         for s in ("FileNotFound", "PATH_NOT_FOUND", "does not exist",
                   "No such file or directory")
-    )
+    ):
+        return False
+    if store is None or table_key is None:
+        return True
+    m = _read_manifest(store, table_key)
+    now = m["version"] if m else 0
+    return now != (started_version or 0)
 
 
 def _gc_versions(
@@ -222,17 +247,21 @@ def _gc_versions(
     v(N+1) data — or yank B's identically-numbered in-flight directory
     out from under its write tasks — both observed in the two-thread
     race tests.  Strictly-older dirs not in ``keep_dirs`` are true
-    orphans (superseded history, stale loser attempts) and go."""
-    for key in store.list(table_key):
-        rel = key[len(table_key) + 1:] if table_key else key
-        top = rel.split("/", 1)[0]
-        if not (top.startswith("v") and "/" in rel) or top in keep_dirs:
+    orphans (superseded history, stale loser attempts) and go.
+
+    LIST cost is O(version directories), not O(table objects): the
+    candidates come from one shallow ``subdirs`` resolution, and only
+    the dirs actually being reclaimed get a recursive LIST — a
+    maintenance commit on a table with millions of retained data
+    objects never enumerates them."""
+    for top in store.subdirs(table_key):
+        if not top.startswith("v") or top in keep_dirs:
             continue
         if committed_version is not None:
             vpart = top[1:].split("-", 1)[0]
             if vpart.isdigit() and int(vpart) >= committed_version:
                 continue  # a racing committer's (possibly live) directory
-        store.delete(key)
+        store.delete_prefix(join_key(table_key, top))
 
 
 def _version_dir_state(store: ObjectStore, vkey: str) -> str:
@@ -296,14 +325,17 @@ class Catalog:
     def __init__(self, spark: SparkSession, root: str,
                  lock_ttl: float = 3600.0, append_lease_ttl: float = 300.0,
                  lock_poll: float = 0.1, lock_wait: float = 600.0,
-                 keep_versions: int = 2):
+                 keep_versions: int = 2, store: ObjectStore | None = None):
         self.spark = spark
         # every driver-side control-plane IO (manifests, locks, leases,
         # GC, sweeps) goes through the store; Spark data reads/writes use
         # store.spark_url(key).  root/files_path/latest_path remain the
         # Spark-visible data locations for callers that join paths onto
-        # them (checkpoints, reports, direct inspection).
-        self.store = open_store(root)
+        # them (checkpoints, reports, direct inspection).  ``store``
+        # overrides the scheme-registry resolution of ``root`` for
+        # pre-configured store instances (custom boto3 clients/endpoints,
+        # hybrid control/data planes).
+        self.store = store if store is not None else open_store(root)
         self.root = self.store.spark_url("")
         self.files_path = self.store.spark_url(self.FILES_KEY)
         self.latest_path = self.store.spark_url(self.LATEST_KEY)
@@ -489,62 +521,100 @@ class Catalog:
         :class:`CommitConflict` re-reads the winner's latest table and
         re-merges against it (optimistic-concurrency retry, the batch
         analog of the reference's conditional-put-until-accepted upsert,
-        ingester/datalake_ingester/storage.py:82-137)."""
+        ingester/datalake_ingester/storage.py:82-137).  Each attempt
+        resolves the manifest EXACTLY ONCE: the snapshot merged and the
+        CAS target version both come from that one read, so a commit
+        landing between "read base" and "write merged" always collides
+        on the base.version+1 marker — there is no window where a stale
+        base can commit over an intervening batch."""
         for _attempt in range(12):
             cols = [f.name for f in FILES_SCHEMA.fields]
-            existing = self.latest_table() if new_rows is not None else None
-            if existing is not None:
-                src = existing.select(*cols).unionByName(new_rows.select(*cols))
-            elif new_rows is not None and not self.store.exists_prefix(
-                self._files_key()
-            ):
-                # first merge on a catalog with no files table yet (streaming
-                # writers merge latest before/independently of the files append)
-                src = new_rows.select(*cols)
-            else:
-                src = self.files()
-            latest = (
-                src.groupBy("what", "where")
-                .agg(
-                    F.max_by(
-                        F.struct(*cols),
-                        # id as the final tiebreak mirrors QueryEngine.
-                        # _latest_rank: (start, create_time) CAN tie across
-                        # distinct records, and the reference's newer-write
-                        # rule has no batch analog — the unique id keeps the
-                        # merge deterministic under any partitioning
-                        F.struct(
-                            F.col("start"), F.col("create_time"), F.col("id")
-                        ),
-                    ).alias("r")
-                )
-                .select(
-                    F.concat_ws(":", F.col("what"), F.col("where")).alias("what_where_key"),
-                    F.col("r.*"),
-                )
-            )
+            base = _read_manifest(self.store, self.LATEST_KEY)
             try:
-                self.write_latest(latest)
+                existing = (
+                    self._latest_snapshot(base) if new_rows is not None else None
+                )
+                if existing is not None:
+                    src = existing.select(*cols).unionByName(
+                        new_rows.select(*cols)
+                    )
+                elif new_rows is not None and not self.store.exists_prefix(
+                    self._files_key()
+                ):
+                    # first merge on a catalog with no files table yet
+                    # (streaming writers merge latest before/independently
+                    # of the files append)
+                    src = new_rows.select(*cols)
+                else:
+                    src = self.files()
+                latest = (
+                    src.groupBy("what", "where")
+                    .agg(
+                        F.max_by(
+                            F.struct(*cols),
+                            # id as the final tiebreak mirrors QueryEngine.
+                            # _latest_rank: (start, create_time) CAN tie across
+                            # distinct records, and the reference's newer-write
+                            # rule has no batch analog — the unique id keeps the
+                            # merge deterministic under any partitioning
+                            F.struct(
+                                F.col("start"), F.col("create_time"), F.col("id")
+                            ),
+                        ).alias("r")
+                    )
+                    .select(
+                        F.concat_ws(":", F.col("what"), F.col("where")).alias("what_where_key"),
+                        F.col("r.*"),
+                    )
+                )
+                self.write_latest(latest, base=base)
                 return
             except CommitConflict:
                 continue  # re-read the winner's table and re-merge
             except Exception as e:
-                if _is_retryable_commit_race(e):
+                if _is_retryable_commit_race(
+                    e, self.store, self.LATEST_KEY,
+                    base["version"] if base else 0,
+                ):
                     continue
                 raise
         raise RuntimeError(
             "refresh_latest: commit conflicted on 12 consecutive attempts"
         )
 
-    def write_latest(self, latest: DataFrame) -> None:
+    def _latest_snapshot(self, m: dict | None) -> DataFrame | None:
+        """The latest table at manifest ``m`` (already read by the
+        caller), or None when no table exists.  Separated from
+        :meth:`latest_table` so the merge path can resolve the manifest
+        once per attempt and thread the SAME read into write_latest's
+        CAS target — re-reading inside would reopen the lost-update
+        window between snapshot and commit."""
+        if m is not None:
+            return self.spark.read.parquet(
+                self.store.spark_url(join_key(self.LATEST_KEY, m["dir"]))
+            )
+        try:
+            return self.spark.read.parquet(self.latest_path)  # legacy layout
+        except Exception:
+            return None
+
+    def write_latest(self, latest: DataFrame, base: dict | None = _UNSET) -> None:
         """Commit a new latest-table version: write a fresh immutable
         directory, win the version's commit marker (conditional PUT),
         flip the manifest, GC versions older than the previous one.
         Raises :class:`CommitConflict` when a concurrent writer took the
         version first (refresh_latest re-merges and retries; the losing
         attempt's directory is swept by the next successful commit's
-        GC).  Rename-free throughout."""
-        m = _read_manifest(self.store, self.LATEST_KEY)
+        GC).  Rename-free throughout.
+
+        ``base`` is the manifest the caller's snapshot was built FROM
+        (None = built against no table).  The CAS target is always
+        base.version+1 of that snapshot, so a merge over a stale base
+        conflicts instead of committing over the intervening batch.
+        Without ``base`` (direct external callers replacing the whole
+        table) the manifest is read here — last-writer-wins for full
+        replacements, which have no merge base to lose."""
+        m = _read_manifest(self.store, self.LATEST_KEY) if base is _UNSET else base
         version = (m["version"] + 1) if m else 1
         dirname = _new_version_dir(version)
         latest.write.parquet(
@@ -655,7 +725,9 @@ class Catalog:
             except CommitConflict:
                 continue  # concurrent rebuild won this version; retry
             except Exception as e:
-                if _is_retryable_commit_race(e):
+                if _is_retryable_commit_race(
+                    e, self.store, self.INDEX_KEY, m["version"] if m else 0
+                ):
                     continue
                 raise
             keep = {dirname} | {h["dir"] for h in manifest["history"]}

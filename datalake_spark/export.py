@@ -201,13 +201,19 @@ def write_webdataset(
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     os.makedirs(path, exist_ok=True)
-    # sweep stale temps from prior crashed runs (this run's attempts use
-    # fresh attempt-unique names, so nothing live matches)
+    # sweep stale temps from prior CRASHED runs — age-gated: a temp
+    # younger than an hour may belong to a CONCURRENT export into the
+    # same dir (concurrent runs are last-finished-wins safe; unlinking a
+    # live temp would fail that run at its publish os.replace), while a
+    # crashed run's temps only ever get older
     import glob as _glob
+    import time as _time
 
+    stale_before = _time.time() - 3600
     for stale in _glob.glob(os.path.join(path, "shard-*.tar.tmp-*")):
         try:
-            os.remove(stale)
+            if os.path.getmtime(stale) < stale_before:
+                os.remove(stale)
         except FileNotFoundError:
             pass
     meta_cols = [c for c in df.columns if c != text_col]

@@ -14,14 +14,19 @@ Two consumers:
 Grammar: scans, equi-join chains (nation/customer/orders/lineitem/
 documents; INNER / LEFT / RIGHT since r6), filter stacks (comparisons,
 BETWEEN, IN lists over frozen real values, LIKE/SUBSTR, OR
-combinations, correlated EXISTS / IN / scalar-aggregate subqueries
-along the join graph — scalar since r7, MIN/MAX under COALESCE so the
-empty-group NULL is pinned identically in both engines; COUNT excluded,
-its empty-group value rides each engine's decorrelation machinery),
-grouped aggregates (COUNT/SUM-int/COUNT DISTINCT/MIN/MAX/conditional
-SUM, optional ROLLUP and HAVING), window functions with total-order
-NULLS FIRST tiebreaks, set operations (over join results too since
-r7), CASE / integer-arithmetic / GREATEST-LEAST projections (r7), and
+combinations, correlated EXISTS / IN / NOT IN / scalar-aggregate
+subqueries along the join graph — scalar since r7, MIN/MAX under
+COALESCE so the empty-group NULL is pinned identically in both
+engines; since r8 COUNT scalars too, COALESCE(..., 0)-canonicalized so
+each engine's decorrelation answer — the classic COUNT-bug surface —
+folds to the standard's 0), grouped aggregates (COUNT/SUM-int/COUNT
+DISTINCT/MIN/MAX/conditional SUM, optional ROLLUP, HAVING over real
+aggregates since r8 — every form NULL-or-false on an empty group, so
+the r6 empty-input rollup divergence stays collapsed), window
+functions with total-order NULLS FIRST tiebreaks (plus peer-inclusive
+RANGE BETWEEN frames since r8 — ties need no tiebreak), set operations
+(over join results too since r7), CASE / integer-arithmetic /
+GREATEST-LEAST projections (r7), and
 ORDER BY ... LIMIT tails with explicit direction + null ordering.  Exactness discipline:
 integer aggregates pinned to BIGINT; doubles appear raw, through one
 exact IEEE add, or under MIN/MAX (value selection — never accumulated),
@@ -310,14 +315,27 @@ def _pred(rng, spec, str_values, allow_subquery=True):
                 )
             if kind == 7:
                 lk, rk = [s.strip() for s in on.split("=")]
-                return f"{lk} IN (SELECT {rk} FROM {right} WHERE {inner})"
+                # r8: NOT IN joins the grammar.  Safe three-valued-wise:
+                # rk is the right table's JOIN KEY, non-null by
+                # construction in every gate table, so NOT IN never goes
+                # NULL-poisoned differently across engines.
+                neg = "NOT " if rng.random() < 0.3 else ""
+                return f"{lk} {neg}IN (SELECT {rk} FROM {right} WHERE {inner})"
             # r7: correlated SCALAR subquery comparison.  MIN/MAX/SUM are
             # NULL on an empty correlated group in BOTH engines;
             # COALESCE pins that row to a fixed verdict so the predicate
-            # never goes three-valued differently (COUNT is excluded: its
-            # empty-group value rides each engine's decorrelation
-            # machinery — the classic COUNT-bug surface — and buys no
-            # extra coverage over the pinned aggregates here).
+            # never goes three-valued differently.
+            # r8: COUNT joins too — the classic COUNT-bug surface (a
+            # decorrelating engine may surface the empty group as NULL
+            # where the standard says 0); COALESCE(..., 0) CANONICALIZES
+            # both answers to 0, so the plan tests each engine's
+            # decorrelation machinery while staying gateable.
+            if rng.random() < 0.3:
+                return (
+                    f"COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM "
+                    f"{right} WHERE {on} AND {inner}), 0) "
+                    f"{rng.choice(['>=', '<='])} {rng.randint(0, 4)}"
+                )
             agg = rng.choice(["MIN", "MAX"])
             return (
                 f"{rng.choice(ints)} <= COALESCE((SELECT "
@@ -444,7 +462,22 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
                     spec.rollup = False
         if rng.random() < 0.4:
             cmp_ = rng.choice([">", ">="])
-            spec.having = f"COUNT(*) {cmp_} {rng.randint(1, 5)}"
+            # r8: HAVING over real aggregates, not just COUNT(*).  Every
+            # form is NULL-or-false on an EMPTY group (SUM/MIN/MAX of no
+            # rows is NULL; COUNT >= k>=1 is false at 0), so DuckDB's
+            # standard grand-total row over empty rollup input — the r6
+            # divergence — is filtered identically whichever form fires.
+            spec.having = rng.choice(
+                [
+                    f"COUNT(*) {cmp_} {rng.randint(1, 5)}",
+                    f"CAST(SUM(CAST({rng.choice(ints)} AS BIGINT)) "
+                    f"AS BIGINT) {cmp_} {rng.randint(0, 200)}",
+                    f"MIN({rng.choice(ints)}) <= {rng.randint(5, 60)}",
+                    f"MAX({rng.choice(ints)}) >= {rng.randint(0, 30)}",
+                    f"COUNT(DISTINCT {rng.choice(ints)}) >= "
+                    f"{rng.randint(1, 4)}",
+                ]
+            )
     else:
         picks = rng.sample(ints + strs + dbls, k=rng.randint(1, 3))
         for i, c in enumerate(picks):
@@ -495,6 +528,7 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
         if rng.random() < 0.4:
             part = rng.choice(strs)
             tb = _tiebreak(spec)
+            ic = rng.choice(ints)
             spec.windows.append(
                 rng.choice(
                     [
@@ -508,6 +542,18 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
                         # differs
                         f"RANK() OVER (PARTITION BY {part} "
                         f"ORDER BY {rng.choice(ints)} NULLS FIRST) AS w0",
+                        # r8: RANGE frames — peer-INCLUSIVE, so ties in the
+                        # single numeric sort key need no tiebreak at all
+                        # (every peer sees the identical frame); nulls sort
+                        # first as one peer group in both engines
+                        f"CAST(SUM(CAST({rng.choice(ints)} AS BIGINT)) OVER "
+                        f"(PARTITION BY {part} ORDER BY {ic} NULLS FIRST "
+                        f"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                        f"AS BIGINT) AS w0",
+                        f"CAST(COUNT(*) OVER (PARTITION BY {part} "
+                        f"ORDER BY {ic} NULLS FIRST RANGE BETWEEN "
+                        f"{rng.randint(1, 20)} PRECEDING AND CURRENT ROW) "
+                        f"AS BIGINT) AS w0",
                     ]
                 )
             )

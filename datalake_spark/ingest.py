@@ -80,34 +80,46 @@ def push_metadata(
     return df
 
 
-def infer_file_metadata(filename: str, compress: bool = False,
-                        **metadata_fields: Any):
-    """Local file → (validated Metadata, content bytes), with the push-path
-    inference applied (reference File.from_filename/_compressed +
-    _infer_metadata_fields, dlfile.py:159-219): abspath ``path``, optional
-    gzip-on-ingest, env-default ``where``, inline ``<regex>~<fmt>``
-    translations on where/what/work_id, blake2b-16 content hash."""
-    import gzip as _gzip
-    import hashlib
-
-    from datalake_spark.metadata import Metadata
-
-    filename = os.path.abspath(filename)
-    with open(filename, "rb") as fh:
-        content = fh.read()
-    if compress and not content.startswith(b"\x1f\x8b"):
-        content = _gzip.compress(content, mtime=0)
+def _infer_push_fields(filename: str, **metadata_fields: Any) -> dict:
+    """The push-path field inference shared by the eager and streaming
+    variants (reference File._infer_metadata_fields, dlfile.py:197-219):
+    abspath ``path``, env-default ``where``, inline ``<regex>~<fmt>``
+    translations on where/what/work_id."""
     fields = dict(metadata_fields)
-    fields.setdefault("path", filename)
+    fields.setdefault("path", os.path.abspath(filename))
     if fields.get("where") is None:
         fields["where"] = os.environ.get("DATALAKE_DEFAULT_WHERE")
     for f in ("where", "what", "work_id"):
         v = fields.get(f)
         if isinstance(v, str) and "~" in v:
             fields[f] = Translator(v).translate(fields["path"])
+    fields.setdefault("work_id", None)
+    return fields
+
+
+def infer_file_metadata(filename: str, compress: bool = False,
+                        **metadata_fields: Any):
+    """Local file → (validated Metadata, content bytes), with the push-path
+    inference applied (reference File.from_filename/_compressed +
+    _infer_metadata_fields, dlfile.py:159-219): abspath ``path``, optional
+    gzip-on-ingest, env-default ``where``, inline ``<regex>~<fmt>``
+    translations on where/what/work_id, blake2b-16 content hash.
+
+    Materializes the content — fine for small files; :func:`push_file`
+    streams instead and never holds the blob."""
+    import hashlib
+
+    from datalake_spark.archive import _gzip_bytes
+    from datalake_spark.metadata import Metadata
+
+    filename = os.path.abspath(filename)
+    with open(filename, "rb") as fh:
+        content = fh.read()
+    if compress and not content.startswith(b"\x1f\x8b"):
+        content = _gzip_bytes(content)
+    fields = _infer_push_fields(filename, **metadata_fields)
     if "hash" not in fields:
         fields["hash"] = hashlib.blake2b(content, digest_size=16).hexdigest()
-    fields.setdefault("work_id", None)
     return Metadata(**fields), content
 
 
@@ -122,10 +134,26 @@ def push_file(
     """One-call push: filename → inferred+validated metadata → content into
     the archive → metadata row into the catalog; returns the stored url
     (the reference's Archive.prepare_metadata_and_push, archive.py:186-257,
-    split across the engine's content/metadata halves)."""
-    meta, content = infer_file_metadata(filename, compress=compress,
-                                        **metadata_fields)
-    url = archive.store(meta, content)
+    split across the engine's content/metadata halves).
+
+    STREAMS the content (Archive.store_stream): blake2b in 64 KiB blocks
+    while the bytes flow into the store's streaming writer (multipart on
+    S3) — the blob is never materialized driver-side, so a push is
+    bounded by one store part (DATALAKE_CHUNK_SIZE_MB), not file size.
+    Validation still happens BEFORE any store IO: the metadata is
+    constructed with a placeholder hash so bad slugs/dates fail first,
+    then the real stored-bytes hash replaces it during the stream —
+    byte- and hash-identical to the eager :func:`infer_file_metadata`
+    path (gzip mtime=0 both sides)."""
+    from datalake_spark.metadata import Metadata
+
+    fields = _infer_push_fields(filename, **metadata_fields)
+    user_hash = fields.get("hash")
+    meta = Metadata(**{**fields, "hash": user_hash or "0" * 32})
+    if not user_hash:
+        meta["hash"] = None  # store_stream fills from the stored bytes
+    with open(filename, "rb") as fh:
+        url = archive.store_stream(meta, fh, compress=compress)
     push_metadata(spark, catalog, [dict(meta)],
                   urls={meta["id"]: url})
     return url

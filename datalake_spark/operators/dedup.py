@@ -1162,8 +1162,11 @@ def decontaminate(
     only in n).  No reference analog — LLM-brief surface.
 
     ``mode="stats"`` returns one row per corpus doc:
-    (id, n_grams, n_contaminated, contaminated) — the audit view;
-    ``mode="drop"`` returns the clean corpus rows (original columns).
+    (id, n_grams, n_contaminated, contaminated) — the audit view; docs
+    shorter than ``n`` words appear with n_grams=0, contaminated=false
+    (they cannot collide, but an audit that silently omits them reads as
+    "not checked").  ``mode="drop"`` returns the clean corpus rows
+    (original columns).
 
     Scale shape: the benchmark side is SMALL by definition (an eval set),
     so its distinct gram set BROADCASTS and the corpus-side exploded
@@ -1200,6 +1203,22 @@ def decontaminate(
         )
     )
     if mode == "stats":
-        return stats
+        # Re-anchor on the corpus ids: a doc with < n words yields zero
+        # grams, so the exploded aggregate has no row for it — left-join
+        # back so the audit covers EVERY corpus doc.  Co-partitioned with
+        # the groupBy's id shuffle; no extra corpus scan of text.
+        return (
+            corpus.select(id_col)
+            .join(stats, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint"))
+                .alias("n_grams"),
+                F.coalesce(F.col("n_contaminated"), F.lit(0).cast("bigint"))
+                .alias("n_contaminated"),
+                F.coalesce(F.col("contaminated"), F.lit(False))
+                .alias("contaminated"),
+            )
+        )
     dirty = stats.filter(F.col("contaminated")).select(id_col)
     return corpus.join(dirty, id_col, "left_anti")

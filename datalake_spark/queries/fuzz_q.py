@@ -3,13 +3,15 @@ random query plans (datalake_spark/fuzzgen.py grammar) digested through
 BOTH engines every correctness round.
 
 The exploratory fuzz harness (tests/test_fuzz_differential.py) hunts
-with fresh shapes and a shrinker; this module freezes 60 seeds (r6:
+with fresh shapes and a shrinker; this module freezes 80 seeds (r6:
 window plans and double-typed outputs — windows carry total-order
 NULLS FIRST tiebreaks, and double outputs are declared in Spec.dbl_out
 and canonicalized here through the 'd' canon, FLOOR(x*1e6+0.5), on
 BOTH engines; r7: correlated scalar subqueries, setops over join
-results, CASE/arithmetic projections, 40 -> 60 seeds) into ONE query:
-each seed's plan
+results, CASE/arithmetic projections, 40 -> 60 seeds; r8: HAVING over
+real aggregates, COALESCE-canonicalized correlated COUNT scalars, NOT
+IN subqueries, RANGE BETWEEN window frames, 60 -> 80 seeds) into ONE
+query: each seed's plan
 runs as a subquery reduced to
 (seed, row count, order-insensitive value hash), and the per-seed
 digests are UNION ALLed.  The Spark side and the DuckDB oracle share
@@ -30,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from datalake_spark.fuzzgen import TABLES, gate_safe, generate
 from datalake_spark.functions.hashing import sql_md5hash60
 
-_N_GATE_PLANS = 60
+_N_GATE_PLANS = 80
 _MOD = 1_000_000_007
 
 
@@ -39,7 +41,7 @@ def _gate_specs():
     disjoint from the exploratory harness's 0..149 so the two suites
     never sample the same shapes.  Since r6 the whole grammar is
     gate-safe (windows + canonicalized doubles), so this is seeds
-    200..259; gate_safe() stays in the loop as the hook for future
+    200..279; gate_safe() stays in the loop as the hook for future
     non-digest-safe grammar growth."""
     out = []
     seed = 200

@@ -3427,14 +3427,16 @@ bg AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
        FROM bench, UNNEST(generate_series(1, len(w) - 7)) AS t(i)),
 cg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
        FROM corpus, UNNEST(generate_series(1, len(w) - 7)) AS t(i))
-SELECT cg.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_grams,
-       CAST(SUM(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_contaminated,
-       SUM(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) >= 1
+SELECT corpus.doc_id,
+       CAST(COUNT(cg.g) AS BIGINT) AS n_grams,
+       CAST(COALESCE(SUM(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_contaminated,
+       COALESCE(SUM(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END), 0) >= 1
          AS contaminated
-FROM cg LEFT JOIN bg ON cg.g = bg.g
-GROUP BY cg.doc_id
+FROM corpus
+LEFT JOIN cg ON corpus.doc_id = cg.doc_id
+LEFT JOIN bg ON cg.g = bg.g
+GROUP BY corpus.doc_id
 """
 
 

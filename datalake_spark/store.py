@@ -98,6 +98,19 @@ class ObjectStore:
         data = self.get(key)
         return None if data is None else io.BytesIO(data)
 
+    def open_write(self, key: str, chunk_size: int = 100 * 1024 * 1024):
+        """Streaming whole-object writer: a file-like with
+        ``write()/tell()/close()/abort()`` (and context-manager support:
+        exceptions abort, clean exit closes).  The object appears
+        ATOMICALLY at close() — readers never see a torn or partial
+        object — and abort() leaves nothing behind.  ``chunk_size`` is
+        the flush granularity where the store streams (S3 multipart
+        part size, reference ``DATALAKE_CHUNK_SIZE_MB`` analog,
+        client/datalake/archive.py:45-48); the default implementation
+        buffers in memory and PUTs on close (fine for the MemStore fake;
+        LocalStore streams to a temp file, S3Store multipart-uploads)."""
+        return _BufferedWriter(self, key)
+
     # -- derived -------------------------------------------------------------
     def exists_prefix(self, prefix: str) -> bool:
         return bool(self.list(prefix))
@@ -118,6 +131,90 @@ class ObjectStore:
             if "/" in rel:
                 out.add(rel.split("/", 1)[0])
         return sorted(out)
+
+
+class _BufferedWriter:
+    """Default open_write: accumulate, one atomic PUT at close()."""
+
+    def __init__(self, store: "ObjectStore", key: str):
+        import io
+
+        self.store = store
+        self.key = key
+        self.buf = io.BytesIO()
+        self.closed = False
+
+    def write(self, b) -> int:
+        if self.closed:
+            raise ValueError("write to a closed store writer")
+        return self.buf.write(b)
+
+    def tell(self) -> int:
+        return self.buf.tell()
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        self.closed = True
+        self.store.put(self.key, self.buf.getvalue())
+
+    def abort(self) -> None:
+        self.closed = True
+        self.buf = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *a):
+        if exc_type is not None:
+            self.abort()
+        else:
+            self.close()
+
+
+class _LocalStreamWriter:
+    """LocalStore open_write: stream to an attempt-unique temp file,
+    os.replace into place at close() — the same single-file atomic
+    publish as LocalStore.put, without materializing the object."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self.final = path
+        self.tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        self.f = open(self.tmp, "wb")
+        self.closed = False
+
+    def write(self, b) -> int:
+        return self.f.write(b)
+
+    def tell(self) -> int:
+        return self.f.tell()
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        self.closed = True
+        self.f.close()
+        os.replace(self.tmp, self.final)
+
+    def abort(self) -> None:
+        if self.closed:
+            return
+        self.closed = True
+        self.f.close()
+        try:
+            os.remove(self.tmp)
+        except FileNotFoundError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *a):
+        if exc_type is not None:
+            self.abort()
+        else:
+            self.close()
 
 
 class LocalStore(ObjectStore):
@@ -211,6 +308,9 @@ class LocalStore(ObjectStore):
             return open(self._path(key), "rb")
         except (FileNotFoundError, IsADirectoryError):
             return None
+
+    def open_write(self, key: str, chunk_size: int = 100 * 1024 * 1024):
+        return _LocalStreamWriter(self._path(key))
 
     def spark_url(self, key: str) -> str:
         return self._path(key)
@@ -384,7 +484,26 @@ def _open_mem(url: str) -> ObjectStore:
     return MemStore(mem_bucket(u.netloc), u.path)
 
 
-_SCHEMES: dict[str, object] = {"file": _open_file, "mem": _open_mem}
+def _open_s3_lazy(url: str) -> ObjectStore:
+    # s3store imports this module; resolve lazily so boto3 stays an
+    # optional dependency until an s3:// root is actually opened
+    try:
+        from datalake_spark.s3store import S3Store
+    except ImportError as e:
+        raise ValueError(
+            f"catalog root {url!r} needs the boto3-backed S3Store, but "
+            f"its import failed ({e}) — install boto3 or pass a local / "
+            "file:// / mem:// path"
+        )
+    return S3Store.from_url(url)
+
+
+_SCHEMES: dict[str, object] = {
+    "file": _open_file,
+    "mem": _open_mem,
+    "s3": _open_s3_lazy,
+    "s3a": _open_s3_lazy,
+}
 
 
 def register_scheme(scheme: str, factory) -> None:

@@ -695,8 +695,21 @@ class TestDecontamination:
         }
         assert got[1][1] is True and got[1][0] >= 1
         assert got[2] == (0, False)
-        assert 3 not in got  # shorter than n words -> no grams, no row
+        # shorter than n words -> zero grams, but the audit view still
+        # covers the doc (one row per CORPUS doc, not per doc-with-grams)
+        assert got[3] == (0, False)
         assert got[4][1] is True and got[4][0] > got[1][0]
+        assert set(got) == {1, 2, 3, 4}
+
+    def test_stats_mode_short_doc_n_grams_zero(self, spark):
+        from datalake_spark.operators.dedup import decontaminate
+
+        corpus, bench = self._frames(spark)
+        row = {
+            r["doc_id"]: r["n_grams"]
+            for r in decontaminate(corpus, bench, n=5).collect()
+        }
+        assert row[3] == 0 and row[2] > 0
 
     def test_drop_mode_and_min_hits(self, spark):
         from datalake_spark.operators.dedup import decontaminate

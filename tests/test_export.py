@@ -192,10 +192,14 @@ class TestWebdataset:
 
     def test_stale_temps_swept_and_none_left_behind(self, spark, tmp_path):
         """A crashed prior attempt's .tmp-<uuid> leftovers are removed on
-        the next run, and a clean run publishes only final tar names —
+        the next run — but ONLY once old enough that they cannot belong
+        to a concurrent export into the same dir (age-gated sweep; a
+        young temp survives so the concurrent run's publish os.replace
+        still finds it).  A clean run publishes only final tar names —
         close() renames exactly once (idempotent) and failed attempts
         abort their temp instead of leaking it."""
         import glob as _glob
+        import time as _time
 
         from datalake_spark.export import write_webdataset
 
@@ -204,8 +208,15 @@ class TestWebdataset:
         stale = os.path.join(wd, "shard-00001.tar.tmp-deadbeefcafe")
         with open(stale, "wb") as fh:
             fh.write(b"half-written garbage")
+        old = _time.time() - 7200
+        os.utime(stale, (old, old))  # a crash two hours ago
+        live = os.path.join(wd, "shard-00000.tar.tmp-feedfacebeef")
+        with open(live, "wb") as fh:
+            fh.write(b"a concurrent run's in-flight temp")
         write_webdataset(self._docs(spark), wd, n_shards=2)
         assert not os.path.exists(stale)
+        assert os.path.exists(live)  # young temp: not ours to delete
+        os.remove(live)
         assert _glob.glob(os.path.join(wd, "*.tmp-*")) == []
         assert sorted(
             os.path.basename(p)

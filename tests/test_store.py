@@ -58,6 +58,25 @@ class TestStoreVerbs:
         assert store.get("deep/dst") == b"payload"
         assert store.get("src") == b"payload"
 
+    def test_open_write_atomic_publish_and_abort(self, store):
+        w = store.open_write("w/obj")
+        w.write(b"part one ")
+        assert store.get("w/obj") is None  # nothing visible mid-stream
+        w.write(b"part two")
+        w.close()
+        w.close()  # idempotent
+        assert store.get("w/obj") == b"part one part two"
+        w2 = store.open_write("w/never")
+        w2.write(b"x")
+        w2.abort()
+        assert store.get("w/never") is None
+        with pytest.raises(RuntimeError):
+            with store.open_write("w/err") as w3:
+                w3.write(b"y")
+                raise RuntimeError("mid-stream failure")
+        assert store.get("w/err") is None
+        assert store.list("w") == ["w/obj"]  # no temp leftovers either
+
     def test_spark_url_is_writable_data_plane(self, store):
         # Spark executors write through spark_url; the store must then see
         # those objects via list/get/copy/delete (the two-plane contract)
@@ -104,7 +123,17 @@ class TestOpenStore:
 
     def test_unregistered_scheme_raises_with_remedy(self):
         with pytest.raises(ValueError, match="store-specific IO"):
-            open_store("s3a://bucket/prefix")
+            open_store("gs://bucket/prefix")
+
+    def test_s3_scheme_resolves_to_s3store(self):
+        pytest.importorskip("boto3")
+        from datalake_spark.s3store import S3Store
+
+        s = open_store("s3://some-bucket/lake/cat")
+        assert isinstance(s, S3Store)
+        assert s.bucket == "some-bucket" and s.base == "lake/cat"
+        assert s.spark_url("files/v1/p.parquet") == \
+            "s3a://some-bucket/lake/cat/files/v1/p.parquet"
 
 
 class TestCatalogOverFakeStore:
