@@ -149,6 +149,16 @@ ANCHOR_EXTRAS_R7 = {
     "video_sniff_roundtrip": 1.05,
 }
 
+# r8 anchor pins (min of 3 full runs, sf0.1, local[32]; the minimum run's
+# canary_end was 0.29 = current-hardware idle): the two extras r7 added
+# unanchored.  decontamination showed 1.6-3.1 s across the three runs —
+# IO/page-cache sensitive like the other scan-bound extras (BASELINE.md
+# r7 adjudication) — the idle minimum is the anchor per protocol.
+ANCHOR_EXTRAS_R8 = {
+    "decontamination": 1.62,
+    "sequence_packing": 0.32,
+}
+
 
 def _canary(spark) -> float:
     """Fixed-work CPU probe: 100M xxhash64-of-string rows, map-side agg.
@@ -250,7 +260,7 @@ def main() -> None:
         "video_real_roundtrip",
         # r6 additions (no frozen anchor yet — first round on the board)
         "quality_classifier_weighted", "video_sniff_roundtrip",
-        # r7 additions (anchor next round)
+        # r7 additions (anchored r8: ANCHOR_EXTRAS_R8)
         "decontamination", "sequence_packing",
     ]
     extra_timings: dict[str, float] = {}
@@ -316,7 +326,9 @@ def main() -> None:
         # one: these anchors were taken on current hardware (canary floor
         # ~0.39), so dividing by the legacy 0.25-referenced load factor
         # shrinks every ratio by ~1.5x and hides real regressions.
-        anchor_extras = {**ANCHOR_EXTRAS_R5, **ANCHOR_EXTRAS_R7}
+        anchor_extras = {
+            **ANCHOR_EXTRAS_R5, **ANCHOR_EXTRAS_R7, **ANCHOR_EXTRAS_R8,
+        }
         out["vs_anchor_extras_r5_normalized"] = {
             n: round(t / anchor_extras[n] / max(load, 1.0), 2)
             for n, t in extra_timings.items()

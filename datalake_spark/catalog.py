@@ -693,19 +693,42 @@ class Catalog:
     def _wid_bucket(col, num_buckets: int):
         return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
 
-    def build_work_id_index(self, num_buckets: int = 64) -> None:
+    def build_work_id_index(self, num_buckets: int = 64,
+                            _race_hook=None) -> None:
         """Full (re)build of the work-id index projection, committed with
         the same versioned-directory + atomic-manifest protocol as the
         latest table (object-store safe, readers never torn).  Size
         ``num_buckets`` so one bucket ≈ one task's worth of rows at your
         scale; the bucket count is recorded in the manifest and reused by
-        the incremental append path."""
+        the incremental append path.
+
+        Concurrent-APPEND safety (the sf1.0 concurrency stress caught
+        the window, r8): an ``append_work_id_index`` racing this rebuild
+        can land its part files in the OLD version directory after the
+        rebuild's scan but before its manifest flip — the append's own
+        moved-version guard passes, yet the new index misses the rows.
+        Same shape as compact-vs-append, same cure: a straggler sweep of
+        old-dir parts not present when the scan started, run BEFORE and
+        again AFTER the commit (any append that lands later than the
+        post-commit sweep re-reads the manifest later still, sees the
+        new version, and retries into it — the two-sweep argument from
+        :meth:`compact`).  Swept rows are RE-BUCKETED through a tiny
+        Spark append (the rebuild may change num_buckets, and a copied
+        file in the wrong hash bucket would be invisible to lookups);
+        duplicates with scan-captured rows are tolerated by the
+        query-path id-dedup, as everywhere."""
         cols = [f.name for f in FILES_SCHEMA.fields]
         src = self.files().select(*cols).filter(F.col("work_id").isNotNull())
         for _attempt in range(12):
             m = _read_manifest(self.store, self.INDEX_KEY)
             version = (m["version"] + 1) if m else 1
             dirname = _new_version_dir(version)
+            new_key = join_key(self.INDEX_KEY, dirname)
+            old_key = join_key(self.INDEX_KEY, m["dir"]) if m else None
+            # listed BEFORE the scan executes: parts present now belong to
+            # appends whose files rows landed earlier, so the scan below
+            # (file listing happens at job run) already covers them
+            known = set(self.store.list(old_key)) if old_key else set()
             try:
                 (
                     src.withColumn(
@@ -714,14 +737,23 @@ class Catalog:
                     )
                     .repartition(F.col("wid_bucket"))
                     .write.partitionBy("wid_bucket")
-                    .parquet(
-                        self.store.spark_url(join_key(self.INDEX_KEY, dirname))
-                    )
+                    .parquet(self.store.spark_url(new_key))
                 )
+                if _race_hook is not None:
+                    hook, _race_hook = _race_hook, None
+                    hook()  # test-only: a racing append post-scan
+                if old_key:
+                    known = self._sweep_index_stragglers(
+                        old_key, new_key, known, num_buckets
+                    )
                 manifest = _commit_version(
                     self.store, self.INDEX_KEY, version, dirname, m,
                     self.keep_versions, extra={"num_buckets": num_buckets},
                 )
+                if old_key:
+                    self._sweep_index_stragglers(
+                        old_key, new_key, known, num_buckets
+                    )
             except CommitConflict:
                 continue  # concurrent rebuild won this version; retry
             except Exception as e:
@@ -736,6 +768,35 @@ class Catalog:
         raise RuntimeError(
             "build_work_id_index: commit conflicted on 12 consecutive attempts"
         )
+
+    def _sweep_index_stragglers(
+        self, old_key: str, new_key: str, known: set[str], num_buckets: int
+    ) -> set[str]:
+        """Append rows from old-version index parts NOT in ``known`` into
+        the new version directory, re-bucketed for ``num_buckets``.
+        Returns the updated known-set so the post-commit sweep skips
+        what this one captured."""
+        stragglers = [
+            k for k in self.store.list(old_key)
+            if k.endswith(".parquet") and k not in known
+        ]
+        if not stragglers:
+            return known
+        cols = [f.name for f in FILES_SCHEMA.fields]
+        (
+            self.spark.read.parquet(
+                *[self.store.spark_url(k) for k in stragglers]
+            )
+            .select(*cols)
+            .withColumn(
+                "wid_bucket", self._wid_bucket(F.col("work_id"), num_buckets)
+            )
+            .repartition(F.col("wid_bucket"))
+            .write.mode("append")
+            .partitionBy("wid_bucket")
+            .parquet(self.store.spark_url(new_key))
+        )
+        return known | set(stragglers)
 
     def append_work_id_index(self, new_rows: DataFrame, _race_hook=None) -> bool:
         """Incrementally index just-appended rows (append-only part files

@@ -147,6 +147,43 @@ class S3Store(ObjectStore):
                     raise
         return sorted(out)
 
+    def exists_prefix(self, prefix: str) -> bool:
+        # one MaxKeys=1 page (plus at most one HEAD) instead of the
+        # derived full-prefix LIST — "does this table exist" on a table
+        # with millions of objects is a constant-cost probe
+        from botocore.exceptions import ClientError
+
+        p = self._abs(prefix)
+        resp = self.s3.list_objects_v2(
+            Bucket=self.bucket, Prefix=f"{p}/" if p else "", MaxKeys=1
+        )
+        if resp.get("KeyCount", 0) > 0:
+            return True
+        if not p:
+            return False
+        try:
+            self.s3.head_object(Bucket=self.bucket, Key=p)
+            return True
+        except ClientError as e:
+            if _client_error_code(e) in ("NoSuchKey", "404"):
+                return False
+            raise
+
+    def delete_prefix(self, prefix: str) -> None:
+        # batched DeleteObjects (1000 keys/call) instead of one DELETE
+        # per object — GC of a version directory is pages, not objects
+        keys = self.list(prefix)
+        for i in range(0, len(keys), 1000):
+            self.s3.delete_objects(
+                Bucket=self.bucket,
+                Delete={
+                    "Objects": [
+                        {"Key": self._abs(k)} for k in keys[i:i + 1000]
+                    ],
+                    "Quiet": True,
+                },
+            )
+
     def subdirs(self, prefix: str) -> list[str]:
         """Immediate child 'directory' names via a DELIMITER listing
         (CommonPrefixes) — one shallow LIST page per ~1000 children, so
@@ -207,6 +244,27 @@ class S3Store(ObjectStore):
 
     def spark_url(self, key: str) -> str:
         return f"{self.spark_scheme}://{self.bucket}/{self._abs(key)}"
+
+    def spark_conf(self, endpoint: str | None = None,
+                   path_style: bool | None = None) -> dict[str, str]:
+        """The Hadoop-S3A settings that make Spark's data plane resolve
+        the SAME endpoint this store's boto3 client talks to — apply
+        with ``spark.conf.set`` / ``--conf spark.hadoop.<k>=<v>`` when
+        deploying against a non-AWS endpoint (MinIO, localstack, an
+        on-prem gateway).  ``endpoint`` defaults to the boto3 client's;
+        ``path_style`` defaults to True whenever a custom endpoint is in
+        play (virtual-hosted bucket DNS rarely exists off AWS)."""
+        if endpoint is None:
+            endpoint = self.s3.meta.endpoint_url
+        custom = endpoint and "amazonaws.com" not in endpoint
+        if path_style is None:
+            path_style = bool(custom)
+        conf = {
+            "fs.s3a.path.style.access": "true" if path_style else "false",
+        }
+        if custom:
+            conf["fs.s3a.endpoint"] = endpoint
+        return conf
 
 
 class _S3MultipartWriter:

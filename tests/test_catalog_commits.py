@@ -1019,6 +1019,48 @@ class TestOptimisticCommits:
         assert final["version"] == 3  # rolled past the dead v2
         assert {r["id"] for r in cat.latest_table().collect()} == {"a", "b"}
 
+    def test_rebuild_sweeps_append_that_raced_past_its_scan(self, spark):
+        """The window the sf1.0 concurrency stress exposed (r8): an
+        incremental index append lands its parts in the OLD version dir
+        after the rebuild's scan ran — the append's moved-version guard
+        still sees the old version, so without the straggler sweep the
+        committed rebuild silently misses those rows."""
+        cat = self._mem_cat(spark)
+        rows = [
+            {"id": f"r{i}", "what": "nginx", "where": "h0",
+             "start": T0 + i, "end": None, "work_id": f"job{i % 3}"}
+            for i in range(6)
+        ]
+        cat.append(make_files_df(spark, rows))
+        cat.build_work_id_index(num_buckets=4)  # the OLD version
+
+        def racing_append():
+            # lands in the CURRENT (old) index dir, post-scan pre-commit;
+            # its own manifest re-read still sees the old version
+            extra = make_files_df(spark, [
+                {"id": "raced", "what": "nginx", "where": "h9",
+                 "start": T0 + 99, "end": None, "work_id": "jobZ"}])
+            assert cat.append_work_id_index(extra) is True
+
+        # rebuild with a DIFFERENT bucket count: the sweep must re-bucket
+        # the raced rows, not blind-copy them into wrong hash buckets
+        cat.build_work_id_index(num_buckets=2, _race_hook=racing_append)
+        idx, nb = cat.work_id_index()
+        assert nb == 2
+        got = {r["id"] for r in idx.collect()}
+        assert "raced" in got  # the sweep captured the racing append
+        from datalake_spark.query import QueryEngine
+
+        # append the raced row to files so fsck's files<->index checks
+        # agree, then prove the work-id LOOKUP path finds it
+        cat.append(make_files_df(spark, [
+            {"id": "raced", "what": "nginx", "where": "h9",
+             "start": T0 + 99, "end": None, "work_id": "jobZ"}]))
+        eng = QueryEngine(cat.files(), work_id_index=cat.work_id_index())
+        assert [r["id"] for r in eng.by_work_id("jobZ", "nginx").collect()] \
+            == ["raced"]
+        assert cat.fsck(deep=True)["ok"]
+
     def test_concurrent_index_rebuilds_both_complete(self, spark):
         import threading
 

@@ -89,6 +89,30 @@ class TestS3ConditionalPut:
         fh.close()
         assert s.open_read("missing") is None
 
+    def test_spark_conf_mirrors_custom_endpoint(self, aws):
+        s = _mk_store(aws)
+        conf = s.spark_conf(endpoint="http://minio.local:9000")
+        assert conf == {
+            "fs.s3a.endpoint": "http://minio.local:9000",
+            "fs.s3a.path.style.access": "true",
+        }
+        # plain AWS: no endpoint override, virtual-hosted addressing
+        assert s.spark_conf(endpoint="https://s3.us-east-1.amazonaws.com") \
+            == {"fs.s3a.path.style.access": "false"}
+
+    def test_exists_prefix_and_batched_delete_prefix(self, aws):
+        s = _mk_store(aws)
+        assert not s.exists_prefix("tab")
+        for i in range(5):
+            s.put(f"tab/v1/p{i}", b"x")
+        s.put("exact", b"y")
+        assert s.exists_prefix("tab") and s.exists_prefix("tab/v1")
+        assert s.exists_prefix("exact")  # exact-object probe, no children
+        assert not s.exists_prefix("nope")
+        s.delete_prefix("tab/v1")
+        assert s.list("tab") == []
+        assert s.get("exact") == b"y"
+
 
 class TestS3LocalEquivalence:
     """LocalStore and S3Store agree under any verb sequence — same get()
@@ -369,6 +393,16 @@ class _S3HybridStore(S3Store):
     def subdirs(self, prefix):
         # ObjectStore's listing-derived subdirs over the merged planes
         return ObjectStore.subdirs(self, prefix)
+
+    def exists_prefix(self, prefix):
+        # S3Store's MaxKeys=1 probe only sees the S3 plane; the hybrid
+        # must answer over BOTH (data lives in the backing dir)
+        return ObjectStore.exists_prefix(self, prefix)
+
+    def delete_prefix(self, prefix):
+        # likewise: S3Store's batched DeleteObjects cannot delete
+        # backing-dir objects — route each delete through plane dispatch
+        return ObjectStore.delete_prefix(self, prefix)
 
     def spark_url(self, key):
         return self._bpath(key)

@@ -14,7 +14,12 @@ findings 1-4): simhash_pairs, fuzzy_join_lev1, dl_latest_all,
 hll_distinct_verdict + q_approx_distinct, minhash_lsh_dedup,
 dedup_clusters.  Battery SUBS run standalone (their parent batteries
 carry sf1.0-hostile siblings like the 20k^2 embedding oracle), each
-compared against its own oracle.  Budget ~10 min; run once per round.
+compared against its own oracle.  A full --sf1 run (no explicit entry
+list) finishes with the catalog CONCURRENCY stress: two latest-table
+merges of different batches raced against a concurrent work-id-index
+rebuild over a catalog built from the tiled files frame — the scale
+companion to the toy-catalog race tests (r8).  Budget ~10 min; run
+once per round.
 """
 
 from __future__ import annotations
@@ -86,6 +91,139 @@ SF1_ENTRIES = [
     "hll_distinct_verdict", "q_approx_distinct", "minhash_lsh_dedup",
     "dedup_clusters",
 ]
+
+
+def _sf1_concurrency_stress(spark, sf_dir: str) -> bool:
+    """Scale companion to the toy-catalog race tests
+    (tests/test_catalog_commits.py TestOptimisticCommits): build a real
+    catalog from the sf1.0 events-derived files frame (~10x the bench
+    corpus), then race TWO latest-table merges of different batches
+    against a CONCURRENT full work-id-index rebuild.  The marker-CAS
+    protocol must lose neither batch, the rebuilt index must cover every
+    row, and deep fsck must come back clean.  Prints PASS/FAIL like a
+    parity entry; ~2-3 min inside the --sf1 budget."""
+    import shutil
+    import tempfile
+    import threading
+
+    from datalake_spark.catalog import Catalog
+    from datalake_spark.queries.datalake_q import files_from_events
+    from datalake_spark.schema import FILES_SCHEMA
+
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    root = tempfile.mkdtemp(prefix="sf1-stress-cat-")
+    try:
+        cat = Catalog(spark, root)
+        # files_from_events is the QUERY-side derivation (SQL-safe
+        # aliases, no record-level fields); map it onto FILES_SCHEMA the
+        # way an ingest would
+        ev = files_from_events(spark, sf_dir)
+        files = ev.select(
+            F.lit(0).cast("int").alias("version"),
+            F.col("start_ms").alias("start"),
+            F.col("end_ms").alias("end"),
+            F.col("what"),
+            F.col("site").alias("where"),
+            F.col("id").cast("string").alias("id"),
+            F.col("hash"),
+            F.concat(F.lit("/events/"), F.col("id").cast("string")).alias("path"),
+            F.col("work_id"),
+            F.concat(F.lit("s3://stress/"), F.col("id").cast("string"),
+                     F.lit("/data")).alias("url"),
+            F.col("create_time"),
+            F.lit(1024).cast("long").alias("size"),
+        )
+        n_files = files.count()
+        cat.append(files)
+        cat.build_work_id_index(num_buckets=32)
+        cat.refresh_latest()
+        base_latest = cat.latest_table().count()
+
+        def batch(host: str):
+            row = {
+                "version": 0, "start": 4102444800000, "end": None,
+                "what": "click", "where": host, "id": f"stress-{host}",
+                "hash": "0" * 32, "path": f"/stress/{host}",
+                "work_id": f"stress-{host}", "url": f"s3://b/stress-{host}",
+                "create_time": 4102444800000, "size": 1,
+            }
+            return spark.createDataFrame([row], FILES_SCHEMA)
+
+        barrier = threading.Barrier(3)
+        errs: list = []
+
+        def merge(host: str):
+            # a real ingest writer: rows into files (which also appends
+            # the work-id index — racing the concurrent rebuild), then
+            # the latest merge
+            try:
+                barrier.wait(timeout=60)
+                b = batch(host)
+                cat.append(b)
+                cat.refresh_latest(b)
+            except Exception as e:
+                errs.append(("merge-" + host, e))
+
+        def rebuild():
+            try:
+                barrier.wait(timeout=60)
+                cat.build_work_id_index(num_buckets=16)
+            except Exception as e:
+                errs.append(("rebuild", e))
+
+        threads = [
+            threading.Thread(target=merge, args=("stress-h1",)),
+            threading.Thread(target=merge, args=("stress-h2",)),
+            threading.Thread(target=rebuild),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        if errs:
+            print(f"FAIL sf1_concurrency_stress: {errs}")
+            return False
+        latest_wheres = {
+            r["where"]
+            for r in cat.latest_table()
+            .filter("where LIKE 'stress-%'")
+            .collect()
+        }
+        problems = []
+        if latest_wheres != {"stress-h1", "stress-h2"}:
+            problems.append(
+                f"lost a racing batch: stress keys {sorted(latest_wheres)}"
+            )
+        if cat.latest_table().count() != base_latest + 2:
+            problems.append("latest-table row count drifted under the race")
+        idx = cat.work_id_index()
+        n_indexed = (
+            idx[0].select("id").distinct().count() if idx else 0
+        )
+        # corpus rows + the two stress rows (all carry work_ids)
+        n_expected = files.filter("work_id IS NOT NULL").count() + 2
+        if n_indexed < n_expected:
+            problems.append(
+                f"index lost rows under concurrent rebuild: "
+                f"{n_indexed} < {n_expected}"
+            )
+        report = cat.fsck(deep=True)
+        if not report["ok"]:
+            problems.append(f"fsck: {report['problems']}")
+        if problems:
+            print(f"FAIL sf1_concurrency_stress ({n_files} files):")
+            for p in problems:
+                print("   ", p)
+            return False
+        print(
+            f"PASS sf1_concurrency_stress: {n_files} files, two merges + "
+            f"rebuild raced, fsck clean ({time.time()-t0:.1f}s)"
+        )
+        return True
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _ensure_sf1() -> str:
@@ -163,6 +301,13 @@ def main() -> int:
         else:
             print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
+    if sf1_mode and not argv:
+        # full --sf1 runs (no explicit entry list) append the catalog
+        # concurrency stress over the tiled data (r8)
+        if _sf1_concurrency_stress(spark, sf_dir):
+            n_pass += 1
+        else:
+            n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
 
