@@ -262,6 +262,8 @@ def main() -> None:
         "quality_classifier_weighted", "video_sniff_roundtrip",
         # r7 additions (anchored r8: ANCHOR_EXTRAS_R8)
         "decontamination", "sequence_packing",
+        # r8 additions (anchor next round)
+        "semantic_dedup",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:

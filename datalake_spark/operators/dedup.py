@@ -1222,3 +1222,103 @@ def decontaminate(
         )
     dirty = stats.filter(F.col("contaminated")).select(id_col)
     return corpus.join(dirty, id_col, "left_anti")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    semantic deduplication — cluster the corpus with k-means, then look
+    for near-duplicate pairs ONLY within clusters (exact cosine >=
+    ``threshold``), close the pairs into components, and keep one doc
+    per component.  Returns one row per input id:
+    (id, cluster, canonical, keep) where ``canonical`` is the minimum id
+    of the doc's duplicate component (itself when it has no near-dup)
+    and ``keep`` marks the survivors.  No reference analog — LLM-brief
+    surface.
+
+    This is THE scale trick of the paper: global all-pairs cosine is
+    O(n²·d); clustering first bounds the pair search to Σ n_c² — with k
+    sized so clusters hold ~√n docs the pair stage is ~linear, and the
+    cluster id rides the pair join as a co-partitioning key, so pair
+    generation never shuffles beyond its cluster.  Deviations from the
+    paper, both deterministic: k-means is the repo's fixed-iteration
+    min-id-seeded Lloyd (engine-portable, oracle-replayable — see
+    kmeans_iterate), and the kept representative is the component's
+    MINIMUM id rather than the lowest-centroid-distance doc (the repo's
+    standing canonical convention; swap the final aggregation for a
+    distance-ranked one when fidelity to the paper matters more than a
+    stable id-only contract).
+
+    Exactness: dot products and norms accumulate through DECIMAL(30,12)
+    sums of double products — partitioning/accumulation-order
+    independent, bit-identical across engines (the embedding_near_dup
+    discipline)."""
+    from datalake_spark.operators.similarity import kmeans_iterate
+
+    # both shared frames persist: assign feeds the element join AND the
+    # final verdict join; el feeds norms + both pair sides — without the
+    # cache each consumer re-runs the k-means lineage / embedding scan
+    # (the repo's standing shared-frame discipline, test_plan_hygiene)
+    assign = kmeans_iterate(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("_aid"), "cluster").persist()
+    el = (
+        emb.select(
+            F.col(id_col).alias("_vid"),
+            F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
+        )
+        .withColumn("_val", F.col("_val").cast("double"))
+        .join(assign, F.col("_vid") == F.col("_aid"))
+        .select("_vid", "cluster", "_pos", "_val")
+        .persist()
+    )
+    norms = el.groupBy("_vid").agg(
+        F.sum((F.col("_val") * F.col("_val")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("_norm_sq")
+    )
+    a = el.select(
+        F.col("_vid").alias("_ida"), "cluster",
+        F.col("_pos").alias("_pos"), F.col("_val").alias("_va"),
+    )
+    b = el.select(
+        F.col("_vid").alias("_idb"), F.col("cluster").alias("_clb"),
+        F.col("_pos").alias("_pos"), F.col("_val").alias("_vb"),
+    )
+    dots = (
+        a.join(b, (a["cluster"] == b["_clb"]) & (a["_pos"] == b["_pos"]))
+        .filter(F.col("_ida") < F.col("_idb"))
+        .groupBy("_ida", "_idb")
+        .agg(
+            F.sum((F.col("_va") * F.col("_vb")).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("_dot")
+        )
+    )
+    na = norms.select(F.col("_vid").alias("_ida"), F.col("_norm_sq").alias("_na"))
+    nb = norms.select(F.col("_vid").alias("_idb"), F.col("_norm_sq").alias("_nb"))
+    pairs = (
+        dots.join(F.broadcast(na), "_ida")
+        .join(F.broadcast(nb), "_idb")
+        .filter(
+            F.col("_dot") / (F.sqrt("_na") * F.sqrt("_nb")) >= F.lit(threshold)
+        )
+        .select("_ida", "_idb")
+    )
+    comp = connected_components(pairs, "_ida", "_idb")
+    return (
+        assign.join(comp, assign["_aid"] == comp["id"], "left")
+        .select(
+            F.col("_aid").alias(id_col),
+            F.col("cluster"),
+            F.coalesce("cluster_id", F.col("_aid")).alias("canonical"),
+            (F.coalesce("cluster_id", F.col("_aid")) == F.col("_aid"))
+            .alias("keep"),
+        )
+    )

@@ -407,6 +407,8 @@ def _mk() -> list[Q]:
         Sub(q(pq, "embedding_dedup_clusters", "embedding_dedup_clusters",
               "EMBEDDING_DEDUP_CLUSTERS_SQL"),
             {"vec_id": "v", "cluster_id": "v"}),
+        Sub(q(pq, "semantic_dedup", "semantic_dedup_q", "SEMANTIC_DEDUP_SQL"),
+            {"vec_id": "v", "cluster": "v", "canonical": "v", "keep": "v"}),
         Sub(q(pq, "kmeans_2iter", "kmeans_2iter", "KMEANS_SQL"),
             {"vec_id": "v", "cluster": "v", "dist_sq": "d"}),
         Sub(q(pq, "deterministic_shuffle", "deterministic_shuffle",

@@ -677,6 +677,66 @@ a2 AS (
 SELECT id AS vec_id, CAST(cid AS BIGINT) AS cluster, d2 AS dist_sq FROM a2
 """
 
+# the shared k-means CTE chain (everything KMEANS_SQL defines before its
+# final SELECT) — reused verbatim by the SemDeDup oracle so the two gate
+# queries can never drift apart on the clustering half
+_KMEANS_CTES = KMEANS_SQL[KMEANS_SQL.index("WITH ") + 5:KMEANS_SQL.index("\nSELECT")]
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup (Abbas et al. 2023): k-means cluster the
+# embeddings, exact-cosine near-dup pairs WITHIN clusters only, components
+# -> canonical min-id survivor per duplicate group.  The paper's point is
+# the cost shape: clustering first turns O(n^2) all-pairs cosine into
+# per-cluster pair search with the cluster id as the co-partitioning key.
+# Oracle: the kmeans_2iter CTE chain verbatim + cluster-constrained pair
+# CTEs + the recursive closure from embedding_dedup_clusters.
+# ---------------------------------------------------------------------------
+_SD_THRESHOLD = 0.35
+
+
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.operators.dedup import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _KM_MAX_ID)
+    return semantic_dedup(
+        emb, k=_KM_K, iters=2, threshold=_SD_THRESHOLD
+    ).select("vec_id", "cluster", "canonical", "keep")
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE {_KMEANS_CTES},
+norms AS (
+  SELECT id, CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS norm_sq
+  FROM el GROUP BY id),
+sdots AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM el a
+  JOIN el b ON a.pos = b.pos AND a.id < b.id
+  JOIN a2 ca ON ca.id = a.id
+  JOIN a2 cb ON cb.id = b.id AND cb.cid = ca.cid
+  GROUP BY 1, 2),
+spairs AS (
+  SELECT id_a, id_b FROM sdots
+  JOIN norms na ON na.id = id_a
+  JOIN norms nb ON nb.id = id_b
+  WHERE dot / (SQRT(na.norm_sq) * SQRT(nb.norm_sq)) >= {_SD_THRESHOLD}),
+sedges AS (
+  SELECT id_a AS a, id_b AS b FROM spairs
+  UNION ALL SELECT id_b, id_a FROM spairs),
+scc AS (
+  SELECT a AS id, a AS comp FROM sedges
+  UNION
+  SELECT e.a, scc.comp FROM sedges e JOIN scc ON scc.id = e.b),
+slab AS (SELECT id, MIN(comp) AS canonical FROM scc GROUP BY id)
+SELECT a2.id AS vec_id,
+       CAST(a2.cid AS BIGINT) AS cluster,
+       COALESCE(slab.canonical, a2.id) AS canonical,
+       COALESCE(slab.canonical, a2.id) = a2.id AS keep
+FROM a2 LEFT JOIN slab ON slab.id = a2.id
+"""
+
 
 # ---------------------------------------------------------------------------
 # token_bpe_count — BPE-ish token counting: alpha runs stay whole, digits and

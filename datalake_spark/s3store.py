@@ -65,10 +65,16 @@ class S3Store(ObjectStore):
                  region: str | None = None, spark_scheme: str = "s3a"):
         if client is None:
             import boto3
+            from botocore.config import Config
 
+            # adaptive retry mode: client-side rate limiting on 503
+            # SlowDown — a 1000-executor fleet hammering one bucket
+            # prefix hits S3's per-prefix request ceiling long before
+            # any of this code is the bottleneck
+            cfg = Config(retries={"mode": "adaptive", "max_attempts": 10})
             client = (
-                boto3.client("s3", region_name=region)
-                if region else boto3.client("s3")
+                boto3.client("s3", region_name=region, config=cfg)
+                if region else boto3.client("s3", config=cfg)
             )
         self.s3 = client
         self.bucket = bucket
@@ -246,14 +252,24 @@ class S3Store(ObjectStore):
         return f"{self.spark_scheme}://{self.bucket}/{self._abs(key)}"
 
     def spark_conf(self, endpoint: str | None = None,
-                   path_style: bool | None = None) -> dict[str, str]:
+                   path_style: bool | None = None,
+                   magic_committer: bool = True) -> dict[str, str]:
         """The Hadoop-S3A settings that make Spark's data plane resolve
         the SAME endpoint this store's boto3 client talks to — apply
         with ``spark.conf.set`` / ``--conf spark.hadoop.<k>=<v>`` when
         deploying against a non-AWS endpoint (MinIO, localstack, an
         on-prem gateway).  ``endpoint`` defaults to the boto3 client's;
         ``path_style`` defaults to True whenever a custom endpoint is in
-        play (virtual-hosted bucket DNS rarely exists off AWS)."""
+        play (virtual-hosted bucket DNS rarely exists off AWS).
+
+        ``magic_committer`` (default on) emits the S3A magic-committer
+        settings: the classic FileOutputCommitter publishes tasks by
+        RENAME, which on S3 is a full copy of every byte written — a
+        100 TB version-directory write would pay for itself twice and
+        leave a non-atomic window besides.  The magic committer
+        publishes via multipart-upload completion instead (no copies;
+        task commit is the same atomic primitive the store layer's
+        open_write uses)."""
         if endpoint is None:
             endpoint = self.s3.meta.endpoint_url
         custom = endpoint and "amazonaws.com" not in endpoint
@@ -264,6 +280,17 @@ class S3Store(ObjectStore):
         }
         if custom:
             conf["fs.s3a.endpoint"] = endpoint
+        if magic_committer:
+            conf.update({
+                "fs.s3a.committer.name": "magic",
+                "fs.s3a.committer.magic.enabled": "true",
+                "spark.sql.parquet.output.committer.class":
+                    "org.apache.spark.internal.io.cloud."
+                    "BindingParquetOutputCommitter",
+                "spark.sql.sources.commitProtocolClass":
+                    "org.apache.spark.internal.io.cloud."
+                    "PathOutputCommitProtocol",
+            })
         return conf
 
 

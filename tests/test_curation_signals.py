@@ -731,3 +731,51 @@ class TestDecontamination:
         plan = decontaminate(corpus, bench, n=5)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestSemanticDedup:
+    """operators/dedup.semantic_dedup — SemDeDup (k-means clusters, then
+    within-cluster exact-cosine dedup, min-id canonical per component)."""
+
+    def _emb(self, spark):
+        # ids 1 and 2 are the k-means seeds (two smallest ids) and point
+        # in orthogonal directions; 3 rides with 1, 4 with 2 — and each
+        # rider is a near-duplicate of its seed by cosine
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.999, 0.001]),
+            (4, [0.0, 2.0]),  # same direction as 2: cosine exactly 1
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_within_cluster_dedup_keeps_min_id(self, spark):
+        from datalake_spark.operators.dedup import semantic_dedup
+
+        out = {
+            r["vec_id"]: (r["cluster"], r["canonical"], r["keep"])
+            for r in semantic_dedup(
+                self._emb(spark), k=2, iters=2, threshold=0.99
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3, 4}  # one verdict row per input doc
+        # riders share their seed's cluster and dedup onto it
+        assert out[3][0] == out[1][0] and out[4][0] == out[2][0]
+        assert out[1][:2][1] == 1 and out[3][1] == 1
+        assert out[2][1] == 2 and out[4][1] == 2
+        assert {i for i, v in out.items() if v[2]} == {1, 2}
+
+    def test_threshold_binds(self, spark):
+        from datalake_spark.operators.dedup import semantic_dedup
+
+        # at a threshold above cos(1,3) but not cos(2,4)=1.0, only the
+        # exact-direction pair dedups
+        out = {
+            r["vec_id"]: r["keep"]
+            for r in semantic_dedup(
+                self._emb(spark), k=2, iters=2, threshold=0.9999999
+            ).collect()
+        }
+        assert out == {1: True, 2: True, 3: True, 4: False}

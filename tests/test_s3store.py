@@ -91,14 +91,19 @@ class TestS3ConditionalPut:
 
     def test_spark_conf_mirrors_custom_endpoint(self, aws):
         s = _mk_store(aws)
-        conf = s.spark_conf(endpoint="http://minio.local:9000")
+        conf = s.spark_conf(endpoint="http://minio.local:9000",
+                            magic_committer=False)
         assert conf == {
             "fs.s3a.endpoint": "http://minio.local:9000",
             "fs.s3a.path.style.access": "true",
         }
         # plain AWS: no endpoint override, virtual-hosted addressing
-        assert s.spark_conf(endpoint="https://s3.us-east-1.amazonaws.com") \
-            == {"fs.s3a.path.style.access": "false"}
+        aws_conf = s.spark_conf(endpoint="https://s3.us-east-1.amazonaws.com")
+        assert "fs.s3a.endpoint" not in aws_conf
+        assert aws_conf["fs.s3a.path.style.access"] == "false"
+        # rename-free task publish is on by default (S3 rename = copy)
+        assert aws_conf["fs.s3a.committer.name"] == "magic"
+        assert "commitProtocolClass" in " ".join(aws_conf)
 
     def test_exists_prefix_and_batched_delete_prefix(self, aws):
         s = _mk_store(aws)
