@@ -275,7 +275,16 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("output", help="shard output directory")
     cu.add_argument("--n-shards", dest="n_shards", type=int, default=8)
     cu.add_argument("--strategy", default="minhash",
-                    choices=["exact", "fingerprint", "minhash", "simhash"])
+                    choices=["exact", "fingerprint", "minhash", "simhash",
+                             "semantic"])
+    cu.add_argument("--embeddings", default=None,
+                    help="parquet path of (doc_id, embedding) vectors — "
+                         "required by --strategy semantic (SemDeDup: "
+                         "k-means clusters, within-cluster cosine)")
+    cu.add_argument("--semantic-k", dest="semantic_k", type=int, default=8,
+                    help="k-means cluster count for --strategy semantic; "
+                         "size so clusters hold ~sqrt(n) docs (pairs are "
+                         "searched within clusters only)")
     cu.add_argument("--threshold", type=float, default=0.5)
     cu.add_argument("--seed", default="shuf42")
     cu.add_argument("--quarantine", default=None,
@@ -568,6 +577,14 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
 
         from datalake_spark.pipeline import curate_and_export
 
+        semantic_kw = {}
+        if args.strategy == "semantic":
+            if not args.embeddings:
+                print("curate --strategy semantic requires --embeddings",
+                      file=out)
+                return 2
+            semantic_kw["embeddings"] = spark.read.parquet(args.embeddings)
+            semantic_kw["k"] = args.semantic_k
         manifest = curate_and_export(
             spark.read.parquet(args.input),
             args.output,
@@ -582,6 +599,7 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
                 if args.benchmark else None
             ),
             decontaminate_n=args.decon_n,
+            **semantic_kw,
         )
         print(_json.dumps(manifest, sort_keys=True), file=out)
         return 0

@@ -515,6 +515,14 @@ def dedup_corpus(
     - ``minhash``      — MinHash-LSH pairs → connected components → keep
                          one document of every near-dup cluster
     - ``simhash``      — SimHash pairs → same component/keep step
+    - ``semantic``     — SemDeDup: embedding-space pairs (k-means
+                         clusters, within-cluster exact cosine) → same
+                         component/keep step.  Requires
+                         ``embeddings=<DataFrame>`` carrying ``id_col``
+                         plus a vector column (``vec_col``, default
+                         'embedding'); docs without an embedding row
+                         pass through like any pair-free doc, and
+                         ``threshold`` is the cosine floor.
 
     Which cluster member survives: by default the MIN-id doc (stable,
     join-free); with ``quality_col`` the member with the HIGHEST value
@@ -539,6 +547,16 @@ def dedup_corpus(
         pairs = simhash_pairs(df, text_col, id_col, **kwargs).select(
             "doc_a", "doc_b"
         )
+    elif strategy == "semantic":
+        emb = kwargs.pop("embeddings", None)
+        if emb is None:
+            raise ValueError(
+                "semantic strategy needs embeddings=<DataFrame with "
+                f"{id_col!r} and a vector column>"
+            )
+        pairs = semantic_dup_pairs(
+            emb, threshold=threshold, id_col=id_col, **kwargs
+        ).select("doc_a", "doc_b")
     else:
         raise ValueError(f"unknown dedup strategy {strategy!r}")
     comp = connected_components(pairs, "doc_a", "doc_b")
@@ -1259,6 +1277,46 @@ def semantic_dedup(
     sums of double products — partitioning/accumulation-order
     independent, bit-identical across engines (the embedding_near_dup
     discipline)."""
+    pairs, assign = _semantic_cluster_pairs(
+        emb, k, iters, threshold, id_col, vec_col
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        assign.join(comp, assign["_aid"] == comp["id"], "left")
+        .select(
+            F.col("_aid").alias(id_col),
+            F.col("cluster"),
+            F.coalesce("cluster_id", F.col("_aid")).alias("canonical"),
+            (F.coalesce("cluster_id", F.col("_aid")) == F.col("_aid"))
+            .alias("keep"),
+        )
+    )
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Just the (doc_a, doc_b) near-duplicate pairs of
+    :func:`semantic_dedup` — the pair-tier form ``dedup_corpus``'s
+    component/quality-winner machinery composes over (strategy
+    'semantic'), exactly like the MinHash/SimHash pair operators."""
+    pairs, _assign = _semantic_cluster_pairs(
+        emb, k, iters, threshold, id_col, vec_col
+    )
+    return pairs
+
+
+def _semantic_cluster_pairs(
+    emb: DataFrame, k: int, iters: int, threshold: float,
+    id_col: str, vec_col: str,
+):
+    """(pairs(doc_a, doc_b), assign(_aid, cluster)) — the shared guts of
+    semantic_dedup / semantic_dup_pairs."""
     from datalake_spark.operators.similarity import kmeans_iterate
 
     # both shared frames persist: assign feeds the element join AND the
@@ -1309,16 +1367,6 @@ def semantic_dedup(
         .filter(
             F.col("_dot") / (F.sqrt("_na") * F.sqrt("_nb")) >= F.lit(threshold)
         )
-        .select("_ida", "_idb")
+        .select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
     )
-    comp = connected_components(pairs, "_ida", "_idb")
-    return (
-        assign.join(comp, assign["_aid"] == comp["id"], "left")
-        .select(
-            F.col("_aid").alias(id_col),
-            F.col("cluster"),
-            F.coalesce("cluster_id", F.col("_aid")).alias("canonical"),
-            (F.coalesce("cluster_id", F.col("_aid")) == F.col("_aid"))
-            .alias("keep"),
-        )
-    )
+    return pairs, assign

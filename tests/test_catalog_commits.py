@@ -577,9 +577,13 @@ class TestUrlSchemeRoots:
             f"u{i}" for i in range(8)
         } - {"u3"}
 
-    def test_object_store_url_rejected_with_clear_error(self, spark):
+    @pytest.mark.no_fsck  # never touches the (remote) root
+    def test_unregistered_store_url_rejected_with_clear_error(self, spark):
+        # s3:// and s3a:// resolve to the boto3 S3Store since r8
+        # (test_s3store.py); a scheme with NO registered store must
+        # still fail up front with the register_scheme remedy
         with pytest.raises(ValueError, match="store-specific IO"):
-            Catalog(spark, "s3a://bucket/prefix")
+            Catalog(spark, "gs://bucket/prefix")
 
 
 class TestDeleteWhere:

@@ -200,6 +200,54 @@ class TestCurateCommand:
         assert "shard" in back.columns
 
 
+    def test_curate_semantic_strategy(self, spark, catalog_dir, tmp_path):
+        """--strategy semantic + --embeddings: SemDeDup through the CLI —
+        docs whose embeddings point the same way dedup, the rest (and
+        docs without vectors) survive."""
+        src = str(tmp_path / "docs3")
+        embp = str(tmp_path / "emb3")
+        outdir = str(tmp_path / "shards3")
+        rows = []
+        for i in range(6):
+            body = " ".join(f"the c{i}w{j} a c{i}v{j}" for j in range(8))
+            rows.append((i, f"doc {i} starts the piece here {body}", "en"))
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).write.parquet(src)
+        # 0 and 2 are exact-direction duplicates; 1 and 3 point well
+        # apart; 4, 5 have no vectors at all -> pass through
+        spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+             (2, [2.0, 0.0]), (3, [1.0, 1.0])],
+            "doc_id long, embedding array<double>",
+        ).write.parquet(embp)
+        rc, lines = _run(
+            spark,
+            ["curate", src, outdir, "--n-shards", "2",
+             "--strategy", "semantic", "--embeddings", embp,
+             "--semantic-k", "2", "--threshold", "0.9999"],
+            catalog_dir,
+        )
+        assert rc == 0
+        manifest = json.loads(lines[0])
+        assert manifest["curation"]["n_kept"] == 5  # doc 2 deduped onto 0
+        back = spark.read.parquet(outdir)
+        assert {r["doc_id"] for r in back.collect()} == {0, 1, 3, 4, 5}
+
+    def test_curate_semantic_requires_embeddings(
+        self, spark, catalog_dir, tmp_path
+    ):
+        src = str(tmp_path / "docs4")
+        spark.createDataFrame(
+            [(0, "a text", "en")], "doc_id long, text string, lang string"
+        ).write.parquet(src)
+        rc, lines = _run(
+            spark,
+            ["curate", src, str(tmp_path / "out4"), "--strategy", "semantic"],
+            catalog_dir,
+        )
+        assert rc == 2 and "requires --embeddings" in lines[0]
+
     def test_curate_with_benchmark_decontaminates(
         self, spark, catalog_dir, tmp_path
     ):

@@ -779,3 +779,43 @@ class TestSemanticDedup:
             ).collect()
         }
         assert out == {1: True, 2: True, 3: True, 4: False}
+
+    def test_dedup_corpus_semantic_strategy(self, spark):
+        """The facade path: text corpus + separate embeddings frame,
+        strategy='semantic' — near-dup losers drop, docs without an
+        embedding row pass through, quality_col picks the winner."""
+        from datalake_spark.operators.dedup import dedup_corpus
+
+        docs = spark.createDataFrame(
+            [(i, f"document {i}", float(i)) for i in (1, 2, 3, 4, 9)],
+            "doc_id long, text string, score double",
+        )  # doc 9 has no embedding: must pass through
+        emb = self._emb(spark).withColumnRenamed("vec_id", "doc_id")
+        kept = {
+            r["doc_id"]
+            for r in dedup_corpus(
+                docs, strategy="semantic", threshold=0.99,
+                embeddings=emb, k=2, id_col="doc_id",
+            ).collect()
+        }
+        assert kept == {1, 2, 9}
+        # quality winner: within each duplicate group the HIGHEST score
+        # survives instead of the min id
+        kept_q = {
+            r["doc_id"]
+            for r in dedup_corpus(
+                docs, strategy="semantic", threshold=0.99,
+                embeddings=emb, k=2, id_col="doc_id",
+                quality_col="score",
+            ).collect()
+        }
+        assert kept_q == {3, 4, 9}
+
+    def test_semantic_strategy_requires_embeddings(self, spark):
+        from datalake_spark.operators.dedup import dedup_corpus
+
+        docs = spark.createDataFrame(
+            [(1, "t")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="embeddings="):
+            dedup_corpus(docs, strategy="semantic", id_col="doc_id")
