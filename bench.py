@@ -263,7 +263,7 @@ def main() -> None:
         # r7 additions (anchored r8: ANCHOR_EXTRAS_R8)
         "decontamination", "sequence_packing",
         # r8 additions (anchor next round)
-        "semantic_dedup",
+        "semantic_dedup", "semantic_incremental",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:

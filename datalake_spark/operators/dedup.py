@@ -1370,3 +1370,120 @@ def _semantic_cluster_pairs(
         .select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
     )
     return pairs, assign
+
+
+def semantic_incremental_pairs(
+    corpus: DataFrame | None,
+    new: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup: probe a NEW embedding batch against an
+    existing corpus (plus the batch itself) WITHOUT re-pairing the
+    corpus — the maintenance mode of :func:`semantic_dedup` for an
+    append-only archive, mirroring :func:`minhash_incremental_pairs`
+    for the embedding tier.
+
+    The cluster structure is a standing INDEX: centroids come from
+    k-means over the existing corpus (pass a persisted ``centroids``
+    frame — :func:`~datalake_spark.operators.similarity.kmeans_centroids`
+    — to skip recomputing it), and BOTH sides assign against those fixed
+    centroids in one decimal-exact distance pass each.  Candidates are
+    (new × corpus) and (new × new) WITHIN a shared cluster; corpus ×
+    corpus is by construction out of scope, so per-batch cost is
+    O(|new|·k·dim) assignment + cluster-local products against resident
+    members — independent of how many historic batches were already
+    deduped.
+
+    Output: (doc_a, doc_b, cosine) with doc_a < doc_b by id (batch ids
+    may interleave with corpus ids — orientation is by id, not side);
+    every pair involves at least one NEW doc.  Cosine is the exact
+    DECIMAL-accumulated value, engine-portable."""
+    from datalake_spark.operators.similarity import (
+        assign_to_centroids, kmeans_centroids,
+    )
+
+    if centroids is None:
+        if corpus is None:
+            raise ValueError(
+                "semantic_incremental_pairs needs corpus= or centroids="
+            )
+        centroids = kmeans_centroids(
+            corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    centroids = centroids.persist()
+
+    def side(df: DataFrame) -> DataFrame:
+        a = assign_to_centroids(
+            df, centroids, id_col=id_col, vec_col=vec_col
+        ).select(F.col(id_col).alias("_sid"), "cluster")
+        return (
+            df.select(
+                F.col(id_col).alias("_vid"),
+                F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
+            )
+            .withColumn("_val", F.col("_val").cast("double"))
+            .join(a, F.col("_vid") == F.col("_sid"))
+            .select("_vid", "cluster", "_pos", "_val")
+        )
+
+    el_new = side(new).persist()
+    el_old = side(corpus).persist() if corpus is not None else None
+    el_all = (
+        el_new.unionByName(el_old) if el_old is not None else el_new
+    )
+    norms = el_all.groupBy("_vid").agg(
+        F.sum((F.col("_val") * F.col("_val")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("_norm_sq")
+    )
+
+    def _a(el):
+        return el.select(
+            F.col("_vid").alias("_ida"), "cluster",
+            F.col("_pos").alias("_pos"), F.col("_val").alias("_va"),
+        )
+
+    def _b(el):
+        return el.select(
+            F.col("_vid").alias("_idb"), F.col("cluster").alias("_clb"),
+            F.col("_pos").alias("_pos"), F.col("_val").alias("_vb"),
+        )
+
+    def _cands(a, b):
+        return a.join(
+            b, (a["cluster"] == b["_clb"]) & (a["_pos"] == b["_pos"])
+        ).filter(F.col("_ida") < F.col("_idb")).select(
+            "_ida", "_idb", "_va", "_vb"
+        )
+
+    # (new x everything, id-ordered) ∪ (old x new where the old id is
+    # smaller) = every >=1-new pair exactly once; corpus x corpus never
+    # enters a join — the whole point of the incremental mode
+    cand = _cands(_a(el_new), _b(el_all))
+    if el_old is not None:
+        cand = cand.unionByName(_cands(_a(el_old), _b(el_new)))
+    dots = cand.groupBy("_ida", "_idb").agg(
+        F.sum((F.col("_va") * F.col("_vb")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("_dot")
+    )
+    na = norms.select(F.col("_vid").alias("_ida"), F.col("_norm_sq").alias("_na"))
+    nb = norms.select(F.col("_vid").alias("_idb"), F.col("_norm_sq").alias("_nb"))
+    return (
+        dots.join(F.broadcast(na), "_ida")
+        .join(F.broadcast(nb), "_idb")
+        .withColumn(
+            "cosine", F.col("_dot") / (F.sqrt("_na") * F.sqrt("_nb"))
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select(
+            F.col("_ida").alias("doc_a"),
+            F.col("_idb").alias("doc_b"),
+            "cosine",
+        )
+    )

@@ -236,6 +236,7 @@ def kmeans_iterate(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids_out: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration Lloyd k-means: (id, cluster, dist_sq) after ``iters``
     assign/update rounds, deterministic and ENGINE-PORTABLE.
@@ -254,6 +255,11 @@ def kmeans_iterate(
     SQL-replayable — the oracle unrolls the same rounds as CTEs.  At
     scale: per round, one shuffle for the distance aggregation and one for
     the centroid update; the k×dim centroid frame stays broadcast-sized.
+
+    ``centroids_out`` (optional list): receives the FINAL centroid frame
+    (cluster, pos, cval) — the persistable "index" half incremental
+    consumers (semantic_incremental_pairs) assign new batches against
+    without re-clustering.
     """
     el = emb.select(
         F.col(id_col).alias("_id"), F.posexplode(vec_col).alias("_pos", "_val")
@@ -294,8 +300,69 @@ def kmeans_iterate(
                 ).alias("_cval")
             )
         )
+    if centroids_out is not None:
+        centroids_out.append(
+            cent.select(
+                F.col("_cid").cast("bigint").alias("cluster"),
+                F.col("_pos").alias("pos"),
+                F.col("_cval").alias("cval"),
+            )
+        )
     return assign.select(
         F.col("_id").alias(id_col),
         F.col("_cid").cast("bigint").alias("cluster"),
         F.col("_d2").alias("dist_sq"),
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Just the final (cluster, pos, cval) centroid frame of
+    :func:`kmeans_iterate` — the standing cluster index an incremental
+    pipeline persists once and assigns every new batch against."""
+    out: list = []
+    kmeans_iterate(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        centroids_out=out,
+    )
+    return out[0]
+
+
+def assign_to_centroids(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster): nearest-centroid assignment of ``emb`` against a
+    FIXED (cluster, pos, cval) frame — one decimal-exact distance pass,
+    ties to the smaller cluster id (the kmeans_iterate discipline).  The
+    assignment half of the incremental path: the centroid index never
+    moves, so per-batch cost is O(|batch| · k · dim)."""
+    el = emb.select(
+        F.col(id_col).alias("_id"), F.posexplode(vec_col).alias("_pos", "_val")
+    ).withColumn("_val", F.col("_val").cast("double"))
+    cent = centroids.select(
+        F.col("cluster").alias("_cid"), F.col("pos").alias("_pos"),
+        F.col("cval").alias("_cval"),
+    )
+    diff2 = (
+        (F.col("_val") - F.col("_cval")) * (F.col("_val") - F.col("_cval"))
+    ).cast("decimal(30,12)")
+    d2 = el.join(F.broadcast(cent), "_pos").groupBy("_id", "_cid").agg(
+        F.sum(diff2).cast("double").alias("_d2")
+    )
+    w = W.partitionBy("_id").orderBy("_d2", "_cid")
+    return (
+        d2.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cid").cast("bigint").alias("cluster"),
+        )
     )

@@ -409,6 +409,9 @@ def _mk() -> list[Q]:
             {"vec_id": "v", "cluster_id": "v"}),
         Sub(q(pq, "semantic_dedup", "semantic_dedup_q", "SEMANTIC_DEDUP_SQL"),
             {"vec_id": "v", "cluster": "v", "canonical": "v", "keep": "v"}),
+        Sub(q(pq, "semantic_incremental", "semantic_incremental",
+              "SEMANTIC_INCREMENTAL_SQL"),
+            {"doc_a": "v", "doc_b": "v", "cosine": "d"}),
         Sub(q(pq, "kmeans_2iter", "kmeans_2iter", "KMEANS_SQL"),
             {"vec_id": "v", "cluster": "v", "dist_sq": "d"}),
         Sub(q(pq, "deterministic_shuffle", "deterministic_shuffle",

@@ -739,6 +739,94 @@ FROM a2 LEFT JOIN slab ON slab.id = a2.id
 
 
 # ---------------------------------------------------------------------------
+# semantic_incremental — the batch-maintenance mode of SemDeDup: k-means
+# centroids from the EXISTING corpus only (vec_id % 4 != 0 slice), both
+# sides assigned against that fixed index, pairs = (new x corpus) +
+# (new x new) within shared clusters — corpus x corpus never joined.
+# Oracle: corpus-only kmeans CTE chain + fixed-centroid assignment of
+# everyone + the >=1-new pair constraint.
+# ---------------------------------------------------------------------------
+def semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.operators.dedup import semantic_incremental_pairs
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _KM_MAX_ID)
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    return semantic_incremental_pairs(
+        corpus, new, k=_KM_K, iters=2, threshold=_SD_THRESHOLD
+    ).select("doc_a", "doc_b", "cosine")
+
+
+SEMANTIC_INCREMENTAL_SQL = f"""
+WITH el AS (
+  SELECT vec_id AS id, CAST(UNNEST(embedding) AS DOUBLE) AS val,
+         UNNEST(generate_series(1, len(embedding))) AS pos
+  FROM embeddings WHERE vec_id < {_KM_MAX_ID}),
+celc AS (SELECT * FROM el WHERE id % 4 <> 0),
+seeds AS (
+  SELECT id, CAST(rn - 1 AS INTEGER) AS cid FROM (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn
+    FROM (SELECT DISTINCT id FROM celc))
+  WHERE rn <= {_KM_K}),
+cent0 AS (
+  SELECT s.cid, e.pos, e.val AS cval FROM celc e JOIN seeds s ON s.id = e.id),
+d1 AS (
+  SELECT e.id, c.cid,
+         CAST(SUM(CAST((e.val - c.cval) * (e.val - c.cval)
+              AS DECIMAL(30,12))) AS DOUBLE) AS d2
+  FROM celc e JOIN cent0 c ON c.pos = e.pos GROUP BY 1, 2),
+a1 AS (
+  SELECT id, cid FROM (
+    SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM d1) WHERE rn = 1),
+cent1 AS (
+  SELECT a.cid, e.pos,
+         CAST(SUM(CAST(e.val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cval
+  FROM celc e JOIN a1 a ON a.id = e.id GROUP BY 1, 2),
+d2i AS (
+  SELECT e.id, c.cid,
+         CAST(SUM(CAST((e.val - c.cval) * (e.val - c.cval)
+              AS DECIMAL(30,12))) AS DOUBLE) AS d2
+  FROM celc e JOIN cent1 c ON c.pos = e.pos GROUP BY 1, 2),
+a2 AS (
+  SELECT id, cid FROM (
+    SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM d2i) WHERE rn = 1),
+cent2 AS (
+  SELECT a.cid, e.pos,
+         CAST(SUM(CAST(e.val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS cval
+  FROM celc e JOIN a2 a ON a.id = e.id GROUP BY 1, 2),
+d3 AS (
+  SELECT e.id, c.cid,
+         CAST(SUM(CAST((e.val - c.cval) * (e.val - c.cval)
+              AS DECIMAL(30,12))) AS DOUBLE) AS d2
+  FROM el e JOIN cent2 c ON c.pos = e.pos GROUP BY 1, 2),
+a3 AS (
+  SELECT id, cid FROM (
+    SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM d3) WHERE rn = 1),
+norms AS (
+  SELECT id, CAST(SUM(CAST(val * val AS DECIMAL(30,12))) AS DOUBLE) AS norm_sq
+  FROM el GROUP BY id),
+idots AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(30,12))) AS DOUBLE) AS dot
+  FROM el a
+  JOIN el b ON a.pos = b.pos AND a.id < b.id
+  JOIN a3 ca ON ca.id = a.id
+  JOIN a3 cb ON cb.id = b.id AND cb.cid = ca.cid
+  WHERE a.id % 4 = 0 OR b.id % 4 = 0
+  GROUP BY 1, 2)
+SELECT id_a AS doc_a, id_b AS doc_b,
+       dot / (SQRT(na.norm_sq) * SQRT(nb.norm_sq)) AS cosine
+FROM idots
+JOIN norms na ON na.id = id_a
+JOIN norms nb ON nb.id = id_b
+WHERE dot / (SQRT(na.norm_sq) * SQRT(nb.norm_sq)) >= {_SD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # token_bpe_count — BPE-ish token counting: alpha runs stay whole, digits and
 # punctuation split one-per-token (the pre-tokenizer regex shape GPT-style
 # BPEs use).  Pure regexp_extract_all — JVM-side, no UDF.

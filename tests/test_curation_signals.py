@@ -819,3 +819,62 @@ class TestSemanticDedup:
         )
         with pytest.raises(ValueError, match="embeddings="):
             dedup_corpus(docs, strategy="semantic", id_col="doc_id")
+
+
+class TestSemanticIncremental:
+    """operators/dedup.semantic_incremental_pairs — the batch-vs-corpus
+    maintenance mode of SemDeDup (fixed centroid index, corpus never
+    self-paired)."""
+
+    def _frames(self, spark):
+        # corpus doc 3 duplicates doc 1 exactly, so the k-means centroids
+        # sit at [1,0] / [0,1] and stay put across both iterations — the
+        # cluster structure is hand-checkable
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        new = spark.createDataFrame(
+            [(10, [2.0, 0.0]), (11, [0.0, 5.0]), (13, [3.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        return corpus, new
+
+    def test_new_vs_corpus_and_new_vs_new_but_never_old_vs_old(self, spark):
+        from datalake_spark.operators.dedup import semantic_incremental_pairs
+
+        corpus, new = self._frames(spark)
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in semantic_incremental_pairs(
+                corpus, new, k=2, threshold=0.99
+            ).collect()
+        }
+        # x-axis cluster: corpus {1, 3} x new {10, 13} + the new x new
+        # pair; y-axis cluster: (2, 11).  Corpus pair (1, 3) — identical
+        # direction, same cluster — must NOT appear: old x old is out of
+        # scope by construction.
+        assert got == {(1, 10), (1, 13), (3, 10), (3, 13), (10, 13),
+                       (2, 11)}
+
+    def test_precomputed_centroid_index(self, spark):
+        from datalake_spark.operators.dedup import semantic_incremental_pairs
+        from datalake_spark.operators.similarity import kmeans_centroids
+
+        corpus, new = self._frames(spark)
+        cent = kmeans_centroids(corpus, k=2)
+        # centroids-only probe (no corpus frame): just the new x new pair
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in semantic_incremental_pairs(
+                None, new, threshold=0.99, centroids=cent
+            ).collect()
+        }
+        assert got == {(10, 13)}
+
+    def test_requires_corpus_or_centroids(self, spark):
+        from datalake_spark.operators.dedup import semantic_incremental_pairs
+
+        _corpus, new = self._frames(spark)
+        with pytest.raises(ValueError, match="corpus= or centroids="):
+            semantic_incremental_pairs(None, new)
