@@ -295,7 +295,16 @@ class Archive:
         )
         tee = _HashingTee(writer)
         try:
-            head = fileobj.read(len(_GZIP_MAGIC))
+            # the magic sniff must see a FULL prefix: read(n) on pipes /
+            # sockets / chunked bodies may return short, and a 1-byte
+            # head would false-negative the already-gzipped check and
+            # double-compress (forking the hash from the eager path)
+            head = b""
+            while len(head) < len(_GZIP_MAGIC):
+                b = fileobj.read(len(_GZIP_MAGIC) - len(head))
+                if not b:
+                    break
+                head += b
             gz = None
             out = tee
             if compress and not head.startswith(_GZIP_MAGIC):
@@ -309,10 +318,14 @@ class Archive:
                 out.write(block)
             if gz is not None:
                 gz.close()  # flush the gzip trailer through the tee
+            # close INSIDE the guard: a close-time failure (final part
+            # upload, completion call) must abort too — the S3 writer
+            # self-aborts its upload and the local writer removes its
+            # temp; the follow-up abort() on a closed writer is a no-op
+            writer.close()
         except Exception:
             writer.abort()
             raise
-        writer.close()
         if not metadata.get("hash"):
             metadata["hash"] = tee.h.hexdigest()
         if not metadata.get("size"):

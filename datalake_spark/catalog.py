@@ -530,6 +530,10 @@ class Catalog:
         for _attempt in range(12):
             cols = [f.name for f in FILES_SCHEMA.fields]
             base = _read_manifest(self.store, self.LATEST_KEY)
+            # the full-recompute path scans the FILES table, so a
+            # concurrent compact's GC is also a retryable race — track
+            # both tables' versions from the attempt's start
+            files_m = _read_manifest(self.store, self.FILES_KEY)
             try:
                 existing = (
                     self._latest_snapshot(base) if new_rows is not None else None
@@ -575,6 +579,9 @@ class Catalog:
                 if _is_retryable_commit_race(
                     e, self.store, self.LATEST_KEY,
                     base["version"] if base else 0,
+                ) or _is_retryable_commit_race(
+                    e, self.store, self.FILES_KEY,
+                    files_m["version"] if files_m else 0,
                 ):
                     continue
                 raise
@@ -718,17 +725,27 @@ class Catalog:
         duplicates with scan-captured rows are tolerated by the
         query-path id-dedup, as everywhere."""
         cols = [f.name for f in FILES_SCHEMA.fields]
-        src = self.files().select(*cols).filter(F.col("work_id").isNotNull())
         for _attempt in range(12):
             m = _read_manifest(self.store, self.INDEX_KEY)
             version = (m["version"] + 1) if m else 1
             dirname = _new_version_dir(version)
             new_key = join_key(self.INDEX_KEY, dirname)
             old_key = join_key(self.INDEX_KEY, m["dir"]) if m else None
-            # listed BEFORE the scan executes: parts present now belong to
-            # appends whose files rows landed earlier, so the scan below
-            # (file listing happens at job run) already covers them
+            # order matters, and the files() DataFrame must be created
+            # AFTER the known listing AND fresh per attempt: Spark pins
+            # the parquet file listing at DataFrame creation (the
+            # InMemoryFileIndex is not re-listed at job run).  An index
+            # part present in `known` belongs to an append whose files
+            # rows landed strictly earlier (appends write files before
+            # index), so a files listing taken after `known` is always a
+            # superset — every known part's rows are in the scan, and
+            # every post-known append is either swept or guard-retried.
             known = set(self.store.list(old_key)) if old_key else set()
+            files_m = _read_manifest(self.store, self.FILES_KEY)
+            src = (
+                self.files().select(*cols)
+                .filter(F.col("work_id").isNotNull())
+            )
             try:
                 (
                     src.withColumn(
@@ -757,8 +774,13 @@ class Catalog:
             except CommitConflict:
                 continue  # concurrent rebuild won this version; retry
             except Exception as e:
+                # the scan reads the FILES table: a concurrent compact's
+                # GC there is as retryable as an index-version race
                 if _is_retryable_commit_race(
                     e, self.store, self.INDEX_KEY, m["version"] if m else 0
+                ) or _is_retryable_commit_race(
+                    e, self.store, self.FILES_KEY,
+                    files_m["version"] if files_m else 0,
                 ):
                     continue
                 raise

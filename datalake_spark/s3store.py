@@ -212,9 +212,14 @@ class S3Store(ObjectStore):
         s, d = self._abs(src), self._abs(dst)
         if s == d:
             # S3 rejects metadata-preserving self-copy; match LocalStore:
-            # succeed iff the object exists
-            if self.get(src) is None:
-                raise FileNotFoundError(src)
+            # succeed iff the object exists — probed with a HEAD, never a
+            # full-body GET of a possibly multi-GB blob
+            try:
+                self.s3.head_object(Bucket=self.bucket, Key=s)
+            except ClientError as e:
+                if _client_error_code(e) in ("NoSuchKey", "404"):
+                    raise FileNotFoundError(src) from e
+                raise
             return
         try:
             self.s3.copy_object(
@@ -344,18 +349,33 @@ class _S3MultipartWriter:
             if self.closed:
                 return
             self.closed = True
-        if self.upload_id is None:
-            # never crossed one part: plain atomic PUT
-            self.s3.put_object(
-                Bucket=self.bucket, Key=self.key, Body=self.buf.getvalue()
+        try:
+            if self.upload_id is None:
+                # never crossed one part: plain atomic PUT
+                self.s3.put_object(
+                    Bucket=self.bucket, Key=self.key, Body=self.buf.getvalue()
+                )
+                return
+            if self.buf.tell():
+                self._flush_part()  # the final part may be any size
+            self.s3.complete_multipart_upload(
+                Bucket=self.bucket, Key=self.key, UploadId=self.upload_id,
+                MultipartUpload={"Parts": self.parts},
             )
-            return
-        if self.buf.tell():
-            self._flush_part()  # the final part may be any size
-        self.s3.complete_multipart_upload(
-            Bucket=self.bucket, Key=self.key, UploadId=self.upload_id,
-            MultipartUpload={"Parts": self.parts},
-        )
+        except Exception:
+            # a close-time failure must not strand the multipart upload:
+            # uncompleted parts accrue storage charges forever unless a
+            # lifecycle rule exists.  Abort server-side, then surface the
+            # original error (the abort itself failing must not mask it).
+            if self.upload_id is not None:
+                try:
+                    self.s3.abort_multipart_upload(
+                        Bucket=self.bucket, Key=self.key,
+                        UploadId=self.upload_id,
+                    )
+                except Exception:
+                    pass
+            raise
 
     def abort(self) -> None:
         with self._lock:

@@ -649,3 +649,26 @@ class TestArchiveOverFakeStore:
             assert rows[u]["fetch_error"] is None
         assert rows[urls[6]]["content"] is None
         assert rows[urls[6]]["fetch_error"]
+
+
+class TestStoreStreamShortReads:
+    def test_gzip_sniff_survives_one_byte_reads(self, tmp_path):
+        """A stream whose read(n) returns short (pipe/socket-shaped) must
+        not false-negative the already-gzipped sniff and double-compress
+        — eager and streamed stores stay byte- and hash-identical."""
+        import gzip as _gzip
+        import io
+
+        from datalake_spark.archive import Archive
+
+        class OneByteReads(io.BytesIO):
+            def read(self, n=-1):
+                return super().read(1 if n and n > 0 else n)
+
+        a = Archive(str(tmp_path / "arch"))
+        blob = _gzip.compress(b"already compressed payload" * 100, mtime=0)
+        a.store(dict(META, id="eager"), blob, compress=True)
+        meta = dict(META, id="streamed", hash=None)
+        a.store_stream(meta, OneByteReads(blob), compress=True)
+        assert a._store.get("eager/data") == a._store.get("streamed/data")
+        assert a._store.get("streamed/data") == blob  # NOT re-gzipped

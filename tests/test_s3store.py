@@ -213,6 +213,31 @@ class TestS3Multipart:
         ups = s.s3.list_multipart_uploads(Bucket=s.bucket).get("Uploads", [])
         assert ups == []  # server-side parts discarded too
 
+    def test_close_failure_aborts_upload_server_side(self, aws):
+        """A failure during close() (final part / completion call) must
+        not strand the multipart upload: parts accrue storage charges
+        forever.  The writer aborts server-side and re-raises."""
+        s = _mk_store(aws)
+        w = s.open_write("half", chunk_size=5 * 1024 * 1024)
+        w.write(b"x" * (6 * 1024 * 1024))  # multipart began
+
+        def boom(**kw):
+            raise RuntimeError("completion failed")
+
+        w.s3 = type("C", (), {
+            "complete_multipart_upload": staticmethod(boom),
+            "upload_part": s.s3.upload_part,
+            "put_object": s.s3.put_object,
+            "abort_multipart_upload": staticmethod(
+                s.s3.abort_multipart_upload
+            ),
+        })()
+        with pytest.raises(RuntimeError, match="completion failed"):
+            w.close()
+        assert s.get("half") is None
+        ups = s.s3.list_multipart_uploads(Bucket=s.bucket).get("Uploads", [])
+        assert ups == []  # aborted, not stranded
+
     def test_context_manager_aborts_on_error(self, aws):
         s = _mk_store(aws)
         with pytest.raises(RuntimeError):
