@@ -261,9 +261,12 @@ def kmeans_iterate(
     consumers (semantic_incremental_pairs) assign new batches against
     without re-clustering.
     """
+    # persisted: el feeds the seed-centroid build plus a distance join
+    # AND a centroid update per iteration (~2·iters+1 consumers) — each
+    # would re-run the explode lineage against the source otherwise
     el = emb.select(
         F.col(id_col).alias("_id"), F.posexplode(vec_col).alias("_pos", "_val")
-    ).withColumn("_val", F.col("_val").cast("double"))
+    ).withColumn("_val", F.col("_val").cast("double")).persist()
     seed_ids = [
         r[0] for r in emb.select(id_col).orderBy(id_col).limit(k).collect()
     ]
