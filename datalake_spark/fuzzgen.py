@@ -24,7 +24,10 @@ DISTINCT/MIN/MAX/conditional SUM, optional ROLLUP, HAVING over real
 aggregates since r8 — every form NULL-or-false on an empty group, so
 the r6 empty-input rollup divergence stays collapsed), window
 functions with total-order NULLS FIRST tiebreaks (plus peer-inclusive
-RANGE BETWEEN frames since r8 — ties need no tiebreak), set operations
+RANGE BETWEEN frames since r8 — ties need no tiebreak), LATERAL
+correlated scalar-aggregate derived tables (r8.5 — always exactly one
+row per outer row, so multiplicity-neutral; COALESCE-pinned NULLs),
+set operations
 (over join results too since r7), CASE / integer-arithmetic /
 GREATEST-LEAST projections (r7), and
 ORDER BY ... LIMIT tails with explicit direction + null ordering.  Exactness discipline:
@@ -132,6 +135,9 @@ class Spec:
         self.aggs: list[str] = []         # agg mode: "expr AS alias"
         self.having: str | None = None
         self.windows: list[str] = []      # project mode: "expr AS alias"
+        self.lateral: str | None = None   # project mode: correlated
+        #   lateral scalar-agg subquery SQL (emits exactly one row per
+        #   outer row as column lat_0 — multiplicity-neutral)
         self.setop: str | None = None     # setop mode: the operator
         self.preds_b: list[str] = []      # setop mode: right-side WHERE
         self.rollup = False               # agg mode: GROUP BY ROLLUP
@@ -145,6 +151,10 @@ class Spec:
                 frm += (
                     f" {self.join2_type} {self.join2[0]} ON {self.join2[1]}"
                 )
+        if self.lateral is not None:
+            # comma + LATERAL: a correlated scalar-aggregate derived table
+            # (always exactly one row, so outer multiplicity is untouched)
+            frm += f", LATERAL ({self.lateral}) AS _lt"
         where = f" WHERE {' AND '.join(self.preds)}" if self.preds else ""
         if self.mode == "agg":
             sel = ", ".join(self.group + self.aggs) or "COUNT(*) AS n"
@@ -232,6 +242,12 @@ class Spec:
         if self.mode == "project" and len(self.cols) > 1:
             for i, c in enumerate(self.cols):
                 out.append((f"col:{c}", lambda s, i=i: s.cols.pop(i)))
+        if self.lateral is not None:
+            def drop_lateral(s):
+                s.lateral = None
+                s.cols = [c for c in s.cols if c != "lat_0"]
+
+            out.append(("lateral", drop_lateral))
         if self.join2 is not None:
             out.append(("join2", lambda s: setattr(s, "join2", None)))
         if self.join is not None:
@@ -525,6 +541,28 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
                 f"COALESCE((SELECT {agg}({rng.choice(r_ints)}) "
                 f"FROM {right} WHERE {on}), -1) AS sc_0"
             )
+        # r8.5: LATERAL correlated scalar-aggregate derived table — the
+        # decorrelation path Spark and DuckDB plan very differently from
+        # scalar-subquery projections, same pinned-NULL discipline
+        # (COALESCE for MIN/MAX; COUNT is 0 on empty per the standard —
+        # the scalar-agg lateral always emits exactly one row)
+        if (
+            spec.join is None and JOINS[spec.table]
+            and rng.random() < 0.2
+        ):
+            right, on = rng.choice(JOINS[spec.table])
+            r_ints = TABLES[right][1]
+            inner = f"{rng.choice(r_ints)} % {rng.randint(2, 7)} = 0"
+            agg = rng.choice(["MIN", "MAX", "COUNT"])
+            if agg == "COUNT":
+                expr = "CAST(COUNT(*) AS BIGINT)"
+            else:
+                expr = f"COALESCE({agg}({rng.choice(r_ints)}), -1)"
+            spec.lateral = (
+                f"SELECT {expr} AS lat_0 FROM {right} "
+                f"WHERE {on} AND {inner}"
+            )
+            spec.cols.append("lat_0")
         if rng.random() < 0.4:
             part = rng.choice(strs)
             tb = _tiebreak(spec)
