@@ -530,10 +530,11 @@ class Catalog:
         for _attempt in range(12):
             cols = [f.name for f in FILES_SCHEMA.fields]
             base = _read_manifest(self.store, self.LATEST_KEY)
-            # the full-recompute path scans the FILES table, so a
-            # concurrent compact's GC is also a retryable race — track
-            # both tables' versions from the attempt's start
-            files_m = _read_manifest(self.store, self.FILES_KEY)
+            # only the full-recompute branch scans the FILES table; its
+            # manifest is read there (and only there) so the hot
+            # incremental-merge path — the per-micro-batch streaming
+            # delegate — pays no extra control-plane GET per attempt
+            files_ver: int | None = None
             try:
                 existing = (
                     self._latest_snapshot(base) if new_rows is not None else None
@@ -550,7 +551,14 @@ class Catalog:
                     # of the files append)
                     src = new_rows.select(*cols)
                 else:
-                    src = self.files()
+                    # full recompute: resolve the FILES manifest ONCE and
+                    # scan the exact directory it names — the version the
+                    # retry classifier compares against is then the
+                    # version actually scanned, by construction (a
+                    # concurrent compact's GC of it is a retryable race)
+                    files_m = _read_manifest(self.store, self.FILES_KEY)
+                    files_ver = files_m["version"] if files_m else 0
+                    src = self._files_snapshot(files_m)
                 latest = (
                     src.groupBy("what", "where")
                     .agg(
@@ -579,15 +587,28 @@ class Catalog:
                 if _is_retryable_commit_race(
                     e, self.store, self.LATEST_KEY,
                     base["version"] if base else 0,
-                ) or _is_retryable_commit_race(
-                    e, self.store, self.FILES_KEY,
-                    files_m["version"] if files_m else 0,
+                ) or (
+                    files_ver is not None
+                    and _is_retryable_commit_race(
+                        e, self.store, self.FILES_KEY, files_ver
+                    )
                 ):
                     continue
                 raise
         raise RuntimeError(
             "refresh_latest: commit conflicted on 12 consecutive attempts"
         )
+
+    def _files_snapshot(self, m: dict | None) -> DataFrame:
+        """The files table at FILES manifest ``m`` (already read by the
+        caller) — scans exactly the directory that manifest names, so
+        the caller's race bookkeeping and the scan can never disagree;
+        None = the legacy flat layout."""
+        if m is not None:
+            return self.spark.read.parquet(
+                self.store.spark_url(join_key(self.FILES_KEY, m["dir"]))
+            )
+        return self.spark.read.parquet(self.files_path)
 
     def _latest_snapshot(self, m: dict | None) -> DataFrame | None:
         """The latest table at manifest ``m`` (already read by the
@@ -741,9 +762,12 @@ class Catalog:
             # superset — every known part's rows are in the scan, and
             # every post-known append is either swept or guard-retried.
             known = set(self.store.list(old_key)) if old_key else set()
+            # one FILES manifest read serves both the scan path and the
+            # race classifier — scanned version == recorded version by
+            # construction (self.files() would re-resolve it)
             files_m = _read_manifest(self.store, self.FILES_KEY)
             src = (
-                self.files().select(*cols)
+                self._files_snapshot(files_m).select(*cols)
                 .filter(F.col("work_id").isNotNull())
             )
             try:

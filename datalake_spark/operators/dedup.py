@@ -1249,6 +1249,7 @@ def semantic_dedup(
     threshold: float = 0.97,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    frames_out: list | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
     semantic deduplication — cluster the corpus with k-means, then look
@@ -1278,7 +1279,7 @@ def semantic_dedup(
     independent, bit-identical across engines (the embedding_near_dup
     discipline)."""
     pairs, assign = _semantic_cluster_pairs(
-        emb, k, iters, threshold, id_col, vec_col
+        emb, k, iters, threshold, id_col, vec_col, frames_out
     )
     comp = connected_components(pairs, "doc_a", "doc_b")
     return (
@@ -1300,20 +1301,21 @@ def semantic_dup_pairs(
     threshold: float = 0.97,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    frames_out: list | None = None,
 ) -> DataFrame:
     """Just the (doc_a, doc_b) near-duplicate pairs of
     :func:`semantic_dedup` — the pair-tier form ``dedup_corpus``'s
     component/quality-winner machinery composes over (strategy
     'semantic'), exactly like the MinHash/SimHash pair operators."""
     pairs, _assign = _semantic_cluster_pairs(
-        emb, k, iters, threshold, id_col, vec_col
+        emb, k, iters, threshold, id_col, vec_col, frames_out
     )
     return pairs
 
 
 def _semantic_cluster_pairs(
     emb: DataFrame, k: int, iters: int, threshold: float,
-    id_col: str, vec_col: str,
+    id_col: str, vec_col: str, frames_out: list | None = None,
 ):
     """(pairs(doc_a, doc_b), assign(_aid, cluster)) — the shared guts of
     semantic_dedup / semantic_dup_pairs."""
@@ -1324,8 +1326,11 @@ def _semantic_cluster_pairs(
     # cache each consumer re-runs the k-means lineage / embedding scan
     # (the repo's standing shared-frame discipline, test_plan_hygiene)
     assign = kmeans_iterate(
-        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        frames_out=frames_out,
     ).select(F.col(id_col).alias("_aid"), "cluster").persist()
+    if frames_out is not None:
+        frames_out.append(assign)
     el = (
         emb.select(
             F.col(id_col).alias("_vid"),
@@ -1336,6 +1341,8 @@ def _semantic_cluster_pairs(
         .select("_vid", "cluster", "_pos", "_val")
         .persist()
     )
+    if frames_out is not None:
+        frames_out.append(el)
     norms = el.groupBy("_vid").agg(
         F.sum((F.col("_val") * F.col("_val")).cast("decimal(30,12)"))
         .cast("double")
@@ -1381,6 +1388,7 @@ def semantic_incremental_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    frames_out: list | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup: probe a NEW embedding batch against an
     existing corpus (plus the batch itself) WITHOUT re-pairing the
@@ -1402,7 +1410,13 @@ def semantic_incremental_pairs(
     Output: (doc_a, doc_b, cosine) with doc_a < doc_b by id (batch ids
     may interleave with corpus ids — orientation is by id, not side);
     every pair involves at least one NEW doc.  Cosine is the exact
-    DECIMAL-accumulated value, engine-portable."""
+    DECIMAL-accumulated value, engine-portable.
+
+    ``frames_out`` (optional list) receives every frame persisted here
+    so a per-batch driver loop can unpersist after acting on the pairs
+    — REQUIRED hygiene when calling this in a long-lived session, or
+    each batch leaks its cached element frames (the
+    minhash_incremental_pairs discipline)."""
     from datalake_spark.operators.similarity import (
         assign_to_centroids, kmeans_centroids,
     )
@@ -1413,9 +1427,12 @@ def semantic_incremental_pairs(
                 "semantic_incremental_pairs needs corpus= or centroids="
             )
         centroids = kmeans_centroids(
-            corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+            corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+            frames_out=frames_out,
         )
     centroids = centroids.persist()
+    if frames_out is not None:
+        frames_out.append(centroids)
 
     def side(df: DataFrame) -> DataFrame:
         a = assign_to_centroids(
@@ -1433,6 +1450,8 @@ def semantic_incremental_pairs(
 
     el_new = side(new).persist()
     el_old = side(corpus).persist() if corpus is not None else None
+    if frames_out is not None:
+        frames_out.extend([f for f in (el_new, el_old) if f is not None])
     el_all = (
         el_new.unionByName(el_old) if el_old is not None else el_new
     )

@@ -237,6 +237,7 @@ def kmeans_iterate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids_out: list | None = None,
+    frames_out: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration Lloyd k-means: (id, cluster, dist_sq) after ``iters``
     assign/update rounds, deterministic and ENGINE-PORTABLE.
@@ -260,6 +261,12 @@ def kmeans_iterate(
     (cluster, pos, cval) — the persistable "index" half incremental
     consumers (semantic_incremental_pairs) assign new batches against
     without re-clustering.
+
+    ``frames_out`` (optional list): receives every frame this call
+    persisted, so loop-driving callers can unpersist after acting on
+    the result (the repo's standing cache-release discipline,
+    minhash_incremental_pairs precedent) — without it each call leaks
+    one cached exploded frame for the session's lifetime.
     """
     # persisted: el feeds the seed-centroid build plus a distance join
     # AND a centroid update per iteration (~2·iters+1 consumers) — each
@@ -267,6 +274,8 @@ def kmeans_iterate(
     el = emb.select(
         F.col(id_col).alias("_id"), F.posexplode(vec_col).alias("_pos", "_val")
     ).withColumn("_val", F.col("_val").cast("double")).persist()
+    if frames_out is not None:
+        frames_out.append(el)
     seed_ids = [
         r[0] for r in emb.select(id_col).orderBy(id_col).limit(k).collect()
     ]
@@ -324,6 +333,7 @@ def kmeans_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    frames_out: list | None = None,
 ) -> DataFrame:
     """Just the final (cluster, pos, cval) centroid frame of
     :func:`kmeans_iterate` — the standing cluster index an incremental
@@ -331,7 +341,7 @@ def kmeans_centroids(
     out: list = []
     kmeans_iterate(
         emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
-        centroids_out=out,
+        centroids_out=out, frames_out=frames_out,
     )
     return out[0]
 

@@ -194,8 +194,18 @@ class _LocalStreamWriter:
         if self.closed:
             return
         self.closed = True
-        self.f.close()
-        os.replace(self.tmp, self.final)
+        try:
+            self.f.close()  # flushes buffered bytes: can ENOSPC
+            os.replace(self.tmp, self.final)
+        except Exception:
+            # a failed publish must not leak the temp — it would surface
+            # as a spurious key in LocalStore.list() forever (the same
+            # invariant the S3 writer holds by aborting its upload)
+            try:
+                os.remove(self.tmp)
+            except FileNotFoundError:
+                pass
+            raise
 
     def abort(self) -> None:
         if self.closed:

@@ -878,3 +878,22 @@ class TestSemanticIncremental:
         _corpus, new = self._frames(spark)
         with pytest.raises(ValueError, match="corpus= or centroids="):
             semantic_incremental_pairs(None, new)
+
+    def test_frames_out_releases_every_persisted_frame(self, spark):
+        """Loop-driving callers must be able to unpersist what a batch
+        probe cached: frames_out receives every persisted frame and
+        unpersisting them leaves no blocks behind."""
+        from datalake_spark.operators.dedup import semantic_incremental_pairs
+
+        spark.catalog.clearCache()  # scope the leak check to THIS op
+        corpus, new = self._frames(spark)
+        frames: list = []
+        pairs = semantic_incremental_pairs(
+            corpus, new, k=2, threshold=0.99, frames_out=frames
+        )
+        n = pairs.count()
+        assert n >= 1 and len(frames) >= 3  # kmeans el, centroids, sides
+        for f in frames:
+            f.unpersist(blocking=True)
+        sc = spark.sparkContext
+        assert sc._jsc.sc().getPersistentRDDs().size() == 0
