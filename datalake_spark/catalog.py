@@ -456,12 +456,49 @@ class Catalog:
         return self.store.spark_url(self._files_key())
 
     # -- write path ---------------------------------------------------------
+    def _staged_data_append(self, write_fn, table_key: str,
+                            target_key: str) -> None:
+        """Append part files into a SHARED data directory safely under
+        writer concurrency.  Two Spark jobs appending to one directory
+        share its ``_temporary/0`` staging, and whichever job finishes
+        first deletes it — discarding the other job's in-flight task
+        outputs, which then fails loudly (task file vanished) or, worse,
+        commits ZERO files without an error (the sf1.0 concurrency
+        stress caught exactly this: a racing append 'succeeded' and its
+        row was simply absent).  So every append runs its Spark write in
+        its OWN staging directory under the table root and PROMOTES the
+        parts into the target with server-side copies — the streaming
+        shard commit's rename-free pattern (streaming/curation.py).
+        Part filenames carry Spark's job-unique UUID, so promoted names
+        never collide; partition subpaths are preserved; readers see
+        parts appear one by one exactly as they would under a direct
+        append.  The staging name is DOT-prefixed: parquet readers skip
+        dot-dirs (so a legacy flat-layout read never trips partition
+        discovery on it), the ``v*`` GC/fsck walks never match it, and
+        on the MemStore fake it stays data-plane (executors must write
+        it).  A crash before promote leaks only that invisible staging
+        dir."""
+        stage_key = join_key(table_key, f".stage-{uuid.uuid4().hex[:12]}")
+        try:
+            write_fn(self.store.spark_url(stage_key))
+            for k in self.store.list(stage_key):
+                name = k.rsplit("/", 1)[-1]
+                if not name.endswith(".parquet") or name.startswith(
+                    ("_", ".")
+                ):
+                    continue  # _SUCCESS / committer markers stay behind
+                rel = k[len(stage_key) + 1:]
+                self.store.copy(k, join_key(target_key, rel))
+        finally:
+            self.store.delete_prefix(stage_key)
+
     def append(self, df: DataFrame, _no_lease: bool = False) -> None:
         """Append validated metadata rows (idempotency is by ``id`` at query
         time, mirroring the reference's tolerated duplicate puts,
         ingester/datalake_ingester/storage.py:64-73).  Appends only create
         new objects inside the current version directory — always safe on
-        object storage.
+        object storage, and CONCURRENCY-safe against other appenders via
+        the stage-and-promote write (:meth:`_staged_data_append`).
 
         Holds a shared append lease for the duration, so a concurrent
         ``compact`` either waits for this write or makes this write wait
@@ -477,26 +514,32 @@ class Catalog:
         """
         lease = None if _no_lease else self._acquire_append_lease()
         try:
-            (
-                with_bucket_date(df)
-                # co-locate each (what, bucket_date) on one task before the
-                # partitioned write: an N-task input would otherwise fan out
-                # to N files per touched partition and leave maybe_compact
-                # to repair the fragmentation after the fact.  Metadata rows
-                # are small, so one file per partition per append is the
-                # right grain; a single giant partition would be a data
-                # problem, not a metadata one.
-                .repartition(F.col("what"), F.col("bucket_date"))
-                # sort within partitions so parquet row-group stats make
-                # work_id and id lookups skippable without an index;
-                # leads with the partition columns so the dynamic-
-                # partition writer keeps this order instead of inserting
-                # its own (unstable) partition-column sort
-                .sortWithinPartitions("what", "bucket_date", "work_id", "id")
-                .write.mode("append")
-                .partitionBy("what", "bucket_date")
-                .parquet(self._files_dir())
-            )
+            def write(url: str) -> None:
+                (
+                    with_bucket_date(df)
+                    # co-locate each (what, bucket_date) on one task before
+                    # the partitioned write: an N-task input would otherwise
+                    # fan out to N files per touched partition and leave
+                    # maybe_compact to repair the fragmentation after the
+                    # fact.  Metadata rows are small, so one file per
+                    # partition per append is the right grain; a single
+                    # giant partition would be a data problem, not a
+                    # metadata one.
+                    .repartition(F.col("what"), F.col("bucket_date"))
+                    # sort within partitions so parquet row-group stats make
+                    # work_id and id lookups skippable without an index;
+                    # leads with the partition columns so the dynamic-
+                    # partition writer keeps this order instead of inserting
+                    # its own (unstable) partition-column sort
+                    .sortWithinPartitions(
+                        "what", "bucket_date", "work_id", "id"
+                    )
+                    .write.mode("append")
+                    .partitionBy("what", "bucket_date")
+                    .parquet(url)
+                )
+
+            self._staged_data_append(write, self.FILES_KEY, self._files_key())
             self.append_work_id_index(df)
         finally:
             if lease is not None:
@@ -874,17 +917,25 @@ class Catalog:
         )
         for _attempt in range(5):
             nb = m["num_buckets"]
-            (
-                bucketed
-                .withColumn(
-                    "wid_bucket", self._wid_bucket(F.col("work_id"), nb)
+
+            def write(url: str, nb=nb) -> None:
+                (
+                    bucketed
+                    .withColumn(
+                        "wid_bucket", self._wid_bucket(F.col("work_id"), nb)
+                    )
+                    .repartition(F.col("wid_bucket"))
+                    .write.mode("append")
+                    .partitionBy("wid_bucket")
+                    .parquet(url)
                 )
-                .repartition(F.col("wid_bucket"))
-                .write.mode("append")
-                .partitionBy("wid_bucket")
-                .parquet(
-                    self.store.spark_url(join_key(self.INDEX_KEY, m["dir"]))
-                )
+
+            # staged: two appenders (or an appender and the rebuild's
+            # straggler sweep) writing one directory directly would share
+            # Spark's _temporary staging and can silently discard each
+            # other's task outputs (see _staged_data_append)
+            self._staged_data_append(
+                write, self.INDEX_KEY, join_key(self.INDEX_KEY, m["dir"])
             )
             if _race_hook is not None:
                 hook, _race_hook = _race_hook, None

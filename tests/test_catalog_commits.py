@@ -1065,6 +1065,46 @@ class TestOptimisticCommits:
             == ["raced"]
         assert cat.fsck(deep=True)["ok"]
 
+    def test_concurrent_appends_lose_nothing(self, spark):
+        """Two threads append DIFFERENT batches at once.  Direct Spark
+        appends into one directory share its _temporary staging, and the
+        first job to finish deletes it — the second job then either
+        fails loudly or commits ZERO files silently (the sf1.0 stress
+        caught the silent form).  The stage-and-promote append write
+        must make both batches land."""
+        import threading
+
+        cat = self._mem_cat(spark)
+        cat.append(make_files_df(spark, [
+            {"id": "seed", "what": "nginx", "where": "h0",
+             "start": T0, "end": None, "work_id": "w0"}]))
+        cat.build_work_id_index(num_buckets=2)
+        barrier = threading.Barrier(2)
+        errs = []
+
+        def appender(host):
+            try:
+                barrier.wait(timeout=30)
+                cat.append(make_files_df(spark, [
+                    {"id": f"c-{host}", "what": "nginx", "where": host,
+                     "start": T0 + 5, "end": None, "work_id": f"w-{host}"}]))
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=appender, args=(h,))
+              for h in ("h1", "h2")]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert not errs
+        assert {r["id"] for r in cat.files().collect()} == {
+            "seed", "c-h1", "c-h2"
+        }
+        idx, _nb = cat.work_id_index()
+        assert {r["id"] for r in idx.collect()} == {"seed", "c-h1", "c-h2"}
+        assert cat.fsck(deep=True)["ok"]
+
     def test_concurrent_index_rebuilds_both_complete(self, spark):
         import threading
 
