@@ -251,6 +251,13 @@ class DatalakeHttpApp:
             # per-route latency aggregates from the request monitor (the
             # sentry.py monitor_performance analog, self-served)
             return self._json({"routes": self.monitor.snapshot()})
+        if path == "/v0/environment/":
+            # build-version info, the reference's exact response shape
+            # (api/datalake_api/v0.py:654-686: /version.txt if the
+            # deployment wrote one, else a fallback version string)
+            return self._json(
+                {"data": {"build": {"version": self._build_version()}}}
+            )
         if path == "/v0/archive/":
             return self._json({"storage_url": self.storage_url})
         if path == "/v0/archive/files/":
@@ -272,6 +279,19 @@ class DatalakeHttpApp:
             return self._latest(parts[3], parts[4], qs, base,
                                 want_data=len(parts) == 6)
         raise _HttpError(404, "NoSuchRoute", f"no route for {path}")
+
+    # deployment images write their build sha here (the reference's
+    # convention, v0.py:647-652); overridable for tests / other layouts
+    version_file = "/version.txt"
+
+    def _build_version(self) -> str:
+        try:
+            with open(self.version_file) as f:
+                return f.read().strip()
+        except OSError:
+            from datalake_spark import __version__
+
+            return f"datalake-spark/{__version__}"
 
     @staticmethod
     def _json(obj) -> tuple[int, list, bytes]:
@@ -369,7 +389,8 @@ class DatalakeHttpApp:
 
 
 _ENDPOINTS = (
-    "/docs/", "/spec/", "/health/", "/metrics/", "/v0/archive/",
+    "/docs/", "/spec/", "/health/", "/metrics/", "/v0/environment/",
+    "/v0/archive/",
     "/v0/archive/files/", "/v0/archive/files/<id>/data",
     "/v0/archive/files/<id>/metadata", "/v0/archive/latest/<what>/<where>",
     "/v0/archive/latest/<what>/<where>/data",

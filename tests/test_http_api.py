@@ -206,6 +206,32 @@ class TestRoutes:
                     "?lookback=999999") as resp:
                 assert resp.read() == b"hello nginx\n"
 
+    def test_environment_route(self, server, tmp_path):
+        """/v0/environment/ — the reference's build-version endpoint
+        (api/datalake_api/v0.py:654-686): {data: {build: {version}}},
+        reading the deployment's version file when present and falling
+        back to a version string otherwise."""
+        body = _get_json(f"{server}/v0/environment/")
+        assert set(body) == {"data"}
+        assert set(body["data"]) == {"build"}
+        assert isinstance(body["data"]["build"]["version"], str)
+        assert body["data"]["build"]["version"]  # non-empty fallback
+        assert "/v0/environment/" in _get_json(f"{server}/docs/")[
+            "endpoints"]
+
+    def test_environment_reads_version_file(self, engine, tmp_path):
+        """With a deployment-written version file the route serves its
+        stripped contents, byte-for-byte the reference's behavior."""
+        from datalake_spark.http_api import DatalakeHttpApp
+
+        app = DatalakeHttpApp(engine)
+        vf = tmp_path / "version.txt"
+        vf.write_text("abc123def\n")
+        app.version_file = str(vf)
+        assert app._build_version() == "abc123def"
+        app.version_file = str(tmp_path / "missing.txt")
+        assert app._build_version().startswith("datalake-spark/")
+
     def test_root_redirects_to_docs(self, server):
         import urllib.request
 
