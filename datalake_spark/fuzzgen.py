@@ -28,8 +28,12 @@ RANGE BETWEEN frames since r8 — ties need no tiebreak), LATERAL
 correlated scalar-aggregate derived tables (r8.5 — always exactly one
 row per outer row, so multiplicity-neutral; COALESCE-pinned NULLs),
 set operations
-(over join results too since r7), CASE / integer-arithmetic /
-GREATEST-LEAST projections (r7), and
+(over join results too since r7; INSIDE derived tables since r9 — the
+base scan becomes a filtered-self UNION [ALL] filtered-self aliased
+back to the table name), uncorrelated scalar-aggregate subqueries in
+WHERE and EXISTS under OR (r9 — disjunction blocks the semi-join
+rewrite, exercising ExistenceJoin/mark-join decorrelation), CASE /
+integer-arithmetic / GREATEST-LEAST projections (r7), and
 ORDER BY ... LIMIT tails with explicit direction + null ordering.  Exactness discipline:
 integer aggregates pinned to BIGINT; doubles appear raw, through one
 exact IEEE add, or under MIN/MAX (value selection — never accumulated),
@@ -126,6 +130,12 @@ class Spec:
         self.join2 = None         # second hop off join's right table
         self.join2_type = "JOIN"
         self.distinct = False     # project mode: SELECT DISTINCT
+        self.derived = None       # (setop, pred_a, pred_b): replace the
+        #   base table with a set operation of two filtered scans of
+        #   itself, aliased back to the table name (r9 — set ops INSIDE
+        #   derived tables, a planner path distinct from top-level setop
+        #   mode; join-free specs only so every downstream column
+        #   reference resolves through the alias)
         self.offset = 0           # with order: LIMIT n OFFSET m
         self.dbl_out: set[str] = set()  # output aliases that are doubles
         self.preds: list[str] = []
@@ -145,6 +155,16 @@ class Spec:
 
     def sql(self) -> str:
         frm = self.table
+        if self.derived is not None:
+            op, pa, pb = self.derived
+            # UNION ALL can duplicate FULL rows (a row passing both
+            # branches) — digest-safe: identical rows are interchangeable
+            # under every window/order tiebreak, so the value multiset is
+            # engine-independent (the lineitem full-row argument)
+            frm = (
+                f"(SELECT * FROM {self.table} WHERE {pa} {op} "
+                f"SELECT * FROM {self.table} WHERE {pb}) AS {self.table}"
+            )
         if self.join is not None:
             frm += f" {self.join_type} {self.join[0]} ON {self.join[1]}"
             if self.join2 is not None:
@@ -227,6 +247,8 @@ class Spec:
             out.append(("rollup", lambda s: setattr(s, "rollup", False)))
         if self.order is not None:
             out.append(("order", lambda s: setattr(s, "order", None)))
+        if self.derived is not None:
+            out.append(("derived", lambda s: setattr(s, "derived", None)))
         if self.offset:
             out.append(("offset", lambda s: setattr(s, "offset", 0)))
         if self.distinct:
@@ -314,7 +336,29 @@ def _int_expr(rng, ints):
 
 def _pred(rng, spec, str_values, allow_subquery=True):
     ints, strs, dbls = _cols_in_scope(spec)
-    kind = rng.randrange(9 if allow_subquery else 6)
+    kind = rng.randrange(10 if allow_subquery else 6)
+    if kind == 9:
+        # r9: UNCORRELATED scalar-aggregate subquery in WHERE — no
+        # scoping constraint, so it fires under joins too (Spark plans a
+        # one-row subquery broadcast, DuckDB folds it to an expression;
+        # a genuinely different planner path from the correlated forms).
+        # Inner columns resolve inner-first in both engines; the gate
+        # tables' column names are table-prefixed anyway.
+        t2 = rng.choice(list(TABLES))
+        t_ints = TABLES[t2][1]
+        inner = f"{rng.choice(t_ints)} % {rng.randint(2, 7)} = 0"
+        if rng.random() < 0.4:
+            # COUNT always yields exactly one non-NULL row — no pin needed
+            return (
+                f"{rng.choice(ints)} <= (SELECT CAST(COUNT(*) AS BIGINT) "
+                f"FROM {t2} WHERE {inner})"
+            )
+        agg = rng.choice(["MIN", "MAX"])
+        return (
+            f"{rng.choice(ints)} {rng.choice(['<=', '>='])} "
+            f"COALESCE((SELECT {agg}({rng.choice(t_ints)}) FROM {t2} "
+            f"WHERE {inner}), {rng.randint(0, 30)})"
+        )
     if kind >= 6:
         # correlated EXISTS / IN / SCALAR subquery along the join edge
         # (only when the spec has no explicit join, to keep column scopes
@@ -325,10 +369,17 @@ def _pred(rng, spec, str_values, allow_subquery=True):
             inner = f"{rng.choice(r_ints)} % {rng.randint(2, 7)} = 0"
             if kind == 6:
                 neg = "NOT " if rng.random() < 0.4 else ""
-                return (
+                ex = (
                     f"{neg}EXISTS (SELECT 1 FROM {right} "
                     f"WHERE {on} AND {inner})"
                 )
+                # r9: EXISTS under OR — disjunctions block the simple
+                # semi/anti-join rewrite, forcing each engine's general
+                # decorrelation (Spark: ExistenceJoin; DuckDB: mark join)
+                if rng.random() < 0.35:
+                    simple = f"{rng.choice(ints)} % {rng.randint(2, 9)} = 0"
+                    return f"({ex} OR {simple})"
+                return ex
             if kind == 7:
                 lk, rk = [s.strip() for s in on.split("=")]
                 # r8: NOT IN joins the grammar.  Safe three-valued-wise:
@@ -415,6 +466,17 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
                 if spec.join_type == "JOIN"
                 else "JOIN"
             )
+    # r9: set ops INSIDE a derived table — the base scan becomes
+    # (filtered-self UNION [ALL] filtered-self) AS table; join-free specs
+    # only so downstream references resolve through the alias.  UNION's
+    # dedup and UNION ALL's duplicate multiplicity both feed whatever
+    # aggregation/windowing the rest of the spec layers on top.
+    if spec.join is None and rng.random() < 0.15:
+        spec.derived = (
+            rng.choice(["UNION", "UNION ALL"]),
+            _pred(rng, spec, str_values, allow_subquery=False),
+            _pred(rng, spec, str_values, allow_subquery=False),
+        )
     for _ in range(rng.randrange(3)):
         spec.preds.append(_pred(rng, spec, str_values))
     ints, strs, dbls = _cols_in_scope(spec)
@@ -529,10 +591,20 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
             )
         # r7: correlated scalar subquery in the projection (join-free
         # specs only, same scoping rule as predicate subqueries);
-        # COALESCE pins the empty-group NULL identically in both engines
+        # COALESCE pins the empty-group NULL identically in both engines.
+        # r9 guard (REAL ENGINE DIVERGENCE, hunt seed 3463): THIS exact
+        # shape — a correlated scalar in the PROJECTION whose outer is a
+        # set-op derived table — crashes Spark 4.1's decorrelation with
+        # an internal planner error (NoSuchElementException: key not
+        # found: n_nationkey#0) while DuckDB answers.  The same scalar in
+        # WHERE, EXISTS/IN forms, LATERAL derived tables, and projection
+        # scalars over UNION-dedup were each probed fine, so only this
+        # site skips derived specs; pinned by test_fuzz_differential.py::
+        # test_correlated_scalar_over_setop_derived_is_guarded — when a
+        # Spark upgrade fixes the crash, drop the derived check.
         if (
-            spec.join is None and JOINS[spec.table]
-            and rng.random() < 0.25
+            spec.join is None and spec.derived is None
+            and JOINS[spec.table] and rng.random() < 0.25
         ):
             right, on = rng.choice(JOINS[spec.table])
             r_ints = TABLES[right][1]

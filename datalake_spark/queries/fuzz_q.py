@@ -3,7 +3,7 @@ random query plans (datalake_spark/fuzzgen.py grammar) digested through
 BOTH engines every correctness round.
 
 The exploratory fuzz harness (tests/test_fuzz_differential.py) hunts
-with fresh shapes and a shrinker; this module freezes 80 seeds (r6:
+with fresh shapes and a shrinker; this module freezes 100 seeds (r6:
 window plans and double-typed outputs — windows carry total-order
 NULLS FIRST tiebreaks, and double outputs are declared in Spec.dbl_out
 and canonicalized here through the 'd' canon, FLOOR(x*1e6+0.5), on
@@ -14,7 +14,11 @@ IN subqueries, RANGE BETWEEN window frames, 60 -> 80 seeds) into ONE
 query: each seed's plan
 runs as a subquery reduced to
 (seed, row count, order-insensitive value hash), and the per-seed
-digests are UNION ALLed.  The Spark side and the DuckDB oracle share
+digests are UNION ALLed.  r9: 80 -> 100 seeds alongside grammar round
+5 (set ops inside derived tables, uncorrelated scalar subqueries in
+WHERE, EXISTS under OR — each a planner path the prior grammar never
+reached), freezing the late-r8 LATERAL extension into a full-size
+gate.  The Spark side and the DuckDB oracle share
 the identical CORE plan text; only the md5->int digest plumbing
 differs per engine (Spark spells it CONV(SUBSTR(MD5 ..)), DuckDB
 CAST('0x' || SUBSTR(md5 ..))) — the repo's standing portable-hash
@@ -32,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from datalake_spark.fuzzgen import TABLES, gate_safe, generate
 from datalake_spark.functions.hashing import sql_md5hash60
 
-_N_GATE_PLANS = 80
+_N_GATE_PLANS = 100
 _MOD = 1_000_000_007
 
 

@@ -217,6 +217,49 @@ class TestDifferentialFuzz:
                 keys = {k.strip() for k in spec.join[1].split("=")}
                 assert not keys <= set(spec.group), f"seed {seed}"
 
+    def test_correlated_scalar_over_setop_derived_is_guarded(
+        self, spark_tables, duck
+    ):
+        """Documents the THIRD real engine divergence this fuzzer found
+        (r9, hunt seed 3463): a correlated scalar-aggregate subquery
+        whose outer relation is a set-op derived table crashes Spark
+        4.1's subquery decorrelation with an internal planner error
+        (java.util.NoSuchElementException: key not found: n_nationkey#0)
+        while DuckDB answers the same SQL.  The crash is specific to the
+        PROJECTION site: the same correlated scalar in WHERE, EXISTS /
+        IN / EXISTS-under-OR forms, LATERAL scalar-agg derived tables,
+        and projection scalars over UNION-dedup were each probed fine in
+        both engines, so generate() skips only the projection-scalar
+        shape when Spec.derived is set.  Pins (a) the bare crash still
+        reproduces — if a Spark upgrade fixes it the fuzzgen guard can
+        go — and (b) generate() never emits the crashing shape."""
+        derived = (
+            "(SELECT * FROM customer WHERE c_nationkey BETWEEN 6 AND 29 "
+            "UNION ALL SELECT * FROM customer "
+            "WHERE c_nationkey BETWEEN 28 AND 28) AS customer"
+        )
+        bare = (
+            "SELECT COALESCE((SELECT MIN(n_regionkey) FROM nation "
+            f"WHERE c_nationkey = n_nationkey), -1) AS sc_0 FROM {derived}"
+        )
+        err = mismatch(spark_tables, duck, bare)
+        assert err is not None and err.startswith("spark-only error")
+        # the working forms stay engine-agreed (the guard must not widen)
+        ok = (
+            f"SELECT c_custkey FROM {derived} WHERE EXISTS "
+            "(SELECT 1 FROM nation WHERE c_nationkey = n_nationkey "
+            "AND n_regionkey % 2 = 0)"
+        )
+        assert mismatch(spark_tables, duck, ok) is None
+        # the crashing shape is specifically the sc_0 PROJECTION scalar;
+        # WHERE-scalar predicates, kind-9 uncorrelated scalars, and
+        # LATERAL over derived tables are fine and stay in the grammar
+        for seed in range(0, 800):
+            spec = generate(seed)
+            if spec.derived is not None:
+                for c in spec.cols:
+                    assert "AS sc_0" not in c, f"seed {seed}: {c}"
+
     def test_shrinker_reduces_a_planted_mismatch(self, spark_tables, duck):
         """Sanity-check the shrinking machinery itself with a spec whose
         mismatch survives clause-dropping: an engine-specific function in

@@ -1,0 +1,71 @@
+"""One-off fresh-seed differential hunt: Spark vs DuckDB over the fuzz
+grammar (datalake_spark/fuzzgen.py), reusing the exploratory harness's
+mismatch + shrink machinery (tests/test_fuzz_differential.py).
+
+Usage:  python tools/fuzz_hunt.py START COUNT [SF_DIR]
+
+Seed-range log (each range cleared with 0 unexplained divergences at
+the grammar version current at the time; generate() reshuffles all
+seeds on every grammar change, so clearances don't carry forward):
+  r6: 300-1199 @ sf0.001      r7: 1200-2199 @ sf0.001, 1200-1699 @ sf0.01
+  r8: 2x500 hunts             r9: see HUNTLOG lines printed per run
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import duckdb  # noqa: E402
+
+from datalake_spark.fuzzgen import TABLES, generate  # noqa: E402
+from datalake_spark.session import get_spark  # noqa: E402
+from test_fuzz_differential import mismatch, shrink  # noqa: E402
+
+
+def main() -> int:
+    start = int(sys.argv[1])
+    count = int(sys.argv[2])
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+
+    spark = get_spark("fuzz-hunt")
+    con = duckdb.connect()
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    str_values = {}
+    for t, (_k, _i, strs, _d) in TABLES.items():
+        for c in strs:
+            if c in ("c_name", "n_name"):
+                continue
+            str_values[c] = [
+                r[0]
+                for r in con.execute(
+                    f"SELECT DISTINCT {c} FROM {t} ORDER BY {c} LIMIT 5"
+                ).fetchall()
+            ]
+
+    n_div = 0
+    for seed in range(start, start + count):
+        spec = generate(seed, str_values)
+        err = mismatch(spark, con, spec.sql())
+        if err is not None:
+            n_div += 1
+            small = shrink(spark, con, spec)
+            print(f"DIVERGENCE seed {seed}: {err}")
+            print(f"  full:   {spec.sql()}")
+            print(f"  shrunk: {small.sql()}")
+            print(f"  shrunk mismatch: {mismatch(spark, con, small.sql())}")
+        if (seed - start + 1) % 50 == 0:
+            print(f"... {seed - start + 1}/{count} done, {n_div} divergences",
+                  flush=True)
+    print(f"HUNTLOG seeds {start}-{start + count - 1} @ {sf_dir}: "
+          f"{n_div} divergences")
+    return 1 if n_div else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
