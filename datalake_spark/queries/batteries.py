@@ -420,6 +420,16 @@ def _mk() -> list[Q]:
         Sub(q(pq, "shard_stats", "shard_stats", "SHARD_STATS_SQL"),
             {"shard": "v", "n_docs": "v", "total_chars": "v",
              "min_doc": "v", "max_doc": "v"}),
+        # r9 additions: mixture-building + profiling primitives
+        Sub(q(pq, "weighted_sample", "weighted_sample",
+              "WEIGHTED_SAMPLE_SQL"),
+            {"source": "v", "doc_id": "v", "weight": "v", "priority": "v",
+             "sample_rank": "v"}),
+        Sub(q(pq, "budget_mix", "budget_mix", "BUDGET_MIX_SQL"),
+            {"source": "v", "doc_id": "v", "cum_chars": "v", "budget": "v"}),
+        Sub(q(pq, "table_profile", "table_profile", "TABLE_PROFILE_SQL"),
+            {"col_name": "v", "n_rows": "v", "n_null": "v", "n_distinct": "v",
+             "min_v": "v", "max_v": "v"}),
         Sub(q(pq, "embedding_quantize", "embedding_quantize",
               "EMBEDDING_QUANTIZE_SQL"),
             {"vec_id": "v", "n_dims": "v", "sum_q": "v", "sum_abs_q": "v",

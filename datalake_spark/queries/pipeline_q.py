@@ -3625,3 +3625,214 @@ SELECT doc_id, shard, n_tokens,
        CAST(before % 512 AS BIGINT) AS offset_tokens
 FROM cum
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample — weighted sampling WITHOUT replacement, the mixture-
+# weighting primitive (upsample high-quality domains, downsample boilerplate)
+# a pretraining pipeline runs between curation and packing.  The classical
+# one-pass distributed algorithm is Efraimidis-Spirakis priority sampling:
+# each item draws u ~ U(0,1) and the k items with the largest u^(1/w) win —
+# computable per-partition with a local top-k then merged, no global state.
+# This implementation keeps that shape but replaces the float priority with
+# an integer one, hash(id) DIV w (smaller wins): monotone in the same
+# direction (heavier items get stochastically smaller priorities), fully
+# deterministic (replayable across engines, retries, and speculative tasks
+# — the property the repo's deterministic_shuffle/dataset_split ops already
+# standardize on), and exact in BIGINT so the DuckDB oracle can value-verify
+# every selected row.  At 100 TB the plan is one window rank per stratum —
+# the same shuffle a groupBy(source) pays; no driver state, no collect.
+# ---------------------------------------------------------------------------
+_WSAMPLE_K = 50
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.functions.hashing import md5hash60
+
+    docs = load(spark, sf_dir, "documents")
+    pri = docs.select(
+        "source",
+        "doc_id",
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("weight"),
+        md5hash60(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+        .alias("_h"),
+    ).select(
+        "source",
+        "doc_id",
+        "weight",
+        F.expr("_h DIV weight").alias("priority"),
+    )
+    w = W.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WSAMPLE_K)
+        .select(
+            "source",
+            "doc_id",
+            F.col("weight").cast("bigint").alias("weight"),
+            "priority",
+            F.col("rn").cast("bigint").alias("sample_rank"),
+        )
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH pri AS (
+  SELECT source, doc_id,
+         CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
+         CAST(CONCAT('0x', SUBSTR(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT)
+           // GREATEST(n_chars, 1) AS priority
+  FROM documents)
+SELECT source, doc_id, weight, priority, CAST(rn AS BIGINT) AS sample_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY priority, doc_id) AS rn
+  FROM pri)
+WHERE rn <= 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# budget_mix — sample each domain up to an absolute TOKEN BUDGET, the other
+# half of mixture building (domain_mix_sample equalizes per-domain rates;
+# this op fills fixed per-domain quotas, the "2T tokens total, at most X
+# from each source" contract of real pretraining mixes).  Docs are taken in
+# deterministic-shuffle order (hash of doc_id — unbiased, replayable) and a
+# per-source running total admits every doc that starts below the budget,
+# so each source's selection crosses its quota by at most one document.
+# One window cumsum per source — a single shuffle, no driver state;
+# the budget itself is a 1-row global agg broadcast into the plan.
+# ---------------------------------------------------------------------------
+def budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.functions.hashing import md5hash60
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("w"),
+        md5hash60(F.concat(F.lit("bm:"), F.col("doc_id").cast("string")))
+        .alias("skey"),
+    )
+    # budget = half an equal share of the corpus: total DIV (2 * n_sources)
+    tot = docs.agg(
+        F.sum("w").alias("tot_w"),
+        F.count_distinct("source").alias("n_src"),
+    ).select(F.expr("tot_w DIV (2 * n_src)").alias("budget"))
+    cum = W.partitionBy("source").orderBy("skey", "doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    return (
+        docs.withColumn("before", F.coalesce(F.sum("w").over(cum), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("before") < F.col("budget"))
+        .select(
+            "source",
+            "doc_id",
+            (F.col("before") + F.col("w")).cast("bigint").alias("cum_chars"),
+            F.col("budget").cast("bigint").alias("budget"),
+        )
+    )
+
+
+BUDGET_MIX_SQL = """
+WITH keyed AS (
+  SELECT source, doc_id,
+         CAST(GREATEST(n_chars, 1) AS BIGINT) AS w,
+         CAST(CONCAT('0x', SUBSTR(md5('bm:' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS skey
+  FROM documents),
+tot AS (
+  SELECT CAST(SUM(w) // (2 * COUNT(DISTINCT source)) AS BIGINT) AS budget
+  FROM keyed),
+cum AS (
+  SELECT source, doc_id, w,
+         COALESCE(SUM(w) OVER (
+           PARTITION BY source ORDER BY skey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM keyed)
+SELECT c.source, c.doc_id,
+       CAST(c.before + c.w AS BIGINT) AS cum_chars,
+       t.budget AS budget
+FROM cum c, tot t
+WHERE c.before < t.budget
+"""
+
+
+# ---------------------------------------------------------------------------
+# table_profile — ANALYZE-style per-column statistics (row count, null
+# count, distinct count, min, max) in ONE scan, emitted long-format so new
+# columns add rows, not schema.  The reference exposes dataset metadata
+# through its API; a query engine's equivalent is column-level profiling —
+# the input to optimizer statistics, data-quality dashboards, and schema
+# drift detection.  Plan shape: a single Aggregate with multiple DISTINCT
+# aggregates (Spark plans one Expand + two-phase agg — still one scan, one
+# shuffle), then the 1-row result is exploded into (column, stats) rows.
+# At 100 TB swap count_distinct for approx_count_distinct (mergeable HLL,
+# same plan minus the Expand); the exact form here is what lets the DuckDB
+# oracle value-verify min/max/null/distinct per column.  Non-integer
+# columns profile through the repo's exact canons: money as FLOOR(x*100+.5)
+# cents, timestamps as epoch millis — engine-independent integers.
+# ---------------------------------------------------------------------------
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    profiled = {
+        "o_orderkey": F.col("o_orderkey"),
+        "o_custkey": F.col("o_custkey"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_orderpriority": F.col("o_orderpriority"),
+        "o_totalprice_cents": F.floor(
+            F.col("o_totalprice") * 100 + F.lit(0.5)
+        ).cast("long"),
+        # o_orderdate ships as TIMESTAMP_NTZ; the UTC session timezone
+        # makes the cast an identity on the wall clock, matching DuckDB
+        # epoch_ms() (the events-table convention in queries.load)
+        "o_orderdate_ms": F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000"
+        ),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, expr in profiled.items():
+        aggs += [
+            F.count(expr).alias(f"nn_{name}"),
+            F.count_distinct(expr).alias(f"nd_{name}"),
+            F.min(expr).cast("string").alias(f"mn_{name}"),
+            F.max(expr).cast("string").alias(f"mx_{name}"),
+        ]
+    one = orders.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(name).alias("col_name"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{name}"))
+            .cast("bigint")
+            .alias("n_null"),
+            F.col(f"nd_{name}").cast("bigint").alias("n_distinct"),
+            F.col(f"mn_{name}").alias("min_v"),
+            F.col(f"mx_{name}").alias("max_v"),
+        )
+        for name in profiled
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+_PROFILE_COLS_SQL = {
+    "o_orderkey": "o_orderkey",
+    "o_custkey": "o_custkey",
+    "o_orderstatus": "o_orderstatus",
+    "o_orderpriority": "o_orderpriority",
+    "o_totalprice_cents":
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)",
+    "o_orderdate_ms": "epoch_ms(o_orderdate)",
+}
+
+TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({expr}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+       CAST(MIN({expr}) AS VARCHAR) AS min_v,
+       CAST(MAX({expr}) AS VARCHAR) AS max_v
+FROM orders"""
+    for name, expr in _PROFILE_COLS_SQL.items()
+)
