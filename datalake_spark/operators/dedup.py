@@ -1537,8 +1537,13 @@ def semantic_incremental_pairs(
         ).persist()
         if frames_out is not None:
             frames_out.append(el_old)
+        # norms too: every pair id lives in a touched cluster, so corpus
+        # norms outside them can never match a dots row — prune before
+        # the shuffle instead of joining |corpus| rows against ≤k
+        # clusters' worth of pairs
         norms = norms_new.unionByName(
-            norms_old.select("_vid", "_norm_sq")
+            norms_old.join(F.broadcast(touched), "cluster", "left_semi")
+            .select("_vid", "_norm_sq")
         )
     else:
         norms = norms_new
