@@ -159,6 +159,16 @@ ANCHOR_EXTRAS_R8 = {
     "sequence_packing": 0.32,
 }
 
+# r9 anchor pins (min of 2 full runs, sf0.1, local[32]; the minimum run's
+# era load was 0.83 = idle): the two SemDeDup extras r8 added unanchored,
+# pinned on their POST-FIX plans (norm broadcasts dropped, incremental
+# mode probing a pruned standing index) — the r8 readings (4.3 / 4.2 s)
+# were never valid anchors per the quality_classifier_weighted precedent.
+ANCHOR_EXTRAS_R9 = {
+    "semantic_dedup": 2.90,
+    "semantic_incremental": 4.007,
+}
+
 
 def _canary(spark) -> float:
     """Fixed-work CPU probe: 100M xxhash64-of-string rows, map-side agg.
@@ -262,8 +272,10 @@ def main() -> None:
         "quality_classifier_weighted", "video_sniff_roundtrip",
         # r7 additions (anchored r8: ANCHOR_EXTRAS_R8)
         "decontamination", "sequence_packing",
-        # r8 additions (anchor next round)
+        # r8 additions (anchored r9: ANCHOR_EXTRAS_R9, post-fix plans)
         "semantic_dedup", "semantic_incremental",
+        # r9 additions (no frozen anchor yet — first round on the board)
+        "weighted_sample", "budget_mix", "table_profile",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:
@@ -330,6 +342,7 @@ def main() -> None:
         # shrinks every ratio by ~1.5x and hides real regressions.
         anchor_extras = {
             **ANCHOR_EXTRAS_R5, **ANCHOR_EXTRAS_R7, **ANCHOR_EXTRAS_R8,
+            **ANCHOR_EXTRAS_R9,
         }
         out["vs_anchor_extras_r5_normalized"] = {
             n: round(t / anchor_extras[n] / max(load, 1.0), 2)
