@@ -379,3 +379,179 @@ def assign_to_centroids(
             F.col("_cid").cast("bigint").alias("cluster"),
         )
     )
+
+
+# -- product quantization (ADC) ---------------------------------------------
+
+
+def pq_train(
+    candidates: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train PQ codebooks as a PERSISTABLE frame: (sub, code, cb_micro).
+
+    Product quantization (Jégou et al. 2011) splits each dim-D vector
+    into ``m`` subvectors and replaces every subvector with the id of
+    its nearest codeword from a per-subspace codebook of ``ksub``
+    entries, compressing the corpus to m small ints per vector — the
+    representation IVF-PQ systems scan at billion-vector scale.
+
+    Codebooks here are a deterministic coreset, the ivf_index_build
+    convention: the subvectors of the ``ksub`` lowest-id candidates,
+    micro-quantized (floor(x*1e6+0.5) per component) so every distance
+    downstream is an exact BIGINT and the whole pipeline is
+    oracle-checkable and retry/partitioning-stable.  m*ksub rows —
+    broadcast-sized by construction at any corpus scale."""
+    from datalake_spark.functions.vectors import quantize_micro
+
+    base = (
+        candidates.orderBy(id_col)
+        .limit(ksub)
+        .select(
+            (
+                F.row_number().over(W.orderBy(id_col)) - F.lit(1)
+            ).alias("code"),
+            quantize_micro(F.col(vec_col)).alias("_qv"),
+        )
+    )
+    d_sub = (F.size("_qv") / m).cast("int")
+    return base.select(
+        "code",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "_qv",
+    ).select(
+        "sub",
+        "code",
+        F.slice(F.col("_qv"), F.col("sub") * d_sub + 1, d_sub).alias(
+            "cb_micro"
+        ),
+    )
+
+
+def pq_encode(
+    candidates: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every candidate to its per-subspace nearest codeword:
+    (c_id, sub, code) — m small ints per vector, the standing compressed
+    index (write partitioned however the search layer shards).  One
+    broadcast join against the m*ksub codebooks + a per-(vector,
+    subspace) rank; squared-L2 distances are exact BIGINT sums of
+    micro-component differences."""
+    from datalake_spark.functions.vectors import quantize_micro
+
+    sv = candidates.select(
+        F.col(id_col).alias("c_id"),
+        quantize_micro(F.col(vec_col)).alias("_qv"),
+    )
+    d_sub = (F.size("_qv") / m).cast("int")
+    sv = sv.select(
+        "c_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.slice(F.col("_qv"), F.col("sub") * d_sub + 1, d_sub).alias(
+            "sv_micro"
+        ),
+    )
+    zero = F.lit(0).cast("long")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("sv_micro"), F.col("cb_micro"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    return (
+        sv.join(F.broadcast(codebooks), "sub")
+        .withColumn("_dist", dist)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("c_id", "sub").orderBy("_dist", "code")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("c_id", "sub", "code")
+    )
+
+
+def pq_search(
+    codebooks: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over a built PQ index:
+    each query computes its exact BIGINT distance to every codeword of
+    every subspace (a |Q|*m*ksub lookup table, broadcast), then the
+    approximate query-candidate distance is the SUM over subspaces of
+    table[sub, code(c, sub)] — one broadcast join against the compressed
+    codes and one (q_id, c_id) aggregation.  The corpus is touched only
+    through its m-int codes: no full vectors move, which is the entire
+    point of PQ at 100 TB."""
+    from datalake_spark.functions.vectors import quantize_micro
+
+    qv = queries.select(
+        F.col(id_col).alias("q_id"),
+        quantize_micro(F.col(vec_col)).alias("_qv"),
+    )
+    d_sub = (F.size("_qv") / m).cast("int")
+    qsub = qv.select(
+        "q_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.slice(F.col("_qv"), F.col("sub") * d_sub + 1, d_sub).alias(
+            "qv_micro"
+        ),
+    )
+    zero = F.lit(0).cast("long")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("qv_micro"), F.col("cb_micro"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    qtable = (
+        qsub.join(F.broadcast(codebooks), "sub")
+        .withColumn("_dist", dist)
+        .select("q_id", "sub", "code", "_dist")
+    )
+    adc = (
+        codes.join(F.broadcast(qtable), ["sub", "code"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("_dist").alias("adc"))
+    )
+    w = W.partitionBy("q_id").orderBy("adc", "c_id")
+    return adc.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC ANN in one call: :func:`pq_train` + :func:`pq_encode` +
+    :func:`pq_search`.  A per-batch pipeline should instead build the
+    codebooks/codes once, write them to parquet, and serve every later
+    search from the stored index (the ivf_index_build/ivf_search split)."""
+    cb = pq_train(candidates, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(candidates, cb, m=m, id_col=id_col, vec_col=vec_col)
+    return pq_search(
+        cb, codes, queries, k=k, m=m, id_col=id_col, vec_col=vec_col
+    )

@@ -420,7 +420,9 @@ def _mk() -> list[Q]:
         Sub(q(pq, "shard_stats", "shard_stats", "SHARD_STATS_SQL"),
             {"shard": "v", "n_docs": "v", "total_chars": "v",
              "min_doc": "v", "max_doc": "v"}),
-        # r9 additions: mixture-building + profiling primitives
+        # r9 additions: PQ-ADC ANN + mixture-building + profiling
+        Sub(q(ops, "ann_pq_topk", "ann_pq_topk", "ANN_PQ_SQL"),
+            {"q_id": "v", "c_id": "v", "adc": "v", "rk": "v"}),
         Sub(q(pq, "weighted_sample", "weighted_sample",
               "WEIGHTED_SAMPLE_SQL"),
             {"source": "v", "doc_id": "v", "weight": "v", "priority": "v",

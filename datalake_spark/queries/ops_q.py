@@ -315,6 +315,69 @@ FROM (VALUES (0), (1), (2)) t(q_id)
 """
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    c = emb.filter(F.col("vec_id") >= 3)
+    return sim_ops.pq_topk(q, c, k=3, m=8, ksub=16).select(
+        "q_id", "c_id", "adc", "rk"
+    )
+
+
+# PQ-ADC is fully deterministic (micro-quantized components, exact BIGINT
+# squared-L2 sums), so like IVF it gets a real value oracle: the SQL
+# replays codebook choice (subvectors of the 16 lowest candidate ids),
+# per-subspace nearest-codeword encoding, the query distance table, and
+# the ADC sum — every ranking key an exact integer.  dim 64 / m 8 gives
+# sub = (pos-1)//8; the pre-filtered-CTE discipline is the ANN_IVF_SQL
+# lesson (DuckDB may not push an id filter below a per-pos equi-join).
+ANN_PQ_SQL = """
+WITH el AS (
+  SELECT vec_id,
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS qv,
+         UNNEST(generate_series(1, len(embedding))) AS pos
+  FROM embeddings),
+sub_el AS (
+  SELECT vec_id, CAST((pos - 1) // 8 AS BIGINT) AS sub, pos, qv FROM el),
+cb_ids AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 3
+        ORDER BY vec_id LIMIT 16)),
+cbe AS (
+  SELECT b.code, s.sub, s.pos, s.qv
+  FROM sub_el s JOIN cb_ids b ON s.vec_id = b.vec_id),
+ce AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id >= 3),
+cdist AS (
+  SELECT s.vec_id AS c_id, s.sub, c.code,
+         CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
+  FROM ce s JOIN cbe c ON s.sub = c.sub AND s.pos = c.pos
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT c_id, sub, code FROM (
+    SELECT c_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY c_id, sub
+                              ORDER BY dist, code) AS rk
+    FROM cdist)
+  WHERE rk = 1),
+qe AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id < 3),
+qdist AS (
+  SELECT s.vec_id AS q_id, s.sub, c.code,
+         CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
+  FROM qe s JOIN cbe c ON s.sub = c.sub AND s.pos = c.pos
+  GROUP BY 1, 2, 3),
+adc AS (
+  SELECT q.q_id, c.c_id, CAST(SUM(q.dist) AS BIGINT) AS adc
+  FROM codes c JOIN qdist q ON c.sub = q.sub AND c.code = q.code
+  GROUP BY 1, 2)
+SELECT q_id, c_id, adc, rk FROM (
+  SELECT q_id, c_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rk
+  FROM adc)
+WHERE rk <= 3
+"""
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
