@@ -86,3 +86,26 @@ def hyperplane_signature(a: Column | str, planes: list[list[float]]) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def quantize_micro_unit(a: Column | str) -> Column:
+    """array<long>: micro-quantized components of the UNIT-normalized
+    vector — floor(q_i / ||q|| * 1e6 + 0.5) where q_i = floor(x_i*1e6+0.5)
+    and ||q|| = sqrt(exact BIGINT sum of q_i²).  Every step is a single
+    correctly-rounded IEEE op on engine-identical inputs, so the integers
+    match across engines, retries, and partitionings (the
+    cosine_micro_exact discipline).  Squared L2 on these is monotone with
+    cosine (||u-v||² = 2-2·cos for unit u,v), which is what lets PQ's ADC
+    — an L2 machine — answer cosine queries."""
+    qa = quantize_micro(a)
+    zero = F.lit(0).cast("long")
+    nsq = F.aggregate(
+        F.transform(qa, lambda x: x * x), zero, lambda acc, x: acc + x
+    )
+    nrm = F.sqrt(nsq.cast("double"))
+    return F.transform(
+        qa,
+        lambda x: F.floor(
+            x.cast("double") / nrm * 1_000_000 + F.lit(0.5)
+        ).cast("long"),
+    )

@@ -401,11 +401,12 @@ def pq_train(
 
     Codebooks here are a deterministic coreset, the ivf_index_build
     convention: the subvectors of the ``ksub`` lowest-id candidates,
-    micro-quantized (floor(x*1e6+0.5) per component) so every distance
-    downstream is an exact BIGINT and the whole pipeline is
-    oracle-checkable and retry/partitioning-stable.  m*ksub rows —
-    broadcast-sized by construction at any corpus scale."""
-    from datalake_spark.functions.vectors import quantize_micro
+    UNIT-normalized then micro-quantized (functions/vectors.
+    quantize_micro_unit) so ADC's squared-L2 ranks by cosine and every
+    distance downstream is an exact BIGINT — oracle-checkable and
+    retry/partitioning-stable.  m*ksub rows — broadcast-sized by
+    construction at any corpus scale."""
+    from datalake_spark.functions.vectors import quantize_micro_unit
 
     base = (
         candidates.orderBy(id_col)
@@ -414,7 +415,7 @@ def pq_train(
             (
                 F.row_number().over(W.orderBy(id_col)) - F.lit(1)
             ).alias("code"),
-            quantize_micro(F.col(vec_col)).alias("_qv"),
+            quantize_micro_unit(F.col(vec_col)).alias("_qv"),
         )
     )
     d_sub = (F.size("_qv") / m).cast("int")
@@ -444,11 +445,11 @@ def pq_encode(
     broadcast join against the m*ksub codebooks + a per-(vector,
     subspace) rank; squared-L2 distances are exact BIGINT sums of
     micro-component differences."""
-    from datalake_spark.functions.vectors import quantize_micro
+    from datalake_spark.functions.vectors import quantize_micro_unit
 
     sv = candidates.select(
         F.col(id_col).alias("c_id"),
-        quantize_micro(F.col(vec_col)).alias("_qv"),
+        quantize_micro_unit(F.col(vec_col)).alias("_qv"),
     )
     d_sub = (F.size("_qv") / m).cast("int")
     sv = sv.select(
@@ -498,11 +499,11 @@ def pq_search(
     codes and one (q_id, c_id) aggregation.  The corpus is touched only
     through its m-int codes: no full vectors move, which is the entire
     point of PQ at 100 TB."""
-    from datalake_spark.functions.vectors import quantize_micro
+    from datalake_spark.functions.vectors import quantize_micro_unit
 
     qv = queries.select(
         F.col(id_col).alias("q_id"),
-        quantize_micro(F.col(vec_col)).alias("_qv"),
+        quantize_micro_unit(F.col(vec_col)).alias("_qv"),
     )
     d_sub = (F.size("_qv") / m).cast("int")
     qsub = qv.select(

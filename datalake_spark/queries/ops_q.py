@@ -316,34 +316,51 @@ FROM (VALUES (0), (1), (2)) t(q_id)
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # m=32/ksub=32 because the gate embeddings are isotropic random —
+    # PQ's worst case (no cluster structure for the codebooks to exploit;
+    # measured recall@5 vs brute force: 0.06 at the classic m=8/ksub=16,
+    # 0.58 here, scaling exactly as PQ theory predicts with finer
+    # subspaces).  Real embedding corpora cluster, so coarser defaults
+    # hold there; the value-exact gate verifies the machinery either way.
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
     c = emb.filter(F.col("vec_id") >= 3)
-    return sim_ops.pq_topk(q, c, k=3, m=8, ksub=16).select(
+    return sim_ops.pq_topk(q, c, k=3, m=32, ksub=32).select(
         "q_id", "c_id", "adc", "rk"
     )
 
 
-# PQ-ADC is fully deterministic (micro-quantized components, exact BIGINT
-# squared-L2 sums), so like IVF it gets a real value oracle: the SQL
-# replays codebook choice (subvectors of the 16 lowest candidate ids),
-# per-subspace nearest-codeword encoding, the query distance table, and
-# the ADC sum — every ranking key an exact integer.  dim 64 / m 8 gives
-# sub = (pos-1)//8; the pre-filtered-CTE discipline is the ANN_IVF_SQL
+# PQ-ADC is fully deterministic (unit-normalized micro components, exact
+# BIGINT squared-L2 sums — see functions/vectors.quantize_micro_unit: the
+# normalization is what makes L2 ADC answer the cosine question), so like
+# IVF it gets a real value oracle: the SQL replays codebook choice
+# (subvectors of the 16 lowest candidate ids), per-subspace
+# nearest-codeword encoding, the query distance table, and the ADC sum —
+# every ranking key an exact integer.  dim 64 / m 32 gives
+# sub = (pos-1)//2 at the gate's m=32; the pre-filtered-CTE discipline is the ANN_IVF_SQL
 # lesson (DuckDB may not push an id filter below a per-pos equi-join).
 ANN_PQ_SQL = """
-WITH el AS (
+WITH rawel AS (
   SELECT vec_id,
          CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000 + 0.5)
-              AS BIGINT) AS qv,
+              AS BIGINT) AS rqv,
          UNNEST(generate_series(1, len(embedding))) AS pos
   FROM embeddings),
+nr AS (
+  SELECT vec_id, SQRT(CAST(SUM(rqv * rqv) AS DOUBLE)) AS nrm
+  FROM rawel GROUP BY vec_id),
+el AS (
+  SELECT e.vec_id,
+         CAST(FLOOR(CAST(e.rqv AS DOUBLE) / n.nrm * 1000000 + 0.5)
+              AS BIGINT) AS qv,
+         e.pos
+  FROM rawel e JOIN nr n ON e.vec_id = n.vec_id),
 sub_el AS (
-  SELECT vec_id, CAST((pos - 1) // 8 AS BIGINT) AS sub, pos, qv FROM el),
+  SELECT vec_id, CAST((pos - 1) // 2 AS BIGINT) AS sub, pos, qv FROM el),
 cb_ids AS (
   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
   FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 3
-        ORDER BY vec_id LIMIT 16)),
+        ORDER BY vec_id LIMIT 32)),
 cbe AS (
   SELECT b.code, s.sub, s.pos, s.qv
   FROM sub_el s JOIN cb_ids b ON s.vec_id = b.vec_id),

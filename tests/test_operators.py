@@ -1083,3 +1083,77 @@ class TestIvfIndexPersistence:
         out = similarity.ivf_search(cents, stored, emb.filter("vec_id = 0"),
                                     k=3, nprobe=2)
         assert out.count() == 3
+
+
+class TestPq:
+    """Product quantization (pq_train/pq_encode/pq_search): exact-integer
+    ADC, standing-index parquet roundtrip, and recall against the exact
+    brute-force baseline."""
+
+    def test_codebook_and_codes_shapes(self, emb):
+        c = emb.filter("vec_id >= 3")
+        cb = similarity.pq_train(c, m=8, ksub=16)
+        rows = cb.collect()
+        assert len(rows) == 8 * 16
+        assert all(len(r["cb_micro"]) == 8 for r in rows)  # dim 64 / m 8
+        codes = similarity.pq_encode(c, cb, m=8).collect()
+        n = c.count()
+        assert len(codes) == n * 8
+        assert all(0 <= r["code"] < 16 for r in codes)
+
+    def test_recall_vs_brute_force(self, emb):
+        """ADC top-5 recall floor on the gate embeddings.  These are
+        isotropic random vectors — PQ's worst case (no cluster structure
+        for codebooks to exploit, all cosines concentrated near 0), so
+        the bar is 0.4 at m=32/ksub=32 (measured 0.54-0.58; the classic
+        m=8/ksub=16 scores 0.06 here while fine on clustered corpora).
+        Recall scales with m exactly as PQ theory predicts — 0.06/0.30/
+        0.50 at m=8/16/32 with ksub=16 — which is itself evidence the
+        distance machinery is right; exactness is pinned by the ADC
+        value oracle (ANN_PQ_SQL), not by recall."""
+        q = emb.filter("vec_id < 10")
+        c = emb.filter("vec_id >= 10")
+        exact = {
+            (r["q_id"], r["c_id"])
+            for r in similarity.brute_force_topk(q, c, k=5).collect()
+        }
+        ann = {
+            (r["q_id"], r["c_id"])
+            for r in similarity.pq_topk(q, c, k=5, m=32, ksub=32).collect()
+        }
+        recall = len(exact & ann) / len(exact)
+        assert recall >= 0.4, f"recall {recall}"
+
+    def test_parquet_roundtrip_matches_one_call(self, spark, emb, tmp_path):
+        queries = emb.filter("vec_id < 3")
+        c = emb.filter("vec_id >= 3")
+        direct = {
+            (r["q_id"], r["rk"]): (r["c_id"], r["adc"])
+            for r in similarity.pq_topk(queries, c, k=5).collect()
+        }
+        cb = similarity.pq_train(c)
+        codes = similarity.pq_encode(c, cb)
+        cb.write.parquet(f"{tmp_path}/cb")
+        codes.write.parquet(f"{tmp_path}/codes")
+        via_index = {
+            (r["q_id"], r["rk"]): (r["c_id"], r["adc"])
+            for r in similarity.pq_search(
+                spark.read.parquet(f"{tmp_path}/cb"),
+                spark.read.parquet(f"{tmp_path}/codes"),
+                queries, k=5,
+            ).collect()
+        }
+        assert via_index == direct and direct
+
+    def test_adc_stable_under_repartitioning(self, emb):
+        """The exact-BIGINT distance discipline means a different
+        partitioning must produce the identical ranking (the r6 lesson:
+        double folds flip ranks on near-parallel vectors)."""
+        q = emb.filter("vec_id < 3")
+        c = emb.filter("vec_id >= 3")
+        a = {(r["q_id"], r["rk"]): (r["c_id"], r["adc"])
+             for r in similarity.pq_topk(q, c, k=5).collect()}
+        b = {(r["q_id"], r["rk"]): (r["c_id"], r["adc"])
+             for r in similarity.pq_topk(
+                 q.repartition(7), c.repartition(13), k=5).collect()}
+        assert a == b
