@@ -1,0 +1,191 @@
+"""Streaming SemDeDup: embedding batches arriving as a stream probe the
+STANDING semantic cluster index (operators/dedup.semantic_index_build) and
+survivors extend it — the embedding-tier twin of the streaming MinHash
+near-dup stage (streaming/curation.StreamingCurator._near_dup_filter).
+
+Per micro-batch cost is the semantic_incremental_pairs contract: assign
+the batch against fixed centroids, prune the corpus side to the clusters
+the batch touched, pair cluster-locally.  The corpus is never re-exploded,
+re-assigned, or re-paired; history only grows the parquet index, which a
+cluster-partitioned layout prunes at probe time.
+
+Replay safety (the at-least-once foreachBatch contract): every write this
+sink performs is keyed by epoch id and mode=overwrite — survivors land in
+``vecs/epoch=N/``, index growth in ``_semindex/elements/epoch=N/`` and
+``_semindex/norms/epoch=N/`` — so a crash-and-replay of an epoch re-runs
+the identical deterministic plan (exact-integer assignment, DECIMAL dot
+sums) and overwrites the same objects with the same contents.  Centroids
+are trained once, on the first batch, and never move afterwards — the
+standing-index property that makes the probe incremental at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VEC_EVENT_SCHEMA = "vec_id long, embedding array<double>, ms long"
+
+
+def vec_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """JSON embedding events from a landing directory."""
+    return spark.readStream.schema(VEC_EVENT_SCHEMA).json(landing_dir)
+
+
+class SemanticStreamDeduper:
+    """readStream(embeddings) → standing-index semantic probe → survivors.
+
+    ``out_path`` gets ``vecs/epoch=N/`` survivor parquet and the
+    ``_semindex/`` standing index (centroids / elements / norms)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_path: str,
+        k: int = 4,
+        iters: int = 2,
+        threshold: float = 0.97,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.spark = spark
+        self.out_path = out_path.rstrip("/")
+        self.k = k
+        self.iters = iters
+        self.threshold = threshold
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.index_path = f"{self.out_path}/_semindex"
+
+    # -- standing index ------------------------------------------------
+
+    def _load_index(self):
+        try:
+            cents = self.spark.read.parquet(f"{self.index_path}/centroids")
+        except Exception:
+            return None
+        el = self.spark.read.parquet(f"{self.index_path}/elements").select(
+            "_vid", "cluster", "_pos", "_val"
+        )
+        norms = self.spark.read.parquet(f"{self.index_path}/norms").select(
+            "_vid", "cluster", "_norm_sq"
+        )
+        return cents, el, norms
+
+    def _append_index(self, survivors: DataFrame, cents, epoch: int) -> None:
+        from datalake_spark.operators.dedup import semantic_index_build
+
+        _, el_new, norms_new = semantic_index_build(
+            survivors, id_col=self.id_col, vec_col=self.vec_col,
+            centroids=cents,
+        )
+        el_new.write.mode("overwrite").parquet(
+            f"{self.index_path}/elements/epoch={epoch}"
+        )
+        norms_new.write.mode("overwrite").parquet(
+            f"{self.index_path}/norms/epoch={epoch}"
+        )
+
+    # -- foreachBatch sink ----------------------------------------------
+
+    def _process_batch(self, batch: DataFrame, epoch: int) -> None:
+        from datalake_spark.operators.dedup import (
+            semantic_incremental_pairs,
+        )
+        from datalake_spark.operators.similarity import kmeans_centroids
+
+        batch = batch.persist()
+        frames = [batch]
+        index = self._load_index()
+        if index is None:
+            # first batch: train the standing centroids ON the batch
+            # (deterministic k-means — a replay retrains identically)
+            # and probe new x new only
+            cents = kmeans_centroids(
+                batch, k=self.k, iters=self.iters,
+                id_col=self.id_col, vec_col=self.vec_col,
+            ).persist()
+            frames.append(cents)
+            pairs = semantic_incremental_pairs(
+                None, batch, threshold=self.threshold,
+                id_col=self.id_col, vec_col=self.vec_col,
+                centroids=cents, frames_out=frames,
+            )
+            corpus_ids = None
+        else:
+            cents, el_old, norms_old = index
+            # replay hygiene: if this epoch's index append already
+            # happened before a crash, the batch's own ids are in the
+            # corpus side — a doc twice in the element union doubles
+            # other pairs' dot sums (spurious drops).  Excluding the
+            # batch's ids makes the probe see the corpus as-if this
+            # epoch never ran, so a replay recomputes the original
+            # answer; it also absorbs at-least-once source re-delivery.
+            bid = batch.select(F.col(self.id_col).alias("_bid"))
+            el_old = el_old.join(
+                bid, F.col("_vid") == F.col("_bid"), "left_anti"
+            )
+            norms_old = norms_old.join(
+                bid, F.col("_vid") == F.col("_bid"), "left_anti"
+            )
+            pairs = semantic_incremental_pairs(
+                None, batch, threshold=self.threshold,
+                id_col=self.id_col, vec_col=self.vec_col,
+                index=(cents, el_old, norms_old), frames_out=frames,
+            )
+            corpus_ids = norms_old.select(F.col("_vid").alias("_cid"))
+
+        # drop rule (the MinHash streaming stage's): a NEW doc dies when
+        # it pairs with anything already retained (either side), or with
+        # a smaller-id doc inside its own batch (keep-first)
+        if corpus_ids is not None:
+            drop_b = pairs.join(
+                corpus_ids, F.col("doc_a") == F.col("_cid")
+            ).select(F.col("doc_b").alias("_drop"))
+            drop_a = pairs.join(
+                corpus_ids, F.col("doc_b") == F.col("_cid")
+            ).select(F.col("doc_a").alias("_drop"))
+            in_batch = (
+                pairs.join(corpus_ids, F.col("doc_a") == F.col("_cid"),
+                           "left_anti")
+                .join(corpus_ids, F.col("doc_b") == F.col("_cid"),
+                      "left_anti")
+                .select(F.col("doc_b").alias("_drop"))
+            )
+            drops = drop_b.unionByName(drop_a).unionByName(in_batch)
+        else:
+            drops = pairs.select(F.col("doc_b").alias("_drop"))
+        survivors = batch.join(
+            drops.distinct(), F.col(self.id_col) == F.col("_drop"),
+            "left_anti",
+        ).persist()
+        frames.append(survivors)
+
+        survivors.write.mode("overwrite").parquet(
+            f"{self.out_path}/vecs/epoch={epoch}"
+        )
+        if index is None:
+            cents.write.mode("overwrite").parquet(
+                f"{self.index_path}/centroids"
+            )
+        self._append_index(survivors, cents, epoch)
+        for f in frames:
+            f.unpersist()
+
+    def start(
+        self,
+        landing_dir: str,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        trigger_interval: str | None = None,
+    ):
+        writer = (
+            vec_stream(self.spark, landing_dir)
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_interval is not None:
+            writer = writer.trigger(processingTime=trigger_interval)
+        return writer.start()

@@ -1,0 +1,91 @@
+"""Streaming SemDeDup: embedding micro-batches probe the standing
+semantic cluster index; survivors extend it (streaming/semantic.py)."""
+
+import json
+import os
+
+from datalake_spark.streaming.semantic import SemanticStreamDeduper
+
+T0 = 1_420_070_400_000
+DIM = 8
+
+
+def _vec(i, base, eps=0.0):
+    # base direction plus a tiny orthogonal nudge: eps=0 twins are
+    # cosine-1.0 duplicates, eps>=0.5 vectors fall well under 0.97
+    v = [0.0] * DIM
+    v[base % DIM] = 1.0
+    v[(base + 1) % DIM] = eps
+    return {"vec_id": i, "embedding": v, "ms": T0 + i}
+
+
+def _write(landing, vecs, name):
+    os.makedirs(landing, exist_ok=True)
+    with open(os.path.join(landing, name), "w") as f:
+        for v in vecs:
+            f.write(json.dumps(v) + "\n")
+
+
+def _ids(spark, out):
+    return sorted(
+        r["vec_id"] for r in spark.read.parquet(f"{out}/vecs").collect()
+    )
+
+
+class TestSemanticStreamDedup:
+    def test_cross_batch_semantic_dup_dropped(self, spark, tmp_path):
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        dd = SemanticStreamDeduper(spark, out, k=2, threshold=0.97)
+        # batch 1: four distinct directions
+        _write(landing, [_vec(i, base=i, eps=0.0) for i in range(4)],
+               "b1.json")
+        dd.start(landing, str(tmp_path / "ck")).awaitTermination(120)
+        assert _ids(spark, out) == [0, 1, 2, 3]
+        # batch 2: vec 50 duplicates direction 2 (cosine 1.0 with vec 2,
+        # caught only by the standing-index probe); vec 51 is a fresh
+        # direction
+        _write(landing, [_vec(50, base=2, eps=0.0),
+                         _vec(51, base=5, eps=0.5)], "b2.json")
+        dd.start(landing, str(tmp_path / "ck")).awaitTermination(120)
+        assert _ids(spark, out) == [0, 1, 2, 3, 51]
+        # the standing index grew to exactly the survivors
+        idx = spark.read.parquet(f"{out}/_semindex/norms")
+        assert sorted(r["_vid"] for r in idx.collect()) == [0, 1, 2, 3, 51]
+
+    def test_in_batch_dup_keeps_min_id(self, spark, tmp_path):
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        dd = SemanticStreamDeduper(spark, out, k=2, threshold=0.97)
+        _write(landing, [_vec(7, base=1), _vec(8, base=1),
+                         _vec(9, base=4, eps=0.5)], "b1.json")
+        dd.start(landing, str(tmp_path / "ck")).awaitTermination(120)
+        assert _ids(spark, out) == [7, 9]
+
+    def test_epoch_replay_recomputes_identically(self, spark, tmp_path):
+        """A replayed epoch whose index append already landed must see
+        the corpus as-if it never ran: re-invoking the sink with the same
+        (batch, epoch) after a completed pass produces the same survivor
+        set and the same per-epoch index content (the crash-after-append,
+        replay-before-commit window)."""
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        dd = SemanticStreamDeduper(spark, out, k=2, threshold=0.97)
+        _write(landing, [_vec(i, base=i, eps=0.0) for i in range(4)],
+               "b1.json")
+        dd.start(landing, str(tmp_path / "ck")).awaitTermination(120)
+        _write(landing, [_vec(50, base=2, eps=0.0),
+                         _vec(51, base=5, eps=0.5)], "b2.json")
+        dd.start(landing, str(tmp_path / "ck")).awaitTermination(120)
+        before = _ids(spark, out)
+        # simulate the replay: epoch 1's append is in the index; run the
+        # identical batch through the sink again with the same epoch id
+        batch = spark.createDataFrame(
+            [(50, _vec(50, base=2)["embedding"], T0 + 50),
+             (51, _vec(51, base=5, eps=0.5)["embedding"], T0 + 51)],
+            "vec_id long, embedding array<double>, ms long",
+        )
+        dd._process_batch(batch, epoch=1)
+        assert _ids(spark, out) == before == [0, 1, 2, 3, 51]
+        idx = spark.read.parquet(f"{out}/_semindex/norms")
+        assert sorted(r["_vid"] for r in idx.collect()) == [0, 1, 2, 3, 51]
