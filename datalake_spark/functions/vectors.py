@@ -102,7 +102,12 @@ def quantize_micro_unit(a: Column | str) -> Column:
     nsq = F.aggregate(
         F.transform(qa, lambda x: x * x), zero, lambda acc, x: acc + x
     )
-    nrm = F.sqrt(nsq.cast("double"))
+    # zero-norm guard: an all-zero (or sub-micro) embedding — a classic
+    # failed-encoder artifact — would divide 0/0 into NaN components and
+    # poison every distance against it.  Divisor 1 pins its unit form to
+    # all-zero components, identically in both engines (the oracle's CASE
+    # twin); downstream it is then equidistant-by-zero, never NaN.
+    nrm = F.when(nsq > 0, F.sqrt(nsq.cast("double"))).otherwise(F.lit(1.0))
     return F.transform(
         qa,
         lambda x: F.floor(

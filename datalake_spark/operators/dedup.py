@@ -1451,6 +1451,7 @@ def semantic_incremental_pairs(
     centroids: DataFrame | None = None,
     index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     frames_out: list | None = None,
+    batch_index_out: list | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup: probe a NEW embedding batch against an
     existing corpus (plus the batch itself) WITHOUT re-pairing — or
@@ -1487,7 +1488,13 @@ def semantic_incremental_pairs(
     so a per-batch driver loop can unpersist after acting on the pairs
     — REQUIRED hygiene when calling this in a long-lived session, or
     each batch leaks its cached element frames (the
-    minhash_incremental_pairs discipline)."""
+    minhash_incremental_pairs discipline).
+
+    ``batch_index_out`` (optional list) receives the batch's persisted
+    element frame (_vid, cluster, _pos, _val) so an index-maintaining
+    caller (streaming/semantic.py) can append survivors to the standing
+    index WITHOUT re-exploding and re-assigning the batch — the
+    assignment is paid exactly once per batch."""
     from datalake_spark.operators.similarity import assign_to_centroids
 
     el_old = norms_old = None
@@ -1521,6 +1528,8 @@ def semantic_incremental_pairs(
     )
     if frames_out is not None:
         frames_out.append(el_new)
+    if batch_index_out is not None:
+        batch_index_out.append(el_new)
     norms_new = el_new.groupBy("_vid").agg(
         F.sum((F.col("_val") * F.col("_val")).cast("decimal(30,12)"))
         .cast("double")

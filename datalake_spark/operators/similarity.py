@@ -384,6 +384,30 @@ def assign_to_centroids(
 # -- product quantization (ADC) ---------------------------------------------
 
 
+def _pq_d_sub(m: int):
+    """Validated subvector width over the quantized array column ``_qv``:
+    dim must be a positive multiple of ``m`` — silent truncation would
+    drop the tail dimensions from every codebook, code, and ADC distance,
+    and m > dim would make every slice empty (all distances 0, 'top-k'
+    degenerating to the k lowest ids).  Dim is data, not schema, so the
+    check rides the row and raises on the first bad vector scanned."""
+    sz = F.size("_qv")
+    return (
+        F.when((sz % m == 0) & (sz >= m), (sz / m).cast("int"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "PQ: embedding dim must be a positive multiple "
+                        f"of m={m}, got dim="
+                    ),
+                    sz.cast("string"),
+                )
+            )
+        )
+    )
+
+
 def pq_train(
     candidates: DataFrame,
     m: int = 8,
@@ -418,7 +442,7 @@ def pq_train(
             quantize_micro_unit(F.col(vec_col)).alias("_qv"),
         )
     )
-    d_sub = (F.size("_qv") / m).cast("int")
+    d_sub = _pq_d_sub(m)
     return base.select(
         "code",
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
@@ -451,7 +475,7 @@ def pq_encode(
         F.col(id_col).alias("c_id"),
         quantize_micro_unit(F.col(vec_col)).alias("_qv"),
     )
-    d_sub = (F.size("_qv") / m).cast("int")
+    d_sub = _pq_d_sub(m)
     sv = sv.select(
         "c_id",
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
@@ -505,7 +529,7 @@ def pq_search(
         F.col(id_col).alias("q_id"),
         quantize_micro_unit(F.col(vec_col)).alias("_qv"),
     )
-    d_sub = (F.size("_qv") / m).cast("int")
+    d_sub = _pq_d_sub(m)
     qsub = qv.select(
         "q_id",
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),

@@ -347,7 +347,9 @@ WITH rawel AS (
          UNNEST(generate_series(1, len(embedding))) AS pos
   FROM embeddings),
 nr AS (
-  SELECT vec_id, SQRT(CAST(SUM(rqv * rqv) AS DOUBLE)) AS nrm
+  SELECT vec_id,
+         CASE WHEN SUM(rqv * rqv) > 0
+              THEN SQRT(CAST(SUM(rqv * rqv) AS DOUBLE)) ELSE 1.0 END AS nrm
   FROM rawel GROUP BY vec_id),
 el AS (
   SELECT e.vec_id,

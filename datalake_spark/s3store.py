@@ -206,46 +206,55 @@ class S3Store(ObjectStore):
                 out.append(cp["Prefix"][len(boundary):].rstrip("/"))
         return sorted(out)
 
-    # CopyObject rejects sources above 5 GiB; larger objects must go
-    # through multipart UploadPartCopy.  Both knobs are instance
-    # attributes so tests inject tiny values and drive the multipart
-    # path against moto with byte-sized objects.
-    copy_threshold = 5 * 1024 * 1024 * 1024
+    # CopyObject rejects sources above 5 GiB with InvalidRequest; larger
+    # objects must go through multipart UploadPartCopy.  The part size is
+    # an instance attribute so tests inject tiny values and drive the
+    # multipart path against moto with MiB-sized objects (moto does not
+    # enforce the 5 GiB limit, so tests trigger the fallback by stubbing
+    # copy_object to raise the real error).
     copy_part_size = 1024 * 1024 * 1024
 
     def copy(self, src: str, dst: str) -> None:
         from botocore.exceptions import ClientError
 
         s, d = self._abs(src), self._abs(dst)
-        # HEAD first: resolves existence for the self-copy case AND the
-        # size that picks the copy strategy — never a full-body GET of a
-        # possibly multi-GB blob
-        try:
-            size = self.s3.head_object(Bucket=self.bucket, Key=s)[
-                "ContentLength"
-            ]
-        except ClientError as e:
-            if _client_error_code(e) in ("NoSuchKey", "404"):
-                raise FileNotFoundError(src) from e
-            raise
         if s == d:
             # S3 rejects metadata-preserving self-copy; match LocalStore:
-            # succeed iff the object exists (it does — the HEAD passed)
-            return
-        if size <= self.copy_threshold:
+            # succeed iff the object exists.  (HEAD of a missing key can
+            # surface as 403 when the caller lacks s3:ListBucket — that
+            # stays a ClientError rather than FileNotFoundError because
+            # 403 on an EXISTING key is a genuine permission failure.)
             try:
-                self.s3.copy_object(
-                    Bucket=self.bucket, Key=d,
-                    CopySource={"Bucket": self.bucket, "Key": s},
-                )
+                self.s3.head_object(Bucket=self.bucket, Key=s)
             except ClientError as e:
                 if _client_error_code(e) in ("NoSuchKey", "404"):
                     raise FileNotFoundError(src) from e
                 raise
             return
-        # > threshold: server-side multipart copy (UploadPartCopy ranges;
-        # no bytes transit the driver).  Abort on any failure so no
-        # half-uploaded parts accrue storage forever.
+        # single-shot first: the overwhelmingly common sub-5 GiB copy is
+        # then exactly ONE request (stage-and-promote fans hundreds of
+        # these out in parallel — an unconditional pre-flight HEAD would
+        # double the round-trips on that hot path)
+        try:
+            self.s3.copy_object(
+                Bucket=self.bucket, Key=d,
+                CopySource={"Bucket": self.bucket, "Key": s},
+            )
+            return
+        except ClientError as e:
+            code = _client_error_code(e)
+            if code in ("NoSuchKey", "404"):
+                raise FileNotFoundError(src) from e
+            if code != "InvalidRequest":
+                raise
+            # InvalidRequest = "copy source is larger than the maximum
+            # allowable size" → fall through to multipart
+        size = self.s3.head_object(Bucket=self.bucket, Key=s)[
+            "ContentLength"
+        ]
+        # server-side multipart copy (UploadPartCopy ranges; no bytes
+        # transit the driver).  Abort on any failure so no half-uploaded
+        # parts accrue storage forever.
         up = self.s3.create_multipart_upload(Bucket=self.bucket, Key=d)[
             "UploadId"
         ]

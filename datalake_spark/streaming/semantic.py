@@ -60,10 +60,23 @@ class SemanticStreamDeduper:
     # -- standing index ------------------------------------------------
 
     def _load_index(self):
+        from pyspark.errors import AnalysisException
+
         try:
             cents = self.spark.read.parquet(f"{self.index_path}/centroids")
-        except Exception:
-            return None
+        except AnalysisException as e:
+            # ONLY a missing path means "first batch".  Any other read
+            # failure (throttle, corrupt footer, transient storage error)
+            # must propagate: swallowing it would retrain centroids on
+            # the current batch and overwrite the standing ones, leaving
+            # every prior epoch's elements assigned under DIFFERENT
+            # centroids — permanent silent under-deduplication.
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
+        # centroids are written LAST in _process_batch, so their presence
+        # implies the epoch's elements/norms writes completed — these
+        # reads are intentionally unguarded
         el = self.spark.read.parquet(f"{self.index_path}/elements").select(
             "_vid", "cluster", "_pos", "_val"
         )
@@ -72,17 +85,22 @@ class SemanticStreamDeduper:
         )
         return cents, el, norms
 
-    def _append_index(self, survivors: DataFrame, cents, epoch: int) -> None:
-        from datalake_spark.operators.dedup import semantic_index_build
-
-        _, el_new, norms_new = semantic_index_build(
-            survivors, id_col=self.id_col, vec_col=self.vec_col,
-            centroids=cents,
-        )
-        el_new.write.mode("overwrite").parquet(
+    def _append_index(
+        self, survivors: DataFrame, el_new: DataFrame, epoch: int
+    ) -> None:
+        """Append the SURVIVORS' slice of the probe's already-computed
+        (persisted) element frame — the batch's posexplode + centroid
+        assignment is paid exactly once, inside the probe."""
+        sid = survivors.select(F.col(self.id_col).alias("_sid"))
+        el_s = el_new.join(sid, F.col("_vid") == F.col("_sid"), "left_semi")
+        el_s.write.mode("overwrite").parquet(
             f"{self.index_path}/elements/epoch={epoch}"
         )
-        norms_new.write.mode("overwrite").parquet(
+        el_s.groupBy("_vid", "cluster").agg(
+            F.sum((F.col("_val") * F.col("_val")).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("_norm_sq")
+        ).write.mode("overwrite").parquet(
             f"{self.index_path}/norms/epoch={epoch}"
         )
 
@@ -96,6 +114,7 @@ class SemanticStreamDeduper:
 
         batch = batch.persist()
         frames = [batch]
+        bidx: list = []
         index = self._load_index()
         if index is None:
             # first batch: train the standing centroids ON the batch
@@ -110,6 +129,7 @@ class SemanticStreamDeduper:
                 None, batch, threshold=self.threshold,
                 id_col=self.id_col, vec_col=self.vec_col,
                 centroids=cents, frames_out=frames,
+                batch_index_out=bidx,
             )
             corpus_ids = None
         else:
@@ -132,9 +152,16 @@ class SemanticStreamDeduper:
                 None, batch, threshold=self.threshold,
                 id_col=self.id_col, vec_col=self.vec_col,
                 index=(cents, el_old, norms_old), frames_out=frames,
+                batch_index_out=bidx,
             )
             corpus_ids = norms_old.select(F.col("_vid").alias("_cid"))
 
+        # pairs feeds up to four subtrees (both corpus drop joins, the
+        # in-batch residue, and through drops the survivors anti-join) —
+        # persist per the repo's shared-frame discipline or each subtree
+        # re-runs the whole probe plan
+        pairs = pairs.persist()
+        frames.append(pairs)
         # drop rule (the MinHash streaming stage's): a NEW doc dies when
         # it pairs with anything already retained (either side), or with
         # a smaller-id doc inside its own batch (keep-first)
@@ -164,11 +191,15 @@ class SemanticStreamDeduper:
         survivors.write.mode("overwrite").parquet(
             f"{self.out_path}/vecs/epoch={epoch}"
         )
+        self._append_index(survivors, bidx[0], epoch)
         if index is None:
+            # centroids LAST: their presence is the index's commit marker
+            # (_load_index treats a missing-centroids index as "first
+            # batch" and a crash anywhere earlier replays into exactly
+            # that state)
             cents.write.mode("overwrite").parquet(
                 f"{self.index_path}/centroids"
             )
-        self._append_index(survivors, cents, epoch)
         for f in frames:
             f.unpersist()
 

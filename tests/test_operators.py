@@ -1157,3 +1157,38 @@ class TestPq:
              for r in similarity.pq_topk(
                  q.repartition(7), c.repartition(13), k=5).collect()}
         assert a == b
+
+    def test_zero_norm_vector_yields_zero_components_not_nan(self, spark):
+        """A failed-encoder all-zero embedding must quantize to all-zero
+        unit components (divisor pinned to 1), never NaN/NULL — one NaN
+        codeword would poison every distance against it and the oracle's
+        division could disagree."""
+        from datalake_spark.functions.vectors import quantize_micro_unit
+
+        df = spark.createDataFrame(
+            [(1, [0.0] * 8), (2, [1.0] + [0.0] * 7)],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {
+            r["vec_id"]: r["u"]
+            for r in df.select(
+                "vec_id", quantize_micro_unit("embedding").alias("u")
+            ).collect()
+        }
+        assert rows[1] == [0] * 8
+        assert rows[2][0] == 1_000_000 and rows[2][1:] == [0] * 7
+
+    def test_dim_not_multiple_of_m_raises(self, spark):
+        """Silent truncation dropped tail dims pre-fix; m>dim gave all-zero
+        distances.  Both now raise at scan time."""
+        import pytest as _pt
+
+        df = spark.createDataFrame(
+            [(i, [float(i)] * 6) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        with _pt.raises(Exception, match="multiple of m"):
+            similarity.pq_train(df, m=4, ksub=4).collect()
+        with _pt.raises(Exception, match="multiple of m"):
+            similarity.pq_topk(df.filter("vec_id < 2"),
+                               df.filter("vec_id >= 2"), k=2, m=8).collect()

@@ -136,6 +136,7 @@ def test_semantic_norms_never_broadcast(spark):
         for sub in subs:
             qs.setdefault(sub.q.name, sub.q.build)
     prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -161,7 +162,7 @@ def test_semantic_norms_never_broadcast(spark):
         assert saw_hinted_broadcast
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.catalog.clearCache()
 
 

@@ -247,20 +247,36 @@ class TestS3Multipart:
         assert s.get("never") is None
 
 
+def _too_large(**kw):
+    """The real CopyObject rejection S3 issues for >5 GiB sources (moto
+    does not enforce the limit, so tests raise it from a stub)."""
+    from botocore.exceptions import ClientError
+
+    raise ClientError(
+        {"Error": {"Code": "InvalidRequest",
+                   "Message": "The specified copy source is larger than "
+                              "the maximum allowable size for a copy "
+                              "source: 5368709120"}},
+        "CopyObject",
+    )
+
+
 class TestS3MultipartCopy:
     """r8 judge finding 3: single-shot CopyObject rejects sources above
     5 GiB, so promoting a large parquet part (stage-and-promote), a big
     streaming shard, or a large archived blob would fail at runtime.
-    Above ``copy_threshold`` copy() switches to server-side
-    UploadPartCopy ranges — both knobs injected small here so moto
-    drives the real multipart path with MiB-sized objects."""
+    copy() tries the single-shot first (one request on the sub-5 GiB hot
+    path — no pre-flight HEAD) and falls back to server-side
+    UploadPartCopy ranges on S3's too-large InvalidRequest, raised here
+    from a copy_object stub so moto drives the real multipart path with
+    MiB-sized objects."""
 
     def test_large_copy_goes_multipart_and_is_byte_identical(self, aws):
         s = _mk_store(aws)
         part = 5 * 1024 * 1024  # S3's minimum non-final part size
         body = os.urandom(2 * part + 12345)
         s.put("big/src", body)
-        s.copy_threshold = 1024
+        s.s3.copy_object = _too_large
         s.copy_part_size = part
         ranges = []
         orig = s.s3.upload_part_copy
@@ -278,23 +294,35 @@ class TestS3MultipartCopy:
             "Uploads", []
         ) == []
 
-    def test_below_threshold_stays_single_copy_object(self, aws):
+    def test_small_copy_is_exactly_one_request(self, aws):
+        """The hot path (stage-and-promote fans out hundreds of these)
+        must stay a single CopyObject — no pre-flight HEAD, no
+        multipart."""
         s = _mk_store(aws)
         s.put("small/src", b"payload")
 
         def boom(**kw):
             raise AssertionError("multipart path taken for a small copy")
 
+        calls = []
+        orig_head = s.s3.head_object
+
+        def head_spy(**kw):
+            calls.append(kw)
+            return orig_head(**kw)
+
         s.s3.upload_part_copy = boom
+        s.s3.head_object = head_spy
         s.copy("small/src", "small/dst")
         assert s.get("small/dst") == b"payload"
+        assert calls == []
 
     def test_multipart_failure_aborts_upload(self, aws):
         """A mid-copy failure must not strand the multipart upload (parts
         accrue storage charges forever) — abort server-side, re-raise."""
         s = _mk_store(aws)
         s.put("f/src", b"0123456789abcdef")
-        s.copy_threshold = 4
+        s.s3.copy_object = _too_large
         s.copy_part_size = 8
         calls = {"n": 0}
         orig = s.s3.upload_part_copy
