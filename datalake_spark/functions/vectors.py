@@ -58,9 +58,17 @@ def cosine_micro_exact(a: Column | str, b: Column | str) -> Column:
     d = isum(F.zip_with(qa, qb, lambda x, y: x * y))
     na = isum(F.transform(qa, lambda x: x * x))
     nb = isum(F.transform(qb, lambda x: x * x))
-    return d.cast("double") / (
-        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
-    )
+    den = F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    # zero-norm guard: under Spark 4's default ANSI mode 0/0 THROWS
+    # DIVIDE_BY_ZERO — one failed-encoder all-zero embedding would kill
+    # the whole job (and pre-ANSI it NaN'd, which both engines rank
+    # ABOVE every real cosine).  -2.0 sits below the cosine range, so a
+    # zero vector ranks last in every top-k and fails every >= threshold
+    # filter — in DuckDB replays the same rows produce NaN, which also
+    # fails thresholds and ties-to-tiebreak in all-zero partitions; the
+    # few oracles that RANK mixed zero/non-zero candidates carry an
+    # explicit ISNAN→-2.0 CASE twin.
+    return F.when(den > 0, d.cast("double") / den).otherwise(F.lit(-2.0))
 
 
 def normalize(a: Column | str) -> Column:

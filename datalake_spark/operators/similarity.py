@@ -50,6 +50,9 @@ def brute_force_topk(
     c = candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
     sims = (
         c.join(F.broadcast(q))
+        # a zero-norm candidate yields the -2.0 sentinel (see
+        # cosine_micro_exact): ranks last in every top-k instead of
+        # killing the job (ANSI 0/0) or NaN-ranking first
         .withColumn("cosine", cosine_micro_exact("q_vec", "c_vec"))
         .select("q_id", "c_id", "cosine")
     )
@@ -108,6 +111,8 @@ def srp_ann_topk(
     sims = (
         cand.join(c, "c_id")
         .join(F.broadcast(q), "q_id")
+        # zero-norm candidates yield -2.0 and rank last (see
+        # cosine_micro_exact)
         .withColumn("cosine", cosine_micro_exact("q_vec", "c_vec"))
         .select("q_id", "c_id", "cosine")
     )
@@ -203,6 +208,8 @@ def ivf_search(
     )
     sims = (
         assignments.join(F.broadcast(q_probe), "cent_id")
+        # zero-norm candidates yield -2.0 and rank last (see
+        # cosine_micro_exact)
         .withColumn("cosine", cosine_micro_exact("q_vec", "c_vec"))
         .select("q_id", "c_id", "cosine")
     )

@@ -443,9 +443,12 @@ cassign AS (
   SELECT c_id, cent_id FROM (
     SELECT c_id, cent_id,
            ROW_NUMBER() OVER (PARTITION BY c_id
-             ORDER BY CAST(dt AS DOUBLE) /
-                      (SQRT(CAST(nc.nsq AS DOUBLE)) *
-                       SQRT(CAST(nn.nsq AS DOUBLE))) DESC, cent_id) AS rk
+             ORDER BY CASE WHEN ISNAN(CAST(dt AS DOUBLE) /
+                        (SQRT(CAST(nc.nsq AS DOUBLE)) *
+                         SQRT(CAST(nn.nsq AS DOUBLE)))) THEN -2.0
+                      ELSE CAST(dt AS DOUBLE) /
+                        (SQRT(CAST(nc.nsq AS DOUBLE)) *
+                         SQRT(CAST(nn.nsq AS DOUBLE))) END DESC, cent_id) AS rk
     FROM cdots
     JOIN norms nc ON nc.vec_id = c_id
     JOIN norms nn ON nn.vec_id = cent_id)
@@ -460,9 +463,12 @@ qprobe AS (
   SELECT q_id, cent_id FROM (
     SELECT q_id, cent_id,
            ROW_NUMBER() OVER (PARTITION BY q_id
-             ORDER BY CAST(dt AS DOUBLE) /
-                      (SQRT(CAST(nq.nsq AS DOUBLE)) *
-                       SQRT(CAST(nn.nsq AS DOUBLE))) DESC, cent_id) AS rk
+             ORDER BY CASE WHEN ISNAN(CAST(dt AS DOUBLE) /
+                        (SQRT(CAST(nq.nsq AS DOUBLE)) *
+                         SQRT(CAST(nn.nsq AS DOUBLE)))) THEN -2.0
+                      ELSE CAST(dt AS DOUBLE) /
+                        (SQRT(CAST(nq.nsq AS DOUBLE)) *
+                         SQRT(CAST(nn.nsq AS DOUBLE))) END DESC, cent_id) AS rk
     FROM qdots
     JOIN norms nq ON nq.vec_id = q_id
     JOIN norms nn ON nn.vec_id = cent_id)
@@ -477,10 +483,15 @@ fdots AS (
   GROUP BY 1, 2)
 SELECT q_id, c_id, rk FROM (
   SELECT q_id, c_id,
+         -- ISNAN guard = the Spark side's nanvl(.., -2.0): a zero-norm
+         -- candidate ranks last, not first
          ROW_NUMBER() OVER (PARTITION BY q_id
-           ORDER BY CAST(dt AS DOUBLE) /
-                    (SQRT(CAST(nq.nsq AS DOUBLE)) *
-                     SQRT(CAST(nc.nsq AS DOUBLE))) DESC, c_id) AS rk
+           ORDER BY CASE WHEN ISNAN(CAST(dt AS DOUBLE) /
+                      (SQRT(CAST(nq.nsq AS DOUBLE)) *
+                       SQRT(CAST(nc.nsq AS DOUBLE)))) THEN -2.0
+                    ELSE CAST(dt AS DOUBLE) /
+                      (SQRT(CAST(nq.nsq AS DOUBLE)) *
+                       SQRT(CAST(nc.nsq AS DOUBLE))) END DESC, c_id) AS rk
   FROM fdots
   JOIN norms nq ON nq.vec_id = q_id
   JOIN norms nc ON nc.vec_id = c_id)

@@ -263,7 +263,16 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = (
         dots.join(F.broadcast(nq), "q_id")
         .join(F.broadcast(nc), "c_id")
-        .withColumn("cosine", F.col("dot") / (F.sqrt("nq") * F.sqrt("nc")))
+        # zero-norm guard: ANSI 0/0 throws, pre-ANSI NaN ranks first
+        # in both engines — pin to -2.0 (rank last); the oracle carries
+        # the ISNAN CASE twin
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("nq") > 0) & (F.col("nc") > 0),
+                F.col("dot") / (F.sqrt("nq") * F.sqrt("nc")),
+            ).otherwise(F.lit(-2.0)),
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
@@ -288,7 +297,10 @@ dots AS (
   WHERE q.vec_id < {_N_QUERY_VECS} AND c.vec_id >= {_N_QUERY_VECS}
   GROUP BY 1, 2),
 sims AS (
-  SELECT q_id, c_id, dot / (SQRT(nq.norm_sq) * SQRT(nc.norm_sq)) AS cosine
+  SELECT q_id, c_id,
+         CASE WHEN ISNAN(dot / (SQRT(nq.norm_sq) * SQRT(nc.norm_sq)))
+              THEN -2.0
+              ELSE dot / (SQRT(nq.norm_sq) * SQRT(nc.norm_sq)) END AS cosine
   FROM dots
   JOIN norms nq ON nq.vec_id = q_id
   JOIN norms nc ON nc.vec_id = c_id)

@@ -1192,3 +1192,21 @@ class TestPq:
         with _pt.raises(Exception, match="multiple of m"):
             similarity.pq_topk(df.filter("vec_id < 2"),
                                df.filter("vec_id >= 2"), k=2, m=8).collect()
+
+    def test_zero_norm_candidate_ranks_last_not_first(self, spark):
+        """0/0 cosine is NaN and BOTH engines sort NaN above every real
+        double — pre-guard, one zero-norm embedding ranked FIRST in every
+        query's top-k.  nanvl pins it to -2.0 (below the cosine range):
+        real neighbors fill the top-k and the zero vector only appears
+        when k exceeds the real candidate count."""
+        rows = [(0, [1.0, 0.0, 0.0, 0.0])] + [
+            (10 + i, [1.0, float(i) * 0.1, 0.0, 0.0]) for i in range(3)
+        ] + [(99, [0.0, 0.0, 0.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter("vec_id = 0")
+        c = df.filter("vec_id >= 10")
+        top3 = {r["c_id"] for r in similarity.brute_force_topk(q, c, k=3).collect()}
+        assert 99 not in top3
+        all4 = {r["c_id"]: r["cosine"]
+                for r in similarity.brute_force_topk(q, c, k=4).collect()}
+        assert all4[99] == -2.0
