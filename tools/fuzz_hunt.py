@@ -10,7 +10,7 @@ seeds on every grammar change, so clearances don't carry forward):
   r6: 300-1199 @ sf0.001      r7: 1200-2199 @ sf0.001, 1200-1699 @ sf0.01
   r8: 2x500 hunts             r9: 3200-3699 @ sf0.001 (found the
   projection-scalar-over-derived Spark crash at seed 3463, then clean
-  after the guard), 3700-3949 @ sf0.01 clean
+  after the guard), 3700-3949 @ sf0.01 clean, 3950-4449 @ sf0.001 clean
 """
 
 from __future__ import annotations
