@@ -1373,12 +1373,18 @@ def _semantic_cluster_pairs(
     # sweep.
     na = norms.select(F.col("_vid").alias("_ida"), F.col("_norm_sq").alias("_na"))
     nb = norms.select(F.col("_vid").alias("_idb"), F.col("_norm_sq").alias("_nb"))
+    # Zero-norm guard: Spark 4 ANSI mode turns 0.0/0.0 into a job-killing
+    # DIVIDE_BY_ZERO, so an all-zero embedding would abort the whole dedup
+    # (and poison every streaming replay of the same plan).  -2.0 is below
+    # the cosine range, so the pair simply fails any sane threshold.
+    cos = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        F.col("_dot") / (F.sqrt("_na") * F.sqrt("_nb")),
+    ).otherwise(F.lit(-2.0))
     pairs = (
         dots.join(na, "_ida")
         .join(nb, "_idb")
-        .filter(
-            F.col("_dot") / (F.sqrt("_na") * F.sqrt("_nb")) >= F.lit(threshold)
-        )
+        .filter(cos >= F.lit(threshold))
         .select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
     )
     return pairs, assign
@@ -1598,7 +1604,14 @@ def semantic_incremental_pairs(
         dots.join(na, "_ida")
         .join(nb, "_idb")
         .withColumn(
-            "cosine", F.col("_dot") / (F.sqrt("_na") * F.sqrt("_nb"))
+            # Zero-norm guard (ANSI DIVIDE_BY_ZERO — see
+            # _semantic_cluster_pairs): -2.0 sentinel ranks below any
+            # real cosine and fails every threshold.
+            "cosine",
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                F.col("_dot") / (F.sqrt("_na") * F.sqrt("_nb")),
+            ).otherwise(F.lit(-2.0)),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
         .select(

@@ -334,7 +334,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIGINT squared-L2 sums — see functions/vectors.quantize_micro_unit: the
 # normalization is what makes L2 ADC answer the cosine question), so like
 # IVF it gets a real value oracle: the SQL replays codebook choice
-# (subvectors of the 16 lowest candidate ids), per-subspace
+# (subvectors of the ksub=32 lowest candidate ids — keep in sync with the
+# gate's ksub and the SQL's LIMIT 32), per-subspace
 # nearest-codeword encoding, the query distance table, and the ADC sum —
 # every ranking key an exact integer.  dim 64 / m 32 gives
 # sub = (pos-1)//2 at the gate's m=32; the pre-filtered-CTE discipline is the ANN_IVF_SQL

@@ -86,23 +86,49 @@ class SemanticStreamDeduper:
         return cents, el, norms
 
     def _append_index(
-        self, survivors: DataFrame, el_new: DataFrame, epoch: int
+        self,
+        survivors: DataFrame,
+        el_new: DataFrame,
+        epoch: int,
+        prior_vids: DataFrame | None = None,
     ) -> None:
         """Append the SURVIVORS' slice of the probe's already-computed
         (persisted) element frame — the batch's posexplode + centroid
-        assignment is paid exactly once, inside the probe."""
+        assignment is paid exactly once, inside the probe.
+
+        ``prior_vids`` (ids already in the standing index under EARLIER
+        epochs) guards cross-epoch at-least-once re-delivery: a vec_id
+        that survived epoch M and is re-delivered in epoch N>M is
+        anti-joined out of the probe's corpus side (so it "survives"
+        again), but appending it here a second time would put duplicate
+        ``_vid`` rows in the standing index — doubling dot sums and
+        duplicating norm-join rows in every future probe of its cluster.
+        The filter is epoch-scoped (built from ``epoch != N`` rows by the
+        caller), so a same-epoch crash replay still rewrites epoch N with
+        its original contents.  The duplicate survivor row in
+        ``vecs/epoch=N`` remains — downstream readers dedup by id, and
+        the index (the thing every future probe consults) stays unique.
+
+        Both element and norm epoch dirs are written
+        ``partitionBy("cluster")`` so the standing index gets the
+        file-level pruning the probe's touched-cluster semi-join is
+        designed around (semantic_index_build's contract)."""
         sid = survivors.select(F.col(self.id_col).alias("_sid"))
         el_s = el_new.join(sid, F.col("_vid") == F.col("_sid"), "left_semi")
-        el_s.write.mode("overwrite").parquet(
+        if prior_vids is not None:
+            el_s = el_s.join(prior_vids, "_vid", "left_anti")
+        el_s = el_s.persist()
+        el_s.write.partitionBy("cluster").mode("overwrite").parquet(
             f"{self.index_path}/elements/epoch={epoch}"
         )
         el_s.groupBy("_vid", "cluster").agg(
             F.sum((F.col("_val") * F.col("_val")).cast("decimal(30,12)"))
             .cast("double")
             .alias("_norm_sq")
-        ).write.mode("overwrite").parquet(
+        ).write.partitionBy("cluster").mode("overwrite").parquet(
             f"{self.index_path}/norms/epoch={epoch}"
         )
+        el_s.unpersist()
 
     # -- foreachBatch sink ----------------------------------------------
 
@@ -132,6 +158,7 @@ class SemanticStreamDeduper:
                 batch_index_out=bidx,
             )
             corpus_ids = None
+            prior_vids = None
         else:
             cents, el_old, norms_old = index
             # replay hygiene: if this epoch's index append already
@@ -140,7 +167,9 @@ class SemanticStreamDeduper:
             # other pairs' dot sums (spurious drops).  Excluding the
             # batch's ids makes the probe see the corpus as-if this
             # epoch never ran, so a replay recomputes the original
-            # answer; it also absorbs at-least-once source re-delivery.
+            # answer.  (This handles SAME-epoch replays only; a vec_id
+            # re-delivered in a LATER epoch is kept out of the standing
+            # index by _append_index's prior_vids anti-join.)
             bid = batch.select(F.col(self.id_col).alias("_bid"))
             el_old = el_old.join(
                 bid, F.col("_vid") == F.col("_bid"), "left_anti"
@@ -155,6 +184,16 @@ class SemanticStreamDeduper:
                 batch_index_out=bidx,
             )
             corpus_ids = norms_old.select(F.col("_vid").alias("_cid"))
+            # ids already indexed under EARLIER epochs (epoch is the
+            # partition column of the norms layout — one row per doc,
+            # column-pruned to _vid, far cheaper than scanning elements).
+            # Excluding the CURRENT epoch keeps same-epoch crash replays
+            # byte-identical; see _append_index's docstring.
+            prior_vids = (
+                self.spark.read.parquet(f"{self.index_path}/norms")
+                .filter(F.col("epoch") != F.lit(epoch))
+                .select("_vid")
+            )
 
         # pairs feeds up to four subtrees (both corpus drop joins, the
         # in-batch residue, and through drops the survivors anti-join) —
@@ -191,7 +230,7 @@ class SemanticStreamDeduper:
         survivors.write.mode("overwrite").parquet(
             f"{self.out_path}/vecs/epoch={epoch}"
         )
-        self._append_index(survivors, bidx[0], epoch)
+        self._append_index(survivors, bidx[0], epoch, prior_vids=prior_vids)
         if index is None:
             # centroids LAST: their presence is the index's commit marker
             # (_load_index treats a missing-centroids index as "first

@@ -62,6 +62,78 @@ class TestSemanticStreamDedup:
         dd.start(landing, str(tmp_path / "ck")).awaitTermination(120)
         assert _ids(spark, out) == [7, 9]
 
+    def test_zero_norm_vector_does_not_poison_the_stream(self, spark,
+                                                          tmp_path):
+        """An all-zero embedding used to ANSI-DIVIDE_BY_ZERO the probe —
+        fatal for streaming in particular, because every replay of the
+        epoch re-runs the identical crashing plan (r9 advice).  With the
+        sentinel guard it survives (cosine -2.0 pairs with nothing) and
+        later batches keep working."""
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        dd = SemanticStreamDeduper(spark, out, k=2, threshold=0.97)
+        zero = {"vec_id": 5, "embedding": [0.0] * DIM, "ms": T0 + 5}
+        _write(landing, [_vec(0, base=0), _vec(1, base=1), zero], "b1.json")
+        dd.start(landing, str(tmp_path / "ck")).awaitTermination(120)
+        assert _ids(spark, out) == [0, 1, 5]
+        # a later batch probing the index (which now holds the zero
+        # vector's rows) must not crash either
+        _write(landing, [_vec(50, base=0, eps=0.0),
+                         _vec(51, base=4, eps=0.5)], "b2.json")
+        dd.start(landing, str(tmp_path / "ck")).awaitTermination(120)
+        assert _ids(spark, out) == [0, 1, 5, 51]
+
+    def test_later_epoch_redelivery_keeps_index_unique(self, spark,
+                                                       tmp_path):
+        """At-least-once sources can re-deliver a SURVIVOR in a later
+        epoch: it is anti-joined out of the probe's corpus side (so it
+        'survives' again), but the standing index must not gain a second
+        copy of its rows — duplicate _vid rows double dot sums and
+        duplicate norm-join rows in every future probe of the cluster
+        (r9 advice)."""
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        dd = SemanticStreamDeduper(spark, out, k=2, threshold=0.97)
+        _write(landing, [_vec(i, base=i, eps=0.0) for i in range(4)],
+               "b1.json")
+        dd.start(landing, str(tmp_path / "ck")).awaitTermination(120)
+        # epoch 1 re-delivers survivor 2 alongside a fresh vector
+        _write(landing, [_vec(2, base=2, eps=0.0),
+                         _vec(51, base=5, eps=0.5)], "b2.json")
+        dd.start(landing, str(tmp_path / "ck")).awaitTermination(120)
+        norms = spark.read.parquet(f"{out}/_semindex/norms")
+        vids = sorted(r["_vid"] for r in norms.collect())
+        assert vids == [0, 1, 2, 3, 51]  # 2 exactly once
+        el = spark.read.parquet(f"{out}/_semindex/elements")
+        per_doc = el.groupBy("_vid").count().collect()
+        assert all(r["count"] == DIM for r in per_doc), per_doc
+        # and a third batch with a duplicate of 2's direction still drops
+        _write(landing, [_vec(70, base=2, eps=0.0)], "b3.json")
+        dd.start(landing, str(tmp_path / "ck")).awaitTermination(120)
+        assert 70 not in set(
+            r["_vid"] for r in
+            spark.read.parquet(f"{out}/_semindex/norms").collect()
+        )
+
+    def test_index_layout_is_cluster_partitioned(self, spark, tmp_path):
+        """The standing-index design relies on file-level partition
+        pruning for the touched-cluster probe: the streaming sink must
+        write elements (and norms) partitionBy('cluster') under each
+        epoch dir (r9 advice)."""
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        dd = SemanticStreamDeduper(spark, out, k=2, threshold=0.97)
+        _write(landing, [_vec(i, base=i, eps=0.0) for i in range(4)],
+               "b1.json")
+        dd.start(landing, str(tmp_path / "ck")).awaitTermination(120)
+        epoch_dir = f"{out}/_semindex/elements/epoch=0"
+        subdirs = [d for d in os.listdir(epoch_dir)
+                   if d.startswith("cluster=")]
+        assert subdirs, os.listdir(epoch_dir)
+        norm_dir = f"{out}/_semindex/norms/epoch=0"
+        assert [d for d in os.listdir(norm_dir)
+                if d.startswith("cluster=")]
+
     def test_epoch_replay_recomputes_identically(self, spark, tmp_path):
         """A replayed epoch whose index append already landed must see
         the corpus as-if it never ran: re-invoking the sink with the same
