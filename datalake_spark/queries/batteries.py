@@ -432,6 +432,11 @@ def _mk() -> list[Q]:
         Sub(q(pq, "table_profile", "table_profile", "TABLE_PROFILE_SQL"),
             {"col_name": "v", "n_rows": "v", "n_null": "v", "n_distinct": "v",
              "min_v": "v", "max_v": "v"}),
+        # r10: the documented 100 TB swap (approx_count_distinct) as
+        # verified code — HLL verdict vs the exact counts per column
+        Sub(q(pq, "table_profile_approx", "table_profile_approx",
+              "TABLE_PROFILE_APPROX_SQL"),
+            {"col_name": "v", "n_distinct": "v", "approx_ok": "v"}),
         Sub(q(pq, "embedding_quantize", "embedding_quantize",
               "EMBEDDING_QUANTIZE_SQL"),
             {"vec_id": "v", "n_dims": "v", "sum_q": "v", "sum_abs_q": "v",

