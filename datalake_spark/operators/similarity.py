@@ -469,13 +469,22 @@ def pq_encode(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Encode every candidate to its per-subspace nearest codeword:
     (c_id, sub, code) — m small ints per vector, the standing compressed
     index (write partitioned however the search layer shards).  One
     broadcast join against the m*ksub codebooks + a per-(vector,
     subspace) rank; squared-L2 distances are exact BIGINT sums of
-    micro-component differences."""
+    micro-component differences.
+
+    ``cells`` (optional, (c_id, cent_id) — e.g. the assignments frame of
+    :func:`ivf_index_build`) tags every code row with its coarse IVF
+    cell for the IVF-PQ layout: write the codes
+    ``partitionBy("cent_id")`` and :func:`ivfpq_search` reads only the
+    ``nprobe/num_centroids`` slice of the compressed index — file-level
+    partition pruning on top of PQ's compression.  The join is shuffled,
+    never broadcast: cells is corpus-sized (the r1 norms lesson)."""
     from datalake_spark.functions.vectors import quantize_micro_unit
 
     sv = candidates.select(
@@ -499,7 +508,7 @@ def pq_encode(
         zero,
         lambda acc, x: acc + x,
     )
-    return (
+    out = (
         sv.join(F.broadcast(codebooks), "sub")
         .withColumn("_dist", dist)
         .withColumn(
@@ -511,6 +520,9 @@ def pq_encode(
         .filter(F.col("rk") == 1)
         .select("c_id", "sub", "code")
     )
+    if cells is not None:
+        out = out.join(cells.select("c_id", "cent_id"), "c_id")
+    return out
 
 
 def pq_search(
@@ -586,4 +598,116 @@ def pq_topk(
     codes = pq_encode(candidates, cb, m=m, id_col=id_col, vec_col=vec_col)
     return pq_search(
         cb, codes, queries, k=k, m=m, id_col=id_col, vec_col=vec_col
+    )
+
+
+def ivfpq_search(
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011 §V): the billion-vector serving layout —
+    a coarse quantizer prunes WHICH codes are read, PQ compresses WHAT is
+    read.  Each query ranks its ``nprobe`` nearest IVF centroids
+    (exact-integer cosine, as :func:`ivf_search`), then ADC-ranks ONLY
+    the cell-tagged codes of those cells: with codes stored
+    ``partitionBy("cent_id")`` (see :func:`pq_encode` ``cells=``) the
+    broadcast cell-probe join prunes the parquet read to
+    nprobe/num_centroids of the compressed index — the corpus is touched
+    through neither its vectors nor its full code set.  All ranking keys
+    are exact BIGINTs (ADC) or the fixed-IEEE exact cosine (probe), so
+    results are partitioning/retry-stable and oracle-checkable.
+
+    ``nprobe >= num_centroids`` degrades gracefully to exact
+    :func:`pq_search` semantics (every cell probed) — pinned by the
+    equality test in tests/test_operators.py."""
+    from datalake_spark.functions.vectors import quantize_micro_unit
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        quantize_micro_unit(F.col(vec_col)).alias("_qv"),
+    )
+    q_probe = (
+        q.join(F.broadcast(centroids))
+        .withColumn("sim", cosine_micro_exact("q_vec", "cent_vec"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("rk") <= nprobe)
+        .select("q_id", "cent_id")
+    )
+    d_sub = _pq_d_sub(m)
+    qsub = q.select(
+        "q_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.slice(F.col("_qv"), F.col("sub") * d_sub + 1, d_sub).alias(
+            "qv_micro"
+        ),
+    )
+    zero = F.lit(0).cast("long")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("qv_micro"), F.col("cb_micro"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    qtable = (
+        qsub.join(F.broadcast(codebooks), "sub")
+        .withColumn("_dist", dist)
+        .select("q_id", "sub", "code", "_dist")
+    )
+    # probe-pruned ADC: codes ⋈ broadcast(probe) on the cell key — on a
+    # cent_id-partitioned parquet index this is the partition-pruning
+    # read; qtable (|Q|·m·ksub rows) broadcasts like pq_search's
+    adc = (
+        codes.join(F.broadcast(q_probe), "cent_id")
+        .join(F.broadcast(qtable), ["q_id", "sub", "code"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("_dist").alias("adc"))
+    )
+    w = W.partitionBy("q_id").orderBy("adc", "c_id")
+    return adc.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN in one call: :func:`ivf_index_build` (coarse cells) +
+    :func:`pq_train`/:func:`pq_encode` (cell-tagged codes) +
+    :func:`ivfpq_search`.  A standing pipeline builds once and writes
+    centroids/codebooks/codes to parquet (codes partitioned by cent_id),
+    then serves every search from the stored index."""
+    cents, assign = ivf_index_build(
+        candidates, num_centroids, id_col=id_col, vec_col=vec_col
+    )
+    cb = pq_train(candidates, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        candidates, cb, m=m, id_col=id_col, vec_col=vec_col,
+        cells=assign.select("c_id", "cent_id"),
+    )
+    return ivfpq_search(
+        cents, cb, codes, queries, k=k, nprobe=nprobe, m=m,
+        id_col=id_col, vec_col=vec_col,
     )

@@ -423,6 +423,10 @@ def _mk() -> list[Q]:
         # r9 additions: PQ-ADC ANN + mixture-building + profiling
         Sub(q(ops, "ann_pq_topk", "ann_pq_topk", "ANN_PQ_SQL"),
             {"q_id": "v", "c_id": "v", "adc": "v", "rk": "v"}),
+        # r10: the IVF-PQ serving composition (coarse cells prune WHICH
+        # codes are read, PQ compresses WHAT is read)
+        Sub(q(ops, "ann_ivfpq_topk", "ann_ivfpq_topk", "ANN_IVFPQ_SQL"),
+            {"q_id": "v", "c_id": "v", "adc": "v", "rk": "v"}),
         Sub(q(pq, "weighted_sample", "weighted_sample",
               "WEIGHTED_SAMPLE_SQL"),
             {"source": "v", "doc_id": "v", "weight": "v", "priority": "v",

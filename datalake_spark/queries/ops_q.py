@@ -398,6 +398,137 @@ WHERE rk <= 3
 """
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the billion-vector serving composition: IVF coarse cells prune
+    # WHICH codes are read (nprobe=4 of 16), PQ compresses WHAT is read
+    # (m=32/ksub=32 — the gate's isotropic-embeddings setting, see
+    # ann_pq_topk).  Values are exact: the probe ranks by the fixed-IEEE
+    # exact cosine and ADC by BIGINT sums, so the oracle replays both
+    # layers end-to-end.
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    c = emb.filter(F.col("vec_id") >= 3)
+    return sim_ops.ivfpq_topk(
+        q, c, k=3, num_centroids=16, nprobe=4, m=32, ksub=32
+    ).select("q_id", "c_id", "adc", "rk")
+
+
+# Composed from ANN_IVF_SQL (coarse layer: raw micro components, exact
+# cosine assignment/probe) and ANN_PQ_SQL (PQ layer: unit-normalized
+# micro, BIGINT ADC) over the shared rawel base; the ADC aggregation is
+# restricted to (q_id, c_id) pairs whose candidate cell is among the
+# query's 4 probed cells.  Keep ksub/LIMIT and m/sub-width in sync with
+# the gate call (ksub=32, m=32 → sub = (pos-1)//2 at dim 64).
+ANN_IVFPQ_SQL = """
+WITH rawel AS (
+  SELECT vec_id,
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS rqv,
+         UNNEST(generate_series(1, len(embedding))) AS pos
+  FROM embeddings),
+inorms AS (
+  SELECT vec_id, CAST(SUM(rqv * rqv) AS BIGINT) AS nsq
+  FROM rawel GROUP BY vec_id),
+cents AS (
+  SELECT vec_id AS cent_id FROM embeddings WHERE vec_id >= 3
+  ORDER BY vec_id LIMIT 16),
+ice AS (
+  SELECT e.vec_id AS cent_id, e.pos, e.rqv
+  FROM rawel e JOIN cents ON e.vec_id = cents.cent_id),
+cdots AS (
+  SELECT a.vec_id AS c_id, b.cent_id,
+         CAST(SUM(a.rqv * b.rqv) AS BIGINT) AS dt
+  FROM rawel a JOIN ice b ON a.pos = b.pos
+  WHERE a.vec_id >= 3
+  GROUP BY 1, 2),
+cassign AS (
+  SELECT c_id, cent_id FROM (
+    SELECT c_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY c_id
+             ORDER BY CASE WHEN ISNAN(CAST(dt AS DOUBLE) /
+                        (SQRT(CAST(nc.nsq AS DOUBLE)) *
+                         SQRT(CAST(nn.nsq AS DOUBLE)))) THEN -2.0
+                      ELSE CAST(dt AS DOUBLE) /
+                        (SQRT(CAST(nc.nsq AS DOUBLE)) *
+                         SQRT(CAST(nn.nsq AS DOUBLE))) END DESC, cent_id) AS rk
+    FROM cdots
+    JOIN inorms nc ON nc.vec_id = c_id
+    JOIN inorms nn ON nn.vec_id = cent_id)
+  WHERE rk = 1),
+iqe AS (SELECT vec_id, pos, rqv FROM rawel WHERE vec_id < 3),
+qdots AS (
+  SELECT a.vec_id AS q_id, b.cent_id,
+         CAST(SUM(a.rqv * b.rqv) AS BIGINT) AS dt
+  FROM iqe a JOIN ice b ON a.pos = b.pos
+  GROUP BY 1, 2),
+qprobe AS (
+  SELECT q_id, cent_id FROM (
+    SELECT q_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY CASE WHEN ISNAN(CAST(dt AS DOUBLE) /
+                        (SQRT(CAST(nq.nsq AS DOUBLE)) *
+                         SQRT(CAST(nn.nsq AS DOUBLE)))) THEN -2.0
+                      ELSE CAST(dt AS DOUBLE) /
+                        (SQRT(CAST(nq.nsq AS DOUBLE)) *
+                         SQRT(CAST(nn.nsq AS DOUBLE))) END DESC, cent_id) AS rk
+    FROM qdots
+    JOIN inorms nq ON nq.vec_id = q_id
+    JOIN inorms nn ON nn.vec_id = cent_id)
+  WHERE rk <= 4),
+pairs AS (SELECT q_id, c_id FROM qprobe JOIN cassign USING (cent_id)),
+nr AS (
+  SELECT vec_id,
+         CASE WHEN SUM(rqv * rqv) > 0
+              THEN SQRT(CAST(SUM(rqv * rqv) AS DOUBLE)) ELSE 1.0 END AS nrm
+  FROM rawel GROUP BY vec_id),
+el AS (
+  SELECT e.vec_id,
+         CAST(FLOOR(CAST(e.rqv AS DOUBLE) / n.nrm * 1000000 + 0.5)
+              AS BIGINT) AS qv,
+         e.pos
+  FROM rawel e JOIN nr n ON e.vec_id = n.vec_id),
+sub_el AS (
+  SELECT vec_id, CAST((pos - 1) // 2 AS BIGINT) AS sub, pos, qv FROM el),
+cb_ids AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 3
+        ORDER BY vec_id LIMIT 32)),
+cbe AS (
+  SELECT b.code, s.sub, s.pos, s.qv
+  FROM sub_el s JOIN cb_ids b ON s.vec_id = b.vec_id),
+ce AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id >= 3),
+cdist AS (
+  SELECT s.vec_id AS c_id, s.sub, c.code,
+         CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
+  FROM ce s JOIN cbe c ON s.sub = c.sub AND s.pos = c.pos
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT c_id, sub, code FROM (
+    SELECT c_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY c_id, sub
+                              ORDER BY dist, code) AS rk
+    FROM cdist)
+  WHERE rk = 1),
+qe AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id < 3),
+qdist AS (
+  SELECT s.vec_id AS q_id, s.sub, c.code,
+         CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
+  FROM qe s JOIN cbe c ON s.sub = c.sub AND s.pos = c.pos
+  GROUP BY 1, 2, 3),
+adc AS (
+  SELECT q.q_id, c.c_id, CAST(SUM(q.dist) AS BIGINT) AS adc
+  FROM codes c
+  JOIN pairs p ON p.c_id = c.c_id
+  JOIN qdist q ON c.sub = q.sub AND c.code = q.code AND q.q_id = p.q_id
+  GROUP BY 1, 2)
+SELECT q_id, c_id, adc, rk FROM (
+  SELECT q_id, c_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rk
+  FROM adc)
+WHERE rk <= 3
+"""
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)

@@ -1145,6 +1145,80 @@ class TestPq:
         }
         assert via_index == direct and direct
 
+    def test_ivfpq_full_probe_equals_plain_pq(self, emb):
+        """nprobe >= num_centroids means every cell is probed, so IVF-PQ
+        must reproduce pq_search EXACTLY (same exact-BIGINT ADC keys) —
+        the structural pin that the cell layer only prunes, never
+        perturbs, the distance machinery."""
+        q = emb.filter("vec_id < 3")
+        c = emb.filter("vec_id >= 3")
+        plain = {
+            (r["q_id"], r["rk"]): (r["c_id"], r["adc"])
+            for r in similarity.pq_topk(q, c, k=5, m=16, ksub=16).collect()
+        }
+        full = {
+            (r["q_id"], r["rk"]): (r["c_id"], r["adc"])
+            for r in similarity.ivfpq_topk(
+                q, c, k=5, num_centroids=8, nprobe=8, m=16, ksub=16
+            ).collect()
+        }
+        assert full == plain and plain
+
+    def test_ivfpq_index_roundtrip_and_pruned_probe(self, spark, emb,
+                                                    tmp_path):
+        """The standing IVF-PQ index: centroids + codebooks + cell-tagged
+        codes written to parquet (codes partitionBy cent_id), reloaded,
+        and probed — (a) results identical to the one-call operator, and
+        (b) the probe plan touches the corpus ONLY through the index
+        (zero corpus-source scan leaves — the
+        test_semantic_probe_reads_index_not_corpus discipline)."""
+        spark.catalog.clearCache()
+        corpus_dir = str(tmp_path / "corpus-src")
+        emb.filter("vec_id >= 3").write.parquet(corpus_dir)
+        c = spark.read.parquet(corpus_dir)
+        q = emb.filter("vec_id < 3")
+
+        direct = {
+            (r["q_id"], r["rk"]): (r["c_id"], r["adc"])
+            for r in similarity.ivfpq_topk(
+                q, c, k=5, num_centroids=8, nprobe=3, m=16, ksub=16
+            ).collect()
+        }
+        cents, assign = similarity.ivf_index_build(c, num_centroids=8)
+        cb = similarity.pq_train(c, m=16, ksub=16)
+        codes = similarity.pq_encode(
+            c, cb, m=16, cells=assign.select("c_id", "cent_id")
+        )
+        idx = tmp_path / "idx"
+        cents.write.parquet(str(idx / "cents"))
+        cb.write.parquet(str(idx / "cb"))
+        codes.write.partitionBy("cent_id").parquet(str(idx / "codes"))
+
+        out = similarity.ivfpq_search(
+            spark.read.parquet(str(idx / "cents")),
+            spark.read.parquet(str(idx / "cb")),
+            spark.read.parquet(str(idx / "codes")),
+            q, k=5, nprobe=3, m=16,
+        )
+        # (b) plan audit: no scan leaf over the corpus source path
+        stack = [out._jdf.queryExecution().executedPlan()]
+        corpus_scans = []
+        while stack:
+            n = stack.pop()
+            cs = n.children()
+            if cs.isEmpty():
+                if "corpus-src" in n.toString():
+                    corpus_scans.append(n.nodeName())
+            else:
+                for i in range(cs.size()):
+                    stack.append(cs.apply(i))
+        assert not corpus_scans, corpus_scans
+        via_index = {
+            (r["q_id"], r["rk"]): (r["c_id"], r["adc"])
+            for r in out.collect()
+        }
+        assert via_index == direct and direct
+
     def test_adc_stable_under_repartitioning(self, emb):
         """The exact-BIGINT distance discipline means a different
         partitioning must produce the identical ranking (the r6 lesson:
