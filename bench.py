@@ -274,8 +274,11 @@ def main() -> None:
         "decontamination", "sequence_packing",
         # r8 additions (anchored r9: ANCHOR_EXTRAS_R9, post-fix plans)
         "semantic_dedup", "semantic_incremental",
-        # r9 additions (no frozen anchor yet — first round on the board)
+        # r9 additions (anchored r10: ANCHOR_EXTRAS_R10 — weighted_sample
+        # and budget_mix on their r10 scale-safe plans)
         "weighted_sample", "budget_mix", "table_profile",
+        # r10 additions (no frozen anchor yet — first round on the board)
+        "table_profile_approx", "ann_ivfpq_topk",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:

@@ -30,9 +30,14 @@ row per outer row, so multiplicity-neutral; COALESCE-pinned NULLs),
 set operations
 (over join results too since r7; INSIDE derived tables since r9 — the
 base scan becomes a filtered-self UNION [ALL] filtered-self aliased
-back to the table name), uncorrelated scalar-aggregate subqueries in
-WHERE and EXISTS under OR (r9 — disjunction blocks the semi-join
-rewrite, exercising ExistenceJoin/mark-join decorrelation), CASE /
+back to the table name; MULTI-LEVEL nesting since r10 — (left OP mid)
+OP2 right with explicit parens), uncorrelated scalar-aggregate
+subqueries in WHERE and EXISTS under OR (r9 — disjunction blocks the
+semi-join rewrite, exercising ExistenceJoin/mark-join decorrelation),
+rank windows INSIDE derived tables (r10 — top-keep-per-partition
+self-scans the outer spec aggregates/windows over), correlated scalar
+subqueries in HAVING (r10 — correlation key forced into GROUP BY,
+empty-group-safe forms), CASE /
 integer-arithmetic / GREATEST-LEAST projections (r7), and
 ORDER BY ... LIMIT tails with explicit direction + null ordering.  Exactness discipline:
 integer aggregates pinned to BIGINT; doubles appear raw, through one
@@ -130,12 +135,18 @@ class Spec:
         self.join2 = None         # second hop off join's right table
         self.join2_type = "JOIN"
         self.distinct = False     # project mode: SELECT DISTINCT
-        self.derived = None       # (setop, pred_a, pred_b): replace the
-        #   base table with a set operation of two filtered scans of
-        #   itself, aliased back to the table name (r9 — set ops INSIDE
-        #   derived tables, a planner path distinct from top-level setop
-        #   mode; join-free specs only so every downstream column
-        #   reference resolves through the alias)
+        self.derived = None       # tagged derived-table form replacing
+        #   the base scan, aliased back to the table name (join-free
+        #   specs only so every downstream column reference resolves
+        #   through the alias):
+        #   ("setop", op, pred_a, pred_b) — set operation of two
+        #     filtered self-scans (r9);
+        #   ("win", part_col, pred, keep_n) — a PARTITION BY rank window
+        #     INSIDE the derived table, keeping each partition's first
+        #     keep_n rows by the total-order tiebreak (r10 — windows in
+        #     derived tables feed whatever aggregation/windowing the
+        #     outer spec layers on top, a planner path the top-level
+        #     window site never reaches)
         self.offset = 0           # with order: LIMIT n OFFSET m
         self.dbl_out: set[str] = set()  # output aliases that are doubles
         self.preds: list[str] = []
@@ -150,21 +161,49 @@ class Spec:
         #   outer row as column lat_0 — multiplicity-neutral)
         self.setop: str | None = None     # setop mode: the operator
         self.preds_b: list[str] = []      # setop mode: right-side WHERE
+        self.setop2: str | None = None    # r10: second-level set op —
+        #   (left setop mid) setop2 right, explicit parens so precedence
+        #   (INTERSECT binds tighter in both engines) never decides
+        self.preds_c: list[str] = []      # setop mode: third-branch WHERE
         self.rollup = False               # agg mode: GROUP BY ROLLUP
         self.order: tuple[str, int] | None = None  # (ORDER BY sql, LIMIT n)
 
     def sql(self) -> str:
         frm = self.table
         if self.derived is not None:
-            op, pa, pb = self.derived
-            # UNION ALL can duplicate FULL rows (a row passing both
-            # branches) — digest-safe: identical rows are interchangeable
-            # under every window/order tiebreak, so the value multiset is
-            # engine-independent (the lineitem full-row argument)
-            frm = (
-                f"(SELECT * FROM {self.table} WHERE {pa} {op} "
-                f"SELECT * FROM {self.table} WHERE {pb}) AS {self.table}"
-            )
+            if self.derived[0] == "setop":
+                _tag, op, pa, pb = self.derived
+                # UNION ALL can duplicate FULL rows (a row passing both
+                # branches) — digest-safe: identical rows are
+                # interchangeable under every window/order tiebreak, so
+                # the value multiset is engine-independent (the lineitem
+                # full-row argument)
+                frm = (
+                    f"(SELECT * FROM {self.table} WHERE {pa} {op} "
+                    f"SELECT * FROM {self.table} WHERE {pb}) AS {self.table}"
+                )
+            else:
+                # ("win", part, pred, keep): rank window INSIDE the
+                # derived table — top-keep rows per partition by the
+                # total-order tiebreak (deterministic in both engines;
+                # PARTITION BY keeps the plan off the global-sort
+                # single-partition shape the repo's hygiene sweep bans).
+                # Columns are projected EXPLICITLY: _dw must not leak
+                # (SELECT * would carry it) and the projection must
+                # cover every column downstream clauses may reference —
+                # TABLES cols plus the full tiebreak key.
+                _tag, part, pred, keep = self.derived
+                cols = ", ".join(_derived_cols(self.table))
+                tb = ", ".join(
+                    f"{c.strip()} NULLS FIRST"
+                    for c in UNIQUE_KEY[self.table].split(",")
+                )
+                frm = (
+                    f"(SELECT {cols} FROM (SELECT {cols}, ROW_NUMBER() "
+                    f"OVER (PARTITION BY {part} ORDER BY {tb}) AS _dw "
+                    f"FROM {self.table} WHERE {pred}) AS _dws "
+                    f"WHERE _dw <= {keep}) AS {self.table}"
+                )
         if self.join is not None:
             frm += f" {self.join_type} {self.join[0]} ON {self.join[1]}"
             if self.join2 is not None:
@@ -211,7 +250,19 @@ class Spec:
             where_b = (
                 f" WHERE {' AND '.join(self.preds_b)}" if self.preds_b else ""
             )
-            return f"{left} {self.setop} SELECT {sel} FROM {frm}{where_b}"
+            two = f"{left} {self.setop} SELECT {sel} FROM {frm}{where_b}"
+            if self.setop2 is not None:
+                where_c = (
+                    f" WHERE {' AND '.join(self.preds_c)}"
+                    if self.preds_c else ""
+                )
+                # explicit parens: multi-level nesting must not depend on
+                # the engines' set-op precedence rules
+                return (
+                    f"({two}) {self.setop2} SELECT {sel} FROM "
+                    f"{frm}{where_c}"
+                )
+            return two
         return left
 
     def out_cols(self) -> list[str]:
@@ -236,9 +287,17 @@ class Spec:
             out.append((f"pred:{p}", lambda s, i=i: s.preds.pop(i)))
         for i, p in enumerate(self.preds_b):
             out.append((f"pred_b:{p}", lambda s, i=i: s.preds_b.pop(i)))
+        for i, p in enumerate(self.preds_c):
+            out.append((f"pred_c:{p}", lambda s, i=i: s.preds_c.pop(i)))
+        if self.setop2 is not None:
+            def drop_setop2(s):
+                s.setop2, s.preds_c = None, []
+
+            out.append(("setop2", drop_setop2))
         if self.mode == "setop":
             def collapse(s):
                 s.mode, s.setop, s.preds_b = "project", None, []
+                s.setop2, s.preds_c = None, []
 
             out.append(("setop", collapse))
         if self.having:
@@ -292,6 +351,15 @@ class Spec:
             }
         )
         return s
+
+
+def _derived_cols(table: str) -> list[str]:
+    """Explicit projection for windowed derived tables: every column the
+    grammar can reference downstream (TABLES metadata plus the full
+    tiebreak key — lineitem's tiebreak spans columns TABLES omits)."""
+    _key, ints, strs, dbls = TABLES[table]
+    tb = [c.strip() for c in UNIQUE_KEY[table].split(",")]
+    return list(dict.fromkeys(list(ints) + list(strs) + list(dbls) + tb))
 
 
 def _tiebreak(spec) -> str:
@@ -473,9 +541,22 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
     # aggregation/windowing the rest of the spec layers on top.
     if spec.join is None and rng.random() < 0.15:
         spec.derived = (
+            "setop",
             rng.choice(["UNION", "UNION ALL"]),
             _pred(rng, spec, str_values, allow_subquery=False),
             _pred(rng, spec, str_values, allow_subquery=False),
+        )
+    # r10: rank window INSIDE a derived table — top-keep per partition by
+    # the total-order tiebreak, so the derived relation is deterministic
+    # in both engines and the outer spec's aggregation/windowing composes
+    # over a window-produced input (a decorrelation/pushdown surface the
+    # top-level window site never exercises)
+    elif spec.join is None and rng.random() < 0.12:
+        spec.derived = (
+            "win",
+            rng.choice(TABLES[spec.table][2]),
+            _pred(rng, spec, str_values, allow_subquery=False),
+            rng.randint(2, 40),
         )
     for _ in range(rng.randrange(3)):
         spec.preds.append(_pred(rng, spec, str_values))
@@ -491,6 +572,15 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
         spec.cols = rng.sample(ints + strs, k=rng.randint(1, 3))
         for _ in range(rng.randint(1, 2)):
             spec.preds_b.append(_pred(rng, spec, str_values))
+        # r10: multi-level nesting — (left OP mid) OP2 right, explicit
+        # parens (see Spec.sql); the third branch shares the FROM like
+        # the second, only its WHERE stack differs
+        if rng.random() < 0.35:
+            spec.setop2 = rng.choice(
+                ["UNION", "UNION ALL", "EXCEPT", "INTERSECT"]
+            )
+            for _ in range(rng.randint(1, 2)):
+                spec.preds_c.append(_pred(rng, spec, str_values))
         return spec
     if spec.mode == "agg":
         for g in rng.sample(strs + ints, k=rng.randint(1, 2)):
@@ -540,22 +630,60 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
                     spec.rollup = False
         if rng.random() < 0.4:
             cmp_ = rng.choice([">", ">="])
-            # r8: HAVING over real aggregates, not just COUNT(*).  Every
-            # form is NULL-or-false on an EMPTY group (SUM/MIN/MAX of no
-            # rows is NULL; COUNT >= k>=1 is false at 0), so DuckDB's
-            # standard grand-total row over empty rollup input — the r6
-            # divergence — is filtered identically whichever form fires.
-            spec.having = rng.choice(
-                [
-                    f"COUNT(*) {cmp_} {rng.randint(1, 5)}",
-                    f"CAST(SUM(CAST({rng.choice(ints)} AS BIGINT)) "
-                    f"AS BIGINT) {cmp_} {rng.randint(0, 200)}",
-                    f"MIN({rng.choice(ints)}) <= {rng.randint(5, 60)}",
-                    f"MAX({rng.choice(ints)}) >= {rng.randint(0, 30)}",
-                    f"COUNT(DISTINCT {rng.choice(ints)}) >= "
-                    f"{rng.randint(1, 4)}",
-                ]
-            )
+            # r10: correlated scalar subquery in HAVING — the correlation
+            # key must be a GROUP BY column (both engines' scoping rule),
+            # so the join edge's left key is appended to the group when
+            # absent.  Both forms stay NULL-or-false on an EMPTY group
+            # (MIN of no rows is NULL; COUNT(*)=0 >= x+1 is false for the
+            # COALESCE-pinned x >= 0), preserving the r6 empty-rollup
+            # guard.  KNOWN ENGINE ASYMMETRY (found freezing this round's
+            # gate, seed 251): under GROUP BY ROLLUP Spark 4.1 FAILS to
+            # resolve the outer grouping-column reference inside the
+            # HAVING subquery (UNRESOLVED_COLUMN — the Expand under the
+            # Aggregate hides the grouping attribute) while plain GROUP
+            # BY resolves in both engines; correlated HAVING therefore
+            # skips rollup plans (pinned by test_fuzz_differential.py::
+            # test_correlated_having_under_rollup_is_guarded).
+            if (
+                spec.join is None and JOINS[spec.table] and not spec.rollup
+                and rng.random() < 0.35
+            ):
+                right, on = rng.choice(JOINS[spec.table])
+                lk = on.split("=")[0].strip()
+                if lk not in spec.group:
+                    spec.group.append(lk)
+                r_ints = TABLES[right][1]
+                inner = f"{rng.choice(r_ints)} % {rng.randint(2, 7)} = 0"
+                if rng.random() < 0.5:
+                    spec.having = (
+                        f"MIN({rng.choice(ints)}) <= COALESCE((SELECT "
+                        f"MAX({rng.choice(r_ints)}) FROM {right} WHERE "
+                        f"{on} AND {inner}), {rng.randint(0, 40)})"
+                    )
+                else:
+                    spec.having = (
+                        f"COUNT(*) >= COALESCE((SELECT "
+                        f"MIN({rng.choice(r_ints)}) % {rng.randint(2, 5)} "
+                        f"FROM {right} WHERE {on} AND {inner}), 0) + 1"
+                    )
+            else:
+                # r8: HAVING over real aggregates, not just COUNT(*).
+                # Every form is NULL-or-false on an EMPTY group
+                # (SUM/MIN/MAX of no rows is NULL; COUNT >= k>=1 is false
+                # at 0), so DuckDB's standard grand-total row over empty
+                # rollup input — the r6 divergence — is filtered
+                # identically whichever form fires.
+                spec.having = rng.choice(
+                    [
+                        f"COUNT(*) {cmp_} {rng.randint(1, 5)}",
+                        f"CAST(SUM(CAST({rng.choice(ints)} AS BIGINT)) "
+                        f"AS BIGINT) {cmp_} {rng.randint(0, 200)}",
+                        f"MIN({rng.choice(ints)}) <= {rng.randint(5, 60)}",
+                        f"MAX({rng.choice(ints)}) >= {rng.randint(0, 30)}",
+                        f"COUNT(DISTINCT {rng.choice(ints)}) >= "
+                        f"{rng.randint(1, 4)}",
+                    ]
+                )
     else:
         picks = rng.sample(ints + strs + dbls, k=rng.randint(1, 3))
         for i, c in enumerate(picks):

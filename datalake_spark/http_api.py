@@ -240,6 +240,17 @@ class DatalakeHttpApp:
         if path == "/":
             return 302, [("Location", "/docs/")], b""
         if path == "/docs/":
+            # the reference serves a static Swagger UI page here
+            # (api/datalake_api/static/index.html); this app ships a
+            # self-contained explorer (no external assets — deployments
+            # may be air-gapped) when the client asks for HTML, and the
+            # machine-readable endpoint listing otherwise
+            if "text/html" in environ.get("HTTP_ACCEPT", ""):
+                return (
+                    200,
+                    [("Content-Type", "text/html; charset=utf-8")],
+                    _DOCS_HTML.encode(),
+                )
             return self._json(
                 {"endpoints": sorted(_ENDPOINTS), "spec": "/spec/"}
             )
@@ -395,6 +406,38 @@ _ENDPOINTS = (
     "/v0/archive/files/<id>/metadata", "/v0/archive/latest/<what>/<where>",
     "/v0/archive/latest/<what>/<where>/data",
 )
+
+
+# Minimal self-contained API explorer (the Swagger-UI role of the
+# reference's static/index.html without vendored assets): renders /spec/
+# client-side and links every listed route.
+_DOCS_HTML = """<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8">
+<title>Datalake API</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem;max-width:48rem}
+ code,pre{background:#f4f4f4;padding:.1rem .3rem;border-radius:3px}
+ li{margin:.4rem 0}
+</style></head><body>
+<h1>Datalake API</h1>
+<p>Machine-readable spec: <a href="/spec/"><code>/spec/</code></a> —
+endpoint list as JSON: <code>GET /docs/</code> with
+<code>Accept: application/json</code>.</p>
+<ul id="eps"></ul>
+<script>
+fetch('/spec/').then(r => r.json()).then(s => {
+  const ul = document.getElementById('eps');
+  Object.keys(s.paths).sort().forEach(p => {
+    const li = document.createElement('li');
+    const linkable = !p.includes('<');
+    li.innerHTML = linkable
+      ? '<a href="' + p + '"><code>GET ' + p + '</code></a>'
+      : '<code>GET ' + p + '</code>';
+    ul.appendChild(li);
+  });
+});
+</script></body></html>
+"""
 
 
 def _spec() -> dict:

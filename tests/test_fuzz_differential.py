@@ -217,6 +217,40 @@ class TestDifferentialFuzz:
                 keys = {k.strip() for k in spec.join[1].split("=")}
                 assert not keys <= set(spec.group), f"seed {seed}"
 
+    def test_correlated_having_under_rollup_is_guarded(
+        self, spark_tables, duck
+    ):
+        """Documents the FOURTH engine asymmetry this fuzzer found (r10,
+        gate-freeze seed 251 + hunt seeds 4457/4629/4739): Spark 4.1
+        cannot resolve an outer grouping-column reference inside a
+        HAVING subquery when the GROUP BY is a ROLLUP (UNRESOLVED_COLUMN
+        — the Expand under the Aggregate hides the grouping attribute),
+        while DuckDB answers and the same query with plain GROUP BY
+        resolves in BOTH engines.  Pins (a) the bare asymmetry still
+        reproduces — if a Spark upgrade fixes it the generate() guard
+        can go — (b) the plain-GROUP-BY form stays engine-agreed, and
+        (c) generate() never pairs correlated HAVING with rollup."""
+        corr_having = (
+            "HAVING MIN(c_custkey) <= COALESCE((SELECT MAX(n_regionkey) "
+            "FROM nation WHERE c_nationkey = n_nationkey "
+            "AND n_regionkey % 2 = 0), 10)"
+        )
+        bare = (
+            "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS agg0 "
+            "FROM customer GROUP BY ROLLUP(c_nationkey) " + corr_having
+        )
+        err = mismatch(spark_tables, duck, bare)
+        assert err is not None and err.startswith("spark-only error"), err
+        plain = (
+            "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS agg0 "
+            "FROM customer GROUP BY 1 " + corr_having
+        )
+        assert mismatch(spark_tables, duck, plain) is None
+        for seed in range(0, 800):
+            spec = generate(seed)
+            if spec.rollup and spec.having:
+                assert "SELECT" not in spec.having, f"seed {seed}"
+
     def test_correlated_scalar_over_setop_derived_is_guarded(
         self, spark_tables, duck
     ):

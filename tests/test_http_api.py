@@ -154,6 +154,19 @@ class TestRoutes:
         assert "/v0/archive/files/" in _get_json(f"{server}/docs/")[
             "endpoints"]
 
+    def test_docs_serves_html_to_browsers(self, server):
+        """The reference ships a static Swagger UI at /docs/
+        (api/datalake_api/static/index.html); this app content-negotiates:
+        browsers (Accept: text/html) get the self-contained explorer
+        page, API clients keep the JSON endpoint listing."""
+        req = urllib.request.Request(
+            f"{server}/docs/", headers={"Accept": "text/html"}
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.headers["Content-Type"].startswith("text/html")
+            body = resp.read().decode()
+        assert "<title>Datalake API</title>" in body and "/spec/" in body
+
     def test_file_data_and_metadata(self, server):
         with urllib.request.urlopen(
                 f"{server}/v0/archive/files/a/data") as resp:

@@ -11,6 +11,10 @@ seeds on every grammar change, so clearances don't carry forward):
   r8: 2x500 hunts             r9: 3200-3699 @ sf0.001 (found the
   projection-scalar-over-derived Spark crash at seed 3463, then clean
   after the guard), 3700-3949 @ sf0.01 clean, 3950-4449 @ sf0.001 clean
+  r10 (grammar round 6): 4450-4949 @ sf0.001 pre-guard found the
+  correlated-HAVING-under-ROLLUP Spark resolution failure (4457/4629/
+  4739, same class as gate-freeze seed 251); clean on re-hunt after the
+  guard; 4950-5199 @ sf0.01 clean
 """
 
 from __future__ import annotations
