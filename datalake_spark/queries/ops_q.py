@@ -1578,18 +1578,27 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a boolean per sketch asserting |approx − exact| ≤ 5%·exact.  The
     sketch runs at rsd=0.01 (measured error ≤ 0.9% across sf0.001–0.1), so
     the 5% contract is a ≥5-sigma bound; a sketch drifting out of tolerance
-    flips the boolean and fails the hash gate."""
+    flips the boolean and fails the hash gate.
+
+    Exact and approx aggregate SEPARATELY and join on the 3-row group key
+    (r10 — same scale trap as table_profile_approx: mixed into one .agg()
+    the multi-COUNT-DISTINCT Expand rewrite makes the partial hash
+    aggregate carry a full rsd=0.01 sketch pair per distinct value —
+    measured 183 s at sf1 vs seconds for the split form)."""
     li = load(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
         F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
     )
-    def ok(approx, exact):
+    agg = exact.join(F.broadcast(approx), "l_returnflag")
+    def ok(approx_c, exact_c):
         return (
-            F.abs(F.col(approx) - F.col(exact))
-            <= 0.05 * F.col(exact).cast("double")
+            F.abs(F.col(approx_c) - F.col(exact_c))
+            <= 0.05 * F.col(exact_c).cast("double")
         )
     return agg.select(
         "l_returnflag",
