@@ -427,6 +427,11 @@ def _mk() -> list[Q]:
         # codes are read, PQ compresses WHAT is read)
         Sub(q(ops, "ann_ivfpq_topk", "ann_ivfpq_topk", "ANN_IVFPQ_SQL"),
             {"q_id": "v", "c_id": "v", "adc": "v", "rk": "v"}),
+        # r10: CCNet-style LM-likelihood quality scoring (exact integer
+        # mean token probability — no float log-sums)
+        Sub(q(pq, "lm_quality_score", "lm_quality_score", "LM_QUALITY_SQL"),
+            {"doc_id": "v", "n_bigrams": "v", "oov_contexts": "v",
+             "lm_score_micro": "v"}),
         Sub(q(pq, "weighted_sample", "weighted_sample",
               "WEIGHTED_SAMPLE_SQL"),
             {"source": "v", "doc_id": "v", "weight": "v", "priority": "v",

@@ -2522,6 +2522,128 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# lm_quality_score — CCNet-style language-model likelihood filtering
+# (Wenzek et al. 2020): score every document under a bigram LM trained on
+# a reference slice (even doc ids here — CCNet trains on clean reference
+# text and scores the crawl) and emit the per-doc likelihood statistic
+# that perplexity filtering thresholds on.  Deviation from the textbook,
+# deliberate and documented: perplexity is exp of a MEAN LOG probability,
+# and float log-sums are order-dependent doubles both engines accumulate
+# differently — un-gateable.  The score here is the exact integer
+# arithmetic-mean token probability in micro units (add-1-smoothed
+# p(r|l) = (c_lr + 1)/(c_l + V), micro = (c_lr+1)*1e6 div (c_l+V), doc
+# score = SUM(p_micro) DIV n_bigrams — the PMI integer-rational
+# discipline), plus the OOV-context count: together a monotone
+# low-likelihood signal that ranks junk exactly like a perplexity
+# threshold does at the filtering decision boundary, while every value
+# stays engine-exact.  Plan: ONE bigram-count shuffle (shared with the
+# per-doc explode), the corpus-sized count joins stay shuffled (never
+# broadcast — vocab scales with the corpus), V and the model are
+# derivations of the counted frame; per-doc re-agg by doc_id.  At 100 TB
+# every stage is key-distributed; the model frame is a standing artifact
+# a maintenance pipeline would persist like the MinHash signature table.
+# ---------------------------------------------------------------------------
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    parts = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_parts")
+    )
+    bi = parts.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_parts") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(_parts) - 1), "
+                    "i -> struct(element_at(_parts, i) as l, "
+                    "element_at(_parts, i + 1) as r))"
+                ),
+            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        ).alias("b"),
+    ).select("doc_id", F.col("b.l").alias("l"), F.col("b.r").alias("r"))
+    # the model trains on the REFERENCE slice (even doc ids — the CCNet
+    # shape: train on the clean reference, score the whole crawl) so the
+    # smoothing/OOV paths score genuinely unseen contexts; persist — it
+    # feeds the context marginal, V, and the scoring join
+    cxy = (
+        bi.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_lr"))
+        .persist()
+    )
+    cx = cxy.groupBy("l").agg(F.sum("c_lr").alias("c_l"))
+    vocab = cxy.select(
+        F.explode(F.array("l", "r")).alias("w")
+    ).agg(F.count_distinct("w").alias("v_sz"))
+    scored = (
+        bi.join(cxy, ["l", "r"], "left")
+        .join(cx, "l", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(
+                "(COALESCE(c_lr, 0) + 1) * 1000000 DIV "
+                "(COALESCE(c_l, 0) + v_sz)"
+            ).alias("_p_micro"),
+            F.when(F.col("c_l").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .alias("_oov"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_oov").alias("oov_contexts"),
+            F.expr("SUM(_p_micro) DIV COUNT(1)").alias("lm_score_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+            .alias("n_bigrams"),
+            F.coalesce("oov_contexts", F.lit(0)).cast("bigint")
+            .alias("oov_contexts"),
+            # sub-2-token docs carry no signal: pinned -1 sentinel
+            F.coalesce("lm_score_micro", F.lit(-1)).cast("bigint")
+            .alias("lm_score_micro"),
+        )
+    )
+
+
+LM_QUALITY_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+bi AS (
+  SELECT t.doc_id, t.parts[g.i] AS l, t.parts[g.i + 1] AS r
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, len(t.parts) - 1)) AS i
+  ) g
+  WHERE len(t.parts) >= 2),
+cxy AS (SELECT l, r, COUNT(*) AS c_lr FROM bi
+        WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+cx AS (SELECT l, SUM(c_lr) AS c_l FROM cxy GROUP BY 1),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v_sz FROM (
+    SELECT l AS w FROM cxy UNION SELECT r AS w FROM cxy)),
+scored AS (
+  SELECT bi.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN cx.c_l IS NULL THEN 1 ELSE 0 END) AS oov_contexts,
+         CAST(SUM((COALESCE(cxy.c_lr, 0) + 1) * 1000000
+                  // (COALESCE(cx.c_l, 0) + vocab.v_sz))
+              // COUNT(*) AS BIGINT) AS lm_score_micro
+  FROM bi
+  LEFT JOIN cxy ON bi.l = cxy.l AND bi.r = cxy.r
+  LEFT JOIN cx ON bi.l = cx.l, vocab
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.oov_contexts, 0) AS BIGINT) AS oov_contexts,
+       CAST(COALESCE(s.lm_score_micro, -1) AS BIGINT) AS lm_score_micro
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 PMI_SQL = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
 bi AS (
