@@ -169,6 +169,18 @@ ANCHOR_EXTRAS_R9 = {
     "semantic_incremental": 4.007,
 }
 
+# Pinned r10 (min across four full sf0.1 runs, best era load 0.87 idle —
+# BASELINE.md r10 section): the three r9 extras on the plans r10 keeps —
+# weighted_sample on the map-side-pruned Efraimidis-Spirakis plan,
+# budget_mix on the two-level prefix sum, table_profile unchanged (its
+# approx twin and the other r10 newcomers enter unanchored, next-round
+# protocol as usual).
+ANCHOR_EXTRAS_R10 = {
+    "weighted_sample": 0.462,
+    "budget_mix": 0.76,
+    "table_profile": 3.329,
+}
+
 
 def _canary(spark) -> float:
     """Fixed-work CPU probe: 100M xxhash64-of-string rows, map-side agg.
@@ -278,7 +290,7 @@ def main() -> None:
         # and budget_mix on their r10 scale-safe plans)
         "weighted_sample", "budget_mix", "table_profile",
         # r10 additions (no frozen anchor yet — first round on the board)
-        "table_profile_approx", "ann_ivfpq_topk",
+        "table_profile_approx", "ann_ivfpq_topk", "lm_quality_score",
     ]
     extra_timings: dict[str, float] = {}
     for name in extras:
@@ -345,7 +357,7 @@ def main() -> None:
         # shrinks every ratio by ~1.5x and hides real regressions.
         anchor_extras = {
             **ANCHOR_EXTRAS_R5, **ANCHOR_EXTRAS_R7, **ANCHOR_EXTRAS_R8,
-            **ANCHOR_EXTRAS_R9,
+            **ANCHOR_EXTRAS_R9, **ANCHOR_EXTRAS_R10,
         }
         out["vs_anchor_extras_r5_normalized"] = {
             n: round(t / anchor_extras[n] / max(load, 1.0), 2)
