@@ -428,11 +428,19 @@ endpoint list as JSON: <code>GET /docs/</code> with
 fetch('/spec/').then(r => r.json()).then(s => {
   const ul = document.getElementById('eps');
   Object.keys(s.paths).sort().forEach(p => {
+    // textContent, never innerHTML: parameterized routes contain
+    // <id>/<what>/<where>, which innerHTML would parse as tags
     const li = document.createElement('li');
-    const linkable = !p.includes('<');
-    li.innerHTML = linkable
-      ? '<a href="' + p + '"><code>GET ' + p + '</code></a>'
-      : '<code>GET ' + p + '</code>';
+    const code = document.createElement('code');
+    code.textContent = 'GET ' + p;
+    if (p.includes('<')) {
+      li.appendChild(code);
+    } else {
+      const a = document.createElement('a');
+      a.href = p;
+      a.appendChild(code);
+      li.appendChild(a);
+    }
     ul.appendChild(li);
   });
 });

@@ -2562,6 +2562,9 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
         ).alias("b"),
     ).select("doc_id", F.col("b.l").alias("l"), F.col("b.r").alias("r"))
+    # bi feeds the model AND the scoring join: persist, or the corpus is
+    # tokenized and exploded twice (the shared-frame discipline)
+    bi = bi.persist()
     # the model trains on the REFERENCE slice (even doc ids — the CCNet
     # shape: train on the clean reference, score the whole crawl) so the
     # smoothing/OOV paths score genuinely unseen contexts; persist — it
@@ -2581,9 +2584,13 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
+            # GREATEST(v_sz, 1): an empty reference slice (no even doc
+            # has 2 tokens) makes v_sz = 0 and c_l NULL — the divisor
+            # would be 0, the ANSI job-kill class this repo guards
+            # everywhere; the pin keeps the score exact and defined
             F.expr(
                 "(COALESCE(c_lr, 0) + 1) * 1000000 DIV "
-                "(COALESCE(c_l, 0) + v_sz)"
+                "(COALESCE(c_l, 0) + GREATEST(v_sz, 1))"
             ).alias("_p_micro"),
             F.when(F.col("c_l").isNull(), F.lit(1)).otherwise(F.lit(0))
             .alias("_oov"),
@@ -2630,7 +2637,7 @@ scored AS (
          COUNT(*) AS n_bigrams,
          SUM(CASE WHEN cx.c_l IS NULL THEN 1 ELSE 0 END) AS oov_contexts,
          CAST(SUM((COALESCE(cxy.c_lr, 0) + 1) * 1000000
-                  // (COALESCE(cx.c_l, 0) + vocab.v_sz))
+                  // (COALESCE(cx.c_l, 0) + GREATEST(vocab.v_sz, 1)))
               // COUNT(*) AS BIGINT) AS lm_score_micro
   FROM bi
   LEFT JOIN cxy ON bi.l = cxy.l AND bi.r = cxy.r
@@ -3804,9 +3811,12 @@ def _wsample_partial_topk(batches):
         cand = pdf if best is None else pd.concat(
             [best, pdf], ignore_index=True
         )
+        # dropna=False: a NULL source is its own stratum in the rank
+        # window (and the oracle's PARTITION BY) — pandas' default would
+        # silently discard those rows before they could ever rank
         best = (
             cand.sort_values(["priority", "doc_id"])
-            .groupby("source", sort=False)
+            .groupby("source", sort=False, dropna=False)
             .head(_WSAMPLE_K)
         )
     if best is not None and len(best):
@@ -3912,17 +3922,20 @@ def budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_sw").alias("tot_w"),
         F.count_distinct("source").alias("n_src"),
     ).select(F.expr("tot_w DIV (2 * n_src)").alias("budget"))
-    # prefix offsets over the tiny frame: sum of strictly-earlier shards
+    # prefix offsets over the tiny frame: sum of strictly-earlier shards.
+    # eqNullSafe on source throughout: a NULL source is a real stratum to
+    # the window/oracle (PARTITION BY groups nulls together), so the
+    # equi-joins must neither drop its rows nor zero its offsets.
     a, b = t.alias("_a"), t.alias("_b")
     off = (
         a.join(
             b,
-            (F.col("_a.source") == F.col("_b.source"))
+            F.col("_a.source").eqNullSafe(F.col("_b.source"))
             & (F.col("_b._shard") < F.col("_a._shard")),
             "left",
         )
-        .groupBy(F.col("_a.source").alias("source"),
-                 F.col("_a._shard").alias("_shard"))
+        .groupBy(F.col("_a.source").alias("_osrc"),
+                 F.col("_a._shard").alias("_oshard"))
         .agg(F.coalesce(F.sum(F.col("_b._sw")), F.lit(0)).alias("_offset"))
     )
     cum = W.partitionBy("source", "_shard").orderBy("skey", "doc_id") \
@@ -3931,7 +3944,11 @@ def budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn(
             "_local_before", F.coalesce(F.sum("w").over(cum), F.lit(0))
         )
-        .join(F.broadcast(off), ["source", "_shard"])
+        .join(
+            F.broadcast(off),
+            F.col("source").eqNullSafe(F.col("_osrc"))
+            & (F.col("_shard") == F.col("_oshard")),
+        )
         .withColumn("before", F.col("_offset") + F.col("_local_before"))
         .crossJoin(F.broadcast(tot))
         .filter(F.col("before") < F.col("budget"))

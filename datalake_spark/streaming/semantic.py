@@ -77,13 +77,20 @@ class SemanticStreamDeduper:
         # centroids are written LAST in _process_batch, so their presence
         # implies the epoch's elements/norms writes completed — these
         # reads are intentionally unguarded
-        el = self.spark.read.parquet(f"{self.index_path}/elements").select(
-            "_vid", "cluster", "_pos", "_val"
-        )
-        norms = self.spark.read.parquet(f"{self.index_path}/norms").select(
-            "_vid", "cluster", "_norm_sq"
-        )
-        return cents, el, norms
+        el_raw = self.spark.read.parquet(f"{self.index_path}/elements")
+        # layout detection: the cluster-partitioned layout (r10+) appends
+        # ``cluster`` as a trailing PARTITION column, the legacy layout
+        # stored it as the second DATA column.  New epochs must match the
+        # existing layout — mixing directory depths under one root breaks
+        # Spark's partition discovery for the whole standing index.
+        self._partitioned_layout = el_raw.columns[1] != "cluster"
+        el = el_raw.select("_vid", "cluster", "_pos", "_val")
+        # norms is returned RAW (epoch partition column included): one
+        # read serves both the probe's corpus norms and the prior-epoch
+        # id set in _process_batch — no second scan of a monotonically
+        # growing tree per batch
+        norms_raw = self.spark.read.parquet(f"{self.index_path}/norms")
+        return cents, el, norms_raw
 
     def _append_index(
         self,
@@ -118,16 +125,23 @@ class SemanticStreamDeduper:
         if prior_vids is not None:
             el_s = el_s.join(prior_vids, "_vid", "left_anti")
         el_s = el_s.persist()
-        el_s.write.partitionBy("cluster").mode("overwrite").parquet(
-            f"{self.index_path}/elements/epoch={epoch}"
-        )
-        el_s.groupBy("_vid", "cluster").agg(
-            F.sum((F.col("_val") * F.col("_val")).cast("decimal(30,12)"))
-            .cast("double")
-            .alias("_norm_sq")
-        ).write.partitionBy("cluster").mode("overwrite").parquet(
-            f"{self.index_path}/norms/epoch={epoch}"
-        )
+        # match the standing index's layout (set by _load_index; a fresh
+        # index takes the partitioned one): appending cluster-partitioned
+        # epochs under a legacy unpartitioned root would leave files at
+        # conflicting directory depths and kill every future read
+        def _w(df):
+            w = df.write.mode("overwrite")
+            return w.partitionBy("cluster") if getattr(
+                self, "_partitioned_layout", True
+            ) else w
+        _w(el_s).parquet(f"{self.index_path}/elements/epoch={epoch}")
+        _w(
+            el_s.groupBy("_vid", "cluster").agg(
+                F.sum((F.col("_val") * F.col("_val")).cast("decimal(30,12)"))
+                .cast("double")
+                .alias("_norm_sq")
+            )
+        ).parquet(f"{self.index_path}/norms/epoch={epoch}")
         el_s.unpersist()
 
     # -- foreachBatch sink ----------------------------------------------
@@ -160,7 +174,8 @@ class SemanticStreamDeduper:
             corpus_ids = None
             prior_vids = None
         else:
-            cents, el_old, norms_old = index
+            cents, el_old, norms_raw = index
+            norms_old = norms_raw.select("_vid", "cluster", "_norm_sq")
             # replay hygiene: if this epoch's index append already
             # happened before a crash, the batch's own ids are in the
             # corpus side — a doc twice in the element union doubles
@@ -186,12 +201,12 @@ class SemanticStreamDeduper:
             corpus_ids = norms_old.select(F.col("_vid").alias("_cid"))
             # ids already indexed under EARLIER epochs (epoch is the
             # partition column of the norms layout — one row per doc,
-            # column-pruned to _vid, far cheaper than scanning elements).
-            # Excluding the CURRENT epoch keeps same-epoch crash replays
-            # byte-identical; see _append_index's docstring.
+            # derived from the SAME norms read as the probe's corpus
+            # side, no second scan).  Excluding the CURRENT epoch keeps
+            # same-epoch crash replays byte-identical; see
+            # _append_index's docstring.
             prior_vids = (
-                self.spark.read.parquet(f"{self.index_path}/norms")
-                .filter(F.col("epoch") != F.lit(epoch))
+                norms_raw.filter(F.col("epoch") != F.lit(epoch))
                 .select("_vid")
             )
 

@@ -733,6 +733,43 @@ class TestDecontamination:
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+class TestMixtureOpsNullSource:
+    """r10 self-review findings 4/5: a NULL source is a real stratum to
+    the rank window / cumsum (and to the oracle's PARTITION BY) — the
+    map-side pandas prune (dropna) and the offsets equi-join must not
+    silently drop those rows."""
+
+    def _sf_dir(self, spark, tmp_path):
+        rows = [(i, None if i < 3 else "a", 100 + i) for i in range(6)]
+        spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars int"
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_weighted_sample_keeps_null_source_stratum(self, spark,
+                                                       tmp_path):
+        from datalake_spark.queries.pipeline_q import weighted_sample
+
+        out = weighted_sample(spark, self._sf_dir(spark, tmp_path)).collect()
+        nulls = [r for r in out if r["source"] is None]
+        assert {r["doc_id"] for r in nulls} == {0, 1, 2}
+        assert sorted(r["sample_rank"] for r in nulls) == [1, 2, 3]
+
+    def test_budget_mix_keeps_null_source_stratum(self, spark, tmp_path):
+        from datalake_spark.queries.pipeline_q import budget_mix
+
+        out = budget_mix(spark, self._sf_dir(spark, tmp_path)).collect()
+        nulls = sorted(
+            (r["cum_chars"] for r in out if r["source"] is None)
+        )
+        # budget = total DIV (2 * 1 non-null-distinct source) ≈ 306: the
+        # NULL stratum admits docs until the cumsum crosses it, and the
+        # cumsum must ACCUMULATE (shard offsets joined null-safely, not
+        # zeroed)
+        assert nulls and nulls == sorted(set(nulls))
+        assert len(nulls) >= 2 and nulls[1] > nulls[0] + 100
+
+
 class TestSemanticDedup:
     """operators/dedup.semantic_dedup — SemDeDup (k-means clusters, then
     within-cluster exact-cosine dedup, min-id canonical per component)."""

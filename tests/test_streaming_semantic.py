@@ -134,6 +134,51 @@ class TestSemanticStreamDedup:
         assert [d for d in os.listdir(norm_dir)
                 if d.startswith("cluster=")]
 
+    def test_legacy_unpartitioned_index_layout_is_preserved(
+        self, spark, tmp_path
+    ):
+        """r10 self-review finding: a standing index written by the
+        pre-cluster-partitioned code must keep working — appending
+        partitioned epochs under a legacy root would mix directory
+        depths and break Spark's partition discovery for the whole
+        tree.  _load_index detects the layout and _append_index matches
+        it."""
+        import shutil
+
+        landing = str(tmp_path / "landing")
+        out = str(tmp_path / "out")
+        dd = SemanticStreamDeduper(spark, out, k=2, threshold=0.97)
+        _write(landing, [_vec(i, base=i, eps=0.0) for i in range(4)],
+               "b1.json")
+        dd.start(landing, str(tmp_path / "ck")).awaitTermination(120)
+        # rewrite epoch 0 in the LEGACY layout (cluster as the second
+        # data column, no cluster= dirs)
+        idx = f"{out}/_semindex"
+        for sub, cols in (
+            ("elements", ["_vid", "cluster", "_pos", "_val"]),
+            ("norms", ["_vid", "cluster", "_norm_sq"]),
+        ):
+            legacy = str(tmp_path / f"legacy_{sub}")
+            spark.read.parquet(f"{idx}/{sub}/epoch=0").select(*cols) \
+                .write.parquet(legacy)
+            shutil.rmtree(f"{idx}/{sub}/epoch=0")
+            shutil.move(legacy, f"{idx}/{sub}/epoch=0")
+        # a later batch must append in the SAME legacy layout and the
+        # whole tree must stay readable and correct
+        _write(landing, [_vec(50, base=2, eps=0.0),
+                         _vec(51, base=5, eps=0.5)], "b2.json")
+        dd.start(landing, str(tmp_path / "ck")).awaitTermination(120)
+        assert _ids(spark, out) == [0, 1, 2, 3, 51]
+        el = spark.read.parquet(f"{idx}/elements")
+        assert el.columns[1] == "cluster", el.columns  # legacy preserved
+        assert not [d for d in os.listdir(f"{idx}/elements/epoch=1")
+                    if d.startswith("cluster=")]
+        vids = sorted(
+            r["_vid"] for r in
+            spark.read.parquet(f"{idx}/norms").select("_vid").collect()
+        )
+        assert vids == [0, 1, 2, 3, 51]
+
     def test_epoch_replay_recomputes_identically(self, spark, tmp_path):
         """A replayed epoch whose index append already landed must see
         the corpus as-if it never ran: re-invoking the sink with the same
