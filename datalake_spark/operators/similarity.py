@@ -508,16 +508,17 @@ def pq_encode(
         zero,
         lambda acc, x: acc + x,
     )
+    # argmin via min_by, not a rank window: the window shuffles AND sorts
+    # all |corpus|·m·ksub joined rows; min_by is an ordinary aggregate
+    # with map-side partial merge, so only one row per (vector, subspace)
+    # reaches the shuffle.  Ordering struct(_dist, code) = (dist ASC,
+    # code ASC) — identical tiebreak to the window it replaces, exact
+    # BIGINT keys, value-pinned by the ANN_PQ/ANN_IVFPQ oracles.
     out = (
         sv.join(F.broadcast(codebooks), "sub")
         .withColumn("_dist", dist)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("c_id", "sub").orderBy("_dist", "code")
-            ),
-        )
-        .filter(F.col("rk") == 1)
+        .groupBy("c_id", "sub")
+        .agg(F.min_by("code", F.struct("_dist", "code")).alias("code"))
         .select("c_id", "sub", "code")
     )
     if cells is not None:
