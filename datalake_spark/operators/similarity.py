@@ -165,17 +165,24 @@ def ivf_index_build(
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
     c = candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    # argmax via max_by — (sim DESC, cent_id ASC) exactly as the window
+    # form ordered, but with map-side partial merge: one row per
+    # candidate reaches the shuffle instead of |corpus|·num_centroids
     c_assign = (
         c.join(F.broadcast(cents))
         .withColumn("sim", cosine_micro_exact("c_vec", "cent_vec"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("c_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-            ),
+        .groupBy("c_id")
+        .agg(
+            F.max_by(
+                F.struct("cent_id", "c_vec"),
+                F.struct(F.col("sim"), (-F.col("cent_id")).alias("_nc")),
+            ).alias("_b")
         )
-        .filter(F.col("rk") == 1)
-        .select("c_id", "c_vec", "cent_id")
+        .select(
+            "c_id",
+            F.col("_b.c_vec").alias("c_vec"),
+            F.col("_b.cent_id").alias("cent_id"),
+        )
     )
     return cents, c_assign
 
@@ -303,11 +310,20 @@ def kmeans_iterate(
         d2 = joined.groupBy("_id", "_cid").agg(
             F.sum(diff2).cast("double").alias("_d2")
         )
-        w = W.partitionBy("_id").orderBy("_d2", "_cid")
+        # argmin via min_by (map-side partial merge; no per-id sort) —
+        # ordering struct(_d2, _cid) keeps the exact (dist ASC, smaller
+        # cluster id) tiebreak the window form had
         assign = (
-            d2.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("_id", "_cid", "_d2")
+            d2.groupBy("_id")
+            .agg(
+                F.min_by(F.struct("_cid", "_d2"),
+                         F.struct("_d2", "_cid")).alias("_b")
+            )
+            .select(
+                "_id",
+                F.col("_b._cid").alias("_cid"),
+                F.col("_b._d2").alias("_d2"),
+            )
         )
         cent = (
             el.join(assign.select("_id", "_cid"), "_id")
@@ -377,13 +393,15 @@ def assign_to_centroids(
     d2 = el.join(F.broadcast(cent), "_pos").groupBy("_id", "_cid").agg(
         F.sum(diff2).cast("double").alias("_d2")
     )
-    w = W.partitionBy("_id").orderBy("_d2", "_cid")
+    # argmin via min_by — same (dist ASC, smaller cluster id) tiebreak as
+    # the window it replaces, with map-side partial merge instead of a
+    # per-id shuffle sort
     return (
-        d2.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        d2.groupBy("_id")
+        .agg(F.min_by("_cid", F.struct("_d2", "_cid")).alias("_c"))
         .select(
             F.col("_id").alias(id_col),
-            F.col("_cid").cast("bigint").alias("cluster"),
+            F.col("_c").cast("bigint").alias("cluster"),
         )
     )
 
