@@ -14,7 +14,7 @@ seeds on every grammar change, so clearances don't carry forward):
   r10 (grammar round 6): 4450-4949 @ sf0.001 pre-guard found the
   correlated-HAVING-under-ROLLUP Spark resolution failure (4457/4629/
   4739, same class as gate-freeze seed 251); clean on re-hunt after the
-  guard; 4950-5199 @ sf0.01 clean; bonus 5200-6199 @ sf0.001 clean
+  guard; 4950-5199 @ sf0.01 clean; bonus 5200-6699 @ sf0.001 clean
 """
 
 from __future__ import annotations
