@@ -433,12 +433,61 @@ def _pq_d_sub(m: int):
     )
 
 
+def _pq_subvectors(
+    df: DataFrame, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(c_id, sub, sv_micro): every vector unit-normalized, micro-quantized
+    (functions/vectors.quantize_micro_unit) and sliced into its ``m``
+    subvectors — the exploded representation pq_encode's nearest-codeword
+    assignment and pq_train's Lloyd rounds both consume."""
+    from datalake_spark.functions.vectors import quantize_micro_unit
+
+    d_sub = _pq_d_sub(m)
+    return df.select(
+        F.col(id_col).alias("c_id"),
+        quantize_micro_unit(F.col(vec_col)).alias("_qv"),
+    ).select(
+        "c_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.slice(F.col("_qv"), F.col("sub") * d_sub + 1, d_sub).alias(
+            "sv_micro"
+        ),
+    )
+
+
+def _pq_assign(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(c_id, sub, code): per-subspace nearest codeword of every
+    subvector — one broadcast join against the m*ksub codebooks, exact
+    BIGINT squared-L2, argmin via min_by (map-side partial merge: one row
+    per (vector, subspace) reaches the shuffle instead of
+    |corpus|·m·ksub sorted rows; ordering struct(_dist, code) keeps the
+    (dist ASC, code ASC) tiebreak)."""
+    zero = F.lit(0).cast("long")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("sv_micro"), F.col("cb_micro"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    return (
+        sv.join(F.broadcast(codebooks), "sub")
+        .withColumn("_dist", dist)
+        .groupBy("c_id", "sub")
+        .agg(F.min_by("code", F.struct("_dist", "code")).alias("code"))
+        .select("c_id", "sub", "code")
+    )
+
+
 def pq_train(
     candidates: DataFrame,
     m: int = 8,
     ksub: int = 16,
+    iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    frames_out: list | None = None,
 ) -> DataFrame:
     """Train PQ codebooks as a PERSISTABLE frame: (sub, code, cb_micro).
 
@@ -448,13 +497,34 @@ def pq_train(
     entries, compressing the corpus to m small ints per vector — the
     representation IVF-PQ systems scan at billion-vector scale.
 
-    Codebooks here are a deterministic coreset, the ivf_index_build
-    convention: the subvectors of the ``ksub`` lowest-id candidates,
-    UNIT-normalized then micro-quantized (functions/vectors.
-    quantize_micro_unit) so ADC's squared-L2 ranks by cosine and every
-    distance downstream is an exact BIGINT — oracle-checkable and
-    retry/partitioning-stable.  m*ksub rows — broadcast-sized by
-    construction at any corpus scale."""
+    Training (r11) is per-subspace Lloyd k-means in the repo's
+    exact-integer discipline, seeded with the deterministic coreset
+    (subvectors of the ``ksub`` lowest-id candidates, UNIT-normalized
+    then micro-quantized — quantize_micro_unit, so ADC's squared-L2
+    ranks by cosine):
+
+    - ``iters`` rounds of assign (exact BIGINT squared-L2 argmin, ties
+      to the smaller code) + update (component mean of the members,
+      rounded HALF-UP back onto the micro grid: floor((2s+n)/(2n))
+      computed as exact integer floor-division via pmod — identical in
+      Spark and DuckDB, no float quotient anywhere, so the trained
+      codebooks are engine/retry/partitioning-identical and the oracle
+      replays the rounds as CTEs).
+    - A codeword that loses all members keeps its previous value (the
+      standard empty-cluster rule), so the codebook is always exactly
+      m*ksub rows.
+    - ``iters=0`` is the raw coreset (the pre-r11 behavior; the recall
+      baseline the trained books are tested against).
+
+    At scale: each round is one broadcast join against the m*ksub
+    codebooks + two ordinary aggregations — the corpus shuffles one row
+    per (vector, subspace), never a sorted rank.  Callers at 100 TB
+    should train on a bounded sample (pass a ``.limit``-ed or sampled
+    frame); the codebook stays m*ksub rows regardless.
+
+    ``frames_out`` (optional list): receives every frame this call
+    persisted (the exploded subvectors + each round's codebook), the
+    kmeans_iterate cache-release discipline."""
     from datalake_spark.functions.vectors import quantize_micro_unit
 
     base = (
@@ -468,7 +538,7 @@ def pq_train(
         )
     )
     d_sub = _pq_d_sub(m)
-    return base.select(
+    cb = base.select(
         "code",
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
         "_qv",
@@ -479,6 +549,52 @@ def pq_train(
             "cb_micro"
         ),
     )
+    if iters <= 0:
+        return cb
+    # persisted: sv feeds one assign join + one update join per round —
+    # each would re-run the quantize+slice lineage against the source
+    sv = _pq_subvectors(candidates, m, id_col, vec_col).persist()
+    if frames_out is not None:
+        frames_out.append(sv)
+    for _ in range(iters):
+        assign = _pq_assign(sv, cb)
+        upd = (
+            sv.join(assign, ["c_id", "sub"])
+            .select("sub", "code", F.posexplode("sv_micro").alias("_p", "_v"))
+            .groupBy("sub", "code", "_p")
+            .agg(
+                (
+                    F.lit(2).cast("long") * F.sum("_v") + F.count(F.lit(1))
+                ).alias("_num"),
+                (F.lit(2).cast("long") * F.count(F.lit(1))).alias("_den"),
+            )
+            # round-half-up mean on the micro grid as exact integers:
+            # floor(num/den) = (num - pmod(num, den)) div den — the
+            # subtraction makes the dividend an exact multiple, where
+            # truncating div == floor in BOTH engines (no float quotient
+            # to disagree by an ulp at a .5 boundary)
+            .select(
+                "sub", "code", "_p",
+                F.expr(
+                    "CAST((_num - pmod(_num, _den)) div _den AS LONG)"
+                ).alias("_v"),
+            )
+            .groupBy("sub", "code")
+            .agg(F.collect_list(F.struct("_p", "_v")).alias("_pv"))
+            .select(
+                "sub", "code",
+                F.transform(
+                    F.array_sort("_pv"), lambda s: s["_v"]
+                ).alias("cb_micro"),
+            )
+        )
+        # empty-cluster rule: codewords with no members keep their value
+        cb = upd.unionByName(
+            cb.join(upd.select("sub", "code"), ["sub", "code"], "left_anti")
+        ).persist()
+        if frames_out is not None:
+            frames_out.append(cb)
+    return cb
 
 
 def pq_encode(
@@ -502,43 +618,13 @@ def pq_encode(
     ``partitionBy("cent_id")`` and :func:`ivfpq_search` reads only the
     ``nprobe/num_centroids`` slice of the compressed index — file-level
     partition pruning on top of PQ's compression.  The join is shuffled,
-    never broadcast: cells is corpus-sized (the r1 norms lesson)."""
-    from datalake_spark.functions.vectors import quantize_micro_unit
+    never broadcast: cells is corpus-sized (the r1 norms lesson).
 
-    sv = candidates.select(
-        F.col(id_col).alias("c_id"),
-        quantize_micro_unit(F.col(vec_col)).alias("_qv"),
-    )
-    d_sub = _pq_d_sub(m)
-    sv = sv.select(
-        "c_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        F.slice(F.col("_qv"), F.col("sub") * d_sub + 1, d_sub).alias(
-            "sv_micro"
-        ),
-    )
-    zero = F.lit(0).cast("long")
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("sv_micro"), F.col("cb_micro"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        zero,
-        lambda acc, x: acc + x,
-    )
-    # argmin via min_by, not a rank window: the window shuffles AND sorts
-    # all |corpus|·m·ksub joined rows; min_by is an ordinary aggregate
-    # with map-side partial merge, so only one row per (vector, subspace)
-    # reaches the shuffle.  Ordering struct(_dist, code) = (dist ASC,
-    # code ASC) — identical tiebreak to the window it replaces, exact
-    # BIGINT keys, value-pinned by the ANN_PQ/ANN_IVFPQ oracles.
-    out = (
-        sv.join(F.broadcast(codebooks), "sub")
-        .withColumn("_dist", dist)
-        .groupBy("c_id", "sub")
-        .agg(F.min_by("code", F.struct("_dist", "code")).alias("code"))
-        .select("c_id", "sub", "code")
-    )
+    Assignment is :func:`_pq_assign` — argmin via min_by, not a rank
+    window (map-side partial merge; value-pinned by the
+    ANN_PQ/ANN_IVFPQ oracles)."""
+    out = _pq_assign(_pq_subvectors(candidates, m, id_col, vec_col),
+                     codebooks)
     if cells is not None:
         out = out.join(cells.select("c_id", "cent_id"), "c_id")
     return out
@@ -608,12 +694,15 @@ def pq_topk(
     ksub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 2,
+    frames_out: list | None = None,
 ) -> DataFrame:
     """PQ-ADC ANN in one call: :func:`pq_train` + :func:`pq_encode` +
     :func:`pq_search`.  A per-batch pipeline should instead build the
     codebooks/codes once, write them to parquet, and serve every later
     search from the stored index (the ivf_index_build/ivf_search split)."""
-    cb = pq_train(candidates, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    cb = pq_train(candidates, m=m, ksub=ksub, iters=train_iters,
+                  id_col=id_col, vec_col=vec_col, frames_out=frames_out)
     codes = pq_encode(candidates, cb, m=m, id_col=id_col, vec_col=vec_col)
     return pq_search(
         cb, codes, queries, k=k, m=m, id_col=id_col, vec_col=vec_col
@@ -712,6 +801,8 @@ def ivfpq_topk(
     ksub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 2,
+    frames_out: list | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN in one call: :func:`ivf_index_build` (coarse cells) +
     :func:`pq_train`/:func:`pq_encode` (cell-tagged codes) +
@@ -721,7 +812,8 @@ def ivfpq_topk(
     cents, assign = ivf_index_build(
         candidates, num_centroids, id_col=id_col, vec_col=vec_col
     )
-    cb = pq_train(candidates, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    cb = pq_train(candidates, m=m, ksub=ksub, iters=train_iters,
+                  id_col=id_col, vec_col=vec_col, frames_out=frames_out)
     codes = pq_encode(
         candidates, cb, m=m, id_col=id_col, vec_col=vec_col,
         cells=assign.select("c_id", "cent_id"),

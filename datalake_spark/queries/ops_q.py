@@ -319,9 +319,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # m=32/ksub=32 because the gate embeddings are isotropic random —
     # PQ's worst case (no cluster structure for the codebooks to exploit;
     # measured recall@5 vs brute force: 0.06 at the classic m=8/ksub=16,
-    # 0.58 here, scaling exactly as PQ theory predicts with finer
-    # subspaces).  Real embedding corpora cluster, so coarser defaults
-    # hold there; the value-exact gate verifies the machinery either way.
+    # 0.58 here with the coreset seed, 0.70 with the r11 trained
+    # codebooks — pq_train iters=2 Lloyd rounds, the default — scaling
+    # exactly as PQ theory predicts with finer subspaces).  Real
+    # embedding corpora cluster, so coarser defaults hold there; the
+    # value-exact gate verifies the machinery (incl. the training
+    # rounds, replayed in the oracle) either way.
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
     c = emb.filter(F.col("vec_id") >= 3)
@@ -333,14 +336,54 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PQ-ADC is fully deterministic (unit-normalized micro components, exact
 # BIGINT squared-L2 sums — see functions/vectors.quantize_micro_unit: the
 # normalization is what makes L2 ADC answer the cosine question), so like
-# IVF it gets a real value oracle: the SQL replays codebook choice
+# IVF it gets a real value oracle: the SQL replays codebook SEED choice
 # (subvectors of the ksub=32 lowest candidate ids — keep in sync with the
-# gate's ksub and the SQL's LIMIT 32), per-subspace
+# gate's ksub and the SQL's LIMIT 32), the TWO Lloyd training rounds
+# (r11, pq_train iters=2: exact-BIGINT argmin assignment with ties to
+# the smaller code, then the member-mean rounded half-up back onto the
+# micro grid via exact integer floor-division — (num - pmod)/den, the
+# same arithmetic Spark runs, so the trained books match bit-for-bit;
+# codewords with no members carry over via NOT EXISTS), per-subspace
 # nearest-codeword encoding, the query distance table, and the ADC sum —
 # every ranking key an exact integer.  dim 64 / m 32 gives
 # sub = (pos-1)//2 at the gate's m=32; the pre-filtered-CTE discipline is the ANN_IVF_SQL
 # lesson (DuckDB may not push an id filter below a per-pos equi-join).
-ANN_PQ_SQL = """
+_PQ_TRAIN_ROUND_SQL = """
+td{i} AS (
+  SELECT s.vec_id, s.sub, c.code,
+         CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
+  FROM ce s JOIN {prev} c ON s.sub = c.sub AND s.pos = c.pos
+  GROUP BY 1, 2, 3),
+ta{i} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, code) AS rk
+    FROM td{i})
+  WHERE rk = 1),
+tu{i} AS (
+  SELECT sub, code, pos,
+         CAST((num - (((num % den) + den) % den)) // den AS BIGINT) AS qv
+  FROM (
+    SELECT a.sub, a.code, s.pos,
+           2 * CAST(SUM(s.qv) AS BIGINT) + COUNT(*) AS num,
+           2 * COUNT(*) AS den
+    FROM ce s JOIN ta{i} a ON s.vec_id = a.vec_id AND s.sub = a.sub
+    GROUP BY 1, 2, 3)),
+cb{i} AS (
+  SELECT sub, code, pos, qv FROM tu{i}
+  UNION ALL
+  SELECT c.sub, c.code, c.pos, c.qv FROM {prev} c
+  WHERE NOT EXISTS (SELECT 1 FROM tu{i} u
+                    WHERE u.sub = c.sub AND u.code = c.code)),
+"""
+
+_PQ_TRAIN_SQL = (
+    _PQ_TRAIN_ROUND_SQL.format(i=1, prev="cbe")
+    + _PQ_TRAIN_ROUND_SQL.format(i=2, prev="cb1")
+)
+
+ANN_PQ_SQL = f"""
 WITH rawel AS (
   SELECT vec_id,
          CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000 + 0.5)
@@ -367,11 +410,11 @@ cb_ids AS (
 cbe AS (
   SELECT b.code, s.sub, s.pos, s.qv
   FROM sub_el s JOIN cb_ids b ON s.vec_id = b.vec_id),
-ce AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id >= 3),
+ce AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id >= 3),{_PQ_TRAIN_SQL}
 cdist AS (
   SELECT s.vec_id AS c_id, s.sub, c.code,
          CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
-  FROM ce s JOIN cbe c ON s.sub = c.sub AND s.pos = c.pos
+  FROM ce s JOIN cb2 c ON s.sub = c.sub AND s.pos = c.pos
   GROUP BY 1, 2, 3),
 codes AS (
   SELECT c_id, sub, code FROM (
@@ -384,7 +427,7 @@ qe AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id < 3),
 qdist AS (
   SELECT s.vec_id AS q_id, s.sub, c.code,
          CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
-  FROM qe s JOIN cbe c ON s.sub = c.sub AND s.pos = c.pos
+  FROM qe s JOIN cb2 c ON s.sub = c.sub AND s.pos = c.pos
   GROUP BY 1, 2, 3),
 adc AS (
   SELECT q.q_id, c.c_id, CAST(SUM(q.dist) AS BIGINT) AS adc
@@ -419,7 +462,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # restricted to (q_id, c_id) pairs whose candidate cell is among the
 # query's 4 probed cells.  Keep ksub/LIMIT and m/sub-width in sync with
 # the gate call (ksub=32, m=32 → sub = (pos-1)//2 at dim 64).
-ANN_IVFPQ_SQL = """
+ANN_IVFPQ_SQL = f"""
 WITH rawel AS (
   SELECT vec_id,
          CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000 + 0.5)
@@ -496,11 +539,11 @@ cb_ids AS (
 cbe AS (
   SELECT b.code, s.sub, s.pos, s.qv
   FROM sub_el s JOIN cb_ids b ON s.vec_id = b.vec_id),
-ce AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id >= 3),
+ce AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id >= 3),{_PQ_TRAIN_SQL}
 cdist AS (
   SELECT s.vec_id AS c_id, s.sub, c.code,
          CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
-  FROM ce s JOIN cbe c ON s.sub = c.sub AND s.pos = c.pos
+  FROM ce s JOIN cb2 c ON s.sub = c.sub AND s.pos = c.pos
   GROUP BY 1, 2, 3),
 codes AS (
   SELECT c_id, sub, code FROM (
@@ -513,7 +556,7 @@ qe AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id < 3),
 qdist AS (
   SELECT s.vec_id AS q_id, s.sub, c.code,
          CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
-  FROM qe s JOIN cbe c ON s.sub = c.sub AND s.pos = c.pos
+  FROM qe s JOIN cb2 c ON s.sub = c.sub AND s.pos = c.pos
   GROUP BY 1, 2, 3),
 adc AS (
   SELECT q.q_id, c.c_id, CAST(SUM(q.dist) AS BIGINT) AS adc
