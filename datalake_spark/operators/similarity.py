@@ -187,6 +187,33 @@ def ivf_index_build(
     return cents, c_assign
 
 
+def ivf_assign_cells(
+    batch: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(c_id, cent_id): nearest-centroid cell of every batch vector
+    against a FIXED (cent_id, cent_vec) frame — the incremental half of
+    :func:`ivf_index_build` (identical exact-cosine max_by ordering, so
+    a vector is assigned the same cell whether it arrived at build time
+    or in a later append batch).  One broadcast join + one aggregate;
+    per-batch cost O(|batch| · num_centroids · dim)."""
+    c = batch.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    return (
+        c.join(F.broadcast(centroids))
+        .withColumn("sim", cosine_micro_exact("c_vec", "cent_vec"))
+        .groupBy("c_id")
+        .agg(
+            F.max_by(
+                "cent_id",
+                F.struct(F.col("sim"), (-F.col("cent_id")).alias("_nc")),
+            ).alias("cent_id")
+        )
+        .select("c_id", "cent_id")
+    )
+
+
 def ivf_search(
     centroids: DataFrame,
     assignments: DataFrame,

@@ -427,6 +427,11 @@ def _mk() -> list[Q]:
         # codes are read, PQ compresses WHAT is read)
         Sub(q(ops, "ann_ivfpq_topk", "ann_ivfpq_topk", "ANN_IVFPQ_SQL"),
             {"q_id": "v", "c_id": "v", "adc": "v", "rk": "v"}),
+        # r11: the STANDING index — build/append under the marker-CAS
+        # commit protocol, probed through a reloaded handle
+        Sub(q(ops, "ann_index_lifecycle", "ann_index_lifecycle",
+              "ANN_INDEX_LIFECYCLE_SQL"),
+            {"q_id": "v", "c_id": "v", "adc": "v", "rk": "v"}),
         # r10: CCNet-style LM-likelihood quality scoring (exact integer
         # mean token probability — no float log-sums)
         Sub(q(pq, "lm_quality_score", "lm_quality_score", "LM_QUALITY_SQL"),

@@ -352,7 +352,7 @@ _PQ_TRAIN_ROUND_SQL = """
 td{i} AS (
   SELECT s.vec_id, s.sub, c.code,
          CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
-  FROM ce s JOIN {prev} c ON s.sub = c.sub AND s.pos = c.pos
+  FROM cet s JOIN {prev} c ON s.sub = c.sub AND s.pos = c.pos
   GROUP BY 1, 2, 3),
 ta{i} AS (
   SELECT vec_id, sub, code FROM (
@@ -368,7 +368,7 @@ tu{i} AS (
     SELECT a.sub, a.code, s.pos,
            2 * CAST(SUM(s.qv) AS BIGINT) + COUNT(*) AS num,
            2 * COUNT(*) AS den
-    FROM ce s JOIN ta{i} a ON s.vec_id = a.vec_id AND s.sub = a.sub
+    FROM cet s JOIN ta{i} a ON s.vec_id = a.vec_id AND s.sub = a.sub
     GROUP BY 1, 2, 3)),
 cb{i} AS (
   SELECT sub, code, pos, qv FROM tu{i}
@@ -410,7 +410,8 @@ cb_ids AS (
 cbe AS (
   SELECT b.code, s.sub, s.pos, s.qv
   FROM sub_el s JOIN cb_ids b ON s.vec_id = b.vec_id),
-ce AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id >= 3),{_PQ_TRAIN_SQL}
+ce AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id >= 3),
+cet AS (SELECT vec_id, sub, pos, qv FROM ce),{_PQ_TRAIN_SQL}
 cdist AS (
   SELECT s.vec_id AS c_id, s.sub, c.code,
          CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
@@ -462,7 +463,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # restricted to (q_id, c_id) pairs whose candidate cell is among the
 # query's 4 probed cells.  Keep ksub/LIMIT and m/sub-width in sync with
 # the gate call (ksub=32, m=32 → sub = (pos-1)//2 at dim 64).
-ANN_IVFPQ_SQL = f"""
+_IVFPQ_SQL_TEMPLATE = """
 WITH rawel AS (
   SELECT vec_id,
          CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000 + 0.5)
@@ -473,7 +474,7 @@ inorms AS (
   SELECT vec_id, CAST(SUM(rqv * rqv) AS BIGINT) AS nsq
   FROM rawel GROUP BY vec_id),
 cents AS (
-  SELECT vec_id AS cent_id FROM embeddings WHERE vec_id >= 3
+  SELECT vec_id AS cent_id FROM embeddings WHERE {tw}
   ORDER BY vec_id LIMIT 16),
 ice AS (
   SELECT e.vec_id AS cent_id, e.pos, e.rqv
@@ -534,12 +535,13 @@ sub_el AS (
   SELECT vec_id, CAST((pos - 1) // 2 AS BIGINT) AS sub, pos, qv FROM el),
 cb_ids AS (
   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
-  FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 3
+  FROM (SELECT vec_id FROM embeddings WHERE {tw}
         ORDER BY vec_id LIMIT 32)),
 cbe AS (
   SELECT b.code, s.sub, s.pos, s.qv
   FROM sub_el s JOIN cb_ids b ON s.vec_id = b.vec_id),
-ce AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id >= 3),{_PQ_TRAIN_SQL}
+ce AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id >= 3),
+cet AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE {tw}),{train}
 cdist AS (
   SELECT s.vec_id AS c_id, s.sub, c.code,
          CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
@@ -672,6 +674,49 @@ SELECT q_id, c_id, rk FROM (
   JOIN norms nc ON nc.vec_id = c_id)
 WHERE rk <= 3
 """
+
+ANN_IVFPQ_SQL = _IVFPQ_SQL_TEMPLATE.format(
+    tw="vec_id >= 3", train=_PQ_TRAIN_SQL
+)
+
+
+def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the STANDING serving index, end-to-end under the marker-CAS commit
+    # protocol (operators/ann_index.IvfPqIndex): build on vec_id 3..399
+    # (trains centroids + Lloyd codebooks on the build slice only),
+    # append vec_id >= 400 as epoch 1 (encoded against the STANDING
+    # model — never retrained), then probe through a FRESH handle that
+    # reloads everything from the committed manifest.  Values are the
+    # ivfpq math, so the oracle is the IVF-PQ SQL with the training
+    # slice restricted to the build slice — the appended vectors' codes
+    # fall out of encoding them against those standing books, exactly
+    # what append() does.
+    import tempfile
+
+    from datalake_spark.operators.ann_index import IvfPqIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    base = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 400))
+    extra = emb.filter(F.col("vec_id") >= 400)
+    root = tempfile.mkdtemp(prefix="dl_annidx_q_")
+    idx = IvfPqIndex(spark, root, num_centroids=16, m=32, ksub=32)
+    idx.build(base)
+    idx.append(extra, 1)
+    reopened = IvfPqIndex(spark, root)  # params come from the manifest
+    return reopened.search(q, k=3, nprobe=4).select(
+        "q_id", "c_id", "adc", "rk"
+    )
+
+
+# Same math as ANN_IVFPQ_SQL with the TRAINING slice pinned to the build
+# slice (3 <= vec_id < 400): centroids and codebooks see only build-time
+# vectors, while encoding/cell-assignment cover the full candidate set —
+# the standing-model append contract, replayed end-to-end.
+ANN_INDEX_LIFECYCLE_SQL = _IVFPQ_SQL_TEMPLATE.format(
+    tw="vec_id >= 3 AND vec_id < 400", train=_PQ_TRAIN_SQL
+)
+
 
 
 # ---------------------------------------------------------------------------
