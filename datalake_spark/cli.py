@@ -301,6 +301,16 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--decon-n", dest="decon_n", type=int, default=13,
                     help="n-gram size for --benchmark decontamination "
                          "(default 13, the GPT-3 rule)")
+    cu.add_argument("--quality-lm-threshold", dest="quality_lm_threshold",
+                    type=int, default=None,
+                    help="CCNet-style bigram-LM quality floor in micro "
+                         "units (exact-integer mean token probability): "
+                         "docs scoring below it are dropped (quarantine "
+                         "stage 'low_lm_quality'); the model trains on "
+                         "--lm-reference, else on the rule survivors")
+    cu.add_argument("--lm-reference", dest="lm_reference", default=None,
+                    help="parquet path of clean reference text the "
+                         "--quality-lm-threshold model trains on")
     return p
 
 
@@ -599,6 +609,11 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
                 if args.benchmark else None
             ),
             decontaminate_n=args.decon_n,
+            quality_lm_threshold=args.quality_lm_threshold,
+            lm_reference=(
+                spark.read.parquet(args.lm_reference)
+                if args.lm_reference else None
+            ),
             **semantic_kw,
         )
         print(_json.dumps(manifest, sort_keys=True), file=out)

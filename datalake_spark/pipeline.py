@@ -186,10 +186,23 @@ def curate_corpus(
     benchmark: DataFrame | None = None,
     decontaminate_n: int = 13,
     decontaminate_min_hits: int = 1,
+    quality_lm_threshold: int | None = None,
+    lm_reference: DataFrame | None = None,
     **dedup_kwargs,
 ) -> DataFrame:
     """Quality rules then near-dup dedup; returns the surviving rows of
     ``df`` (original columns only).
+
+    With ``quality_lm_threshold`` (micro units — the exact-integer mean
+    token probability of operators/lm.lm_score), a CCNet-style LM
+    quality stage runs right after the rules: a bigram model trains on
+    ``lm_reference`` (its own clean slice when given, else the
+    rule-surviving corpus itself) and docs scoring BELOW the threshold
+    are dropped (quarantine stage ``low_lm_quality``).  Docs with no
+    signal (under 2 tokens, score sentinel -1) always pass — absence of
+    evidence is not junk evidence.  Runs before decontamination/dedup:
+    likelihood filtering is the cheap stage, so it shrinks what the
+    expensive stages see (the CCNet pipeline order).
 
     With ``benchmark`` (an eval-set DataFrame with the same text
     column), a decontamination stage drops documents sharing >=
@@ -218,6 +231,31 @@ def curate_corpus(
         df, text_col=text_col, id_col=id_col, **(rule_kwargs or {})
     )
     kept = ruled.filter(F.col("keep")).select(*df.columns)
+    lm_dropped = None
+    if quality_lm_threshold is not None:
+        from datalake_spark.operators.lm import lm_score, lm_train
+
+        model = lm_train(
+            lm_reference if lm_reference is not None else kept,
+            text_col=text_col, id_col=id_col,
+        )
+        low = (
+            lm_score(kept, model, text_col=text_col, id_col=id_col)
+            .filter(
+                (F.col("lm_score_micro") >= 0)
+                & (F.col("lm_score_micro") < quality_lm_threshold)
+            )
+            .select(F.col(id_col).alias("_lmid"))
+        )
+        if quarantine_path is not None:
+            lm_dropped = kept.join(
+                low, F.col(id_col) == F.col("_lmid")
+            ).select(
+                *df.columns,
+                *[F.lit(True).alias(c) for c in RULE_COLS],
+                F.lit("low_lm_quality").alias("drop_stage"),
+            )
+        kept = kept.join(low, F.col(id_col) == F.col("_lmid"), "left_anti")
     decon_dropped = None
     if benchmark is not None:
         from datalake_spark.operators.dedup import decontaminate
@@ -294,6 +332,8 @@ def curate_corpus(
             )
         )
         drops = rule_drops.unionByName(dup_drops)
+        if lm_dropped is not None:
+            drops = drops.unionByName(lm_dropped)
         if decon_dropped is not None:
             drops = drops.unionByName(decon_dropped)
         if span_emptied is not None:

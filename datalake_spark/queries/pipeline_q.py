@@ -2545,77 +2545,22 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a maintenance pipeline would persist like the MinHash signature table.
 # ---------------------------------------------------------------------------
 def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11: the logic now lives in operators/lm.py (lm_train/lm_score —
+    # the persistable-model split); this gate query is their composition
+    # with ONE tokenization shared by both halves via the bigrams=
+    # hand-off.  Values unchanged from the r10 inline form (pinned by
+    # LM_QUALITY_SQL).  The two persisted frames (bi here, the count
+    # frame inside lm_train) ride the gate run's session — the
+    # documented pipeline_q persist pattern.
+    from datalake_spark.operators.lm import lm_bigrams, lm_score, lm_train
+
     docs = load(spark, sf_dir, "documents")
-    parts = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("_parts")
-    )
-    bi = parts.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("_parts") >= 2,
-                F.expr(
-                    "transform(sequence(1, size(_parts) - 1), "
-                    "i -> struct(element_at(_parts, i) as l, "
-                    "element_at(_parts, i + 1) as r))"
-                ),
-            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-        ).alias("b"),
-    ).select("doc_id", F.col("b.l").alias("l"), F.col("b.r").alias("r"))
-    # bi feeds the model AND the scoring join: persist, or the corpus is
-    # tokenized and exploded twice (the shared-frame discipline)
-    bi = bi.persist()
+    bi = lm_bigrams(docs).persist()
     # the model trains on the REFERENCE slice (even doc ids — the CCNet
     # shape: train on the clean reference, score the whole crawl) so the
-    # smoothing/OOV paths score genuinely unseen contexts; persist — it
-    # feeds the context marginal, V, and the scoring join
-    cxy = (
-        bi.filter(F.col("doc_id") % 2 == 0)
-        .groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_lr"))
-        .persist()
-    )
-    cx = cxy.groupBy("l").agg(F.sum("c_lr").alias("c_l"))
-    vocab = cxy.select(
-        F.explode(F.array("l", "r")).alias("w")
-    ).agg(F.count_distinct("w").alias("v_sz"))
-    scored = (
-        bi.join(cxy, ["l", "r"], "left")
-        .join(cx, "l", "left")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            # GREATEST(v_sz, 1): an empty reference slice (no even doc
-            # has 2 tokens) makes v_sz = 0 and c_l NULL — the divisor
-            # would be 0, the ANSI job-kill class this repo guards
-            # everywhere; the pin keeps the score exact and defined
-            F.expr(
-                "(COALESCE(c_lr, 0) + 1) * 1000000 DIV "
-                "(COALESCE(c_l, 0) + GREATEST(v_sz, 1))"
-            ).alias("_p_micro"),
-            F.when(F.col("c_l").isNull(), F.lit(1)).otherwise(F.lit(0))
-            .alias("_oov"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("_oov").alias("oov_contexts"),
-            F.expr("SUM(_p_micro) DIV COUNT(1)").alias("lm_score_micro"),
-        )
-    )
-    return (
-        docs.select("doc_id")
-        .join(scored, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
-            .alias("n_bigrams"),
-            F.coalesce("oov_contexts", F.lit(0)).cast("bigint")
-            .alias("oov_contexts"),
-            # sub-2-token docs carry no signal: pinned -1 sentinel
-            F.coalesce("lm_score_micro", F.lit(-1)).cast("bigint")
-            .alias("lm_score_micro"),
-        )
-    )
+    # smoothing/OOV paths score genuinely unseen contexts
+    model = lm_train(docs, bigrams=bi.filter(F.col("doc_id") % 2 == 0))
+    return lm_score(docs, model, bigrams=bi)
 
 
 LM_QUALITY_SQL = """
@@ -3915,7 +3860,10 @@ def budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_shard", F.expr(f"skey DIV {(1 << 60) // _BMIX_SHARDS}")
     )
     # per-(source, shard) totals: n_src × n_shards rows — persisted so the
-    # offsets self-join and the budget agg read it, not the corpus
+    # offsets self-join and the budget agg read it, not the corpus.  No
+    # unpersist: gate queries leak their tiny persisted frames into the
+    # run's session by design (the documented pipeline_q pattern — the
+    # driver process is per-run; ADVICE r10 reviewed and accepted)
     t = docs.groupBy("source", "_shard").agg(F.sum("w").alias("_sw")).persist()
     # budget = half an equal share of the corpus: total DIV (2 * n_sources)
     tot = t.agg(

@@ -290,6 +290,61 @@ class TestCurateCommand:
         back = spark.read.parquet(outdir)
         assert back.filter("doc_id = 50").count() == 0
 
+    def test_curate_lm_quality_threshold(self, spark, catalog_dir,
+                                         tmp_path):
+        """--quality-lm-threshold + --lm-reference: the CCNet-style LM
+        stage drops the OOV-junk doc and attributes it in the quarantine
+        as 'low_lm_quality' (r11, operators/lm through the CLI)."""
+        from datalake_spark.operators.lm import lm_score, lm_train
+
+        src = str(tmp_path / "docs_lm")
+        refp = str(tmp_path / "lmref")
+        outdir = str(tmp_path / "shards_lm")
+        quar = str(tmp_path / "quar_lm")
+        rows = []
+        for i in range(10):
+            # unique per-doc body REPEATED so its bigrams recur in the
+            # reference twin (seen-k-times >> add-1 OOV floor)
+            body = " ".join(f"the cat{i} sat on a mat{i}" for _ in range(6))
+            rows.append((i, f"doc {i} starts the piece here {body}", "en"))
+        # junk: rule-passing length/stopwords, but every bigram is
+        # unseen by the reference model -> scores near the OOV floor
+        rows.append((50, " ".join(f"the zz{j} a yy{j}" for j in range(6)),
+                     "en"))
+        corpus = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+        corpus.write.parquet(src)
+        ref = spark.createDataFrame(
+            [(900 + i, t) for (i, t, _l) in rows[:10]],
+            "doc_id long, text string",
+        )
+        ref.write.parquet(refp)
+        # e2e with a threshold computed the way a user would: score the
+        # corpus against the trained model, split good from junk
+        scores = {r["doc_id"]: r["lm_score_micro"]
+                  for r in lm_score(corpus, lm_train(ref)).collect()}
+        good_floor = min(scores[i] for i in range(10))
+        assert scores[50] < good_floor  # the signal exists at all
+        thr = (scores[50] + good_floor) // 2
+        rc, lines = _run(
+            spark,
+            ["curate", src, outdir, "--n-shards", "2",
+             "--quality-lm-threshold", str(thr),
+             "--lm-reference", refp,
+             "--quarantine", quar],
+            catalog_dir,
+        )
+        assert rc == 0
+        manifest = json.loads(lines[0])
+        assert manifest["curation"]["n_kept"] == 10
+        stages = {
+            r["doc_id"]: r["drop_stage"]
+            for r in spark.read.parquet(quar).collect()
+        }
+        assert stages[50] == "low_lm_quality"
+        assert spark.read.parquet(outdir).filter("doc_id = 50").count() == 0
+
     def test_curate_webdataset_format(self, spark, catalog_dir, tmp_path):
         from datalake_spark.export import read_webdataset_shard
 

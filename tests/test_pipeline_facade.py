@@ -225,6 +225,110 @@ class TestClassifierWeightsLoading:
         assert got == {"good": 1500000, "bad": -2000000}
 
 
+class TestLmQualityStage:
+    """operators/lm (lm_train/lm_score — the r11 productized form of the
+    lm_quality_score gate sub) and its curate_corpus wiring."""
+
+    def _frames(self, spark):
+        ref = spark.createDataFrame(
+            [(100 + i,
+              "the cat sat on the mat and the dog ran to the cat")
+             for i in range(4)],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # in-model bigrams -> high mean token probability
+                (1, "the cat sat on the mat and the dog ran", "en"),
+                # junk: one known token (rules stopword) in an OOV sea
+                (2, "qq the ww ee rr tt yy uu ii oo", "en"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        return ref, corpus
+
+    def test_model_roundtrip_scores_identically(self, spark, tmp_path):
+        """The model frame is the standing artifact: write to parquet,
+        reload, score — values identical to scoring the in-plan model."""
+        from datalake_spark.operators.lm import lm_score, lm_train
+
+        ref, corpus = self._frames(spark)
+        model = lm_train(ref)
+        direct = {r["doc_id"]: (r["n_bigrams"], r["oov_contexts"],
+                                r["lm_score_micro"])
+                  for r in lm_score(corpus, model).collect()}
+        mp = str(tmp_path / "lm_model")
+        model.write.parquet(mp)
+        reloaded = {r["doc_id"]: (r["n_bigrams"], r["oov_contexts"],
+                                  r["lm_score_micro"])
+                    for r in lm_score(
+                        corpus, spark.read.parquet(mp)).collect()}
+        assert reloaded == direct and direct
+        # the clean doc outranks the junk doc, and junk counted its OOVs
+        assert direct[1][2] > direct[2][2] >= 0
+        assert direct[2][1] > 0
+
+    def test_empty_model_and_short_doc_sentinels(self, spark):
+        """No reference doc with 2 tokens -> empty model: everything is
+        OOV with the GREATEST(v_sz,1)-pinned divisor (defined, no ANSI
+        divide-by-zero); sub-2-token docs score the -1 sentinel."""
+        from datalake_spark.operators.lm import lm_score, lm_train
+
+        ref = spark.createDataFrame([(9, "single")],
+                                    "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(1, "two tokens here"), (2, "one")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in
+               lm_score(corpus, lm_train(ref)).collect()}
+        assert got[1]["oov_contexts"] == got[1]["n_bigrams"] == 2
+        assert got[1]["lm_score_micro"] == 1_000_000  # (0+1)*1e6 div (0+1)
+        assert got[2]["lm_score_micro"] == -1 and got[2]["n_bigrams"] == 0
+
+    def test_curate_corpus_lm_stage_quarantines(self, spark, tmp_path):
+        from datalake_spark.operators.lm import lm_score, lm_train
+        from datalake_spark.pipeline import curate_corpus
+
+        ref, corpus = self._frames(spark)
+        scores = {r["doc_id"]: r["lm_score_micro"]
+                  for r in lm_score(corpus, lm_train(ref)).collect()}
+        thr = (scores[1] + scores[2]) // 2
+        qpath = str(tmp_path / "quar")
+        out = curate_corpus(
+            corpus,
+            rule_kwargs={"min_words": 5, "max_words": 100,
+                         "stopwords": ("the",), "stop_ratio_den": 200},
+            quality_lm_threshold=thr,
+            lm_reference=ref,
+            quarantine_path=qpath,
+        )
+        assert [r["doc_id"] for r in out.collect()] == [1]
+        quar = {r["doc_id"]: r["drop_stage"]
+                for r in spark.read.parquet(qpath).collect()}
+        assert quar == {2: "low_lm_quality"}
+
+    def test_self_trained_reference_and_off_by_default(self, spark):
+        """No lm_reference -> the model trains on the rule survivors
+        themselves; threshold None -> stage skipped entirely."""
+        from datalake_spark.pipeline import curate_corpus
+
+        _, corpus = self._frames(spark)
+        kw = dict(
+            rule_kwargs={"min_words": 5, "max_words": 100,
+                         "stopwords": ("the",), "stop_ratio_den": 200},
+        )
+        both = {r["doc_id"] for r in curate_corpus(corpus, **kw).collect()}
+        assert both == {1, 2}  # off by default
+        # self-trained: doc 2's bigrams are half the tiny corpus model,
+        # so a generous threshold still separates nothing vs everything
+        # deterministically — assert the stage runs and keeps a subset
+        kept = {r["doc_id"]
+                for r in curate_corpus(
+                    corpus, quality_lm_threshold=1, **kw).collect()}
+        assert kept <= both
+
+
 class TestDecontaminationStage:
     def test_contaminated_docs_quarantined_with_stage(self, spark, tmp_path):
         from datalake_spark.pipeline import curate_corpus
