@@ -78,12 +78,25 @@ class SemanticStreamDeduper:
         # implies the epoch's elements/norms writes completed — these
         # reads are intentionally unguarded
         el_raw = self.spark.read.parquet(f"{self.index_path}/elements")
-        # layout detection: the cluster-partitioned layout (r10+) appends
-        # ``cluster`` as a trailing PARTITION column, the legacy layout
-        # stored it as the second DATA column.  New epochs must match the
+        # layout detection: the cluster-partitioned layout (r10+) stores
+        # ``cluster`` as a PARTITION DIRECTORY (``cluster=K/``), the
+        # legacy layout as a data column.  New epochs must match the
         # existing layout — mixing directory depths under one root breaks
         # Spark's partition discovery for the whole standing index.
-        self._partitioned_layout = el_raw.columns[1] != "cluster"
+        # Detected STRUCTURALLY from the scanned file paths (r11, advisor
+        # finding: the old positional ``columns[1] != "cluster"`` check
+        # silently flipped if element-frame column order or Spark's
+        # partition-column placement ever changed — and a flipped verdict
+        # writes epochs at the wrong directory depth, the exact failure
+        # this detection exists to prevent).
+        self._partitioned_layout = any(
+            "/cluster=" in f for f in el_raw.inputFiles()
+        )
+        if "cluster" not in el_raw.columns:  # pragma: no cover - corrupt
+            raise ValueError(
+                f"standing index at {self.index_path}/elements has no "
+                f"'cluster' column/partition: {el_raw.columns}"
+            )
         el = el_raw.select("_vid", "cluster", "_pos", "_val")
         # norms is returned RAW (epoch partition column included): one
         # read serves both the probe's corpus norms and the prior-epoch

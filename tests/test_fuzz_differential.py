@@ -294,6 +294,47 @@ class TestDifferentialFuzz:
                 for c in spec.cols:
                     assert "AS sc_0" not in c, f"seed {seed}: {c}"
 
+    def test_correlated_having_over_derived_tables_agrees(
+        self, spark_tables, duck
+    ):
+        """r11 (advisor finding): the grammar CAN pair correlated HAVING
+        scalars with setop/window derived tables — the same
+        correlated-over-derived class that crashes Spark's decorrelation
+        at the PROJECTION site (r9 seed 3463) — but that combination was
+        covered only by hunt sampling.  This pins it deterministically:
+        both derived shapes + the correlated HAVING scalar agree across
+        engines (the hunts' empirical 'clean' made falsifiable).  If a
+        Spark upgrade breaks this, THIS test finds it before a hunt
+        does, and the fix is the projection-site guard (spec.derived is
+        None) extended to the HAVING site."""
+        corr_having = (
+            "HAVING MIN(c_custkey) <= COALESCE((SELECT MAX(n_regionkey) "
+            "FROM nation WHERE c_nationkey = n_nationkey "
+            "AND n_regionkey % 2 = 0), 10)"
+        )
+        setop_derived = (
+            "(SELECT * FROM customer WHERE c_nationkey BETWEEN 2 AND 20 "
+            "UNION ALL SELECT * FROM customer "
+            "WHERE c_nationkey BETWEEN 18 AND 27) AS customer"
+        )
+        q1 = (
+            f"SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS agg0 "
+            f"FROM {setop_derived} GROUP BY 1 " + corr_having
+        )
+        assert mismatch(spark_tables, duck, q1) is None
+        win_derived = (
+            "(SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal "
+            "FROM (SELECT c_custkey, c_nationkey, c_mktsegment, "
+            "c_acctbal, ROW_NUMBER() OVER (PARTITION BY c_mktsegment "
+            "ORDER BY c_custkey NULLS FIRST) AS _dw FROM customer "
+            "WHERE c_nationkey < 22) AS _dws WHERE _dw <= 7) AS customer"
+        )
+        q2 = (
+            f"SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS agg0 "
+            f"FROM {win_derived} GROUP BY 1 " + corr_having
+        )
+        assert mismatch(spark_tables, duck, q2) is None
+
     def test_shrinker_reduces_a_planted_mismatch(self, spark_tables, duck):
         """Sanity-check the shrinking machinery itself with a spec whose
         mismatch survives clause-dropping: an engine-specific function in
