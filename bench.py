@@ -181,6 +181,19 @@ ANCHOR_EXTRAS_R10 = {
     "table_profile": 3.329,
 }
 
+# Pinned r11 (min of two full sf0.1 runs under the new warm-scan
+# protocol, era loads 1.09/1.24, extras internally min-of-2 now): the
+# three r10 newcomers.  ann_ivfpq_topk is DELIBERATELY ~1.7x its r10
+# reading — pq_train now runs 2 Lloyd rounds in-plan (recall 0.58 ->
+# 0.70; BASELINE.md r11) — so its anchor pins the trained-codebook
+# plan.  ann_index_lifecycle (r11 newcomer) enters unanchored per
+# protocol.
+ANCHOR_EXTRAS_R11 = {
+    "table_profile_approx": 4.812,
+    "ann_ivfpq_topk": 10.015,
+    "lm_quality_score": 2.189,
+}
+
 
 def _canary(spark) -> float:
     """Fixed-work CPU probe: 100M xxhash64-of-string rows, map-side agg.
@@ -203,10 +216,54 @@ def _canary(spark) -> float:
     return round(best, 3)
 
 
+_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _io_probe_and_warm(spark, sf_dir: str) -> tuple[float, float]:
+    """r11 IO-robustness protocol (BASELINE.md): the recorded bench run
+    landed in a sandbox IO storm 3 of the last 4 rounds, costing a manual
+    same-code A/B adjudication each time (r7/r9/r10 — raw flags moving
+    RANDOMLY between untouched scan-bound queries, the canary-blind
+    signature, pinned by the minhash cold/warm solo probe).  This
+    automates that probe and removes the exposure:
+
+    - cold/warm scan probe: documents.parquet (the biggest text table,
+      the minhash recipe) is scanned twice AS THE FIRST TABLE TOUCH;
+      cold/warm >> 1 marks a cold-IO era in the artifact itself.
+    - warm-scan pre-pass: every input table is then scanned once
+      untimed, so the TIMED queries run against a page-cache-warm store
+      and measure compute, not the co-tenant IO lottery.  (At 100 TB a
+      bench would never fit cache — but this bench's job is detecting
+      PLAN regressions at sf0.1, and IO noise is exactly what it must
+      not measure.)
+    """
+    from datalake_spark.queries import load
+
+    def _scan(table: str) -> float:
+        t0 = time.time()
+        load(spark, sf_dir, table).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return round(time.time() - t0, 3)
+
+    cold = _scan("documents")
+    warm = _scan("documents")
+    for t in _TABLES:
+        if t != "documents":
+            _scan(t)
+    return cold, warm
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
+    # IO probe FIRST (its cold leg must be the first table touch), then
+    # the warm pre-pass over every input table
+    io_cold, io_warm = _io_probe_and_warm(spark, sf_dir)
     # untimed warmup: JVM codegen + parquet footer/FS cache + the Python UDF
     # worker pool (first pandas_udf stage otherwise pays ~n_cores process
     # spawns inside whichever query happens to run it first).  The warmup is
@@ -289,17 +346,29 @@ def main() -> None:
         # r9 additions (anchored r10: ANCHOR_EXTRAS_R10 — weighted_sample
         # and budget_mix on their r10 scale-safe plans)
         "weighted_sample", "budget_mix", "table_profile",
-        # r10 additions (no frozen anchor yet — first round on the board)
+        # r10 additions (anchored r11: ANCHOR_EXTRAS_R11 — ann_ivfpq_topk
+        # re-anchored on the trained-codebook plan)
         "table_profile_approx", "ann_ivfpq_topk", "lm_quality_score",
+        # r11 additions (no frozen anchor yet — first round on the board)
+        "ann_index_lifecycle",
     ]
+    # r11: extras are min-of-2 too — the single-pass exposure was the
+    # other half of the per-round IO-era adjudication tax (the extras
+    # carry the 1.5x flag threshold precisely because they were noisier;
+    # min-of-2 + the warm pre-pass removes most of that variance)
     extra_timings: dict[str, float] = {}
-    for name in extras:
-        if name not in qs:
-            continue
-        spark.catalog.clearCache()
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        extra_timings[name] = round(time.time() - t0, 3)
+    for _pass in range(2):
+        for name in extras:
+            if name not in qs:
+                continue
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            dt = round(time.time() - t0, 3)
+            if name not in extra_timings or dt < extra_timings[name]:
+                extra_timings[name] = dt
     canary_end = _canary(spark)
     # load factor > 1 means the machine was slower than the idle reference
     # during this run; ratios are normalized by it below.  Mean of the two
@@ -323,6 +392,12 @@ def main() -> None:
         "canary_load_factor": load,
         "canary_ref_r6_sec": CANARY_REF_R6,
         "canary_load_factor_r6": load_era,
+        # cold/warm documents-scan ratio: >> 1 marks a cold-IO era (the
+        # r10 minhash solo-probe recipe, automated); the timed queries
+        # themselves ran page-cache-warm either way (pre-pass)
+        "io_scan_cold_sec": io_cold,
+        "io_scan_warm_sec": io_warm,
+        "io_era": round(io_cold / io_warm, 2) if io_warm > 0 else -1.0,
     }
     # line 1: always parseable under a bounded tail capture
     print(json.dumps(compact))
@@ -357,7 +432,7 @@ def main() -> None:
         # shrinks every ratio by ~1.5x and hides real regressions.
         anchor_extras = {
             **ANCHOR_EXTRAS_R5, **ANCHOR_EXTRAS_R7, **ANCHOR_EXTRAS_R8,
-            **ANCHOR_EXTRAS_R9, **ANCHOR_EXTRAS_R10,
+            **ANCHOR_EXTRAS_R9, **ANCHOR_EXTRAS_R10, **ANCHOR_EXTRAS_R11,
         }
         out["vs_anchor_extras_r5_normalized"] = {
             n: round(t / anchor_extras[n] / max(load, 1.0), 2)

@@ -37,7 +37,13 @@ semi-join rewrite, exercising ExistenceJoin/mark-join decorrelation),
 rank windows INSIDE derived tables (r10 — top-keep-per-partition
 self-scans the outer spec aggregates/windows over), correlated scalar
 subqueries in HAVING (r10 — correlation key forced into GROUP BY,
-empty-group-safe forms), CASE /
+empty-group-safe forms; correlated EXISTS there since r11, a semi-join
+under the Aggregate), FULL OUTER joins inside derived tables (r11 —
+base-columns-only projection makes the unmatched-right rows identical
+and digest-safe while every downstream clause runs over NULL keys),
+explicit GROUPING SETS (r11 — rollup's guards generalized), IN over
+NULL-BEARING inner lists (r11 — the three-valued-logic trap, on
+purpose), LAG / NTILE windows (r11), CASE /
 integer-arithmetic / GREATEST-LEAST projections (r7), and
 ORDER BY ... LIMIT tails with explicit direction + null ordering.  Exactness discipline:
 integer aggregates pinned to BIGINT; doubles appear raw, through one
@@ -147,6 +153,14 @@ class Spec:
         #     derived tables feed whatever aggregation/windowing the
         #     outer spec layers on top, a planner path the top-level
         #     window site never reaches)
+        #   ("fjoin", right, on, rpred) — FULL OUTER JOIN against a
+        #     filtered join partner, projecting ONLY the base table's
+        #     columns (r11): unmatched right rows collapse to identical
+        #     all-NULL base rows, which are digest-safe by the
+        #     interchangeable-identical-rows argument (the lineitem
+        #     full-row tiebreak / UNION ALL precedent), and unmatched
+        #     base rows exercise every downstream predicate/group/window
+        #     over genuinely NULL key columns
         self.offset = 0           # with order: LIMIT n OFFSET m
         self.dbl_out: set[str] = set()  # output aliases that are doubles
         self.preds: list[str] = []
@@ -166,6 +180,15 @@ class Spec:
         #   (INTERSECT binds tighter in both engines) never decides
         self.preds_c: list[str] = []      # setop mode: third-branch WHERE
         self.rollup = False               # agg mode: GROUP BY ROLLUP
+        self.gsets = None                 # agg mode (r11): explicit
+        #   GROUPING SETS as a list of column-name lists (always
+        #   includes the full group; may include the empty set).  Same
+        #   portability guards as rollup: the identity HAVING
+        #   COUNT(*) >= 1 collapses DuckDB's standard empty-input rows,
+        #   the join-equality propagation trap skips the shape, and
+        #   correlated HAVING never pairs with it (the Expand node under
+        #   the Aggregate is the same one that breaks outer grouping-
+        #   column resolution under ROLLUP — r10 asymmetry)
         self.order: tuple[str, int] | None = None  # (ORDER BY sql, LIMIT n)
 
     def sql(self) -> str:
@@ -181,6 +204,19 @@ class Spec:
                 frm = (
                     f"(SELECT * FROM {self.table} WHERE {pa} {op} "
                     f"SELECT * FROM {self.table} WHERE {pb}) AS {self.table}"
+                )
+            elif self.derived[0] == "fjoin":
+                # FULL OUTER JOIN derived table (r11): only the base
+                # table's columns are projected, so unmatched right rows
+                # become identical all-NULL rows (digest-safe — see the
+                # __init__ note) and the right side stays filtered to
+                # keep both unmatched populations non-empty
+                _tag, right, on, rpred = self.derived
+                cols = ", ".join(_derived_cols(self.table))
+                frm = (
+                    f"(SELECT {cols} FROM {self.table} FULL OUTER JOIN "
+                    f"(SELECT * FROM {right} WHERE {rpred}) AS {right} "
+                    f"ON {on}) AS {self.table}"
                 )
             else:
                 # ("win", part, pred, keep): rank window INSIDE the
@@ -227,6 +263,18 @@ class Spec:
                 # non-empty group and collapses the divergent row, so
                 # rollup plans stay portable without shrinking the
                 # tested surface.
+                if not having:
+                    having = "COUNT(*) >= 1"
+            elif self.group and self.gsets:
+                # r11: explicit GROUPING SETS — the generalization
+                # ROLLUP/CUBE are sugar for; carries the same empty-
+                # input identity guard as rollup (DuckDB emits the
+                # standard's rows for every empty grouping set where
+                # Spark emits none)
+                sets = ", ".join(
+                    "(" + ", ".join(g) + ")" for g in self.gsets
+                )
+                grp = f" GROUP BY GROUPING SETS ({sets})"
                 if not having:
                     having = "COUNT(*) >= 1"
             elif self.group:
@@ -304,6 +352,8 @@ class Spec:
             out.append(("having", lambda s: setattr(s, "having", None)))
         if self.rollup:
             out.append(("rollup", lambda s: setattr(s, "rollup", False)))
+        if self.gsets:
+            out.append(("gsets", lambda s: setattr(s, "gsets", None)))
         if self.order is not None:
             out.append(("order", lambda s: setattr(s, "order", None)))
         if self.derived is not None:
@@ -450,6 +500,19 @@ def _pred(rng, spec, str_values, allow_subquery=True):
                 return ex
             if kind == 7:
                 lk, rk = [s.strip() for s in on.split("=")]
+                # r11: IN over a NULL-BEARING inner list — the classic
+                # three-valued-logic trap, deliberately in the grammar:
+                # x IN (S ∪ {NULL}) is NULL (WHERE-filtered) when x
+                # matches nothing, and x NOT IN (S ∪ {NULL}) is never
+                # TRUE — both by the standard, so the engines must agree
+                # row-for-row or one of them short-circuits wrongly.
+                if rng.random() < 0.3:
+                    neg = "NOT " if rng.random() < 0.3 else ""
+                    return (
+                        f"{lk} {neg}IN (SELECT CASE WHEN {rk} % "
+                        f"{rng.randint(2, 5)} = 0 THEN NULL ELSE {rk} END "
+                        f"FROM {right} WHERE {inner})"
+                    )
                 # r8: NOT IN joins the grammar.  Safe three-valued-wise:
                 # rk is the right table's JOIN KEY, non-null by
                 # construction in every gate table, so NOT IN never goes
@@ -558,6 +621,19 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
             _pred(rng, spec, str_values, allow_subquery=False),
             rng.randint(2, 40),
         )
+    # r11: FULL OUTER JOIN inside a derived table — the one join type
+    # the top-level join site skips (its null-on-EITHER-side rows break
+    # the per-side tiebreak analysis there); here only base columns are
+    # projected, so the all-NULL unmatched-right rows are identical and
+    # digest-safe, and every downstream pred/group/window runs over
+    # genuinely NULL key columns (the three-valued surface)
+    elif spec.join is None and JOINS[spec.table] and rng.random() < 0.12:
+        right, on = rng.choice(JOINS[spec.table])
+        r_ints = TABLES[right][1]
+        spec.derived = (
+            "fjoin", right, on,
+            f"{rng.choice(r_ints)} % {rng.randint(2, 7)} = 0",
+        )
     for _ in range(rng.randrange(3)):
         spec.preds.append(_pred(rng, spec, str_values))
     ints, strs, dbls = _cols_in_scope(spec)
@@ -628,6 +704,25 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
                 keys = {k.strip() for k in on.split("=")}
                 if keys <= set(spec.group):
                     spec.rollup = False
+        # r11: explicit GROUPING SETS — always the full group, plus a
+        # prefix subset and/or the grand-total set.  Same portability
+        # guards as rollup (see Spec.sql and the r6 seed-375 trap)
+        if not spec.rollup and rng.random() < 0.15:
+            subs = [list(spec.group)]
+            if len(spec.group) > 1:
+                subs.append(spec.group[:1])
+            if rng.random() < 0.5:
+                subs.append([])
+            if len(subs) > 1:
+                spec.gsets = subs
+            if spec.gsets and spec.join is not None:
+                ons = [spec.join[1]] + (
+                    [spec.join2[1]] if spec.join2 is not None else []
+                )
+                for on in ons:
+                    keys = {k.strip() for k in on.split("=")}
+                    if keys <= set(spec.group):
+                        spec.gsets = None
         if rng.random() < 0.4:
             cmp_ = rng.choice([">", ">="])
             # r10: correlated scalar subquery in HAVING — the correlation
@@ -646,25 +741,42 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
             # test_correlated_having_under_rollup_is_guarded).
             if (
                 spec.join is None and JOINS[spec.table] and not spec.rollup
-                and rng.random() < 0.35
+                and spec.gsets is None and rng.random() < 0.35
             ):
+                # gsets guard (r11): GROUPING SETS plan through the same
+                # Expand node as ROLLUP, where Spark 4.1 cannot resolve
+                # outer grouping-column refs in HAVING subqueries (the
+                # r10 seed-251 asymmetry) — correlated HAVING pairs with
+                # plain GROUP BY only
                 right, on = rng.choice(JOINS[spec.table])
                 lk = on.split("=")[0].strip()
                 if lk not in spec.group:
                     spec.group.append(lk)
                 r_ints = TABLES[right][1]
                 inner = f"{rng.choice(r_ints)} % {rng.randint(2, 7)} = 0"
-                if rng.random() < 0.5:
+                r = rng.random()
+                if r < 0.34:
                     spec.having = (
                         f"MIN({rng.choice(ints)}) <= COALESCE((SELECT "
                         f"MAX({rng.choice(r_ints)}) FROM {right} WHERE "
                         f"{on} AND {inner}), {rng.randint(0, 40)})"
                     )
-                else:
+                elif r < 0.67:
                     spec.having = (
                         f"COUNT(*) >= COALESCE((SELECT "
                         f"MIN({rng.choice(r_ints)}) % {rng.randint(2, 5)} "
                         f"FROM {right} WHERE {on} AND {inner}), 0) + 1"
+                    )
+                else:
+                    # r11: correlated EXISTS in HAVING — a semi-join
+                    # under the Aggregate, a decorrelation site the
+                    # scalar forms never reach.  The COUNT(*) >= 1
+                    # conjunct keeps the NULL-or-false-on-empty-groups
+                    # invariant every HAVING form carries (r6 guard).
+                    neg = "NOT " if rng.random() < 0.3 else ""
+                    spec.having = (
+                        f"COUNT(*) >= 1 AND {neg}EXISTS (SELECT 1 FROM "
+                        f"{right} WHERE {on} AND {inner})"
                     )
             else:
                 # r8: HAVING over real aggregates, not just COUNT(*).
@@ -792,6 +904,19 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
                         f"ORDER BY {ic} NULLS FIRST RANGE BETWEEN "
                         f"{rng.randint(1, 20)} PRECEDING AND CURRENT ROW) "
                         f"AS BIGINT) AS w0",
+                        # r11: LAG over the total-order tiebreak — the
+                        # partition-start NULL is COALESCE-pinned so the
+                        # digest never stringifies an engine default;
+                        # ties exist only between identical rows (the
+                        # fjoin all-NULL population), where LAG reads an
+                        # identical neighbor either way
+                        f"CAST(COALESCE(LAG({ic}, 1) OVER (PARTITION BY "
+                        f"{part} ORDER BY {tb}), -1) AS BIGINT) AS w0",
+                        # r11: NTILE — bucket boundaries are a pure
+                        # function of the deterministic total order; CAST
+                        # unifies Spark's INT with DuckDB's BIGINT
+                        f"CAST(NTILE({rng.randint(2, 5)}) OVER (PARTITION "
+                        f"BY {part} ORDER BY {tb}) AS BIGINT) AS w0",
                     ]
                 )
             )

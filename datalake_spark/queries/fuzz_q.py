@@ -20,7 +20,11 @@ WHERE, EXISTS under OR — each a planner path the prior grammar never
 reached), freezing the late-r8 LATERAL extension into a full-size
 gate.  r10: 100 -> 120 seeds alongside grammar round 6 (rank windows
 INSIDE derived tables, correlated scalar subqueries in HAVING with the
-correlation key forced into GROUP BY, multi-level set-op nesting).  The Spark side and the DuckDB oracle share
+correlation key forced into GROUP BY, multi-level set-op nesting).
+r11: 120 -> 140 seeds alongside grammar round 7 (FULL OUTER joins
+inside derived tables, explicit GROUPING SETS, correlated EXISTS in
+HAVING, NULL-bearing IN-subquery lists — the three-valued trap — and
+LAG/NTILE windows).  The Spark side and the DuckDB oracle share
 the identical CORE plan text; only the md5->int digest plumbing
 differs per engine (Spark spells it CONV(SUBSTR(MD5 ..)), DuckDB
 CAST('0x' || SUBSTR(md5 ..))) — the repo's standing portable-hash
@@ -38,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from datalake_spark.fuzzgen import TABLES, gate_safe, generate
 from datalake_spark.functions.hashing import sql_md5hash60
 
-_N_GATE_PLANS = 120
+_N_GATE_PLANS = 140
 _MOD = 1_000_000_007
 
 

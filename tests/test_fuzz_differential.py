@@ -334,6 +334,29 @@ class TestDifferentialFuzz:
             f"FROM {win_derived} GROUP BY 1 " + corr_having
         )
         assert mismatch(spark_tables, duck, q2) is None
+        # r11: the FULL-OUTER-join derived shape (NULL c_nationkey rows
+        # from the unmatched right side correlate to nothing — the
+        # COALESCE arm must agree) and the correlated-EXISTS HAVING form
+        fjoin_derived = (
+            "(SELECT c_custkey, c_nationkey, c_name, c_mktsegment, "
+            "c_acctbal FROM customer FULL OUTER JOIN "
+            "(SELECT * FROM nation WHERE n_regionkey % 2 = 0) AS nation "
+            "ON c_nationkey = n_nationkey) AS customer"
+        )
+        q3 = (
+            f"SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS agg0 "
+            f"FROM {fjoin_derived} GROUP BY 1 " + corr_having
+        )
+        assert mismatch(spark_tables, duck, q3) is None
+        exists_having = (
+            "HAVING COUNT(*) >= 1 AND EXISTS (SELECT 1 FROM nation "
+            "WHERE c_nationkey = n_nationkey AND n_regionkey % 2 = 0)"
+        )
+        q4 = (
+            f"SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS agg0 "
+            f"FROM {setop_derived} GROUP BY 1 " + exists_having
+        )
+        assert mismatch(spark_tables, duck, q4) is None
 
     def test_shrinker_reduces_a_planted_mismatch(self, spark_tables, duck):
         """Sanity-check the shrinking machinery itself with a spec whose

@@ -85,6 +85,7 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 SF1_DIR = "/root/repo/.sf1"
+SF10_DIR = "/root/repo/.sf10"
 # the sf-sensitive set (PARITY_sf1.md findings 1-4 + their guards)
 SF1_ENTRIES = [
     "simhash_pairs", "fuzzy_join_lev1", "dl_latest_all",
@@ -226,24 +227,33 @@ def _sf1_concurrency_stress(spark, sf_dir: str) -> bool:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _ensure_sf1() -> str:
+def _ensure_sfn(dst: str, k: int, label: str) -> str:
     import os
 
-    if not os.path.isfile(f"{SF1_DIR}/lineitem.parquet"):
-        print(f"building sf1.0 testdata at {SF1_DIR} (one-time, ~2 min)")
+    if not os.path.isfile(f"{dst}/lineitem.parquet"):
+        print(f"building {label} testdata at {dst} (one-time)")
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from make_sfn import build
 
-        build("/root/testdata/sf0.1", SF1_DIR, 10)
-    return SF1_DIR
+        build("/root/testdata/sf0.1", dst, k)
+    return dst
 
 
 def main() -> int:
     argv = list(sys.argv[1:])
     sf1_mode = "--sf1" in argv
+    # r11: --sf10 — the NEXT order of magnitude (100x tiles, ~60 M
+    # lineitem rows): same sf-sensitive entry list, no concurrency
+    # stress (the sf1 one already covers the protocol; at 100x it would
+    # dominate the budget).  One-time build ~15 min + ~6 GB disk.
+    sf10_mode = "--sf10" in argv
     if sf1_mode:
         argv.remove("--sf1")
-        sf_dir = _ensure_sf1()
+        sf_dir = _ensure_sfn(SF1_DIR, 10, "sf1.0")
+        only = set(argv) or set(SF1_ENTRIES)
+    elif sf10_mode:
+        argv.remove("--sf10")
+        sf_dir = _ensure_sfn(SF10_DIR, 100, "sf10")
         only = set(argv) or set(SF1_ENTRIES)
     else:
         sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
@@ -252,7 +262,7 @@ def main() -> int:
 
     qs = dict(entrymod.queries())
     oracles = dict(entrymod.oracle_sql())
-    if sf1_mode:
+    if sf1_mode or sf10_mode:
         # battery subs run standalone: their parent batteries carry
         # sf1.0-hostile siblings (embedding_near_dup's 20k^2 oracle)
         from datalake_spark.queries import registry
