@@ -311,6 +311,14 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--lm-reference", dest="lm_reference", default=None,
                     help="parquet path of clean reference text the "
                          "--quality-lm-threshold model trains on")
+    cu.add_argument("--dsir-target", dest="dsir_target", default=None,
+                    help="parquet path of target-distribution text: keep "
+                         "only the --dsir-top-n docs by DSIR importance "
+                         "weight (hashed-n-gram log-ratio vs this target; "
+                         "quarantine stage 'dsir_unselected')")
+    cu.add_argument("--dsir-top-n", dest="dsir_top_n", type=int,
+                    default=None,
+                    help="how many docs the --dsir-target selection keeps")
     return p
 
 
@@ -614,6 +622,11 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
                 spark.read.parquet(args.lm_reference)
                 if args.lm_reference else None
             ),
+            dsir_target=(
+                spark.read.parquet(args.dsir_target)
+                if args.dsir_target else None
+            ),
+            dsir_top_n=args.dsir_top_n,
             **semantic_kw,
         )
         print(_json.dumps(manifest, sort_keys=True), file=out)

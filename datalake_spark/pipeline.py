@@ -188,6 +188,9 @@ def curate_corpus(
     decontaminate_min_hits: int = 1,
     quality_lm_threshold: int | None = None,
     lm_reference: DataFrame | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_top_n: int | None = None,
+    dsir_num_buckets: int = 1024,
     **dedup_kwargs,
 ) -> DataFrame:
     """Quality rules then near-dup dedup; returns the surviving rows of
@@ -203,6 +206,15 @@ def curate_corpus(
     evidence is not junk evidence.  Runs before decontamination/dedup:
     likelihood filtering is the cheap stage, so it shrinks what the
     expensive stages see (the CCNet pipeline order).
+
+    With ``dsir_target`` + ``dsir_top_n``, a DSIR data-selection stage
+    (Xie et al. 2023; operators/dsir.py) runs after the LM stage: an
+    importance model trains on the target slice against the surviving
+    corpus, and only the ``dsir_top_n`` documents by importance weight
+    are kept (quarantine stage ``dsir_unselected``).  Selection before
+    decontamination/dedup for the same cost reason as the LM stage —
+    scoring is one broadcast join, so it shrinks what the expensive
+    stages see.
 
     With ``benchmark`` (an eval-set DataFrame with the same text
     column), a decontamination stage drops documents sharing >=
@@ -256,6 +268,29 @@ def curate_corpus(
                 F.lit("low_lm_quality").alias("drop_stage"),
             )
         kept = kept.join(low, F.col(id_col) == F.col("_lmid"), "left_anti")
+    dsir_dropped = None
+    if dsir_target is not None and dsir_top_n is not None:
+        from datalake_spark.operators.dsir import dsir_sample, dsir_train
+
+        model = dsir_train(
+            dsir_target, kept, text_col=text_col, id_col=id_col,
+            num_buckets=dsir_num_buckets,
+        )
+        selected = dsir_sample(
+            kept, model, dsir_top_n, text_col=text_col, id_col=id_col,
+            num_buckets=dsir_num_buckets,
+        ).select(F.col(id_col).alias("_dsid"))
+        if quarantine_path is not None:
+            dsir_dropped = kept.join(
+                selected, F.col(id_col) == F.col("_dsid"), "left_anti"
+            ).select(
+                *df.columns,
+                *[F.lit(True).alias(c) for c in RULE_COLS],
+                F.lit("dsir_unselected").alias("drop_stage"),
+            )
+        kept = kept.join(
+            selected, F.col(id_col) == F.col("_dsid"), "left_semi"
+        )
     decon_dropped = None
     if benchmark is not None:
         from datalake_spark.operators.dedup import decontaminate
@@ -334,6 +369,8 @@ def curate_corpus(
         drops = rule_drops.unionByName(dup_drops)
         if lm_dropped is not None:
             drops = drops.unionByName(lm_dropped)
+        if dsir_dropped is not None:
+            drops = drops.unionByName(dsir_dropped)
         if decon_dropped is not None:
             drops = drops.unionByName(decon_dropped)
         if span_emptied is not None:

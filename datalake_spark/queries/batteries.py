@@ -437,6 +437,11 @@ def _mk() -> list[Q]:
         Sub(q(pq, "lm_quality_score", "lm_quality_score", "LM_QUALITY_SQL"),
             {"doc_id": "v", "n_bigrams": "v", "oov_contexts": "v",
              "lm_score_micro": "v"}),
+        # r11: DSIR importance weighting (Xie et al. 2023) — the weights
+        # are genuine log-ratios, gated exactly via the fixed-point
+        # integer log2 (functions/intmath.py)
+        Sub(q(pq, "dsir_select", "dsir_select", "DSIR_SELECT_SQL"),
+            {"doc_id": "v", "n_feats": "v", "dsir_logw_fp": "v"}),
         Sub(q(pq, "weighted_sample", "weighted_sample",
               "WEIGHTED_SAMPLE_SQL"),
             {"source": "v", "doc_id": "v", "weight": "v", "priority": "v",

@@ -2596,6 +2596,89 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# dsir_select — DSIR importance weighting (Xie et al. 2023): score every
+# document by how much its hashed-n-gram distribution looks like the
+# TARGET slice (lang = 'en' here — the paper's "formal text" shape)
+# relative to the raw corpus.  log w(x) = sum over feature occurrences
+# of log p_target(bucket) - log p_raw(bucket), add-1-smoothed.  The log
+# is functions/intmath.log2_fp — the fixed-point integer digit
+# recurrence (square-and-extract) both engines compute bit-identically —
+# so the weights are BIGINTs the oracle reproduces exactly (2^20 times
+# the log2 weight); no float log-sums anywhere (the lm_quality_score
+# precedent, one level stronger: this one gates a genuine logarithm).
+# Plan: two feature-count shuffles reduce to the B-row model, scoring is
+# one explode + a B-row BROADCAST join + per-doc re-agg; the model is
+# parameter-sized (B = 1024), so broadcasting it is the codebook rule,
+# not a corpus broadcast.  At 100 TB the model is a standing artifact
+# trained once on the reference slice (operators/dsir.py docstring).
+# ---------------------------------------------------------------------------
+_DSIR_B = 1024
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_spark.operators.dsir import dsir_score, dsir_train
+
+    docs = load(spark, sf_dir, "documents")
+    model = dsir_train(
+        docs.filter(F.col("lang") == "en"), docs, num_buckets=_DSIR_B
+    )
+    return dsir_score(docs, model, num_buckets=_DSIR_B)
+
+
+def _dsir_sql() -> str:
+    from datalake_spark.functions.hashing import sql_md5hash60
+    from datalake_spark.functions.intmath import sql_log2_fp_cte
+
+    b = _DSIR_B
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS parts FROM documents),
+feats AS (
+  SELECT doc_id, lang, 'u:' || u.w AS feat
+  FROM t, LATERAL (SELECT unnest(parts) AS w) u
+  UNION ALL
+  SELECT doc_id, lang, 'b:' || parts[g.i] || ' ' || parts[g.i + 1]
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, len(parts) - 1)) AS i) g
+  WHERE len(parts) >= 2),
+fb AS (SELECT doc_id, lang, {sql_md5hash60('feat')} % {b} AS bucket
+       FROM feats),
+spine AS (SELECT unnest(generate_series(0, {b} - 1)) AS bucket),
+ct AS (SELECT spine.bucket, COALESCE(x.c, 0) AS c_t FROM spine
+       LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM fb
+                  WHERE lang = 'en' GROUP BY 1) x USING (bucket)),
+cr AS (SELECT spine.bucket, COALESCE(x.c, 0) AS c_r FROM spine
+       LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM fb GROUP BY 1) x
+       USING (bucket)),
+tot AS (SELECT (SELECT SUM(c_t) FROM ct) + {b} AS tb,
+               (SELECT SUM(c_r) FROM cr) + {b} AS rb),
+vals AS (SELECT DISTINCT CAST(v AS BIGINT) AS v FROM (
+  SELECT c_t + 1 AS v FROM ct UNION ALL SELECT c_r + 1 FROM cr
+  UNION ALL SELECT tb FROM tot UNION ALL SELECT rb FROM tot)),
+{sql_log2_fp_cte('SELECT v FROM vals')},
+model AS (
+  SELECT ct.bucket,
+         lt.log2fp + lrb.log2fp - lr.log2fp - ltb.log2fp AS llr_fp
+  FROM ct JOIN cr USING (bucket) CROSS JOIN tot
+  JOIN log2t lt ON lt.v = ct.c_t + 1
+  JOIN log2t lr ON lr.v = cr.c_r + 1
+  JOIN log2t ltb ON ltb.v = tot.tb
+  JOIN log2t lrb ON lrb.v = tot.rb),
+db AS (SELECT doc_id, bucket, COUNT(*) AS n FROM fb GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id, SUM(n) AS n_feats, SUM(n * llr_fp) AS w
+  FROM db JOIN model USING (bucket) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(COALESCE(s.w, 0) AS BIGINT) AS dsir_logw_fp
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+DSIR_SELECT_SQL = _dsir_sql()
+
+
 PMI_SQL = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
 bi AS (

@@ -345,6 +345,53 @@ class TestCurateCommand:
         assert stages[50] == "low_lm_quality"
         assert spark.read.parquet(outdir).filter("doc_id = 50").count() == 0
 
+    def test_curate_dsir_selection(self, spark, catalog_dir, tmp_path):
+        """--dsir-target + --dsir-top-n: the DSIR importance-selection
+        stage keeps the target-like docs and quarantines the rest as
+        'dsir_unselected' (r11, operators/dsir through the CLI)."""
+        src = str(tmp_path / "docs_dsir")
+        tgt = str(tmp_path / "dsir_tgt")
+        outdir = str(tmp_path / "shards_dsir")
+        quar = str(tmp_path / "quar_dsir")
+        rows = []
+        for i in range(8):
+            body = " ".join(
+                f"the science{i} paper a result{i}" for _ in range(6)
+            )
+            rows.append((i, body, "en"))
+        # off-target: rule-passing but feature-disjoint from the target
+        # (distinct per doc — identical texts would fall to the
+        # canonicality rule before DSIR ever sees them)
+        for i in (50, 51):
+            rows.append(
+                (i, " ".join(f"the spam{i}x{j} a promo{i}x{j}"
+                             for j in range(6)),
+                 "en"))
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).write.parquet(src)
+        spark.createDataFrame(
+            [(900 + i, t) for (i, t, _l) in rows[:8]],
+            "doc_id long, text string",
+        ).write.parquet(tgt)
+        rc, lines = _run(
+            spark,
+            ["curate", src, outdir, "--n-shards", "2",
+             "--dsir-target", tgt, "--dsir-top-n", "8",
+             "--quarantine", quar],
+            catalog_dir,
+        )
+        assert rc == 0
+        manifest = json.loads(lines[0])
+        assert manifest["curation"]["n_kept"] == 8
+        stages = {
+            r["doc_id"]: r["drop_stage"]
+            for r in spark.read.parquet(quar).collect()
+        }
+        assert stages == {50: "dsir_unselected", 51: "dsir_unselected"}
+        assert spark.read.parquet(outdir).filter(
+            "doc_id >= 50").count() == 0
+
     def test_curate_webdataset_format(self, spark, catalog_dir, tmp_path):
         from datalake_spark.export import read_webdataset_shard
 

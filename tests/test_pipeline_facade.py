@@ -329,6 +329,62 @@ class TestLmQualityStage:
         assert kept <= both
 
 
+class TestDsirStage:
+    """operators/dsir (importance resampling, r11) wired as the
+    curate_corpus selection stage."""
+
+    def _frames(self, spark):
+        target = spark.createDataFrame(
+            [(100 + i, "clean formal prose about science and history")
+             for i in range(3)],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "the clean formal prose about science topics here",
+                 "en"),
+                (2, "the zz spam buy now zz spam buy now zz", "en"),
+                (3, "the formal prose about history and science here",
+                 "en"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        return target, corpus
+
+    def test_selects_target_like_docs_and_quarantines_rest(
+        self, spark, tmp_path
+    ):
+        from datalake_spark.pipeline import curate_corpus
+
+        target, corpus = self._frames(spark)
+        qpath = str(tmp_path / "quar")
+        kw = dict(
+            rule_kwargs={"min_words": 5, "max_words": 100,
+                         "stopwords": ("the",), "stop_ratio_den": 200},
+        )
+        out = curate_corpus(
+            corpus, dsir_target=target, dsir_top_n=2,
+            quarantine_path=qpath, **kw,
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+        quar = {r["doc_id"]: r["drop_stage"]
+                for r in spark.read.parquet(qpath).collect()}
+        assert quar == {2: "dsir_unselected"}
+
+    def test_off_unless_both_params_given(self, spark):
+        from datalake_spark.pipeline import curate_corpus
+
+        target, corpus = self._frames(spark)
+        kw = dict(
+            rule_kwargs={"min_words": 5, "max_words": 100,
+                         "stopwords": ("the",), "stop_ratio_den": 200},
+        )
+        assert len(curate_corpus(corpus, **kw).collect()) == 3
+        assert len(
+            curate_corpus(corpus, dsir_target=target, **kw).collect()
+        ) == 3  # top_n missing -> stage skipped
+
+
 class TestDecontaminationStage:
     def test_contaminated_docs_quarantined_with_stage(self, spark, tmp_path):
         from datalake_spark.pipeline import curate_corpus
