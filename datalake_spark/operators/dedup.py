@@ -230,13 +230,19 @@ def minhash_lsh_pairs(
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
-    # exact verify on candidates only, via UNHINTED joins of the candidate
-    # pairs against the per-doc hash lists.  No broadcast hint on the sig
-    # sides: at bench scale AQE converts these to broadcasts of the SMALL
-    # side (the pairs), and at 100 TB it keeps shuffled joins — either way
-    # the corpus-wide hash lists are never broadcast (the r1 form hinted
-    # broadcast(sig) and would OOM the moment the corpus outgrew the
-    # driver).  Both join sides read the persisted sig (see above).
+    # exact verify on candidates only, via SHUFFLE-MERGE-hinted joins of
+    # the candidate pairs against the per-doc hash lists.  Neither side
+    # may be broadcast: the sig side is the corpus (the r1 lesson), and
+    # the PAIRS side scales with corpus × dup-density — the r11 sf10
+    # parity run (500k docs in ~100-way exact-dup clusters → ~25M
+    # candidate pairs) killed the driver with "Not enough memory to
+    # build and broadcast" when AQE's compressed-shuffle-bytes estimate
+    # approved a pairs broadcast whose hashed-relation build was ~30×
+    # the wire size.  The pre-r11 form left these joins unhinted on the
+    # theory that AQE picks broadcast only when safe; sf10 disproved it,
+    # so the scale-correct plan (two shuffled joins, both sides already
+    # key-partitioned) is now pinned.  Both join sides read the
+    # persisted sig (see above).
     # Shingle identity is its xxhash64; a false collision needs two distinct
     # shingles of one doc pair agreeing in 64 bits (P ≈ n²/2^64 per pair —
     # negligible against the gate's exact oracle).
@@ -251,8 +257,8 @@ def minhash_lsh_pairs(
         F.col("_n_sh").alias("_n_b"),
     )
     verified = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(sa.hint("shuffle_merge"), "doc_a")
+        .join(sb.hint("shuffle_merge"), "doc_b")
         .withColumn("n_common", _intersect_count("_hps_a", "_hps_b"))
         .withColumn(
             "jaccard",
@@ -418,8 +424,11 @@ def ngram_jaccard_pairs(
         F.col("_n_sh").alias("_n_b"),
     )
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        # shuffle-merge pinned: the pairs side is corpus-scaling (see
+        # minhash_lsh_pairs — the r11 sf10 broadcast-build OOM), so
+        # neither verify side may be broadcast
+        pairs.join(sa.hint("shuffle_merge"), "doc_a")
+        .join(sb.hint("shuffle_merge"), "doc_b")
         .withColumn("n_common", _intersect_count("_hps_a", "_hps_b"))
         .withColumn(
             "jaccard",
@@ -1127,8 +1136,11 @@ def minhash_incremental_pairs(
         F.col("_n_sh").alias("_n_b"),
     )
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        # shuffle-merge pinned: the pairs side is corpus-scaling (see
+        # minhash_lsh_pairs — the r11 sf10 broadcast-build OOM), so
+        # neither verify side may be broadcast
+        pairs.join(sa.hint("shuffle_merge"), "doc_a")
+        .join(sb.hint("shuffle_merge"), "doc_b")
         .withColumn("n_common", _intersect_count("_hps_a", "_hps_b"))
         .withColumn(
             "jaccard",

@@ -166,6 +166,49 @@ def test_semantic_norms_never_broadcast(spark):
         spark.catalog.clearCache()
 
 
+def test_near_dup_verify_joins_never_broadcast(spark):
+    """r11 sf10 finding: the candidate-pair verify joins (pairs vs the
+    per-doc hash lists) left BOTH sides unhinted, trusting AQE to
+    broadcast only when safe — and at sf10 (500k docs in ~100-way
+    exact-dup clusters, ~25M candidate pairs) AQE's compressed-shuffle-
+    bytes estimate approved a pairs broadcast whose hashed-relation
+    build OOMed the driver.  The pairs frame scales with corpus ×
+    dup-density, so broadcast is structurally wrong at ANY sf; the
+    operators now pin shuffle_merge.  This executes each near-dup op
+    under production AQE settings and walks the FINAL adaptive plan:
+    no broadcast join keyed on the pair columns may appear (at test
+    scale the pairs side IS tiny, so an unhinted regression would be
+    broadcast here — exactly what must fail)."""
+    from datalake_spark.operators import dedup as dedup_ops
+    from datalake_spark.queries import load, registry
+    from datalake_spark.queries.batteries import BATTERY_SUBS
+
+    qs = {q.name: q.build for q in registry()}
+    for subs in BATTERY_SUBS.values():
+        for sub in subs:
+            qs.setdefault(sub.q.name, sub.q.build)
+    # the production capped form (the gate's ngram_jaccard is the
+    # documented oracle-only uncapped twin — different plan on purpose)
+    qs["ngram_jaccard_pairs"] = lambda s, d: dedup_ops.ngram_jaccard_pairs(
+        load(s, d, "documents")
+    )
+    for name in ("minhash_lsh_dedup", "ngram_jaccard_pairs",
+                 "minhash_incremental"):
+        spark.catalog.clearCache()
+        df = qs[name](spark, SF_DIR)
+        df.collect()  # finalize the adaptive plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            ln.strip() for ln in plan.splitlines()
+            if "BroadcastHashJoin" in ln
+            and ("doc_a" in ln or "doc_b" in ln)
+        ]
+        assert not bad, (name, bad)
+        assert plan.count("SortMergeJoin") >= 2, (
+            name, "verify joins are not sort-merge anymore")
+    spark.catalog.clearCache()
+
+
 def test_mixture_ops_never_window_the_corpus_by_source(spark):
     """r9 judge finding 2: budget_mix / weighted_sample computed their
     cumsum / rank with a window PARTITION BY source over the corpus —
