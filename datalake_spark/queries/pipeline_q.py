@@ -192,8 +192,24 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_JACCARD_SQL = """
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+WITH rep AS (
+  -- contract identical texts to their min-id representative BEFORE the
+  -- quadratic shingle self-join (the DEDUP_CLUSTERS_SQL trick, lifted
+  -- to the PAIR oracle in r11): identical texts have identical shingle
+  -- SETS, so every member pair's (n_common, jaccard) equals its rep
+  -- pair's values exactly and same-text pairs are (n_sh, 1.0) by
+  -- definition — the expansion below is value-identity, not
+  -- approximation.  Cost drops from O(sum df^2) over the corpus to
+  -- O(sum df^2) over DISTINCT texts + O(|output|): the r11 sf10 parity
+  -- corpus (500k docs in ~100-way duplicate tiles) made the uncontracted
+  -- form spill >56 GB of DuckDB temp and die; the contracted form
+  -- emits the same ~25M pairs from a 5k-rep join
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+  FROM documents),
+w AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS words
+  FROM documents d JOIN rep ON rep.doc_id = d.doc_id
+  WHERE rep.rep_id = d.doc_id),
 sh AS (
   -- shingles join/group on their md5-60 int, not the raw string: the
   -- sf1.0 run showed the string self-join intermediate (sum df^2 ~ 279M
@@ -208,13 +224,31 @@ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b, n_common,
-       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+  GROUP BY 1, 2),
+rpairs AS (
+  SELECT doc_a, doc_b, n_common,
+         CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+           AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5)
+-- expand each qualifying rep pair to every (member_a, member_b) pair
+SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+       GREATEST(ma.doc_id, mb.doc_id) AS doc_b,
+       p.n_common, p.jaccard
+FROM rpairs p
+JOIN rep ma ON ma.rep_id = p.doc_a
+JOIN rep mb ON mb.rep_id = p.doc_b
+UNION ALL
+-- same-text member pairs: full-overlap by definition (only for reps
+-- with a non-empty shingle set — shingle-less docs pair with nothing,
+-- exactly as in the uncontracted form)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, s.n_sh AS n_common,
+       CAST(1 AS DOUBLE) AS jaccard
+FROM rep a
+JOIN rep b ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id
+JOIN sizes s ON s.doc_id = a.rep_id
 """
 
 
