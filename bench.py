@@ -350,7 +350,7 @@ def main() -> None:
         # re-anchored on the trained-codebook plan)
         "table_profile_approx", "ann_ivfpq_topk", "lm_quality_score",
         # r11 additions (no frozen anchor yet — first round on the board)
-        "ann_index_lifecycle",
+        "ann_index_lifecycle", "dsir_select",
     ]
     # r11: extras are min-of-2 too — the single-pass exposure was the
     # other half of the per-round IO-era adjudication tax (the extras

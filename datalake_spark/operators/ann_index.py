@@ -103,6 +103,7 @@ class IvfPqIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         store: ObjectStore | None = None,
+        residual: bool = False,
     ):
         self.spark = spark
         self.store = store if store is not None else open_store(root)
@@ -112,6 +113,11 @@ class IvfPqIndex:
         self.train_iters = train_iters
         self.id_col = id_col
         self.vec_col = vec_col
+        # IVFADC residual layout (similarity.pq_encode centroids= /
+        # ivfpq_search residual=True).  Like m/ksub, the committed
+        # manifest is the authority once built — a reopened handle
+        # serves with the layout the index was written in.
+        self.residual = residual
 
     # -- plumbing --------------------------------------------------------
 
@@ -143,14 +149,17 @@ class IvfPqIndex:
             candidates, self.num_centroids,
             id_col=self.id_col, vec_col=self.vec_col,
         )
+        cells = assign.select("c_id", "cent_id")
+        rcents = cents if self.residual else None
         cb = pq_train(
             candidates, m=self.m, ksub=self.ksub, iters=self.train_iters,
             id_col=self.id_col, vec_col=self.vec_col, frames_out=frames,
+            cells=cells if self.residual else None, centroids=rcents,
         )
-        cells = assign.select("c_id", "cent_id")
         codes = pq_encode(
             candidates, cb, m=self.m,
             id_col=self.id_col, vec_col=self.vec_col, cells=cells,
+            centroids=rcents,
         )
         cents.write.mode("overwrite").parquet(self._url(vdir, self.CENTS))
         cb.write.mode("overwrite").parquet(self._url(vdir, self.CB))
@@ -169,6 +178,7 @@ class IvfPqIndex:
                 "m": self.m,
                 "ksub": self.ksub,
                 "num_centroids": self.num_centroids,
+                "residual": self.residual,
             },
         )
 
@@ -213,6 +223,9 @@ class IvfPqIndex:
             codes = pq_encode(
                 new, cb, m=int(m["m"]),
                 id_col=self.id_col, vec_col=self.vec_col, cells=cells,
+                # manifest, not constructor: appended codes must use the
+                # layout the index was BUILT with
+                centroids=cents if m.get("residual") else None,
             )
             codes.write.mode("overwrite").partitionBy("cent_id").parquet(
                 self._url(vdir, self.CODES, f"epoch={epoch}")
@@ -230,6 +243,7 @@ class IvfPqIndex:
                         "m": m["m"],
                         "ksub": m["ksub"],
                         "num_centroids": m["num_centroids"],
+                        "residual": bool(m.get("residual", False)),
                     },
                 )
             except CommitConflict as e:
@@ -255,6 +269,7 @@ class IvfPqIndex:
         return ivfpq_search(
             cents, cb, codes, queries, k=k, nprobe=nprobe, m=int(m["m"]),
             id_col=self.id_col, vec_col=self.vec_col,
+            residual=bool(m.get("residual", False)),
         )
 
     # -- streaming maintenance -------------------------------------------

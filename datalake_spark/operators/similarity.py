@@ -460,20 +460,58 @@ def _pq_d_sub(m: int):
     )
 
 
-def _pq_subvectors(
-    df: DataFrame, m: int, id_col: str, vec_col: str
+def _pq_quantized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cells: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """(c_id, sub, sv_micro): every vector unit-normalized, micro-quantized
-    (functions/vectors.quantize_micro_unit) and sliced into its ``m``
-    subvectors — the exploded representation pq_encode's nearest-codeword
-    assignment and pq_train's Lloyd rounds both consume."""
+    """(c_id, _qv): every vector unit-normalized and micro-quantized
+    (functions/vectors.quantize_micro_unit).  With ``cells`` (c_id,
+    cent_id) AND ``centroids`` (cent_id, cent_vec), _qv is instead the
+    RESIDUAL on the micro grid — qv(vector) − qv(cell centroid),
+    elementwise exact BIGINT subtraction (the IVFADC representation,
+    Jégou et al. 2011 §III-C: residuals concentrate around the origin,
+    so the same codebook budget quantizes them with less error than the
+    raw vectors).  The cells join is SHUFFLED (corpus-sized); only the
+    num_centroids-row centroid frame broadcasts."""
     from datalake_spark.functions.vectors import quantize_micro_unit
 
-    d_sub = _pq_d_sub(m)
-    return df.select(
+    base = df.select(
         F.col(id_col).alias("c_id"),
         quantize_micro_unit(F.col(vec_col)).alias("_qv"),
-    ).select(
+    )
+    if cells is not None and centroids is not None:
+        cm = centroids.select(
+            "cent_id",
+            quantize_micro_unit(F.col("cent_vec")).alias("_cm"),
+        )
+        base = (
+            base.join(cells.select("c_id", "cent_id"), "c_id")
+            .join(F.broadcast(cm), "cent_id")
+            .select(
+                "c_id",
+                F.zip_with("_qv", "_cm", lambda a, b: a - b).alias("_qv"),
+            )
+        )
+    return base
+
+
+def _pq_subvectors(
+    df: DataFrame,
+    m: int,
+    id_col: str,
+    vec_col: str,
+    cells: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(c_id, sub, sv_micro): the :func:`_pq_quantized` representation
+    (raw or residual) sliced into its ``m`` subvectors — the exploded
+    form pq_encode's nearest-codeword assignment and pq_train's Lloyd
+    rounds both consume."""
+    d_sub = _pq_d_sub(m)
+    return _pq_quantized(df, id_col, vec_col, cells, centroids).select(
         "c_id",
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
         F.slice(F.col("_qv"), F.col("sub") * d_sub + 1, d_sub).alias(
@@ -515,6 +553,8 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     frames_out: list | None = None,
+    cells: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Train PQ codebooks as a PERSISTABLE frame: (sub, code, cb_micro).
 
@@ -551,17 +591,22 @@ def pq_train(
 
     ``frames_out`` (optional list): receives every frame this call
     persisted (the exploded subvectors + each round's codebook), the
-    kmeans_iterate cache-release discipline."""
-    from datalake_spark.functions.vectors import quantize_micro_unit
+    kmeans_iterate cache-release discipline.
 
+    ``cells`` + ``centroids`` (r11): train on IVFADC RESIDUALS —
+    subvectors of qv(vector) − qv(cell centroid) (see
+    :func:`_pq_quantized`); the coreset seed uses the same residual
+    representation, so codebooks model the residual distribution the
+    codes will actually quantize."""
     base = (
-        candidates.orderBy(id_col)
+        _pq_quantized(candidates, id_col, vec_col, cells, centroids)
+        .orderBy("c_id")
         .limit(ksub)
         .select(
             (
-                F.row_number().over(W.orderBy(id_col)) - F.lit(1)
+                F.row_number().over(W.orderBy("c_id")) - F.lit(1)
             ).alias("code"),
-            quantize_micro_unit(F.col(vec_col)).alias("_qv"),
+            "_qv",
         )
     )
     d_sub = _pq_d_sub(m)
@@ -580,7 +625,9 @@ def pq_train(
         return cb
     # persisted: sv feeds one assign join + one update join per round —
     # each would re-run the quantize+slice lineage against the source
-    sv = _pq_subvectors(candidates, m, id_col, vec_col).persist()
+    sv = _pq_subvectors(
+        candidates, m, id_col, vec_col, cells, centroids
+    ).persist()
     if frames_out is not None:
         frames_out.append(sv)
     for _ in range(iters):
@@ -631,6 +678,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cells: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Encode every candidate to its per-subspace nearest codeword:
     (c_id, sub, code) — m small ints per vector, the standing compressed
@@ -647,11 +695,20 @@ def pq_encode(
     partition pruning on top of PQ's compression.  The join is shuffled,
     never broadcast: cells is corpus-sized (the r1 norms lesson).
 
+    ``centroids`` (r11, requires ``cells``): encode IVFADC RESIDUALS —
+    the codes quantize qv(vector) − qv(cell centroid) against codebooks
+    trained with the same ``cells``/``centroids`` (see
+    :func:`pq_train`); :func:`ivfpq_search` must then be called with
+    ``residual=True`` so the query side subtracts the probed cell's
+    centroid before the ADC table lookup.
+
     Assignment is :func:`_pq_assign` — argmin via min_by, not a rank
     window (map-side partial merge; value-pinned by the
     ANN_PQ/ANN_IVFPQ oracles)."""
-    out = _pq_assign(_pq_subvectors(candidates, m, id_col, vec_col),
-                     codebooks)
+    out = _pq_assign(
+        _pq_subvectors(candidates, m, id_col, vec_col, cells, centroids),
+        codebooks,
+    )
     if cells is not None:
         out = out.join(cells.select("c_id", "cent_id"), "c_id")
     return out
@@ -746,6 +803,7 @@ def ivfpq_search(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ (Jégou et al. 2011 §V): the billion-vector serving layout —
     a coarse quantizer prunes WHICH codes are read, PQ compresses WHAT is
@@ -761,7 +819,16 @@ def ivfpq_search(
 
     ``nprobe >= num_centroids`` degrades gracefully to exact
     :func:`pq_search` semantics (every cell probed) — pinned by the
-    equality test in tests/test_operators.py."""
+    equality test in tests/test_operators.py.
+
+    ``residual=True`` (r11): the index stores IVFADC residual codes
+    (``pq_encode(..., centroids=)``), so the ADC lookup table is built
+    PER PROBED CELL — each (query, cell) pair subtracts the cell
+    centroid from the query on the micro grid before the codeword
+    distances, approximating ||q − x|| = ||(q − c) − (x − c)|| with the
+    residual codeword standing in for (x − c).  The table grows from
+    |Q|·m·ksub to |Q|·nprobe·m·ksub rows — still query-sized, still a
+    broadcast; the codes read is identically partition-pruned."""
     from datalake_spark.functions.vectors import quantize_micro_unit
 
     q = queries.select(
@@ -782,13 +849,37 @@ def ivfpq_search(
         .select("q_id", "cent_id")
     )
     d_sub = _pq_d_sub(m)
-    qsub = q.select(
-        "q_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        F.slice(F.col("_qv"), F.col("sub") * d_sub + 1, d_sub).alias(
-            "qv_micro"
-        ),
-    )
+    if residual:
+        cm = centroids.select(
+            "cent_id", quantize_micro_unit(F.col("cent_vec")).alias("_cm")
+        )
+        # per-(query, probed cell) residual, then slice: the ADC table
+        # carries cent_id so each cell's codes meet their own table rows
+        qres = (
+            q.join(F.broadcast(q_probe), "q_id")
+            .join(F.broadcast(cm), "cent_id")
+            .select(
+                "q_id", "cent_id",
+                F.zip_with("_qv", "_cm", lambda a, b: a - b).alias("_qv"),
+            )
+        )
+        qsub = qres.select(
+            "q_id", "cent_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.slice(F.col("_qv"), F.col("sub") * d_sub + 1, d_sub).alias(
+                "qv_micro"
+            ),
+        )
+        table_keys = ["q_id", "cent_id", "sub", "code"]
+    else:
+        qsub = q.select(
+            "q_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.slice(F.col("_qv"), F.col("sub") * d_sub + 1, d_sub).alias(
+                "qv_micro"
+            ),
+        )
+        table_keys = ["q_id", "sub", "code"]
     zero = F.lit(0).cast("long")
     dist = F.aggregate(
         F.zip_with(
@@ -801,14 +892,15 @@ def ivfpq_search(
     qtable = (
         qsub.join(F.broadcast(codebooks), "sub")
         .withColumn("_dist", dist)
-        .select("q_id", "sub", "code", "_dist")
+        .select(*[c for c in table_keys if c != "code"], "code", "_dist")
     )
     # probe-pruned ADC: codes ⋈ broadcast(probe) on the cell key — on a
     # cent_id-partitioned parquet index this is the partition-pruning
-    # read; qtable (|Q|·m·ksub rows) broadcasts like pq_search's
+    # read; qtable (|Q|·m·ksub rows, ·nprobe when residual) broadcasts
+    # like pq_search's
     adc = (
         codes.join(F.broadcast(q_probe), "cent_id")
-        .join(F.broadcast(qtable), ["q_id", "sub", "code"])
+        .join(F.broadcast(qtable), table_keys)
         .groupBy("q_id", "c_id")
         .agg(F.sum("_dist").alias("adc"))
     )
@@ -830,22 +922,33 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     train_iters: int = 2,
     frames_out: list | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ ANN in one call: :func:`ivf_index_build` (coarse cells) +
     :func:`pq_train`/:func:`pq_encode` (cell-tagged codes) +
     :func:`ivfpq_search`.  A standing pipeline builds once and writes
     centroids/codebooks/codes to parquet (codes partitioned by cent_id),
-    then serves every search from the stored index."""
+    then serves every search from the stored index.
+
+    ``residual=True`` is the full IVFADC form: codebooks train on and
+    codes quantize the per-cell residuals, and the search subtracts the
+    probed cell's centroid from the query — same plan shape, better
+    quantization fit (the codebook budget models a zero-centered
+    distribution instead of the raw sphere)."""
     cents, assign = ivf_index_build(
         candidates, num_centroids, id_col=id_col, vec_col=vec_col
     )
+    cells = assign.select("c_id", "cent_id")
+    rc = cells if residual else None
+    rcents = cents if residual else None
     cb = pq_train(candidates, m=m, ksub=ksub, iters=train_iters,
-                  id_col=id_col, vec_col=vec_col, frames_out=frames_out)
+                  id_col=id_col, vec_col=vec_col, frames_out=frames_out,
+                  cells=rc, centroids=rcents)
     codes = pq_encode(
         candidates, cb, m=m, id_col=id_col, vec_col=vec_col,
-        cells=assign.select("c_id", "cent_id"),
+        cells=cells, centroids=rcents,
     )
     return ivfpq_search(
         cents, cb, codes, queries, k=k, nprobe=nprobe, m=m,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, residual=residual,
     )

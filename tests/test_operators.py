@@ -1332,3 +1332,176 @@ class TestPq:
         all4 = {r["c_id"]: r["cosine"]
                 for r in similarity.brute_force_topk(q, c, k=4).collect()}
         assert all4[99] == -2.0
+
+
+class TestIvfPqResidual:
+    """IVFADC residual layout (r11, similarity.ivfpq_topk residual=True):
+    codes quantize qv(x) − qv(cell centroid), the search subtracts the
+    probed cell's centroid from the query.  No DuckDB oracle (the gate
+    keeps the raw layout — on the gate's ISOTROPIC synthetic embeddings
+    residuals measurably do not help: recall@5 0.37 residual vs 0.42 raw
+    at m=32/ksub=32, because random unit vectors give residuals no
+    concentration to exploit; the layout exists for real clustered
+    corpora, per Jégou et al. 2011 §III-C).  Verification here is a
+    pure-numpy integer replica of the ENTIRE pipeline — the BPE
+    reference-trainer precedent — plus determinism/partitioning pins.
+    """
+
+    M, KSUB, NC, NPROBE, K, NQ = 8, 8, 4, 2, 3, 3
+
+    def _numpy_reference(self, vecs):
+        """Replay quantize → cells → residuals → coreset+Lloyd → encode →
+        probe → ADC with plain-python integers (floats only where the
+        operators use fixed IEEE ops: norms and cosines)."""
+        import math
+
+        m, ksub, nc, nprobe, k, nq = (
+            self.M, self.KSUB, self.NC, self.NPROBE, self.K, self.NQ)
+
+        def qmicro(v):
+            return [math.floor(x * 1_000_000 + 0.5) for x in v]
+
+        def qunit(v):
+            qa = qmicro(v)
+            nsq = sum(x * x for x in qa)
+            nrm = math.sqrt(float(nsq)) if nsq > 0 else 1.0
+            return [math.floor(x / nrm * 1_000_000 + 0.5) for x in qa]
+
+        def cos(a, b):
+            qa, qb = qmicro(a), qmicro(b)
+            d = sum(x * y for x, y in zip(qa, qb))
+            den = math.sqrt(float(sum(x * x for x in qa))) * math.sqrt(
+                float(sum(x * x for x in qb)))
+            return d / den if den > 0 else -2.0
+
+        ids = sorted(vecs)
+        qids, cids = ids[:nq], ids[nq:]
+        cents = {cid: vecs[cid] for cid in cids[:nc]}
+        cell = {
+            c: max(cents, key=lambda ct: (cos(vecs[c], cents[ct]), -ct))
+            for c in cids
+        }
+        cm = {ct: qunit(v) for ct, v in cents.items()}
+        rv = {
+            c: [a - b for a, b in zip(qunit(vecs[c]), cm[cell[c]])]
+            for c in cids
+        }
+        d_sub = len(next(iter(rv.values()))) // m
+
+        def subs(v):
+            return [v[s * d_sub:(s + 1) * d_sub] for s in range(m)]
+
+        # coreset seed, then Lloyd rounds in the exact-integer discipline
+        cb = {(s, code): subs(rv[cid])[s]
+              for code, cid in enumerate(cids[:ksub]) for s in range(m)}
+        for _ in range(2):
+            assign = {
+                (c, s): min(
+                    range(ksub),
+                    key=lambda code: (
+                        sum((a - b) ** 2
+                            for a, b in zip(subs(rv[c])[s], cb[(s, code)])),
+                        code))
+                for c in cids for s in range(m)
+            }
+            nxt = {}
+            for s in range(m):
+                for code in range(ksub):
+                    members = [c for c in cids if assign[(c, s)] == code]
+                    if not members:
+                        nxt[(s, code)] = cb[(s, code)]
+                        continue
+                    n = len(members)
+                    comp = []
+                    for p in range(d_sub):
+                        num = 2 * sum(subs(rv[c])[s][p] for c in members) + n
+                        den = 2 * n
+                        comp.append((num - (num % den)) // den)
+                    nxt[(s, code)] = comp
+            cb = nxt
+        codes = {
+            (c, s): min(
+                range(ksub),
+                key=lambda code: (
+                    sum((a - b) ** 2
+                        for a, b in zip(subs(rv[c])[s], cb[(s, code)])),
+                    code))
+            for c in cids for s in range(m)
+        }
+        out = {}
+        for qid in qids:
+            probes = sorted(
+                cents, key=lambda ct: (-cos(vecs[qid], cents[ct]), ct)
+            )[:nprobe]
+            scored = []
+            for c in cids:
+                if cell[c] not in probes:
+                    continue
+                qr = [a - b
+                      for a, b in zip(qunit(vecs[qid]), cm[cell[c]])]
+                adc = sum(
+                    sum((a - b) ** 2
+                        for a, b in zip(subs(qr)[s], cb[(s, codes[(c, s)])]))
+                    for s in range(m))
+                scored.append((adc, c))
+            for rk, (adc, c) in enumerate(sorted(scored)[:k], start=1):
+                out[(qid, rk)] = (c, adc)
+        return out
+
+    def test_matches_pure_python_integer_reference(self, emb):
+        sample = emb.filter("vec_id < 60")
+        vecs = {r["vec_id"]: list(r["embedding"])
+                for r in sample.collect()}
+        expected = self._numpy_reference(vecs)
+        q = sample.filter(f"vec_id < {self.NQ}")
+        c = sample.filter(f"vec_id >= {self.NQ}")
+        got = {
+            (r["q_id"], r["rk"]): (r["c_id"], r["adc"])
+            for r in similarity.ivfpq_topk(
+                q, c, k=self.K, num_centroids=self.NC,
+                nprobe=self.NPROBE, m=self.M, ksub=self.KSUB,
+                residual=True,
+            ).collect()
+        }
+        assert got == expected and got
+
+    def test_repartitioning_invariance(self, emb):
+        q = emb.filter("vec_id < 3")
+        c = emb.filter("vec_id >= 3")
+        base = sorted(
+            (r["q_id"], r["rk"], r["c_id"], r["adc"])
+            for r in similarity.ivfpq_topk(
+                q, c, k=5, num_centroids=8, nprobe=3, m=16, ksub=16,
+                residual=True,
+            ).collect())
+        shuffled = sorted(
+            (r["q_id"], r["rk"], r["c_id"], r["adc"])
+            for r in similarity.ivfpq_topk(
+                q.repartition(7), c.repartition(13), k=5, num_centroids=8,
+                nprobe=3, m=16, ksub=16, residual=True,
+            ).collect())
+        assert base == shuffled and base
+
+    def test_standing_index_residual_manifest(self, spark, emb, tmp_path):
+        """A residual index commits its layout to the manifest: appends
+        encode residuals against the standing model and a REOPENED
+        handle (default constructor args) serves residual search."""
+        from datalake_spark.operators.ann_index import IvfPqIndex
+
+        q = emb.filter("vec_id < 3")
+        base = emb.filter("vec_id >= 3 AND vec_id < 300")
+        extra = emb.filter("vec_id >= 300")
+        root = str(tmp_path / "residx")
+        idx = IvfPqIndex(spark, root, num_centroids=8, m=16, ksub=16,
+                         residual=True)
+        idx.build(base)
+        idx.append(extra, 1)
+        assert idx.manifest()["residual"] is True
+        direct = sorted(
+            (r["q_id"], r["rk"], r["c_id"], r["adc"])
+            for r in idx.search(q, k=5, nprobe=3).collect())
+        reopened = IvfPqIndex(spark, root)  # layout comes from manifest
+        again = sorted(
+            (r["q_id"], r["rk"], r["c_id"], r["adc"])
+            for r in reopened.search(q, k=5, nprobe=3).collect())
+        assert direct == again and direct
