@@ -97,6 +97,9 @@ def dsir_train(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 1024,
+    features_target: DataFrame | None = None,
+    features_raw: DataFrame | None = None,
+    frames_out: list | None = None,
 ) -> DataFrame:
     """Train the importance model as one PERSISTABLE B-row frame:
     (bucket, c_t, c_r, llr_fp) where
@@ -111,16 +114,28 @@ def dsir_train(
     nil.  Domain note: totals must stay below 2^43 occurrences
     (log2_fp's overflow guard raises in-plan past it) — one trained
     model per ~8·10^12-token reference slice, which is the paper's
-    regime (the reference is the SMALL clean corpus)."""
-    ft = hashed_features(target, text_col, id_col, num_buckets)
-    fr = hashed_features(raw, text_col, id_col, num_buckets)
+    regime (the reference is the SMALL clean corpus).
+
+    ``features_target`` / ``features_raw`` (optional, (doc_id, bucket))
+    reuse already-extracted :func:`hashed_features` frames so a caller
+    scoring the same corpus pays one tokenization (the lm_train
+    ``bigrams=`` hand-off).  ``frames_out`` (optional list) receives the
+    persisted B-row count frame — it feeds both the totals aggregate
+    and the output join, and without the persist its lineage (the two
+    corpus-sized count shuffles) would run twice."""
+    ft = features_target if features_target is not None else (
+        hashed_features(target, text_col, id_col, num_buckets))
+    fr = features_raw if features_raw is not None else (
+        hashed_features(raw, text_col, id_col, num_buckets))
     ct = _bucket_counts(ft, num_buckets).select(
         "bucket", F.col("c").alias("c_t")
     )
     cr = _bucket_counts(fr, num_buckets).select(
         "bucket", F.col("c").alias("c_r")
     )
-    m = ct.join(cr, "bucket")
+    m = ct.join(cr, "bucket").persist()
+    if frames_out is not None:
+        frames_out.append(m)
     totals = m.agg(
         (F.sum("c_t") + num_buckets).alias("_tb"),
         (F.sum("c_r") + num_buckets).alias("_rb"),
@@ -143,15 +158,20 @@ def dsir_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 1024,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document against a trained (possibly parquet-reloaded)
     model: (doc_id, n_feats, dsir_logw_fp) where dsir_logw_fp is the
     exact BIGINT sum over feature occurrences of the bucket's llr_fp —
     2^20 times the log2 importance weight.  Docs whose text yields no
     features keep n_feats = 0 and weight 0 (the empty product).  The
-    model join is BROADCAST — B rows, parameter-sized."""
+    model join is BROADCAST — B rows, parameter-sized.  ``features``
+    (optional, (doc_id, bucket)) reuses an already-extracted
+    :func:`hashed_features` frame — the dsir_train hand-off."""
+    feats = features if features is not None else (
+        hashed_features(docs, text_col, id_col, num_buckets))
     per_bucket = (
-        hashed_features(docs, text_col, id_col, num_buckets)
+        feats
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .join(F.broadcast(model.select("bucket", "llr_fp")), "bucket")
@@ -180,12 +200,15 @@ def dsir_sample(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 1024,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic top-``n`` selection by importance weight (ties to
     the smaller id — every selection in the repo is replayable).
     orderBy + limit is Spark's distributed TakeOrdered: each partition
-    ships its local top-n, no single-partition window."""
-    scored = dsir_score(docs, model, text_col, id_col, num_buckets)
+    ships its local top-n, no single-partition window.  ``features``
+    passes through to :func:`dsir_score`."""
+    scored = dsir_score(docs, model, text_col, id_col, num_buckets,
+                        features=features)
     return (
         docs.join(scored, id_col)
         .orderBy(F.col("dsir_logw_fp").desc(), F.col(id_col))

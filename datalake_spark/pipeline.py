@@ -270,15 +270,27 @@ def curate_corpus(
         kept = kept.join(low, F.col(id_col) == F.col("_lmid"), "left_anti")
     dsir_dropped = None
     if dsir_target is not None and dsir_top_n is not None:
-        from datalake_spark.operators.dsir import dsir_sample, dsir_train
+        from datalake_spark.operators.dsir import (
+            dsir_sample,
+            dsir_train,
+            hashed_features,
+        )
 
+        # one feature extraction of the surviving corpus, shared by the
+        # raw-count half of training and the scoring pass (the lm-stage
+        # single-tokenization discipline); session-scoped persist like
+        # the other curation-stage caches
+        fk = hashed_features(
+            kept, text_col=text_col, id_col=id_col,
+            num_buckets=dsir_num_buckets,
+        ).persist()
         model = dsir_train(
             dsir_target, kept, text_col=text_col, id_col=id_col,
-            num_buckets=dsir_num_buckets,
+            num_buckets=dsir_num_buckets, features_raw=fk,
         )
         selected = dsir_sample(
             kept, model, dsir_top_n, text_col=text_col, id_col=id_col,
-            num_buckets=dsir_num_buckets,
+            num_buckets=dsir_num_buckets, features=fk,
         ).select(F.col(id_col).alias("_dsid"))
         if quarantine_path is not None:
             dsir_dropped = kept.join(

@@ -2651,13 +2651,25 @@ _DSIR_B = 1024
 
 
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datalake_spark.operators.dsir import dsir_score, dsir_train
+    from datalake_spark.operators.dsir import (
+        dsir_score,
+        dsir_train,
+        hashed_features,
+    )
 
     docs = load(spark, sf_dir, "documents")
+    # ONE feature extraction shared by the target slice, the raw counts,
+    # and the scoring pass (the lm_quality_score bigrams= shape); the
+    # persisted frames ride the gate run's session — the documented
+    # pipeline_q persist pattern
+    fb = hashed_features(docs, num_buckets=_DSIR_B).persist()
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
     model = dsir_train(
-        docs.filter(F.col("lang") == "en"), docs, num_buckets=_DSIR_B
+        docs, docs, num_buckets=_DSIR_B,
+        features_target=fb.join(en, "doc_id", "left_semi"),
+        features_raw=fb,
     )
-    return dsir_score(docs, model, num_buckets=_DSIR_B)
+    return dsir_score(docs, model, num_buckets=_DSIR_B, features=fb)
 
 
 def _dsir_sql() -> str:
