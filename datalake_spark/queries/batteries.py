@@ -432,6 +432,11 @@ def _mk() -> list[Q]:
         Sub(q(ops, "ann_index_lifecycle", "ann_index_lifecycle",
               "ANN_INDEX_LIFECYCLE_SQL"),
             {"q_id": "v", "c_id": "v", "adc": "v", "rk": "v"}),
+        # r11: in-plan recall verdict — brute-force truth vs ivfpq in
+        # one plan, per-query hit counts value-gated in both engines
+        Sub(q(ops, "ann_recall_verdict", "ann_recall_verdict",
+              "ANN_RECALL_SQL"),
+            {"q_id": "v", "n_hits": "v", "denom": "v"}),
         # r10: CCNet-style LM-likelihood quality scoring (exact integer
         # mean token probability — no float log-sums)
         Sub(q(pq, "lm_quality_score", "lm_quality_score", "LM_QUALITY_SQL"),

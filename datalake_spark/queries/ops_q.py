@@ -680,6 +680,89 @@ ANN_IVFPQ_SQL = _IVFPQ_SQL_TEMPLATE.format(
 )
 
 
+def ann_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan recall verdict for the IVF-PQ stack (r11, the
+    srp_ann_topk recall-verdict pattern lifted to the compressed index):
+    ONE plan computes the exact brute-force cosine top-3 (the truth set)
+    AND the ivfpq_topk top-3 (same parameters as the ann_ivfpq_topk
+    gate sub), and emits per-query hit counts.  Both sides rank by
+    exact cross-engine keys (fixed-IEEE cosine / BIGINT ADC), so the
+    intersection is value-exact and the oracle replays it end-to-end —
+    the ANN stack's recall claims become driver-gated numbers instead
+    of test-log footnotes."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    c = emb.filter(F.col("vec_id") >= 3)
+    truth = sim_ops.brute_force_topk(q, c, k=3).select("q_id", "c_id")
+    approx = sim_ops.ivfpq_topk(
+        q, c, k=3, num_centroids=16, nprobe=4, m=32, ksub=32
+    ).select("q_id", "c_id")
+    hits = (
+        truth.join(approx, ["q_id", "c_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("q_id"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.lit(3).cast("long").alias("denom"),
+        )
+    )
+
+
+# truth side = the exact-cosine re-rank pattern (ANN_IVF_SQL's final
+# stage, unrestricted by probes); approx side = ANN_IVFPQ_SQL verbatim
+# as a subquery — the verdict's oracle is the composition of two
+# already-verified oracles plus one intersection count.
+_ANN_RECALL_TEMPLATE = """
+WITH el AS (
+  SELECT vec_id,
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS qv,
+         UNNEST(generate_series(1, len(embedding))) AS pos
+  FROM embeddings),
+norms AS (
+  SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nsq
+  FROM el GROUP BY vec_id),
+qe AS (SELECT vec_id, pos, qv FROM el WHERE vec_id < 3),
+dots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         CAST(SUM(a.qv * b.qv) AS BIGINT) AS dt
+  FROM qe a JOIN el b ON a.pos = b.pos
+  WHERE b.vec_id >= 3
+  GROUP BY 1, 2),
+truth AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY CASE WHEN ISNAN(CAST(dt AS DOUBLE) /
+                        (SQRT(CAST(nq.nsq AS DOUBLE)) *
+                         SQRT(CAST(nc.nsq AS DOUBLE)))) THEN -2.0
+                      ELSE CAST(dt AS DOUBLE) /
+                        (SQRT(CAST(nq.nsq AS DOUBLE)) *
+                         SQRT(CAST(nc.nsq AS DOUBLE))) END DESC, c_id) AS rk
+    FROM dots
+    JOIN norms nq ON nq.vec_id = q_id
+    JOIN norms nc ON nc.vec_id = c_id)
+  WHERE rk <= 3),
+approx AS (SELECT q_id, c_id FROM (__IVFPQ__) t),
+hits AS (
+  SELECT t.q_id, COUNT(*) AS n
+  FROM truth t JOIN approx a ON t.q_id = a.q_id AND t.c_id = a.c_id
+  GROUP BY 1)
+SELECT q.vec_id AS q_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       CAST(3 AS BIGINT) AS denom
+FROM (SELECT vec_id FROM embeddings WHERE vec_id < 3) q
+LEFT JOIN hits h ON q.vec_id = h.q_id
+"""
+
+ANN_RECALL_SQL = _ANN_RECALL_TEMPLATE.replace("__IVFPQ__", ANN_IVFPQ_SQL)
+
+
 def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the STANDING serving index, end-to-end under the marker-CAS commit
     # protocol (operators/ann_index.IvfPqIndex): build on vec_id 3..399
