@@ -559,3 +559,65 @@ def audio_info_any(b: bytes) -> tuple[str, int, int, int]:
         ch, rate, dur, _kbps, _n = mp3_info(b)
         return ("mp3", ch, rate, dur)
     raise UnsupportedMedia("unknown audio container")
+
+
+# -- perceptual hash (pHash, DCT-based) --------------------------------------
+# 63-bit perceptual image hash in EXACT integer arithmetic: grayscale →
+# 32×32 (nearest-neighbor — index math, deterministic) → 2D DCT-II via a
+# PRE-SCALED integer cosine table (2^14 fixed point, generated once
+# driver-side so every executor and the DuckDB oracle share the SAME
+# constants, libm differences can't leak in) → keep the 8×8
+# low-frequency block, drop DC → bit j = (coeff_j > median) where the
+# median is the 32nd-smallest of the 63 AC coefficients (exact integer
+# order statistic, ties deterministic).  Near-duplicate images land
+# within a few bits of Hamming distance; the banded pair finder
+# (operators/dedup.hamming_band_pairs) makes that a pigeonhole-exact
+# bucket join, the SimHash machinery pointed at a precomputed hash.
+# Overflow: |pixel·T·T| ≤ 255·2^14·2^14·1024 < 2^47 — safe in int64.
+
+PHASH_N = 32            # resampled grid
+PHASH_K = 8             # low-frequency block kept
+PHASH_SCALE = 1 << 14   # cosine fixed-point scale
+
+
+def _phash_cos_table() -> list[list[int]]:
+    import math
+
+    return [
+        [
+            math.floor(
+                math.cos((2 * y + 1) * u * math.pi / (2 * PHASH_N))
+                * PHASH_SCALE
+                + 0.5
+            )
+            for y in range(PHASH_N)
+        ]
+        for u in range(PHASH_K)
+    ]
+
+
+PHASH_COS = _phash_cos_table()
+
+
+def phash64(img: np.ndarray) -> int:
+    """63-bit perceptual hash of a (H, W, C) uint8 image (see module
+    comment above).  Multi-channel images grayscale by integer-mean
+    (sum // channels) before the DCT; any size resamples to 32×32."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    gray = (
+        img.astype(np.int64).sum(axis=2) // img.shape[2]
+    )[:, :, None].astype(np.int64)
+    if gray.shape[0] != PHASH_N or gray.shape[1] != PHASH_N:
+        gray = resize_nearest(gray, PHASH_N, PHASH_N)
+    g = gray[:, :, 0].astype(np.int64)
+    t = np.array(PHASH_COS, dtype=np.int64)          # (K, N)
+    coeff = t @ g @ t.T                              # exact int64
+    ac = [int(coeff[u, v]) for u in range(PHASH_K)
+          for v in range(PHASH_K) if (u, v) != (0, 0)]
+    thr = sorted(ac)[31]                             # 32nd smallest of 63
+    h = 0
+    for j, c in enumerate(ac):
+        if c > thr:
+            h |= 1 << j
+    return h

@@ -1676,3 +1676,83 @@ def semantic_incremental_pairs(
             "cosine",
         )
     )
+
+
+def hamming_band_pairs(
+    df: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    bits: int = 63,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs over a PRECOMPUTED integer hash column by
+    pigeonhole banding — the :func:`simhash_pairs` machinery decoupled
+    from text, for hashes produced elsewhere (perceptual image hashes
+    from operators/multimodal.phash_image, audio fingerprints, …).
+
+    The ``bits`` are split into ``num_bands`` contiguous bands (first
+    ``bits % num_bands`` bands carry the extra bit); with
+    ``max_hamming < num_bands`` every qualifying pair shares at least
+    one identical band (pigeonhole), so the banded join is EXACT —
+    provided no band bucket exceeds ``max_bucket`` (the cap keeps the
+    id-smallest prefix; run the count yourself on a suspect corpus, the
+    simhash cap contract).  One shuffle on (band, band-bits), in-bucket
+    triangular expansion carrying both hash values, exact Hamming
+    verify via XOR bit count.  Scale: identical to simhash_pairs —
+    buckets bound the quadratic work, the corpus never self-joins."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(hash_col).cast("long").alias("_sh"),
+    ).filter(F.col("_sh").isNotNull())
+    lo = bits // num_bands
+    extra = bits % num_bands
+    banded = None
+    off = 0
+    for b in range(num_bands):
+        width = lo + (1 if b < extra else 0)
+        part = base.select(
+            "_id", "_sh",
+            F.lit(b).alias("_band"),
+            (
+                F.shiftrightunsigned(F.col("_sh"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+            ).alias("_bh"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+        off += width
+    buckets = banded.groupBy("_band", "_bh").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct(F.col("_id"), F.col("_sh")))),
+            1,
+            max_bucket,
+        ).alias("_rows")
+    )
+    cand = (
+        buckets.filter(F.size("_rows") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_rows, (x, i) -> "
+                    "transform(slice(_rows, i + 2, size(_rows)), "
+                    "y -> struct(x._id as a, y._id as b, "
+                    "x._sh as sa, y._sh as sb))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a").alias("id_a"),
+            F.col("p.b").alias("id_b"),
+            F.col("p.sa").alias("_sa"),
+            F.col("p.sb").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -603,3 +603,47 @@ def sample_frames(
                 yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def phash_image(media: DataFrame, batch_rows: int = 128) -> DataFrame:
+    """Perceptual hash per image: (media_id, phash, decode_error) — the
+    63-bit integer DCT pHash (functions/imaging.phash64: exact integer
+    arithmetic end to end, so the hash is engine/partitioning/platform-
+    stable).  PNG decodes with the stdlib-real codec; undecodable blobs
+    yield an error row, never a failed stage.  Feed the hashes to
+    operators/dedup.hamming_band_pairs for pigeonhole-exact image
+    near-dup pairs — the multimodal twin of simhash_pairs on text."""
+    from datalake_spark.functions.imaging import (
+        UnsupportedMedia,
+        phash64,
+        png_decode,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo : lo + batch_rows]
+                out: dict[str, list] = {
+                    "media_id": [], "phash": [], "decode_error": [],
+                }
+                for mid, content in zip(chunk["media_id"], chunk["content"]):
+                    out["media_id"].append(mid)
+                    try:
+                        arr = png_decode(bytes(content or b""))
+                        out["phash"].append(phash64(arr))
+                        out["decode_error"].append(None)
+                    except UnsupportedMedia as e:
+                        out["phash"].append(None)
+                        out["decode_error"].append(str(e))
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)

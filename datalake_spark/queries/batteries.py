@@ -437,6 +437,13 @@ def _mk() -> list[Q]:
         Sub(q(ops, "ann_recall_verdict", "ann_recall_verdict",
               "ANN_RECALL_SQL"),
             {"q_id": "v", "n_hits": "v", "denom": "v"}),
+        # r11: perceptual-hash image near-dup — real PNG codec + integer
+        # DCT pHash + pigeonhole banding, oracle replays the arithmetic
+        # codec-free (pixel formula -> cos-table DCT -> threshold ->
+        # bands -> XOR popcount)
+        Sub(q(ops, "image_phash_pairs", "image_phash_pairs",
+              "IMAGE_PHASH_SQL"),
+            {"doc_a": "v", "doc_b": "v", "hamming": "v"}),
         # r10: CCNet-style LM-likelihood quality scoring (exact integer
         # mean token probability — no float log-sums)
         Sub(q(pq, "lm_quality_score", "lm_quality_score", "LM_QUALITY_SQL"),

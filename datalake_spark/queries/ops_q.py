@@ -899,6 +899,138 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# image_phash_pairs — perceptual-hash image near-dup, REAL-codec gated
+# (r11).  Per doc, synthesize a 32×32 grayscale PNG whose pixels are a
+# pure function of doc_id — one base pattern under 16 brightness shifts
+# (+base·37 mod 241) × a 2×2 corner bump on alternating id blocks.
+# pHash drops the DC coefficient, so the brightness shifts are INVISIBLE
+# by design (the classic pHash invariance) and the corpus forms large
+# hamming-0 clusters across shifts, while the corner bump sits 0-2 bits
+# away per shift — the gate exercises both the zero- and
+# nonzero-hamming paths.  Push the bytes through the PRODUCTION
+# pipeline — stdlib PNG
+# decode → integer-DCT pHash (functions/imaging.phash64) → pigeonhole
+# banding (operators/dedup.hamming_band_pairs) — and emit the verified
+# near-dup pairs.  The ORACLE replays the whole thing arithmetically,
+# codec-free: same pixel formula, same fixed-point cosine table (the
+# PHASH_COS constants embedded as literals, so executors and DuckDB
+# share identical integers), same 32nd-smallest threshold, same band
+# split and XOR popcount.  A hash-match therefore proves the PNG
+# encoder, the decoder, the integer DCT, the median thresholding, and
+# the banded pair join all agree with the arithmetic model — for every
+# document, every round.
+# ---------------------------------------------------------------------------
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from datalake_spark.functions.imaging import png_encode
+    from datalake_spark.operators import dedup as dedup_ops
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        y, x = np.mgrid[0:32, 0:32]
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            imgs = []
+            for d in ids:
+                base = int(d) % 16
+                p = (base * 37 + y * 5 + x * 11 + ((y * x) % 7) * 29) % 241
+                if (int(d) // 16) % 2 == 1:
+                    # 2×2 corner bump: moves the variant 0-2 pHash bits
+                    # from its base (measured per base; all <= the
+                    # max_hamming=3 filter), so the gate exercises BOTH
+                    # zero and nonzero hamming pairs
+                    p[0:2, 0:2] = (p[0:2, 0:2] + 50) % 241
+                imgs.append(png_encode(p.astype(np.uint8)[:, :, None]))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.astype(str),
+                    "modality": "image",
+                    "content": imgs,
+                    "mime": None,
+                    "width": None,
+                    "height": None,
+                    "duration_ms": None,
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema=mm_ops.MEDIA_SCHEMA)
+    hashes = mm_ops.phash_image(media).select(
+        F.col("media_id").cast("long").alias("media_id"), "phash"
+    )
+    return dedup_ops.hamming_band_pairs(hashes).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def _phash_sql() -> str:
+    from datalake_spark.functions.imaging import PHASH_COS
+
+    ct = ", ".join(
+        f"({u}, {yy}, {c})"
+        for u, row in enumerate(PHASH_COS)
+        for yy, c in enumerate(row)
+    )
+    return f"""
+WITH ct(u, y, c) AS (VALUES {ct}),
+pix AS (
+  SELECT doc_id, g.y, g.x,
+         CASE WHEN (doc_id // 16) % 2 = 1 AND g.y < 2 AND g.x < 2
+              THEN (((doc_id % 16) * 37 + 29 * ((g.y * g.x) % 7)
+                     + g.y * 5 + g.x * 11) % 241 + 50) % 241
+              ELSE ((doc_id % 16) * 37 + g.y * 5 + g.x * 11
+                    + ((g.y * g.x) % 7) * 29) % 241 END AS p
+  FROM documents, (
+    SELECT yy.y AS y, xx.x AS x
+    FROM UNNEST(generate_series(0, 31)) yy(y),
+         UNNEST(generate_series(0, 31)) xx(x)) g),
+coef AS (
+  SELECT doc_id, tu.u AS u, tv.u AS v,
+         CAST(SUM(p * tu.c * tv.c) AS BIGINT) AS cf
+  FROM pix
+  JOIN ct tu ON tu.y = pix.y
+  JOIN ct tv ON tv.y = pix.x
+  GROUP BY 1, 2, 3),
+ac AS (
+  SELECT doc_id, u * 8 + v - 1 AS j, cf
+  FROM coef WHERE NOT (u = 0 AND v = 0)),
+thr AS (
+  SELECT doc_id, cf AS t FROM (
+    SELECT doc_id, cf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cf, j) AS rn
+    FROM ac)
+  WHERE rn = 32),
+hashes AS (
+  SELECT ac.doc_id,
+         CAST(SUM(CASE WHEN ac.cf > thr.t
+                       THEN (1::BIGINT << ac.j) ELSE 0 END) AS BIGINT)
+           AS phash
+  FROM ac JOIN thr ON ac.doc_id = thr.doc_id
+  GROUP BY 1),
+banded AS (
+  SELECT doc_id, phash, b.b AS band,
+         (phash >> (b.b * 16)) &
+           CASE WHEN b.b = 3 THEN 32767 ELSE 65535 END AS bh
+  FROM hashes, UNNEST(generate_series(0, 3)) b(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.phash AS ha, b.phash AS hb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
+IMAGE_PHASH_SQL = _phash_sql()
+
+
+# ---------------------------------------------------------------------------
 # Real-codec gate for JPEG (functions/jpeg.py, pure numpy baseline codec):
 # synthesize a FLAT grayscale JPEG per doc and run the production
 # extract_features(use_fake=False) pixel decode.  For a flat gray value v

@@ -1505,3 +1505,90 @@ class TestIvfPqResidual:
             (r["q_id"], r["rk"], r["c_id"], r["adc"])
             for r in reopened.search(q, k=5, nprobe=3).collect())
         assert direct == again and direct
+
+
+class TestPerceptualHash:
+    """Integer DCT pHash (functions/imaging.phash64), the banded pair
+    finder (dedup.hamming_band_pairs), and the real-codec operator
+    (multimodal.phash_image).  The full cross-engine arithmetic replay
+    is the image_phash_pairs driver gate; these pin local semantics."""
+
+    def _img(self, seed, h=32, w=32):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 255, size=(h, w, 1)).astype(np.uint8)
+
+    def test_robust_to_small_perturbation_distinct_otherwise(self):
+        import numpy as np
+
+        from datalake_spark.functions.imaging import phash64
+
+        a = self._img(7)
+        b = a.copy()
+        b[0, 0, 0] = (int(b[0, 0, 0]) + 40) % 255
+        c = self._img(8)
+        ha, hb, hc = phash64(a), phash64(b), phash64(c)
+        assert bin(ha ^ hb).count("1") <= 3
+        assert bin(ha ^ hc).count("1") > 10
+        assert 0 <= ha < 2 ** 63
+        # brightness invariance: DC is dropped, so a constant shift
+        # (mod-free, no wraparound) must not move the hash at all
+        d = np.clip(a.astype(np.int64) + 17, 0, 255).astype(np.uint8)
+        flipped = bin(ha ^ phash64(d)).count("1")
+        assert flipped <= 2, flipped
+
+    def test_resizes_and_grayscales(self):
+        from datalake_spark.functions.imaging import phash64
+
+        big = self._img(9, h=64, w=48)
+        assert isinstance(phash64(big), int)
+        rgb = self._img(10).repeat(3, axis=2)
+        assert phash64(rgb) == phash64(self._img(10))  # mean of equal chans
+
+    def test_hamming_band_pairs_is_pigeonhole_exact(self, spark):
+        """Every pair within max_hamming MUST be found (hamming <
+        num_bands pigeonhole); pairs beyond it never appear."""
+        import itertools
+
+        from datalake_spark.operators.dedup import hamming_band_pairs
+
+        hashes = [0b111, (1 << 62) | 0b111, (1 << 62) | 0b100,
+                  0b1111111111, (1 << 40) | (1 << 20) | 1]
+        rows = [(i, h) for i, h in enumerate(hashes)]
+        df = spark.createDataFrame(rows, "media_id long, phash long")
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in hamming_band_pairs(df).collect()}
+        want = {}
+        for (i, a), (j, b) in itertools.combinations(rows, 2):
+            d = bin(a ^ b).count("1")
+            if d <= 3:
+                want[(i, j)] = d
+        assert got == want and want
+
+    def test_phash_image_real_codec_and_error_rows(self, spark):
+        import pandas as pd
+
+        from datalake_spark.functions.imaging import phash64, png_encode
+        from datalake_spark.operators import multimodal as mm
+
+        img = self._img(11)
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "media_id": ["good", "junk"],
+                    "modality": ["image", "image"],
+                    "content": [png_encode(img), b"not a png"],
+                    "mime": [None, None],
+                    "width": [None, None],
+                    "height": [None, None],
+                    "duration_ms": [None, None],
+                }
+            ),
+            schema=mm.MEDIA_SCHEMA,
+        )
+        out = {r["media_id"]: r for r in mm.phash_image(media).collect()}
+        assert out["good"]["phash"] == phash64(img)
+        assert out["good"]["decode_error"] is None
+        assert out["junk"]["phash"] is None
+        assert out["junk"]["decode_error"]
