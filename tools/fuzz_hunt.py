@@ -18,7 +18,7 @@ seeds on every grammar change, so clearances don't carry forward):
   r11 (grammar round 7: fjoin-derived, GROUPING SETS, EXISTS-HAVING,
   NULL-bearing IN, LAG/NTILE): 6700-7399 @ sf0.001 clean; bonus
   7400-7999 @ sf0.001 clean, 8000-8299 @ sf0.01 clean,
-  8300-9399 @ sf0.001 clean
+  8300-9899 @ sf0.001 clean
 """
 
 from __future__ import annotations
