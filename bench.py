@@ -194,6 +194,17 @@ ANCHOR_EXTRAS_R11 = {
     "lm_quality_score": 2.189,
 }
 
+# Pinned r12 from the r11 closing min-of-2 readings (BASELINE.md "r11
+# closing runs": era 1.17, io_era 11.95, flags empty).  dsir_select is
+# pinned on its single-tokenization plan.  ann_index_lifecycle was due
+# to pin at 8.278 s, but r12 CHANGED its plan (the gate now also
+# rebuilds the index — retrain-and-swap — and probes again), so per the
+# quality_classifier_weighted precedent the stale reading is not a
+# valid anchor: it re-enters unanchored, pin in r13.
+ANCHOR_EXTRAS_R12 = {
+    "dsir_select": 1.814,
+}
+
 
 def _canary(spark) -> float:
     """Fixed-work CPU probe: 100M xxhash64-of-string rows, map-side agg.

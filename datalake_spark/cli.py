@@ -319,11 +319,33 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--dsir-top-n", dest="dsir_top_n", type=int,
                     default=None,
                     help="how many docs the --dsir-target selection keeps")
+    cu.add_argument("--dsir-after-dedup", dest="dsir_after_dedup",
+                    action="store_true",
+                    help="run the DSIR selection AFTER dedup/span stages "
+                         "(scores the cleaned corpus; kept count equals "
+                         "min(top-n, deduped size)) instead of the "
+                         "cheaper pre-dedup default, whose top-n slots "
+                         "duplicate clusters can consume")
     return p
 
 
+def _validate_args(p, args) -> None:
+    """Cross-flag contracts argparse can't express per-argument."""
+    if args.command == "curate":
+        # curate_corpus requires BOTH; one alone used to silently skip
+        # the stage (and still read the target parquet)
+        if (args.dsir_target is None) != (args.dsir_top_n is None):
+            p.error("--dsir-target and --dsir-top-n must be given "
+                    "together (one alone disables the DSIR stage)")
+        if args.dsir_after_dedup and args.dsir_target is None:
+            p.error("--dsir-after-dedup requires --dsir-target and "
+                    "--dsir-top-n")
+
+
 def run(argv: list[str], spark=None, out=sys.stdout) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    _validate_args(parser, args)
 
     # O23 cascade: file layer fills the environment (without clobbering it),
     # then env-backed defaults resolve, then explicit args win below.
@@ -627,6 +649,7 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
                 if args.dsir_target else None
             ),
             dsir_top_n=args.dsir_top_n,
+            dsir_after_dedup=args.dsir_after_dedup,
             **semantic_kw,
         )
         print(_json.dumps(manifest, sort_keys=True), file=out)

@@ -43,7 +43,15 @@ base-columns-only projection makes the unmatched-right rows identical
 and digest-safe while every downstream clause runs over NULL keys),
 explicit GROUPING SETS (r11 — rollup's guards generalized), IN over
 NULL-BEARING inner lists (r11 — the three-valued-logic trap, on
-purpose), LAG / NTILE windows (r11), CASE /
+purpose), LAG / NTILE windows (r11), WITH-CTEs shadowing the base
+table and referenced 2-3 times (r12 — the CTE-inlining / plan-reuse
+surface; setop branches and uncorrelated WHERE scalars re-read the one
+named relation), aggregate FILTER clauses (r12 — the aggregate-level
+twin of the conditional-SUM CASE), correlated scalar subqueries as the
+ORDER BY lead (r12 — per-row evaluation inside the sort, a
+decorrelation site the projection/WHERE/HAVING forms never reach),
+INTERSECT ALL / EXCEPT ALL at every set-op site incl. inside derived
+tables under windows (r12), CASE /
 integer-arithmetic / GREATEST-LEAST projections (r7), and
 ORDER BY ... LIMIT tails with explicit direction + null ordering.  Exactness discipline:
 integer aggregates pinned to BIGINT; doubles appear raw, through one
@@ -190,9 +198,29 @@ class Spec:
         #   the Aggregate is the same one that breaks outer grouping-
         #   column resolution under ROLLUP — r10 asymmetry)
         self.order: tuple[str, int] | None = None  # (ORDER BY sql, LIMIT n)
+        self.cte = None           # r12: WITH {table} AS (SELECT * FROM
+        #   {table} WHERE pred) — the CTE SHADOWS the base table (both
+        #   engines' standard scoping), so every other clause reads it;
+        #   setop mode re-references it 2-3 times and project mode may
+        #   add an uncorrelated scalar against it (see generate), the
+        #   plan-reuse / CTE-inlining divergence surface.  Mutually
+        #   exclusive with derived (both rewrite the base scan).
 
     def sql(self) -> str:
-        frm = self.table
+        # r12: the CTE replaces the base scan and is aliased BACK to the
+        # table name, so setop branches and uncorrelated scalars
+        # re-reference one named relation — the CTE-inlining/plan-reuse
+        # divergence surface.  The CTE gets its own name (base_c): a
+        # CTE named like the table it reads is a RESOLUTION DIVERGENCE
+        # this grammar round found — Spark resolves the inner reference
+        # to the catalog table, DuckDB raises a circular-CTE binder
+        # error.
+        pre = (
+            f"WITH base_c AS "
+            f"(SELECT * FROM {self.table} WHERE {self.cte}) "
+            if self.cte else ""
+        )
+        frm = self.table if self.cte is None else f"base_c AS {self.table}"
         if self.derived is not None:
             if self.derived[0] == "setop":
                 _tag, op, pa, pb = self.derived
@@ -285,7 +313,7 @@ class Spec:
             else:
                 grp = ""
             hav = f" HAVING {having}" if having else ""
-            return f"SELECT {sel} FROM {frm}{where}{grp}{hav}"
+            return f"{pre}SELECT {sel} FROM {frm}{where}{grp}{hav}"
         sel = ", ".join(self.cols + self.windows) or "1 AS one"
         dis = "DISTINCT " if self.distinct else ""
         tail = ""
@@ -307,11 +335,11 @@ class Spec:
                 # explicit parens: multi-level nesting must not depend on
                 # the engines' set-op precedence rules
                 return (
-                    f"({two}) {self.setop2} SELECT {sel} FROM "
+                    f"{pre}({two}) {self.setop2} SELECT {sel} FROM "
                     f"{frm}{where_c}"
                 )
-            return two
-        return left
+            return pre + two
+        return pre + left
 
     def out_cols(self) -> list[str]:
         """Output column names, in SELECT order."""
@@ -358,6 +386,14 @@ class Spec:
             out.append(("order", lambda s: setattr(s, "order", None)))
         if self.derived is not None:
             out.append(("derived", lambda s: setattr(s, "derived", None)))
+        if self.cte is not None:
+            def drop_cte(s):
+                # the second-reference scalar reads base_c — it must
+                # leave with the CTE or the shrunk spec won't parse
+                s.cte = None
+                s.preds = [p for p in s.preds if "base_c" not in p]
+
+            out.append(("cte", drop_cte))
         if self.offset:
             out.append(("offset", lambda s: setattr(s, "offset", 0)))
         if self.distinct:
@@ -372,6 +408,11 @@ class Spec:
                 out.append((f"group:{g}", lambda s, i=i: s.group.pop(i)))
         if self.mode == "project" and len(self.cols) > 1:
             for i, c in enumerate(self.cols):
+                if c.endswith(" AS ob_0"):
+                    # ORDER BY references the alias — the order clause
+                    # must drop first (its own dropper), else the
+                    # shrunk spec won't parse
+                    continue
                 out.append((f"col:{c}", lambda s, i=i: s.cols.pop(i)))
         if self.lateral is not None:
             def drop_lateral(s):
@@ -603,9 +644,13 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
     # dedup and UNION ALL's duplicate multiplicity both feed whatever
     # aggregation/windowing the rest of the spec layers on top.
     if spec.join is None and rng.random() < 0.15:
+        # r12 adds INTERSECT ALL to the derived ops: when the outer
+        # spec then layers a window on top, the window runs over a
+        # multiset-intersection input (the "INTERSECT ALL under
+        # windows" planner path)
         spec.derived = (
             "setop",
-            rng.choice(["UNION", "UNION ALL"]),
+            rng.choice(["UNION", "UNION ALL", "INTERSECT ALL"]),
             _pred(rng, spec, str_values, allow_subquery=False),
             _pred(rng, spec, str_values, allow_subquery=False),
         )
@@ -634,6 +679,25 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
             "fjoin", right, on,
             f"{rng.choice(r_ints)} % {rng.randint(2, 7)} = 0",
         )
+    # r12: WITH-CTE shadowing the base table — in setop mode the one
+    # named relation is referenced 2-3 times (the CTE-inlining /
+    # plan-reuse surface: Spark inlines per reference, DuckDB may
+    # materialize), and half the time a second reference rides an
+    # uncorrelated scalar in WHERE.  Derived and CTE both rewrite the
+    # base scan, so they stay mutually exclusive.
+    if spec.derived is None and rng.random() < 0.15:
+        # the CTE body sees ONLY the base table — a join-free probe
+        # spec scopes the predicate (the outer spec may carry joins)
+        probe = Spec()
+        probe.table = spec.table
+        spec.cte = _pred(rng, probe, str_values, allow_subquery=False)
+        if rng.random() < 0.5:
+            ints0 = TABLES[spec.table][1]
+            spec.preds.append(
+                f"{rng.choice(ints0)} * 2 <= COALESCE((SELECT "
+                f"MAX({rng.choice(ints0)}) FROM base_c), 0) "
+                f"+ {rng.randint(0, 60)}"
+            )
     for _ in range(rng.randrange(3)):
         spec.preds.append(_pred(rng, spec, str_values))
     ints, strs, dbls = _cols_in_scope(spec)
@@ -643,7 +707,12 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
         # identical FROM (same join chain), so the projected shape always
         # matches; only the WHERE stacks differ.  UNION ALL keeps
         # duplicate multiplicity, which the digest SUM verifies exactly.
-        spec.setop = rng.choice(["UNION", "UNION ALL", "EXCEPT", "INTERSECT"])
+        # r12: +ALL multiset forms (identical duplicate rows are
+        # interchangeable, so multiset semantics are digest-safe)
+        spec.setop = rng.choice(
+            ["UNION", "UNION ALL", "EXCEPT", "INTERSECT",
+             "INTERSECT ALL", "EXCEPT ALL"]
+        )
         # plain columns only: both sides must project the same shape
         spec.cols = rng.sample(ints + strs, k=rng.randint(1, 3))
         for _ in range(rng.randint(1, 2)):
@@ -653,7 +722,8 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
         # the second, only its WHERE stack differs
         if rng.random() < 0.35:
             spec.setop2 = rng.choice(
-                ["UNION", "UNION ALL", "EXCEPT", "INTERSECT"]
+                ["UNION", "UNION ALL", "EXCEPT", "INTERSECT",
+                 "INTERSECT ALL", "EXCEPT ALL"]
             )
             for _ in range(rng.randint(1, 2)):
                 spec.preds_c.append(_pred(rng, spec, str_values))
@@ -676,6 +746,19 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
                     f"CAST(SUM(CASE WHEN "
                     f"{_pred(rng, spec, str_values, allow_subquery=False)} "
                     f"THEN 1 ELSE 0 END) AS BIGINT) AS agg{i}",
+                    # r12: aggregate FILTER clauses — the standard form
+                    # of the conditional SUM above, but planned as an
+                    # aggregate-level filter, not a projection CASE.
+                    # COUNT FILTER is 0 on an empty filter set in both
+                    # engines; SUM FILTER is NULL there (stringifies to
+                    # the digest's <null> sentinel identically).
+                    f"CAST(COUNT(*) FILTER (WHERE "
+                    f"{_pred(rng, spec, str_values, allow_subquery=False)}"
+                    f") AS BIGINT) AS agg{i}",
+                    f"CAST(SUM(CAST({rng.choice(ints)} AS BIGINT)) "
+                    f"FILTER (WHERE "
+                    f"{_pred(rng, spec, str_values, allow_subquery=False)}"
+                    f") AS BIGINT) AS agg{i}",
                 ]
             )
             # MIN/MAX over a double column is exact value SELECTION (no
@@ -922,6 +1005,33 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
             )
         if rng.random() < 0.3 and not spec.windows:
             lead = rng.choice(ints + strs)
+            # r12: correlated scalar subquery driving the ORDER BY — the
+            # subquery must evaluate per row inside the sort.  KNOWN
+            # ENGINE ASYMMETRY (found building this round, seed 216):
+            # the scalar INLINE in ORDER BY is UNRESOLVED_COLUMN in
+            # Spark 4.1 (the sort's subquery never binds the outer row)
+            # while DuckDB answers — so the grammar emits the portable
+            # twin: project the scalar as ob_0 and order by the alias
+            # (same per-row evaluation, resolvable in both engines);
+            # the inline form is pinned as a guarded divergence by
+            # test_fuzz_differential.py::
+            # test_correlated_scalar_in_order_by_is_guarded.  COALESCE
+            # pins the empty-group NULL; the total-order tiebreak still
+            # follows, so LIMIT stays deterministic.  Derived specs are
+            # excluded (the r9 setop-derived decorrelation crash
+            # surface — same caution as the projection site).
+            if (
+                spec.join is None and spec.derived is None
+                and JOINS[spec.table] and rng.random() < 0.3
+            ):
+                right, on = rng.choice(JOINS[spec.table])
+                r_ints = TABLES[right][1]
+                spec.cols.append(
+                    f"COALESCE((SELECT {rng.choice(['MIN', 'MAX'])}"
+                    f"({rng.choice(r_ints)}) FROM {right} WHERE {on}), -1)"
+                    " AS ob_0"
+                )
+                lead = "ob_0"
             direction = rng.choice(["ASC", "DESC"])
             nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
             spec.order = (

@@ -31,6 +31,18 @@ conditional-put discipline, ingester/datalake_ingester/storage.py:64-137):
   out by the epoch filter), and runs similarity.ivfpq_search: the
   broadcast cell-probe join prunes the parquet read to
   nprobe/num_centroids of the compressed index.
+- ``rebuild(source)`` retrains-and-swaps (the catalog ``compact``
+  precedent, catalog.py:1185): fresh centroids/codebooks trained on the
+  CURRENT committed corpus (ids recovered from the committed epochs,
+  vectors from a caller-supplied source), everything re-encoded into a
+  new version dir, committed via the same marker CAS.  The committed
+  ``epochs`` list carries over, so a replay of an epoch the rebuild
+  folded in is still a post-commit no-op; a concurrent appender that
+  loses the version race simply re-resolves and re-encodes against the
+  new model (the contract ``append`` already implements).  This is the
+  missing lifecycle verb: ``build`` refuses an existing root and
+  ``append`` never retrains (epoch comparability), so without rebuild a
+  long-lived index could never re-fit drifted codebooks.
 
 Readers never lock; concurrent appenders serialize on the version
 marker (losers re-resolve the manifest and retry, re-encoding if a
@@ -41,8 +53,12 @@ the parameters the index was built with, not its constructor defaults.
 At 100 TB: the per-append cost is O(|batch| · (num_centroids + m·ksub)
 · dim) map work + one shuffle of m rows per vector; the standing corpus
 is never re-read (the prior-ids guard reads the one-row-per-vector
-``ids`` tree, not the m-rows-per-vector codes).  Search reads
-nprobe/num_centroids of the code files and never touches a raw vector.
+``ids`` tree, not the m-rows-per-vector codes — and the tree is
+hash-bucketed by c_id, the work-id-index precedent catalog.py:785, so
+the guard's scan partition-prunes to the buckets the batch actually
+touches instead of shuffling the full corpus-ids column per
+micro-batch).  Search reads nprobe/num_centroids of the code files and
+never touches a raw vector.
 """
 
 from __future__ import annotations
@@ -82,7 +98,11 @@ class IvfPqIndex:
     - ``centroids/``  — (cent_id, cent_vec), num_centroids rows
     - ``codebooks/``  — (sub, code, cb_micro), m·ksub rows
     - ``codes/epoch=E/cent_id=*/`` — (c_id, sub, code), m rows/vector
-    - ``ids/epoch=E/`` — (c_id), 1 row/vector (the cheap prior-ids set)
+    - ``ids/epoch=E/bucket=B/`` — (c_id), 1 row/vector (the cheap
+      prior-ids set, hash-bucketed by c_id so the append guard prunes;
+      legacy pre-bucketing indexes have no ``bucket=`` level and the
+      manifest carries no ``ids_buckets`` — the guard then reads the
+      whole tree, exactly the old behavior)
 
     plus the commit-protocol control plane at the root: ``_commits/v*``
     markers and the ``_CURRENT`` manifest cache."""
@@ -104,6 +124,7 @@ class IvfPqIndex:
         vec_col: str = "embedding",
         store: ObjectStore | None = None,
         residual: bool = False,
+        ids_buckets: int = 64,
     ):
         self.spark = spark
         self.store = store if store is not None else open_store(root)
@@ -113,6 +134,9 @@ class IvfPqIndex:
         self.train_iters = train_iters
         self.id_col = id_col
         self.vec_col = vec_col
+        # hash-bucket fanout of the ids tree (prior-ids prune); like
+        # m/ksub the committed manifest is the authority once built
+        self.ids_buckets = ids_buckets
         # IVFADC residual layout (similarity.pq_encode centroids= /
         # ivfpq_search residual=True).  Like m/ksub, the committed
         # manifest is the authority once built — a reopened handle
@@ -134,6 +158,49 @@ class IvfPqIndex:
         cents = self.spark.read.parquet(self._url(vdir, self.CENTS))
         cb = self.spark.read.parquet(self._url(vdir, self.CB))
         return cents, cb
+
+    def _write_ids(
+        self, ids: DataFrame, vdir: str, epoch: int, nb: int
+    ) -> None:
+        """Write the (c_id) tree for one epoch, hash-bucketed by c_id
+        when ``nb > 0`` so :meth:`_prior_ids` can partition-prune."""
+        out = ids.select("c_id")
+        w = out.write.mode("overwrite")
+        if nb > 0:
+            out = out.withColumn(
+                "bucket", F.pmod(F.xxhash64("c_id"), F.lit(nb))
+            )
+            w = out.write.mode("overwrite").partitionBy("bucket")
+        w.parquet(self._url(vdir, self.IDS, f"epoch={epoch}"))
+
+    def _prior_ids(self, m: dict, batch: DataFrame) -> DataFrame:
+        """(c_id) committed under any epoch in manifest ``m`` that the
+        append guard must anti-join against, pruned to the hash buckets
+        ``batch``'s ids can possibly live in.  The bucket list is a
+        bounded collect (≤ ids_buckets distinct values, driver-side by
+        design — it constant-folds into the scan's PartitionFilters, so
+        at 10⁹ indexed vectors a small micro-batch reads only its
+        touched buckets instead of the whole corpus-ids column).
+        Legacy indexes (no ``ids_buckets`` in the manifest) read the
+        unpruned tree."""
+        prior = (
+            self.spark.read.parquet(self._url(m["dir"], self.IDS))
+            .filter(F.col("epoch").isin([int(e) for e in m["epochs"]]))
+        )
+        nb = int(m.get("ids_buckets", 0))
+        if nb > 0:
+            touched = sorted(
+                r[0]
+                for r in batch.select(
+                    F.pmod(
+                        F.xxhash64(F.col(self.id_col)), F.lit(nb)
+                    ).alias("bucket")
+                )
+                .distinct()
+                .collect()
+            )
+            prior = prior.filter(F.col("bucket").isin(touched))
+        return prior.select("c_id")
 
     # -- lifecycle -------------------------------------------------------
 
@@ -166,9 +233,7 @@ class IvfPqIndex:
         codes.write.mode("overwrite").partitionBy("cent_id").parquet(
             self._url(vdir, self.CODES, "epoch=0")
         )
-        cells.select("c_id").write.mode("overwrite").parquet(
-            self._url(vdir, self.IDS, "epoch=0")
-        )
+        self._write_ids(cells, vdir, 0, self.ids_buckets)
         for f in frames:
             f.unpersist()
         return _commit_version(
@@ -179,6 +244,7 @@ class IvfPqIndex:
                 "ksub": self.ksub,
                 "num_centroids": self.num_centroids,
                 "residual": self.residual,
+                "ids_buckets": self.ids_buckets,
             },
         )
 
@@ -206,14 +272,11 @@ class IvfPqIndex:
             # at-least-once re-delivery guard: ids already committed
             # under EARLIER epochs leave the batch (ids tree is one row
             # per vector — the codes tree, m rows per vector, is never
-            # read here).  The epoch filter also hides crash-orphan
-            # uncommitted epoch dirs, whose vectors must NOT count as
-            # indexed (they are invisible to search too).
-            prior = (
-                self.spark.read.parquet(self._url(vdir, self.IDS))
-                .filter(F.col("epoch").isin([int(e) for e in m["epochs"]]))
-                .select("c_id")
-            )
+            # read here — partition-pruned to the batch's hash buckets).
+            # The epoch filter also hides crash-orphan uncommitted epoch
+            # dirs, whose vectors must NOT count as indexed (they are
+            # invisible to search too).
+            prior = self._prior_ids(m, batch)
             new = batch.join(
                 prior, F.col(self.id_col) == F.col("c_id"), "left_anti"
             )
@@ -230,8 +293,8 @@ class IvfPqIndex:
             codes.write.mode("overwrite").partitionBy("cent_id").parquet(
                 self._url(vdir, self.CODES, f"epoch={epoch}")
             )
-            cells.select("c_id").write.mode("overwrite").parquet(
-                self._url(vdir, self.IDS, f"epoch={epoch}")
+            self._write_ids(
+                cells, vdir, epoch, int(m.get("ids_buckets", 0))
             )
             if _race_hook is not None:
                 _race_hook()
@@ -244,10 +307,129 @@ class IvfPqIndex:
                         "ksub": m["ksub"],
                         "num_centroids": m["num_centroids"],
                         "residual": bool(m.get("residual", False)),
+                        "ids_buckets": int(m.get("ids_buckets", 0)),
                     },
                 )
             except CommitConflict as e:
                 last = e  # re-resolve and retry
+        raise last  # type: ignore[misc]
+
+    def rebuild(
+        self,
+        source: DataFrame,
+        num_centroids: int | None = None,
+        m: int | None = None,
+        ksub: int | None = None,
+        train_iters: int | None = None,
+        residual: bool | None = None,
+        _race_hook=None,
+    ) -> dict:
+        """Retrain-and-swap: fit fresh centroids/codebooks on the
+        CURRENT committed corpus and commit the re-encoded index as the
+        next version (the catalog ``compact`` rebuild-and-swap shape).
+
+        The index stores codes, not vectors, so ``source`` must supply
+        (id_col, vec_col) rows covering every committed id — the
+        vectors are recovered by an inner join against the committed
+        ids tree, and a source missing any committed id raises rather
+        than silently shrinking the index.  Geometry defaults to the
+        manifest's (a rebuild re-fits drifted codebooks; it does not
+        quietly reshape the index) — pass overrides to change it.
+
+        Concurrency is the append contract run in reverse: the rebuild
+        loses its marker CAS to any append that committed since it
+        resolved the manifest, re-resolves (now seeing the new epoch's
+        ids), and retrains; an append losing to the rebuild re-resolves
+        and re-encodes against the new model (``append`` already does).
+        The committed ``epochs`` list carries over even though all
+        codes land in the new version's ``epoch=0`` dirs, so replays of
+        folded epochs stay post-commit no-ops."""
+        source = source.select(
+            F.col(self.id_col).alias(self.id_col),
+            F.col(self.vec_col).alias(self.vec_col),
+        )
+        last: Exception | None = None
+        for _ in range(5):
+            mfst = self.manifest()
+            if mfst is None:
+                raise IndexNotBuilt(self.store.url)
+            nc = int(num_centroids if num_centroids is not None
+                     else mfst["num_centroids"])
+            mm = int(m if m is not None else mfst["m"])
+            ks = int(ksub if ksub is not None else mfst["ksub"])
+            it = int(train_iters if train_iters is not None
+                     else self.train_iters)
+            res = bool(mfst.get("residual", False)
+                       if residual is None else residual)
+            # physical ids layout comes from the HANDLE, not the
+            # manifest: rebuild rewrites the whole ids tree anyway, so
+            # it is the one safe point to (up)grade a legacy flat
+            # layout to the bucketed one (mixed per-epoch layouts would
+            # break partition discovery, which is why append always
+            # follows the manifest)
+            nb = int(self.ids_buckets)
+            committed = (
+                self.spark.read.parquet(self._url(mfst["dir"], self.IDS))
+                .filter(
+                    F.col("epoch").isin([int(e) for e in mfst["epochs"]])
+                )
+                .select("c_id")
+            )
+            corpus = source.join(
+                committed, F.col(self.id_col) == F.col("c_id"), "inner"
+            ).drop("c_id")
+            n_committed = committed.count()
+            n_corpus = corpus.count()
+            if n_corpus < n_committed:
+                raise ValueError(
+                    f"rebuild source covers {n_corpus} of "
+                    f"{n_committed} committed ids — refusing to "
+                    "silently shrink the index"
+                )
+            vdir = _new_version_dir(mfst["version"] + 1)
+            frames: list = []
+            cents, assign = ivf_index_build(
+                corpus, nc, id_col=self.id_col, vec_col=self.vec_col
+            )
+            cells = assign.select("c_id", "cent_id")
+            rcents = cents if res else None
+            cb = pq_train(
+                corpus, m=mm, ksub=ks, iters=it,
+                id_col=self.id_col, vec_col=self.vec_col,
+                frames_out=frames,
+                cells=cells if res else None, centroids=rcents,
+            )
+            codes = pq_encode(
+                corpus, cb, m=mm,
+                id_col=self.id_col, vec_col=self.vec_col, cells=cells,
+                centroids=rcents,
+            )
+            cents.write.mode("overwrite").parquet(
+                self._url(vdir, self.CENTS)
+            )
+            cb.write.mode("overwrite").parquet(self._url(vdir, self.CB))
+            codes.write.mode("overwrite").partitionBy("cent_id").parquet(
+                self._url(vdir, self.CODES, "epoch=0")
+            )
+            self._write_ids(cells, vdir, 0, nb)
+            for f in frames:
+                f.unpersist()
+            if _race_hook is not None:
+                _race_hook()
+            try:
+                return _commit_version(
+                    self.store, "", mfst["version"] + 1, vdir, prev=mfst,
+                    extra={
+                        "epochs": [int(e) for e in mfst["epochs"]],
+                        "m": mm,
+                        "ksub": ks,
+                        "num_centroids": nc,
+                        "residual": res,
+                        "ids_buckets": nb,
+                    },
+                )
+            except CommitConflict as e:
+                last = e  # an append won the version: retrain on it
         raise last  # type: ignore[misc]
 
     def search(

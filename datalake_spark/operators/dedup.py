@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from datalake_spark.functions.text import doc_fingerprint, tokenize
 
@@ -127,6 +128,49 @@ def _minhash_banded(sig: DataFrame) -> DataFrame:
     ).select("_id", "_band", F.xxhash64("_bkey").alias("_bh"))
 
 
+def _capped_buckets(
+    banded: DataFrame,
+    payload: F.Column,
+    alias: str,
+    max_bucket: int,
+    size_alias: str | None = None,
+) -> DataFrame:
+    """Bucket aggregation with the cap applied BEFORE the collect.
+
+    A row_number prefix filter over the per-bucket id order keeps only
+    the id-smallest ``max_bucket`` rows ahead of the collect_list, so a
+    degenerate bucket (millions of blank images collapsing to one pHash,
+    empty docs to one simhash) can never materialize unbounded inside a
+    single aggregation buffer: the window's per-bucket sort spills
+    through the external sorter, and the collect buffers at most
+    ``max_bucket`` elements.  The pre-r12 form —
+    ``slice(sort_array(collect_list(...)), 1, max_bucket)`` — held the
+    ENTIRE bucket in one executor buffer before truncating (~16 B/row →
+    GBs on a 100 TB corpus's hot bucket).  Value-identical by
+    construction: ids are unique within a bucket (one row per (id,
+    band)), so the row_number prefix IS the id-sorted head the slice
+    kept.  Same single shuffle: the window partitions by the bucket key
+    and the groupBy reuses that partitioning.
+
+    ``size_alias`` additionally carries the PRE-cap bucket size (an
+    unbounded-frame count window over the same partitioning — no extra
+    shuffle) so truncation sentinels stay free."""
+    keys = ["_band", "_bh"]
+    ranked = banded.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy(*keys).orderBy("_id"))
+    )
+    if size_alias is not None:
+        ranked = ranked.withColumn(
+            size_alias, F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        )
+    aggs = [F.sort_array(F.collect_list(payload)).alias(alias)]
+    if size_alias is not None:
+        aggs.append(F.max(size_alias).alias(size_alias))
+    return (
+        ranked.filter(F.col("_rn") <= max_bucket).groupBy(*keys).agg(*aggs)
+    )
+
+
 def minhash_truncated_buckets(
     df: DataFrame,
     text_col: str = "text",
@@ -204,13 +248,13 @@ def minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, band_rows, shingle_n
     ).persist()
     banded = _minhash_banded(sig)
-    # candidate pairs: same (band, bandhash) bucket; cap degenerate buckets
-    agg_cols = [
-        F.slice(F.sort_array(F.collect_list("_id")), 1, max_bucket).alias("_ids")
-    ]
-    if trunc_out is not None:
-        agg_cols.append(F.count(F.lit(1)).alias("_bsz"))
-    buckets = banded.groupBy("_band", "_bh").agg(*agg_cols)
+    # candidate pairs: same (band, bandhash) bucket; cap degenerate
+    # buckets BEFORE the collect (_capped_buckets: row_number prefix →
+    # bounded aggregation buffer; _bsz is the free pre-cap count)
+    buckets = _capped_buckets(
+        banded, F.col("_id"), "_ids", max_bucket,
+        size_alias="_bsz" if trunc_out is not None else None,
+    )
     if trunc_out is not None:
         # one bucket agg feeds pairs AND sentinel — persist so the banding
         # shuffle runs once (count is exact pre-cap size: free column)
@@ -894,15 +938,12 @@ def simhash_pairs(
     prefix, so results stay deterministic.
     """
     banded = _simhash_banded(df, text_col, id_col, num_bands, token_hash)
-    # one shuffle: collect each band bucket, cap it, expand pairs in-place
-    # (sort_array on (id, sh) structs orders by id, so a<b falls out of the
-    # triangular expansion and the capped prefix is the id-smallest rows).
-    buckets = banded.groupBy("_band", "_bh").agg(
-        F.slice(
-            F.sort_array(F.collect_list(F.struct(F.col("_id"), F.col("_sh")))),
-            1,
-            max_bucket,
-        ).alias("_rows")
+    # one shuffle: cap each band bucket BEFORE collecting it
+    # (_capped_buckets), then expand pairs in-place (sort_array on
+    # (id, sh) structs orders by id, so a<b falls out of the triangular
+    # expansion and the capped prefix is the id-smallest rows).
+    buckets = _capped_buckets(
+        banded, F.struct(F.col("_id"), F.col("_sh")), "_rows", max_bucket
     )
     cand = (
         buckets.filter(F.size("_rows") > 1)
@@ -1097,8 +1138,9 @@ def minhash_incremental_pairs(
     banded_old = _minhash_banded(sig_old)
     banded_new = _minhash_banded(sig_new)
     # cross candidates: capped old bucket membership x new band rows
-    old_buckets = banded_old.groupBy("_band", "_bh").agg(
-        F.slice(F.sort_array(F.collect_list("_id")), 1, max_bucket).alias("_olds")
+    # (cap-before-collect: see _capped_buckets)
+    old_buckets = _capped_buckets(
+        banded_old, F.col("_id"), "_olds", max_bucket
     )
     cross = (
         banded_new.join(old_buckets, ["_band", "_bh"])
@@ -1111,8 +1153,8 @@ def minhash_incremental_pairs(
     )
     # new x new candidates: the full operator's capped bucket expansion,
     # restricted to the batch
-    new_buckets = banded_new.groupBy("_band", "_bh").agg(
-        F.slice(F.sort_array(F.collect_list("_id")), 1, max_bucket).alias("_ids")
+    new_buckets = _capped_buckets(
+        banded_new, F.col("_id"), "_ids", max_bucket
     )
     nn = (
         new_buckets.filter(F.size("_ids") > 1)
@@ -1678,34 +1720,25 @@ def semantic_incremental_pairs(
     )
 
 
-def hamming_band_pairs(
+def _hamming_banded(
     df: DataFrame,
-    hash_col: str = "phash",
-    id_col: str = "media_id",
-    max_hamming: int = 3,
-    num_bands: int = 4,
-    bits: int = 63,
-    max_bucket: int = 1000,
+    hash_col: str,
+    id_col: str,
+    num_bands: int,
+    bits: int,
 ) -> DataFrame:
-    """Near-duplicate pairs over a PRECOMPUTED integer hash column by
-    pigeonhole banding — the :func:`simhash_pairs` machinery decoupled
-    from text, for hashes produced elsewhere (perceptual image hashes
-    from operators/multimodal.phash_image, audio fingerprints, …).
-
-    The ``bits`` are split into ``num_bands`` contiguous bands (first
-    ``bits % num_bands`` bands carry the extra bit); with
-    ``max_hamming < num_bands`` every qualifying pair shares at least
-    one identical band (pigeonhole), so the banded join is EXACT —
-    provided no band bucket exceeds ``max_bucket`` (the cap keeps the
-    id-smallest prefix; run the count yourself on a suspect corpus, the
-    simhash cap contract).  One shuffle on (band, band-bits), in-bucket
-    triangular expansion carrying both hash values, exact Hamming
-    verify via XOR bit count.  Scale: identical to simhash_pairs —
-    buckets bound the quadratic work, the corpus never self-joins."""
+    """(_id, _sh, _band, _bh): contiguous-band split of a precomputed
+    integer hash (first ``bits % num_bands`` bands carry the extra
+    bit).  Ids keep their NATIVE type — they only need to be orderable
+    (the bucket cap keeps an id-smallest prefix) and equatable; casting
+    them would silently NULL non-numeric ids (phash_image's media_id is
+    a string).  Rows with a NULL id or NULL hash are dropped: a null id
+    has no identity to pair under, and the pre-r12 long-cast silently
+    converted unparseable ids into exactly such rows."""
     base = df.select(
-        F.col(id_col).cast("long").alias("_id"),
+        F.col(id_col).alias("_id"),
         F.col(hash_col).cast("long").alias("_sh"),
-    ).filter(F.col("_sh").isNotNull())
+    ).filter(F.col("_sh").isNotNull() & F.col("_id").isNotNull())
     lo = bits // num_bands
     extra = bits % num_bands
     banded = None
@@ -1722,13 +1755,86 @@ def hamming_band_pairs(
         )
         banded = part if banded is None else banded.unionByName(part)
         off += width
-    buckets = banded.groupBy("_band", "_bh").agg(
-        F.slice(
-            F.sort_array(F.collect_list(F.struct(F.col("_id"), F.col("_sh")))),
-            1,
-            max_bucket,
-        ).alias("_rows")
+    return banded
+
+
+def hamming_truncated_buckets(
+    df: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "media_id",
+    num_bands: int = 4,
+    bits: int = 63,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band buckets that :func:`hamming_band_pairs` would truncate —
+    (band, band_hash, bucket_size) for every bucket over ``max_bucket``,
+    the self-describing exactness boundary every other capped tier has
+    (:func:`minhash_truncated_buckets`, :func:`simhash_truncated_buckets`).
+    Empty result = the pigeonhole exactness guarantee holds
+    unconditionally; non-empty quantifies the recall loss (a degenerate
+    corpus — millions of blank images in one pHash bucket — drops
+    bucket_size - max_bucket members per bucket).  Prefer the free
+    ``trunc_out`` channel on :func:`hamming_band_pairs` when pairs are
+    being computed anyway."""
+    banded = _hamming_banded(df, hash_col, id_col, num_bands, bits)
+    return (
+        banded.groupBy("_band", "_bh")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+        .select(
+            F.col("_band").alias("band"),
+            F.col("_bh").alias("band_hash"),
+            "bucket_size",
+        )
     )
+
+
+def hamming_band_pairs(
+    df: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    bits: int = 63,
+    max_bucket: int = 1000,
+    trunc_out: list | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs over a PRECOMPUTED integer hash column by
+    pigeonhole banding — the :func:`simhash_pairs` machinery decoupled
+    from text, for hashes produced elsewhere (perceptual image hashes
+    from operators/multimodal.phash_image, audio fingerprints, …).
+    Ids keep their native type (only orderability is required); rows
+    with a NULL id or hash are dropped (see :func:`_hamming_banded`).
+
+    The ``bits`` are split into ``num_bands`` contiguous bands (first
+    ``bits % num_bands`` bands carry the extra bit); with
+    ``max_hamming < num_bands`` every qualifying pair shares at least
+    one identical band (pigeonhole), so the banded join is EXACT —
+    provided no band bucket exceeds ``max_bucket`` (the cap keeps the
+    id-smallest prefix).  ``trunc_out`` (optional list) receives one
+    DataFrame of (band, band_hash, bucket_size) for every truncated
+    bucket, derived from the SAME bucket aggregation the pairs use
+    (the minhash_lsh_pairs sentinel shape — zero extra shuffles); the
+    standalone :func:`hamming_truncated_buckets` re-bands when pairs
+    are not needed.  One shuffle on (band, band-bits), in-bucket
+    triangular expansion carrying both hash values, exact Hamming
+    verify via XOR bit count.  Scale: identical to simhash_pairs —
+    buckets bound the quadratic work (capped BEFORE the collect, see
+    :func:`_capped_buckets`), the corpus never self-joins."""
+    banded = _hamming_banded(df, hash_col, id_col, num_bands, bits)
+    buckets = _capped_buckets(
+        banded, F.struct(F.col("_id"), F.col("_sh")), "_rows", max_bucket,
+        size_alias="_bsz" if trunc_out is not None else None,
+    )
+    if trunc_out is not None:
+        buckets = buckets.persist()
+        trunc_out.append(
+            buckets.filter(F.col("_bsz") > max_bucket).select(
+                F.col("_band").alias("band"),
+                F.col("_bh").alias("band_hash"),
+                F.col("_bsz").alias("bucket_size"),
+            )
+        )
     cand = (
         buckets.filter(F.size("_rows") > 1)
         .select(

@@ -191,6 +191,7 @@ def curate_corpus(
     dsir_target: DataFrame | None = None,
     dsir_top_n: int | None = None,
     dsir_num_buckets: int = 1024,
+    dsir_after_dedup: bool = False,
     **dedup_kwargs,
 ) -> DataFrame:
     """Quality rules then near-dup dedup; returns the surviving rows of
@@ -211,10 +212,20 @@ def curate_corpus(
     (Xie et al. 2023; operators/dsir.py) runs after the LM stage: an
     importance model trains on the target slice against the surviving
     corpus, and only the ``dsir_top_n`` documents by importance weight
-    are kept (quarantine stage ``dsir_unselected``).  Selection before
-    decontamination/dedup for the same cost reason as the LM stage —
-    scoring is one broadcast join, so it shrinks what the expensive
-    stages see.
+    are kept (quarantine stage ``dsir_unselected``).  By default
+    selection runs BEFORE decontamination/dedup for the same cost
+    reason as the LM stage — scoring is one broadcast join, so it
+    shrinks what the expensive stages see.  CAVEAT of that default: a
+    target-like 100-way duplicate cluster consumes up to 100 of the
+    ``dsir_top_n`` slots and is then mostly removed by dedup, so the
+    final kept count can land well below ``dsir_top_n`` (the export
+    manifest reports the real ``n_kept``), and the raw model trains on
+    the dup-skewed distribution.  For corpora with heavy duplication
+    pass ``dsir_after_dedup=True``: the stage then runs LAST (after
+    near-dup and span dedup, so it scores and selects over the cleaned
+    corpus, the order the DSIR paper assumes) and the kept count equals
+    ``min(dsir_top_n, deduped corpus size)``; the tradeoff is that
+    decontamination/dedup see the unselected corpus.
 
     With ``benchmark`` (an eval-set DataFrame with the same text
     column), a decontamination stage drops documents sharing >=
@@ -268,30 +279,35 @@ def curate_corpus(
                 F.lit("low_lm_quality").alias("drop_stage"),
             )
         kept = kept.join(low, F.col(id_col) == F.col("_lmid"), "left_anti")
-    dsir_dropped = None
-    if dsir_target is not None and dsir_top_n is not None:
+    def _dsir_selected_ids(frame: DataFrame) -> DataFrame:
+        """(_dsid) ids of the dsir_top_n docs of ``frame`` by importance
+        weight — one feature extraction shared by the raw-count half of
+        training and the scoring pass (the lm-stage single-tokenization
+        discipline); session-scoped persist like the other
+        curation-stage caches."""
         from datalake_spark.operators.dsir import (
             dsir_sample,
             dsir_train,
             hashed_features,
         )
 
-        # one feature extraction of the surviving corpus, shared by the
-        # raw-count half of training and the scoring pass (the lm-stage
-        # single-tokenization discipline); session-scoped persist like
-        # the other curation-stage caches
         fk = hashed_features(
-            kept, text_col=text_col, id_col=id_col,
+            frame, text_col=text_col, id_col=id_col,
             num_buckets=dsir_num_buckets,
         ).persist()
         model = dsir_train(
-            dsir_target, kept, text_col=text_col, id_col=id_col,
+            dsir_target, frame, text_col=text_col, id_col=id_col,
             num_buckets=dsir_num_buckets, features_raw=fk,
         )
-        selected = dsir_sample(
-            kept, model, dsir_top_n, text_col=text_col, id_col=id_col,
+        return dsir_sample(
+            frame, model, dsir_top_n, text_col=text_col, id_col=id_col,
             num_buckets=dsir_num_buckets, features=fk,
         ).select(F.col(id_col).alias("_dsid"))
+
+    dsir_dropped = None
+    run_dsir = dsir_target is not None and dsir_top_n is not None
+    if run_dsir and not dsir_after_dedup:
+        selected = _dsir_selected_ids(kept)
         if quarantine_path is not None:
             dsir_dropped = kept.join(
                 selected, F.col(id_col) == F.col("_dsid"), "left_anti"
@@ -362,6 +378,23 @@ def curate_corpus(
                 )
             )
         surviving = rewritten.filter(F.col(text_col) != "").select(*df.columns)
+    dsir_post = run_dsir and dsir_after_dedup
+    if dsir_post:
+        # after-dedup selection: scores the cleaned (deduped,
+        # span-scrubbed) corpus — see the docstring caveat on the
+        # pre-dedup default
+        selected = _dsir_selected_ids(surviving)
+        if quarantine_path is not None:
+            dsir_dropped = surviving.join(
+                selected, F.col(id_col) == F.col("_dsid"), "left_anti"
+            ).select(
+                *df.columns,
+                *[F.lit(True).alias(c) for c in RULE_COLS],
+                F.lit("dsir_unselected").alias("drop_stage"),
+            )
+        surviving = surviving.join(
+            selected, F.col(id_col) == F.col("_dsid"), "left_semi"
+        )
     if quarantine_path is not None:
         rule_drops = ruled.filter(~F.col("keep")).select(
             *df.columns, *RULE_COLS, F.lit("rules").alias("drop_stage")
@@ -378,6 +411,16 @@ def curate_corpus(
                 F.lit("near_dup").alias("drop_stage"),
             )
         )
+        if dsir_post and dsir_dropped is not None:
+            # after-dedup dsir losers are absent from `surviving`, so
+            # the kept-minus-surviving anti-join above would re-report
+            # them as near_dup — keep the specific stage (the
+            # span_empty pattern below)
+            dup_drops = dup_drops.join(
+                dsir_dropped.select(F.col(id_col).alias("_xid")),
+                F.col(id_col) == F.col("_xid"),
+                "left_anti",
+            )
         drops = rule_drops.unionByName(dup_drops)
         if lm_dropped is not None:
             drops = drops.unionByName(lm_dropped)

@@ -428,10 +428,12 @@ def _mk() -> list[Q]:
         Sub(q(ops, "ann_ivfpq_topk", "ann_ivfpq_topk", "ANN_IVFPQ_SQL"),
             {"q_id": "v", "c_id": "v", "adc": "v", "rk": "v"}),
         # r11: the STANDING index — build/append under the marker-CAS
-        # commit protocol, probed through a reloaded handle
+        # commit protocol, probed through a reloaded handle; r12 adds
+        # the rebuild (retrain-and-swap) verb and a post-rebuild probe
         Sub(q(ops, "ann_index_lifecycle", "ann_index_lifecycle",
               "ANN_INDEX_LIFECYCLE_SQL"),
-            {"q_id": "v", "c_id": "v", "adc": "v", "rk": "v"}),
+            {"q_id": "v", "c_id": "v", "adc": "v", "rk": "v",
+             "stage": "v"}),
         # r11: in-plan recall verdict — brute-force truth vs ivfpq in
         # one plan, per-query hit counts value-gated in both engines
         Sub(q(ops, "ann_recall_verdict", "ann_recall_verdict",

@@ -24,7 +24,14 @@ correlation key forced into GROUP BY, multi-level set-op nesting).
 r11: 120 -> 140 seeds alongside grammar round 7 (FULL OUTER joins
 inside derived tables, explicit GROUPING SETS, correlated EXISTS in
 HAVING, NULL-bearing IN-subquery lists — the three-valued trap — and
-LAG/NTILE windows).  The Spark side and the DuckDB oracle share
+LAG/NTILE windows).  r12: 140 -> 160 seeds alongside grammar round 8
+(WITH-CTEs referenced 2-3 times through one named relation — the
+round also FOUND a resolution divergence while building: a CTE named
+like the table it reads is circular to DuckDB but resolves to the
+catalog table in Spark, so the grammar names its CTE base_c;
+aggregate FILTER clauses; correlated scalar subqueries as the ORDER
+BY lead; INTERSECT ALL / EXCEPT ALL at every set-op site including
+inside derived tables under windows).  The Spark side and the DuckDB oracle share
 the identical CORE plan text; only the md5->int digest plumbing
 differs per engine (Spark spells it CONV(SUBSTR(MD5 ..)), DuckDB
 CAST('0x' || SUBSTR(md5 ..))) — the repo's standing portable-hash
@@ -42,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from datalake_spark.fuzzgen import TABLES, gate_safe, generate
 from datalake_spark.functions.hashing import sql_md5hash60
 
-_N_GATE_PLANS = 140
+_N_GATE_PLANS = 160
 _MOD = 1_000_000_007
 
 

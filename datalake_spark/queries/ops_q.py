@@ -768,12 +768,16 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # protocol (operators/ann_index.IvfPqIndex): build on vec_id 3..399
     # (trains centroids + Lloyd codebooks on the build slice only),
     # append vec_id >= 400 as epoch 1 (encoded against the STANDING
-    # model — never retrained), then probe through a FRESH handle that
-    # reloads everything from the committed manifest.  Values are the
-    # ivfpq math, so the oracle is the IVF-PQ SQL with the training
-    # slice restricted to the build slice — the appended vectors' codes
-    # fall out of encoding them against those standing books, exactly
-    # what append() does.
+    # model — never retrained), probe through a FRESH handle that
+    # reloads everything from the committed manifest (stage 'pre'),
+    # then REBUILD — retrain-and-swap on the full committed corpus (the
+    # r12 lifecycle verb) — and probe again through another fresh
+    # handle (stage 'post').  Values are the ivfpq math, so the oracle
+    # is the IVF-PQ SQL twice: training slice restricted to the build
+    # slice for 'pre' (the appended vectors' codes fall out of encoding
+    # them against those standing books, exactly what append() does),
+    # and the full candidate set for 'post' (exactly what rebuild()
+    # retrains on).
     import tempfile
 
     from datalake_spark.operators.ann_index import IvfPqIndex
@@ -787,17 +791,34 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx.build(base)
     idx.append(extra, 1)
     reopened = IvfPqIndex(spark, root)  # params come from the manifest
-    return reopened.search(q, k=3, nprobe=4).select(
+    pre = reopened.search(q, k=3, nprobe=4).select(
         "q_id", "c_id", "adc", "rk"
+    ).withColumn("stage", F.lit("pre"))
+    # force the pre-rebuild probe NOW: its lazy plan reads the v2
+    # version dir, which stays on disk after the swap (keep_versions
+    # history), but materializing before the swap keeps the gate
+    # independent of retention knobs
+    pre = spark.createDataFrame(pre.collect(), pre.schema)
+    reopened.rebuild(emb)  # inner-joins committed ids: queries excluded
+    post = IvfPqIndex(spark, root).search(q, k=3, nprobe=4).select(
+        "q_id", "c_id", "adc", "rk"
+    ).withColumn("stage", F.lit("post"))
+    return pre.unionByName(post)
+
+
+# Same math as ANN_IVFPQ_SQL run twice: the TRAINING slice pinned to the
+# build slice (3 <= vec_id < 400) for the pre-rebuild probe — the
+# standing-model append contract — and to the full candidate set
+# (vec_id >= 3) for the post-rebuild probe — the retrain-and-swap
+# contract (rebuild == a fresh pipeline over the committed corpus).
+ANN_INDEX_LIFECYCLE_SQL = (
+    "SELECT q_id, c_id, adc, rk, 'pre' AS stage FROM ("
+    + _IVFPQ_SQL_TEMPLATE.format(
+        tw="vec_id >= 3 AND vec_id < 400", train=_PQ_TRAIN_SQL
     )
-
-
-# Same math as ANN_IVFPQ_SQL with the TRAINING slice pinned to the build
-# slice (3 <= vec_id < 400): centroids and codebooks see only build-time
-# vectors, while encoding/cell-assignment cover the full candidate set —
-# the standing-model append contract, replayed end-to-end.
-ANN_INDEX_LIFECYCLE_SQL = _IVFPQ_SQL_TEMPLATE.format(
-    tw="vec_id >= 3 AND vec_id < 400", train=_PQ_TRAIN_SQL
+    + ") pre_t UNION ALL SELECT q_id, c_id, adc, rk, 'post' AS stage FROM ("
+    + _IVFPQ_SQL_TEMPLATE.format(tw="vec_id >= 3", train=_PQ_TRAIN_SQL)
+    + ") post_t"
 )
 
 
@@ -957,14 +978,34 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = docs.mapInPandas(synth, schema=mm_ops.MEDIA_SCHEMA)
+    # cast ids to long BEFORE banding: the bucket cap keeps an
+    # id-smallest prefix, and the oracle orders by numeric doc_id —
+    # string order ("100" < "2") would keep a different prefix once a
+    # bucket binds
     hashes = mm_ops.phash_image(media).select(
         F.col("media_id").cast("long").alias("media_id"), "phash"
     )
-    return dedup_ops.hamming_band_pairs(hashes).select(
+    # truncation sentinel (the minhash_lsh_dedup contract): would-be
+    # truncated buckets ride the pairs' own bucket aggregation
+    # (trunc_out — the pre-cap count is a free window column) as
+    # self-describing doc_a = -1 rows.  The oracle replicates BOTH the
+    # id-smallest-prefix cap and the sentinel, so the gate stays exact
+    # at every SF — the gate corpus forms ~n/22 identical-pHash
+    # clusters, which pushes buckets past 1000 around sf1.0 (the exact
+    # uncapped-oracle divergence class r6 fixed in SIMHASH_SQL).
+    trunc_frames: list = []
+    pairs = dedup_ops.hamming_band_pairs(hashes, trunc_out=trunc_frames)
+    trunc = trunc_frames[0].select(
+        F.lit(-1).cast("long").alias("doc_a"),
+        (F.col("band").cast("long") * 65536 + F.col("band_hash"))
+        .cast("long").alias("doc_b"),
+        F.col("bucket_size").cast("long").alias("hamming"),
+    )
+    return pairs.select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
         F.col("hamming").cast("long").alias("hamming"),
-    )
+    ).unionByName(trunc)
 
 
 def _phash_sql() -> str:
@@ -1016,14 +1057,33 @@ banded AS (
          (phash >> (b.b * 16)) &
            CASE WHEN b.b = 3 THEN 32767 ELSE 65535 END AS bh
   FROM hashes, UNNEST(generate_series(0, 3)) b(b)),
+-- the production op caps each (band, bh) bucket at its 1000
+-- id-smallest members (hamming_band_pairs max_bucket) — replicate the
+-- cap so the gate stays exact at every SF (the SIMHASH_SQL precedent:
+-- the gate corpus's identical-hash clusters push buckets past the cap
+-- around sf1.0)
+kept AS (
+  SELECT band, bh, doc_id, phash
+  FROM (SELECT band, bh, doc_id, phash,
+               ROW_NUMBER() OVER (PARTITION BY band, bh
+                                  ORDER BY doc_id) AS rn
+        FROM banded)
+  WHERE rn <= 1000),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   a.phash AS ha, b.phash AS hb
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+-- truncation sentinel twin: one doc_a = -1 row per over-cap bucket
+trunc AS (
+  SELECT CAST(-1 AS BIGINT) AS doc_a,
+         CAST(band * 65536 + bh AS BIGINT) AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS hamming
+  FROM banded GROUP BY band, bh HAVING COUNT(*) > 1000)
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand
 WHERE bit_count(xor(ha, hb)) <= 3
+UNION ALL SELECT doc_a, doc_b, hamming FROM trunc
 """
 
 

@@ -1,7 +1,8 @@
 """Standing IVF-PQ index lifecycle: build/append/search under the
 marker-CAS commit protocol, epoch-replay idempotence, crash-orphan
-invisibility, cross-epoch re-delivery uniqueness, and append-vs-append
-commit races."""
+invisibility, cross-epoch re-delivery uniqueness, append-vs-append and
+append-vs-rebuild commit races, retrain-and-swap (rebuild), and the
+hash-bucketed prior-ids prune."""
 
 from __future__ import annotations
 
@@ -168,6 +169,163 @@ class TestIvfPqIndexLifecycle:
         man = idx.append(b2, 3, _race_hook=_sneak)
         assert sorted(man["epochs"]) == [0, 2, 3]
         assert man["version"] == 3
+
+    def test_rebuild_retrains_on_current_corpus(self, spark, emb,
+                                                tmp_path):
+        """rebuild() must serve exactly what a fresh one-call pipeline
+        trained on the FULL committed corpus computes — the proof that
+        the swap re-fit centroids AND codebooks on build+appended
+        vectors (append alone never retrains, so the two states differ
+        by construction when the build slice is small)."""
+        q = emb.filter("vec_id < 3")
+        base = emb.filter("vec_id >= 3 and vec_id < 60")
+        extra = emb.filter("vec_id >= 60")
+        idx = IvfPqIndex(spark, str(tmp_path / "idxr"),
+                         num_centroids=8, m=16, ksub=16)
+        idx.build(base)
+        idx.append(extra, 1)
+        man = idx.rebuild(emb)
+        assert man["version"] == 3 and man["epochs"] == [0, 1]
+        got = _topk(idx.search(q, k=5, nprobe=3))
+        want = _topk(similarity.ivfpq_topk(
+            q, base.unionByName(extra), k=5, num_centroids=8, nprobe=3,
+            m=16, ksub=16))
+        assert got == want and got
+        # folded-epoch replay stays a post-commit no-op
+        man2 = idx.append(extra, 1)
+        assert man2["version"] == man["version"]
+        # a reopened handle serves the rebuilt state from the manifest
+        assert _topk(IvfPqIndex(spark, str(tmp_path / "idxr"))
+                     .search(q, k=5, nprobe=3)) == got
+
+    def test_rebuild_refuses_short_source_and_unbuilt(self, spark, emb,
+                                                      tmp_path):
+        idx = IvfPqIndex(spark, str(tmp_path / "idxs"),
+                         num_centroids=8, m=16, ksub=16)
+        with pytest.raises(IndexNotBuilt):
+            idx.rebuild(emb)
+        idx.build(emb.filter("vec_id >= 3 and vec_id < 100"))
+        with pytest.raises(ValueError, match="silently shrink"):
+            idx.rebuild(emb.filter("vec_id >= 3 and vec_id < 50"))
+
+    def test_append_racing_rebuild_loses_and_reencodes(self, spark, emb,
+                                                       tmp_path):
+        """An append that committed while the rebuild was training makes
+        the rebuild's marker CAS lose; the rebuild re-resolves and
+        retrains ON the new epoch's vectors (the catalog compact race
+        contract).  Afterwards the index equals a fresh pipeline over
+        all three slices."""
+        q = emb.filter("vec_id < 3")
+        base = emb.filter("vec_id >= 3 and vec_id < 60")
+        b1 = emb.filter("vec_id >= 60 and vec_id < 120")
+        b2 = emb.filter("vec_id >= 120 and vec_id < 180")
+        idx = IvfPqIndex(spark, str(tmp_path / "idxrc"),
+                         num_centroids=8, m=16, ksub=16)
+        idx.build(base)
+        idx.append(b1, 1)
+
+        done: list = []
+
+        def _sneak():
+            if not done:
+                done.append(1)
+                idx.append(b2, 2)  # wins version 3 under the rebuild
+
+        man = idx.rebuild(emb, _race_hook=_sneak)
+        assert man["version"] == 4
+        assert sorted(man["epochs"]) == [0, 1, 2]
+        got = _topk(idx.search(q, k=5, nprobe=3))
+        want = _topk(similarity.ivfpq_topk(
+            q, base.unionByName(b1).unionByName(b2), k=5,
+            num_centroids=8, nprobe=3, m=16, ksub=16))
+        assert got == want and got
+
+    def test_rebuild_losing_append_reencodes_against_new_model(
+            self, spark, emb, tmp_path):
+        """The mirror race: an appender that read the PRE-rebuild
+        manifest loses its CAS to the rebuild, re-resolves, and encodes
+        against the rebuilt model — its vectors are searchable and
+        unique afterwards."""
+        q = emb.filter("vec_id < 3")
+        base = emb.filter("vec_id >= 3 and vec_id < 120")
+        b1 = emb.filter("vec_id >= 120 and vec_id < 200")
+        idx = IvfPqIndex(spark, str(tmp_path / "idxra"),
+                         num_centroids=8, m=16, ksub=16)
+        idx.build(base)
+
+        done: list = []
+
+        def _sneak():
+            if not done:
+                done.append(1)
+                idx.rebuild(base)  # wins version 2 under the append
+
+        man = idx.append(b1, 1, _race_hook=_sneak)
+        assert man["version"] == 3 and sorted(man["epochs"]) == [0, 1]
+        full = idx.search(q, k=5, nprobe=8)
+        seen = {c for (c, _a) in _topk(full).values()}
+        assert any(c >= 120 for c in seen)  # appended vectors serve
+        ids = spark.read.parquet(idx._url(man["dir"], IvfPqIndex.IDS))
+        dup = ids.groupBy("c_id").count().filter("count > 1").count()
+        assert dup == 0
+
+    def test_prior_ids_prune_reaches_partition_filters(self, spark, emb,
+                                                       tmp_path):
+        """The re-delivery guard's ids scan must partition-prune to the
+        batch's hash buckets (constant-folded isin → PartitionFilters),
+        and still return exactly the committed ids that can collide
+        with the batch."""
+        base = emb.filter("vec_id >= 3 and vec_id < 300")
+        batch = emb.filter("vec_id >= 250 and vec_id < 260")
+        idx = IvfPqIndex(spark, str(tmp_path / "idxp"),
+                         num_centroids=8, m=16, ksub=16, ids_buckets=16)
+        idx.build(base)
+        man = idx.manifest()
+        assert man["ids_buckets"] == 16
+        prior = idx._prior_ids(man, batch)
+        plan = prior._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        assert "bucket" in pf
+        # values: the pruned read still covers every batch id already
+        # committed (the anti-join's correctness contract)
+        got = {r[0] for r in prior.collect()}
+        overlap = {r[0] for r in batch.select("vec_id").collect()}
+        assert overlap <= got
+        # and the guard still works end-to-end: re-appending committed
+        # vectors adds nothing
+        idx.append(batch, 1)
+        ids = (
+            spark.read.parquet(idx._url(man["dir"], IvfPqIndex.IDS))
+        )
+        assert ids.select("c_id").distinct().count() == base.count()
+
+    def test_legacy_unbucketed_ids_tree_still_appends(self, spark, emb,
+                                                      tmp_path):
+        """A pre-bucketing index (no ids_buckets in the manifest, flat
+        ids/epoch=E dirs) must keep appending with the unpruned guard —
+        and a rebuild upgrades it to the bucketed layout."""
+        base = emb.filter("vec_id >= 3 and vec_id < 100")
+        extra = emb.filter("vec_id >= 80 and vec_id < 150")
+        idx = IvfPqIndex(spark, str(tmp_path / "idxl"),
+                         num_centroids=8, m=16, ksub=16, ids_buckets=0)
+        idx.build(base)
+        man = idx.manifest()
+        # ids_buckets=0 == the r11 manifest's missing key: both resolve
+        # to the flat layout through the same m.get(..., 0) path
+        assert int(man.get("ids_buckets", 0)) == 0
+        man2 = idx.append(extra, 1)
+        ids = spark.read.parquet(idx._url(man2["dir"], IvfPqIndex.IDS))
+        assert "bucket" not in ids.columns
+        assert ids.select("c_id").distinct().count() == ids.count()
+        assert ids.count() == 147  # 97 base + 50 new (80..99 deduped)
+        # rebuild upgrades the layout using the handle's ids_buckets
+        idx.ids_buckets = 8
+        idx.rebuild(emb)
+        ids2 = spark.read.parquet(
+            idx._url(idx.manifest()["dir"], IvfPqIndex.IDS))
+        assert "bucket" in ids2.columns
+        assert int(idx.manifest()["ids_buckets"]) == 8
 
     def test_streaming_maintenance_appends_epochs(self, spark, emb,
                                                   tmp_path):

@@ -392,6 +392,30 @@ class TestCurateCommand:
         assert spark.read.parquet(outdir).filter(
             "doc_id >= 50").count() == 0
 
+    def test_curate_dsir_flags_must_pair(self, spark, catalog_dir,
+                                         tmp_path):
+        """r11 advisor: --dsir-target without --dsir-top-n (or vice
+        versa) used to silently skip the stage after reading the target
+        parquet — now a parser-level error."""
+        import pytest
+
+        src = str(tmp_path / "docs_pair")
+        spark.createDataFrame(
+            [(1, "the a b c d e", "en")],
+            "doc_id long, text string, lang string",
+        ).write.parquet(src)
+        for extra in (["--dsir-target", src],
+                      ["--dsir-top-n", "3"],
+                      ["--dsir-after-dedup"]):
+            with pytest.raises(SystemExit) as e:
+                _run(
+                    spark,
+                    ["curate", src, str(tmp_path / "out_pair"),
+                     "--n-shards", "1"] + extra,
+                    catalog_dir,
+                )
+            assert e.value.code == 2
+
     def test_curate_webdataset_format(self, spark, catalog_dir, tmp_path):
         from datalake_spark.export import read_webdataset_shard
 

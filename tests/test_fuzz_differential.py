@@ -358,6 +358,64 @@ class TestDifferentialFuzz:
         )
         assert mismatch(spark_tables, duck, q4) is None
 
+    def test_correlated_scalar_in_order_by_is_guarded(
+        self, spark_tables, duck
+    ):
+        """Documents the two r12 grammar-round finds:
+
+        (a) SIXTH engine asymmetry — a correlated scalar subquery
+        INLINE in ORDER BY is UNRESOLVED_COLUMN in Spark 4.1 (the
+        sort's subquery never binds the outer row; found freezing the
+        r12 gate, seed 216) while DuckDB answers.  The grammar emits
+        the portable twin instead: project the scalar AS ob_0 and
+        order by the alias — pinned engine-agreed here.  If a Spark
+        upgrade resolves the inline form, the generate() rewrite can
+        go back to the literal site.
+
+        (b) CTE-name resolution divergence — WITH customer AS (SELECT
+        ... FROM customer ...) is a circular-CTE binder error in
+        DuckDB but resolves the inner reference to the catalog table
+        in Spark; the grammar therefore names its CTE base_c.  Pinned:
+        the self-named form errors in EXACTLY one engine (divergence),
+        the base_c form agrees."""
+        inline = (
+            "SELECT c_custkey FROM customer "
+            "ORDER BY COALESCE((SELECT MAX(n_regionkey) FROM nation "
+            "WHERE c_nationkey = n_nationkey), -1) DESC NULLS LAST, "
+            "c_custkey NULLS FIRST LIMIT 19"
+        )
+        err = mismatch(spark_tables, duck, inline)
+        assert err is not None and err.startswith("spark-only error"), err
+        aliased = (
+            "SELECT c_custkey, COALESCE((SELECT MAX(n_regionkey) "
+            "FROM nation WHERE c_nationkey = n_nationkey), -1) AS ob_0 "
+            "FROM customer ORDER BY ob_0 DESC NULLS LAST, "
+            "c_custkey NULLS FIRST LIMIT 19"
+        )
+        assert mismatch(spark_tables, duck, aliased) is None
+        self_named = (
+            "WITH customer AS (SELECT * FROM customer "
+            "WHERE c_nationkey < 9) SELECT c_custkey FROM customer "
+            "ORDER BY c_custkey NULLS FIRST LIMIT 5"
+        )
+        err = mismatch(spark_tables, duck, self_named)
+        assert err is not None and "error" in err, err
+        renamed = (
+            "WITH base_c AS (SELECT * FROM customer "
+            "WHERE c_nationkey < 9) SELECT c_custkey "
+            "FROM base_c AS customer "
+            "ORDER BY c_custkey NULLS FIRST LIMIT 5"
+        )
+        assert mismatch(spark_tables, duck, renamed) is None
+        # and generate() never emits either unguarded form
+        for seed in range(0, 800):
+            spec = generate(seed)
+            sql = spec.sql()
+            if spec.order is not None:
+                assert "SELECT" not in spec.order[0], f"seed {seed}"
+            if spec.cte is not None:
+                assert "WITH base_c AS" in sql, f"seed {seed}"
+
     def test_shrinker_reduces_a_planted_mismatch(self, spark_tables, duck):
         """Sanity-check the shrinking machinery itself with a spec whose
         mismatch survives clause-dropping: an engine-specific function in

@@ -1566,6 +1566,56 @@ class TestPerceptualHash:
                 want[(i, j)] = d
         assert got == want and want
 
+    def test_hamming_pairs_native_string_ids_and_null_drop(self, spark):
+        """Ids keep their native type (r11 advisor: the long cast
+        silently NULLed string ids like phash_image's media_id) and
+        null-id/null-hash rows are dropped, not paired."""
+        from datalake_spark.operators.dedup import hamming_band_pairs
+
+        rows = [("img-a", 0b111), ("img-b", 0b100), (None, 0b111),
+                ("img-c", None)]
+        df = spark.createDataFrame(rows, "media_id string, phash long")
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in hamming_band_pairs(df).collect()}
+        assert got == {("img-a", "img-b"): 2}
+
+    def test_hamming_truncation_sentinel_and_detector(self, spark):
+        """The cap's exactness boundary is self-describing: trunc_out /
+        hamming_truncated_buckets report every over-cap bucket with its
+        pre-cap size, and the capped pairs equal the id-smallest-prefix
+        expansion (the minhash/simhash sentinel contract, closing the
+        r11 'silent truncation' gap)."""
+        import itertools
+
+        from datalake_spark.operators.dedup import (
+            hamming_band_pairs,
+            hamming_truncated_buckets,
+        )
+
+        # 7 identical hashes -> every band bucket holds 7 rows; cap 4
+        rows = [(i, 0b1010101) for i in range(7)] + [(99, 1 << 50)]
+        df = spark.createDataFrame(rows, "media_id long, phash long")
+        sent: list = []
+        pairs = hamming_band_pairs(df, max_bucket=4, trunc_out=sent)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        want = {(a, b) for a, b in itertools.combinations(range(4), 2)}
+        assert got == want  # the id-smallest 4 of each bucket pair up
+        t = sent[0].collect()
+        assert len(t) == 4  # every band truncates one bucket
+        # the 1<<50 outlier shares the all-zero band-1/band-2 buckets
+        # with the cluster (its set bit lives in band 3), so two
+        # buckets carry 8 rows pre-cap
+        assert sorted(r["bucket_size"] for r in t) == [7, 7, 8, 8]
+        d = hamming_truncated_buckets(df, max_bucket=4).collect()
+        assert sorted((r["band"], r["bucket_size"]) for r in d) == sorted(
+            (r["band"], r["bucket_size"]) for r in t
+        )
+        # under-cap corpus: both channels are empty (exactness certified)
+        sent2: list = []
+        hamming_band_pairs(df, max_bucket=100, trunc_out=sent2).collect()
+        assert sent2[0].count() == 0
+        assert hamming_truncated_buckets(df, max_bucket=100).count() == 0
+
     def test_phash_image_real_codec_and_error_rows(self, spark):
         import pandas as pd
 

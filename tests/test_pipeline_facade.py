@@ -371,6 +371,55 @@ class TestDsirStage:
                 for r in spark.read.parquet(qpath).collect()}
         assert quar == {2: "dsir_unselected"}
 
+    def test_after_dedup_selection_fills_top_n(self, spark, tmp_path):
+        """r11 advisor: with the pre-dedup default, a target-like
+        duplicate cluster eats top-n slots and is then deduped away, so
+        n_kept lands below top-n; dsir_after_dedup=True selects over
+        the cleaned corpus and fills the budget."""
+        from datalake_spark.pipeline import curate_corpus
+
+        target = spark.createDataFrame(
+            [(100 + i, "clean formal prose about science and history")
+             for i in range(3)],
+            "doc_id long, text string",
+        )
+        # the near-dup cluster IS the target text plus a per-doc suffix
+        # word (distinct texts pass the rules' canonicality check but
+        # collapse under minhash dedup at J >= 0.5; all carry max
+        # importance weight); doc 10 is mildly on-target, doc 11
+        # feature-disjoint spam
+        dup_body = "the clean formal prose about science and history"
+        corpus = spark.createDataFrame(
+            [(i, f"v{i} {dup_body}", "en") for i in range(1, 4)]
+            + [(10, "the plain notes mention science here again today",
+                "en"),
+               (11, "the zz spam buy now zz spam buy now zz", "en")],
+            "doc_id long, text string, lang string",
+        )
+        kw = dict(
+            rule_kwargs={"min_words": 5, "max_words": 100,
+                         "stopwords": ("the",), "stop_ratio_den": 200},
+            dsir_target=target, dsir_top_n=2,
+        )
+        # pre-dedup default: the dup cluster consumes both slots, dedup
+        # then collapses it -> only 1 doc survives (whichever cluster
+        # member won the near-tie)
+        pre = sorted(r["doc_id"] for r in curate_corpus(corpus, **kw)
+                     .collect())
+        assert len(pre) == 1 and pre[0] in (1, 2, 3), pre
+        # after-dedup: selection sees the deduped corpus and fills top_n
+        qpath = str(tmp_path / "quar_after")
+        post = curate_corpus(
+            corpus, dsir_after_dedup=True, quarantine_path=qpath, **kw
+        )
+        assert sorted(r["doc_id"] for r in post.collect()) == [1, 10]
+        quar = {r["doc_id"]: r["drop_stage"]
+                for r in spark.read.parquet(qpath).collect()}
+        # dedup losers stay near_dup; the dsir loser carries its own
+        # stage (no double-report)
+        assert quar == {2: "near_dup", 3: "near_dup",
+                        11: "dsir_unselected"}
+
     def test_off_unless_both_params_given(self, spark):
         from datalake_spark.pipeline import curate_corpus
 

@@ -92,6 +92,12 @@ SF1_ENTRIES = [
     "hll_distinct_verdict", "q_approx_distinct", "minhash_lsh_dedup",
     "dedup_clusters",
 ]
+# r12: the LLM-pipeline newcomers that had never run at 100x — the
+# ANN/DSIR/LM/semantic families (the r11 sf10 campaign covered only the
+# relational/dedup sf-sensitive six).  --sf10 runs SF1_ENTRIES + these.
+SF10_EXTRA = [
+    "ann_ivfpq_topk", "dsir_select", "lm_quality_score", "semantic_dedup",
+]
 
 
 def _sf1_concurrency_stress(spark, sf_dir: str) -> bool:
@@ -254,7 +260,7 @@ def main() -> int:
     elif sf10_mode:
         argv.remove("--sf10")
         sf_dir = _ensure_sfn(SF10_DIR, 100, "sf10")
-        only = set(argv) or set(SF1_ENTRIES)
+        only = set(argv) or set(SF1_ENTRIES + SF10_EXTRA)
     else:
         sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
         only = set(argv[1:])
@@ -262,9 +268,10 @@ def main() -> int:
 
     qs = dict(entrymod.queries())
     oracles = dict(entrymod.oracle_sql())
-    if sf1_mode or sf10_mode:
-        # battery subs run standalone: their parent batteries carry
-        # sf1.0-hostile siblings (embedding_near_dup's 20k^2 oracle)
+    if only:
+        # battery subs are addressable by name and run standalone
+        # against their own oracles (their parent batteries carry
+        # scale-hostile siblings like embedding_near_dup's 20k^2 oracle)
         from datalake_spark.queries import registry
         from datalake_spark.queries.batteries import BATTERY_SUBS
 
