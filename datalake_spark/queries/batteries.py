@@ -439,6 +439,13 @@ def _mk() -> list[Q]:
         Sub(q(ops, "ann_recall_verdict", "ann_recall_verdict",
               "ANN_RECALL_SQL"),
             {"q_id": "v", "n_hits": "v", "denom": "v"}),
+        # r12: the two ANN design claims as gated numbers — trained-vs-
+        # coreset on the isotropic embeddings, residual-vs-raw on a
+        # synthesized 64-cluster mixture (more clusters than codewords,
+        # the IVFADC regime); per-query hits + per-config totals
+        Sub(q(ops, "ann_clustered_recall", "ann_clustered_recall",
+              "ANN_CLUSTERED_RECALL_SQL"),
+            {"config": "v", "q_id": "v", "n_hits": "v", "denom": "v"}),
         # r11: perceptual-hash image near-dup — real PNG codec + integer
         # DCT pHash + pigeonhole banding, oracle replays the arithmetic
         # codec-free (pixel formula -> cos-table DCT -> threshold ->

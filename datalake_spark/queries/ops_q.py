@@ -763,6 +763,372 @@ LEFT JOIN hits h ON q.vec_id = h.q_id
 ANN_RECALL_SQL = _ANN_RECALL_TEMPLATE.replace("__IVFPQ__", ANN_IVFPQ_SQL)
 
 
+# ---------------------------------------------------------------------------
+# ann_clustered_recall (r12) — the two ANN design claims as driver-gated
+# NUMBERS.  The r11 verdict flagged both as unfalsifiable on the gate's
+# isotropic embeddings: (1) trained codebooks beat the coreset seed, and
+# (2) the IVFADC residual layout beats raw codes on CLUSTERED corpora
+# (on isotropic vectors residuals measurably do NOT help — recall 0.37
+# vs 0.42, BASELINE.md r11 — because random unit vectors give residuals
+# no concentration).  This entry gates four recall measurements in one
+# plan:
+#
+# - pq_coreset / pq_trained — plain PQ (m=32, ksub=32, k=3) on the REAL
+#   isotropic embeddings: the trained-vs-coreset separation the r11
+#   text claimed (0.58 -> 0.70) becomes two value-gated totals.
+# - ivfpq_raw / ivfpq_residual — IVF-PQ (m=16, ksub=16, 64 centroids,
+#   nprobe=4, k=5) on a SYNTHESIZED mixture corpus: 64 clusters (more
+#   clusters than codewords — the regime IVFADC was designed for,
+#   Jégou et al. 2011 §III-C), centers = real embedding rows 16..79,
+#   members = center × per-component multiplicative noise that is a
+#   pure integer function of (vec_id, pos) — the image_phash_pairs
+#   in-plan-synthesis precedent, so the oracle replays the corpus
+#   exactly.  Raw codebooks collapse each cluster to one codeword (ADC
+#   degenerates to id-order ties within a probed cell); residual
+#   codebooks quantize the noise that actually distinguishes members —
+#   measured at sf0.01: 67/80 residual vs 60-62/80 raw.
+#
+# Output: (config, q_id, n_hits, denom) per query plus a q_id = -1
+# total row per config — the separations are the gated totals.
+# ---------------------------------------------------------------------------
+_CR_CLUSTERS = 64
+_CR_AMP = "0.08"
+
+
+def _clustered_synth(emb: DataFrame) -> DataFrame:
+    centers = emb.filter(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") < 16 + _CR_CLUSTERS)
+    ).select(
+        (F.col("vec_id") - 16).alias("_cidx"),
+        F.col("embedding").alias("_cemb"),
+    )
+    return (
+        emb.select("vec_id")
+        .withColumn("_cidx", F.pmod("vec_id", F.lit(_CR_CLUSTERS)))
+        .join(F.broadcast(centers), "_cidx")
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(_cemb, (x, i) -> CAST(x AS DOUBLE) * "
+                "(1.0D + CAST(((vec_id * 131 + i * 7) % 997) % 11 - 5 "
+                f"AS DOUBLE) * {_CR_AMP}D))"
+            ).alias("embedding"),
+        )
+    )
+
+
+def ann_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+
+    def block(label, truth, approx, q, k):
+        hits = (
+            truth.join(approx, ["q_id", "c_id"], "left_semi")
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return (
+            q.select(F.col("vec_id").alias("q_id"))
+            .join(hits, "q_id", "left")
+            .select(
+                F.lit(label).alias("config"),
+                "q_id",
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                F.lit(k).cast("long").alias("denom"),
+            )
+        )
+
+    parts = []
+    qi = emb.filter(F.col("vec_id") < 3)
+    ci = emb.filter(F.col("vec_id") >= 3)
+    truth_i = sim_ops.brute_force_topk(qi, ci, k=3).select("q_id", "c_id")
+    for label, it in (("pq_coreset", 0), ("pq_trained", 2)):
+        ap = sim_ops.pq_topk(
+            qi, ci, k=3, m=32, ksub=32, train_iters=it
+        ).select("q_id", "c_id")
+        parts.append(block(label, truth_i, ap, qi, 3))
+    synth = _clustered_synth(emb)
+    qc = synth.filter(F.col("vec_id") < 16)
+    cc = synth.filter(F.col("vec_id") >= 16)
+    truth_c = sim_ops.brute_force_topk(qc, cc, k=5).select("q_id", "c_id")
+    for label, res in (("ivfpq_raw", False), ("ivfpq_residual", True)):
+        ap = sim_ops.ivfpq_topk(
+            qc, cc, k=5, num_centroids=_CR_CLUSTERS, nprobe=4, m=16,
+            ksub=16, train_iters=2, residual=res,
+        ).select("q_id", "c_id")
+        parts.append(block(label, truth_c, ap, qc, 5))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # persisted: the totals branch re-reads all four pipelines
+    out = out.persist()
+    totals = (
+        out.groupBy("config")
+        .agg(
+            F.sum("n_hits").cast("long").alias("n_hits"),
+            F.sum("denom").cast("long").alias("denom"),
+        )
+        .select(
+            "config", F.lit(-1).cast("long").alias("q_id"),
+            "n_hits", "denom",
+        )
+    )
+    return out.unionByName(totals)
+
+
+# the exact-IEEE cosine rank key both engines share (the verified
+# _IVFPQ_SQL_TEMPLATE text)
+_CR_COS = (
+    "CASE WHEN ISNAN(CAST({dt} AS DOUBLE) / (SQRT(CAST({na} AS DOUBLE)) * "
+    "SQRT(CAST({nb} AS DOUBLE)))) THEN -2.0 ELSE CAST({dt} AS DOUBLE) / "
+    "(SQRT(CAST({na} AS DOUBLE)) * SQRT(CAST({nb} AS DOUBLE))) END"
+)
+
+
+def _cr_cfg_sql(
+    label: str,
+    clustered: bool,
+    k: int,
+    qmax: int,
+    cmin: int,
+    m: int,
+    ksub: int,
+    iters: int,
+    ivf: bool,
+    residual: bool,
+    nc: int = _CR_CLUSTERS,
+    nprobe: int = 4,
+) -> str:
+    """One config block of ANN_CLUSTERED_RECALL_SQL: a self-contained
+    WITH chain replaying synth → quantize → [IVF] → PQ train/encode →
+    [residual] ADC → top-k → hits-vs-truth, wrapped as a subquery (the
+    nested-WITH form both engines accept)."""
+    subw = 64 // m
+    if clustered:
+        src = f"""cent AS (
+  SELECT vec_id - 16 AS cidx,
+         CAST(UNNEST(embedding) AS DOUBLE) AS cx,
+         UNNEST(generate_series(1, len(embedding))) AS pos
+  FROM embeddings WHERE vec_id >= 16 AND vec_id < {16 + _CR_CLUSTERS}),
+sel AS (
+  SELECT e.vec_id, c.pos,
+         c.cx * (1.0 + CAST(((e.vec_id * 131 + (c.pos - 1) * 7) % 997)
+                            % 11 - 5 AS DOUBLE) * {_CR_AMP}) AS comp
+  FROM (SELECT vec_id FROM embeddings) e
+  JOIN cent c ON c.cidx = e.vec_id % {_CR_CLUSTERS}),"""
+    else:
+        src = """sel AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS comp,
+         UNNEST(generate_series(1, len(embedding))) AS pos
+  FROM embeddings),"""
+    tcos = _CR_COS.format(dt="dt", na="nq.nsq", nb="nc2.nsq")
+    ivf_ctes = ""
+    if ivf:
+        acos = _CR_COS.format(dt="dt", na="nn.nsq", nb="nm.nsq")
+        ivf_ctes = f"""
+cents AS (
+  SELECT vec_id AS cent_id FROM (
+    SELECT DISTINCT vec_id FROM sel WHERE vec_id >= {cmin})
+  ORDER BY vec_id LIMIT {nc}),
+ice AS (
+  SELECT c.cent_id, e.pos, e.rqv FROM rawel e
+  JOIN cents c ON e.vec_id = c.cent_id),
+cdt AS (
+  SELECT a.vec_id AS c_id, b.cent_id,
+         CAST(SUM(a.rqv * b.rqv) AS BIGINT) AS dt
+  FROM rawel a JOIN ice b ON a.pos = b.pos
+  WHERE a.vec_id >= {cmin} GROUP BY 1, 2),
+cassign AS (
+  SELECT c_id, cent_id FROM (
+    SELECT c_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY
+             {_CR_COS.format(dt="dt", na="nn.nsq", nb="nm.nsq")} DESC,
+             cent_id) AS rk
+    FROM cdt JOIN inorms nn ON nn.vec_id = c_id
+    JOIN inorms nm ON nm.vec_id = cent_id)
+  WHERE rk = 1),
+qdt AS (
+  SELECT a.vec_id AS q_id, b.cent_id,
+         CAST(SUM(a.rqv * b.rqv) AS BIGINT) AS dt
+  FROM qre a JOIN ice b ON a.pos = b.pos GROUP BY 1, 2),
+qprobe AS (
+  SELECT q_id, cent_id FROM (
+    SELECT q_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+             {acos.replace("nn.nsq", "nq2.nsq").replace("nm.nsq", "nm2.nsq")} DESC,
+             cent_id) AS rk
+    FROM qdt JOIN inorms nq2 ON nq2.vec_id = q_id
+    JOIN inorms nm2 ON nm2.vec_id = cent_id)
+  WHERE rk <= {nprobe}),
+cm AS (
+  SELECT c.cent_id, e.pos, e.qv AS cqv FROM el e
+  JOIN cents c ON e.vec_id = c.cent_id),"""
+    if residual:
+        pel = """
+pel AS (
+  SELECT a.c_id AS vec_id, e.pos, e.qv - m2.cqv AS qv
+  FROM cassign a JOIN el e ON e.vec_id = a.c_id
+  JOIN cm m2 ON m2.cent_id = a.cent_id AND m2.pos = e.pos),"""
+    else:
+        pel = f"""
+pel AS (SELECT vec_id, pos, qv FROM el WHERE vec_id >= {cmin}),"""
+    if iters > 0:
+        train = (
+            _PQ_TRAIN_ROUND_SQL.format(i=1, prev="cbe")
+            + _PQ_TRAIN_ROUND_SQL.format(i=2, prev="cb1")
+        ).rstrip()
+    else:
+        train = "\ncb2 AS (SELECT sub, code, pos, qv FROM cbe),"
+    if residual:
+        qside = f"""
+qres AS (
+  SELECT p.q_id, p.cent_id, e.pos, e.qv - m2.cqv AS qv
+  FROM qprobe p JOIN el e ON e.vec_id = p.q_id
+  JOIN cm m2 ON m2.cent_id = p.cent_id AND m2.pos = e.pos),
+qsub AS (
+  SELECT q_id, cent_id, CAST((pos - 1) // {subw} AS BIGINT) AS sub,
+         pos, qv
+  FROM qres),
+qdist AS (
+  SELECT s.q_id, s.cent_id, s.sub, c.code,
+         CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
+  FROM qsub s JOIN cb2 c ON s.sub = c.sub AND s.pos = c.pos
+  GROUP BY 1, 2, 3, 4),
+prs AS (
+  SELECT p.q_id, a.c_id, a.cent_id
+  FROM qprobe p JOIN cassign a ON a.cent_id = p.cent_id),
+adc AS (
+  SELECT pr.q_id, cd.c_id, CAST(SUM(qd.dist) AS BIGINT) AS adc
+  FROM prs pr JOIN codes cd ON cd.c_id = pr.c_id
+  JOIN qdist qd ON qd.q_id = pr.q_id AND qd.cent_id = pr.cent_id
+   AND qd.sub = cd.sub AND qd.code = cd.code
+  GROUP BY 1, 2)"""
+    else:
+        qside = f"""
+qsub AS (
+  SELECT vec_id AS q_id, CAST((pos - 1) // {subw} AS BIGINT) AS sub,
+         pos, qv
+  FROM el WHERE vec_id < {qmax}),
+qdist AS (
+  SELECT s.q_id, s.sub, c.code,
+         CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
+  FROM qsub s JOIN cb2 c ON s.sub = c.sub AND s.pos = c.pos
+  GROUP BY 1, 2, 3),"""
+        if ivf:
+            qside += """
+prs AS (
+  SELECT p.q_id, a.c_id
+  FROM qprobe p JOIN cassign a ON a.cent_id = p.cent_id),
+adc AS (
+  SELECT pr.q_id, cd.c_id, CAST(SUM(qd.dist) AS BIGINT) AS adc
+  FROM prs pr JOIN codes cd ON cd.c_id = pr.c_id
+  JOIN qdist qd ON qd.q_id = pr.q_id AND qd.sub = cd.sub
+   AND qd.code = cd.code
+  GROUP BY 1, 2)"""
+        else:
+            qside += """
+adc AS (
+  SELECT q.q_id, c.c_id, CAST(SUM(q.dist) AS BIGINT) AS adc
+  FROM codes c JOIN qdist q ON c.sub = q.sub AND c.code = q.code
+  GROUP BY 1, 2)"""
+    return f"""SELECT * FROM (
+WITH {src}
+rawel AS (
+  SELECT vec_id, pos,
+         CAST(FLOOR(comp * 1000000 + 0.5) AS BIGINT) AS rqv
+  FROM sel),
+inorms AS (
+  SELECT vec_id, CAST(SUM(rqv * rqv) AS BIGINT) AS nsq
+  FROM rawel GROUP BY vec_id),
+qre AS (SELECT vec_id, pos, rqv FROM rawel WHERE vec_id < {qmax}),
+tdots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         CAST(SUM(a.rqv * b.rqv) AS BIGINT) AS dt
+  FROM qre a JOIN rawel b ON a.pos = b.pos
+  WHERE b.vec_id >= {cmin} GROUP BY 1, 2),
+truth AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY {tcos} DESC, c_id) AS rk
+    FROM tdots JOIN inorms nq ON nq.vec_id = q_id
+    JOIN inorms nc2 ON nc2.vec_id = c_id)
+  WHERE rk <= {k}),
+nr AS (
+  SELECT vec_id,
+         CASE WHEN nsq > 0 THEN SQRT(CAST(nsq AS DOUBLE)) ELSE 1.0 END
+           AS nrm
+  FROM inorms),
+el AS (
+  SELECT e.vec_id, e.pos,
+         CAST(FLOOR(CAST(e.rqv AS DOUBLE) / n.nrm * 1000000 + 0.5)
+              AS BIGINT) AS qv
+  FROM rawel e JOIN nr n ON e.vec_id = n.vec_id),{ivf_ctes}{pel}
+sub_el AS (
+  SELECT vec_id, CAST((pos - 1) // {subw} AS BIGINT) AS sub, pos, qv
+  FROM pel),
+cb_ids AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT DISTINCT vec_id FROM sel WHERE vec_id >= {cmin}
+        ORDER BY vec_id LIMIT {ksub})),
+cbe AS (
+  SELECT b.code, s.sub, s.pos, s.qv
+  FROM sub_el s JOIN cb_ids b ON s.vec_id = b.vec_id),
+cet AS (SELECT vec_id, sub, pos, qv FROM sub_el),{train}
+cdist AS (
+  SELECT s.vec_id AS c_id, s.sub, c.code,
+         CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
+  FROM sub_el s JOIN cb2 c ON s.sub = c.sub AND s.pos = c.pos
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT c_id, sub, code FROM (
+    SELECT c_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY c_id, sub
+                              ORDER BY dist, code) AS rk
+    FROM cdist)
+  WHERE rk = 1),{qside},
+appr AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rk
+    FROM adc)
+  WHERE rk <= {k}),
+hits AS (
+  SELECT t.q_id, COUNT(*) AS n
+  FROM truth t JOIN appr a ON t.q_id = a.q_id AND t.c_id = a.c_id
+  GROUP BY 1)
+SELECT '{label}' AS config, q.vec_id AS q_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       CAST({k} AS BIGINT) AS denom
+FROM (SELECT DISTINCT vec_id FROM sel WHERE vec_id < {qmax}) q
+LEFT JOIN hits h ON q.vec_id = h.q_id)"""
+
+
+def _clustered_recall_sql() -> str:
+    blocks = [
+        _cr_cfg_sql("pq_coreset", False, 3, 3, 3, 32, 32, 0,
+                    ivf=False, residual=False),
+        _cr_cfg_sql("pq_trained", False, 3, 3, 3, 32, 32, 2,
+                    ivf=False, residual=False),
+        _cr_cfg_sql("ivfpq_raw", True, 5, 16, 16, 16, 16, 2,
+                    ivf=True, residual=False),
+        _cr_cfg_sql("ivfpq_residual", True, 5, 16, 16, 16, 16, 2,
+                    ivf=True, residual=True),
+    ]
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""WITH allrows AS (
+{union}
+)
+SELECT config, q_id, n_hits, denom FROM allrows
+UNION ALL
+SELECT config, CAST(-1 AS BIGINT) AS q_id,
+       CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+       CAST(SUM(denom) AS BIGINT) AS denom
+FROM allrows GROUP BY config"""
+
+
+ANN_CLUSTERED_RECALL_SQL = _clustered_recall_sql()
+
+
 def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the STANDING serving index, end-to-end under the marker-CAS commit
     # protocol (operators/ann_index.IvfPqIndex): build on vec_id 3..399

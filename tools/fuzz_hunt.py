@@ -19,6 +19,12 @@ seeds on every grammar change, so clearances don't carry forward):
   NULL-bearing IN, LAG/NTILE): 6700-7399 @ sf0.001 clean; bonus
   7400-7999 @ sf0.001 clean, 8000-8299 @ sf0.01 clean,
   8300-9899 @ sf0.001 clean
+  r12 (grammar round 8: base_c CTEs referenced 2-3x, aggregate FILTER,
+  correlated scalars driving ORDER BY via projected alias,
+  INTERSECT/EXCEPT ALL everywhere — building the round found TWO
+  engine asymmetries pre-hunt: self-named CTE resolution and inline
+  ORDER-BY correlated scalars, both guarded + pinned):
+  9900-10399 @ sf0.001 clean, 10400-10699 @ sf0.01 clean
 """
 
 from __future__ import annotations
