@@ -348,19 +348,45 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every ranking key an exact integer.  dim 64 / m 32 gives
 # sub = (pos-1)//2 at the gate's m=32; the pre-filtered-CTE discipline is the ANN_IVF_SQL
 # lesson (DuckDB may not push an id filter below a per-pos equi-join).
-_PQ_TRAIN_ROUND_SQL = """
-td{i} AS (
-  SELECT s.vec_id, s.sub, c.code,
-         CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
-  FROM cet s JOIN {prev} c ON s.sub = c.sub AND s.pos = c.pos
-  GROUP BY 1, 2, 3),
-ta{i} AS (
-  SELECT vec_id, sub, code FROM (
-    SELECT vec_id, sub, code,
-           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-                              ORDER BY dist, code) AS rk
-    FROM td{i})
-  WHERE rk = 1),
+# Argmin-by-combined-key discipline (r12, the sf10 oracle fix): the
+# straightforward per-(vector, subspace, codeword) distance aggregation
+# — GROUP BY over |corpus|·m·ksub rows, then a ROW_NUMBER window over
+# the same — built >75 GB of DuckDB spill at sf10 (200k vectors) and
+# died on disk.  Instead, PIVOT each subvector's d_sub components into
+# columns (|corpus|·m rows), compute the exact-BIGINT distance INLINE
+# per (subvector, codeword) join row, and take
+# MIN(dist * ksub + code): lexicographically identical to
+# ORDER BY dist, code with rk = 1 (code < ksub, and dist·ksub stays far
+# under 2^63 on the micro grid), with the aggregation state shrunk from
+# |corpus|·m·ksub groups to |corpus|·m — no window, no giant hash
+# table.  Value-identical by construction; re-proven by the unchanged
+# gate hashes at sf0.001/0.01.
+
+
+def _pq_pivot_cols(dsub: int) -> str:
+    return ", ".join(
+        f"MAX(CASE WHEN (pos - 1) % {dsub} = {j} THEN qv END) AS q{j}"
+        for j in range(dsub)
+    )
+
+
+def _pq_dist_expr(dsub: int) -> str:
+    return " + ".join(
+        f"(s.q{j} - c.q{j}) * (s.q{j} - c.q{j})" for j in range(dsub)
+    )
+
+
+def _pq_train_round_sql(i: int, prev: str, dsub: int, ksub: int) -> str:
+    return f"""
+cbp{i} AS MATERIALIZED (
+  SELECT sub, code, {_pq_pivot_cols(dsub)}
+  FROM {prev} GROUP BY sub, code),
+ta{i} AS MATERIALIZED (
+  SELECT vec_id, sub, CAST(m % {ksub} AS BIGINT) AS code FROM (
+    SELECT s.vec_id, s.sub,
+           MIN(({_pq_dist_expr(dsub)}) * {ksub} + c.code) AS m
+    FROM cetp s JOIN cbp{i} c ON s.sub = c.sub
+    GROUP BY 1, 2)),
 tu{i} AS (
   SELECT sub, code, pos,
          CAST((num - (((num % den) + den) % den)) // den AS BIGINT) AS qv
@@ -370,7 +396,7 @@ tu{i} AS (
            2 * COUNT(*) AS den
     FROM cet s JOIN ta{i} a ON s.vec_id = a.vec_id AND s.sub = a.sub
     GROUP BY 1, 2, 3)),
-cb{i} AS (
+cb{i} AS MATERIALIZED (
   SELECT sub, code, pos, qv FROM tu{i}
   UNION ALL
   SELECT c.sub, c.code, c.pos, c.qv FROM {prev} c
@@ -378,52 +404,71 @@ cb{i} AS (
                     WHERE u.sub = c.sub AND u.code = c.code)),
 """
 
-_PQ_TRAIN_SQL = (
-    _PQ_TRAIN_ROUND_SQL.format(i=1, prev="cbe")
-    + _PQ_TRAIN_ROUND_SQL.format(i=2, prev="cb1")
-)
+
+def _pq_train_sql(dsub: int, ksub: int) -> str:
+    """Two Lloyd rounds over ``cet`` (the pivoted ``cetp`` is emitted
+    once — the training elements never change between rounds)."""
+    return (
+        f"""
+cetp AS MATERIALIZED (
+  SELECT vec_id, sub, {_pq_pivot_cols(dsub)}
+  FROM cet GROUP BY vec_id, sub),"""
+        + _pq_train_round_sql(1, "cbe", dsub, ksub)
+        + _pq_train_round_sql(2, "cb1", dsub, ksub)
+    )
+
+
+def _pq_codes_sql(dsub: int, ksub: int, src: str = "ce",
+                  cb: str = "cb2") -> str:
+    """Encode ``src`` against ``cb`` → ``codes`` (c_id, sub, code), the
+    same combined-key argmin."""
+    return f"""
+cep AS MATERIALIZED (
+  SELECT vec_id, sub, {_pq_pivot_cols(dsub)}
+  FROM {src} GROUP BY vec_id, sub),
+cbpe AS MATERIALIZED (
+  SELECT sub, code, {_pq_pivot_cols(dsub)}
+  FROM {cb} GROUP BY sub, code),
+codes AS MATERIALIZED (
+  SELECT vec_id AS c_id, sub, CAST(m % {ksub} AS BIGINT) AS code FROM (
+    SELECT s.vec_id, s.sub,
+           MIN(({_pq_dist_expr(dsub)}) * {ksub} + c.code) AS m
+    FROM cep s JOIN cbpe c ON s.sub = c.sub
+    GROUP BY 1, 2)),"""
+
+
+_PQ_TRAIN_SQL = _pq_train_sql(2, 32)
+_PQ_CODES_SQL = _pq_codes_sql(2, 32)
 
 ANN_PQ_SQL = f"""
-WITH rawel AS (
+WITH rawel AS MATERIALIZED (
   SELECT vec_id,
          CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000 + 0.5)
               AS BIGINT) AS rqv,
          UNNEST(generate_series(1, len(embedding))) AS pos
   FROM embeddings),
-nr AS (
+nr AS MATERIALIZED (
   SELECT vec_id,
          CASE WHEN SUM(rqv * rqv) > 0
               THEN SQRT(CAST(SUM(rqv * rqv) AS DOUBLE)) ELSE 1.0 END AS nrm
   FROM rawel GROUP BY vec_id),
-el AS (
+el AS MATERIALIZED (
   SELECT e.vec_id,
          CAST(FLOOR(CAST(e.rqv AS DOUBLE) / n.nrm * 1000000 + 0.5)
               AS BIGINT) AS qv,
          e.pos
   FROM rawel e JOIN nr n ON e.vec_id = n.vec_id),
-sub_el AS (
+sub_el AS MATERIALIZED (
   SELECT vec_id, CAST((pos - 1) // 2 AS BIGINT) AS sub, pos, qv FROM el),
 cb_ids AS (
   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
   FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 3
         ORDER BY vec_id LIMIT 32)),
-cbe AS (
+cbe AS MATERIALIZED (
   SELECT b.code, s.sub, s.pos, s.qv
   FROM sub_el s JOIN cb_ids b ON s.vec_id = b.vec_id),
 ce AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id >= 3),
-cet AS (SELECT vec_id, sub, pos, qv FROM ce),{_PQ_TRAIN_SQL}
-cdist AS (
-  SELECT s.vec_id AS c_id, s.sub, c.code,
-         CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
-  FROM ce s JOIN cb2 c ON s.sub = c.sub AND s.pos = c.pos
-  GROUP BY 1, 2, 3),
-codes AS (
-  SELECT c_id, sub, code FROM (
-    SELECT c_id, sub, code,
-           ROW_NUMBER() OVER (PARTITION BY c_id, sub
-                              ORDER BY dist, code) AS rk
-    FROM cdist)
-  WHERE rk = 1),
+cet AS (SELECT vec_id, sub, pos, qv FROM ce),{_PQ_TRAIN_SQL}{_PQ_CODES_SQL}
 qe AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id < 3),
 qdist AS (
   SELECT s.vec_id AS q_id, s.sub, c.code,
@@ -464,13 +509,13 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query's 4 probed cells.  Keep ksub/LIMIT and m/sub-width in sync with
 # the gate call (ksub=32, m=32 → sub = (pos-1)//2 at dim 64).
 _IVFPQ_SQL_TEMPLATE = """
-WITH rawel AS (
+WITH rawel AS MATERIALIZED (
   SELECT vec_id,
          CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000 + 0.5)
               AS BIGINT) AS rqv,
          UNNEST(generate_series(1, len(embedding))) AS pos
   FROM embeddings),
-inorms AS (
+inorms AS MATERIALIZED (
   SELECT vec_id, CAST(SUM(rqv * rqv) AS BIGINT) AS nsq
   FROM rawel GROUP BY vec_id),
 cents AS (
@@ -485,7 +530,7 @@ cdots AS (
   FROM rawel a JOIN ice b ON a.pos = b.pos
   WHERE a.vec_id >= 3
   GROUP BY 1, 2),
-cassign AS (
+cassign AS MATERIALIZED (
   SELECT c_id, cent_id FROM (
     SELECT c_id, cent_id,
            ROW_NUMBER() OVER (PARTITION BY c_id
@@ -525,35 +570,23 @@ nr AS (
          CASE WHEN SUM(rqv * rqv) > 0
               THEN SQRT(CAST(SUM(rqv * rqv) AS DOUBLE)) ELSE 1.0 END AS nrm
   FROM rawel GROUP BY vec_id),
-el AS (
+el AS MATERIALIZED (
   SELECT e.vec_id,
          CAST(FLOOR(CAST(e.rqv AS DOUBLE) / n.nrm * 1000000 + 0.5)
               AS BIGINT) AS qv,
          e.pos
   FROM rawel e JOIN nr n ON e.vec_id = n.vec_id),
-sub_el AS (
+sub_el AS MATERIALIZED (
   SELECT vec_id, CAST((pos - 1) // 2 AS BIGINT) AS sub, pos, qv FROM el),
 cb_ids AS (
   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
   FROM (SELECT vec_id FROM embeddings WHERE {tw}
         ORDER BY vec_id LIMIT 32)),
-cbe AS (
+cbe AS MATERIALIZED (
   SELECT b.code, s.sub, s.pos, s.qv
   FROM sub_el s JOIN cb_ids b ON s.vec_id = b.vec_id),
 ce AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id >= 3),
-cet AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE {tw}),{train}
-cdist AS (
-  SELECT s.vec_id AS c_id, s.sub, c.code,
-         CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
-  FROM ce s JOIN cb2 c ON s.sub = c.sub AND s.pos = c.pos
-  GROUP BY 1, 2, 3),
-codes AS (
-  SELECT c_id, sub, code FROM (
-    SELECT c_id, sub, code,
-           ROW_NUMBER() OVER (PARTITION BY c_id, sub
-                              ORDER BY dist, code) AS rk
-    FROM cdist)
-  WHERE rk = 1),
+cet AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE {tw}),{train}{codes}
 qe AS (SELECT vec_id, sub, pos, qv FROM sub_el WHERE vec_id < 3),
 qdist AS (
   SELECT s.vec_id AS q_id, s.sub, c.code,
@@ -676,7 +709,7 @@ WHERE rk <= 3
 """
 
 ANN_IVFPQ_SQL = _IVFPQ_SQL_TEMPLATE.format(
-    tw="vec_id >= 3", train=_PQ_TRAIN_SQL
+    tw="vec_id >= 3", train=_PQ_TRAIN_SQL, codes=_PQ_CODES_SQL
 )
 
 
@@ -972,12 +1005,10 @@ pel AS (
         pel = f"""
 pel AS (SELECT vec_id, pos, qv FROM el WHERE vec_id >= {cmin}),"""
     if iters > 0:
-        train = (
-            _PQ_TRAIN_ROUND_SQL.format(i=1, prev="cbe")
-            + _PQ_TRAIN_ROUND_SQL.format(i=2, prev="cb1")
-        ).rstrip()
+        train = _pq_train_sql(subw, ksub).rstrip()
     else:
         train = "\ncb2 AS (SELECT sub, code, pos, qv FROM cbe),"
+    codes = _pq_codes_sql(subw, ksub, src="sub_el").rstrip()
     if residual:
         qside = f"""
 qres AS (
@@ -1073,19 +1104,7 @@ cb_ids AS (
 cbe AS (
   SELECT b.code, s.sub, s.pos, s.qv
   FROM sub_el s JOIN cb_ids b ON s.vec_id = b.vec_id),
-cet AS (SELECT vec_id, sub, pos, qv FROM sub_el),{train}
-cdist AS (
-  SELECT s.vec_id AS c_id, s.sub, c.code,
-         CAST(SUM((s.qv - c.qv) * (s.qv - c.qv)) AS BIGINT) AS dist
-  FROM sub_el s JOIN cb2 c ON s.sub = c.sub AND s.pos = c.pos
-  GROUP BY 1, 2, 3),
-codes AS (
-  SELECT c_id, sub, code FROM (
-    SELECT c_id, sub, code,
-           ROW_NUMBER() OVER (PARTITION BY c_id, sub
-                              ORDER BY dist, code) AS rk
-    FROM cdist)
-  WHERE rk = 1),{qside},
+cet AS (SELECT vec_id, sub, pos, qv FROM sub_el),{train}{codes}{qside},
 appr AS (
   SELECT q_id, c_id FROM (
     SELECT q_id, c_id,
@@ -1180,10 +1199,12 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_INDEX_LIFECYCLE_SQL = (
     "SELECT q_id, c_id, adc, rk, 'pre' AS stage FROM ("
     + _IVFPQ_SQL_TEMPLATE.format(
-        tw="vec_id >= 3 AND vec_id < 400", train=_PQ_TRAIN_SQL
+        tw="vec_id >= 3 AND vec_id < 400", train=_PQ_TRAIN_SQL,
+        codes=_PQ_CODES_SQL,
     )
     + ") pre_t UNION ALL SELECT q_id, c_id, adc, rk, 'post' AS stage FROM ("
-    + _IVFPQ_SQL_TEMPLATE.format(tw="vec_id >= 3", train=_PQ_TRAIN_SQL)
+    + _IVFPQ_SQL_TEMPLATE.format(tw="vec_id >= 3", train=_PQ_TRAIN_SQL,
+                                  codes=_PQ_CODES_SQL)
     + ") post_t"
 )
 
