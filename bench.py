@@ -360,8 +360,14 @@ def main() -> None:
         # r10 additions (anchored r11: ANCHOR_EXTRAS_R11 — ann_ivfpq_topk
         # re-anchored on the trained-codebook plan)
         "table_profile_approx", "ann_ivfpq_topk", "lm_quality_score",
-        # r11 additions (no frozen anchor yet — first round on the board)
+        # r11 additions (dsir_select anchored r12: ANCHOR_EXTRAS_R12;
+        # ann_index_lifecycle re-entered unanchored — its r12 plan adds
+        # the rebuild + post-rebuild probe)
         "ann_index_lifecycle", "dsir_select",
+        # r12 additions (no frozen anchor yet — first round on the
+        # board): four recall pipelines + two brute-force truth sets +
+        # the in-plan totals in one entry
+        "ann_clustered_recall",
     ]
     # r11: extras are min-of-2 too — the single-pass exposure was the
     # other half of the per-round IO-era adjudication tax (the extras
@@ -444,6 +450,7 @@ def main() -> None:
         anchor_extras = {
             **ANCHOR_EXTRAS_R5, **ANCHOR_EXTRAS_R7, **ANCHOR_EXTRAS_R8,
             **ANCHOR_EXTRAS_R9, **ANCHOR_EXTRAS_R10, **ANCHOR_EXTRAS_R11,
+            **ANCHOR_EXTRAS_R12,
         }
         out["vs_anchor_extras_r5_normalized"] = {
             n: round(t / anchor_extras[n] / max(load, 1.0), 2)

