@@ -327,6 +327,67 @@ class TestIvfPqIndexLifecycle:
         assert "bucket" in ids2.columns
         assert int(idx.manifest()["ids_buckets"]) == 8
 
+    def test_streaming_maintenance_survives_rebuild(self, spark, emb,
+                                                    tmp_path):
+        """The streaming path across a retrain-and-swap: micro-batches
+        landed BEFORE a rebuild are folded into the new model by the
+        rebuild itself; micro-batches landed AFTER encode against the
+        rebuilt model; nothing is indexed twice and the final state
+        equals the batch-composed equivalent."""
+        import json
+        import os
+
+        q = emb.filter("vec_id < 3")
+        base = emb.filter("vec_id >= 3 and vec_id < 150")
+        b1 = emb.filter("vec_id >= 150 and vec_id < 200")
+        b2 = emb.filter("vec_id >= 200 and vec_id < 260")
+        idx = IvfPqIndex(spark, str(tmp_path / "idxsr"),
+                         num_centroids=8, m=16, ksub=16)
+        idx.build(base)
+
+        landing = tmp_path / "landing_sr"
+        landing.mkdir()
+
+        def land(frame, name):
+            rows = [
+                {"vec_id": r["vec_id"], "embedding": list(r["embedding"]),
+                 "ms": 1}
+                for r in frame.collect()
+            ]
+            with open(landing / name, "w") as f:
+                for row in rows:
+                    f.write(json.dumps(row) + os.linesep)
+
+        land(b1, "batch0.json")
+        idx.start_stream(
+            str(landing), str(tmp_path / "ckpt_sr")
+        ).awaitTermination(120)
+        assert idx.manifest()["epochs"] == [0, 1]
+
+        # retrain-and-swap folds base + b1 into the new model
+        idx.rebuild(emb)
+        # the stream resumes against the SWAPPED index
+        land(b2, "batch1.json")
+        idx.start_stream(
+            str(landing), str(tmp_path / "ckpt_sr")
+        ).awaitTermination(120)
+        man = idx.manifest()
+        assert sorted(man["epochs"]) == [0, 1, 2]
+        ids = spark.read.parquet(idx._url(man["dir"], IvfPqIndex.IDS))
+        assert ids.groupBy("c_id").count().filter("count > 1").count() == 0
+        assert ids.count() == base.count() + b1.count() + b2.count()
+
+        got = _topk(idx.search(q, k=5, nprobe=3))
+        # batch-composed equivalent: rebuild-trained model on base+b1,
+        # then append b2 against it
+        idx2 = IvfPqIndex(spark, str(tmp_path / "idxsr2"),
+                          num_centroids=8, m=16, ksub=16)
+        idx2.build(base)
+        idx2.append(b1, 1)
+        idx2.rebuild(emb)
+        idx2.append(b2, 2)
+        assert got == _topk(idx2.search(q, k=5, nprobe=3)) and got
+
     def test_streaming_maintenance_appends_epochs(self, spark, emb,
                                                   tmp_path):
         """The foreachBatch maintenance path: landed embedding events

@@ -96,6 +96,69 @@ class TestDedup:
         assert len(trunc) == 4 and all(r.bucket_size == 200 for r in trunc)
         assert dedup.simhash_truncated_buckets(df, max_bucket=200).count() == 0
 
+    def test_capped_buckets_equals_slice_of_sorted_collect(self, spark):
+        """r12 value-identity pin: _capped_buckets (row_number prefix
+        BEFORE the collect — bounded aggregation buffers) must equal the
+        pre-r12 slice(sort_array(collect_list(...)), 1, cap) form on
+        randomized bucket shapes: hot buckets past the cap, buckets
+        exactly AT the cap, under-cap buckets, and singleton buckets —
+        for both the plain-id and the (id, payload)-struct payloads."""
+        import random
+
+        rng = random.Random(0xCA99ED)
+        rows = []
+        for band in range(3):
+            for bh in range(6):
+                size = rng.choice([1, 3, 7, 11, 40])  # 7 == the cap
+                ids = rng.sample(range(10_000), size)
+                for i in ids:
+                    rows.append((i, i * 31 + band, band, bh))
+        df = spark.createDataFrame(
+            rows, "_id long, _sh long, _band int, _bh long"
+        )
+        cap = 7
+        got_plain = {
+            (r["_band"], r["_bh"]): r["_ids"]
+            for r in dedup._capped_buckets(
+                df, F.col("_id"), "_ids", cap
+            ).collect()
+        }
+        want_plain = {
+            (r["_band"], r["_bh"]): r["_ids"]
+            for r in df.groupBy("_band", "_bh")
+            .agg(F.slice(F.sort_array(F.collect_list("_id")), 1, cap)
+                 .alias("_ids"))
+            .collect()
+        }
+        assert got_plain == want_plain and got_plain
+        got_struct = {
+            (r["_band"], r["_bh"]): [tuple(x) for x in r["_rows"]]
+            for r in dedup._capped_buckets(
+                df, F.struct(F.col("_id"), F.col("_sh")), "_rows", cap
+            ).collect()
+        }
+        want_struct = {
+            (r["_band"], r["_bh"]): [tuple(x) for x in r["_rows"]]
+            for r in df.groupBy("_band", "_bh")
+            .agg(F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_id"), F.col("_sh")))
+                ), 1, cap).alias("_rows"))
+            .collect()
+        }
+        assert got_struct == want_struct
+        # the free pre-cap size channel reports true bucket sizes
+        sizes = {
+            (r["_band"], r["_bh"]): r["_bsz"]
+            for r in dedup._capped_buckets(
+                df, F.col("_id"), "_ids", cap, size_alias="_bsz"
+            ).collect()
+        }
+        truth = {}
+        for (_i, _s, band, bh) in rows:
+            truth[(band, bh)] = truth.get((band, bh), 0) + 1
+        assert sizes == truth
+
     def test_fingerprint_dedup_runs(self, docs):
         assert dedup.fingerprint_dedup(docs).count() <= docs.count()
 
