@@ -326,6 +326,44 @@ def build_parser() -> argparse.ArgumentParser:
                          "min(top-n, deduped size)) instead of the "
                          "cheaper pre-dedup default, whose top-n slots "
                          "duplicate clusters can consume")
+
+    an = sub.add_parser("ann", help="standing IVF-PQ ANN index lifecycle "
+                                    "(operators/ann_index.IvfPqIndex) "
+                                    "under the catalog's marker-CAS "
+                                    "commit protocol")
+    an.add_argument("verb", choices=["build", "append", "search",
+                                     "rebuild"])
+    an.add_argument("root", help="index root URL (any registered store "
+                                 "scheme; plain paths are file-local)")
+    an.add_argument("vectors", help="parquet of (id, vector) rows — the "
+                                    "corpus for build/append/rebuild, "
+                                    "the queries for search")
+    an.add_argument("--epoch", type=int, default=None,
+                    help="append: the idempotency epoch (replaying a "
+                         "committed epoch is a no-op; required)")
+    an.add_argument("--k", type=int, default=10)
+    an.add_argument("--nprobe", type=int, default=4,
+                    help="search: probed coarse cells (>= num-centroids "
+                         "degrades gracefully to exact PQ)")
+    an.add_argument("--num-centroids", dest="num_centroids", type=int,
+                    default=16, help="build: coarse IVF cells")
+    an.add_argument("--m", type=int, default=8,
+                    help="build: PQ subspaces (codes per vector)")
+    an.add_argument("--ksub", type=int, default=16,
+                    help="build: codewords per subspace")
+    an.add_argument("--train-iters", dest="train_iters", type=int,
+                    default=2, help="build/rebuild: Lloyd rounds over "
+                                    "the coreset seed")
+    an.add_argument("--residual", action="store_true",
+                    help="build: the IVFADC residual layout (codes "
+                         "quantize vector - cell-centroid; wins on "
+                         "clustered corpora — see ann_clustered_recall)")
+    an.add_argument("--ids-buckets", dest="ids_buckets", type=int,
+                    default=64,
+                    help="build/rebuild: hash-bucket fanout of the ids "
+                         "tree (the append guard's partition prune)")
+    an.add_argument("--id-col", dest="id_col", default="vec_id")
+    an.add_argument("--vec-col", dest="vec_col", default="embedding")
     return p
 
 
@@ -340,6 +378,9 @@ def _validate_args(p, args) -> None:
         if args.dsir_after_dedup and args.dsir_target is None:
             p.error("--dsir-after-dedup requires --dsir-target and "
                     "--dsir-top-n")
+    if args.command == "ann" and args.verb == "append" and args.epoch is None:
+        p.error("ann append requires --epoch (the idempotency key that "
+                "makes at-least-once delivery safe)")
 
 
 def run(argv: list[str], spark=None, out=sys.stdout) -> int:
@@ -402,6 +443,40 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
         from datalake_spark.session import get_spark
 
         spark = get_spark("datalake-cli")
+
+    if args.command == "ann":
+        # index-rooted, catalog-independent.  search output is bounded
+        # by |queries| x k (CLI-requested rows, the list/stats print
+        # discipline); build/append/rebuild print the committed
+        # manifest.
+        import json as _json
+
+        from datalake_spark.operators.ann_index import IvfPqIndex
+
+        idx = IvfPqIndex(
+            spark, args.root,
+            num_centroids=args.num_centroids, m=args.m, ksub=args.ksub,
+            train_iters=args.train_iters, id_col=args.id_col,
+            vec_col=args.vec_col, residual=args.residual,
+            ids_buckets=args.ids_buckets,
+        )
+        vecs = spark.read.parquet(args.vectors)
+        if args.verb == "search":
+            rows = idx.search(vecs, k=args.k, nprobe=args.nprobe).collect()
+            for r in rows:
+                print(_json.dumps(
+                    {"q_id": r["q_id"], "c_id": r["c_id"],
+                     "adc": r["adc"], "rk": r["rk"]}), file=out)
+            return 0
+        if args.verb == "build":
+            man = idx.build(vecs)
+        elif args.verb == "append":
+            man = idx.append(vecs, args.epoch)
+        else:
+            man = idx.rebuild(vecs)
+        print(_json.dumps(man, sort_keys=True), file=out)
+        return 0
+
     catalog = Catalog(
         spark,
         args.catalog or _env_default("catalog") or "./catalog",

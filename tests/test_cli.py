@@ -23,6 +23,73 @@ def _run(spark, argv, catalog):
     return rc, out.getvalue().splitlines()
 
 
+class TestAnnCli:
+    """The standing IVF-PQ index operated end-to-end through the CLI:
+    build → append → search → rebuild → search, manifests printed as
+    JSON, append --epoch required (the idempotency contract)."""
+
+    def test_lifecycle_through_cli(self, spark, catalog_dir, tmp_path):
+        from datalake_spark.queries import load
+
+        emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+        base = str(tmp_path / "base_vecs")
+        extra = str(tmp_path / "extra_vecs")
+        queries = str(tmp_path / "q_vecs")
+        emb.filter("vec_id >= 3 and vec_id < 200").write.parquet(base)
+        emb.filter("vec_id >= 200 and vec_id < 260").write.parquet(extra)
+        emb.filter("vec_id < 3").write.parquet(queries)
+        root = str(tmp_path / "annidx")
+
+        rc, lines = _run(
+            spark,
+            ["ann", "build", root, base,
+             "--num-centroids", "8", "--m", "16", "--ksub", "16"],
+            catalog_dir,
+        )
+        assert rc == 0
+        man = json.loads(lines[0])
+        assert man["version"] == 1 and man["epochs"] == [0]
+        assert man["m"] == 16 and man["ids_buckets"] == 64
+
+        rc, lines = _run(
+            spark, ["ann", "append", root, extra, "--epoch", "1"],
+            catalog_dir,
+        )
+        assert rc == 0
+        assert json.loads(lines[0])["epochs"] == [0, 1]
+
+        rc, lines = _run(
+            spark,
+            ["ann", "search", root, queries, "--k", "3", "--nprobe", "3"],
+            catalog_dir,
+        )
+        assert rc == 0
+        hits = [json.loads(ln) for ln in lines]
+        assert len(hits) == 9  # 3 queries x k=3
+        assert {h["rk"] for h in hits} == {1, 2, 3}
+
+        allv = str(tmp_path / "all_vecs")
+        emb.write.parquet(allv)
+        rc, lines = _run(spark, ["ann", "rebuild", root, allv], catalog_dir)
+        assert rc == 0
+        man = json.loads(lines[0])
+        assert man["version"] == 3 and man["epochs"] == [0, 1]
+        assert man["m"] == 16  # geometry comes from the manifest
+
+        rc, lines = _run(
+            spark,
+            ["ann", "search", root, queries, "--k", "3", "--nprobe", "3"],
+            catalog_dir,
+        )
+        assert rc == 0 and len(lines) == 9
+
+    def test_append_requires_epoch(self, spark, catalog_dir, tmp_path):
+        with pytest.raises(SystemExit) as e:
+            _run(spark, ["ann", "append", str(tmp_path / "r"),
+                         str(tmp_path / "v")], catalog_dir)
+        assert e.value.code == 2
+
+
 class TestCompactAndVersions:
     def test_compact_then_versions(self, spark, catalog_dir):
         rc, _ = _run(
