@@ -346,22 +346,31 @@ def build_parser() -> argparse.ArgumentParser:
                     help="search: probed coarse cells (>= num-centroids "
                          "degrades gracefully to exact PQ)")
     an.add_argument("--num-centroids", dest="num_centroids", type=int,
-                    default=16, help="build: coarse IVF cells")
-    an.add_argument("--m", type=int, default=8,
-                    help="build: PQ subspaces (codes per vector)")
-    an.add_argument("--ksub", type=int, default=16,
-                    help="build: codewords per subspace")
+                    default=None,
+                    help="coarse IVF cells (build default 16; on "
+                         "rebuild an explicit value RESHAPES the index, "
+                         "else manifest geometry is kept)")
+    an.add_argument("--m", type=int, default=None,
+                    help="PQ subspaces / codes per vector (build "
+                         "default 8; rebuild: explicit value reshapes)")
+    an.add_argument("--ksub", type=int, default=None,
+                    help="codewords per subspace (build default 16; "
+                         "rebuild: explicit value reshapes)")
     an.add_argument("--train-iters", dest="train_iters", type=int,
-                    default=2, help="build/rebuild: Lloyd rounds over "
-                                    "the coreset seed")
-    an.add_argument("--residual", action="store_true",
-                    help="build: the IVFADC residual layout (codes "
-                         "quantize vector - cell-centroid; wins on "
-                         "clustered corpora — see ann_clustered_recall)")
+                    default=None, help="Lloyd rounds over the coreset "
+                                       "seed (default 2)")
+    an.add_argument("--residual", action="store_const", const=True,
+                    default=None,
+                    help="the IVFADC residual layout (codes quantize "
+                         "vector - cell-centroid; wins on clustered "
+                         "corpora — see ann_clustered_recall).  Build "
+                         "default raw; rebuild keeps the manifest's "
+                         "layout unless given")
     an.add_argument("--ids-buckets", dest="ids_buckets", type=int,
-                    default=64,
-                    help="build/rebuild: hash-bucket fanout of the ids "
-                         "tree (the append guard's partition prune)")
+                    default=None,
+                    help="hash-bucket fanout of the ids tree (the "
+                         "append guard's partition prune; default 64, "
+                         "rebuild rewrites the tree at this fanout)")
     an.add_argument("--id-col", dest="id_col", default="vec_id")
     an.add_argument("--vec-col", dest="vec_col", default="embedding")
     return p
@@ -453,12 +462,17 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
 
         from datalake_spark.operators.ann_index import IvfPqIndex
 
+        def _dflt(v, d):
+            return d if v is None else v
+
         idx = IvfPqIndex(
             spark, args.root,
-            num_centroids=args.num_centroids, m=args.m, ksub=args.ksub,
-            train_iters=args.train_iters, id_col=args.id_col,
-            vec_col=args.vec_col, residual=args.residual,
-            ids_buckets=args.ids_buckets,
+            num_centroids=_dflt(args.num_centroids, 16),
+            m=_dflt(args.m, 8), ksub=_dflt(args.ksub, 16),
+            train_iters=_dflt(args.train_iters, 2),
+            id_col=args.id_col, vec_col=args.vec_col,
+            residual=bool(_dflt(args.residual, False)),
+            ids_buckets=_dflt(args.ids_buckets, 64),
         )
         vecs = spark.read.parquet(args.vectors)
         if args.verb == "search":
@@ -473,7 +487,13 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
         elif args.verb == "append":
             man = idx.append(vecs, args.epoch)
         else:
-            man = idx.rebuild(vecs)
+            # rebuild: explicit flags RESHAPE the index; absent flags
+            # defer to the committed manifest (ann_index.rebuild)
+            man = idx.rebuild(
+                vecs, num_centroids=args.num_centroids, m=args.m,
+                ksub=args.ksub, train_iters=args.train_iters,
+                residual=args.residual,
+            )
         print(_json.dumps(man, sort_keys=True), file=out)
         return 0
 

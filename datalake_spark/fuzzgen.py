@@ -408,10 +408,11 @@ class Spec:
                 out.append((f"group:{g}", lambda s, i=i: s.group.pop(i)))
         if self.mode == "project" and len(self.cols) > 1:
             for i, c in enumerate(self.cols):
-                if c.endswith(" AS ob_0"):
+                if c.endswith(" AS ob_0") and self.order is not None:
                     # ORDER BY references the alias — the order clause
                     # must drop first (its own dropper), else the
-                    # shrunk spec won't parse
+                    # shrunk spec won't parse; once the order is gone
+                    # the column is droppable like any other
                     continue
                 out.append((f"col:{c}", lambda s, i=i: s.cols.pop(i)))
         if self.lateral is not None:

@@ -159,6 +159,17 @@ class IvfPqIndex:
         cb = self.spark.read.parquet(self._url(vdir, self.CB))
         return cents, cb
 
+    @staticmethod
+    def _id_bucket(col: F.Column, nb: int) -> F.Column:
+        """Canonical id→bucket hash: the id is cast to STRING before
+        xxhash64 so the bucket is a function of the id's VALUE, not its
+        physical type — an INT32-typed batch probing an INT64-built ids
+        tree must land in the same buckets (xxhash64 hashes the two
+        types differently; the pre-prune plain anti-join coerced types,
+        so the prune must too or re-delivered vectors would silently
+        re-commit)."""
+        return F.pmod(F.xxhash64(col.cast("string")), F.lit(nb))
+
     def _write_ids(
         self, ids: DataFrame, vdir: str, epoch: int, nb: int
     ) -> None:
@@ -168,7 +179,7 @@ class IvfPqIndex:
         w = out.write.mode("overwrite")
         if nb > 0:
             out = out.withColumn(
-                "bucket", F.pmod(F.xxhash64("c_id"), F.lit(nb))
+                "bucket", self._id_bucket(F.col("c_id"), nb)
             )
             w = out.write.mode("overwrite").partitionBy("bucket")
         w.parquet(self._url(vdir, self.IDS, f"epoch={epoch}"))
@@ -192,9 +203,7 @@ class IvfPqIndex:
             touched = sorted(
                 r[0]
                 for r in batch.select(
-                    F.pmod(
-                        F.xxhash64(F.col(self.id_col)), F.lit(nb)
-                    ).alias("bucket")
+                    self._id_bucket(F.col(self.id_col), nb).alias("bucket")
                 )
                 .distinct()
                 .collect()
@@ -378,13 +387,25 @@ class IvfPqIndex:
             corpus = source.join(
                 committed, F.col(self.id_col) == F.col("c_id"), "inner"
             ).drop("c_id")
+            # DISTINCT coverage, then row-vs-id equality: a source that
+            # repeats an id could otherwise pad the row count past a
+            # missing committed id (silent shrink) while double-encoding
+            # the repeated one (duplicate c_id in every probe of its
+            # cell — the corruption the append guard exists to prevent)
             n_committed = committed.count()
-            n_corpus = corpus.count()
-            if n_corpus < n_committed:
+            n_rows = corpus.count()
+            n_ids = corpus.select(self.id_col).distinct().count()
+            if n_ids < n_committed:
                 raise ValueError(
-                    f"rebuild source covers {n_corpus} of "
+                    f"rebuild source covers {n_ids} of "
                     f"{n_committed} committed ids — refusing to "
                     "silently shrink the index"
+                )
+            if n_rows != n_ids:
+                raise ValueError(
+                    f"rebuild source has duplicate ids ({n_rows} rows "
+                    f"over {n_ids} ids) — one vector per id is the "
+                    "index contract"
                 )
             vdir = _new_version_dir(mfst["version"] + 1)
             frames: list = []

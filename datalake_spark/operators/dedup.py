@@ -154,10 +154,19 @@ def _capped_buckets(
 
     ``size_alias`` additionally carries the PRE-cap bucket size (an
     unbounded-frame count window over the same partitioning — no extra
-    shuffle) so truncation sentinels stay free."""
+    shuffle) so truncation sentinels stay free.
+
+    The prefix window orders by the FULL ``payload``, not ``_id`` alone:
+    minhash/simhash banding emits one row per (id, band) so ids are
+    unique per bucket either way, but :func:`hamming_band_pairs` takes
+    arbitrary precomputed (id, hash) rows where a repeated id with two
+    hashes is possible — ordering by the (id, hash) struct keeps the
+    row_number total (deterministic across retries/partitionings),
+    exactly like the lexicographic sort_array the slice form ran."""
     keys = ["_band", "_bh"]
     ranked = banded.withColumn(
-        "_rn", F.row_number().over(Window.partitionBy(*keys).orderBy("_id"))
+        "_rn",
+        F.row_number().over(Window.partitionBy(*keys).orderBy(payload)),
     )
     if size_alias is not None:
         ranked = ranked.withColumn(

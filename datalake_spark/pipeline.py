@@ -385,8 +385,16 @@ def curate_corpus(
         # pre-dedup default
         selected = _dsir_selected_ids(surviving)
         if quarantine_path is not None:
-            dsir_dropped = surviving.join(
-                selected, F.col(id_col) == F.col("_dsid"), "left_anti"
+            # quarantine rows come from the ORIGINAL input, not the
+            # span-scrubbed surviving frame: the audit trail must show
+            # the document as ingested (the span_empty rule below —
+            # a '' or rewritten text answers nothing about why doc X
+            # was dropped), so only the DROPPED IDS come from surviving
+            dropped_ids = surviving.select(
+                F.col(id_col).alias("_dsx")
+            ).join(selected, F.col("_dsx") == F.col("_dsid"), "left_anti")
+            dsir_dropped = df.join(
+                dropped_ids, F.col(id_col) == F.col("_dsx"), "left_semi"
             ).select(
                 *df.columns,
                 *[F.lit(True).alias(c) for c in RULE_COLS],

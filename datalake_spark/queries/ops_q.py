@@ -952,10 +952,14 @@ sel AS (
   FROM (SELECT vec_id FROM embeddings WHERE vec_id < {cmax}) e
   JOIN cent c ON c.cidx = e.vec_id % {_CR_CLUSTERS}),"""
     else:
-        src = """sel AS (
+        # bounded at the source like the clustered branch: everything
+        # downstream (truth corpus, coreset, training, queries) lives
+        # under cmax, so unnesting the rest of the table at a big SF
+        # would be pure waste
+        src = f"""sel AS (
   SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS comp,
          UNNEST(generate_series(1, len(embedding))) AS pos
-  FROM embeddings),"""
+  FROM embeddings WHERE vec_id < {cmax}),"""
     tcos = _CR_COS.format(dt="dt", na="nq.nsq", nb="nc2.nsq")
     ivf_ctes = ""
     if ivf:

@@ -207,6 +207,40 @@ class TestIvfPqIndexLifecycle:
         idx.build(emb.filter("vec_id >= 3 and vec_id < 100"))
         with pytest.raises(ValueError, match="silently shrink"):
             idx.rebuild(emb.filter("vec_id >= 3 and vec_id < 50"))
+        # r12 review finding: a source repeating one id while missing
+        # another used to pad the ROW count past the coverage check —
+        # silent shrink + duplicate c_id in one move.  Both now raise.
+        padded = emb.filter("vec_id >= 3 and vec_id < 99").unionByName(
+            emb.filter("vec_id = 3")  # id 3 twice, id 99 missing
+        )
+        with pytest.raises(ValueError, match="silently shrink"):
+            idx.rebuild(padded)
+        dup_full = emb.unionByName(emb.filter("vec_id = 3"))
+        with pytest.raises(ValueError, match="duplicate ids"):
+            idx.rebuild(dup_full)
+
+    def test_prior_ids_prune_is_id_type_stable(self, spark, emb,
+                                               tmp_path):
+        """r12 review finding: xxhash64 hashes INT32 and INT64
+        differently, so an int-typed re-delivery batch probing a
+        long-built ids tree used to prune AWAY the bucket holding its
+        committed ids and re-commit duplicates.  The bucket hash now
+        canonicalizes through a string cast — a re-delivered batch in a
+        DIFFERENT physical id type must add nothing."""
+        from pyspark.sql import functions as F
+
+        base = emb.filter("vec_id >= 3 and vec_id < 120")
+        idx = IvfPqIndex(spark, str(tmp_path / "idxt"),
+                         num_centroids=8, m=16, ksub=16, ids_buckets=16)
+        idx.build(base)
+        redelivered = base.filter("vec_id < 60").withColumn(
+            "vec_id", F.col("vec_id").cast("int")
+        )
+        idx.append(redelivered, 1)
+        man = idx.manifest()
+        ids = spark.read.parquet(idx._url(man["dir"], IvfPqIndex.IDS))
+        assert ids.select("c_id").distinct().count() == base.count()
+        assert ids.count() == base.count()  # nothing re-committed
 
     def test_append_racing_rebuild_loses_and_reencodes(self, spark, emb,
                                                        tmp_path):

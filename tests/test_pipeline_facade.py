@@ -420,6 +420,44 @@ class TestDsirStage:
         assert quar == {2: "near_dup", 3: "near_dup",
                         11: "dsir_unselected"}
 
+    def test_after_dedup_quarantine_stores_original_text(
+        self, spark, tmp_path
+    ):
+        """r12 review finding: with dsir_after_dedup + span_dedup, the
+        dsir_unselected quarantine rows were built from the
+        span-SCRUBBED surviving frame — the only stage whose audit rows
+        carried mutated text.  They must show the document as
+        ingested."""
+        from datalake_spark.pipeline import curate_corpus
+
+        boiler = " ".join(f"b{i}" for i in range(8))
+        target = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta " + boiler,
+             "en"),
+            (2, "one two three four five six seven eight nine ten "
+                + boiler, "en"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        qpath = str(tmp_path / "quar_orig")
+        out = curate_corpus(
+            df,
+            rule_kwargs={"min_words": 5, "max_words": 100,
+                         "stopwords": ("b0",), "stop_ratio_den": 200},
+            span_dedup_k=8,
+            dsir_target=target, dsir_top_n=1, dsir_after_dedup=True,
+            quarantine_path=qpath,
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [1]
+        quar = {r["doc_id"]: r for r in spark.read.parquet(qpath).collect()}
+        assert quar[2]["drop_stage"] == "dsir_unselected"
+        # the ORIGINAL text, boilerplate and all — not the span-scrubbed
+        # rewrite the selection stage actually scored
+        assert quar[2]["text"] == rows[1][1]
+
     def test_off_unless_both_params_given(self, spark):
         from datalake_spark.pipeline import curate_corpus
 

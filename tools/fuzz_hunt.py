@@ -25,7 +25,7 @@ seeds on every grammar change, so clearances don't carry forward):
   engine asymmetries pre-hunt: self-named CTE resolution and inline
   ORDER-BY correlated scalars, both guarded + pinned):
   9900-10399 @ sf0.001 clean, 10400-10699 @ sf0.01 clean,
-  10700-11399 @ sf0.001 clean
+  10700-11399 @ sf0.001 clean, 11400-11899 @ sf0.01 clean
 """
 
 from __future__ import annotations
