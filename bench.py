@@ -205,6 +205,56 @@ ANCHOR_EXTRAS_R12 = {
     "dsir_select": 1.814,
 }
 
+# Pinned r13 from the r12 protocol-run minimums (BASELINE.md r12:
+# ann_index_lifecycle 22.3 s run 3 / 23.4 run 1; ann_clustered_recall
+# 27.0 s run 3 — its 57.6 s first-board reading was cold-start heavy,
+# ~27-29 s is the representative warm cost).  Both entries are
+# verification pipelines BY DESIGN (the lifecycle gate rebuilds the
+# standing index with real parquet writes; clustered_recall runs four
+# full ANN pipelines + two brute-force truth sets in one plan), so the
+# anchors pin that verification cost, not a serving plan — the serving
+# number is ann_serving_search (r13, unanchored first round).
+ANCHOR_EXTRAS_R13 = {
+    "ann_index_lifecycle": 22.3,
+    "ann_clustered_recall": 27.0,
+}
+
+
+def _serving_search_entry(spark, sf_dir: str):
+    """Build a standing IVF-PQ index ONCE (untimed) and return a bench
+    entry that times :meth:`IvfPqIndex.search` alone — manifest read,
+    partition-pruned code scan, broadcast cell probe, ADC rank.
+
+    Geometry and corpus split match the ann_ivfpq_topk gate entry
+    (num_centroids=16, nprobe=4, m=32, ksub=32; queries vec_id < 3,
+    corpus the rest), so the two board numbers decompose the in-plan
+    pipeline: ann_ivfpq_topk ≈ train + encode + this."""
+    import shutil
+    import tempfile
+
+    from datalake_spark.operators.ann_index import IvfPqIndex
+    from datalake_spark.queries import load
+
+    root = tempfile.mkdtemp(prefix="bench_ann_serving_")
+    # rebuilt per bench run; best-effort cleanup of prior crashed runs
+    for stale in os.listdir(tempfile.gettempdir()):
+        if (stale.startswith("bench_ann_serving_")
+                and stale != os.path.basename(root)):
+            shutil.rmtree(
+                os.path.join(tempfile.gettempdir(), stale),
+                ignore_errors=True,
+            )
+    idx = IvfPqIndex(
+        spark, root, num_centroids=16, m=32, ksub=32, train_iters=2
+    )
+    idx.build(load(spark, sf_dir, "embeddings").filter("vec_id >= 3"))
+
+    def _entry(s, d):
+        q = load(s, d, "embeddings").filter("vec_id < 3")
+        return idx.search(q, k=3, nprobe=4)
+
+    return _entry
+
 
 def _canary(spark) -> float:
     """Fixed-work CPU probe: 100M xxhash64-of-string rows, map-side agg.
@@ -364,11 +414,23 @@ def main() -> None:
         # ann_index_lifecycle re-entered unanchored — its r12 plan adds
         # the rebuild + post-rebuild probe)
         "ann_index_lifecycle", "dsir_select",
-        # r12 additions (no frozen anchor yet — first round on the
-        # board): four recall pipelines + two brute-force truth sets +
-        # the in-plan totals in one entry
+        # r12 additions (anchored r13: ANCHOR_EXTRAS_R13): four recall
+        # pipelines + two brute-force truth sets + the in-plan totals
+        # in one entry
         "ann_clustered_recall",
+        # r13 addition (no frozen anchor yet — first round on the
+        # board): search-only probe of a PREBUILT standing index —
+        # the serving cost the train+encode-in-plan ANN entries
+        # deliberately do not isolate
+        "ann_serving_search",
     ]
+    # ann_serving_search: the standing-index architecture claim ("gate
+    # cost is verification; serving reads a compressed partition-pruned
+    # index") as a measured number.  The index is built ONCE, untimed,
+    # with the ann_ivfpq_topk gate geometry over the same corpus split
+    # — so (ann_ivfpq_topk − ann_serving_search) ≈ the train+encode
+    # cost every in-plan ANN entry pays by design.
+    qs["ann_serving_search"] = _serving_search_entry(spark, sf_dir)
     # r11: extras are min-of-2 too — the single-pass exposure was the
     # other half of the per-round IO-era adjudication tax (the extras
     # carry the 1.5x flag threshold precisely because they were noisier;
@@ -450,7 +512,7 @@ def main() -> None:
         anchor_extras = {
             **ANCHOR_EXTRAS_R5, **ANCHOR_EXTRAS_R7, **ANCHOR_EXTRAS_R8,
             **ANCHOR_EXTRAS_R9, **ANCHOR_EXTRAS_R10, **ANCHOR_EXTRAS_R11,
-            **ANCHOR_EXTRAS_R12,
+            **ANCHOR_EXTRAS_R12, **ANCHOR_EXTRAS_R13,
         }
         out["vs_anchor_extras_r5_normalized"] = {
             n: round(t / anchor_extras[n] / max(load, 1.0), 2)

@@ -341,10 +341,12 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--epoch", type=int, default=None,
                     help="append: the idempotency epoch (replaying a "
                          "committed epoch is a no-op; required)")
-    an.add_argument("--k", type=int, default=10)
-    an.add_argument("--nprobe", type=int, default=4,
-                    help="search: probed coarse cells (>= num-centroids "
-                         "degrades gracefully to exact PQ)")
+    an.add_argument("--k", type=int, default=None,
+                    help="search: results per query (default 10)")
+    an.add_argument("--nprobe", type=int, default=None,
+                    help="search: probed coarse cells, default 4 "
+                         "(>= num-centroids degrades gracefully to "
+                         "exact PQ)")
     an.add_argument("--num-centroids", dest="num_centroids", type=int,
                     default=None,
                     help="coarse IVF cells (build default 16; on "
@@ -387,9 +389,32 @@ def _validate_args(p, args) -> None:
         if args.dsir_after_dedup and args.dsir_target is None:
             p.error("--dsir-after-dedup requires --dsir-target and "
                     "--dsir-top-n")
-    if args.command == "ann" and args.verb == "append" and args.epoch is None:
-        p.error("ann append requires --epoch (the idempotency key that "
-                "makes at-least-once delivery safe)")
+    if args.command == "ann":
+        if args.verb == "append" and args.epoch is None:
+            p.error("ann append requires --epoch (the idempotency key "
+                    "that makes at-least-once delivery safe)")
+        # verb-irrelevant flags ERROR instead of being silently parsed
+        # and ignored ('ann build --epoch 2' used to give no feedback
+        # that the flag did nothing)
+        geometry = [("--num-centroids", args.num_centroids),
+                    ("--m", args.m), ("--ksub", args.ksub),
+                    ("--train-iters", args.train_iters),
+                    ("--residual", args.residual),
+                    ("--ids-buckets", args.ids_buckets)]
+        probe = [("--k", args.k), ("--nprobe", args.nprobe)]
+        epoch = [("--epoch", args.epoch)]
+        irrelevant = {
+            # append/search follow the MANIFEST's geometry
+            "build": epoch + probe,
+            "append": probe + geometry,
+            "search": epoch + geometry,
+            "rebuild": epoch + probe,
+        }[args.verb]
+        bad = [flag for flag, v in irrelevant if v is not None]
+        if bad:
+            p.error(f"ann {args.verb} does not use {', '.join(bad)} — "
+                    "these flags apply to another verb and would be "
+                    "silently ignored")
 
 
 def run(argv: list[str], spark=None, out=sys.stdout) -> int:
@@ -476,7 +501,9 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
         )
         vecs = spark.read.parquet(args.vectors)
         if args.verb == "search":
-            rows = idx.search(vecs, k=args.k, nprobe=args.nprobe).collect()
+            rows = idx.search(
+                vecs, k=_dflt(args.k, 10), nprobe=_dflt(args.nprobe, 4)
+            ).collect()
             for r in rows:
                 print(_json.dumps(
                     {"q_id": r["q_id"], "c_id": r["c_id"],

@@ -160,14 +160,43 @@ class IvfPqIndex:
         return cents, cb
 
     @staticmethod
-    def _id_bucket(col: F.Column, nb: int) -> F.Column:
+    def _id_bucket(col: F.Column, nb: int, dtype) -> F.Column:
         """Canonical id→bucket hash: the id is cast to STRING before
         xxhash64 so the bucket is a function of the id's VALUE, not its
         physical type — an INT32-typed batch probing an INT64-built ids
         tree must land in the same buckets (xxhash64 hashes the two
         types differently; the pre-prune plain anti-join coerced types,
         so the prune must too or re-delivered vectors would silently
-        re-commit)."""
+        re-commit).  Integral and scale-0 decimal ids normalize through
+        an integer cast first: the bare string cast unified INT32/INT64
+        but NOT fractional numerics — a re-delivered batch whose ids
+        arrive as DOUBLE stringifies '1.0' where the committed tree
+        hashed '1', pruning to the wrong bucket and re-committing a
+        duplicate.  Fractional id types (DOUBLE/FLOAT, decimal with
+        scale > 0) are rejected outright: an id is a key, and a key
+        type whose string form is representation-dependent cannot
+        bucket stably."""
+        from pyspark.sql import types as T
+
+        if isinstance(
+            dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            col = col.cast("long")
+        elif isinstance(dtype, T.DecimalType):
+            if dtype.scale != 0:
+                raise ValueError(
+                    f"id column of type {dtype.simpleString()} cannot "
+                    "be hash-bucketed (fractional decimal scale); use "
+                    "an integral, scale-0 decimal, or string id"
+                )
+            # decimal(38,0) keeps > 2^63 ids exact; '1' prints as '1'
+            col = col.cast(T.DecimalType(38, 0))
+        elif isinstance(dtype, (T.FloatType, T.DoubleType)):
+            raise ValueError(
+                f"id column of type {dtype.simpleString()} cannot be "
+                "hash-bucketed ('1.0' vs '1' — representation-dependent "
+                "string form); cast ids to an integral or string type"
+            )
         return F.pmod(F.xxhash64(col.cast("string")), F.lit(nb))
 
     def _write_ids(
@@ -179,7 +208,10 @@ class IvfPqIndex:
         w = out.write.mode("overwrite")
         if nb > 0:
             out = out.withColumn(
-                "bucket", self._id_bucket(F.col("c_id"), nb)
+                "bucket",
+                self._id_bucket(
+                    F.col("c_id"), nb, out.schema["c_id"].dataType
+                ),
             )
             w = out.write.mode("overwrite").partitionBy("bucket")
         w.parquet(self._url(vdir, self.IDS, f"epoch={epoch}"))
@@ -203,7 +235,11 @@ class IvfPqIndex:
             touched = sorted(
                 r[0]
                 for r in batch.select(
-                    self._id_bucket(F.col(self.id_col), nb).alias("bucket")
+                    self._id_bucket(
+                        F.col(self.id_col),
+                        nb,
+                        batch.schema[self.id_col].dataType,
+                    ).alias("bucket")
                 )
                 .distinct()
                 .collect()
@@ -264,11 +300,25 @@ class IvfPqIndex:
         rewritten in place (pre-commit crash replay — deterministic
         encode, same bytes).  CommitConflict retries re-resolve the
         manifest, so a concurrent appender (or a rebuild that swapped
-        the version dir) just costs this appender a re-encode."""
+        the version dir) just costs this appender a re-encode.
+
+        The batch is persisted for the duration of the call: the
+        re-delivery guard evaluates it twice (the touched-bucket
+        collect and the anti-join), and for a non-deterministic source
+        (``sample()``, un-ordered ``limit``) two independent
+        evaluations could disagree — the bucket set would miss buckets
+        holding ids the anti-join's evaluation produces, silently
+        disabling the guard."""
         batch = batch.select(
             F.col(self.id_col).alias(self.id_col),
             F.col(self.vec_col).alias(self.vec_col),
-        )
+        ).persist()
+        try:
+            return self._append(batch, epoch, _race_hook)
+        finally:
+            batch.unpersist()
+
+    def _append(self, batch: DataFrame, epoch: int, _race_hook) -> dict:
         last: Exception | None = None
         for _ in range(5):
             m = self.manifest()
@@ -391,15 +441,43 @@ class IvfPqIndex:
             # repeats an id could otherwise pad the row count past a
             # missing committed id (silent shrink) while double-encoding
             # the repeated one (duplicate c_id in every probe of its
-            # cell — the corruption the append guard exists to prevent)
-            n_committed = committed.count()
-            n_rows = corpus.count()
-            n_ids = corpus.select(self.id_col).distinct().count()
+            # cell — the corruption the append guard exists to prevent).
+            # ONE aggregation over a left join computes all three
+            # counts (the pre-r13 form ran three driver actions — three
+            # corpus passes at 10⁹ vectors where one suffices): a
+            # committed id with k source matches contributes k rows,
+            # an uncovered one contributes 1 null-source row, so
+            # count(non-null id) is the inner-join row count and the
+            # two countDistincts are committed / covered ids.
+            st = (
+                committed.join(
+                    source,
+                    F.col("c_id") == F.col(self.id_col),
+                    "left",
+                )
+                .agg(
+                    F.countDistinct("c_id").alias("n_committed"),
+                    F.countDistinct(self.id_col).alias("n_ids"),
+                    F.count(self.id_col).alias("n_rows"),
+                )
+                .collect()[0]
+            )
+            n_committed, n_ids, n_rows = (
+                st["n_committed"], st["n_ids"], st["n_rows"]
+            )
             if n_ids < n_committed:
+                race = (
+                    " (NOTE: a concurrent append won the version race "
+                    "during this rebuild — the committed corpus grew to "
+                    f"epochs {[int(e) for e in mfst['epochs']]}; "
+                    "re-supply a source covering the newly appended "
+                    "vectors rather than suspecting the original one)"
+                    if last is not None else ""
+                )
                 raise ValueError(
                     f"rebuild source covers {n_ids} of "
                     f"{n_committed} committed ids — refusing to "
-                    "silently shrink the index"
+                    f"silently shrink the index{race}"
                 )
             if n_rows != n_ids:
                 raise ValueError(

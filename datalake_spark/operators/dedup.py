@@ -435,31 +435,47 @@ def ngram_jaccard_pairs(
         )
         .withColumn("_h", F.xxhash64("_s"))
     )
-    # buckets (shingle-major posting lists) is the ONE materialization the
-    # whole operator derives from: pairs explode it, and sig is re-derived
-    # by exploding it back doc-major (legal because shingles() emits
-    # distinct shingles per doc).  Without the persist, Spark computes the
-    # scan+explode subtree three times (r3 plan audit: 3× `Scan parquet`,
-    # zero ReusedExchange); with it, one pass + cache reads.  Size ≈ one
-    # (long, id) per doc-shingle — the same order as sh_flat itself; disk
-    # spill + LRU eviction bound the footprint, recompute-on-loss keeps it
-    # cluster-safe.  tests/test_plan_hygiene.py pins the single-scan shape.
-    buckets = sh_flat.groupBy("_h").agg(
-        F.sort_array(F.collect_list("_id")).alias("_ids")
+    # windowed (per-(doc, shingle) rows tagged with the shingle's
+    # document frequency) is the ONE materialization the whole operator
+    # derives from: the pairs side filters + collects it shingle-major,
+    # sig regroups it doc-major (legal because shingles() emits distinct
+    # shingles per doc).  The _df tag is an unbounded-frame count window
+    # on the shingle-hash partitioning, so the stop-shingle cap is a ROW
+    # FILTER applied BEFORE any posting list is collected — the pre-r13
+    # form (groupBy(_h).collect_list, THEN filter size <= max_df)
+    # materialized the ENTIRE posting list in one aggregation buffer
+    # before the drop: at 100 TB one stop-shingle ("in the") holds
+    # millions of ids in a single executor buffer (the exact class
+    # _capped_buckets closed for the banded tiers in r12; here the
+    # bucket is dropped, not prefix-kept, so a filter suffices).  The
+    # window's per-bucket sort spills through the external sorter; the
+    # surviving collect buffers <= max_df ids.  Without the persist,
+    # Spark computes the scan+explode subtree twice.  Size ≈ one
+    # (long, id, long) per doc-shingle — the same order as sh_flat
+    # itself; disk spill + LRU eviction bound the footprint,
+    # recompute-on-loss keeps it cluster-safe.
+    # tests/test_plan_hygiene.py pins the filter-before-collect shape.
+    windowed = sh_flat.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("_h"))
     ).persist()
     pairs = (
-        buckets.filter((F.size("_ids") > 1) & (F.size("_ids") <= max_df))
+        # the groupBy reuses the window's hash partitioning on _h — same
+        # single shuffle as the pre-r13 posting-list aggregation
+        windowed.filter((F.col("_df") > 1) & (F.col("_df") <= max_df))
+        .groupBy("_h")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
         .select(F.explode(F.expr(
             "flatten(transform(_ids, (x, i) -> transform(slice(_ids, i + 2, size(_ids)), y -> struct(x as a, y as b))))"
         )).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
-    # sig feeds both verify join sides — persisted so the doc-major
-    # regroup shuffle happens once, not per side
+    # sig regroups the UN-filtered frame doc-major so the verify sees
+    # every shingle — reported Jaccard stays exact even through shingles
+    # above max_df (same shuffle cost as the pre-r13 explode-regroup);
+    # persisted so the regroup happens once, not per verify side
     sig = (
-        buckets.select(F.col("_h"), F.explode("_ids").alias("_id"))
-        .groupBy("_id")
+        windowed.groupBy("_id")
         .agg(
             F.collect_list("_h").alias("_hps"),
             F.count(F.lit(1)).alias("_n_sh"),

@@ -242,6 +242,36 @@ class TestIvfPqIndexLifecycle:
         assert ids.select("c_id").distinct().count() == base.count()
         assert ids.count() == base.count()  # nothing re-committed
 
+    def test_fractional_id_types_are_rejected_by_bucket_hash(
+        self, spark, emb, tmp_path
+    ):
+        """r12 advisor finding: the string-cast canonicalization unifies
+        INT32/INT64 but NOT fractional numerics — a DOUBLE id 1.0
+        stringifies '1.0' where the tree hashed '1', pruning to the
+        wrong bucket and re-committing a duplicate.  Fractional id
+        types now raise at plan-build time instead of corrupting the
+        index; integral and scale-0 decimal ids keep bucketing stably."""
+        from pyspark.sql import functions as F
+
+        base = emb.filter("vec_id >= 3 and vec_id < 120")
+        idx = IvfPqIndex(spark, str(tmp_path / "idxfr"),
+                         num_centroids=8, m=16, ksub=16, ids_buckets=16)
+        idx.build(base)
+        redelivered = base.filter("vec_id < 60").withColumn(
+            "vec_id", F.col("vec_id").cast("double")
+        )
+        with pytest.raises(ValueError, match="cannot be hash-bucketed"):
+            idx.append(redelivered, 1)
+        # scale-0 decimal is value-stable through the canonicalization:
+        # a decimal re-delivery of committed longs must add nothing
+        dec = base.filter("vec_id < 60").withColumn(
+            "vec_id", F.col("vec_id").cast("decimal(20,0)")
+        )
+        idx.append(dec, 1)
+        man = idx.manifest()
+        ids = spark.read.parquet(idx._url(man["dir"], IvfPqIndex.IDS))
+        assert ids.count() == base.count()  # nothing re-committed
+
     def test_append_racing_rebuild_loses_and_reencodes(self, spark, emb,
                                                        tmp_path):
         """An append that committed while the rebuild was training makes

@@ -89,6 +89,38 @@ class TestAnnCli:
                          str(tmp_path / "v")], catalog_dir)
         assert e.value.code == 2
 
+    @pytest.mark.parametrize(
+        "argv",
+        [
+            # --epoch only applies to append
+            ["ann", "build", "R", "V", "--epoch", "2"],
+            ["ann", "rebuild", "R", "V", "--epoch", "2"],
+            ["ann", "search", "R", "V", "--epoch", "2"],
+            # probe flags only apply to search
+            ["ann", "build", "R", "V", "--k", "3"],
+            ["ann", "append", "R", "V", "--epoch", "1", "--nprobe", "2"],
+            ["ann", "rebuild", "R", "V", "--k", "3"],
+            # geometry follows the manifest on append/search
+            ["ann", "append", "R", "V", "--epoch", "1", "--m", "8"],
+            ["ann", "search", "R", "V", "--ids-buckets", "8"],
+            ["ann", "search", "R", "V", "--residual"],
+        ],
+    )
+    def test_verb_irrelevant_flags_error(
+        self, spark, catalog_dir, argv, tmp_path
+    ):
+        """A flag that only applies to another verb must error, not be
+        silently parsed and ignored ('ann build --epoch 2' used to give
+        no feedback that the flag did nothing)."""
+        argv = [
+            str(tmp_path / "r") if a == "R"
+            else str(tmp_path / "v") if a == "V" else a
+            for a in argv
+        ]
+        with pytest.raises(SystemExit) as e:
+            _run(spark, argv, catalog_dir)
+        assert e.value.code == 2
+
 
 class TestCompactAndVersions:
     def test_compact_then_versions(self, spark, catalog_dir):

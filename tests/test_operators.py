@@ -832,6 +832,26 @@ class TestNgramJaccardCapped:
         # doc1 has 8 shingles, doc2 has 9, 8 common -> J = 8/9
         assert got == {(1, 2): round(8 / 9, 6)}
 
+    def test_matches_uncapped_gate_twin_on_real_corpus(self, spark):
+        """The production capped form equals the gate's oracle-exact
+        uncapped twin (queries/pipeline_q.ngram_jaccard) on the real
+        sf0.001 documents table, values included — the cap must be inert
+        when no posting list exceeds max_df."""
+        from datalake_spark.operators.dedup import ngram_jaccard_pairs
+        from datalake_spark.queries import load
+        from datalake_spark.queries.pipeline_q import ngram_jaccard
+
+        docs = load(spark, SF_DIR, "documents")
+        got = {
+            (r.doc_a, r.doc_b): (r.n_common, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(docs).collect()
+        }
+        want = {
+            (r.doc_a, r.doc_b): (r.n_common, round(r.jaccard, 9))
+            for r in ngram_jaccard(spark, SF_DIR).collect()
+        }
+        assert got == want and len(want) > 0
+
     def test_stop_shingle_does_not_explode(self, spark):
         """1000 docs sharing one boilerplate shingle must produce zero pairs
         from it (DF > max_df) and the job must stay linear."""

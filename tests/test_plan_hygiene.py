@@ -267,6 +267,36 @@ def test_banded_bucket_collects_are_capped_before_collect(spark):
                 offending.append((name, head[:160]))
         assert bucket_aggs >= 1, (name, "walk found no bucket collect")
         assert not offending, offending
+    # ngram_jaccard_pairs is the DROP (not prefix-keep) variant of the
+    # same hazard: its r12 form collected the ENTIRE posting list and
+    # only then filtered size(_ids) <= max_df.  The r13 rewrite tags
+    # rows with a window df count and filters BEFORE the collect — pin
+    # that every shingle-major (_h) posting-list Aggregate has the _df
+    # row filter below it.
+    plan = (
+        dedup_ops.ngram_jaccard_pairs(docs)
+        ._jdf.queryExecution().optimizedPlan()
+    )
+    bucket_aggs, offending = 0, []
+    stack = [plan]
+    while stack:
+        n = stack.pop()
+        cs = n.children()
+        for i in range(cs.size()):
+            stack.append(cs.apply(i))
+        if n.nodeName() != "Aggregate":
+            continue
+        s = n.toString()
+        head = s.splitlines()[0]
+        # shingle-major = grouping key (first bracket) is _h; the
+        # doc-major sig collect groups by _id (bounded by doc length)
+        if "collect_list" not in head or "_h#" not in head.split("]")[0]:
+            continue
+        bucket_aggs += 1
+        if "_df" not in s:
+            offending.append(("ngram_jaccard_pairs", head[:160]))
+    assert bucket_aggs >= 1, "walk found no posting-list collect"
+    assert not offending, offending
     spark.catalog.clearCache()
 
 
