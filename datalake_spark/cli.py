@@ -261,6 +261,14 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("--compact-every", dest="compact_every", type=int,
                     default=0, help="threshold-compact shards every N "
                                     "micro-batches (0 = off)")
+    cs.add_argument("--ann-index", dest="ann_index", default=None,
+                    metavar="ROOT",
+                    help="also append curated survivors' embeddings to "
+                         "the standing IVF-PQ index at ROOT (must be "
+                         "built first: 'ann build ROOT seed.parquet'); "
+                         "landing JSON must then carry an 'embedding' "
+                         "array column — the composed ingest → curate "
+                         "→ serve lifecycle under one checkpoint")
     cs.add_argument("--once", action="store_true",
                     help="drain visible documents and exit")
     cs.add_argument("--interval", default="10 seconds",
@@ -705,10 +713,27 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
     if args.command == "curate-stream":
         from datalake_spark.streaming.curation import StreamingCurator
 
+        ann_index = None
+        if args.ann_index is not None:
+            from datalake_spark.operators.ann_index import (
+                IndexNotBuilt,
+                IvfPqIndex,
+            )
+
+            ann_index = IvfPqIndex(
+                spark, args.ann_index, id_col="doc_id",
+            )
+            if ann_index.manifest() is None:
+                raise IndexNotBuilt(
+                    f"{args.ann_index}: build the index first "
+                    "('ann build ROOT seed.parquet') — append encodes "
+                    "against the standing model and never retrains"
+                )
         curator = StreamingCurator(
             spark, args.shards, n_shards=args.n_shards,
             compact_every=args.compact_every,
             near_dup_threshold=args.near_dup,
+            ann_index=ann_index,
         )
         ckpt = args.checkpoint or os.path.join(args.shards, "_checkpoint")
         query = curator.start(

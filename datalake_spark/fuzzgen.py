@@ -51,7 +51,21 @@ twin of the conditional-SUM CASE), correlated scalar subqueries as the
 ORDER BY lead (r12 — per-row evaluation inside the sort, a
 decorrelation site the projection/WHERE/HAVING forms never reach),
 INTERSECT ALL / EXCEPT ALL at every set-op site incl. inside derived
-tables under windows (r12), CASE /
+tables under windows (r12), top-k LATERAL joins (r13 — the lateral
+derived table returns up to k ordered rows per outer row, REAL join
+multiplicity, with lat_0 folded into the total-order tiebreak so
+windows/LIMIT stay deterministic; the scalar-agg one-row form stays in
+the grammar), DISTINCT-aggregated derived tables (r13 — the base scan
+becomes a GROUP BY aggregate whose outputs alias back to the base
+column names, COUNT(DISTINCT)/MIN/MAX per column, so outer windows and
+aggregations compose over an aggregated input — the "windows over
+DISTINCT-aggregated derived tables" planner path), correlated EXISTS
+in set-op branches correlating through the NULL-PADDED side of an
+outer join (r13 — the correlation key is NULL on padded rows, so each
+engine's decorrelation must agree with three-valued semantics under
+set-op dedup), GROUP BY ALL (r13 — both engines infer the group from
+the non-aggregate select items; emitted only for plain groups, never
+under ROLLUP/GROUPING SETS), CASE /
 integer-arithmetic / GREATEST-LEAST projections (r7), and
 ORDER BY ... LIMIT tails with explicit direction + null ordering.  Exactness discipline:
 integer aggregates pinned to BIGINT; doubles appear raw, through one
@@ -169,6 +183,15 @@ class Spec:
         #     full-row tiebreak / UNION ALL precedent), and unmatched
         #     base rows exercise every downstream predicate/group/window
         #     over genuinely NULL key columns
+        #   ("dagg", group_col, pred) — DISTINCT-aggregated derived
+        #     table (r13): GROUP BY one varchar column, every other
+        #     column re-emitted under its own name as an aggregate
+        #     (MIN for the unique key — still unique per group —
+        #     COUNT(DISTINCT) for ints, MIN/MAX selection for
+        #     strs/dbls), so the derived relation has the base schema
+        #     and the outer spec's windows/aggregations run over an
+        #     aggregated input.  Join-free, non-lineitem specs (the
+        #     tiebreak must be the single MIN-key column).
         self.offset = 0           # with order: LIMIT n OFFSET m
         self.dbl_out: set[str] = set()  # output aliases that are doubles
         self.preds: list[str] = []
@@ -181,12 +204,22 @@ class Spec:
         self.lateral: str | None = None   # project mode: correlated
         #   lateral scalar-agg subquery SQL (emits exactly one row per
         #   outer row as column lat_0 — multiplicity-neutral)
+        self.lateral_multi = False        # r13: the lateral is the
+        #   top-k form (up to k rows per outer row — REAL lateral-join
+        #   multiplicity); _tiebreak then appends lat_0 so windows and
+        #   ordered LIMITs stay deterministic (rows tying on the base
+        #   key differ in lat_0, or are identical whole rows)
         self.setop: str | None = None     # setop mode: the operator
         self.preds_b: list[str] = []      # setop mode: right-side WHERE
         self.setop2: str | None = None    # r10: second-level set op —
         #   (left setop mid) setop2 right, explicit parens so precedence
         #   (INTERSECT binds tighter in both engines) never decides
         self.preds_c: list[str] = []      # setop mode: third-branch WHERE
+        self.group_all = False            # agg mode (r13): emit
+        #   GROUP BY ALL — both engines infer the grouping from the
+        #   non-aggregate select items, which are exactly self.group
+        #   (plain columns).  Plain groups only, never with
+        #   ROLLUP/GROUPING SETS.
         self.rollup = False               # agg mode: GROUP BY ROLLUP
         self.gsets = None                 # agg mode (r11): explicit
         #   GROUPING SETS as a list of column-name lists (always
@@ -245,6 +278,28 @@ class Spec:
                     f"(SELECT {cols} FROM {self.table} FULL OUTER JOIN "
                     f"(SELECT * FROM {right} WHERE {rpred}) AS {right} "
                     f"ON {on}) AS {self.table}"
+                )
+            elif self.derived[0] == "dagg":
+                # DISTINCT-aggregated derived table (r13): the derived
+                # relation keeps the base table's schema — the unique
+                # key survives as MIN (still unique: distinct groups
+                # have disjoint key sets), other ints become
+                # COUNT(DISTINCT), strs/dbls become MIN/MAX value
+                # selection (exact, no accumulation) — so every
+                # downstream clause composes unchanged over an
+                # aggregated, duplicate-free input.
+                _tag, gcol, pred = self.derived
+                key, ints, strs, dbls = TABLES[self.table]
+                projs = [gcol, f"CAST(MIN({key}) AS BIGINT) AS {key}"]
+                projs += [
+                    f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {c}"
+                    for c in ints if c != key
+                ]
+                projs += [f"MIN({c}) AS {c}" for c in strs if c != gcol]
+                projs += [f"MAX({c}) AS {c}" for c in dbls]
+                frm = (
+                    f"(SELECT {', '.join(projs)} FROM {self.table} "
+                    f"WHERE {pred} GROUP BY {gcol}) AS {self.table}"
                 )
             else:
                 # ("win", part, pred, keep): rank window INSIDE the
@@ -305,6 +360,12 @@ class Spec:
                 grp = f" GROUP BY GROUPING SETS ({sets})"
                 if not having:
                     having = "COUNT(*) >= 1"
+            elif self.group and self.group_all:
+                # r13: both engines infer the group from the
+                # non-aggregate select items — exactly self.group, all
+                # plain columns (aggregate-bearing items are excluded
+                # by both engines' ALL rules)
+                grp = " GROUP BY ALL"
             elif self.group:
                 grp = (
                     " GROUP BY "
@@ -380,6 +441,10 @@ class Spec:
             out.append(("having", lambda s: setattr(s, "having", None)))
         if self.rollup:
             out.append(("rollup", lambda s: setattr(s, "rollup", False)))
+        if self.group_all:
+            out.append(
+                ("group_all", lambda s: setattr(s, "group_all", False))
+            )
         if self.gsets:
             out.append(("gsets", lambda s: setattr(s, "gsets", None)))
         if self.order is not None:
@@ -418,7 +483,13 @@ class Spec:
         if self.lateral is not None:
             def drop_lateral(s):
                 s.lateral = None
+                s.lateral_multi = False
                 s.cols = [c for c in s.cols if c != "lat_0"]
+                # top-k laterals fold lat_0 into the tiebreak baked
+                # into window/order strings — those must leave with it
+                s.windows = [w for w in s.windows if "lat_0" not in w]
+                if s.order is not None and "lat_0" in s.order[0]:
+                    s.order = None
 
             out.append(("lateral", drop_lateral))
         if self.join2 is not None:
@@ -465,6 +536,11 @@ def _tiebreak(spec) -> str:
         if spec.join2 is not None:
             keys.append(UNIQUE_KEY[spec.join2[0]])
     cols = [c.strip() for k in keys for c in k.split(",")]
+    if spec.lateral_multi:
+        # the top-k lateral duplicates outer rows (one per lateral
+        # row); lat_0 completes the total order — remaining ties are
+        # identical whole rows (lat_0 is always projected)
+        cols.append("lat_0")
     return ", ".join(f"{c} NULLS FIRST" for c in cols)
 
 
@@ -680,6 +756,23 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
             "fjoin", right, on,
             f"{rng.choice(r_ints)} % {rng.randint(2, 7)} = 0",
         )
+    # r13: DISTINCT-aggregated derived table — the base scan becomes a
+    # GROUP BY aggregate re-emitting every column under its own name
+    # (COUNT DISTINCT / MIN / MAX — see Spec.sql), so the outer spec's
+    # windows and aggregations compose over an aggregated input.
+    # lineitem is excluded: its tiebreak spans columns the aggregate
+    # cannot keep unique.
+    elif (
+        spec.join is None and spec.table != "lineitem"
+        and TABLES[spec.table][2] and rng.random() < 0.12
+    ):
+        probe = Spec()
+        probe.table = spec.table
+        spec.derived = (
+            "dagg",
+            rng.choice(TABLES[spec.table][2]),
+            _pred(rng, probe, str_values, allow_subquery=False),
+        )
     # r12: WITH-CTE shadowing the base table — in setop mode the one
     # named relation is referenced 2-3 times (the CTE-inlining /
     # plan-reuse surface: Spark inlines per reference, DuckDB may
@@ -718,6 +811,32 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
         spec.cols = rng.sample(ints + strs, k=rng.randint(1, 3))
         for _ in range(rng.randint(1, 2)):
             spec.preds_b.append(_pred(rng, spec, str_values))
+        # r13: correlated EXISTS in a set-op branch correlating through
+        # the NULL-PADDED side of the outer join — the correlation key
+        # is NULL on padded rows, where EXISTS is false and NOT EXISTS
+        # true by three-valued semantics (NULL = k matches nothing), so
+        # each engine's decorrelation must agree row-for-row under the
+        # set op's dedup.  Single-hop outer joins only: the padded
+        # side's own join edge supplies the correlated table (which may
+        # shadow an outer FROM table — inner-first resolution, both
+        # engines' standard scoping).
+        if (
+            spec.join is not None and spec.join_type != "JOIN"
+            and spec.join2 is None and rng.random() < 0.5
+        ):
+            padded = (
+                spec.join[0] if spec.join_type == "LEFT JOIN"
+                else spec.table
+            )
+            if JOINS[padded]:
+                right2, on2 = rng.choice(JOINS[padded])
+                r2_ints = TABLES[right2][1]
+                inner2 = f"{rng.choice(r2_ints)} % {rng.randint(2, 7)} = 0"
+                neg = "NOT " if rng.random() < 0.5 else ""
+                spec.preds_b.append(
+                    f"{neg}EXISTS (SELECT 1 FROM {right2} "
+                    f"WHERE {on2} AND {inner2})"
+                )
         # r10: multi-level nesting — (left OP mid) OP2 right, explicit
         # parens (see Spec.sql); the third branch shares the FROM like
         # the second, only its WHERE stack differs
@@ -807,6 +926,16 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
                     keys = {k.strip() for k in on.split("=")}
                     if keys <= set(spec.group):
                         spec.gsets = None
+        # r13: GROUP BY ALL — plain groups only (under ROLLUP/GROUPING
+        # SETS the clause doesn't apply).  Both engines infer the group
+        # from the non-aggregate select items, which are exactly
+        # spec.group; the ordinal form is the semantic identity, so any
+        # digest divergence is an inference bug in one engine.
+        if (
+            not spec.rollup and spec.gsets is None
+            and rng.random() < 0.25
+        ):
+            spec.group_all = True
         if rng.random() < 0.4:
             cmp_ = rng.choice([">", ">="])
             # r10: correlated scalar subquery in HAVING — the correlation
@@ -823,9 +952,21 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
             # BY resolves in both engines; correlated HAVING therefore
             # skips rollup plans (pinned by test_fuzz_differential.py::
             # test_correlated_having_under_rollup_is_guarded).
+            # group_all guard (r13): KNOWN ENGINE ASYMMETRY #8, found
+            # building this round (hunt seed 12088) — DuckDB's binder
+            # REFUSES a correlated grouping-column reference inside a
+            # HAVING subquery under GROUP BY ALL ("Having clause cannot
+            # reference column ... in correlated subquery and group by
+            # all") while Spark 4.1 resolves it, and BOTH engines accept
+            # the explicit-group twin — the mirror image of the r10
+            # ROLLUP asymmetry (there Spark failed).  Correlated HAVING
+            # therefore pairs only with the explicit ordinal GROUP BY;
+            # pinned by test_fuzz_differential.py::
+            # test_correlated_having_under_group_by_all_is_guarded.
             if (
                 spec.join is None and JOINS[spec.table] and not spec.rollup
-                and spec.gsets is None and rng.random() < 0.35
+                and spec.gsets is None and not spec.group_all
+                and rng.random() < 0.35
             ):
                 # gsets guard (r11): GROUPING SETS plan through the same
                 # Expand node as ROLLUP, where Spark 4.1 cannot resolve
@@ -949,15 +1090,32 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
             right, on = rng.choice(JOINS[spec.table])
             r_ints = TABLES[right][1]
             inner = f"{rng.choice(r_ints)} % {rng.randint(2, 7)} = 0"
-            agg = rng.choice(["MIN", "MAX", "COUNT"])
-            if agg == "COUNT":
-                expr = "CAST(COUNT(*) AS BIGINT)"
+            if rng.random() < 0.4:
+                # r13: top-k LATERAL — up to k ordered rows per outer
+                # row, REAL lateral-join multiplicity (the scalar-agg
+                # form below is multiplicity-neutral by construction).
+                # Deterministic: ordered by the right table's
+                # single-column unique key, and outer rows with no
+                # match drop in both engines (comma join = CROSS APPLY
+                # semantics).  lat_0 rides the tiebreak (_tiebreak).
+                spec.lateral = (
+                    f"SELECT {rng.choice(r_ints)} AS lat_0 FROM {right} "
+                    f"WHERE {on} AND {inner} "
+                    f"ORDER BY {UNIQUE_KEY[right]} "
+                    f"{rng.choice(['ASC', 'DESC'])} "
+                    f"LIMIT {rng.randint(1, 3)}"
+                )
+                spec.lateral_multi = True
             else:
-                expr = f"COALESCE({agg}({rng.choice(r_ints)}), -1)"
-            spec.lateral = (
-                f"SELECT {expr} AS lat_0 FROM {right} "
-                f"WHERE {on} AND {inner}"
-            )
+                agg = rng.choice(["MIN", "MAX", "COUNT"])
+                if agg == "COUNT":
+                    expr = "CAST(COUNT(*) AS BIGINT)"
+                else:
+                    expr = f"COALESCE({agg}({rng.choice(r_ints)}), -1)"
+                spec.lateral = (
+                    f"SELECT {expr} AS lat_0 FROM {right} "
+                    f"WHERE {on} AND {inner}"
+                )
             spec.cols.append("lat_0")
         if rng.random() < 0.4:
             part = rng.choice(strs)

@@ -31,7 +31,17 @@ like the table it reads is circular to DuckDB but resolves to the
 catalog table in Spark, so the grammar names its CTE base_c;
 aggregate FILTER clauses; correlated scalar subqueries as the ORDER
 BY lead; INTERSECT ALL / EXCEPT ALL at every set-op site including
-inside derived tables under windows).  The Spark side and the DuckDB oracle share
+inside derived tables under windows).  r13: 160 -> 180 seeds alongside
+grammar round 9 (top-k LATERAL joins with real multiplicity and lat_0
+in the total-order tiebreak; DISTINCT-aggregated derived tables whose
+outputs alias back to the base schema so outer windows compose over an
+aggregated input; correlated EXISTS in set-op branches correlating
+through the NULL-padded side of an outer join; GROUP BY ALL — and
+building the round found engine asymmetry EIGHT before any hunt ran:
+DuckDB's binder refuses a correlated HAVING subquery under GROUP BY
+ALL while Spark answers, the mirror image of the r10 ROLLUP asymmetry
+— guarded in generate(), pinned by
+test_correlated_having_under_group_by_all_is_guarded).  The Spark side and the DuckDB oracle share
 the identical CORE plan text; only the md5->int digest plumbing
 differs per engine (Spark spells it CONV(SUBSTR(MD5 ..)), DuckDB
 CAST('0x' || SUBSTR(md5 ..))) — the repo's standing portable-hash
@@ -49,7 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from datalake_spark.fuzzgen import TABLES, gate_safe, generate
 from datalake_spark.functions.hashing import sql_md5hash60
 
-_N_GATE_PLANS = 160
+_N_GATE_PLANS = 180
 _MOD = 1_000_000_007
 
 

@@ -21,6 +21,13 @@ Composition (every stage is the verified batch/stream primitive):
    within a shard is re-established at read time from the persisted
    ``_skey`` (export.read_training_shard) — a stream cannot emit a
    globally sorted shard, so the sort key column IS the order contract.
+5. (r13, optional) the same foreachBatch appends the survivors'
+   embeddings to a standing :class:`~datalake_spark.operators.ann_index.
+   IvfPqIndex` as index epoch ``streaming_epoch + 1`` — the composed
+   ingest → curate → serve lifecycle under ONE checkpoint: the shard
+   commit (deterministic copy-promote) and the index commit
+   (epoch-keyed marker CAS) are each idempotent, so an at-least-once
+   replay of a crashed micro-batch re-runs both as no-ops.
 """
 
 from __future__ import annotations
@@ -35,11 +42,18 @@ from datalake_spark.store import join_key, open_store
 from datalake_spark.streaming.dedup import dedup_stream_within_watermark
 
 DOC_EVENT_SCHEMA = "doc_id long, text string, lang string, ms long"
+# r13: composed curation+indexing events additionally carry the doc's
+# embedding — curated survivors' vectors feed the standing IVF-PQ
+# index in the same foreachBatch (see StreamingCurator(ann_index=))
+DOC_VEC_EVENT_SCHEMA = DOC_EVENT_SCHEMA + ", embedding array<float>"
 
 
-def doc_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+def doc_stream(
+    spark: SparkSession, landing_dir: str, with_embedding: bool = False
+) -> DataFrame:
     """JSON document events from a landing directory."""
-    return spark.readStream.schema(DOC_EVENT_SCHEMA).json(landing_dir)
+    schema = DOC_VEC_EVENT_SCHEMA if with_embedding else DOC_EVENT_SCHEMA
+    return spark.readStream.schema(schema).json(landing_dir)
 
 
 def curate_stream(
@@ -75,7 +89,8 @@ def curate_stream(
 
 
 class StreamingCurator:
-    """readStream(docs) → rules → dedup → shard-layout append."""
+    """readStream(docs) → rules → dedup → shard-layout append
+    [→ standing-index epoch append when ``ann_index`` is given]."""
 
     def __init__(
         self,
@@ -88,6 +103,8 @@ class StreamingCurator:
         max_files_per_shard: int = 16,
         near_dup_threshold: float | None = None,
         sig_path: str | None = None,
+        ann_index=None,
+        vec_col: str = "embedding",
     ):
         self.spark = spark
         # every driver-side commit step goes through the store (the same
@@ -111,6 +128,18 @@ class StreamingCurator:
         # watermark dedup still runs upstream in curate_stream).
         self.near_dup_threshold = near_dup_threshold
         self.sig_path = sig_path or self.store.spark_url("_signatures")
+        # r13: the composed serving lifecycle — curated survivors'
+        # embeddings append to a STANDING IvfPqIndex inside the same
+        # foreachBatch, as index epoch (streaming epoch + 1), so ONE
+        # checkpoint drives shard layout AND index and a crash-replay
+        # re-runs two idempotent commits: the deterministic shard
+        # copy-promote and the epoch-keyed index append (a committed
+        # epoch replays as a post-commit no-op; the index's own
+        # re-delivery guard additionally drops ids an earlier epoch
+        # committed).  The index must already be BUILT (``ann build``
+        # trains the model; append never retrains).
+        self.ann_index = ann_index
+        self.vec_col = vec_col
 
     def _near_dup_filter(
         self, batch: DataFrame
@@ -171,6 +200,13 @@ class StreamingCurator:
         identical plan and re-copies the same names with the same
         contents — exactly-once shard contents, no duplicate docs, and
         the reader-visible layout stays plain ``shard=K/*.parquet``."""
+        if batch.isEmpty():
+            # stateful upstream ops (the watermark dedup) flush state
+            # through trailing EMPTY micro-batches; committing those
+            # would grow the index's epoch list (and burn a manifest
+            # version) for zero rows.  Skipping is replay-consistent:
+            # the replayed batch is empty again.
+            return
         frames: list = []
         if self.near_dup_threshold is not None:
             batch, frames = self._near_dup_filter(batch)
@@ -198,6 +234,24 @@ class StreamingCurator:
                     ),
                 )
         self.store.delete_prefix(staging_key)
+        if self.ann_index is not None:
+            if self.vec_col not in batch.columns:
+                raise ValueError(
+                    f"ann_index is set but the stream carries no "
+                    f"'{self.vec_col}' column — read the landing dir "
+                    "with with_embedding=True (DOC_VEC_EVENT_SCHEMA)"
+                )
+            # epoch-keyed idempotent append of the CURATED survivors'
+            # vectors (build holds index epoch 0 — the start_stream
+            # numbering); ordering vs the shard write is immaterial:
+            # a crash between the two replays both, each a no-op
+            self.ann_index.append(
+                batch.select(
+                    F.col(self.id_col).alias(self.ann_index.id_col),
+                    F.col(self.vec_col).alias(self.ann_index.vec_col),
+                ),
+                epoch + 1,
+            )
         if self.near_dup_threshold is not None:
             # survivors' signatures extend the standing store (the
             # cached survivor frame pays the probe once for both writes);
@@ -230,7 +284,13 @@ class StreamingCurator:
         stops (tests / batch catch-up); otherwise the query runs as a
         daemon with ``trigger_interval`` pacing micro-batches — the mode
         behind the ``curate-stream`` CLI command."""
-        curated = curate_stream(doc_stream(self.spark, landing_dir), **curate_kwargs)
+        curated = curate_stream(
+            doc_stream(
+                self.spark, landing_dir,
+                with_embedding=self.ann_index is not None,
+            ),
+            **curate_kwargs,
+        )
         writer = (
             curated.writeStream.foreachBatch(self._write_batch)
             .option("checkpointLocation", checkpoint_dir)

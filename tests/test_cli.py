@@ -677,6 +677,90 @@ class TestCurateStreamCommand:
         out = spark.read.parquet(shards)
         assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
 
+    def test_ann_index_composes_curate_and_serve(
+        self, spark, tmp_path, catalog_dir
+    ):
+        """The r13 composed lifecycle as the CLI recipe: 'ann build' a
+        standing index, then 'curate-stream --ann-index ROOT' feeds the
+        curated survivors' embeddings into it; a restart with the same
+        checkpoint replays nothing."""
+        from datalake_spark.operators.ann_index import (
+            IndexNotBuilt,
+            IvfPqIndex,
+        )
+        from tests.test_streaming_curation import _doc, _good, _write
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        seedp = str(tmp_path / "seed_vecs")
+        emb.filter("vec_id >= 300 and vec_id < 380").selectExpr(
+            "vec_id AS doc_id", "embedding"
+        ).write.parquet(seedp)
+        root = str(tmp_path / "annidx")
+        rc, _ = _run(
+            spark,
+            ["ann", "build", root, seedp, "--num-centroids", "8",
+             "--m", "16", "--ksub", "16", "--id-col", "doc_id"],
+            catalog_dir,
+        )
+        assert rc == 0
+        # an unbuilt root is refused with the build-first recipe
+        with pytest.raises(IndexNotBuilt):
+            _run(spark, ["curate-stream", str(tmp_path / "l0"),
+                         str(tmp_path / "s0"), "--once",
+                         "--ann-index", str(tmp_path / "nowhere")],
+                 catalog_dir)
+
+        vecs = {
+            r["doc_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.filter("vec_id < 4").selectExpr(
+                "vec_id AS doc_id", "embedding"
+            ).collect()
+        }
+        landing = str(tmp_path / "landing")
+        shards = str(tmp_path / "shards")
+        docs = []
+        for i in range(4):
+            d = _doc(i, _good(i))
+            d["embedding"] = vecs[i]
+            docs.append(d)
+        _write(landing, docs, "b1.json")
+        rc, lines = _run(
+            spark,
+            ["curate-stream", landing, shards, "--once",
+             "--ann-index", root],
+            catalog_dir,
+        )
+        assert rc == 0
+        assert lines[-1].startswith("curated shards hold 4 docs")
+        # search through the CLI with one survivor's vector as probe
+        probep = str(tmp_path / "probe")
+        emb.filter("vec_id < 1").selectExpr(
+            "vec_id AS doc_id", "embedding"
+        ).write.parquet(probep)
+        rc, lines = _run(
+            spark,
+            ["ann", "search", root, probep, "--k", "2",
+             "--id-col", "doc_id"],
+            catalog_dir,
+        )
+        assert rc == 0
+        hits = [json.loads(ln) for ln in lines]
+        assert len(hits) == 2
+        # restart with the same checkpoint: nothing replays, the index
+        # version is untouched
+        v1 = IvfPqIndex(spark, root, id_col="doc_id").manifest()["version"]
+        rc, _ = _run(
+            spark,
+            ["curate-stream", landing, shards, "--once",
+             "--ann-index", root],
+            catalog_dir,
+        )
+        assert rc == 0
+        v2 = IvfPqIndex(spark, root, id_col="doc_id").manifest()["version"]
+        assert v2 == v1
+
 
 class TestListAtVersion:
     def test_time_travel_list(self, spark, catalog_dir):
@@ -698,3 +782,4 @@ class TestListAtVersion:
             spark, ["list", "nginx", "--start", "2015-01-01",
                     "--end", "2015-01-02", "--at-version", "1"], catalog_dir)
         assert rc == 0 and len(old) == 2
+

@@ -251,6 +251,40 @@ class TestDifferentialFuzz:
             if spec.rollup and spec.having:
                 assert "SELECT" not in spec.having, f"seed {seed}"
 
+    def test_correlated_having_under_group_by_all_is_guarded(
+        self, spark_tables, duck
+    ):
+        """Documents the EIGHTH engine asymmetry this fuzzer found (r13,
+        hunt seed 12088): DuckDB's binder refuses a correlated
+        grouping-column reference inside a HAVING subquery under GROUP
+        BY ALL ("Having clause cannot reference column ... in
+        correlated subquery and group by all") while Spark 4.1 resolves
+        it — the mirror image of the r10 ROLLUP asymmetry, where Spark
+        was the engine that failed.  Pins (a) the bare asymmetry still
+        reproduces — if a DuckDB upgrade fixes it the generate() guard
+        can go — (b) the explicit-ordinal twin stays engine-agreed, and
+        (c) generate() never pairs correlated HAVING with group_all."""
+        corr_having = (
+            "HAVING MIN(c_custkey) <= COALESCE((SELECT MAX(n_regionkey) "
+            "FROM nation WHERE c_nationkey = n_nationkey "
+            "AND n_regionkey % 2 = 0), 10)"
+        )
+        bare = (
+            "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS agg0 "
+            "FROM customer GROUP BY ALL " + corr_having
+        )
+        err = mismatch(spark_tables, duck, bare)
+        assert err is not None and err.startswith("duckdb-only error"), err
+        plain = (
+            "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS agg0 "
+            "FROM customer GROUP BY 1 " + corr_having
+        )
+        assert mismatch(spark_tables, duck, plain) is None
+        for seed in range(0, 800):
+            spec = generate(seed)
+            if spec.group_all and spec.having:
+                assert "SELECT" not in spec.having, f"seed {seed}"
+
     def test_correlated_scalar_over_setop_derived_is_guarded(
         self, spark_tables, duck
     ):

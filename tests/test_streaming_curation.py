@@ -237,3 +237,126 @@ class TestEpochReplayIdempotence:
         # staging epoch dirs are cleaned (the empty _staging parent may
         # remain; Spark ignores underscore-prefixed dirs)
         assert glob.glob(os.path.join(shards, "_staging", "epoch-*")) == []
+
+
+class TestComposedCurateIndex:
+    """r13: the composed serving lifecycle — ingest → curate →
+    standing-IVF-PQ-index append in ONE foreachBatch chain under one
+    checkpoint (the pieces each prove their own exactly-once story;
+    this proves the composition's)."""
+
+    def _index_and_landing(self, spark, tmp_path):
+        from datalake_spark.operators.ann_index import IvfPqIndex
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        seed = emb.filter("vec_id >= 300 and vec_id < 380").selectExpr(
+            "vec_id AS doc_id", "embedding"
+        )
+        idx = IvfPqIndex(
+            spark, str(tmp_path / "annidx"), num_centroids=8, m=16,
+            ksub=16, id_col="doc_id", vec_col="embedding", ids_buckets=8,
+        )
+        idx.build(seed)
+        vecs = {
+            r["doc_id"]: list(r["embedding"])
+            for r in emb.filter("vec_id < 8").selectExpr(
+                "vec_id AS doc_id", "embedding"
+            ).collect()
+        }
+        landing = str(tmp_path / "landing")
+        docs = []
+        for i in range(6):
+            d = _doc(i, _good(i))
+            d["embedding"] = [float(x) for x in vecs[i]]
+            docs.append(d)
+        # doc 6 fails the quality rules — its vector must NOT be indexed
+        junk = _doc(6, "x")
+        junk["embedding"] = [float(x) for x in vecs[6]]
+        docs.append(junk)
+        _write(landing, docs, "batch0.json")
+        return idx, landing
+
+    def test_curate_then_index_one_checkpoint(self, spark, tmp_path):
+        idx, landing = self._index_and_landing(spark, tmp_path)
+        shards = str(tmp_path / "shards")
+        cur = StreamingCurator(
+            spark, shards, n_shards=2, ann_index=idx
+        )
+        q = cur.start(landing, str(tmp_path / "ck"))
+        q.awaitTermination(180)
+        # curated shards hold the 6 rule-passing docs (embedding rides)
+        got = sorted(
+            r["doc_id"] for r in spark.read.parquet(shards).collect()
+        )
+        assert got == list(range(6))
+        # the index committed streaming epoch 0 as index epoch 1 and
+        # serves exactly seed + survivors — the junk doc is absent.
+        # (Empty state-flush micro-batches are skipped by the sink, so
+        # no empty epochs pad the list; the engine may still split
+        # non-empty input across batches, hence >= not ==.)
+        man = idx.manifest()
+        assert set(man["epochs"]) >= {0, 1}
+        ids = {
+            r["c_id"]
+            for r in spark.read.parquet(
+                idx._url(man["dir"], type(idx).IDS)
+            ).select("c_id").collect()
+        }
+        assert ids == set(range(6)) | set(range(300, 380))
+        # probing with a survivor's own vector finds it
+        probe = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).filter("vec_id < 2").selectExpr("vec_id AS doc_id", "embedding")
+        hits = idx.search(probe, k=3, nprobe=8).collect()
+        assert len(hits) == 6
+
+    def test_crash_replay_is_noop_for_shards_and_index(
+        self, spark, tmp_path
+    ):
+        """At-least-once replay of a committed micro-batch (crash
+        between the sinks and the checkpoint commit): BOTH commits must
+        be no-ops — deterministic shard file names with identical
+        contents, and the epoch-keyed index append returning
+        post-commit without writing."""
+        idx, landing = self._index_and_landing(spark, tmp_path)
+        shards = str(tmp_path / "shards")
+        cur = StreamingCurator(spark, shards, n_shards=2, ann_index=idx)
+        q = cur.start(landing, str(tmp_path / "ck"))
+        q.awaitTermination(180)
+        man1 = idx.manifest()
+        files1 = sorted(
+            os.path.relpath(p, shards)
+            for p in glob.glob(f"{shards}/shard=*/*.parquet")
+        )
+        ids1 = sorted(
+            r["doc_id"] for r in spark.read.parquet(shards).collect()
+        )
+        # replay epoch 0 through the sink directly (what a restarted
+        # query does for an uncommitted-checkpoint batch)
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        batch = emb.filter("vec_id < 6").selectExpr(
+            "vec_id AS doc_id", "embedding"
+        ).selectExpr(
+            "doc_id", "'replay text' AS text", "'en' AS lang",
+            f"CAST({T0} AS LONG) AS ms", "embedding",
+        )
+        cur._write_batch(batch.drop("text", "lang", "ms").join(
+            spark.read.parquet(shards).select(
+                "doc_id", "text", "lang", "ms"
+            ),
+            "doc_id",
+        ), epoch=0)
+        man2 = idx.manifest()
+        files2 = sorted(
+            os.path.relpath(p, shards)
+            for p in glob.glob(f"{shards}/shard=*/*.parquet")
+        )
+        ids2 = sorted(
+            r["doc_id"] for r in spark.read.parquet(shards).collect()
+        )
+        assert man2["version"] == man1["version"]  # index: no new commit
+        assert man2["epochs"] == man1["epochs"]
+        assert files1 == files2                    # shards: same names
+        assert ids1 == ids2                        # ... same contents

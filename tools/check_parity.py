@@ -97,6 +97,11 @@ SF1_ENTRIES = [
 # relational/dedup sf-sensitive six).  --sf10 runs SF1_ENTRIES + these.
 SF10_EXTRA = [
     "ann_ivfpq_topk", "dsir_select", "lm_quality_score", "semantic_dedup",
+    # r13: the curation tier — operators whose caps and windows bind
+    # with corpus size (decon's broadcast gram set, span_dedup's
+    # min_df, budget_mix's quota prefix sums, weighted_sample's
+    # map-side prune) had never run at 100x
+    "decontamination", "span_dedup", "budget_mix", "weighted_sample",
 ]
 
 

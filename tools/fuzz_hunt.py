@@ -26,6 +26,11 @@ seeds on every grammar change, so clearances don't carry forward):
   ORDER-BY correlated scalars, both guarded + pinned):
   9900-10399 @ sf0.001 clean, 10400-10699 @ sf0.01 clean,
   10700-11399 @ sf0.001 clean, 11400-11899 @ sf0.01 clean
+  r13 (grammar round 9: top-k LATERAL, DISTINCT-aggregated derived
+  tables, correlated EXISTS under set-ops on the NULL-padded side,
+  GROUP BY ALL): 11900-12199 @ sf0.001 found asymmetry EIGHT at seed
+  12088 (DuckDB binder refuses correlated HAVING under GROUP BY ALL —
+  the ROLLUP asymmetry mirrored; guarded + pinned), clean on re-hunt
 """
 
 from __future__ import annotations
