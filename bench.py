@@ -236,14 +236,19 @@ def _serving_search_entry(spark, sf_dir: str):
     from datalake_spark.queries import load
 
     root = tempfile.mkdtemp(prefix="bench_ann_serving_")
-    # rebuilt per bench run; best-effort cleanup of prior crashed runs
+    # rebuilt per bench run; best-effort cleanup of prior CRASHED runs —
+    # age-gated (2 h, the webdataset temp-sweep precedent) so a
+    # concurrently running bench's live index is never deleted from
+    # under it
     for stale in os.listdir(tempfile.gettempdir()):
+        p = os.path.join(tempfile.gettempdir(), stale)
+        try:
+            old = (time.time() - os.path.getmtime(p)) > 7200
+        except OSError:
+            continue
         if (stale.startswith("bench_ann_serving_")
-                and stale != os.path.basename(root)):
-            shutil.rmtree(
-                os.path.join(tempfile.gettempdir(), stale),
-                ignore_errors=True,
-            )
+                and stale != os.path.basename(root) and old):
+            shutil.rmtree(p, ignore_errors=True)
     idx = IvfPqIndex(
         spark, root, num_centroids=16, m=32, ksub=32, train_iters=2
     )

@@ -268,7 +268,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "built first: 'ann build ROOT seed.parquet'); "
                          "landing JSON must then carry an 'embedding' "
                          "array column — the composed ingest → curate "
-                         "→ serve lifecycle under one checkpoint")
+                         "→ serve lifecycle under ONE checkpoint: keep "
+                         "the checkpoint dir for the index's lifetime "
+                         "(a fresh one restarts epoch numbering and "
+                         "already-committed epochs silently no-op; "
+                         "local fresh checkpoints are refused)")
     cs.add_argument("--once", action="store_true",
                     help="drain visible documents and exit")
     cs.add_argument("--interval", default="10 seconds",
@@ -736,6 +740,28 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
             ann_index=ann_index,
         )
         ckpt = args.checkpoint or os.path.join(args.shards, "_checkpoint")
+        if ann_index is not None:
+            # one-checkpoint-per-index-lifetime (the start_stream
+            # contract, surfaced at the CLI): a FRESH checkpoint
+            # restarts streaming epochs at 0, so appends for index
+            # epochs the manifest already lists silently no-op — every
+            # newly curated vector would be absent from search.
+            # Best-effort local-path check; store-URL checkpoints skip
+            # it (documented in --ann-index help).
+            ck_local = ckpt.removeprefix("file:")
+            ingested = any(
+                int(e) >= 1 for e in ann_index.manifest()["epochs"]
+            )
+            if "://" not in ck_local and ingested and not os.path.isdir(
+                ck_local
+            ):
+                raise ValueError(
+                    f"fresh checkpoint {ckpt} against an index that "
+                    "already ingested streaming epochs — replayed "
+                    "epoch numbers would silently no-op; reuse the "
+                    "original checkpoint dir, or rebuild the index "
+                    "and start a new lifetime"
+                )
         query = curator.start(
             args.landing_dir,
             ckpt,

@@ -308,12 +308,35 @@ class IvfPqIndex:
         (``sample()``, un-ordered ``limit``) two independent
         evaluations could disagree — the bucket set would miss buckets
         holding ids the anti-join's evaluation produces, silently
-        disabling the guard."""
+        disabling the guard.  NOTE the persist is advisory: under
+        cache-block loss Spark recomputes from the source, so for a
+        GENUINELY non-deterministic source the caller must materialize
+        first (write it out, or ``localCheckpoint()``) — the persist
+        narrows the window; determinism of the batch plan is the
+        contract that closes it (foreachBatch micro-batches satisfy
+        it)."""
         batch = batch.select(
             F.col(self.id_col).alias(self.id_col),
             F.col(self.vec_col).alias(self.vec_col),
         ).persist()
         try:
+            # NULL guard (r13 review): a NULL vector would assign a NULL
+            # cent_id (cosine over NULL is NULL) — the id lands in the
+            # ids tree with no searchable code, and the re-delivery
+            # guard then blocks a later CORRECT delivery forever.  A
+            # NULL id breaks the bucket hash the same way.  Raising here
+            # (one cached limit-1 scan; the batch is persisted) beats
+            # both silent corruptions.
+            bad = batch.filter(
+                F.col(self.id_col).isNull() | F.col(self.vec_col).isNull()
+            )
+            if not bad.isEmpty():
+                raise ValueError(
+                    "append batch contains NULL ids or NULL vectors — "
+                    "a NULL vector would commit an unsearchable id that "
+                    "permanently blocks its own correct re-delivery; "
+                    "filter them out (or fix the source) first"
+                )
             return self._append(batch, epoch, _race_hook)
         finally:
             batch.unpersist()

@@ -402,6 +402,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     max_df: int = 1000,
+    trunc_out: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs with a stop-shingle cap — the
     posting-list-safe form of queries/pipeline_q.py's oracle-exact
@@ -425,6 +426,12 @@ def ngram_jaccard_pairs(
     broadcasts the small pairs side; corpus-wide lists are never
     broadcast).  Same 100 TB contract as minhash_lsh_pairs, minus the
     probabilistic banding.
+
+    ``trunc_out`` (optional list, the banded tiers' convention):
+    receives one DataFrame of (shingle_hash, df) for every DROPPED
+    stop-shingle (df > max_df) — the recall approximation as an
+    observable instead of a docstring claim.  Free: it reads the same
+    persisted windowed frame the pairs side filters.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     sh_flat = (
@@ -458,6 +465,15 @@ def ngram_jaccard_pairs(
     windowed = sh_flat.withColumn(
         "_df", F.count(F.lit(1)).over(Window.partitionBy("_h"))
     ).persist()
+    if trunc_out is not None:
+        # one row per dropped stop-shingle with its document frequency —
+        # the same shuffle/cache the pairs filter reads
+        trunc_out.append(
+            windowed.filter(F.col("_df") > max_df)
+            .groupBy("_h")
+            .agg(F.max("_df").alias("df"))
+            .select(F.col("_h").alias("shingle_hash"), "df")
+        )
     pairs = (
         # the groupBy reuses the window's hash partitioning on _h — same
         # single shuffle as the pre-r13 posting-list aggregation

@@ -200,6 +200,17 @@ class StreamingCurator:
         identical plan and re-copies the same names with the same
         contents — exactly-once shard contents, no duplicate docs, and
         the reader-visible layout stays plain ``shard=K/*.parquet``."""
+        # persisted for the sink's whole lifetime: the batch plan (the
+        # full rules + watermark-dedup pipeline) otherwise re-executes
+        # per consumer — the isEmpty probe, the staging write, and the
+        # index append each replayed it (r13 review finding)
+        batch = batch.persist()
+        try:
+            self._write_batch_inner(batch, epoch)
+        finally:
+            batch.unpersist()
+
+    def _write_batch_inner(self, batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             # stateful upstream ops (the watermark dedup) flush state
             # through trailing EMPTY micro-batches; committing those
@@ -241,17 +252,27 @@ class StreamingCurator:
                     f"'{self.vec_col}' column — read the landing dir "
                     "with with_embedding=True (DOC_VEC_EVENT_SCHEMA)"
                 )
-            # epoch-keyed idempotent append of the CURATED survivors'
-            # vectors (build holds index epoch 0 — the start_stream
-            # numbering); ordering vs the shard write is immaterial:
-            # a crash between the two replays both, each a no-op
-            self.ann_index.append(
-                batch.select(
-                    F.col(self.id_col).alias(self.ann_index.id_col),
-                    F.col(self.vec_col).alias(self.ann_index.vec_col),
-                ),
-                epoch + 1,
+            # docs WITHOUT an embedding are curated but not indexed —
+            # the schema is nullable, and a NULL vector reaching the
+            # index would commit an unsearchable id that permanently
+            # blocks its own correct re-delivery (the index ALSO
+            # raises on NULLs; dropping here keeps text-only events a
+            # legal input).  Since the id is never committed, a later
+            # re-delivery WITH the embedding indexes normally.
+            vecs = batch.filter(F.col(self.vec_col).isNotNull()).select(
+                F.col(self.id_col).alias(self.ann_index.id_col),
+                F.col(self.vec_col).alias(self.ann_index.vec_col),
             )
+            # a batch whose every row was near-dup-dropped (or carries
+            # no embedding) must not burn an empty index epoch — the
+            # pre-filter isEmpty guard can't see those drops
+            if not vecs.isEmpty():
+                # epoch-keyed idempotent append of the CURATED
+                # survivors' vectors (build holds index epoch 0 — the
+                # start_stream numbering); ordering vs the shard write
+                # is immaterial: a crash between the two replays both,
+                # each a no-op
+                self.ann_index.append(vecs, epoch + 1)
         if self.near_dup_threshold is not None:
             # survivors' signatures extend the standing store (the
             # cached survivor frame pays the probe once for both writes);

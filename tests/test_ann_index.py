@@ -272,6 +272,38 @@ class TestIvfPqIndexLifecycle:
         ids = spark.read.parquet(idx._url(man["dir"], IvfPqIndex.IDS))
         assert ids.count() == base.count()  # nothing re-committed
 
+    def test_append_rejects_null_ids_and_null_vectors(
+        self, spark, emb, tmp_path
+    ):
+        """r13 review: a NULL vector assigns a NULL cent_id — the id
+        lands in the ids tree with no searchable code, and the
+        re-delivery guard then blocks its own CORRECT re-delivery
+        forever.  append() must raise, not corrupt."""
+        from pyspark.sql import functions as F
+
+        base = emb.filter("vec_id >= 3 and vec_id < 80")
+        idx = IvfPqIndex(spark, str(tmp_path / "idxnv"),
+                         num_centroids=8, m=16, ksub=16)
+        idx.build(base)
+        nullvec = emb.filter("vec_id >= 80 and vec_id < 90").withColumn(
+            "embedding",
+            F.when(F.col("vec_id") == 85, F.lit(None)).otherwise(
+                F.col("embedding")
+            ),
+        )
+        with pytest.raises(ValueError, match="NULL ids or NULL vectors"):
+            idx.append(nullvec, 1)
+        nullid = emb.filter("vec_id >= 80 and vec_id < 90").withColumn(
+            "vec_id",
+            F.when(F.col("vec_id") == 85, F.lit(None)).otherwise(
+                F.col("vec_id")
+            ),
+        )
+        with pytest.raises(ValueError, match="NULL ids or NULL vectors"):
+            idx.append(nullid, 1)
+        # nothing was committed by either refusal
+        assert idx.manifest()["epochs"] == [0]
+
     def test_append_racing_rebuild_loses_and_reencodes(self, spark, emb,
                                                        tmp_path):
         """An append that committed while the rebuild was training makes

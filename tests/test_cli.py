@@ -760,6 +760,17 @@ class TestCurateStreamCommand:
         assert rc == 0
         v2 = IvfPqIndex(spark, root, id_col="doc_id").manifest()["version"]
         assert v2 == v1
+        # a FRESH local checkpoint against the now-ingested index is
+        # refused: restarted epoch numbering would make every append a
+        # silent post-commit no-op (one-checkpoint-per-index-lifetime)
+        with pytest.raises(ValueError, match="fresh checkpoint"):
+            _run(
+                spark,
+                ["curate-stream", landing, shards, "--once",
+                 "--ann-index", root,
+                 "--checkpoint", str(tmp_path / "fresh_ck")],
+                catalog_dir,
+            )
 
 
 class TestListAtVersion:

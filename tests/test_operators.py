@@ -852,6 +852,31 @@ class TestNgramJaccardCapped:
         }
         assert got == want and len(want) > 0
 
+    def test_trunc_out_reports_dropped_stop_shingles(self, spark):
+        """The r13 trunc_out channel (the banded tiers' convention):
+        every shingle dropped by the max_df cap is reported with its
+        document frequency; a non-binding cap yields an empty frame —
+        the recall approximation as an observable."""
+        from pyspark.sql import functions as F
+
+        from datalake_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = spark.range(40).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("shared boilerplate prefix words here "),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+        tr: list = []
+        ngram_jaccard_pairs(docs, max_df=10, trunc_out=tr).count()
+        dropped = tr[0].collect()
+        assert len(dropped) > 0
+        assert all(r.df > 10 for r in dropped)
+        tr2: list = []
+        ngram_jaccard_pairs(docs, max_df=10_000, trunc_out=tr2).count()
+        assert tr2[0].count() == 0
+
     def test_stop_shingle_does_not_explode(self, spark):
         """1000 docs sharing one boilerplate shingle must produce zero pairs
         from it (DF > max_df) and the job must stay linear."""

@@ -360,3 +360,79 @@ class TestComposedCurateIndex:
         assert man2["epochs"] == man1["epochs"]
         assert files1 == files2                    # shards: same names
         assert ids1 == ids2                        # ... same contents
+
+    def test_null_embedding_curates_but_does_not_index(
+        self, spark, tmp_path
+    ):
+        """r13 review: the schema's embedding is nullable — a doc
+        missing it must land in the shards but NOT commit its id to
+        the index (an indexed NULL would permanently block its own
+        correct re-delivery).  A later re-delivery WITH the embedding
+        then indexes normally."""
+        from pyspark.sql import functions as F
+
+        idx, _ = self._index_and_landing(spark, tmp_path)
+        shards = str(tmp_path / "shards2")
+        cur = StreamingCurator(spark, shards, n_shards=2, ann_index=idx)
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        texts = spark.createDataFrame(
+            [(i, _good(i), "en", T0 + i) for i in range(2)],
+            "doc_id long, text string, lang string, ms long",
+        )
+        batch = texts.join(
+            emb.selectExpr("vec_id AS doc_id", "embedding"), "doc_id"
+        ).withColumn(
+            "embedding",
+            F.when(F.col("doc_id") == 1, F.lit(None)).otherwise(
+                F.col("embedding")
+            ),
+        )
+        cur._write_batch(batch, epoch=0)
+        man = idx.manifest()
+        ids = {
+            r["c_id"]
+            for r in spark.read.parquet(
+                idx._url(man["dir"], type(idx).IDS)
+            ).select("c_id").collect()
+        }
+        assert 0 in ids and 1 not in ids  # doc 1 curated, not indexed
+        got = sorted(
+            r["doc_id"] for r in spark.read.parquet(shards).collect()
+        )
+        assert got == [0, 1]              # both docs in the shards
+        # re-delivery of doc 1 WITH its embedding indexes normally
+        redeliver = texts.filter("doc_id = 1").join(
+            emb.selectExpr("vec_id AS doc_id", "embedding"), "doc_id"
+        )
+        cur._write_batch(redeliver, epoch=1)
+        man = idx.manifest()
+        ids = {
+            r["c_id"]
+            for r in spark.read.parquet(
+                idx._url(man["dir"], type(idx).IDS)
+            ).select("c_id").collect()
+        }
+        assert 1 in ids
+
+    def test_all_dropped_batch_burns_no_empty_epoch(self, spark, tmp_path):
+        """A batch whose every row lacks an embedding (or was
+        near-dup-dropped) must not commit an empty index epoch — the
+        manifest version and epoch list stay put."""
+        from pyspark.sql import functions as F
+
+        idx, _ = self._index_and_landing(spark, tmp_path)
+        shards = str(tmp_path / "shards3")
+        cur = StreamingCurator(spark, shards, n_shards=2, ann_index=idx)
+        texts = spark.createDataFrame(
+            [(9, _good(9), "en", T0)],
+            "doc_id long, text string, lang string, ms long",
+        ).withColumn(
+            "embedding", F.lit(None).cast("array<float>")
+        )
+        man1 = idx.manifest()
+        cur._write_batch(texts, epoch=0)
+        man2 = idx.manifest()
+        assert man2["version"] == man1["version"]
+        assert man2["epochs"] == man1["epochs"]
