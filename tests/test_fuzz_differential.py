@@ -462,3 +462,32 @@ class TestDifferentialFuzz:
         assert mismatch(spark_tables, duck, spec.sql()) is not None
         small = shrink(spark_tables, duck, spec)
         assert small.preds == [] and small.cols == ["list_value(1) AS boom"]
+
+
+class TestLateralMultiShrink:
+    def test_drop_lateral_leaves_parseable_specs(self, duck):
+        """r13: top-k laterals fold lat_0 into the tiebreak baked into
+        window/order strings — the lateral dropper must remove those
+        strings with the lateral or the shrunk spec won't parse.  Every
+        lateral-bearing spec in the first 2000 seeds must still parse
+        (DuckDB EXPLAIN) after its lateral dropper fires."""
+        n_multi = 0
+        for seed in range(0, 2000):
+            spec = generate(seed)
+            if spec.lateral is None:
+                continue
+            if spec.lateral_multi:
+                n_multi += 1
+                # lat_0 must be projected and must ride the tiebreak of
+                # any window/order the spec carries
+                assert "lat_0" in spec.cols
+            dropper = dict(
+                (label, fn) for label, fn in spec.clauses()
+            ).get("lateral")
+            assert dropper is not None
+            small = spec.copy()
+            dropper(small)
+            assert small.lateral is None and not small.lateral_multi
+            assert "lat_0" not in small.sql()
+            duck.execute(f"EXPLAIN {small.sql()}")  # parses
+        assert n_multi >= 5  # the top-k form actually occurs

@@ -102,6 +102,10 @@ SF10_EXTRA = [
     # min_df, budget_mix's quota prefix sums, weighted_sample's
     # map-side prune) had never run at 100x
     "decontamination", "span_dedup", "budget_mix", "weighted_sample",
+    # r13 second wave: the text/retrieval tier — df/idf denominators,
+    # posting-list caps, and Heaps-law distinct counts all scale with
+    # the corpus
+    "tfidf_top_terms", "bm25_topk", "vocab_report", "postings_index",
 ]
 
 
