@@ -261,6 +261,17 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("--compact-every", dest="compact_every", type=int,
                     default=0, help="threshold-compact shards every N "
                                     "micro-batches (0 = off)")
+    cs.add_argument("--lm-model", dest="lm_model", default=None,
+                    metavar="PATH",
+                    help="parquet path of a pretrained bigram LM model "
+                         "(operators/lm.lm_train output): micro-batches "
+                         "are scored statelessly and docs with "
+                         "0 <= lm_score_micro < --lm-threshold drop "
+                         "before the near-dup/index stages")
+    cs.add_argument("--lm-threshold", dest="lm_threshold", type=int,
+                    default=None, metavar="MICRO",
+                    help="quality floor in micro units (with "
+                         "--lm-model)")
     cs.add_argument("--ann-index", dest="ann_index", default=None,
                     metavar="ROOT",
                     help="also append curated survivors' embeddings to "
@@ -401,6 +412,13 @@ def _validate_args(p, args) -> None:
         if args.dsir_after_dedup and args.dsir_target is None:
             p.error("--dsir-after-dedup requires --dsir-target and "
                     "--dsir-top-n")
+    if args.command == "curate-stream":
+        # same contract as curate's --dsir pair: one flag alone used to
+        # be a constructor-time error, now a parse-time one
+        if (args.lm_model is None) != (args.lm_threshold is None):
+            p.error("--lm-model and --lm-threshold must be given "
+                    "together (one alone disables nothing silently — "
+                    "the stage needs both)")
     if args.command == "ann":
         if args.verb == "append" and args.epoch is None:
             p.error("ann append requires --epoch (the idempotency key "
@@ -738,6 +756,8 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
             compact_every=args.compact_every,
             near_dup_threshold=args.near_dup,
             ann_index=ann_index,
+            lm_model_path=args.lm_model,
+            lm_threshold=args.lm_threshold,
         )
         ckpt = args.checkpoint or os.path.join(args.shards, "_checkpoint")
         if ann_index is not None:

@@ -21,6 +21,10 @@ Composition (every stage is the verified batch/stream primitive):
    within a shard is re-established at read time from the persisted
    ``_skey`` (export.read_training_shard) — a stream cannot emit a
    globally sorted shard, so the sort key column IS the order contract.
+4b. (r13, optional) CCNet-style LM quality filtering against a STANDING
+   pretrained bigram model (operators/lm.lm_train written to parquet
+   once; lm_score per micro-batch is stateless) — runs before the
+   near-dup probe so junk never enters the signature store.
 5. (r13, optional) the same foreachBatch appends the survivors'
    embeddings to a standing :class:`~datalake_spark.operators.ann_index.
    IvfPqIndex` as index epoch ``streaming_epoch + 1`` — the composed
@@ -105,6 +109,8 @@ class StreamingCurator:
         sig_path: str | None = None,
         ann_index=None,
         vec_col: str = "embedding",
+        lm_model_path: str | None = None,
+        lm_threshold: int | None = None,
     ):
         self.spark = spark
         # every driver-side commit step goes through the store (the same
@@ -140,6 +146,23 @@ class StreamingCurator:
         # trains the model; append never retrains).
         self.ann_index = ann_index
         self.vec_col = vec_col
+        # r13: CCNet-style LM quality filtering as a streaming stage —
+        # stateless BECAUSE the model is a standing artifact: lm_train
+        # runs once on clean reference text (batch), the persisted
+        # model frame scores every micro-batch (operators/lm.lm_score,
+        # one explode + two key joins), and docs with
+        # 0 <= lm_score_micro < lm_threshold drop — the batch
+        # curate_corpus keep-predicate exactly (no-signal docs, score
+        # -1, are kept).  Both params come together.
+        if (lm_model_path is None) != (lm_threshold is None):
+            raise ValueError(
+                "lm_model_path and lm_threshold must be given together"
+            )
+        self.lm_threshold = lm_threshold
+        self.lm_model = (
+            spark.read.parquet(lm_model_path)
+            if lm_model_path is not None else None
+        )
 
     def _near_dup_filter(
         self, batch: DataFrame
@@ -218,6 +241,24 @@ class StreamingCurator:
             # version) for zero rows.  Skipping is replay-consistent:
             # the replayed batch is empty again.
             return
+        if self.lm_threshold is not None:
+            from datalake_spark.operators.lm import lm_score
+
+            # LM quality first — the cheap stage shrinks what the
+            # near-dup probe sees (the batch curate_corpus / CCNet
+            # order); junk never enters the signature store or the
+            # index
+            low = (
+                lm_score(batch, self.lm_model, id_col=self.id_col)
+                .filter(
+                    (F.col("lm_score_micro") >= 0)
+                    & (F.col("lm_score_micro") < self.lm_threshold)
+                )
+                .select(F.col(self.id_col).alias("_lmid"))
+            )
+            batch = batch.join(
+                low, F.col(self.id_col) == F.col("_lmid"), "left_anti"
+            )
         frames: list = []
         if self.near_dup_threshold is not None:
             batch, frames = self._near_dup_filter(batch)

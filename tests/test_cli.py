@@ -677,6 +677,56 @@ class TestCurateStreamCommand:
         out = spark.read.parquet(shards)
         assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
 
+    def test_lm_quality_stage_through_cli(
+        self, spark, tmp_path, catalog_dir
+    ):
+        """--lm-model/--lm-threshold: stateless CCNet-style filtering
+        against a standing pretrained model; one flag alone is a parse
+        error."""
+        from datalake_spark.operators.lm import lm_score, lm_train
+        from tests.test_streaming_curation import T0, _doc, _good, _write
+
+        with pytest.raises(SystemExit) as e:
+            _run(spark, ["curate-stream", str(tmp_path / "l"),
+                         str(tmp_path / "s"), "--once",
+                         "--lm-threshold", "100"], catalog_dir)
+        assert e.value.code == 2
+
+        ref = spark.createDataFrame(
+            [(i, _good(i)) for i in range(20)],
+            "doc_id long, text string",
+        )
+        model_path = str(tmp_path / "lm_model")
+        lm_train(ref).write.parquet(model_path)
+        good = _good(50)
+        junk = "junk words start here now " + " ".join(
+            f"the z{j}qx a w{j}kv" for j in range(8)
+        )
+        scores = {
+            r["doc_id"]: r["lm_score_micro"]
+            for r in lm_score(
+                spark.createDataFrame(
+                    [(50, good), (51, junk)], "doc_id long, text string"
+                ),
+                spark.read.parquet(model_path),
+            ).collect()
+        }
+        thr = int(scores[51]) + 1
+        landing = str(tmp_path / "landing")
+        shards = str(tmp_path / "shards")
+        _write(landing, [_doc(50, good), _doc(51, junk, ms=T0 + 1)],
+               "b1.json")
+        rc, lines = _run(
+            spark,
+            ["curate-stream", landing, shards, "--once",
+             "--lm-model", model_path, "--lm-threshold", str(thr)],
+            catalog_dir,
+        )
+        assert rc == 0
+        assert lines[-1].startswith("curated shards hold 1 docs")
+        ids = [r["doc_id"] for r in spark.read.parquet(shards).collect()]
+        assert ids == [50]
+
     def test_ann_index_composes_curate_and_serve(
         self, spark, tmp_path, catalog_dir
     ):

@@ -436,3 +436,78 @@ class TestComposedCurateIndex:
         man2 = idx.manifest()
         assert man2["version"] == man1["version"]
         assert man2["epochs"] == man1["epochs"]
+
+
+class TestStreamingLmQuality:
+    """r13: CCNet-style LM quality filtering as a streaming stage — the
+    model is a STANDING artifact (lm_train written to parquet once),
+    scoring is stateless per micro-batch, and the keep predicate is the
+    batch curate_corpus one (no-signal docs kept)."""
+
+    def test_low_lm_docs_drop_before_shards(self, spark, tmp_path):
+        from datalake_spark.operators.lm import lm_score, lm_train
+
+        # reference: clean english-ish docs; the junk doc is a string of
+        # tokens the model never saw (all-OOV contexts score low)
+        ref = spark.createDataFrame(
+            [(i, _good(i)) for i in range(20)],
+            "doc_id long, text string",
+        )
+        model_path = str(tmp_path / "lm_model")
+        lm_train(ref).write.parquet(model_path)
+
+        # the junk doc must PASS the upstream quality rules (length,
+        # stopword ratio, language) so only the LM stage can drop it —
+        # same shape as _good but with tokens the model never saw
+        good = _good(50)
+        junk = "junk words start here now " + " ".join(
+            f"the z{j}qx a w{j}kv" for j in range(8)
+        )
+        # vacuity guard: junk must pass every upstream rule, so only
+        # the LM stage can be the thing that drops it
+        from datalake_spark.pipeline import quality_rules
+
+        rr = quality_rules(
+            spark.createDataFrame(
+                [(51, junk, "en", T0)],
+                "doc_id long, text string, lang string, ms long",
+            ),
+            canonicality=False,
+        ).collect()[0]
+        assert rr["len_ok"] and rr["stop_ok"] and rr["lang_ok"]
+        model = spark.read.parquet(model_path)
+        scores = {
+            r["doc_id"]: r["lm_score_micro"]
+            for r in lm_score(
+                spark.createDataFrame(
+                    [(50, good), (51, junk)], "doc_id long, text string"
+                ),
+                model,
+            ).collect()
+        }
+        assert scores[51] < scores[50]
+        thr = scores[51] + 1  # junk below, good above
+
+        landing = str(tmp_path / "landing")
+        shards = str(tmp_path / "shards")
+        _write(
+            landing,
+            [_doc(50, good), _doc(51, junk, ms=T0 + 1)],
+            "b1.json",
+        )
+        cur = StreamingCurator(
+            spark, shards, n_shards=2,
+            lm_model_path=model_path, lm_threshold=int(thr),
+        )
+        q = cur.start(landing, str(tmp_path / "ck"))
+        q.awaitTermination(120)
+        ids = sorted(
+            r["doc_id"] for r in spark.read.parquet(shards).collect()
+        )
+        assert ids == [50]
+
+    def test_one_flag_alone_raises(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="together"):
+            StreamingCurator(
+                spark, str(tmp_path / "s"), lm_threshold=100
+            )

@@ -106,6 +106,11 @@ SF10_EXTRA = [
     # posting-list caps, and Heaps-law distinct counts all scale with
     # the corpus
     "tfidf_top_terms", "bm25_topk", "vocab_report", "postings_index",
+    # r13 third wave: the event-analytics tier — 60 M events at sf10;
+    # per-user windows, 24h funnel frames and the trailing-7-day
+    # contribute-explode all scale with event density
+    "funnel_analysis", "cohort_retention", "rolling_active_users",
+    "event_sequences",
 ]
 
 
