@@ -111,6 +111,10 @@ SF10_EXTRA = [
     # contribute-explode all scale with event density
     "funnel_analysis", "cohort_retention", "rolling_active_users",
     "event_sequences",
+    # r13 fourth wave: the relational core — all 22 TPC-H shapes,
+    # window/event-window batteries, sessionize at ~60 M rows
+    "q_tpch_battery", "q_window_battery", "q_event_window_battery",
+    "sessionize",
 ]
 
 

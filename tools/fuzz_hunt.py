@@ -30,7 +30,9 @@ seeds on every grammar change, so clearances don't carry forward):
   tables, correlated EXISTS under set-ops on the NULL-padded side,
   GROUP BY ALL): 11900-12199 @ sf0.001 found asymmetry EIGHT at seed
   12088 (DuckDB binder refuses correlated HAVING under GROUP BY ALL —
-  the ROLLUP asymmetry mirrored; guarded + pinned), clean on re-hunt
+  the ROLLUP asymmetry mirrored; guarded + pinned), clean on re-hunt;
+  12200-12599 @ sf0.001, 12600-12799 @ sf0.01, 12800-13299 @ sf0.001,
+  13300-13599 @ sf0.01 all clean (1,700 fresh seeds this round)
 """
 
 from __future__ import annotations
