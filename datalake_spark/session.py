@@ -39,7 +39,15 @@ def get_spark(app_name: str = "datalake_spark", master: str | None = None) -> Sp
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
-        builder = builder.master(f"local[{cpus}]").config("spark.driver.memory", "16g")
+        # local mode is one JVM: the "driver" heap is the whole
+        # executor memory too.  16g suits the gate SFs; sf10 one-offs
+        # (60 M-row windows under the 180-plan fuzz battery) need more
+        # — env-tunable so the scale harness can raise it without
+        # changing the driver's defaults.
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

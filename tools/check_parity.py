@@ -115,6 +115,14 @@ SF10_EXTRA = [
     # window/event-window batteries, sessionize at ~60 M rows
     "q_tpch_battery", "q_window_battery", "q_event_window_battery",
     "sessionize",
+    # r13 fifth wave: the remaining battery core.  q_subquery_battery
+    # is NOT here: its 180-plan fuzz UNION is sf10-hostile on BOTH
+    # sides (Spark needs SPARK_GRAFT_DRIVER_MEM=48g in the one-JVM
+    # sandbox; the DuckDB oracle's monolithic spill exceeds the disk) —
+    # the same differential runs per-seed via
+    # `fuzz_hunt.py START N /root/repo/.sf10` instead (PARITY_sf10.md).
+    "q_join_battery", "q_agg_battery", "q_scalar_battery",
+    "q_setops_battery",
 ]
 
 

@@ -2,7 +2,13 @@
 grammar (datalake_spark/fuzzgen.py), reusing the exploratory harness's
 mismatch + shrink machinery (tests/test_fuzz_differential.py).
 
-Usage:  python tools/fuzz_hunt.py START COUNT [SF_DIR]
+Usage:  python tools/fuzz_hunt.py [--digest] START COUNT [SF_DIR]
+
+``--digest`` compares per-seed (n_rows, vhash) gate digests instead of
+full materialized results — the ONLY harness shape that works at sf10
+(an unlimited projection at 60 M rows trips spark.driver.maxResultSize
+and the full-result transfer costs tens of GB); localize a digest
+divergence by re-running the seed at a gate SF in full mode.
 
 Seed-range log (each range cleared with 0 unexplained divergences at
 the grammar version current at the time; generate() reshuffles all
@@ -32,7 +38,9 @@ seeds on every grammar change, so clearances don't carry forward):
   12088 (DuckDB binder refuses correlated HAVING under GROUP BY ALL —
   the ROLLUP asymmetry mirrored; guarded + pinned), clean on re-hunt;
   12200-12599 @ sf0.001, 12600-12799 @ sf0.01, 12800-13299 @ sf0.001,
-  13300-13599 @ sf0.01 all clean (1,700 fresh seeds this round)
+  13300-13599 @ sf0.01 all clean (1,700 fresh seeds this round);
+  13700-13759 @ sf10 DIGEST MODE clean — randomized plans agree at
+  ~60 M rows, 100x the gate SF; 13600-13699 @ sf0.1 clean
 """
 
 from __future__ import annotations
@@ -49,7 +57,43 @@ from datalake_spark.session import get_spark  # noqa: E402
 from test_fuzz_differential import mismatch, shrink  # noqa: E402
 
 
+def _digest_mismatch(spark, con, spec, seed) -> str | None:
+    """Per-seed (n_rows, vhash) digest comparison — the GATE's own
+    semantic (queries/fuzz_q._wrap), one row per engine per seed.  The
+    sf10 harness shape: the full-result toPandas() comparison breaks at
+    100x on unlimited projections (driver.maxResultSize on the Spark
+    side; tens of GB of transfer on both), while the digest bounds
+    result transfer to one row regardless of plan output size.  Errors
+    follow mismatch()'s rule: both-engines-error = agreement."""
+    from datalake_spark.queries.fuzz_q import _spark_hash, _wrap
+    from datalake_spark.functions.hashing import sql_md5hash60
+
+    spk_err = dck_err = None
+    try:
+        srow = spark.sql(_wrap(seed, spec, _spark_hash)).collect()[0]
+        s = (srow["n_rows"], srow["vhash"])
+    except Exception as e:
+        spk_err = e
+    try:
+        d = con.execute(_wrap(seed, spec, sql_md5hash60)).fetchone()[1:]
+        d = (int(d[0]), int(d[1]))
+    except Exception as e:
+        dck_err = e
+    if spk_err is not None and dck_err is not None:
+        return None
+    if spk_err is not None:
+        return f"spark-only error: {spk_err}"
+    if dck_err is not None:
+        return f"duckdb-only error: {dck_err}"
+    if s != d:
+        return f"digest: spark={s} duck={d}"
+    return None
+
+
 def main() -> int:
+    digest = "--digest" in sys.argv
+    if digest:
+        sys.argv.remove("--digest")
     start = int(sys.argv[1])
     count = int(sys.argv[2])
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
@@ -75,6 +119,20 @@ def main() -> int:
     n_div = 0
     for seed in range(start, start + count):
         spec = generate(seed, str_values)
+        if digest:
+            err = _digest_mismatch(spark, con, spec, seed)
+            if err is not None:
+                n_div += 1
+                print(f"DIVERGENCE seed {seed}: {err}")
+                print(f"  full:   {spec.sql()}")
+            # no shrink in digest mode: re-run the seed at a gate SF
+            # with the full comparison to localize
+            if (seed - start + 1) % 10 == 0:
+                print(
+                    f"... {seed - start + 1}/{count} done, "
+                    f"{n_div} divergences", flush=True,
+                )
+            continue
         err = mismatch(spark, con, spec.sql())
         if err is not None:
             n_div += 1
