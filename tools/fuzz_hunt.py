@@ -40,7 +40,9 @@ seeds on every grammar change, so clearances don't carry forward):
   12200-12599 @ sf0.001, 12600-12799 @ sf0.01, 12800-13299 @ sf0.001,
   13300-13599 @ sf0.01 all clean (1,700 fresh seeds this round);
   13700-13819 @ sf10 DIGEST MODE clean (two batches) — plans agree at
-  ~60 M rows, 100x the gate SF; 13600-13699 @ sf0.1 clean
+  ~60 M rows, 100x the gate SF; 13600-13699 @ sf0.1 clean;
+  13820-14019 @ sf1 DIGEST MODE clean (randomized plans verified at
+  every SF the harness ships: 0.001/0.01/0.1/1/10)
 """
 
 from __future__ import annotations
