@@ -431,7 +431,7 @@ def ngram_jaccard_pairs(
     receives one DataFrame of (shingle_hash, df) for every DROPPED
     stop-shingle (df > max_df) — the recall approximation as an
     observable instead of a docstring claim.  Free: it reads the same
-    persisted windowed frame the pairs side filters.
+    counts aggregate the pairs-side keep set filters.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     sh_flat = (
@@ -442,42 +442,55 @@ def ngram_jaccard_pairs(
         )
         .withColumn("_h", F.xxhash64("_s"))
     )
-    # windowed (per-(doc, shingle) rows tagged with the shingle's
-    # document frequency) is the ONE materialization the whole operator
-    # derives from: the pairs side filters + collects it shingle-major,
-    # sig regroups it doc-major (legal because shingles() emits distinct
-    # shingles per doc).  The _df tag is an unbounded-frame count window
-    # on the shingle-hash partitioning, so the stop-shingle cap is a ROW
-    # FILTER applied BEFORE any posting list is collected — the pre-r13
-    # form (groupBy(_h).collect_list, THEN filter size <= max_df)
+    # sh_flat (one row per (doc, shingle)) is the ONE materialization
+    # the whole operator derives from: df_counts aggregates it
+    # shingle-major, the pairs side semi-joins + collects it
+    # shingle-major, sig regroups it doc-major (legal because shingles()
+    # emits distinct shingles per doc).  The stop-shingle cap is applied
+    # BEFORE any posting list is collected — the pre-r13 form
+    # (groupBy(_h).collect_list, THEN filter size <= max_df)
     # materialized the ENTIRE posting list in one aggregation buffer
     # before the drop: at 100 TB one stop-shingle ("in the") holds
     # millions of ids in a single executor buffer (the exact class
     # _capped_buckets closed for the banded tiers in r12; here the
-    # bucket is dropped, not prefix-kept, so a filter suffices).  The
-    # window's per-bucket sort spills through the external sorter; the
-    # surviving collect buffers <= max_df ids.  Without the persist,
-    # Spark computes the scan+explode subtree twice.  Size ≈ one
-    # (long, id, long) per doc-shingle — the same order as sh_flat
-    # itself; disk spill + LRU eviction bound the footprint,
-    # recompute-on-loss keeps it cluster-safe.
-    # tests/test_plan_hygiene.py pins the filter-before-collect shape.
-    windowed = sh_flat.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("_h"))
-    ).persist()
+    # bucket is dropped, not prefix-kept, so a row filter suffices).
+    # The r13 form tagged rows via count().over(Window.partitionBy(_h)):
+    # buffer-safe, but a window clusters ALL rows of one shingle hash
+    # into ONE task — at 100 TB a stop-shingle is billions of rows
+    # sorted by a single straggler BEFORE the filter drops them, and AQE
+    # cannot split a skewed window partition.  The r14 form computes the
+    # document frequency with groupBy(_h).count() (map-side partial
+    # aggregation collapses the hot key to one row per task before the
+    # shuffle) and drops stop-shingles via a SEMI-JOIN against the keep
+    # set — a skewed sort-merge JOIN partition is exactly what
+    # OptimizeSkewedJoin can split at runtime.  shuffle_merge-pinned:
+    # df_counts scales with distinct shingles, so neither planner nor
+    # AQE may build a broadcast table from it
+    # (tests/test_plan_hygiene.py pins both the filter-before-collect
+    # shape and the no-broadcast contract under autoBroadcast=-1).
+    # sh_flat is persisted (read three times: df_counts, the pairs probe
+    # side, sig); size ≈ one (id, string, long) per doc-shingle; disk
+    # spill + LRU eviction bound the footprint, recompute-on-loss keeps
+    # it cluster-safe.
+    sh_flat = sh_flat.persist()
+    df_counts = sh_flat.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     if trunc_out is not None:
         # one row per dropped stop-shingle with its document frequency —
-        # the same shuffle/cache the pairs filter reads
+        # read straight off the counts aggregate (map-side combined, so
+        # the hot key never concentrates rows on one task here either)
         trunc_out.append(
-            windowed.filter(F.col("_df") > max_df)
-            .groupBy("_h")
-            .agg(F.max("_df").alias("df"))
-            .select(F.col("_h").alias("shingle_hash"), "df")
+            df_counts.filter(F.col("_df") > max_df)
+            .select(F.col("_h").alias("shingle_hash"), F.col("_df").alias("df"))
         )
+    keep = df_counts.filter(
+        (F.col("_df") > 1) & (F.col("_df") <= max_df)
+    ).select("_h")
     pairs = (
-        # the groupBy reuses the window's hash partitioning on _h — same
-        # single shuffle as the pre-r13 posting-list aggregation
-        windowed.filter((F.col("_df") > 1) & (F.col("_df") <= max_df))
+        # semi-join drops stop-shingle rows at the join itself; the
+        # groupBy reuses the join's hash partitioning on _h — same
+        # single shuffle of sh_flat as the pre-r13 posting-list
+        # aggregation, now skew-splittable
+        sh_flat.join(keep.hint("shuffle_merge"), "_h", "left_semi")
         .groupBy("_h")
         .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
         .select(F.explode(F.expr(
@@ -491,7 +504,7 @@ def ngram_jaccard_pairs(
     # above max_df (same shuffle cost as the pre-r13 explode-regroup);
     # persisted so the regroup happens once, not per verify side
     sig = (
-        windowed.groupBy("_id")
+        sh_flat.groupBy("_id")
         .agg(
             F.collect_list("_h").alias("_hps"),
             F.count(F.lit(1)).alias("_n_sh"),

@@ -269,10 +269,17 @@ def test_banded_bucket_collects_are_capped_before_collect(spark):
         assert not offending, offending
     # ngram_jaccard_pairs is the DROP (not prefix-keep) variant of the
     # same hazard: its r12 form collected the ENTIRE posting list and
-    # only then filtered size(_ids) <= max_df.  The r13 rewrite tags
-    # rows with a window df count and filters BEFORE the collect — pin
-    # that every shingle-major (_h) posting-list Aggregate has the _df
-    # row filter below it.
+    # only then filtered size(_ids) <= max_df.  The r13 rewrite filtered
+    # BEFORE the collect via a window-tagged _df — buffer-safe, but a
+    # window clusters a stop-shingle's entire partition on ONE task and
+    # AQE cannot split a skewed window partition.  The r14 shape drops
+    # stop-shingles via a semi-join against a groupBy(_h).count() keep
+    # set (map-side combine collapses the hot key; a skewed sort-merge
+    # JOIN is AQE-splittable).  Pin: every shingle-major (_h)
+    # posting-list Aggregate has (a) the _df-filtered semi-join below
+    # it, (b) NO window over _h below it, and (c) — under
+    # autoBroadcast=-1 — no broadcast of the counts frame (it scales
+    # with distinct shingles).
     plan = (
         dedup_ops.ngram_jaccard_pairs(docs)
         ._jdf.queryExecution().optimizedPlan()
@@ -284,6 +291,8 @@ def test_banded_bucket_collects_are_capped_before_collect(spark):
         cs = n.children()
         for i in range(cs.size()):
             stack.append(cs.apply(i))
+        if n.nodeName() == "Window" and "_h#" in n.toString().splitlines()[0]:
+            offending.append(("window over _h", n.toString().splitlines()[0][:160]))
         if n.nodeName() != "Aggregate":
             continue
         s = n.toString()
@@ -293,10 +302,23 @@ def test_banded_bucket_collects_are_capped_before_collect(spark):
         if "collect_list" not in head or "_h#" not in head.split("]")[0]:
             continue
         bucket_aggs += 1
-        if "_df" not in s:
+        if "_df" not in s or "LeftSemi" not in s:
             offending.append(("ngram_jaccard_pairs", head[:160]))
     assert bucket_aggs >= 1, "walk found no posting-list collect"
     assert not offending, offending
+    # (c): with auto-broadcast disabled, nothing in the physical plan may
+    # broadcast — the counts/keep frame must stay a shuffle-side input
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        phys = (
+            dedup_ops.ngram_jaccard_pairs(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastExchange" not in phys, phys[:2000]
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.catalog.clearCache()
 
 
