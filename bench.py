@@ -219,6 +219,19 @@ ANCHOR_EXTRAS_R13 = {
     "ann_clustered_recall": 27.0,
 }
 
+# Pinned r14 from the r13 protocol-run minimums (BASELINE.md r13:
+# ann_serving_search 0.94-1.0 s warm — search-only over the prebuilt
+# standing index; the number that decomposes ann_ivfpq_topk into ~90%
+# train+encode verification + ~1 s serving).  ann_index_lifecycle is
+# RE-pinned on its r13-grown plan (the null-guard limit-1 scan per
+# append): 24.3 s was its r13 protocol reading, normalized 1.09-1.24
+# against the stale 22.3 anchor with no plan regression — per the
+# quality_classifier_weighted precedent the grown plan re-anchors.
+ANCHOR_EXTRAS_R14 = {
+    "ann_serving_search": 0.94,
+    "ann_index_lifecycle": 24.3,
+}
+
 
 def _serving_search_entry(spark, sf_dir: str):
     """Build a standing IVF-PQ index ONCE (untimed) and return a bench
@@ -236,18 +249,41 @@ def _serving_search_entry(spark, sf_dir: str):
     from datalake_spark.queries import load
 
     root = tempfile.mkdtemp(prefix="bench_ann_serving_")
-    # rebuilt per bench run; best-effort cleanup of prior CRASHED runs —
-    # age-gated (2 h, the webdataset temp-sweep precedent) so a
-    # concurrently running bench's live index is never deleted from
-    # under it
+    # rebuilt per bench run; best-effort cleanup of prior CRASHED runs.
+    # Liveness is keyed on the creating PID (written into the dir), not
+    # on mtime: an age gate alone would delete a live serving index
+    # from under a concurrent bench whose run exceeds the age (r13
+    # advisor finding).  A dir with no pid file is pre-r14 debris and
+    # falls back to the old 2 h age gate.
+    with open(os.path.join(root, ".bench_pid"), "w") as f:
+        f.write(str(os.getpid()))
+
+    def _dead(pidfile: str) -> bool:
+        try:
+            with open(pidfile) as fh:
+                pid = int(fh.read().strip())
+            os.kill(pid, 0)  # signal 0: existence probe only
+            return False
+        except (OSError, ValueError):
+            # no such process (or unreadable pid file) -> sweepable;
+            # EPERM would mean a live foreign-user process, but bench
+            # dirs are same-user by construction
+            return True
+
     for stale in os.listdir(tempfile.gettempdir()):
         p = os.path.join(tempfile.gettempdir(), stale)
+        if (not stale.startswith("bench_ann_serving_")
+                or stale == os.path.basename(root)):
+            continue
+        pidfile = os.path.join(p, ".bench_pid")
         try:
-            old = (time.time() - os.path.getmtime(p)) > 7200
+            sweep = (
+                _dead(pidfile) if os.path.exists(pidfile)
+                else (time.time() - os.path.getmtime(p)) > 7200
+            )
         except OSError:
             continue
-        if (stale.startswith("bench_ann_serving_")
-                and stale != os.path.basename(root) and old):
+        if sweep:
             shutil.rmtree(p, ignore_errors=True)
     idx = IvfPqIndex(
         spark, root, num_centroids=16, m=32, ksub=32, train_iters=2
@@ -517,7 +553,7 @@ def main() -> None:
         anchor_extras = {
             **ANCHOR_EXTRAS_R5, **ANCHOR_EXTRAS_R7, **ANCHOR_EXTRAS_R8,
             **ANCHOR_EXTRAS_R9, **ANCHOR_EXTRAS_R10, **ANCHOR_EXTRAS_R11,
-            **ANCHOR_EXTRAS_R12, **ANCHOR_EXTRAS_R13,
+            **ANCHOR_EXTRAS_R12, **ANCHOR_EXTRAS_R13, **ANCHOR_EXTRAS_R14,
         }
         out["vs_anchor_extras_r5_normalized"] = {
             n: round(t / anchor_extras[n] / max(load, 1.0), 2)

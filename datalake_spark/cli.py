@@ -279,11 +279,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "built first: 'ann build ROOT seed.parquet'); "
                          "landing JSON must then carry an 'embedding' "
                          "array column — the composed ingest → curate "
-                         "→ serve lifecycle under ONE checkpoint: keep "
-                         "the checkpoint dir for the index's lifetime "
-                         "(a fresh one restarts epoch numbering and "
-                         "already-committed epochs silently no-op; "
-                         "local fresh checkpoints are refused)")
+                         "→ serve lifecycle under ONE checkpoint: the "
+                         "checkpoint is registered in the index "
+                         "manifest (stream id + epoch base), so a "
+                         "fresh checkpoint starts a new collision-free "
+                         "epoch range, and a checkpoint reused for a "
+                         "different landing dir or index lifetime is "
+                         "refused at start")
     cs.add_argument("--once", action="store_true",
                     help="drain visible documents and exit")
     cs.add_argument("--interval", default="10 seconds",
@@ -760,28 +762,15 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
             lm_threshold=args.lm_threshold,
         )
         ckpt = args.checkpoint or os.path.join(args.shards, "_checkpoint")
-        if ann_index is not None:
-            # one-checkpoint-per-index-lifetime (the start_stream
-            # contract, surfaced at the CLI): a FRESH checkpoint
-            # restarts streaming epochs at 0, so appends for index
-            # epochs the manifest already lists silently no-op — every
-            # newly curated vector would be absent from search.
-            # Best-effort local-path check; store-URL checkpoints skip
-            # it (documented in --ann-index help).
-            ck_local = ckpt.removeprefix("file:")
-            ingested = any(
-                int(e) >= 1 for e in ann_index.manifest()["epochs"]
-            )
-            if "://" not in ck_local and ingested and not os.path.isdir(
-                ck_local
-            ):
-                raise ValueError(
-                    f"fresh checkpoint {ckpt} against an index that "
-                    "already ingested streaming epochs — replayed "
-                    "epoch numbers would silently no-op; reuse the "
-                    "original checkpoint dir, or rebuild the index "
-                    "and start a new lifetime"
-                )
+        # checkpoint ↔ index binding is no longer a driver-local isdir
+        # heuristic (r13's guard false-refused a fresh stream on a
+        # manually-appended index and missed copied/foreign checkpoints
+        # and store-URL checkpoints entirely): StreamingCurator.start()
+        # registers the checkpoint IN the index manifest
+        # (IvfPqIndex.register_stream) — fresh checkpoints get their own
+        # epoch base above all committed epochs, known checkpoints are
+        # verified (landing dir, index lifetime, no foreign epochs in
+        # range), and every mismatch raises before the query starts.
         query = curator.start(
             args.landing_dir,
             ckpt,

@@ -90,6 +90,16 @@ class IndexAlreadyBuilt(Exception):
     pass
 
 
+class EpochProvenanceConflict(Exception):
+    """An epoch number is already committed by a DIFFERENT writer class
+    (manual ``append`` vs a registered stream).  Pre-r14 the colliding
+    append silently no-oped post-commit — the colliding batch's vectors
+    were never indexed and never searchable, with no error (r13 advisor
+    finding).  Raising at the collision point makes the mixed-use
+    hazard loud; the fix is operational (rebuild into a new lifetime,
+    or append under an epoch number outside every stream's range)."""
+
+
 class IvfPqIndex:
     """A standing IVF-PQ index rooted at ``root`` (any ObjectStore URL).
 
@@ -152,6 +162,20 @@ class IvfPqIndex:
         """The committed index state (marker log is the authority), or
         None when the index has never been built."""
         return _read_manifest(self.store, "")
+
+    @staticmethod
+    def _lineage(m: dict) -> dict:
+        """Manifest fields every successor version inherits verbatim:
+        the index lifetime id, the per-epoch writer provenance map, and
+        the registered-streams map.  Centralized so a new inheritable
+        field cannot be dropped by one of the three commit sites
+        (append / rebuild / register_stream).  Legacy manifests lack
+        all three — ``get`` defaults keep old indexes serveable."""
+        return {
+            "index_id": m.get("index_id"),
+            "epoch_src": dict(m.get("epoch_src", {})),
+            "streams": dict(m.get("streams", {})),
+        }
 
     def _read_model(self, m: dict) -> tuple[DataFrame, DataFrame]:
         vdir = m["dir"]
@@ -281,6 +305,8 @@ class IvfPqIndex:
         self._write_ids(cells, vdir, 0, self.ids_buckets)
         for f in frames:
             f.unpersist()
+        import uuid
+
         return _commit_version(
             self.store, "", 1, vdir, prev=None,
             extra={
@@ -290,10 +316,23 @@ class IvfPqIndex:
                 "num_centroids": self.num_centroids,
                 "residual": self.residual,
                 "ids_buckets": self.ids_buckets,
+                # lifetime identity + per-epoch writer provenance: a
+                # stream registration is bound to THIS index_id, and
+                # append refuses to treat a replay as idempotent when
+                # the epoch was committed by a different writer class
+                "index_id": uuid.uuid4().hex,
+                "epoch_src": {"0": "build"},
+                "streams": {},
             },
         )
 
-    def append(self, batch: DataFrame, epoch: int, _race_hook=None) -> dict:
+    def append(
+        self,
+        batch: DataFrame,
+        epoch: int,
+        _race_hook=None,
+        provenance: str = "manual",
+    ) -> dict:
         """Encode ``batch`` against the standing model as ``epoch`` and
         commit.  Idempotent per epoch: an already-committed epoch
         returns immediately (post-commit replay), an uncommitted one is
@@ -301,6 +340,18 @@ class IvfPqIndex:
         encode, same bytes).  CommitConflict retries re-resolve the
         manifest, so a concurrent appender (or a rebuild that swapped
         the version dir) just costs this appender a re-encode.
+
+        ``provenance`` names the writer class ("manual" for direct
+        calls, "stream:<id>" for a registered stream): the
+        already-committed fast path is a legal no-op ONLY when the
+        committed epoch's recorded provenance matches — a replay of
+        one's OWN commit.  A number collision across writer classes
+        (manual 'ann append --epoch N' vs a stream reaching batch N-1)
+        raises :class:`EpochProvenanceConflict` instead of silently
+        dropping the batch from the index (r13 advisor finding).
+        Epochs committed by pre-r14 manifests carry no provenance and
+        match any writer (the old behavior, preserved for legacy
+        indexes only).
 
         The batch is persisted for the duration of the call: the
         re-delivery guard evaluates it twice (the touched-bucket
@@ -337,18 +388,30 @@ class IvfPqIndex:
                     "permanently blocks its own correct re-delivery; "
                     "filter them out (or fix the source) first"
                 )
-            return self._append(batch, epoch, _race_hook)
+            return self._append(batch, epoch, _race_hook, provenance)
         finally:
             batch.unpersist()
 
-    def _append(self, batch: DataFrame, epoch: int, _race_hook) -> dict:
+    def _append(
+        self, batch: DataFrame, epoch: int, _race_hook, provenance: str
+    ) -> dict:
         last: Exception | None = None
         for _ in range(5):
             m = self.manifest()
             if m is None:
                 raise IndexNotBuilt(self.store.url)
             if epoch in m["epochs"]:
-                return m  # post-commit replay: the epoch is already served
+                src = m.get("epoch_src", {}).get(str(int(epoch)))
+                if src is not None and src != provenance:
+                    raise EpochProvenanceConflict(
+                        f"epoch {int(epoch)} of {self.store.url} is "
+                        f"already committed by '{src}' but this append "
+                        f"runs as '{provenance}' — a silent no-op here "
+                        "would drop the batch from the index forever; "
+                        "pick an epoch number outside the other "
+                        "writer's range, or rebuild into a new lifetime"
+                    )
+                return m  # post-commit replay of our own epoch
             vdir = m["dir"]
             cents, cb = self._read_model(m)
             # at-least-once re-delivery guard: ids already committed
@@ -380,6 +443,8 @@ class IvfPqIndex:
             )
             if _race_hook is not None:
                 _race_hook()
+            lineage = self._lineage(m)
+            lineage["epoch_src"][str(int(epoch))] = provenance
             try:
                 return _commit_version(
                     self.store, "", m["version"] + 1, vdir, prev=m,
@@ -390,6 +455,7 @@ class IvfPqIndex:
                         "num_centroids": m["num_centroids"],
                         "residual": bool(m.get("residual", False)),
                         "ids_buckets": int(m.get("ids_buckets", 0)),
+                        **lineage,
                     },
                 )
             except CommitConflict as e:
@@ -548,6 +614,7 @@ class IvfPqIndex:
                         "num_centroids": nc,
                         "residual": res,
                         "ids_buckets": nb,
+                        **self._lineage(mfst),
                     },
                 )
             except CommitConflict as e:
@@ -578,6 +645,106 @@ class IvfPqIndex:
 
     # -- streaming maintenance -------------------------------------------
 
+    def register_stream(
+        self, checkpoint_dir: str, landing_dir: str
+    ) -> tuple[str, int]:
+        """Bind a streaming checkpoint to this index lifetime; returns
+        ``(stream_id, epoch_base)``.  The binding lives in the MANIFEST
+        (``streams`` map keyed by the checkpoint path), so it works for
+        every checkpoint scheme — no marker file in the checkpoint dir,
+        no driver-local ``isdir`` heuristics (the r13 CLI guard's gap).
+
+        First registration of a checkpoint commits a fresh
+        ``stream_id`` and ``epoch_base = max(committed epochs)``; the
+        stream then appends as ``base + batchId + 1`` with provenance
+        ``stream:<id>``.  The base places the stream's entire epoch
+        range ABOVE everything committed before it — a fresh stream on
+        a manually-appended index is legal and collision-free (the r13
+        guard false-refused it), and a fresh checkpoint replacing a
+        dead stream's gets its own base above the dead stream's epochs
+        instead of silently no-oping into them (re-delivered vectors
+        are handled by the prior-ids anti-join, not by epoch numbers).
+
+        Re-registration of a KNOWN checkpoint verifies the binding:
+        same landing dir, same index lifetime (``index_id`` — a torn-
+        down-and-rebuilt-from-scratch root under the same URL is a
+        different lifetime), and no FOREIGN epochs in the stream's
+        range (a manual append that landed above our base while the
+        stream was down would collide with a future batch — refuse at
+        start instead of raising mid-stream)."""
+        ck = str(checkpoint_dir)
+        last: Exception | None = None
+        for _ in range(5):
+            m = self.manifest()
+            if m is None:
+                raise IndexNotBuilt(self.store.url)
+            ent = dict(m.get("streams", {})).get(ck)
+            if ent is not None:
+                if ent.get("landing_dir") != landing_dir:
+                    raise ValueError(
+                        f"checkpoint {ck} is registered to landing dir "
+                        f"{ent.get('landing_dir')!r}, not "
+                        f"{landing_dir!r} — a checkpoint binds one "
+                        "stream; use a fresh checkpoint dir for a new "
+                        "source"
+                    )
+                if (
+                    m.get("index_id") is not None
+                    and ent.get("index_id") is not None
+                    and ent["index_id"] != m["index_id"]
+                ):
+                    raise ValueError(
+                        f"checkpoint {ck} was registered to a previous "
+                        f"index lifetime at {self.store.url} — the "
+                        "index was torn down and rebuilt; use a fresh "
+                        "checkpoint dir"
+                    )
+                sid, base = ent["stream_id"], int(ent["epoch_base"])
+                mine = f"stream:{sid}"
+                srcs = m.get("epoch_src", {})
+                foreign = sorted(
+                    int(e) for e in m["epochs"]
+                    if int(e) > base
+                    and srcs.get(str(int(e)), mine) != mine
+                )
+                if foreign:
+                    raise EpochProvenanceConflict(
+                        f"epochs {foreign} of {self.store.url} were "
+                        "committed by another writer inside this "
+                        f"stream's range (base {base}) — a future "
+                        "micro-batch would collide; rebuild into a new "
+                        "lifetime or use a fresh checkpoint dir"
+                    )
+                return sid, base
+            import uuid
+
+            sid = uuid.uuid4().hex[:16]
+            base = max(int(e) for e in m["epochs"])
+            lineage = self._lineage(m)
+            lineage["streams"][ck] = {
+                "stream_id": sid,
+                "epoch_base": base,
+                "landing_dir": landing_dir,
+                "index_id": m.get("index_id"),
+            }
+            try:
+                _commit_version(
+                    self.store, "", m["version"] + 1, m["dir"], prev=m,
+                    extra={
+                        "epochs": [int(e) for e in m["epochs"]],
+                        "m": m["m"],
+                        "ksub": m["ksub"],
+                        "num_centroids": m["num_centroids"],
+                        "residual": bool(m.get("residual", False)),
+                        "ids_buckets": int(m.get("ids_buckets", 0)),
+                        **lineage,
+                    },
+                )
+                return sid, base
+            except CommitConflict as e:
+                last = e  # re-resolve (maybe another start won) and retry
+        raise last  # type: ignore[misc]
+
     def start_stream(
         self,
         landing_dir: str,
@@ -587,16 +754,17 @@ class IvfPqIndex:
     ):
         """Maintain the index from a stream of embedding events (the
         streaming/semantic.py landing-dir shape): every micro-batch
-        appends as index epoch ``streaming_epoch + 1`` (build holds
-        epoch 0).  One checkpoint dir per index lifetime — the streaming
-        epoch counter is what keys the idempotent replays, so pointing a
-        FRESH checkpoint at an index that already ingested epochs would
-        silently skip them (the same contract streaming/semantic.py
-        documents)."""
+        appends as index epoch ``epoch_base + streaming_epoch + 1``
+        under the checkpoint's registered stream identity
+        (:meth:`register_stream`) — replays are idempotent per epoch,
+        and manual ``append`` epochs can no longer silently absorb a
+        stream's batches (provenance-checked)."""
         from datalake_spark.streaming.semantic import vec_stream
 
+        sid, base = self.register_stream(checkpoint_dir, landing_dir)
+
         def _sink(batch: DataFrame, epoch: int) -> None:
-            self.append(batch, epoch + 1)
+            self.append(batch, base + epoch + 1, provenance=f"stream:{sid}")
 
         writer = (
             vec_stream(self.spark, landing_dir)

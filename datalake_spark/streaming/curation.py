@@ -146,6 +146,15 @@ class StreamingCurator:
         # trains the model; append never retrains).
         self.ann_index = ann_index
         self.vec_col = vec_col
+        # r14: the checkpoint's registered identity on the index —
+        # (stream_id, epoch_base) from IvfPqIndex.register_stream(),
+        # set by start().  Streaming index epochs run ABOVE the base
+        # with 'stream:<id>' provenance, so they can never silently
+        # collide with manual 'ann append' epochs (a collision raises
+        # EpochProvenanceConflict instead of dropping the batch).
+        # Direct _write_batch calls (tests / embedding) fall back to
+        # base 0 under the constant 'direct' identity.
+        self._stream_binding: tuple[str, int] | None = None
         # r13: CCNet-style LM quality filtering as a streaming stage —
         # stateless BECAUSE the model is a standing artifact: lm_train
         # runs once on clean reference text (batch), the persisted
@@ -309,11 +318,14 @@ class StreamingCurator:
             # pre-filter isEmpty guard can't see those drops
             if not vecs.isEmpty():
                 # epoch-keyed idempotent append of the CURATED
-                # survivors' vectors (build holds index epoch 0 — the
-                # start_stream numbering); ordering vs the shard write
-                # is immaterial: a crash between the two replays both,
-                # each a no-op
-                self.ann_index.append(vecs, epoch + 1)
+                # survivors' vectors under the checkpoint's registered
+                # stream identity (base + batch + 1; build holds index
+                # epoch 0); ordering vs the shard write is immaterial:
+                # a crash between the two replays both, each a no-op
+                sid, base = self._stream_binding or ("direct", 0)
+                self.ann_index.append(
+                    vecs, base + epoch + 1, provenance=f"stream:{sid}"
+                )
         if self.near_dup_threshold is not None:
             # survivors' signatures extend the standing store (the
             # cached survivor frame pays the probe once for both writes);
@@ -346,6 +358,14 @@ class StreamingCurator:
         stops (tests / batch catch-up); otherwise the query runs as a
         daemon with ``trigger_interval`` pacing micro-batches — the mode
         behind the ``curate-stream`` CLI command."""
+        if self.ann_index is not None:
+            # bind checkpoint ↔ index lifetime BEFORE the query starts:
+            # verifies landing dir + index_id for a known checkpoint,
+            # allocates (stream_id, epoch_base) for a fresh one, and
+            # refuses foreign epochs already inside the stream's range
+            self._stream_binding = self.ann_index.register_stream(
+                checkpoint_dir, landing_dir
+            )
         curated = curate_stream(
             doc_stream(
                 self.spark, landing_dir,

@@ -520,3 +520,119 @@ class TestIvfPqIndexLifecycle:
         idx2.build(base)
         idx2.append(extra, 1)
         assert got == _topk(idx2.search(q, k=5, nprobe=3)) and got
+
+
+class TestEpochProvenance:
+    """r14 (r13 advisor medium): streaming epochs and manual 'append'
+    epochs shared one integer namespace — a manual append at N made the
+    stream's later batch N-1 a silent post-commit no-op, dropping those
+    vectors from the index forever.  Epochs now carry writer provenance
+    in the manifest and streams register a checkpoint-bound epoch base
+    above everything committed before them."""
+
+    def _mk(self, spark, emb, tmp_path, name="pidx"):
+        idx = IvfPqIndex(spark, str(tmp_path / name),
+                         num_centroids=8, m=16, ksub=16)
+        idx.build(emb.filter("vec_id >= 3 and vec_id < 100"))
+        return idx
+
+    def test_cross_writer_epoch_collision_raises(self, spark, emb,
+                                                 tmp_path):
+        from datalake_spark.operators.ann_index import (
+            EpochProvenanceConflict,
+        )
+
+        idx = self._mk(spark, emb, tmp_path)
+        b = emb.filter("vec_id >= 100 and vec_id < 120")
+        idx.append(b, 1)  # provenance "manual"
+        # same epoch, same writer class: legal post-commit no-op
+        v = idx.manifest()["version"]
+        assert idx.append(b, 1)["version"] == v
+        # same epoch, DIFFERENT writer class: loud, not a silent drop
+        with pytest.raises(EpochProvenanceConflict):
+            idx.append(
+                emb.filter("vec_id >= 120 and vec_id < 140"), 1,
+                provenance="stream:deadbeef",
+            )
+        # epoch 0 (the build) is not manually appendable either
+        with pytest.raises(EpochProvenanceConflict):
+            idx.append(b, 0)
+
+    def test_register_stream_base_and_rebinding(self, spark, emb,
+                                                tmp_path):
+        idx = self._mk(spark, emb, tmp_path, "pidx2")
+        idx.append(emb.filter("vec_id >= 100 and vec_id < 120"), 1)
+        idx.append(emb.filter("vec_id >= 120 and vec_id < 140"), 7)
+        # fresh checkpoint: base lands ABOVE every committed epoch
+        # (manual ones included) — a fresh stream on a manually-appended
+        # index is legal (the r13 guard false-refused it)
+        sid, base = idx.register_stream("/ck/a", "/landing/a")
+        assert base == 7
+        # re-registration is a stable lookup, not a new binding
+        assert idx.register_stream("/ck/a", "/landing/a") == (sid, base)
+        # a second checkpoint is its own stream
+        sid2, _ = idx.register_stream("/ck/b", "/landing/b")
+        assert sid2 != sid
+        # one checkpoint binds one stream
+        with pytest.raises(ValueError, match="registered to landing dir"):
+            idx.register_stream("/ck/a", "/landing/OTHER")
+
+    def test_manual_append_inside_stream_range_refused_at_start(
+            self, spark, emb, tmp_path):
+        """The advisor's exact scenario: manual append lands inside a
+        registered stream's range while the stream is down — restart
+        refuses instead of letting a future micro-batch collide."""
+        from datalake_spark.operators.ann_index import (
+            EpochProvenanceConflict,
+        )
+
+        idx = self._mk(spark, emb, tmp_path, "pidx3")
+        sid, base = idx.register_stream("/ck/c", "/landing/c")
+        idx.append(
+            emb.filter("vec_id >= 100 and vec_id < 110"), base + 1,
+            provenance=f"stream:{sid}",
+        )
+        # the stream's own epoch does not block its restart
+        assert idx.register_stream("/ck/c", "/landing/c") == (sid, base)
+        # a manual epoch above the base is foreign in-range
+        idx.append(emb.filter("vec_id >= 110 and vec_id < 120"), base + 3)
+        with pytest.raises(EpochProvenanceConflict, match="another writer"):
+            idx.register_stream("/ck/c", "/landing/c")
+
+    def test_legacy_manifest_without_provenance_still_noops(
+            self, spark, emb, tmp_path):
+        """Pre-r14 manifests carry no epoch_src: replays of their epochs
+        must keep no-oping for ANY writer (old behavior preserved)."""
+        from datalake_spark.catalog import _commit_version
+
+        idx = self._mk(spark, emb, tmp_path, "pidx4")
+        b = emb.filter("vec_id >= 100 and vec_id < 120")
+        idx.append(b, 1)
+        # strip the lineage fields the way a pre-r14 writer would
+        m = idx.manifest()
+        _commit_version(
+            idx.store, "", m["version"] + 1, m["dir"], prev=m,
+            extra={k: m[k] for k in
+                   ("epochs", "m", "ksub", "num_centroids",
+                    "residual", "ids_buckets")},
+        )
+        assert "epoch_src" not in idx.manifest()
+        v = idx.manifest()["version"]
+        assert idx.append(b, 1, provenance="stream:x")["version"] == v
+        assert idx.append(b, 1)["version"] == v
+
+    def test_rebuild_and_append_carry_lineage(self, spark, emb, tmp_path):
+        idx = self._mk(spark, emb, tmp_path, "pidx5")
+        sid, base = idx.register_stream("/ck/d", "/landing/d")
+        idx.append(
+            emb.filter("vec_id >= 100 and vec_id < 120"), base + 1,
+            provenance=f"stream:{sid}",
+        )
+        before = idx.manifest()
+        idx.rebuild(emb)
+        m = idx.manifest()
+        assert m["index_id"] == before["index_id"]
+        assert m["epoch_src"] == before["epoch_src"]
+        assert m["streams"] == before["streams"]
+        # the binding survives the swap — restart keeps its identity
+        assert idx.register_stream("/ck/d", "/landing/d") == (sid, base)

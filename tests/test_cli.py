@@ -810,13 +810,36 @@ class TestCurateStreamCommand:
         assert rc == 0
         v2 = IvfPqIndex(spark, root, id_col="doc_id").manifest()["version"]
         assert v2 == v1
-        # a FRESH local checkpoint against the now-ingested index is
-        # refused: restarted epoch numbering would make every append a
-        # silent post-commit no-op (one-checkpoint-per-index-lifetime)
-        with pytest.raises(ValueError, match="fresh checkpoint"):
+        # a FRESH checkpoint against the now-ingested index is LEGAL
+        # under r14 stream registration: it gets its own epoch base
+        # above every committed epoch (restarted batch numbering can no
+        # longer silently no-op into the first stream's epochs — the
+        # r13 guard refused this case instead), and the re-delivered
+        # vectors are anti-joined out by the prior-ids guard, so the
+        # index stays duplicate-free.
+        rc, _ = _run(
+            spark,
+            ["curate-stream", landing, shards, "--once",
+             "--ann-index", root,
+             "--checkpoint", str(tmp_path / "fresh_ck")],
+            catalog_dir,
+        )
+        assert rc == 0
+        idx = IvfPqIndex(spark, root, id_col="doc_id")
+        man = idx.manifest()
+        # the fresh stream's epochs sit above the first stream's
+        assert max(int(e) for e in man["epochs"]) >= 2
+        ids = spark.read.parquet(idx._url(man["dir"], IvfPqIndex.IDS))
+        assert ids.groupBy("c_id").count().filter("count > 1").count() == 0
+        # ... but REUSING a registered checkpoint for a different
+        # landing dir is refused (one checkpoint binds one stream)
+        other_landing = str(tmp_path / "landing2")
+        _write(other_landing, [dict(_doc(9, _good(9)),
+                                    embedding=vecs[0])], "b9.json")
+        with pytest.raises(ValueError, match="registered to landing dir"):
             _run(
                 spark,
-                ["curate-stream", landing, shards, "--once",
+                ["curate-stream", other_landing, shards, "--once",
                  "--ann-index", root,
                  "--checkpoint", str(tmp_path / "fresh_ck")],
                 catalog_dir,
