@@ -65,9 +65,20 @@ outer join (r13 — the correlation key is NULL on padded rows, so each
 engine's decorrelation must agree with three-valued semantics under
 set-op dedup), GROUP BY ALL (r13 — both engines infer the group from
 the non-aggregate select items; emitted only for plain groups, never
-under ROLLUP/GROUPING SETS), CASE /
+under ROLLUP/GROUPING SETS), nested LATERAL chains (r14 — a second
+scalar-agg lateral correlating on lat_0, strictly through its WHERE:
+Spark 4.1 refuses outer refs in a lateral's projection while DuckDB
+answers, asymmetry #9), correlated scalars inside CASE branches in
+both WHERE and the projection (r14 — decorrelation must outer-join
+the scalar for every row even though only some rows take its branch),
+set ops inside correlated EXISTS bodies (r14 — decorrelation pushed
+into a UNION/UNION ALL/INTERSECT subtree), COUNT(DISTINCT) FILTER
+(r14 — filter-then-dedup, composable with ROLLUP/GROUPING SETS), CASE /
 integer-arithmetic / GREATEST-LEAST projections (r7), and
-ORDER BY ... LIMIT tails with explicit direction + null ordering.  Exactness discipline:
+ORDER BY ... LIMIT tails with explicit direction + null ordering.
+NOT in the grammar for portability: window frame GROUPS mode and
+frame EXCLUDE clauses — Spark 4.1 parses neither (probed r14), so
+there is no cross-engine surface to test.  Exactness discipline:
 integer aggregates pinned to BIGINT; doubles appear raw, through one
 exact IEEE add, or under MIN/MAX (value selection — never accumulated),
 with their output aliases tracked in ``Spec.dbl_out`` so digest
@@ -209,6 +220,11 @@ class Spec:
         #   multiplicity); _tiebreak then appends lat_0 so windows and
         #   ordered LIMITs stay deterministic (rows tying on the base
         #   key differ in lat_0, or are identical whole rows)
+        self.lateral2: str | None = None  # r14: second lateral in the
+        #   chain, correlating on lat_0 (strictly in its WHERE — Spark
+        #   refuses projection-site outer refs, asymmetry #9).  Always
+        #   the scalar-agg one-row form (column lat_1), so it is
+        #   multiplicity-neutral over whatever the first lateral emits.
         self.setop: str | None = None     # setop mode: the operator
         self.preds_b: list[str] = []      # setop mode: right-side WHERE
         self.setop2: str | None = None    # r10: second-level set op —
@@ -333,6 +349,8 @@ class Spec:
             # comma + LATERAL: a correlated scalar-aggregate derived table
             # (always exactly one row, so outer multiplicity is untouched)
             frm += f", LATERAL ({self.lateral}) AS _lt"
+            if self.lateral2 is not None:
+                frm += f", LATERAL ({self.lateral2}) AS _lt2"
         where = f" WHERE {' AND '.join(self.preds)}" if self.preds else ""
         if self.mode == "agg":
             sel = ", ".join(self.group + self.aggs) or "COUNT(*) AS n"
@@ -480,11 +498,21 @@ class Spec:
                     # the column is droppable like any other
                     continue
                 out.append((f"col:{c}", lambda s, i=i: s.cols.pop(i)))
+        if self.lateral2 is not None:
+            def drop_lateral2(s):
+                s.lateral2 = None
+                s.cols = [c for c in s.cols if c != "lat_1"]
+
+            out.append(("lateral2", drop_lateral2))
         if self.lateral is not None:
             def drop_lateral(s):
                 s.lateral = None
                 s.lateral_multi = False
                 s.cols = [c for c in s.cols if c != "lat_0"]
+                # the chained lateral correlates on lat_0 — it must
+                # leave with it
+                s.lateral2 = None
+                s.cols = [c for c in s.cols if c != "lat_1"]
                 # top-k laterals fold lat_0 into the tiebreak baked
                 # into window/order strings — those must leave with it
                 s.windows = [w for w in s.windows if "lat_0" not in w]
@@ -605,6 +633,25 @@ def _pred(rng, spec, str_values, allow_subquery=True):
             inner = f"{rng.choice(r_ints)} % {rng.randint(2, 7)} = 0"
             if kind == 6:
                 neg = "NOT " if rng.random() < 0.4 else ""
+                # r14: set ops INSIDE the correlated EXISTS body — both
+                # branches correlate through the same join edge, so each
+                # engine's decorrelation must push the correlation into
+                # a set-op subtree (UNION dedup / UNION ALL multiset /
+                # INTERSECT both-sides).  EXISTS only cares about
+                # emptiness, so the op's row multiplicity is invisible —
+                # what's tested is whether decorrelation of the setop
+                # body agrees, not the op arithmetic (all three probed
+                # portable r14).
+                if rng.random() < 0.25:
+                    inner2 = (
+                        f"{rng.choice(r_ints)} % {rng.randint(2, 7)} = 0"
+                    )
+                    op = rng.choice(["UNION", "UNION ALL", "INTERSECT"])
+                    return (
+                        f"{neg}EXISTS (SELECT 1 FROM {right} WHERE {on} "
+                        f"AND {inner} {op} SELECT 1 FROM {right} "
+                        f"WHERE {on} AND {inner2})"
+                    )
                 ex = (
                     f"{neg}EXISTS (SELECT 1 FROM {right} "
                     f"WHERE {on} AND {inner})"
@@ -653,6 +700,21 @@ def _pred(rng, spec, str_values, allow_subquery=True):
                     f"{rng.choice(['>=', '<='])} {rng.randint(0, 4)}"
                 )
             agg = rng.choice(["MIN", "MAX"])
+            # r14: the correlated scalar inside a CASE branch — the
+            # scalar must still evaluate via an outer join under
+            # decorrelation even though only some rows take its branch
+            # (an engine that gates evaluation on the WHEN predicate
+            # changes nothing semantically, but its NULL/COALESCE
+            # plumbing is a different path; probed portable r14)
+            if rng.random() < 0.25:
+                return (
+                    f"(CASE WHEN {rng.choice(ints)} % "
+                    f"{rng.randint(2, 5)} = 0 THEN COALESCE((SELECT "
+                    f"{agg}({rng.choice(r_ints)}) FROM {right} WHERE "
+                    f"{on} AND {inner}), -1) ELSE {rng.randint(0, 30)} "
+                    f"END) % {rng.randint(2, 6)} "
+                    f"{rng.choice(['=', '<>'])} 0"
+                )
             return (
                 f"{rng.choice(ints)} <= COALESCE((SELECT "
                 f"{agg}({rng.choice(r_ints)}) FROM {right} WHERE {on} "
@@ -879,6 +941,15 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
                     f"FILTER (WHERE "
                     f"{_pred(rng, spec, str_values, allow_subquery=False)}"
                     f") AS BIGINT) AS agg{i}",
+                    # r14: FILTER composed with DISTINCT aggregation —
+                    # dedup-after-filter ordering is fixed by the
+                    # standard; 0 on an empty filter set in both
+                    # engines.  Free to co-occur with ROLLUP/GROUPING
+                    # SETS like every agg form (probed portable r14).
+                    f"CAST(COUNT(DISTINCT {rng.choice(ints)}) "
+                    f"FILTER (WHERE "
+                    f"{_pred(rng, spec, str_values, allow_subquery=False)}"
+                    f") AS BIGINT) AS agg{i}",
                 ]
             )
             # MIN/MAX over a double column is exact value SELECTION (no
@@ -1074,10 +1145,24 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
             right, on = rng.choice(JOINS[spec.table])
             r_ints = TABLES[right][1]
             agg = rng.choice(["MIN", "MAX"])
-            spec.cols.append(
-                f"COALESCE((SELECT {agg}({rng.choice(r_ints)}) "
-                f"FROM {right} WHERE {on}), -1) AS sc_0"
-            )
+            if rng.random() < 0.3:
+                # r14: correlated scalar inside a projection CASE
+                # branch — rows failing the WHEN never consume the
+                # scalar, but decorrelation still outer-joins it for
+                # every row (probed portable r14; same join-free +
+                # derived-free guards as the bare form, r9 caution)
+                spec.cols.append(
+                    f"CASE WHEN {rng.choice(ints)} % "
+                    f"{rng.randint(2, 5)} = 0 THEN COALESCE((SELECT "
+                    f"{agg}({rng.choice(r_ints)}) FROM {right} "
+                    f"WHERE {on}), -1) ELSE {rng.choice(ints)} END "
+                    f"AS sc_0"
+                )
+            else:
+                spec.cols.append(
+                    f"COALESCE((SELECT {agg}({rng.choice(r_ints)}) "
+                    f"FROM {right} WHERE {on}), -1) AS sc_0"
+                )
         # r8.5: LATERAL correlated scalar-aggregate derived table — the
         # decorrelation path Spark and DuckDB plan very differently from
         # scalar-subquery projections, same pinned-NULL discipline
@@ -1117,6 +1202,32 @@ def generate(seed: int, str_values=STR_VALUES) -> Spec:
                     f"WHERE {on} AND {inner}"
                 )
             spec.cols.append("lat_0")
+            # r14: nested LATERAL chain — a second lateral correlating
+            # on the FIRST lateral's output (and any table, reached
+            # through a lat_0-modular predicate rather than a join
+            # edge).  Scalar-aggregate only, so multiplicity is
+            # untouched whatever the first lateral's form; correlation
+            # strictly in WHERE — Spark 4.1 REFUSES outer references in
+            # a lateral subquery's projection/aggregate expressions
+            # (UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.CORRELATED_
+            # REFERENCE) while DuckDB answers — KNOWN ENGINE ASYMMETRY
+            # #9, found building r14, pinned by
+            # test_fuzz_differential.py::
+            # test_lateral_projection_outer_ref_is_guarded.
+            if rng.random() < 0.35:
+                t2 = rng.choice(list(TABLES))
+                t2_ints = TABLES[t2][1]
+                agg2 = rng.choice(["MIN", "MAX", "COUNT"])
+                expr2 = (
+                    "CAST(COUNT(*) AS BIGINT)" if agg2 == "COUNT"
+                    else f"COALESCE({agg2}({rng.choice(t2_ints)}), -1)"
+                )
+                spec.lateral2 = (
+                    f"SELECT {expr2} AS lat_1 FROM {t2} WHERE "
+                    f"{rng.choice(t2_ints)} % {rng.randint(2, 5)} = "
+                    f"lat_0 % {rng.randint(2, 5)}"
+                )
+                spec.cols.append("lat_1")
         if rng.random() < 0.4:
             part = rng.choice(strs)
             tb = _tiebreak(spec)

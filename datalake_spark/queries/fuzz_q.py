@@ -41,7 +41,17 @@ building the round found engine asymmetry EIGHT before any hunt ran:
 DuckDB's binder refuses a correlated HAVING subquery under GROUP BY
 ALL while Spark answers, the mirror image of the r10 ROLLUP asymmetry
 — guarded in generate(), pinned by
-test_correlated_having_under_group_by_all_is_guarded).  The Spark side and the DuckDB oracle share
+test_correlated_having_under_group_by_all_is_guarded).  r14:
+180 -> 200 seeds alongside grammar round 10 (nested LATERAL chains —
+a second scalar-agg lateral correlating on lat_0 strictly through its
+WHERE, because building the round found engine asymmetry NINE: Spark
+4.1 refuses outer references in a lateral's projection/aggregate
+expressions while DuckDB answers, pinned by
+test_lateral_projection_outer_ref_is_guarded; correlated scalars
+inside CASE branches in WHERE and the projection; set ops inside
+correlated EXISTS bodies; COUNT(DISTINCT) FILTER — window-frame
+GROUPS mode and EXCLUDE were probed and rejected: Spark parses
+neither, so no cross-engine surface exists).  The Spark side and the DuckDB oracle share
 the identical CORE plan text; only the md5->int digest plumbing
 differs per engine (Spark spells it CONV(SUBSTR(MD5 ..)), DuckDB
 CAST('0x' || SUBSTR(md5 ..))) — the repo's standing portable-hash
@@ -59,7 +69,7 @@ from pyspark.sql import DataFrame, SparkSession
 from datalake_spark.fuzzgen import TABLES, gate_safe, generate
 from datalake_spark.functions.hashing import sql_md5hash60
 
-_N_GATE_PLANS = 180
+_N_GATE_PLANS = 200
 _MOD = 1_000_000_007
 
 

@@ -450,6 +450,46 @@ class TestDifferentialFuzz:
             if spec.cte is not None:
                 assert "WITH base_c AS" in sql, f"seed {seed}"
 
+    def test_lateral_projection_outer_ref_is_guarded(
+        self, spark_tables, duck
+    ):
+        """NINTH engine asymmetry, found building the r14 nested-LATERAL
+        chain: an outer reference (here lat_0, the previous lateral's
+        output) inside a lateral subquery's PROJECTION/aggregate
+        expression is UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.
+        CORRELATED_REFERENCE in Spark 4.1 ("not supported outside of
+        WHERE/HAVING clauses") while DuckDB answers.  The grammar's
+        lateral2 therefore correlates strictly through its WHERE — that
+        portable twin is pinned engine-agreed here.  If a Spark upgrade
+        lifts the restriction, the projection site can join the
+        grammar."""
+        proj_site = (
+            "SELECT o_orderkey, lat_0, lat_1 FROM orders, "
+            "LATERAL (SELECT COALESCE(MIN(c_nationkey), -1) AS lat_0 "
+            "FROM customer WHERE o_custkey = c_custkey) AS _lt, "
+            "LATERAL (SELECT CAST(COUNT(*) AS BIGINT) + lat_0 AS lat_1 "
+            "FROM nation WHERE n_regionkey % 3 = 0) AS _lt2 "
+            "ORDER BY o_orderkey NULLS FIRST LIMIT 11"
+        )
+        err = mismatch(spark_tables, duck, proj_site)
+        assert err is not None and err.startswith("spark-only error"), err
+        where_site = (
+            "SELECT o_orderkey, lat_0, lat_1 FROM orders, "
+            "LATERAL (SELECT COALESCE(MIN(c_nationkey), -1) AS lat_0 "
+            "FROM customer WHERE o_custkey = c_custkey) AS _lt, "
+            "LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS lat_1 "
+            "FROM nation WHERE n_regionkey % 3 = lat_0 % 3) AS _lt2 "
+            "ORDER BY o_orderkey NULLS FIRST LIMIT 11"
+        )
+        assert mismatch(spark_tables, duck, where_site) is None
+        # and generate() never puts lat_0 outside lateral2's WHERE
+        for seed in range(0, 1500):
+            spec = generate(seed)
+            if spec.lateral2 is None:
+                continue
+            head = spec.lateral2.split(" WHERE ")[0]
+            assert "lat_0" not in head, f"seed {seed}: {spec.lateral2}"
+
     def test_shrinker_reduces_a_planted_mismatch(self, spark_tables, duck):
         """Sanity-check the shrinking machinery itself with a spec whose
         mismatch survives clause-dropping: an engine-specific function in
@@ -488,6 +528,31 @@ class TestLateralMultiShrink:
             small = spec.copy()
             dropper(small)
             assert small.lateral is None and not small.lateral_multi
+            # r14: the chained lateral correlates on lat_0 — it must
+            # drop with the first lateral or the shrunk spec won't bind
+            assert small.lateral2 is None
             assert "lat_0" not in small.sql()
+            assert "lat_1" not in small.sql()
             duck.execute(f"EXPLAIN {small.sql()}")  # parses
         assert n_multi >= 5  # the top-k form actually occurs
+
+    def test_drop_lateral2_leaves_parseable_specs(self, duck):
+        """r14: dropping ONLY the chained lateral keeps lat_0 and the
+        rest of the spec intact; the result must still parse."""
+        n = 0
+        for seed in range(0, 2000):
+            spec = generate(seed)
+            if spec.lateral2 is None:
+                continue
+            n += 1
+            dropper = dict(
+                (label, fn) for label, fn in spec.clauses()
+            ).get("lateral2")
+            assert dropper is not None
+            small = spec.copy()
+            dropper(small)
+            assert small.lateral2 is None and small.lateral is not None
+            assert "lat_1" not in small.sql()
+            assert "lat_0" in small.sql()
+            duck.execute(f"EXPLAIN {small.sql()}")  # parses
+        assert n >= 5  # the chain actually occurs
