@@ -471,7 +471,15 @@ def main() -> None:
     # with the ann_ivfpq_topk gate geometry over the same corpus split
     # — so (ann_ivfpq_topk − ann_serving_search) ≈ the train+encode
     # cost every in-plan ANN entry pays by design.
-    qs["ann_serving_search"] = _serving_search_entry(spark, sf_dir)
+    # r14: SPARK_GRAFT_HEADLINE_ONLY=1 skips the extras battery (and
+    # the untimed serving-index build that exists only for it) — the
+    # knob behind the per-round sf1 SCALING record (BASELINE.md): the
+    # headline set re-timed on the 10x tiles answers "did any plan go
+    # super-linear between rounds" without the extras' half-hour at 10x.
+    if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
+        extras = []
+    else:
+        qs["ann_serving_search"] = _serving_search_entry(spark, sf_dir)
     # r11: extras are min-of-2 too — the single-pass exposure was the
     # other half of the per-round IO-era adjudication tax (the extras
     # carry the 1.5x flag threshold precisely because they were noisier;

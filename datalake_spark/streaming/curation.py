@@ -155,6 +155,12 @@ class StreamingCurator:
         # Direct _write_batch calls (tests / embedding) fall back to
         # base 0 under the constant 'direct' identity.
         self._stream_binding: tuple[str, int] | None = None
+        # test seam (the ann_index append _race_hook precedent): the
+        # sf1 composed-lifecycle soak installs a raising callable at a
+        # named commit boundary to simulate a crash mid-batch, then
+        # replays the epoch and asserts both commits healed.  Empty in
+        # production; _crash() is a dict probe per boundary.
+        self._crash_hooks: dict = {}
         # r13: CCNet-style LM quality filtering as a streaming stage —
         # stateless BECAUSE the model is a standing artifact: lm_train
         # runs once on clean reference text (batch), the persisted
@@ -221,6 +227,13 @@ class StreamingCurator:
         frames.append(survivors)
         return survivors, frames
 
+    def _crash(self, point: str) -> None:
+        """Fire the installed crash hook for ``point`` (no-op when none
+        is installed — the production path)."""
+        fn = self._crash_hooks.get(point)
+        if fn is not None:
+            fn()
+
     def _write_batch(self, batch: DataFrame, epoch: int) -> None:
         """foreachBatch sink.  The shard append is made idempotent per
         epoch: the batch is written (mode=overwrite, replay-safe) to a
@@ -281,11 +294,13 @@ class StreamingCurator:
             .partitionBy(SHARD_COL)
             .parquet(self.store.spark_url(staging_key))
         )
+        self._crash("staged")
         by_shard: dict[str, list[str]] = {}
         for k in self.store.list(staging_key):
             rel = k[len(staging_key) + 1:]
             if rel.endswith(".parquet") and rel.startswith(f"{SHARD_COL}="):
                 by_shard.setdefault(rel.split("/", 1)[0], []).append(k)
+        n_copied = 0
         for shard_seg in sorted(by_shard):
             for i, src in enumerate(sorted(by_shard[shard_seg])):
                 self.store.copy(
@@ -294,7 +309,11 @@ class StreamingCurator:
                         shard_seg, f"epoch-{epoch:010d}-{i:05d}.parquet"
                     ),
                 )
+                n_copied += 1
+                if n_copied == 1:
+                    self._crash("mid_promote")
         self.store.delete_prefix(staging_key)
+        self._crash("promoted")
         if self.ann_index is not None:
             if self.vec_col not in batch.columns:
                 raise ValueError(
@@ -326,6 +345,7 @@ class StreamingCurator:
                 self.ann_index.append(
                     vecs, base + epoch + 1, provenance=f"stream:{sid}"
                 )
+            self._crash("indexed")
         if self.near_dup_threshold is not None:
             # survivors' signatures extend the standing store (the
             # cached survivor frame pays the probe once for both writes);
@@ -337,6 +357,7 @@ class StreamingCurator:
             minhash_signatures(batch, id_col=self.id_col).write.mode(
                 "append"
             ).parquet(self.sig_path)
+            self._crash("signatures")
             for f in frames:
                 f.unpersist()
         if self.compact_every and (epoch + 1) % self.compact_every == 0:

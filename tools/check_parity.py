@@ -259,6 +259,171 @@ def _sf1_concurrency_stress(spark, sf_dir: str) -> bool:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _sf1_composed_soak(spark, sf_dir: str) -> bool:
+    """r14: the million-file-concurrency-stress pattern applied to the
+    COMPOSED streaming lifecycle (curate + LM filter + near-dup probe +
+    shard copy-promote + standing-index epoch append + signature-store
+    append in ONE sink).  The r13 e2e proves ONE crash point; this soak
+    drives five sf1-volume micro-batches (3k docs each, embeddings
+    riding) through the sink with an injected crash at EVERY commit
+    boundary — after the staging write, mid-promote (one file copied),
+    after promote, after the index append (before signatures), after
+    the signature append — replaying each crashed epoch, with a
+    concurrent ``rebuild()`` racing one of the replays.  After the
+    burn: shard doc_ids are unique, every curated doc's vector is in
+    the ids tree exactly once (the silent-drop hazard the epoch-
+    provenance work closes), a probe returns k hits, and the manifest's
+    epochs/provenance are consistent.  ~2-4 min inside the --sf1
+    budget."""
+    import shutil
+    import tempfile
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from datalake_spark.operators.ann_index import IvfPqIndex
+    from datalake_spark.operators.lm import lm_train
+    from datalake_spark.queries import load
+    from datalake_spark.streaming.curation import StreamingCurator
+
+    t0 = time.time()
+    root = tempfile.mkdtemp(prefix="sf1-soak-")
+    problems: list = []
+    try:
+        docs = load(spark, sf_dir, "documents")
+        emb = load(spark, sf_dir, "embeddings")
+        # seed corpus: vec_ids disjoint from the streamed doc_ids
+        seed = emb.filter("vec_id >= 15000").selectExpr(
+            "vec_id AS doc_id", "embedding"
+        )
+        idx = IvfPqIndex(
+            spark, f"{root}/annidx", num_centroids=8, m=16, ksub=16,
+            id_col="doc_id",
+        )
+        idx.build(seed)
+        lm_path = f"{root}/lm_model"
+        lm_train(
+            docs.filter("doc_id >= 15000 AND doc_id < 20000")
+        ).write.parquet(lm_path)
+        cur = StreamingCurator(
+            spark, f"{root}/shards", n_shards=4,
+            near_dup_threshold=0.8, ann_index=idx,
+            lm_model_path=lm_path, lm_threshold=1,
+        )
+        feed = docs.filter("doc_id < 15000").join(
+            emb.selectExpr("vec_id AS doc_id", "embedding"), "doc_id"
+        ).select(
+            "doc_id", "text", "lang",
+            F.lit(1_700_000_000_000).alias("ms"), "embedding",
+        )
+
+        class _Boom(Exception):
+            pass
+
+        def _die():
+            raise _Boom()
+
+        crash_at = ["staged", "mid_promote", "promoted", "indexed",
+                    "signatures"]
+        rebuild_err: list = []
+        for ep in range(5):
+            batch = feed.filter(
+                (F.col("doc_id") >= ep * 3000)
+                & (F.col("doc_id") < (ep + 1) * 3000)
+            )
+            cur._crash_hooks = {crash_at[ep]: _die}
+            try:
+                cur._write_batch(batch, epoch=ep)
+                problems.append(f"epoch {ep}: crash hook never fired")
+            except _Boom:
+                pass
+            cur._crash_hooks = {}
+            if ep == 3:
+                # race the replay against a retrain-and-swap: rebuild
+                # resolves committed ids and retrains while the replay
+                # re-encodes — marker CAS serializes them, neither may
+                # lose rows
+                t = threading.Thread(
+                    target=lambda: (
+                        idx.rebuild(
+                            emb.selectExpr("vec_id AS doc_id", "embedding")
+                        )
+                    ),
+                )
+                t.start()
+                cur._write_batch(batch, epoch=ep)  # the replay
+                t.join(timeout=900)
+                if t.is_alive():
+                    problems.append("concurrent rebuild hung")
+            else:
+                cur._write_batch(batch, epoch=ep)  # the replay
+        # -- invariants after the burn --------------------------------
+        shard_ids = [
+            r["doc_id"]
+            for r in spark.read.parquet(f"{root}/shards").select(
+                "doc_id"
+            ).collect()
+        ]
+        if len(shard_ids) != len(set(shard_ids)):
+            problems.append(
+                f"duplicate docs in shards: {len(shard_ids)} rows over "
+                f"{len(set(shard_ids))} ids"
+            )
+        man = idx.manifest()
+        ids = [
+            r["c_id"]
+            for r in spark.read.parquet(
+                idx._url(man["dir"], IvfPqIndex.IDS)
+            )
+            .filter(
+                F.col("epoch").isin([int(e) for e in man["epochs"]])
+            )
+            .select("c_id").collect()
+        ]
+        if len(ids) != len(set(ids)):
+            problems.append(
+                f"duplicate ids in index: {len(ids)} over "
+                f"{len(set(ids))}"
+            )
+        want = set(shard_ids) | {
+            r["doc_id"] for r in seed.select("doc_id").collect()
+        }
+        if set(ids) != want:
+            missing = sorted(want - set(ids))[:5]
+            extra = sorted(set(ids) - want)[:5]
+            problems.append(
+                f"index coverage drifted: {len(want)} expected vs "
+                f"{len(set(ids))} indexed (missing {missing}, "
+                f"extra {extra})"
+            )
+        srcs = man.get("epoch_src", {})
+        bad_src = [
+            e for e in man["epochs"]
+            if int(e) >= 1 and srcs.get(str(int(e))) != "stream:direct"
+        ]
+        if bad_src:
+            problems.append(f"epoch provenance drifted: {bad_src}")
+        probe = emb.filter("vec_id < 2").selectExpr(
+            "vec_id AS doc_id", "embedding"
+        )
+        hits = idx.search(probe, k=3, nprobe=4).collect()
+        if len(hits) != 6:
+            problems.append(f"probe returned {len(hits)} hits, not 6")
+        if problems:
+            print("FAIL sf1_composed_soak:")
+            for p in problems:
+                print("   ", p)
+            return False
+        print(
+            f"PASS sf1_composed_soak: {len(shard_ids)} curated, "
+            f"{len(ids)} indexed, 5 crash points + racing rebuild "
+            f"healed ({time.time()-t0:.1f}s)"
+        )
+        return True
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _ensure_sfn(dst: str, k: int, label: str) -> str:
     import os
 
@@ -346,8 +511,13 @@ def main() -> int:
             n_pass += 1
     if sf1_mode and not argv:
         # full --sf1 runs (no explicit entry list) append the catalog
-        # concurrency stress over the tiled data (r8)
+        # concurrency stress over the tiled data (r8) and the composed
+        # streaming-lifecycle crash soak (r14)
         if _sf1_concurrency_stress(spark, sf_dir):
+            n_pass += 1
+        else:
+            n_fail += 1
+        if _sf1_composed_soak(spark, sf_dir):
             n_pass += 1
         else:
             n_fail += 1

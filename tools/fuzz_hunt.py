@@ -43,6 +43,12 @@ seeds on every grammar change, so clearances don't carry forward):
   ~60 M rows, 100x the gate SF; 13600-13699 @ sf0.1 clean;
   13820-14019 @ sf1 DIGEST MODE clean (randomized plans verified at
   every SF the harness ships: 0.001/0.01/0.1/1/10)
+  r14 (grammar round 10: nested LATERAL chains — building found
+  asymmetry NINE pre-hunt: Spark refuses outer refs in a lateral's
+  projection, guarded to WHERE-only correlation + pinned; correlated
+  scalars in CASE branches, set ops inside correlated EXISTS bodies,
+  COUNT(DISTINCT) FILTER): 14020-14519 @ sf0.001 clean,
+  14520-14819 @ sf0.01 clean
 """
 
 from __future__ import annotations
