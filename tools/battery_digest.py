@@ -49,6 +49,14 @@ def main() -> int:
         i = argv.index("--skip")
         skip = set(argv[i + 1].split(","))
         del argv[i:i + 2]
+    start_after = None
+    if "--start-after" in argv:
+        # resume an interrupted run: suppress every sub up to and
+        # including the named one (their PASS lines are already in the
+        # interrupted run's log — a resume must not re-pay them)
+        i = argv.index("--start-after")
+        start_after = argv[i + 1]
+        del argv[i:i + 2]
     sf_dir, batteries = argv[0], argv[1:]
     registry()
     spark = get_spark("battery-digest")
@@ -68,6 +76,10 @@ def main() -> int:
             continue
         for sub in subs:
             name = sub.q.name
+            if start_after is not None:
+                if name == start_after:
+                    start_after = None
+                continue
             if name in skip:
                 print(f"SKIP {bat}/{name} (oracle scale-hostile, "
                       f"--skip)")
