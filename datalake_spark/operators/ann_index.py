@@ -63,6 +63,8 @@ never touches a raw vector.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -645,6 +647,34 @@ class IvfPqIndex:
 
     # -- streaming maintenance -------------------------------------------
 
+    #: Epoch range reserved per registered stream.  A fresh stream's
+    #: base lands one full stride above every previously-reserved range,
+    #: so two CONCURRENTLY-live streams on one index can never allocate
+    #: colliding epoch numbers (each would need > a million micro-batches
+    #: to escape its range — the sink raises first, see start_stream).
+    STREAM_EPOCH_STRIDE = 1_000_000
+
+    @staticmethod
+    def _checkpoint_key(checkpoint_dir: str) -> str:
+        """Canonical manifest key for a checkpoint path: the same
+        physical checkpoint must resolve to the same ``streams`` entry
+        no matter how it is spelled (``/ck`` vs ``file:/ck`` vs
+        ``file:///ck`` vs relative vs trailing slash) — a spelling fork
+        would register a second stream on the same Spark checkpoint and
+        later refuse a healthy restart as a provenance conflict.
+        Local paths (no scheme, or a ``file:`` scheme) normalize through
+        ``os.path.abspath``; foreign schemes (s3a://, hdfs://) keep
+        their URL form minus any trailing slash."""
+        ck = str(checkpoint_dir)
+        if ck.startswith("file:"):
+            ck = ck[len("file:"):]
+            # file:///p and file://p and file:/p all mean local /p
+            while ck.startswith("//"):
+                ck = ck[1:]
+        if "://" not in ck:
+            ck = os.path.abspath(ck)
+        return ck.rstrip("/") or "/"
+
     def register_stream(
         self, checkpoint_dir: str, landing_dir: str
     ) -> tuple[str, int]:
@@ -655,71 +685,131 @@ class IvfPqIndex:
         no driver-local ``isdir`` heuristics (the r13 CLI guard's gap).
 
         First registration of a checkpoint commits a fresh
-        ``stream_id`` and ``epoch_base = max(committed epochs)``; the
-        stream then appends as ``base + batchId + 1`` with provenance
-        ``stream:<id>``.  The base places the stream's entire epoch
-        range ABOVE everything committed before it — a fresh stream on
-        a manually-appended index is legal and collision-free (the r13
-        guard false-refused it), and a fresh checkpoint replacing a
-        dead stream's gets its own base above the dead stream's epochs
-        instead of silently no-oping into them (re-delivered vectors
-        are handled by the prior-ids anti-join, not by epoch numbers).
+        ``stream_id`` and an ``epoch_base`` one full
+        :attr:`STREAM_EPOCH_STRIDE` above every previously-reserved
+        stream range AND every committed epoch; the stream then appends
+        as ``base + batchId + 1`` with provenance ``stream:<id>``.
+        Reserving a disjoint stride per registration means two
+        concurrently-live streams on one index can never allocate the
+        same epoch number (pre-stride, a second fresh stream based at
+        ``max(epochs)`` was GUARANTEED to collide with a live peer's
+        next batch mid-stream).  A fresh stream on a manually-appended
+        index is legal and collision-free (the r13 guard false-refused
+        it); re-delivered vectors are handled by the prior-ids
+        anti-join, not by epoch numbers.
 
         Re-registration of a KNOWN checkpoint verifies the binding:
         same landing dir, same index lifetime (``index_id`` — a torn-
         down-and-rebuilt-from-scratch root under the same URL is a
-        different lifetime), and no FOREIGN epochs in the stream's
-        range (a manual append that landed above our base while the
+        different lifetime), and no FOREIGN epochs inside the stream's
+        RESERVED range (a manual append that landed there while the
         stream was down would collide with a future batch — refuse at
-        start instead of raising mid-stream)."""
-        ck = str(checkpoint_dir)
+        start instead of raising mid-stream; another stream's epochs
+        live outside the range by construction and don't false-refuse).
+        A binding whose stream never committed an epoch may be REBOUND
+        to a new landing dir in place — a first start that failed
+        before its first batch (typo'd landing dir) must not burn the
+        checkpoint forever."""
+        ck = self._checkpoint_key(checkpoint_dir)
         last: Exception | None = None
         for _ in range(5):
             m = self.manifest()
             if m is None:
                 raise IndexNotBuilt(self.store.url)
-            ent = dict(m.get("streams", {})).get(ck)
+            streams = dict(m.get("streams", {}))
+            # legacy manifests (pre-normalization) may hold the raw
+            # spelling — honor it so an existing binding keeps working
+            key = ck if ck in streams else (
+                str(checkpoint_dir)
+                if str(checkpoint_dir) in streams else ck
+            )
+            ent = streams.get(key)
+            stride = int(self.STREAM_EPOCH_STRIDE)
             if ent is not None:
+                sid, base = ent["stream_id"], int(ent["epoch_base"])
+                mine = f"stream:{sid}"
+                srcs = m.get("epoch_src", {})
+                used = any(v == mine for v in srcs.values())
                 if ent.get("landing_dir") != landing_dir:
-                    raise ValueError(
-                        f"checkpoint {ck} is registered to landing dir "
-                        f"{ent.get('landing_dir')!r}, not "
-                        f"{landing_dir!r} — a checkpoint binds one "
-                        "stream; use a fresh checkpoint dir for a new "
-                        "source"
-                    )
+                    if used:
+                        raise ValueError(
+                            f"checkpoint {key} is registered to landing "
+                            f"dir {ent.get('landing_dir')!r}, not "
+                            f"{landing_dir!r} — a checkpoint binds one "
+                            "stream; use a fresh checkpoint dir for a "
+                            "new source"
+                        )
+                    # never-used binding (first start died before its
+                    # first batch): rebind in place instead of burning
+                    # the checkpoint dir on a typo'd landing dir
+                    lineage = self._lineage(m)
+                    lineage["streams"][key] = {
+                        **ent, "landing_dir": landing_dir,
+                    }
+                    try:
+                        _commit_version(
+                            self.store, "", m["version"] + 1, m["dir"],
+                            prev=m,
+                            extra={
+                                "epochs": [int(e) for e in m["epochs"]],
+                                "m": m["m"],
+                                "ksub": m["ksub"],
+                                "num_centroids": m["num_centroids"],
+                                "residual": bool(m.get("residual", False)),
+                                "ids_buckets": int(m.get("ids_buckets", 0)),
+                                **lineage,
+                            },
+                        )
+                    except CommitConflict as e:
+                        last = e
+                        continue  # re-resolve and retry
+                    return sid, base
                 if (
                     m.get("index_id") is not None
                     and ent.get("index_id") is not None
                     and ent["index_id"] != m["index_id"]
                 ):
                     raise ValueError(
-                        f"checkpoint {ck} was registered to a previous "
+                        f"checkpoint {key} was registered to a previous "
                         f"index lifetime at {self.store.url} — the "
                         "index was torn down and rebuilt; use a fresh "
                         "checkpoint dir"
                     )
-                sid, base = ent["stream_id"], int(ent["epoch_base"])
-                mine = f"stream:{sid}"
-                srcs = m.get("epoch_src", {})
                 foreign = sorted(
                     int(e) for e in m["epochs"]
-                    if int(e) > base
+                    if base < int(e) <= base + stride
                     and srcs.get(str(int(e)), mine) != mine
                 )
                 if foreign:
                     raise EpochProvenanceConflict(
                         f"epochs {foreign} of {self.store.url} were "
                         "committed by another writer inside this "
-                        f"stream's range (base {base}) — a future "
-                        "micro-batch would collide; rebuild into a new "
-                        "lifetime or use a fresh checkpoint dir"
+                        f"stream's reserved range ({base}, "
+                        f"{base + stride}] — a future micro-batch "
+                        "would collide; rebuild into a new lifetime or "
+                        "use a fresh checkpoint dir"
                     )
                 return sid, base
             import uuid
 
             sid = uuid.uuid4().hex[:16]
-            base = max(int(e) for e in m["epochs"])
+            # the index's FIRST stream bases directly above the
+            # committed epochs (compact numbering, matches the manual-
+            # append clock); every LATER registration lands one full
+            # stride above all reserved ranges and committed epochs,
+            # aligned to a stride boundary — disjoint from every live
+            # peer, so concurrent streams cannot allocate one number
+            if not streams:
+                base = max((int(e) for e in m["epochs"]), default=0)
+            else:
+                floor = max(
+                    max((int(e) for e in m["epochs"]), default=0),
+                    max(
+                        int(s["epoch_base"]) + stride
+                        for s in streams.values()
+                    ),
+                )
+                base = ((floor // stride) + 1) * stride
             lineage = self._lineage(m)
             lineage["streams"][ck] = {
                 "stream_id": sid,
@@ -762,8 +852,15 @@ class IvfPqIndex:
         from datalake_spark.streaming.semantic import vec_stream
 
         sid, base = self.register_stream(checkpoint_dir, landing_dir)
+        stride = int(self.STREAM_EPOCH_STRIDE)
 
         def _sink(batch: DataFrame, epoch: int) -> None:
+            if epoch + 1 > stride:
+                raise EpochProvenanceConflict(
+                    f"stream {sid} exceeded its reserved epoch range "
+                    f"({stride} micro-batches) — rebuild the index into "
+                    "a new lifetime with a fresh checkpoint to continue"
+                )
             self.append(batch, base + epoch + 1, provenance=f"stream:{sid}")
 
         writer = (

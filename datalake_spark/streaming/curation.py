@@ -342,6 +342,18 @@ class StreamingCurator:
                 # epoch 0); ordering vs the shard write is immaterial:
                 # a crash between the two replays both, each a no-op
                 sid, base = self._stream_binding or ("direct", 0)
+                stride = int(self.ann_index.STREAM_EPOCH_STRIDE)
+                if self._stream_binding is not None and epoch + 1 > stride:
+                    from datalake_spark.operators.ann_index import (
+                        EpochProvenanceConflict,
+                    )
+
+                    raise EpochProvenanceConflict(
+                        f"stream {sid} exceeded its reserved epoch "
+                        f"range ({stride} micro-batches) — rebuild the "
+                        "index into a new lifetime with a fresh "
+                        "checkpoint to continue"
+                    )
                 self.ann_index.append(
                     vecs, base + epoch + 1, provenance=f"stream:{sid}"
                 )

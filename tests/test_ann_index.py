@@ -561,21 +561,47 @@ class TestEpochProvenance:
     def test_register_stream_base_and_rebinding(self, spark, emb,
                                                 tmp_path):
         idx = self._mk(spark, emb, tmp_path, "pidx2")
+        stride = idx.STREAM_EPOCH_STRIDE
         idx.append(emb.filter("vec_id >= 100 and vec_id < 120"), 1)
         idx.append(emb.filter("vec_id >= 120 and vec_id < 140"), 7)
-        # fresh checkpoint: base lands ABOVE every committed epoch
-        # (manual ones included) — a fresh stream on a manually-appended
-        # index is legal (the r13 guard false-refused it)
+        # fresh checkpoint: the index's FIRST stream bases directly
+        # above every committed epoch (manual ones included) — a fresh
+        # stream on a manually-appended index is legal (the r13 guard
+        # false-refused it)
         sid, base = idx.register_stream("/ck/a", "/landing/a")
         assert base == 7
-        # re-registration is a stable lookup, not a new binding
+        # re-registration is a stable lookup, not a new binding —
+        # under ANY spelling of the same physical checkpoint (r14: a
+        # spelling fork would register a second stream on one Spark
+        # checkpoint and later refuse a healthy restart)
         assert idx.register_stream("/ck/a", "/landing/a") == (sid, base)
-        # a second checkpoint is its own stream
-        sid2, _ = idx.register_stream("/ck/b", "/landing/b")
+        assert idx.register_stream("file:/ck/a", "/landing/a") == (sid, base)
+        assert idx.register_stream("file:///ck/a", "/landing/a") == (
+            sid, base)
+        assert idx.register_stream("/ck/a/", "/landing/a") == (sid, base)
+        # a second checkpoint is its own stream, with a reserved range
+        # DISJOINT from the live first stream's (base+stride ceiling) —
+        # concurrently-live streams can never allocate one epoch number
+        sid2, base2 = idx.register_stream("/ck/b", "/landing/b")
         assert sid2 != sid
-        # one checkpoint binds one stream
+        assert base2 > base + stride
+        assert base2 % stride == 0
+        # peers' epochs are OUTSIDE each other's reserved range: one
+        # stream committing does not false-refuse the other's restart
+        idx.append(
+            emb.filter("vec_id >= 140 and vec_id < 150"), base2 + 1,
+            provenance=f"stream:{sid2}",
+        )
+        assert idx.register_stream("/ck/a", "/landing/a") == (sid, base)
+        assert idx.register_stream("/ck/b", "/landing/b") == (sid2, base2)
+        # an UNUSED binding (no committed epoch) may be rebound — a
+        # first start that died before its first batch must not burn
+        # the checkpoint dir on a typo'd landing dir
+        assert idx.register_stream("/ck/a", "/landing/FIXED") == (sid, base)
+        assert idx.register_stream("/ck/a", "/landing/FIXED") == (sid, base)
+        # once a stream has committed an epoch, the binding is final
         with pytest.raises(ValueError, match="registered to landing dir"):
-            idx.register_stream("/ck/a", "/landing/OTHER")
+            idx.register_stream("/ck/b", "/landing/OTHER")
 
     def test_manual_append_inside_stream_range_refused_at_start(
             self, spark, emb, tmp_path):

@@ -113,6 +113,12 @@ def main() -> int:
             else:
                 print(f"FAIL {bat}/{name}: spark {s} vs duck {d}")
                 n_fail += 1
+    if start_after is not None:
+        # the named sub never appeared (typo / wrong battery): a resume
+        # that silently suppressed every sub must not read as clean
+        print(f"FAIL --start-after {start_after!r} matched no sub — "
+              "0 subs ran")
+        n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} skip")
     return 1 if n_fail else 0
 

@@ -343,18 +343,29 @@ def _sf1_composed_soak(spark, sf_dir: str) -> bool:
                 # resolves committed ids and retrains while the replay
                 # re-encodes — marker CAS serializes them, neither may
                 # lose rows
-                t = threading.Thread(
-                    target=lambda: (
+                def _rebuild_target():
+                    # the replay's appends are post-commit no-ops, so
+                    # the rebuild has no legitimate failure mode here —
+                    # capture everything (a bare Thread swallows its
+                    # exceptions and the soak would false-pass on the
+                    # exact scenario it exists to verify)
+                    try:
                         idx.rebuild(
                             emb.selectExpr("vec_id AS doc_id", "embedding")
                         )
-                    ),
-                )
+                    except Exception as e:  # noqa: BLE001
+                        rebuild_err.append(e)
+
+                t = threading.Thread(target=_rebuild_target)
                 t.start()
                 cur._write_batch(batch, epoch=ep)  # the replay
                 t.join(timeout=900)
                 if t.is_alive():
                     problems.append("concurrent rebuild hung")
+                if rebuild_err:
+                    problems.append(
+                        f"racing rebuild raised: {rebuild_err[0]!r}"
+                    )
             else:
                 cur._write_batch(batch, epoch=ep)  # the replay
         # -- invariants after the burn --------------------------------

@@ -25,6 +25,7 @@ discipline).
 from __future__ import annotations
 
 import json
+import shutil
 import sys
 import tempfile
 import time
@@ -40,28 +41,33 @@ def probe(spark, sf_dir: str) -> dict:
     emb = load(spark, sf_dir, "embeddings")
     n = emb.count()
     root = tempfile.mkdtemp(prefix="serving_scale_probe_")
-    idx = IvfPqIndex(
-        spark, root, num_centroids=16, m=32, ksub=32, train_iters=2
-    )
-    t0 = time.time()
-    idx.build(emb.filter("vec_id >= 3"))
-    build_s = time.time() - t0
-    q = load(spark, sf_dir, "embeddings").filter("vec_id < 3")
-    # warm pass (manifest + FS caches), then min-of-3
-    idx.search(q, k=3, nprobe=4).collect()
-    best = None
-    for _ in range(3):
+    try:
+        idx = IvfPqIndex(
+            spark, root, num_centroids=16, m=32, ksub=32, train_iters=2
+        )
         t0 = time.time()
-        rows = idx.search(q, k=3, nprobe=4).collect()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return {
-        "sf_dir": sf_dir,
-        "corpus": n,
-        "build_sec": round(build_s, 2),
-        "search_sec_min3": round(best, 3),
-        "rows": len(rows),
-    }
+        idx.build(emb.filter("vec_id >= 3"))
+        build_s = time.time() - t0
+        q = load(spark, sf_dir, "embeddings").filter("vec_id < 3")
+        # warm pass (manifest + FS caches), then min-of-3
+        idx.search(q, k=3, nprobe=4).collect()
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            rows = idx.search(q, k=3, nprobe=4).collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return {
+            "sf_dir": sf_dir,
+            "corpus": n,
+            "build_sec": round(build_s, 2),
+            "search_sec_min3": round(best, 3),
+            "rows": len(rows),
+        }
+    finally:
+        # the .sf10 index is ~200 k encoded vectors of /tmp debris per
+        # run — a one-off probe must clean up after itself
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> int:
