@@ -49,6 +49,13 @@ def main() -> int:
         i = argv.index("--skip")
         skip = set(argv[i + 1].split(","))
         del argv[i:i + 2]
+    only: set[str] | None = None
+    if "--only" in argv:
+        # run just the named subs (e.g. re-verifying a pair of subs at
+        # a different SF without paying the whole battery)
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
     start_after = None
     if "--start-after" in argv:
         # resume an interrupted run: suppress every sub up to and
@@ -80,6 +87,10 @@ def main() -> int:
                 if name == start_after:
                     start_after = None
                 continue
+            if only is not None:
+                if name not in only:
+                    continue
+                only.discard(name)
             if name in skip:
                 print(f"SKIP {bat}/{name} (oracle scale-hostile, "
                       f"--skip)")
@@ -113,6 +124,9 @@ def main() -> int:
             else:
                 print(f"FAIL {bat}/{name}: spark {s} vs duck {d}")
                 n_fail += 1
+    if only:
+        print(f"FAIL --only subs never ran: {sorted(only)}")
+        n_fail += 1
     if start_after is not None:
         # the named sub never appeared (typo / wrong battery): a resume
         # that silently suppressed every sub must not read as clean
