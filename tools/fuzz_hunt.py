@@ -48,7 +48,8 @@ seeds on every grammar change, so clearances don't carry forward):
   projection, guarded to WHERE-only correlation + pinned; correlated
   scalars in CASE branches, set ops inside correlated EXISTS bodies,
   COUNT(DISTINCT) FILTER): 14020-14519 @ sf0.001 clean,
-  14520-14819 @ sf0.01 clean
+  14520-14819 @ sf0.01 clean, 14820-14919 @ sf1 DIGEST MODE clean
+  (round-10 grammar verified at 10x)
 """
 
 from __future__ import annotations
