@@ -647,6 +647,79 @@ class TestEpochProvenance:
         assert idx.append(b, 1, provenance="stream:x")["version"] == v
         assert idx.append(b, 1)["version"] == v
 
+    def test_two_concurrent_streams_never_collide(self, spark, emb,
+                                                  tmp_path):
+        """The r14 stride-reservation fix END TO END: two LIVE streams
+        maintaining one index concurrently (separate landing dirs and
+        checkpoints) commit disjoint epochs and every vector lands
+        exactly once.  Pre-stride, the second registration based at
+        max(committed epochs) and the two foreachBatch sinks were
+        GUARANTEED to allocate the same epoch number — whichever
+        appended second died with EpochProvenanceConflict mid-stream."""
+        import json
+        import os
+
+        idx = self._mk(spark, emb, tmp_path, "pidx6")
+        stride = idx.STREAM_EPOCH_STRIDE
+        a = emb.filter("vec_id >= 100 and vec_id < 140")
+        b = emb.filter("vec_id >= 140 and vec_id < 180")
+
+        def land(frame, d, name):
+            d.mkdir(exist_ok=True)
+            with open(d / name, "w") as f:
+                for r in frame.collect():
+                    f.write(json.dumps(
+                        {"vec_id": r["vec_id"],
+                         "embedding": list(r["embedding"]), "ms": 1}
+                    ) + os.linesep)
+
+        land(a, tmp_path / "land_a", "a0.json")
+        land(b, tmp_path / "land_b", "b0.json")
+        # start BOTH before awaiting either: the queries run
+        # concurrently in the streaming scheduler, so the appends race
+        qa = idx.start_stream(str(tmp_path / "land_a"),
+                              str(tmp_path / "ck_two_a"))
+        qb = idx.start_stream(str(tmp_path / "land_b"),
+                              str(tmp_path / "ck_two_b"))
+        qa.awaitTermination(180)
+        qb.awaitTermination(180)
+        assert qa.exception() is None and qb.exception() is None
+
+        m = idx.manifest()
+        bases = sorted(
+            int(s["epoch_base"]) for s in m["streams"].values()
+        )
+        assert len(bases) == 2
+        # disjoint reserved ranges: the second base is a full stride up
+        assert bases[1] >= bases[0] + stride
+        # each stream committed exactly one epoch, inside its own range,
+        # under its own provenance
+        srcs = m["epoch_src"]
+        by_sid = {s["stream_id"]: int(s["epoch_base"])
+                  for s in m["streams"].values()}
+        stream_epochs = {
+            int(e): src for e, src in srcs.items()
+            if src.startswith("stream:")
+        }
+        assert len(stream_epochs) == 2
+        for e, src in stream_epochs.items():
+            base_e = by_sid[src.split(":", 1)[1]]
+            assert base_e < e <= base_e + stride
+        # every vector indexed exactly once, and the index still answers
+        ids = spark.read.parquet(idx._url(m["dir"], IvfPqIndex.IDS))
+        assert ids.groupBy("c_id").count().filter("count > 1").count() == 0
+        assert ids.count() == 97 + a.count() + b.count()
+        q = emb.filter("vec_id < 3")
+        assert idx.search(q, k=3, nprobe=3).count() > 0
+        # both streams restart cleanly against the composed state
+        sids = set(by_sid)
+        assert idx.register_stream(
+            str(tmp_path / "ck_two_a"), str(tmp_path / "land_a")
+        )[0] in sids
+        assert idx.register_stream(
+            str(tmp_path / "ck_two_b"), str(tmp_path / "land_b")
+        )[0] in sids
+
     def test_rebuild_and_append_carry_lineage(self, spark, emb, tmp_path):
         idx = self._mk(spark, emb, tmp_path, "pidx5")
         sid, base = idx.register_stream("/ck/d", "/landing/d")
