@@ -545,6 +545,7 @@ def contamination_check(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     shingle_n: int = 3,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Benchmark-contamination scan: for each (corpus doc, probe doc) pair
     sharing shingles, the CONTAINMENT of the probe in the corpus doc —
@@ -557,6 +558,14 @@ def contamination_check(
     is broadcast, so the corpus side is ONE map pass + a partial-aggregated
     count — no corpus shuffle at all.  Returns pairs with containment >=
     threshold.
+
+    The broadcast is FORCED (the exploded shingle frame defeats Spark's
+    size estimation, so a genuinely small benchmark might otherwise
+    sort-merge) — correct while the probe is benchmark-sized.  A caller
+    probing with a CORPUS-scaled frame must pass
+    ``broadcast_probe=False``: the join then shuffles both shingle
+    frames on the hash (AQE-splittable), trading the map-only corpus
+    pass for not materializing the probe on every executor.
     """
     def sh_frame(df: DataFrame, out_id: str) -> DataFrame:
         return df.select(
@@ -568,14 +577,18 @@ def contamination_check(
     probe_sizes = probe_sh.groupBy("probe_id").agg(
         F.count(F.lit(1)).alias("_n_probe")
     )
+    if broadcast_probe:
+        probe_sh, probe_sizes = F.broadcast(probe_sh), F.broadcast(
+            probe_sizes
+        )
     common = (
         sh_frame(corpus, "corpus_id")
-        .join(F.broadcast(probe_sh), "_h")
+        .join(probe_sh, "_h")
         .groupBy("corpus_id", "probe_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        common.join(F.broadcast(probe_sizes), "probe_id")
+        common.join(probe_sizes, "probe_id")
         .withColumn(
             "containment",
             F.col("n_common").cast("double") / F.col("_n_probe"),

@@ -968,6 +968,40 @@ class TestScaleClaimPlans:
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
         assert "SortMergeJoin" not in plan
 
+    def test_contamination_broadcast_opt_out_for_big_probes(self, spark):
+        """broadcast_probe=False (r14): a CORPUS-scaled probe must be
+        joinable without forcing a driver-sized broadcast — the shingle
+        join falls back to a shuffle strategy (AQE-splittable), values
+        unchanged."""
+        from datalake_spark.operators.dedup import contamination_check
+
+        corpus = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        probe = spark.createDataFrame(
+            [(100, "w1 w2 w3 w4"), (101, "w7 w8 w9 w10")],
+            "doc_id long, text string",
+        )
+        thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = contamination_check(
+                corpus, probe, threshold=0.5, broadcast_probe=False
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" not in plan
+            got = {(r.corpus_id, r.probe_id) for r in out.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        want = {
+            (r.corpus_id, r.probe_id)
+            for r in contamination_check(
+                corpus, probe, threshold=0.5
+            ).collect()
+        }
+        assert got == want and got
+
     def test_capped_jaccard_has_no_corpus_broadcast_hint(self, spark):
         """ngram_jaccard_pairs leaves join strategy to AQE (unhinted): the
         initial plan must not force a broadcast of the corpus-wide hash
