@@ -287,17 +287,27 @@ class IvfPqIndex:
             candidates, self.num_centroids,
             id_col=self.id_col, vec_col=self.vec_col,
         )
+        # assign carries (c_id, c_vec, cent_id) row-locally (r14): train
+        # and encode read the cell tag off the row — no corpus-sized
+        # cells join anywhere in the build
         cells = assign.select("c_id", "cent_id")
         rcents = cents if self.residual else None
-        cb = pq_train(
-            candidates, m=self.m, ksub=self.ksub, iters=self.train_iters,
-            id_col=self.id_col, vec_col=self.vec_col, frames_out=frames,
-            cells=cells if self.residual else None, centroids=rcents,
-        )
+        if self.residual:
+            cb = pq_train(
+                assign, m=self.m, ksub=self.ksub,
+                iters=self.train_iters, id_col="c_id", vec_col="c_vec",
+                frames_out=frames, cells="cent_id", centroids=rcents,
+            )
+        else:
+            cb = pq_train(
+                candidates, m=self.m, ksub=self.ksub,
+                iters=self.train_iters,
+                id_col=self.id_col, vec_col=self.vec_col,
+                frames_out=frames,
+            )
         codes = pq_encode(
-            candidates, cb, m=self.m,
-            id_col=self.id_col, vec_col=self.vec_col, cells=cells,
-            centroids=rcents,
+            assign, cb, m=self.m, id_col="c_id", vec_col="c_vec",
+            cells="cent_id", centroids=rcents,
         )
         cents.write.mode("overwrite").parquet(self._url(vdir, self.CENTS))
         cb.write.mode("overwrite").parquet(self._url(vdir, self.CB))
@@ -427,12 +437,16 @@ class IvfPqIndex:
             new = batch.join(
                 prior, F.col(self.id_col) == F.col("c_id"), "left_anti"
             )
+            # row-local cell assignment carrying the vector through
+            # (r14): encode reads (c_id, c_vec, cent_id) off one frame —
+            # no cells join back onto the batch
             cells = ivf_assign_cells(
-                new, cents, id_col=self.id_col, vec_col=self.vec_col
+                new, cents, id_col=self.id_col, vec_col=self.vec_col,
+                keep_vec=True,
             )
             codes = pq_encode(
-                new, cb, m=int(m["m"]),
-                id_col=self.id_col, vec_col=self.vec_col, cells=cells,
+                cells, cb, m=int(m["m"]),
+                id_col="c_id", vec_col="c_vec", cells="cent_id",
                 # manifest, not constructor: appended codes must use the
                 # layout the index was BUILT with
                 centroids=cents if m.get("residual") else None,
@@ -581,18 +595,25 @@ class IvfPqIndex:
             cents, assign = ivf_index_build(
                 corpus, nc, id_col=self.id_col, vec_col=self.vec_col
             )
+            # row-local cell tag on the assignment (r14): train/encode
+            # read it off the row, no corpus-sized cells join
             cells = assign.select("c_id", "cent_id")
             rcents = cents if res else None
-            cb = pq_train(
-                corpus, m=mm, ksub=ks, iters=it,
-                id_col=self.id_col, vec_col=self.vec_col,
-                frames_out=frames,
-                cells=cells if res else None, centroids=rcents,
-            )
+            if res:
+                cb = pq_train(
+                    assign, m=mm, ksub=ks, iters=it,
+                    id_col="c_id", vec_col="c_vec", frames_out=frames,
+                    cells="cent_id", centroids=rcents,
+                )
+            else:
+                cb = pq_train(
+                    corpus, m=mm, ksub=ks, iters=it,
+                    id_col=self.id_col, vec_col=self.vec_col,
+                    frames_out=frames,
+                )
             codes = pq_encode(
-                corpus, cb, m=mm,
-                id_col=self.id_col, vec_col=self.vec_col, cells=cells,
-                centroids=rcents,
+                assign, cb, m=mm, id_col="c_id", vec_col="c_vec",
+                cells="cent_id", centroids=rcents,
             )
             cents.write.mode("overwrite").parquet(
                 self._url(vdir, self.CENTS)

@@ -27,6 +27,7 @@ cross-engine.
 from __future__ import annotations
 
 import math
+import os
 import random
 
 import numpy as np
@@ -141,6 +142,99 @@ def _srp_signature_udf(tables):
     return sigs
 
 
+def _pack_centroids(centroids: DataFrame) -> DataFrame:
+    """ONE-row frame ``(_cents)``: the (cent_id, cent_vec) frame packed
+    into an array of struct(cent_id, qcv, sq) sorted by cent_id — qcv
+    the micro-quantized centroid components, sq the exact-BIGINT-norm
+    square root (the two cosine_micro_exact precomputables).  Broadcast
+    against the corpus it turns nearest-centroid assignment into a pure
+    map expression: zero shuffles, zero corpus aggregation (r14, guide
+    §2.4 — the pre-r14 form shuffled one corpus row per candidate
+    through a groupBy(c_id) max_by)."""
+    from datalake_spark.functions.vectors import quantize_micro
+
+    zero = F.lit(0).cast("long")
+    qcv = quantize_micro(F.col("cent_vec"))
+    return centroids.select(
+        F.struct(
+            F.col("cent_id").alias("cent_id"),
+            qcv.alias("qcv"),
+            F.sqrt(
+                F.aggregate(
+                    F.transform(qcv, lambda x: x * x),
+                    zero,
+                    lambda acc, x: acc + x,
+                ).cast("double")
+            ).alias("sq"),
+        ).alias("_ce")
+    ).agg(F.array_sort(F.collect_list("_ce")).alias("_cents"))
+
+
+def _assign_nearest(df: DataFrame, vec_col: str, packed: DataFrame) -> DataFrame:
+    """``df`` + a row-local ``cent_id`` column: nearest packed centroid
+    by the EXACT cosine_micro_exact ordering (max sim, ties to the
+    smaller cent_id — the packed array is cent_id-sorted and
+    array_position takes the FIRST maximal element), computed entirely
+    in the map stage.  The quantized row vector and its norm are hoisted
+    once per row; per-centroid work is one BIGINT dot fold + the fixed
+    IEEE finish — identical doubles to cosine_micro_exact's, so the
+    assignment cannot drift from the pre-r14 shuffle-aggregated form."""
+    zero = F.lit(0).cast("long")
+    from datalake_spark.functions.vectors import quantize_micro
+
+    sim = lambda e: F.when(  # noqa: E731
+        (F.col("_sqa") * e["sq"]) > 0,
+        F.aggregate(
+            F.zip_with(F.col("_qa"), e["qcv"], lambda x, y: x * y),
+            zero,
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / (F.col("_sqa") * e["sq"]),
+    ).otherwise(F.lit(-2.0))
+    return (
+        df.join(F.broadcast(packed))
+        # strict pre-r14 equivalence: an inner join against an EMPTY
+        # centroid frame produced zero rows; the packed frame is one row
+        # (empty array) even then
+        .filter(F.size(F.col("_cents")) > 0)
+        .withColumn("_qa", quantize_micro(F.col(vec_col)))
+        .withColumn(
+            "_sqa",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("_qa"), lambda x: x * x),
+                    zero,
+                    lambda acc, x: acc + x,
+                ).cast("double")
+            ),
+        )
+        .withColumn("_sims", F.transform(F.col("_cents"), sim))
+        # coalesce with a literal makes cent_id STATICALLY non-nullable:
+        # downstream inner joins on cent_id infer isnotnull(cent_id) and
+        # Catalyst pushes that predicate below these Projects, inlining
+        # the ENTIRE per-centroid argmax (with the hoisted _qa/_sqa
+        # re-expanded per centroid) into a join condition — observed as
+        # 3-4x duplicated HOF work per corpus row in the r14 plan audit.
+        # isnotnull(<non-nullable>) folds to true at optimization time,
+        # so the pushed filter evaporates.  The fallback is unreachable:
+        # _cents is non-empty (the size>0 filter above) so array_max /
+        # array_position / element_at always hit a real struct.
+        .withColumn(
+            "cent_id",
+            F.coalesce(
+                F.element_at(
+                    F.col("_cents"),
+                    F.array_position(
+                        F.col("_sims"), F.array_max(F.col("_sims"))
+                    ).cast("int"),
+                )["cent_id"],
+                F.lit(-1).cast("long"),
+            ),
+        )
+        .drop("_cents", "_qa", "_sqa", "_sims")
+    )
+
+
 def ivf_index_build(
     candidates: DataFrame,
     num_centroids: int = 16,
@@ -157,32 +251,24 @@ def ivf_index_build(
     Centroids = the num_centroids lowest-id candidate vectors (a
     deterministic coreset — ordered, so the index is reproducible and
     oracle-checkable; kmeans_iterate refines cells when wanted).
-    Assignments map every candidate to its nearest centroid (one
-    broadcast join + one per-candidate rank)."""
-    cents = (
+    Assignments map every candidate to its nearest centroid — ROW-LOCAL
+    against the packed broadcast centroids (r14): the map stage computes
+    every exact cosine and takes the argmax in place, where the pre-r14
+    broadcast-join + groupBy(c_id) max_by shuffled one row per candidate
+    (vector payload included) per assignment."""
+    # num_centroids rows, parameter-bounded: materialized once (bounded
+    # collect + literal rebuild) so the corpus-scan + TakeOrdered coreset
+    # lineage does not ride under every consumer — the packed assignment
+    # map, the probe ranking, the residual centroid map, and the index
+    # write each re-planned (and re-executed) it pre-r14
+    cents = _materialize_small(
         candidates.orderBy(id_col)
         .limit(num_centroids)
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
     c = candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
-    # argmax via max_by — (sim DESC, cent_id ASC) exactly as the window
-    # form ordered, but with map-side partial merge: one row per
-    # candidate reaches the shuffle instead of |corpus|·num_centroids
-    c_assign = (
-        c.join(F.broadcast(cents))
-        .withColumn("sim", cosine_micro_exact("c_vec", "cent_vec"))
-        .groupBy("c_id")
-        .agg(
-            F.max_by(
-                F.struct("cent_id", "c_vec"),
-                F.struct(F.col("sim"), (-F.col("cent_id")).alias("_nc")),
-            ).alias("_b")
-        )
-        .select(
-            "c_id",
-            F.col("_b.c_vec").alias("c_vec"),
-            F.col("_b.cent_id").alias("cent_id"),
-        )
+    c_assign = _assign_nearest(c, "c_vec", _pack_centroids(cents)).select(
+        "c_id", "c_vec", "cent_id"
     )
     return cents, c_assign
 
@@ -192,26 +278,22 @@ def ivf_assign_cells(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(c_id, cent_id): nearest-centroid cell of every batch vector
     against a FIXED (cent_id, cent_vec) frame — the incremental half of
-    :func:`ivf_index_build` (identical exact-cosine max_by ordering, so
+    :func:`ivf_index_build` (identical exact-cosine argmax ordering, so
     a vector is assigned the same cell whether it arrived at build time
-    or in a later append batch).  One broadcast join + one aggregate;
-    per-batch cost O(|batch| · num_centroids · dim)."""
+    or in a later append batch).  Row-local against the packed broadcast
+    centroids (r14): pure map work, no shuffle; per-batch cost
+    O(|batch| · num_centroids · dim).  ``keep_vec=True`` additionally
+    carries the vector through as ``c_vec`` so an encode step can
+    consume the assignment without re-joining the batch."""
     c = batch.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
-    return (
-        c.join(F.broadcast(centroids))
-        .withColumn("sim", cosine_micro_exact("c_vec", "cent_vec"))
-        .groupBy("c_id")
-        .agg(
-            F.max_by(
-                "cent_id",
-                F.struct(F.col("sim"), (-F.col("cent_id")).alias("_nc")),
-            ).alias("cent_id")
-        )
-        .select("c_id", "cent_id")
-    )
+    out = _assign_nearest(c, "c_vec", _pack_centroids(centroids))
+    if keep_vec:
+        return out.select("c_id", "c_vec", "cent_id")
+    return out.select("c_id", "cent_id")
 
 
 def ivf_search(
@@ -329,7 +411,7 @@ def kmeans_iterate(
         "_cid", "_pos", F.col("_val").alias("_cval")
     )
     assign = None
-    for _ in range(iters):
+    for _it in range(iters):
         joined = el.join(cent, "_pos")
         diff2 = (
             (F.col("_val") - F.col("_cval")) * (F.col("_val") - F.col("_cval"))
@@ -352,6 +434,11 @@ def kmeans_iterate(
                 F.col("_b._d2").alias("_d2"),
             )
         )
+        # lazy by design (r14 A/B): materializing each round's k·dim
+        # centroid frame read +50% wall at sf0.1 (eager job roundtrips)
+        # with no consumer that re-executes the chain more than once —
+        # the last round's update is dead code for assign-only callers
+        # and lazy evaluation never runs it
         cent = (
             el.join(assign.select("_id", "_cid"), "_id")
             .groupBy("_cid", "_pos")
@@ -436,6 +523,28 @@ def assign_to_centroids(
 # -- product quantization (ADC) ---------------------------------------------
 
 
+def _materialize_small(df: DataFrame) -> DataFrame:
+    """Collect a PARAMETER-BOUNDED frame (centroids: num_centroids rows;
+    codebooks: m·ksub rows — never corpus-scaled) and rebuild it as a
+    local-relation DataFrame with the same schema and exact row values.
+
+    Why (r14, guide §3.3/§7.3): these tiny frames sit under every
+    consumer of an ANN pipeline — the coreset/centroid lineage is a
+    corpus scan + TakeOrdered, and each Lloyd round's codebook is a
+    union over the previous round's whole tree, so the STATIC plan
+    doubles per round and every consumer re-plans (and without a cache
+    hit re-executes) the full subtree.  At sf0.1 Catalyst planning gaps
+    dominate these entries' wall time; at 100 TB the repeated corpus
+    scans behind each consumer are the cost.  A bounded collect +
+    literal rebuild truncates the lineage exactly — values identical
+    (exact longs/doubles roundtrip), determinism unchanged, and unlike
+    ``localCheckpoint`` nothing can be lost with an executor."""
+    if os.environ.get("SPARK_GRAFT_NO_MATERIALIZE"):  # A/B isolation knob
+        return df
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def _pq_d_sub(m: int):
     """Validated subvector width over the quantized array column ``_qv``:
     dim must be a positive multiple of ``m`` — silent truncation would
@@ -464,36 +573,46 @@ def _pq_quantized(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    cells: DataFrame | None = None,
+    cells: DataFrame | str | None = None,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """(c_id, _qv): every vector unit-normalized and micro-quantized
-    (functions/vectors.quantize_micro_unit).  With ``cells`` (c_id,
-    cent_id) AND ``centroids`` (cent_id, cent_vec), _qv is instead the
-    RESIDUAL on the micro grid — qv(vector) − qv(cell centroid),
+    """(c_id, _qv [, cent_id]): every vector unit-normalized and
+    micro-quantized (functions/vectors.quantize_micro_unit).  ``cells``
+    attaches the coarse cell id — either a (c_id, cent_id) frame
+    (joined ONCE here, before any subvector explosion) or the NAME of a
+    column already on ``df`` (r14: callers holding the row-local
+    :func:`_assign_nearest` output pass the column and pay no join at
+    all).  With ``centroids`` (cent_id, cent_vec) too, _qv is instead
+    the RESIDUAL on the micro grid — qv(vector) − qv(cell centroid),
     elementwise exact BIGINT subtraction (the IVFADC representation,
     Jégou et al. 2011 §III-C: residuals concentrate around the origin,
     so the same codebook budget quantizes them with less error than the
-    raw vectors).  The cells join is SHUFFLED (corpus-sized); only the
-    num_centroids-row centroid frame broadcasts."""
+    raw vectors).  Only the num_centroids-row centroid frame ever
+    broadcasts."""
     from datalake_spark.functions.vectors import quantize_micro_unit
 
-    base = df.select(
-        F.col(id_col).alias("c_id"),
-        quantize_micro_unit(F.col(vec_col)).alias("_qv"),
-    )
+    qv = quantize_micro_unit(F.col(vec_col))
+    if isinstance(cells, str):
+        base = df.select(
+            F.col(id_col).alias("c_id"),
+            F.col(cells).alias("cent_id"),
+            qv.alias("_qv"),
+        )
+    elif cells is not None:
+        base = df.select(
+            F.col(id_col).alias("c_id"), qv.alias("_qv")
+        ).join(cells.select("c_id", "cent_id"), "c_id")
+    else:
+        base = df.select(F.col(id_col).alias("c_id"), qv.alias("_qv"))
     if cells is not None and centroids is not None:
         cm = centroids.select(
             "cent_id",
             quantize_micro_unit(F.col("cent_vec")).alias("_cm"),
         )
-        base = (
-            base.join(cells.select("c_id", "cent_id"), "c_id")
-            .join(F.broadcast(cm), "cent_id")
-            .select(
-                "c_id",
-                F.zip_with("_qv", "_cm", lambda a, b: a - b).alias("_qv"),
-            )
+        base = base.join(F.broadcast(cm), "cent_id").select(
+            "c_id",
+            "cent_id",
+            F.zip_with("_qv", "_cm", lambda a, b: a - b).alias("_qv"),
         )
     return base
 
@@ -503,16 +622,22 @@ def _pq_subvectors(
     m: int,
     id_col: str,
     vec_col: str,
-    cells: DataFrame | None = None,
+    cells: DataFrame | str | None = None,
     centroids: DataFrame | None = None,
+    keep_cell: bool = False,
 ) -> DataFrame:
-    """(c_id, sub, sv_micro): the :func:`_pq_quantized` representation
-    (raw or residual) sliced into its ``m`` subvectors — the exploded
-    form pq_encode's nearest-codeword assignment and pq_train's Lloyd
-    rounds both consume."""
+    """(c_id, sub, sv_micro [, cent_id]): the :func:`_pq_quantized`
+    representation (raw or residual) sliced into its ``m`` subvectors —
+    the exploded form pq_encode's nearest-codeword assignment and
+    pq_train's Lloyd rounds both consume.  ``keep_cell`` carries the
+    cell tag through the explosion (pq_encode's cell-tagged output) —
+    attached at one row per VECTOR above, never re-joined onto the m
+    rows per vector here."""
     d_sub = _pq_d_sub(m)
+    tag = ["cent_id"] if (keep_cell and cells is not None) else []
     return _pq_quantized(df, id_col, vec_col, cells, centroids).select(
         "c_id",
+        *tag,
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
         F.slice(F.col("_qv"), F.col("sub") * d_sub + 1, d_sub).alias(
             "sv_micro"
@@ -520,28 +645,56 @@ def _pq_subvectors(
     )
 
 
-def _pq_assign(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
-    """(c_id, sub, code): per-subspace nearest codeword of every
-    subvector — one broadcast join against the m*ksub codebooks, exact
-    BIGINT squared-L2, argmin via min_by (map-side partial merge: one row
-    per (vector, subspace) reaches the shuffle instead of
-    |corpus|·m·ksub sorted rows; ordering struct(_dist, code) keeps the
-    (dist ASC, code ASC) tiebreak)."""
+def _pq_assign(
+    sv: DataFrame, codebooks: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(c_id, sub, code, *keep): per-subspace nearest codeword of every
+    subvector — ROW-LOCAL (r14): the m·ksub codebooks are packed into m
+    rows of code-sorted codeword arrays, broadcast, and each subvector
+    computes every exact-BIGINT squared-L2 and takes the argmin in
+    place.  Distances are exact longs, the packed array is code-sorted,
+    and array_position takes the FIRST minimal element — identical to
+    the pre-r14 min_by struct(_dist, code) ordering (dist ASC, code
+    ASC), with ZERO corpus shuffle where the old form aggregated
+    |corpus|·m rows through a groupBy(c_id, sub).  ``keep`` names
+    sv columns to carry through (pq_train keeps sv_micro so its update
+    step needs no join back; pq_encode keeps the cell tag)."""
     zero = F.lit(0).cast("long")
-    dist = F.aggregate(
+    cbp = codebooks.groupBy("sub").agg(
+        F.array_sort(
+            F.collect_list(F.struct("code", "cb_micro"))
+        ).alias("_cbs")
+    )
+    dist = lambda e: F.aggregate(  # noqa: E731
         F.zip_with(
-            F.col("sv_micro"), F.col("cb_micro"),
+            F.col("sv_micro"), e["cb_micro"],
             lambda a, b: (a - b) * (a - b),
         ),
         zero,
         lambda acc, x: acc + x,
     )
     return (
-        sv.join(F.broadcast(codebooks), "sub")
-        .withColumn("_dist", dist)
-        .groupBy("c_id", "sub")
-        .agg(F.min_by("code", F.struct("_dist", "code")).alias("code"))
-        .select("c_id", "sub", "code")
+        sv.join(F.broadcast(cbp), "sub")
+        .withColumn("_dists", F.transform(F.col("_cbs"), dist))
+        # coalesce → statically non-nullable, same rationale as
+        # _assign_nearest: downstream inner joins on code (the ADC
+        # qtable join) would otherwise push an inferred isnotnull(code)
+        # below this Project and inline the whole ksub-way argmin into a
+        # join condition, duplicating the distance folds per row.  The
+        # fallback is unreachable: _cbs always holds ksub codewords.
+        .withColumn(
+            "code",
+            F.coalesce(
+                F.element_at(
+                    F.col("_cbs"),
+                    F.array_position(
+                        F.col("_dists"), F.array_min(F.col("_dists"))
+                    ).cast("int"),
+                )["code"],
+                F.lit(-1),
+            ),
+        )
+        .select("c_id", "sub", "code", *keep)
     )
 
 
@@ -598,8 +751,25 @@ def pq_train(
     :func:`_pq_quantized`); the coreset seed uses the same residual
     representation, so codebooks model the residual distribution the
     codes will actually quantize."""
+    # seed selection by BOUNDED id collect + pushed-down filter (the
+    # kmeans_iterate seed discipline, r14): the pre-r14 form ran
+    # orderBy(c_id).limit(ksub) ON TOP of the quantized (and, in
+    # residual mode, cell-assigned) projection, so the sort computed the
+    # heavy representation for EVERY corpus row and, fed by a
+    # broadcast-join lineage with no exchange, collapsed into a
+    # single-partition sort — observed as multi-second one-task stages
+    # in the r14 profile.  Ids are cheap to rank; the expensive
+    # projection then runs on exactly ksub rows.
+    seed_ids = [
+        r[0]
+        for r in candidates.select(F.col(id_col))
+        .orderBy(id_col)
+        .limit(ksub)
+        .collect()
+    ]
+    seeds = candidates.filter(F.col(id_col).isin(seed_ids))
     base = (
-        _pq_quantized(candidates, id_col, vec_col, cells, centroids)
+        _pq_quantized(seeds, id_col, vec_col, cells, centroids)
         .orderBy("c_id")
         .limit(ksub)
         .select(
@@ -621,19 +791,28 @@ def pq_train(
             "cb_micro"
         ),
     )
+    # m·ksub rows, parameter-bounded: truncate the corpus-scan +
+    # TakeOrdered coreset lineage every consumer (each Lloyd round
+    # reads it twice — assign packing + the empty-cluster anti-join —
+    # and with iters=0 every downstream encode/search) would re-plan
+    # and re-execute otherwise — see _materialize_small
+    cb = _materialize_small(cb)
     if iters <= 0:
         return cb
-    # persisted: sv feeds one assign join + one update join per round —
-    # each would re-run the quantize+slice lineage against the source
+    # persisted: sv feeds one row-local assign per round — each would
+    # re-run the quantize+slice lineage against the source otherwise
     sv = _pq_subvectors(
         candidates, m, id_col, vec_col, cells, centroids
     ).persist()
     if frames_out is not None:
         frames_out.append(sv)
     for _ in range(iters):
-        assign = _pq_assign(sv, cb)
+        # row-local assign KEEPS sv_micro on the row, so the update
+        # aggregates it directly — the pre-r14 corpus-wide
+        # sv ⋈ assign shuffle join per Lloyd round is gone (r14)
+        assign = _pq_assign(sv, cb, keep=("sv_micro",))
         upd = (
-            sv.join(assign, ["c_id", "sub"])
+            assign
             .select("sub", "code", F.posexplode("sv_micro").alias("_p", "_v"))
             .groupBy("sub", "code", "_p")
             .agg(
@@ -662,12 +841,22 @@ def pq_train(
                 ).alias("cb_micro"),
             )
         )
-        # empty-cluster rule: codewords with no members keep their value
-        cb = upd.unionByName(
-            cb.join(upd.select("sub", "code"), ["sub", "code"], "left_anti")
-        ).persist()
-        if frames_out is not None:
-            frames_out.append(cb)
+        # empty-cluster rule: codewords with no members keep their value.
+        # The round's m·ksub-row codebook is MATERIALIZED (bounded
+        # collect + literal rebuild, _materialize_small): pre-r14 each
+        # round's cb was a persisted union over the previous round's
+        # whole tree, so the static plan doubled per round and every
+        # consumer re-planned the full training lineage — at sf0.1 the
+        # Catalyst planning gap was the dominant cost of the ANN gate
+        # entries (r14 stage profile), and the training work itself now
+        # runs exactly once per round instead of riding every consumer.
+        cb = _materialize_small(
+            upd.unionByName(
+                cb.join(
+                    upd.select("sub", "code"), ["sub", "code"], "left_anti"
+                )
+            )
+        )
     return cb
 
 
@@ -688,12 +877,14 @@ def pq_encode(
     micro-component differences.
 
     ``cells`` (optional, (c_id, cent_id) — e.g. the assignments frame of
-    :func:`ivf_index_build`) tags every code row with its coarse IVF
-    cell for the IVF-PQ layout: write the codes
-    ``partitionBy("cent_id")`` and :func:`ivfpq_search` reads only the
-    ``nprobe/num_centroids`` slice of the compressed index — file-level
-    partition pruning on top of PQ's compression.  The join is shuffled,
-    never broadcast: cells is corpus-sized (the r1 norms lesson).
+    :func:`ivf_index_build` — or the name of a cell column already on
+    ``candidates``) tags every code row with its coarse IVF cell for
+    the IVF-PQ layout: write the codes ``partitionBy("cent_id")`` and
+    :func:`ivfpq_search` reads only the ``nprobe/num_centroids`` slice
+    of the compressed index — file-level partition pruning on top of
+    PQ's compression.  A cells FRAME is joined at one row per vector,
+    shuffled, never broadcast: cells is corpus-sized (the r1 norms
+    lesson); the column form pays no join at all.
 
     ``centroids`` (r11, requires ``cells``): encode IVFADC RESIDUALS —
     the codes quantize qv(vector) − qv(cell centroid) against codebooks
@@ -702,16 +893,22 @@ def pq_encode(
     ``residual=True`` so the query side subtracts the probed cell's
     centroid before the ADC table lookup.
 
-    Assignment is :func:`_pq_assign` — argmin via min_by, not a rank
-    window (map-side partial merge; value-pinned by the
-    ANN_PQ/ANN_IVFPQ oracles)."""
-    out = _pq_assign(
-        _pq_subvectors(candidates, m, id_col, vec_col, cells, centroids),
+    Assignment is :func:`_pq_assign` — row-local argmin against the
+    packed broadcast codebooks (r14): no corpus shuffle, and the cell
+    tag is attached at one row per VECTOR before the subvector
+    explosion (``cells`` may be a (c_id, cent_id) frame or the name of
+    a column already on ``candidates`` — the pre-r14 form re-joined
+    cells onto the m-rows-per-vector code output).  Value-pinned by the
+    ANN_PQ/ANN_IVFPQ oracles."""
+    keep = ("cent_id",) if cells is not None else ()
+    return _pq_assign(
+        _pq_subvectors(
+            candidates, m, id_col, vec_col, cells, centroids,
+            keep_cell=cells is not None,
+        ),
         codebooks,
+        keep=keep,
     )
-    if cells is not None:
-        out = out.join(cells.select("c_id", "cent_id"), "c_id")
-    return out
 
 
 def pq_search(
@@ -938,15 +1135,22 @@ def ivfpq_topk(
     cents, assign = ivf_index_build(
         candidates, num_centroids, id_col=id_col, vec_col=vec_col
     )
-    cells = assign.select("c_id", "cent_id")
-    rc = cells if residual else None
+    # assign carries (c_id, c_vec, cent_id) row-locally (r14): train and
+    # encode read the cell tag off the row instead of joining a separate
+    # corpus-sized cells frame back on c_id
     rcents = cents if residual else None
-    cb = pq_train(candidates, m=m, ksub=ksub, iters=train_iters,
-                  id_col=id_col, vec_col=vec_col, frames_out=frames_out,
-                  cells=rc, centroids=rcents)
+    if residual:
+        cb = pq_train(assign, m=m, ksub=ksub, iters=train_iters,
+                      id_col="c_id", vec_col="c_vec",
+                      frames_out=frames_out,
+                      cells="cent_id", centroids=rcents)
+    else:
+        cb = pq_train(candidates, m=m, ksub=ksub, iters=train_iters,
+                      id_col=id_col, vec_col=vec_col,
+                      frames_out=frames_out)
     codes = pq_encode(
-        candidates, cb, m=m, id_col=id_col, vec_col=vec_col,
-        cells=cells, centroids=rcents,
+        assign, cb, m=m, id_col="c_id", vec_col="c_vec",
+        cells="cent_id", centroids=rcents,
     )
     return ivfpq_search(
         cents, cb, codes, queries, k=k, nprobe=nprobe, m=m,

@@ -271,42 +271,88 @@ def _vec_elements(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §2.3/§2.4/§8): the pre-r14 plan exploded BOTH sides to
+    # (id, pos, val) rows and joined them ON pos — a corpus·dim shuffle
+    # into only `dim` distinct keys — plus a second corpus·dim shuffle
+    # for the norms groupBy.  The decision (top-k by cosine) depends
+    # only on per-row folds against the _N_QUERY_VECS query vectors, so
+    # both corpus-sized exchanges are removable: pack the queries (with
+    # their exact-decimal norms) into ONE broadcast row and compute
+    # every dot/norm as a row-local fold.  Arithmetic is term-for-term
+    # identical to the old aggregation — each product/square is cast to
+    # DECIMAL(30,12) BEFORE an exact decimal sum (order-independent),
+    # then cast double — so the values cannot drift (oracle-pinned).
+    # The only remaining exchange is the top-k window on q_id, which
+    # Spark 4's WindowGroupLimit pre-filters map-side to k rows per
+    # (query, partition) before the shuffle.
     emb = load(spark, sf_dir, "embeddings")
-    qv = _vec_elements(emb.filter(F.col("vec_id") < _N_QUERY_VECS), "q_id")
-    cv = _vec_elements(emb.filter(F.col("vec_id") >= _N_QUERY_VECS), "c_id")
-    norms = (
-        _vec_elements(emb, "vid")
-        .groupBy("vid")
-        .agg(
-            F.sum((F.col("val") * F.col("val")).cast("decimal(30,12)"))
-            .cast("double")
-            .alias("norm_sq")
+    dec = "decimal(30,12)"
+    acc_t = "decimal(38,12)"
+
+    def _norm_sq(arr):
+        # sum of per-element squares, each quantized to DECIMAL(30,12)
+        # exactly as the old sum((val*val)::decimal(30,12))
+        return F.aggregate(
+            F.transform(
+                arr,
+                lambda x: (x.cast("double") * x.cast("double")).cast(dec),
+            ),
+            F.lit(0).cast(acc_t),
+            lambda a, x: (a + x).cast(acc_t),
+        ).cast("double")
+
+    packed = (
+        emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("q_id"),
+                F.transform(
+                    "embedding", lambda x: x.cast("double")
+                ).alias("q_vec"),
+                _norm_sq(F.col("embedding")).alias("nq"),
+            ).alias("_q")
         )
+        .agg(F.array_sort(F.collect_list("_q")).alias("_qs"))
     )
-    dots = (
-        qv.join(cv, "pos")
-        .groupBy("q_id", "c_id")
-        .agg(
-            F.sum((qv["val"] * cv["val"]).cast("decimal(30,12)"))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    nq = norms.select(F.col("vid").alias("q_id"), F.col("norm_sq").alias("nq"))
-    nc = norms.select(F.col("vid").alias("c_id"), F.col("norm_sq").alias("nc"))
+    dot = lambda q: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col("c_vec_d"),
+            q["q_vec"],
+            lambda c, qx: (c * qx).cast(dec),
+        ),
+        F.lit(0).cast(acc_t),
+        lambda a, x: (a + x).cast(acc_t),
+    ).cast("double")
+    # zero-norm guard: ANSI 0/0 throws, pre-ANSI NaN ranks first in
+    # both engines — pin to -2.0 (rank last); the oracle carries the
+    # ISNAN CASE twin
+    cos = lambda q: F.when(  # noqa: E731
+        (q["nq"] > 0) & (F.col("nc") > 0),
+        dot(q) / (F.sqrt(q["nq"]) * F.sqrt("nc")),
+    ).otherwise(F.lit(-2.0))
     sims = (
-        dots.join(F.broadcast(nq), "q_id")
-        .join(F.broadcast(nc), "c_id")
-        # zero-norm guard: ANSI 0/0 throws, pre-ANSI NaN ranks first
-        # in both engines — pin to -2.0 (rank last); the oracle carries
-        # the ISNAN CASE twin
-        .withColumn(
-            "cosine",
-            F.when(
-                (F.col("nq") > 0) & (F.col("nc") > 0),
-                F.col("dot") / (F.sqrt("nq") * F.sqrt("nc")),
-            ).otherwise(F.lit(-2.0)),
+        emb.filter(F.col("vec_id") >= _N_QUERY_VECS)
+        .join(F.broadcast(packed))
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "c_vec_d"
+            ),
+            _norm_sq(F.col("embedding")).alias("nc"),
+            F.col("_qs"),
         )
+        .select(
+            "c_id",
+            F.explode(
+                F.transform(
+                    "_qs",
+                    lambda q: F.struct(
+                        q["q_id"].alias("q_id"), cos(q).alias("cosine")
+                    ),
+                )
+            ).alias("_p"),
+        )
+        .select(F.col("_p.q_id").alias("q_id"), "c_id", F.col("_p.cosine"))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (

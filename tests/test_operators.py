@@ -1294,21 +1294,29 @@ class TestPq:
 
     def test_pq_train_frames_out_releases_every_persisted_frame(self, spark,
                                                                 emb):
-        """Training persists the exploded subvectors + one codebook per
-        round; frames_out must receive them all so loop-driving callers
-        can release (the kmeans_iterate discipline)."""
+        """Training persists the exploded subvectors; frames_out must
+        receive every persisted frame so loop-driving callers can
+        release (the kmeans_iterate discipline).  r14: the per-round
+        codebooks are no longer persisted DataFrames — they are
+        parameter-bounded local relations (_materialize_small), so the
+        only cluster-cached frame is sv and nothing can leak."""
         sc = spark.sparkContext
 
         def _rdd_ids():
             return set(sc._jsc.getPersistentRDDs().keySet().toArray())
 
+        # materialize the fixture's own cache BEFORE the snapshot so the
+        # leak check attributes only pq_train's persists (r14: training
+        # executes eagerly inside the call, so the fixture cache would
+        # otherwise first materialize after `before` and read as a leak)
+        emb.count()
         before = _rdd_ids()
         frames: list = []
         cb = similarity.pq_train(
             emb.filter("vec_id >= 3"), m=8, ksub=16, iters=2,
             frames_out=frames,
         )
-        assert cb.count() == 8 * 16 and len(frames) == 3  # sv + 2 rounds
+        assert cb.count() == 8 * 16 and len(frames) == 1  # sv only (r14)
         for f in frames:
             f.unpersist(blocking=True)
         leaked = _rdd_ids() - before
