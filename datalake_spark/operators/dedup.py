@@ -1591,16 +1591,20 @@ def semantic_index_build(
             corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
             frames_out=frames_out,
         )
+    # row-local assignment carrying the vector through (r14): elements
+    # reads (id, vector, cluster) off one map-stage frame — the pre-r14
+    # form joined the corpus·dim exploded rows back onto a corpus-sized
+    # assignment frame on id (one full corpus·dim shuffle, removed)
     a = assign_to_centroids(
-        corpus, centroids, id_col=id_col, vec_col=vec_col
-    ).select(F.col(id_col).alias("_sid"), "cluster")
+        corpus, centroids, id_col=id_col, vec_col=vec_col, keep_vec=True
+    )
     elements = (
-        corpus.select(
+        a.select(
             F.col(id_col).alias("_vid"),
+            "cluster",
             F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
         )
         .withColumn("_val", F.col("_val").cast("double"))
-        .join(a, F.col("_vid") == F.col("_sid"))
         .select("_vid", "cluster", "_pos", "_val")
     )
     norms = elements.groupBy("_vid", "cluster").agg(
@@ -1684,16 +1688,18 @@ def semantic_incremental_pairs(
     if frames_out is not None:
         frames_out.append(centroids)
 
+    # row-local assignment with the vector on the row (r14): the batch
+    # explode reads the cluster tag in place — no batch-sized join back
     a_new = assign_to_centroids(
-        new, centroids, id_col=id_col, vec_col=vec_col
-    ).select(F.col(id_col).alias("_sid"), "cluster")
+        new, centroids, id_col=id_col, vec_col=vec_col, keep_vec=True
+    )
     el_new = (
-        new.select(
+        a_new.select(
             F.col(id_col).alias("_vid"),
+            "cluster",
             F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
         )
         .withColumn("_val", F.col("_val").cast("double"))
-        .join(a_new, F.col("_vid") == F.col("_sid"))
         .select("_vid", "cluster", "_pos", "_val")
         .persist()
     )

@@ -488,34 +488,78 @@ def assign_to_centroids(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, cluster): nearest-centroid assignment of ``emb`` against a
     FIXED (cluster, pos, cval) frame — one decimal-exact distance pass,
     ties to the smaller cluster id (the kmeans_iterate discipline).  The
     assignment half of the incremental path: the centroid index never
-    moves, so per-batch cost is O(|batch| · k · dim)."""
-    el = emb.select(
-        F.col(id_col).alias("_id"), F.posexplode(vec_col).alias("_pos", "_val")
-    ).withColumn("_val", F.col("_val").cast("double"))
-    cent = centroids.select(
-        F.col("cluster").alias("_cid"), F.col("pos").alias("_pos"),
-        F.col("cval").alias("_cval"),
+    moves, so per-batch cost is O(|batch| · k · dim).
+
+    ROW-LOCAL (r14, guide §2.3/§2.4): the k centroids are packed into
+    one broadcast row of cluster-sorted (cluster, pos-ordered cval
+    array) structs; each batch row folds every squared distance in the
+    map stage and takes the argmin in place.  The pre-r14 form exploded
+    the batch to (id, pos, val) rows and paid TWO corpus-scaled
+    shuffles (groupBy(id, cluster) distance sum + groupBy(id) min_by).
+    Arithmetic is term-for-term identical — each (val − cval)² is cast
+    to DECIMAL(30,12) before an exact, order-independent decimal sum —
+    and the packed array is cluster-sorted with array_position taking
+    the FIRST minimal element, reproducing the (dist ASC, smaller
+    cluster id) min_by tiebreak exactly.
+
+    ``keep_vec=True`` additionally carries the vector column through —
+    consumers that need (id, cluster, vector) (e.g. the SemDeDup index
+    build, which explodes the assigned corpus) read it off the row
+    instead of joining the corpus-sized assignment frame back on id."""
+    packed = (
+        centroids.select(
+            F.col("cluster").alias("_cid"),
+            F.struct(F.col("pos").alias("pos"), F.col("cval").alias("cval"))
+            .alias("_pc"),
+        )
+        .groupBy("_cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("_pc")), lambda s: s["cval"]
+            ).alias("_cvals")
+        )
+        .select(F.struct(F.col("_cid"), F.col("_cvals")).alias("_ce"))
+        .agg(F.array_sort(F.collect_list("_ce")).alias("_cents"))
     )
-    diff2 = (
-        (F.col("_val") - F.col("_cval")) * (F.col("_val") - F.col("_cval"))
-    ).cast("decimal(30,12)")
-    d2 = el.join(F.broadcast(cent), "_pos").groupBy("_id", "_cid").agg(
-        F.sum(diff2).cast("double").alias("_d2")
-    )
-    # argmin via min_by — same (dist ASC, smaller cluster id) tiebreak as
-    # the window it replaces, with map-side partial merge instead of a
-    # per-id shuffle sort
+    acc_t = "decimal(38,12)"
+    d2 = lambda e: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col("_vd"),
+            e["_cvals"],
+            lambda a, b: ((a - b) * (a - b)).cast("decimal(30,12)"),
+        ),
+        F.lit(0).cast(acc_t),
+        lambda acc, x: (acc + x).cast(acc_t),
+    ).cast("double")
     return (
-        d2.groupBy("_id")
-        .agg(F.min_by("_cid", F.struct("_d2", "_cid")).alias("_c"))
+        emb.join(F.broadcast(packed))
+        # strict pre-r14 equivalence: no centroids -> no assignments
+        .filter(F.size(F.col("_cents")) > 0)
+        .withColumn(
+            "_vd", F.transform(vec_col, lambda x: x.cast("double"))
+        )
+        .withColumn("_d2s", F.transform(F.col("_cents"), d2))
+        # coalesce → statically non-nullable (consumers inner-join on
+        # cluster; see _assign_nearest for the predicate-inlining
+        # rationale).  Fallback unreachable: _cents is non-empty.
         .select(
-            F.col("_id").alias(id_col),
-            F.col("_c").cast("bigint").alias("cluster"),
+            F.col(id_col),
+            *([F.col(vec_col)] if keep_vec else []),
+            F.coalesce(
+                F.element_at(
+                    F.col("_cents"),
+                    F.array_position(
+                        F.col("_d2s"), F.array_min(F.col("_d2s"))
+                    ).cast("int"),
+                )["_cid"].cast("bigint"),
+                F.lit(-1).cast("bigint"),
+            ).alias("cluster"),
         )
     )
 
