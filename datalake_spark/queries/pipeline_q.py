@@ -163,6 +163,14 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sh"))
         .persist()  # tiny (one row per doc); read by both broadcast sides
     )
+    # materialize the caches ONCE before the consumers fan out (r14):
+    # the final action launches both broadcast builds and the main pair
+    # stage CONCURRENTLY; with the caches cold all three race to compute
+    # the full shingle aggregation on shared cores (3x duplicated work —
+    # the r14 sf1 profile showed three overlapping ~60 s jobs where one
+    # ~20 s materialization suffices).  One blocking count fills buckets
+    # AND sizes; every concurrent consumer then reads warm cache.
+    sizes.count()
     common = (
         buckets.filter(F.size("ids") > 1)
         .select(
