@@ -399,16 +399,31 @@ def kmeans_iterate(
     ).withColumn("_val", F.col("_val").cast("double")).persist()
     if frames_out is not None:
         frames_out.append(el)
-    seed_ids = [
-        r[0] for r in emb.select(id_col).orderBy(id_col).limit(k).collect()
-    ]
-    spark = emb.sparkSession
-    seed_map = spark.createDataFrame(
-        [(int(sid), i) for i, sid in enumerate(seed_ids)],
-        "_id long, _cid int",
+    # Round-0 centroids as a LOCAL relation (r14, guide §5): the seed
+    # collect was already paying one bounded TakeOrdered job — collecting
+    # the k seed VECTORS instead of just their ids costs the same job and
+    # lets the (k·dim)-row centroid frame be built driver-side, removing
+    # the el ⋈ seed_map join from under every round's lineage (each
+    # consumer re-planned it) and making round 1's distance join
+    # broadcast-certain.  Values are a pure pass-through: el's _cval was
+    # the raw component cast to double; the collected Python float IS
+    # that double.
+    seed_rows = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .orderBy("_id")
+        .limit(k)
+        .collect()
     )
-    cent = el.join(seed_map, "_id").select(
-        "_cid", "_pos", F.col("_val").alias("_cval")
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(
+        [
+            (cid, pos, None if v is None else float(v))
+            for cid, r in enumerate(
+                sorted(seed_rows, key=lambda r: r["_id"])
+            )
+            for pos, v in enumerate(r["_vec"])
+        ],
+        "_cid int, _pos int, _cval double",
     )
     assign = None
     for _it in range(iters):
@@ -565,6 +580,68 @@ def assign_to_centroids(
 
 
 # -- product quantization (ADC) ---------------------------------------------
+
+
+def _py_quantize_micro_unit(vec) -> list[int]:
+    """Driver-side twin of functions/vectors.quantize_micro_unit — used
+    to build seed codebooks from collected seed rows without a second
+    cluster job (r14).  Bit-identical by construction: every step is the
+    same single correctly-rounded IEEE-double operation on the same
+    exact integers as the Column expression — floor(x*1e6+0.5) per
+    component (double multiply/add/floor), an exact integer norm square
+    (Python ints are exact; the values fit in the long range the
+    cluster fold uses), long→double cast (round-to-nearest, same rule
+    both sides), one sqrt, one divide, one multiply, one add, one floor
+    — correctly rounded in CPython and the JVM alike.  Pinned against
+    the Column twin over adversarial inputs in
+    tests/test_operators.py."""
+    qa = [math.floor(float(x) * 1_000_000 + 0.5) for x in vec]
+    nsq = 0
+    for q in qa:
+        nsq += q * q
+    nrm = math.sqrt(float(nsq)) if nsq > 0 else 1.0
+    return [math.floor(float(q) / nrm * 1_000_000 + 0.5) for q in qa]
+
+
+# exact schema of the expression-built codebook frame (see pq_train):
+# sub/code from explode(sequence)/row_number-1 are non-nullable ints;
+# cb_micro's slice-of-transform keeps nullable element containment.
+_CB_SCHEMA = T.StructType(
+    [
+        T.StructField("sub", T.IntegerType(), False),
+        T.StructField("code", T.IntegerType(), False),
+        T.StructField(
+            "cb_micro", T.ArrayType(T.LongType(), True), True
+        ),
+    ]
+)
+
+
+def _seed_codebooks_local(spark, seed_rows, m: int) -> DataFrame:
+    """(sub, code, cb_micro) seed codebook built driver-side from the
+    collected (id, vec) seed rows: unit-normalize + micro-quantize each
+    seed (``_py_quantize_micro_unit``, bit-identical to the cluster
+    expression), validate the dim/m contract (the ``_pq_d_sub`` raise,
+    driver-side), and slice into the ``m`` subvectors.  Replaces the
+    pre-r14 second bounded job (heavy projection over the seed rows +
+    ``_materialize_small`` collect) with pure driver work on rows a
+    single TakeOrdered job already fetched (guide §5: the driver may do
+    PARAMETER-BOUNDED work; it was already collecting these rows)."""
+    rows = []
+    for code, r in enumerate(sorted(seed_rows, key=lambda r: r["_id"])):
+        qv = _py_quantize_micro_unit(r["_vec"])
+        dim = len(qv)
+        if dim % m != 0 or dim < m:
+            raise ValueError(
+                "PQ: embedding dim must be a positive multiple "
+                f"of m={m}, got dim={dim}"
+            )
+        d_sub = dim // m
+        for sub in range(m):
+            rows.append(
+                (sub, code, qv[sub * d_sub : (sub + 1) * d_sub])
+            )
+    return spark.createDataFrame(rows, _CB_SCHEMA)
 
 
 def _materialize_small(df: DataFrame) -> DataFrame:
@@ -795,52 +872,82 @@ def pq_train(
     :func:`_pq_quantized`); the coreset seed uses the same residual
     representation, so codebooks model the residual distribution the
     codes will actually quantize."""
-    # seed selection by BOUNDED id collect + pushed-down filter (the
-    # kmeans_iterate seed discipline, r14): the pre-r14 form ran
-    # orderBy(c_id).limit(ksub) ON TOP of the quantized (and, in
-    # residual mode, cell-assigned) projection, so the sort computed the
-    # heavy representation for EVERY corpus row and, fed by a
-    # broadcast-join lineage with no exchange, collapsed into a
-    # single-partition sort — observed as multi-second one-task stages
-    # in the r14 profile.  Ids are cheap to rank; the expensive
-    # projection then runs on exactly ksub rows.
-    seed_ids = [
-        r[0]
-        for r in candidates.select(F.col(id_col))
-        .orderBy(id_col)
-        .limit(ksub)
-        .collect()
-    ]
-    seeds = candidates.filter(F.col(id_col).isin(seed_ids))
-    base = (
-        _pq_quantized(seeds, id_col, vec_col, cells, centroids)
-        .orderBy("c_id")
-        .limit(ksub)
-        .select(
-            (
-                F.row_number().over(W.orderBy("c_id")) - F.lit(1)
-            ).alias("code"),
-            "_qv",
+    # Seed codebooks in ONE bounded job (r14, guide §5 driver work):
+    # collect the raw (id, vector) seed rows via a distributed
+    # TakeOrdered — stored columns only, so the corpus scan stays fully
+    # pruned (no computed cell column, no quantized projection rides
+    # corpus-wide) — and build the quantize/slice representation
+    # DRIVER-SIDE with bit-identical IEEE ops
+    # (_py_quantize_micro_unit).  The pre-r14 shape paid TWO sequential
+    # jobs here: a bounded id collect, then a second job projecting the
+    # heavy representation over the isin-filtered seeds for the
+    # _materialize_small collect.  Only when no residual centroids are
+    # involved (``centroids is None``) — the residual representation
+    # reads the cell column/frame, which must keep its cluster-side
+    # semantics — and a cells FRAME also keeps the old path (its inner
+    # join can drop seeds).  SPARK_GRAFT_NO_MATERIALIZE keeps forcing
+    # the lazy cluster path for A/B isolation.
+    if (
+        centroids is None
+        and not isinstance(cells, DataFrame)
+        and not os.environ.get("SPARK_GRAFT_NO_MATERIALIZE")
+    ):
+        seed_rows = (
+            candidates.select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+            )
+            .orderBy("_id")
+            .limit(ksub)
+            .collect()
         )
-    )
-    d_sub = _pq_d_sub(m)
-    cb = base.select(
-        "code",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        "_qv",
-    ).select(
-        "sub",
-        "code",
-        F.slice(F.col("_qv"), F.col("sub") * d_sub + 1, d_sub).alias(
-            "cb_micro"
-        ),
-    )
-    # m·ksub rows, parameter-bounded: truncate the corpus-scan +
-    # TakeOrdered coreset lineage every consumer (each Lloyd round
-    # reads it twice — assign packing + the empty-cluster anti-join —
-    # and with iters=0 every downstream encode/search) would re-plan
-    # and re-execute otherwise — see _materialize_small
-    cb = _materialize_small(cb)
+        cb = _seed_codebooks_local(candidates.sparkSession, seed_rows, m)
+    else:
+        # seed selection by BOUNDED id collect + pushed-down filter (the
+        # kmeans_iterate seed discipline, r14): the pre-r14 form ran
+        # orderBy(c_id).limit(ksub) ON TOP of the quantized (and, in
+        # residual mode, cell-assigned) projection, so the sort computed
+        # the heavy representation for EVERY corpus row and, fed by a
+        # broadcast-join lineage with no exchange, collapsed into a
+        # single-partition sort — observed as multi-second one-task
+        # stages in the r14 profile.  Ids are cheap to rank; the
+        # expensive projection then runs on exactly ksub rows.
+        seed_ids = [
+            r[0]
+            for r in candidates.select(F.col(id_col))
+            .orderBy(id_col)
+            .limit(ksub)
+            .collect()
+        ]
+        seeds = candidates.filter(F.col(id_col).isin(seed_ids))
+        base = (
+            _pq_quantized(seeds, id_col, vec_col, cells, centroids)
+            .orderBy("c_id")
+            .limit(ksub)
+            .select(
+                (
+                    F.row_number().over(W.orderBy("c_id")) - F.lit(1)
+                ).alias("code"),
+                "_qv",
+            )
+        )
+        d_sub = _pq_d_sub(m)
+        cb = base.select(
+            "code",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            "_qv",
+        ).select(
+            "sub",
+            "code",
+            F.slice(F.col("_qv"), F.col("sub") * d_sub + 1, d_sub).alias(
+                "cb_micro"
+            ),
+        )
+        # m·ksub rows, parameter-bounded: truncate the corpus-scan +
+        # TakeOrdered coreset lineage every consumer (each Lloyd round
+        # reads it twice — assign packing + the empty-cluster anti-join —
+        # and with iters=0 every downstream encode/search) would re-plan
+        # and re-execute otherwise — see _materialize_small
+        cb = _materialize_small(cb)
     if iters <= 0:
         return cb
     # persisted: sv feeds one row-local assign per round — each would

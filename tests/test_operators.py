@@ -1322,6 +1322,61 @@ class TestPq:
         leaked = _rdd_ids() - before
         assert not leaked, f"persisted RDDs leaked by pq_train: {leaked}"
 
+    def test_py_quantize_micro_unit_matches_column_twin(self, spark):
+        """r14 single-collect seed path: the driver-side quantizer must be
+        BIT-identical to the Column expression on adversarial inputs —
+        negatives, zero vector, sub-micro components (quantize to 0 with
+        the 0.5 offset), large components, near-.5 rounding boundaries."""
+        from pyspark.sql import functions as F
+
+        from datalake_spark.functions.vectors import quantize_micro_unit
+        from datalake_spark.operators.similarity import (
+            _py_quantize_micro_unit,
+        )
+
+        vecs = [
+            [0.0] * 8,
+            [1.0] + [0.0] * 7,
+            [-1.0, 1.0, -0.5, 0.5, -0.25, 0.125, 3.75, -2.5],
+            [1e-7, -1e-7, 4.9e-7, 5.1e-7, -4.9e-7, -5.1e-7, 0.0, 1.0],
+            [123.456789, -987.654321, 0.0000015, -0.0000025, 1.5, 2.5,
+             -1.5, -2.5],
+            [0.1234565, 0.1234575, -0.1234565, -0.1234575, 7.0, -7.0,
+             0.33333333, -0.66666667],
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        cluster = {
+            r["vec_id"]: r["u"]
+            for r in df.select(
+                "vec_id", quantize_micro_unit(F.col("embedding")).alias("u")
+            ).collect()
+        }
+        for i, v in enumerate(vecs):
+            assert _py_quantize_micro_unit(v) == cluster[i], f"vec {i}"
+
+    def test_seed_codebooks_driver_path_matches_cluster_path(
+        self, emb, monkeypatch
+    ):
+        """r14 single-collect seed path: pq_train(iters=0) must produce
+        value-identical codebooks whether seeds are built driver-side
+        (default) or by the cluster expression path
+        (SPARK_GRAFT_NO_MATERIALIZE=1 forces it)."""
+        c = emb.filter("vec_id >= 3")
+
+        def rows(cb):
+            return sorted(
+                (r["sub"], r["code"], tuple(r["cb_micro"]))
+                for r in cb.collect()
+            )
+
+        driver = rows(similarity.pq_train(c, m=16, ksub=8, iters=0))
+        monkeypatch.setenv("SPARK_GRAFT_NO_MATERIALIZE", "1")
+        cluster = rows(similarity.pq_train(c, m=16, ksub=8, iters=0))
+        assert driver == cluster
+
     def test_parquet_roundtrip_matches_one_call(self, spark, emb, tmp_path):
         queries = emb.filter("vec_id < 3")
         c = emb.filter("vec_id >= 3")
