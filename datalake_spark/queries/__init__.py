@@ -13,6 +13,7 @@ by name):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -56,9 +57,91 @@ class Q:
 # serve stale results across input changes within a run's contract.
 _SCHEMA_MEMO: dict = {}
 
+# Scan-parallelism floor (r14, guide §2.5 "input skew: one huge
+# unsplittable file … repartition immediately after the read").  The
+# bench tables ship as SINGLE-ROW-GROUP parquet files, and a parquet row
+# group is the atomic split unit — so every scan stage runs as ONE task
+# regardless of core count, serializing all pre-exchange map work
+# (explodes, quantization folds, partial aggregations) on one core.  The
+# r14 stage profile measured it directly: chargram_commonness spent
+# 2.1-2.7 s of its 3.3 s wall in a 1-task scan+explode+partial-agg
+# stage; table_profile's exact count-distinct Expand ran 2.9 s on one
+# task with 31 cores idle.  load(spread=True) therefore floors scan
+# parallelism with one round-robin repartition when — and only when —
+# the file layout cannot reach the session's default parallelism.
+# OPT-IN per call site (a blanket floor measured a net loss at sf0.1:
+# +0.3-0.5 s fixed exchange/stage overhead per query dwarfs sub-second
+# map stages; see _read_parquet):
+#
+# - SCALE-ADAPTIVE, not local-tuned: the trigger is metadata
+#   (row-group count < defaultParallelism), so any production table
+#   with normal file/row-group counts — every table at 100 TB — skips
+#   the repartition entirely and keeps its scan splits.  The floor is
+#   the session's own defaultParallelism, not a constant.
+# - row threshold: parameter-/dimension-sized tables (region, nation —
+#   broadcast sides) stay single-partition; shuffling 25 rows into 32
+#   partitions would add a stage for nothing.
+# - VALUE-NEUTRAL: round-robin placement feeds only order-insensitive
+#   aggregations/joins (repo-wide discipline: exact decimal/bigint
+#   sums, total-ordered top-k; no partition-sensitive function —
+#   monotonically_increasing_id/spark_partition_id/input_file_name/rand
+#   — anywhere in the query surface), and Spark's
+#   sortBeforeRepartition keeps retries deterministic.  Verified by the
+#   full 50-entry oracle gate at sf0.001 + sf0.01.
+# - driver cost: one pyarrow footer read per path, memoized, first paid
+#   by the bench's untimed warm pre-pass.
+# SPARK_GRAFT_NO_SPREAD=1 disables it (A/B isolation knob).
+_SPREAD_MIN_ROWS = 2000
+_SPREAD_MEMO: dict = {}
 
-def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """spark.read.parquet with the inferred schema memoized per path."""
+
+def _spread_partitions(spark: SparkSession, path: str):
+    """Target partition count when the parquet layout cannot reach the
+    session's default parallelism, else None (memoized per path)."""
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
+        return None
+    if path in _SPREAD_MEMO:
+        return _SPREAD_MEMO[path]
+    out = None
+    try:
+        import pyarrow.parquet as pq
+
+        par = spark.sparkContext.defaultParallelism
+        paths = []
+        if os.path.isfile(path):
+            paths = [path]
+        elif os.path.isdir(path):
+            paths = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        if paths and len(paths) < par:
+            rows = 0
+            rgs = 0
+            for p in paths:
+                md = pq.ParquetFile(p).metadata
+                rows += md.num_rows
+                rgs += md.num_row_groups
+            if rows >= _SPREAD_MIN_ROWS and rgs < par:
+                out = par
+    except Exception:
+        out = None
+    _SPREAD_MEMO[path] = out
+    return out
+
+
+def _read_parquet(
+    spark: SparkSession, path: str, spread: bool = False
+) -> DataFrame:
+    """spark.read.parquet with the inferred schema memoized per path;
+    ``spread=True`` applies the scan-parallelism floor (see
+    _spread_partitions) — OPT-IN per call site, because a blanket floor
+    was measured a net loss: the extra exchange costs ~0.3-0.5 s of
+    fixed stage overhead per query at sf0.1, which swamps the map-stage
+    speedup everywhere except the few operators whose single-task scan
+    stage carries MULTI-SECOND compute (headline-only A/B: blanket
+    spread read 29.6-30.0 s vs 21.4-22.1 s unspread at equal canary)."""
     # nanosAsLong changes how TIMESTAMP(NANOS) columns surface, so it is
     # part of the memo key (events is read under a different conf).
     key = (
@@ -69,18 +152,27 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     if schema is None:
         df = spark.read.parquet(path)
         _SCHEMA_MEMO[key] = df.schema
-        return df
-    return spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.schema(schema).parquet(path)
+    if spread:
+        n = _spread_partitions(spark, path)
+        if n:
+            df = df.repartition(n)
+    return df
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Read one test table.  events.parquet carries TIMESTAMP(NANOS) which
     Spark only reads via the nanosAsLong legacy mode; we normalize to an
     epoch-ms long (``ts_ms``) and a microsecond timestamp (``ts``) matching
-    DuckDB's own nanos→us truncation."""
+    DuckDB's own nanos→us truncation.  ``spread=True``: scan-parallelism
+    floor for call sites whose single-task scan stage carries
+    multi-second map work (see _read_parquet / _spread_partitions)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = _read_parquet(spark, f"{sf_dir}/events.parquet")
+        df = _read_parquet(spark, f"{sf_dir}/events.parquet", spread)
         if dict(df.dtypes)["ts"] == "bigint":
             # TIMESTAMP(NANOS) parquet, surfaced as long ns by the legacy
             # conf above
@@ -96,7 +188,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df.withColumn("ts", F.col("ts").cast("timestamp"))
             .withColumn("ts_ms", F.expr("unix_micros(ts) DIV 1000"))
         )
-    return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    return _read_parquet(spark, f"{sf_dir}/{name}.parquet", spread)
 
 
 # -- deterministic numeric aggregation helpers ------------------------------

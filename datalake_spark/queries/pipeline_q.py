@@ -1402,7 +1402,13 @@ FROM base LEFT JOIN bis USING (doc_id) LEFT JOIN tris USING (doc_id)
 # scaling into DECIMAL(38,0).
 # ---------------------------------------------------------------------------
 def chargram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    # spread=True (r14): the 2-gram explode + per-doc partial agg ran as
+    # ONE task on the single-row-group input (2.1-2.7 s of the 3.3 s
+    # wall in the stage profile); the scan-parallelism floor spreads the
+    # explode across cores and is a metadata-gated no-op at scale.
+    docs = load(spark, sf_dir, "documents", spread=True).filter(
+        F.length("text") >= 2
+    )
     grams = docs.select(
         "doc_id",
         F.explode(
@@ -4152,7 +4158,9 @@ def _profile_exprs() -> dict:
 
 
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
+    # spread=True (r14): the multi-count-distinct Expand's partial agg
+    # ran 2.7-2.9 s on ONE task (single-row-group input); see load().
+    orders = load(spark, sf_dir, "orders", spread=True)
     profiled = _profile_exprs()
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, expr in profiled.items():
@@ -4214,6 +4222,15 @@ FROM orders"""
 # inside the contract against the exact values every round.
 # ---------------------------------------------------------------------------
 def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread (r14, measured): the entry's wall is bounded by the
+    # HLL sketch job, which DEGRADES under the scan-parallelism floor
+    # (isolated A/B: approx agg 5.5 s unspread → 8.9 s spread — 32
+    # tasks each initializing/merging six 2^14-register sketch buffers
+    # cost more than the single-task scan saves at this row count), and
+    # the exact job runs CONCURRENTLY with it, so spreading only the
+    # exact side just adds core contention (entry A/B: 4.9 s
+    # exact-spread vs 4.1 s unspread).  table_profile (exact-only, no
+    # concurrent HLL) does take the floor.
     orders = load(spark, sf_dir, "orders")
     profiled = _profile_exprs()
     # exact and approx run as SEPARATE aggregations joined on their 1-row
