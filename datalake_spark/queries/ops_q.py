@@ -327,7 +327,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds, replayed in the oracle) either way.
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
-    c = emb.filter(F.col("vec_id") >= 3)
+    # corpus side spread (r14): the persisted subvector frame inherits
+    # the single-split scan's 1-partition layout, so each Lloyd round's
+    # row-local argmin ran as a ~2.4 s single-task stage (stage
+    # profile); the metadata-gated floor parallelizes training + encode
+    # and is a no-op at scale.  The 3-row query side stays unspread
+    # (broadcast input).
+    c = load(spark, sf_dir, "embeddings", spread=True).filter(
+        F.col("vec_id") >= 3
+    )
     return sim_ops.pq_topk(q, c, k=3, m=32, ksub=32).select(
         "q_id", "c_id", "adc", "rk"
     )
@@ -496,7 +504,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # layers end-to-end.
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
-    c = emb.filter(F.col("vec_id") >= 3)
+    # corpus side spread (r14): see ann_pq_topk — parallelizes the
+    # row-local cell assignment, residual/encode folds and Lloyd rounds
+    # that otherwise run single-task on the 1-split scan.
+    c = load(spark, sf_dir, "embeddings", spread=True).filter(
+        F.col("vec_id") >= 3
+    )
     return sim_ops.ivfpq_topk(
         q, c, k=3, num_centroids=16, nprobe=4, m=32, ksub=32
     ).select("q_id", "c_id", "adc", "rk")
@@ -610,7 +623,12 @@ WHERE rk <= 3
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
-    c = emb.filter(F.col("vec_id") >= 3)
+    # corpus side spread (r14): see ann_pq_topk — parallelizes the
+    # row-local nearest-centroid argmax that otherwise runs single-task
+    # on the 1-split scan; metadata-gated no-op at scale.
+    c = load(spark, sf_dir, "embeddings", spread=True).filter(
+        F.col("vec_id") >= 3
+    )
     return sim_ops.ivf_topk(q, c, k=3).select("q_id", "c_id", "rk")
 
 
@@ -873,15 +891,19 @@ def ann_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed corpus slices (= the full sf0.01 corpus; see
     # _clustered_recall_sql — claim verdicts should not drift with SF)
     parts = []
+    # corpus-side slices spread (r14): see ann_pq_topk — all four ANN
+    # pipelines' training/encode folds otherwise run single-task on the
+    # 1-split scan; query slices stay unspread (broadcast inputs).
+    emb_sp = load(spark, sf_dir, "embeddings", spread=True)
     qi = emb.filter(F.col("vec_id") < 3)
-    ci = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 500))
+    ci = emb_sp.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 500))
     truth_i = sim_ops.brute_force_topk(qi, ci, k=3).select("q_id", "c_id")
     for label, it in (("pq_coreset", 0), ("pq_trained", 2)):
         ap = sim_ops.pq_topk(
             qi, ci, k=3, m=32, ksub=32, train_iters=it
         ).select("q_id", "c_id")
         parts.append(block(label, truth_i, ap, qi, 3))
-    synth = _clustered_synth(emb.filter(F.col("vec_id") < 516))
+    synth = _clustered_synth(emb_sp.filter(F.col("vec_id") < 516))
     qc = synth.filter(F.col("vec_id") < 16)
     cc = synth.filter(F.col("vec_id") >= 16)
     truth_c = sim_ops.brute_force_topk(qc, cc, k=5).select("q_id", "c_id")
@@ -1186,6 +1208,12 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_spark.operators.ann_index import IvfPqIndex
 
     emb = load(spark, sf_dir, "embeddings")
+    # NOT spread (r14, measured): the lifecycle WRITES real parquet
+    # index artifacts per stage, and a spread corpus fans every
+    # centroid/codebook/codes/ids write out to 32 tiny files whose
+    # write+reopen cost exceeds the parallelized-fold saving (A/B:
+    # 36.5/36.8 s spread vs 31.7/32.0 s unspread, two rounds) — the
+    # guide's small-files tax, paid four times per lifecycle.
     q = emb.filter(F.col("vec_id") < 3)
     base = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 400))
     extra = emb.filter(F.col("vec_id") >= 400)

@@ -294,6 +294,11 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark 4's WindowGroupLimit pre-filters map-side to k rows per
     # (query, partition) before the shuffle.
     emb = load(spark, sf_dir, "embeddings")
+    # candidate side spread (r14): the row-local decimal folds run in
+    # the scan stage, which is a single task on the 1-split input; the
+    # metadata-gated floor parallelizes them (blanket-spread A/B already
+    # showed this entry as the one headline IMPROVEMENT, 0.76 vs 0.95).
+    cand_src = load(spark, sf_dir, "embeddings", spread=True)
     dec = "decimal(30,12)"
     acc_t = "decimal(38,12)"
 
@@ -339,7 +344,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot(q) / (F.sqrt(q["nq"]) * F.sqrt("nc")),
     ).otherwise(F.lit(-2.0))
     sims = (
-        emb.filter(F.col("vec_id") >= _N_QUERY_VECS)
+        cand_src.filter(F.col("vec_id") >= _N_QUERY_VECS)
         .join(F.broadcast(packed))
         .select(
             F.col("vec_id").alias("c_id"),
