@@ -421,7 +421,9 @@ def kmeans_iterate(
             for cid, r in enumerate(
                 sorted(seed_rows, key=lambda r: r["_id"])
             )
-            for pos, v in enumerate(r["_vec"])
+            # a NULL embedding exploded to zero rows in the pre-r14
+            # join form; the local build reproduces that
+            for pos, v in enumerate(r["_vec"] or [])
         ],
         "_cid int, _pos int, _cval double",
     )
