@@ -239,6 +239,12 @@ class IvfPqIndex:
                     F.col("c_id"), nb, out.schema["c_id"].dataType
                 ),
             )
+            # cluster rows by their output partition before the write
+            # (guide §6 write distribution): without it the writer emits
+            # one file per (input partition × bucket) — a spread corpus
+            # fans every epoch into input-partitions× more files for
+            # _prior_ids to list and scan
+            out = out.repartition("bucket")
             w = out.write.mode("overwrite").partitionBy("bucket")
         w.parquet(self._url(vdir, self.IDS, f"epoch={epoch}"))
 
@@ -311,7 +317,9 @@ class IvfPqIndex:
         )
         cents.write.mode("overwrite").parquet(self._url(vdir, self.CENTS))
         cb.write.mode("overwrite").parquet(self._url(vdir, self.CB))
-        codes.write.mode("overwrite").partitionBy("cent_id").parquet(
+        codes.repartition("cent_id").write.mode(
+            "overwrite"
+        ).partitionBy("cent_id").parquet(
             self._url(vdir, self.CODES, "epoch=0")
         )
         self._write_ids(cells, vdir, 0, self.ids_buckets)
@@ -451,7 +459,9 @@ class IvfPqIndex:
                 # layout the index was BUILT with
                 centroids=cents if m.get("residual") else None,
             )
-            codes.write.mode("overwrite").partitionBy("cent_id").parquet(
+            codes.repartition("cent_id").write.mode(
+                "overwrite"
+            ).partitionBy("cent_id").parquet(
                 self._url(vdir, self.CODES, f"epoch={epoch}")
             )
             self._write_ids(
@@ -619,7 +629,9 @@ class IvfPqIndex:
                 self._url(vdir, self.CENTS)
             )
             cb.write.mode("overwrite").parquet(self._url(vdir, self.CB))
-            codes.write.mode("overwrite").partitionBy("cent_id").parquet(
+            codes.repartition("cent_id").write.mode(
+                "overwrite"
+            ).partitionBy("cent_id").parquet(
                 self._url(vdir, self.CODES, "epoch=0")
             )
             self._write_ids(cells, vdir, 0, nb)

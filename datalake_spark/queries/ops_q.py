@@ -1208,15 +1208,17 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_spark.operators.ann_index import IvfPqIndex
 
     emb = load(spark, sf_dir, "embeddings")
-    # NOT spread (r14, measured): the lifecycle WRITES real parquet
-    # index artifacts per stage, and a spread corpus fans every
-    # centroid/codebook/codes/ids write out to 32 tiny files whose
-    # write+reopen cost exceeds the parallelized-fold saving (A/B:
-    # 36.5/36.8 s spread vs 31.7/32.0 s unspread, two rounds) — the
-    # guide's small-files tax, paid four times per lifecycle.
+    # corpus-side slices spread (r14): a first attempt regressed +15%
+    # because the index writes fanned every codes/ids epoch into
+    # input-partitions× more files (the small-files tax, guide §6);
+    # IvfPqIndex now clusters those writes by their output partition
+    # (repartition before partitionBy), after which the spread corpus
+    # parallelizes the training/encode folds without the write fan-out.
+    # The 3-row query side stays unspread (broadcast input).
+    emb_sp = load(spark, sf_dir, "embeddings", spread=True)
     q = emb.filter(F.col("vec_id") < 3)
-    base = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 400))
-    extra = emb.filter(F.col("vec_id") >= 400)
+    base = emb_sp.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 400))
+    extra = emb_sp.filter(F.col("vec_id") >= 400)
     root = tempfile.mkdtemp(prefix="dl_annidx_q_")
     idx = IvfPqIndex(spark, root, num_centroids=16, m=32, ksub=32)
     idx.build(base)
@@ -1230,7 +1232,7 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # history), but materializing before the swap keeps the gate
     # independent of retention knobs
     pre = spark.createDataFrame(pre.collect(), pre.schema)
-    reopened.rebuild(emb)  # inner-joins committed ids: queries excluded
+    reopened.rebuild(emb_sp)  # inner-joins committed ids: queries excluded
     post = IvfPqIndex(spark, root).search(q, k=3, nprobe=4).select(
         "q_id", "c_id", "adc", "rk"
     ).withColumn("stage", F.lit("post"))
