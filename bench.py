@@ -1,14 +1,18 @@
 """Benchmark the declared query surface at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints THREE JSON lines:
+Prints JSON lines in this order:
   1. compact   {"metric", "value", "unit", "sf", "canary_sec"} — short
      enough that a bounded head OR tail capture always parses the
      headline number
   2. detailed  adds per-query timings, the extras, and the anchor ratios
-  3. compact again — the driver keeps the LAST ~2000 chars of output, so
-     the compact line must FOLLOW the >2KB detail line (r3+r4 both ended
-     parsed:null with compact-first-only ordering)
+     (full precision; may exceed a bounded tail capture)
+  3. per_query_extras_sec, two short lines (r15: the driver's ~2 KB tail
+     capture must retain per-query seconds — PERF_r14 had per_query: {})
+  4. compact again WITH "queries" (headline per-query seconds rounded to
+     centiseconds) — the driver keeps the LAST ~2000 chars of output, so
+     the contract line must FOLLOW the >2KB detail line (r3+r4 both
+     ended parsed:null with compact-first-only ordering)
 
 Noise control: a fixed-work CPU canary (100M-row xxhash64 aggregate —
 constant work regardless of SF or code under test) is timed min-of-3 at
@@ -594,12 +598,70 @@ def main() -> None:
         }
     # line 2: full detail (may exceed a bounded tail capture)
     print(json.dumps(out))
-    # line 3: compact AGAIN — the driver's tail capture keeps the LAST
-    # ~2000 chars of output, so the headline line must come after the
-    # oversized detail line or it scrolls out (BENCH_r03/_r04 both ended
-    # parsed:null with compact-first ordering).  First AND last is
-    # harmless and covers head- or tail-bounded captures alike.
-    print(json.dumps(compact))
+    # r15 (VERDICT r14 item 1): per-query seconds must SURVIVE the
+    # driver's ~2 KB tail capture — PERF_r14.json had per_query: {},
+    # geomean null and an empty scaling block because the timings lived
+    # only in the oversized detail line above.  The extras board is
+    # emitted as two short lines (each well under the capture on its
+    # own), ordered so the entries most under optimization (ann_*,
+    # semantic_*, table_profile — the tail of the sorted list) sit in
+    # the LAST extras line, closest to the end of the capture window.
+    # Values rounded to centiseconds; compact separators.  The detail
+    # line above keeps the full-precision numbers (old format retained).
+    sep = (",", ":")
+
+    def _r(t: float) -> float:
+        # centiseconds below 1 s, deciseconds above: the whole tail
+        # block (three extras lines + the contract line) must fit the
+        # driver's EXACTLY-2000-char capture (measured from
+        # BENCH_r12-14.json), and full precision stays on the detail
+        # line.  The ±0.05 s quantum is far under the bench's own
+        # documented single-pass noise (±20%).
+        return round(t, 2 if t < 1 else 1)
+
+    if extra_timings:
+        # DESCENDING name order: if a stricter-than-expected capture
+        # clips the head of part 1, the clipped entries are the z-end
+        # (video_*, weighted_sample — the stable multimodal/sampling
+        # entries) and the ann_* family lands at the very end of the
+        # last part, maximally protected next to the contract line.
+        # Three parts so a clipped line costs a third of the board,
+        # not half.
+        enames = sorted(extra_timings, reverse=True)
+        step = (len(enames) + 2) // 3
+        for part in range(3):
+            chunk = enames[part * step:(part + 1) * step]
+            if not chunk:
+                continue
+            # key "extN" = extras seconds, part N of 3 (kept terse: the
+            # whole tail block must fit the driver's exactly-2000-char
+            # capture; the sf0.001 format check measured 2000 on the
+            # nose with longer keys)
+            print(json.dumps(
+                {f"ext{part + 1}":
+                    {n: _r(extra_timings[n]) for n in chunk}},
+                separators=sep,
+            ))
+    # final line: the driver contract line — metric/value/unit/sf AND
+    # the per-query headline seconds (rounded, see _r) so the line
+    # always parses whole from a tail-bounded capture.  Emitted LAST so
+    # a tail capture keeps it.  Fields derivable from `canary_sec` plus
+    # the pinned constants in this file (the two refs, the legacy load
+    # factor, the raw cold/warm scan pair behind io_era) are omitted
+    # HERE only — lines 1-2 carry the full envelope; the whole tail
+    # block (two extras lines + this line) must stay under ~2000 chars
+    # or the driver's capture clips a line and loses it entirely.
+    compact_q = {
+        "metric": compact["metric"],
+        "value": compact["value"],
+        "unit": compact["unit"],
+        "sf": compact["sf"],
+        "queries": {n: _r(t) for n, t in timings.items()},
+        "canary_sec": [round(c, 2) for c in compact["canary_sec"]],
+        "canary_load_factor_r6": compact["canary_load_factor_r6"],
+        "io_era": compact["io_era"],
+    }
+    print(json.dumps(compact_q, separators=sep))
 
 
 if __name__ == "__main__":

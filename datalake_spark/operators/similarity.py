@@ -601,6 +601,17 @@ def _py_quantize_micro_unit(vec) -> list[int]:
     nsq = 0
     for q in qa:
         nsq += q * q
+    # the 'fits in the long range' precondition above, ENFORCED: the
+    # cluster fold accumulates over JVM longs and would silently wrap
+    # past 2^63-1 (components ≳ 3e3 at micro scale, sooner summed over
+    # many dims) while this exact big-int sum would not — fail loudly
+    # instead of letting the two paths diverge (r14 advisor finding)
+    if nsq > 2**63 - 1:
+        raise ValueError(
+            "quantize_micro_unit: exact norm-square "
+            f"{nsq} exceeds the signed-64-bit range the cluster fold "
+            "uses; embedding magnitudes are out of the supported range"
+        )
     nrm = math.sqrt(float(nsq)) if nsq > 0 else 1.0
     return [math.floor(float(q) / nrm * 1_000_000 + 0.5) for q in qa]
 
@@ -619,7 +630,9 @@ _CB_SCHEMA = T.StructType(
 )
 
 
-def _seed_codebooks_local(spark, seed_rows, m: int) -> DataFrame:
+def _seed_codebooks_local(
+    spark, seed_rows, m: int, cent_qv: dict | None = None
+) -> DataFrame:
     """(sub, code, cb_micro) seed codebook built driver-side from the
     collected (id, vec) seed rows: unit-normalize + micro-quantize each
     seed (``_py_quantize_micro_unit``, bit-identical to the cluster
@@ -628,10 +641,45 @@ def _seed_codebooks_local(spark, seed_rows, m: int) -> DataFrame:
     pre-r14 second bounded job (heavy projection over the seed rows +
     ``_materialize_small`` collect) with pure driver work on rows a
     single TakeOrdered job already fetched (guide §5: the driver may do
-    PARAMETER-BOUNDED work; it was already collecting these rows)."""
-    rows = []
-    for code, r in enumerate(sorted(seed_rows, key=lambda r: r["_id"])):
+    PARAMETER-BOUNDED work; it was already collecting these rows).
+
+    ``cent_qv`` (r15, the residual path): {cent_id: quantized centroid}
+    — each seed's representation becomes the exact elementwise
+    difference qv(vec) − qv(centroid of its ``_cell``), the IVFADC
+    residual.  Exact int−int mirrors the cluster ``zip_with(a-b)`` on
+    longs term-for-term.  A seed whose cell is absent from the map is
+    dropped BEFORE code numbering — the cluster form's inner join on
+    cent_id drops it the same way (unreachable in practice: cells come
+    from _assign_nearest against these very centroids)."""
+    quantized = []
+    for r in sorted(seed_rows, key=lambda r: r["_id"]):
+        # NULL vector / NULL component in a SEED row: the cluster
+        # expression path would thread NULLs into cb_micro (poisoning
+        # every downstream distance) while float(None) here would raise
+        # an opaque TypeError — fail loudly naming the seed instead
+        # (r14 advisor finding; gate corpora carry no NULL vectors, so
+        # real-data behavior is unchanged)
+        if r["_vec"] is None or any(x is None for x in r["_vec"]):
+            raise ValueError(
+                "pq_train: seed embedding "
+                f"{r['_id']!r} is NULL or has NULL components; PQ seed "
+                "vectors must be fully populated"
+            )
         qv = _py_quantize_micro_unit(r["_vec"])
+        if cent_qv is not None:
+            cm = cent_qv.get(r["_cell"])
+            if cm is None:
+                continue
+            if len(cm) != len(qv):
+                raise ValueError(
+                    "pq_train: residual seed "
+                    f"{r['_id']!r} has dim {len(qv)} but its cell "
+                    f"centroid has dim {len(cm)}"
+                )
+            qv = [a - b for a, b in zip(qv, cm)]
+        quantized.append((r["_id"], qv))
+    rows = []
+    for code, (_sid, qv) in enumerate(quantized):
         dim = len(qv)
         if dim % m != 0 or dim < m:
             raise ValueError(
@@ -875,34 +923,53 @@ def pq_train(
     representation, so codebooks model the residual distribution the
     codes will actually quantize."""
     # Seed codebooks in ONE bounded job (r14, guide §5 driver work):
-    # collect the raw (id, vector) seed rows via a distributed
-    # TakeOrdered — stored columns only, so the corpus scan stays fully
-    # pruned (no computed cell column, no quantized projection rides
-    # corpus-wide) — and build the quantize/slice representation
-    # DRIVER-SIDE with bit-identical IEEE ops
-    # (_py_quantize_micro_unit).  The pre-r14 shape paid TWO sequential
-    # jobs here: a bounded id collect, then a second job projecting the
-    # heavy representation over the isin-filtered seeds for the
-    # _materialize_small collect.  Only when no residual centroids are
-    # involved (``centroids is None``) — the residual representation
-    # reads the cell column/frame, which must keep its cluster-side
-    # semantics — and a cells FRAME also keeps the old path (its inner
-    # join can drop seeds).  SPARK_GRAFT_NO_MATERIALIZE keeps forcing
-    # the lazy cluster path for A/B isolation.
+    # collect the raw (id, vector[, cell]) seed rows via a distributed
+    # TakeOrdered — stored/row-local columns only, so the corpus scan
+    # stays fully pruned (no quantized projection rides corpus-wide) —
+    # and build the quantize/slice representation DRIVER-SIDE with
+    # bit-identical IEEE ops (_py_quantize_micro_unit).  The pre-r14
+    # shape paid TWO sequential jobs here: a bounded id collect, then a
+    # second job projecting the heavy representation over the
+    # isin-filtered seeds for the _materialize_small collect.  r15
+    # extends the single-collect path to RESIDUAL mode when the cell is
+    # a COLUMN already on the row (the r14 keep_vec threading): the one
+    # TakeOrdered also fetches the seed's cell tag, the
+    # parameter-bounded centroid frame — a _materialize_small local
+    # relation at every residual call site, so its collect schedules no
+    # cluster job — is quantized driver-side, and the residual is exact
+    # int−int (the cluster zip_with(a-b) twin).  A cells FRAME still
+    # keeps the old path (its inner join can drop seeds mid-plan).
+    # SPARK_GRAFT_NO_MATERIALIZE keeps forcing the lazy cluster path
+    # for A/B isolation.
     if (
-        centroids is None
-        and not isinstance(cells, DataFrame)
+        not isinstance(cells, DataFrame)
         and not os.environ.get("SPARK_GRAFT_NO_MATERIALIZE")
     ):
+        res_mode = isinstance(cells, str) and centroids is not None
+        sel = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")]
+        if res_mode:
+            sel.append(F.col(cells).alias("_cell"))
         seed_rows = (
-            candidates.select(
-                F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
-            )
-            .orderBy("_id")
-            .limit(ksub)
-            .collect()
+            candidates.select(*sel).orderBy("_id").limit(ksub).collect()
         )
-        cb = _seed_codebooks_local(candidates.sparkSession, seed_rows, m)
+        cent_qv = None
+        if res_mode:
+            cent_qv = {}
+            for cr in centroids.select("cent_id", "cent_vec").collect():
+                if cr["cent_vec"] is None or any(
+                    x is None for x in cr["cent_vec"]
+                ):
+                    raise ValueError(
+                        "pq_train: residual centroid "
+                        f"{cr['cent_id']!r} is NULL or has NULL "
+                        "components"
+                    )
+                cent_qv[cr["cent_id"]] = _py_quantize_micro_unit(
+                    cr["cent_vec"]
+                )
+        cb = _seed_codebooks_local(
+            candidates.sparkSession, seed_rows, m, cent_qv=cent_qv
+        )
     else:
         # seed selection by BOUNDED id collect + pushed-down filter (the
         # kmeans_iterate seed discipline, r14): the pre-r14 form ran

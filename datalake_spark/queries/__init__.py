@@ -125,8 +125,13 @@ def _spread_partitions(spark: SparkSession, path: str):
                 rgs += md.num_row_groups
             if rows >= _SPREAD_MIN_ROWS and rgs < par:
                 out = par
-    except Exception:
-        out = None
+    except (ImportError, OSError, ValueError):
+        # pyarrow missing / transient IO / corrupt footer (ArrowInvalid
+        # is a ValueError): the safe answer is "no spread", but do NOT
+        # memoize it — a transient first-touch hiccup must not disable
+        # the floor for the whole session (r14 advisor finding).
+        # Anything else (a programming error) propagates.
+        return None
     _SPREAD_MEMO[path] = out
     return out
 

@@ -846,8 +846,15 @@ _CR_CLUSTERS = 64
 _CR_AMP = "0.08"
 
 
-def _clustered_synth(emb: DataFrame) -> DataFrame:
-    centers = emb.filter(
+def _clustered_synth(
+    emb: DataFrame, centers_from: DataFrame | None = None
+) -> DataFrame:
+    """``centers_from`` (r15): the 64 center rows (vec_id 16..79) may be
+    drawn from a different load of the same table than the member rows —
+    the query slice's members come from the UNSPREAD frame (broadcast
+    input; riding the scan-parallelism repartition under it wastes an
+    exchange) while the centers are the same physical rows either way."""
+    centers = (centers_from if centers_from is not None else emb).filter(
         (F.col("vec_id") >= 16) & (F.col("vec_id") < 16 + _CR_CLUSTERS)
     ).select(
         (F.col("vec_id") - 16).alias("_cidx"),
@@ -903,9 +910,18 @@ def ann_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             qi, ci, k=3, m=32, ksub=32, train_iters=it
         ).select("q_id", "c_id")
         parts.append(block(label, truth_i, ap, qi, 3))
-    synth = _clustered_synth(emb_sp.filter(F.col("vec_id") < 516))
-    qc = synth.filter(F.col("vec_id") < 16)
-    cc = synth.filter(F.col("vec_id") >= 16)
+    # r15 (r14 advisor): build the 16-row QUERY slice from the UNSPREAD
+    # frame — deriving it from emb_sp rode the repartition exchange
+    # under a broadcast input; only the corpus side takes the
+    # scan-parallelism floor.  _clustered_synth is a per-row transform
+    # (pmod-keyed broadcast join), so splitting the <516 filter across
+    # the two loads is value-identical.
+    qc = _clustered_synth(
+        emb.filter(F.col("vec_id") < 16), centers_from=emb
+    )
+    cc = _clustered_synth(
+        emb_sp.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 516))
+    )
     truth_c = sim_ops.brute_force_topk(qc, cc, k=5).select("q_id", "c_id")
     for label, res in (("ivfpq_raw", False), ("ivfpq_residual", True)):
         ap = sim_ops.ivfpq_topk(

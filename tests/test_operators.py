@@ -1357,6 +1357,45 @@ class TestPq:
         for i, v in enumerate(vecs):
             assert _py_quantize_micro_unit(v) == cluster[i], f"vec {i}"
 
+    def test_seed_codebooks_null_vector_raises_named_error(self, spark):
+        """r15 (r14 advisor): a NULL seed vector or NULL component must
+        raise a clear ValueError naming the seed id — not an opaque
+        TypeError (driver path) or silently-NULL cb_micro rows (cluster
+        path)."""
+        import pytest
+
+        from datalake_spark.operators.similarity import (
+            _seed_codebooks_local,
+        )
+
+        for bad in (
+            [{"_id": 7, "_vec": None}],
+            [{"_id": 9, "_vec": [1.0, None, 0.5, 0.25]}],
+        ):
+            with pytest.raises(ValueError, match="seed embedding"):
+                _seed_codebooks_local(spark, bad, m=2)
+
+    def test_py_quantize_micro_unit_norm_overflow_raises(self):
+        """r15 (r14 advisor): a norm-square past 2^63-1 would silently
+        WRAP in the cluster's long fold while the Python twin is exact
+        big-int — the driver path must refuse loudly instead of letting
+        the two paths diverge."""
+        import pytest
+
+        from datalake_spark.operators.similarity import (
+            _py_quantize_micro_unit,
+        )
+
+        # one component of 4e12 → q ~ 4e18, q² ~ 1.6e37 >> 2^63-1
+        with pytest.raises(ValueError, match="signed-64-bit"):
+            _py_quantize_micro_unit([4.0e12, 1.0])
+        # magnitude just inside the guard still works: 3e3 over 8 dims
+        # → nsq ≈ 8 * (3e9)² = 7.2e19 > 9.2e18 raises too
+        with pytest.raises(ValueError, match="signed-64-bit"):
+            _py_quantize_micro_unit([3000.0] * 8)
+        # normal-range embeddings are untouched
+        assert _py_quantize_micro_unit([1.0, -0.5]) is not None
+
     def test_seed_codebooks_driver_path_matches_cluster_path(
         self, emb, monkeypatch
     ):
@@ -1376,6 +1415,31 @@ class TestPq:
         monkeypatch.setenv("SPARK_GRAFT_NO_MATERIALIZE", "1")
         cluster = rows(similarity.pq_train(c, m=16, ksub=8, iters=0))
         assert driver == cluster
+
+    def test_residual_seed_codebooks_driver_matches_cluster_path(
+        self, emb, monkeypatch
+    ):
+        """r15 single-collect RESIDUAL seed path: pq_train(iters=0) with a
+        cell COLUMN + centroids must produce value-identical codebooks
+        whether the residual seeds are built driver-side (default) or by
+        the cluster expression path (SPARK_GRAFT_NO_MATERIALIZE=1)."""
+        c = emb.filter("vec_id >= 3")
+        cents, assign = similarity.ivf_index_build(c, num_centroids=4)
+
+        def rows(cb):
+            return sorted(
+                (r["sub"], r["code"], tuple(r["cb_micro"]))
+                for r in cb.collect()
+            )
+
+        kw = dict(
+            m=16, ksub=8, iters=0, id_col="c_id", vec_col="c_vec",
+            cells="cent_id", centroids=cents,
+        )
+        driver = rows(similarity.pq_train(assign, **kw))
+        monkeypatch.setenv("SPARK_GRAFT_NO_MATERIALIZE", "1")
+        cluster = rows(similarity.pq_train(assign, **kw))
+        assert driver == cluster and driver
 
     def test_parquet_roundtrip_matches_one_call(self, spark, emb, tmp_path):
         queries = emb.filter("vec_id < 3")
