@@ -275,6 +275,16 @@ def minhash_lsh_pairs(
                 F.col("_bsz").alias("bucket_size"),
             )
         )
+    # materialize the caches ONCE before the consumers fan out (r15, the
+    # ngram_jaccard r14 precedent): the final action launches the pair
+    # stage and both verify join sides as CONCURRENT AQE stage futures,
+    # and with the persisted frames cold each first reader re-computes
+    # the full shingle+sig aggregation on shared cores (sf1 event-log:
+    # overlapping multi-second first-reader jobs, negative inter-job
+    # gaps).  One blocking count fills sig — and buckets too when it is
+    # persisted (it derives from sig) — so every consumer reads warm
+    # cache.  A count() is value-neutral.
+    (buckets if trunc_out is not None else sig).count()
     pairs = (
         buckets.filter(F.size("_ids") > 1)
         .select(F.explode(F.expr(
@@ -1088,7 +1098,20 @@ def duplicated_span_dedup(
             f"i -> concat_ws(' ', slice(_parts, i, {k})))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = base.select("_id", F.posexplode(gram_arr).alias("_s0", "_gram"))
+    # grams is THE expensive projection of this operator (k-token string
+    # windows over every token) and it feeds TWO subtrees — the dup-gram
+    # aggregation and the dup-start semi-join probe — which the final
+    # action launches as CONCURRENT AQE stage futures: the r15 sf1
+    # event-log showed the gram construction running TWICE as a pair of
+    # overlapping ~7 s first-reader stages.  Persist it (same
+    # corpus-scale disk-spill discipline as the MinHash/ngram sig
+    # frames) and fill it with ONE blocking count — which also fills
+    # `base` (grams reads through it), so words and the n_tokens join
+    # get warm cache too.  A count() is value-neutral.
+    grams = base.select(
+        "_id", F.posexplode(gram_arr).alias("_s0", "_gram")
+    ).persist()
+    grams.count()
     dupg = (
         grams.groupBy("_gram")
         .agg(F.count_distinct("_id").alias("_df"))
@@ -1187,6 +1210,7 @@ def minhash_incremental_pairs(
     cannot go quadratic; :func:`minhash_truncated_buckets` quantifies what
     the cap dropped.
     """
+    prebuilt_corpus_sig = corpus_sig is not None
     if corpus_sig is None:
         if corpus is None:
             raise ValueError("need corpus or corpus_sig")
@@ -1202,6 +1226,21 @@ def minhash_incremental_pairs(
         # micro-batch, forever) unpersist these after their action —
         # otherwise every batch leaks two cached signature frames
         frames_out.extend([sig_old, sig_new])
+    # materialize the caches ONCE before the consumers fan out (r15, the
+    # ngram_jaccard r14 precedent): sig_new feeds three subtrees (cross
+    # join, new×new buckets, verify union) and sig_old two — the final
+    # action launches them as CONCURRENT AQE stage futures, and cold
+    # caches make each first reader re-sign the corpus on shared cores
+    # (sf1 event-log: overlapping 1.0-2.5 s first-reader jobs).  One
+    # union count fills BOTH caches in a single job.  When the caller
+    # handed us a PREBUILT corpus signature frame (the streaming
+    # per-batch path — typically already warm from earlier batches),
+    # only the batch-sized sig_new is filled: forcing a full standing-
+    # corpus pass per micro-batch would be a per-batch corpus scan.
+    (
+        sig_new if prebuilt_corpus_sig
+        else sig_old.unionByName(sig_new)
+    ).count()
     banded_old = _minhash_banded(sig_old)
     banded_new = _minhash_banded(sig_new)
     # cross candidates: capped old bucket membership x new band rows

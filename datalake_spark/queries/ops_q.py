@@ -32,6 +32,9 @@ from datalake_spark.queries.pipeline_q import NGRAM_JACCARD_SQL
 # MinHash LSH near-dup — same contract as ngram_jaccard, bucket-local plan.
 # ---------------------------------------------------------------------------
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread measured NEUTRAL here at sf0.1 AND sf1 (r15 interleaved
+    # A/B) — the sig map stage is cheap next to the banding/verify
+    # shuffles — so the scan keeps its natural splits
     docs = load(spark, sf_dir, "documents")
     # truncation sentinel: the brute-force oracle equals the banded
     # operator ONLY while no band bucket exceeds the cap (the simhash /

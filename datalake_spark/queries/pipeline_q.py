@@ -1964,7 +1964,12 @@ QUERIES = [
 def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_spark.operators.dedup import duplicated_span_dedup
 
-    docs = load(spark, sf_dir, "documents")
+    # corpus side spread (r15): the gram-window map stage is the
+    # operator's dominant compute (~7 s single-task at sf1) and the
+    # bench tables' layout pins every scan to one task — the
+    # metadata-gated floor parallelizes it and is a no-op on any
+    # normally-laid-out table (see _spread_partitions)
+    docs = load(spark, sf_dir, "documents", spread=True)
     out = duplicated_span_dedup(docs, text_col="text", id_col="doc_id", k=8, min_df=2)
     return out.select(
         "doc_id",
@@ -2219,6 +2224,8 @@ FROM orders GROUP BY 1
 def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_spark.operators.dedup import minhash_incremental_pairs
 
+    # spread measured NEUTRAL here at sf0.1 AND sf1 (r15 interleaved
+    # A/B) — same reasoning as minhash_lsh_dedup
     docs = load(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") < 300)
     new = docs.filter(F.col("doc_id") >= 300)
