@@ -816,6 +816,106 @@ def _pq_subvectors(
     )
 
 
+def _pq_assign_arrow(
+    sv: DataFrame, codebooks: DataFrame, keep: tuple[str, ...]
+) -> DataFrame:
+    """Vectorized twin of :func:`_pq_assign` (r15, guide §4.2): the
+    m·ksub codebooks — a parameter-bounded LOCAL relation at every call
+    site, so collecting them schedules no cluster job — are packed into
+    per-sub NumPy int64 matrices shipped in the function closure, and
+    one ``mapInArrow`` stage computes every squared-L2 and the argmin
+    over whole record batches instead of Catalyst's interpreted
+    higher-order-function folds (no whole-stage codegen exists for HOFs
+    in Spark 4.1, so the HOF form pays per-row interpreter cost).
+
+    Bit-exact by construction: distances are int64 (a−b)·(a−b) sums —
+    NumPy int64 arithmetic wraps two's-complement exactly like the JVM
+    long fold (and the micro-quantized values cannot overflow int64
+    regardless: |diff| ≤ 2e6 → per-term ≤ 4e12) — and ``np.argmin``
+    takes the FIRST minimal element of the code-sorted axis, the same
+    (dist ASC, code ASC) tie-break as array_position-of-array_min.
+    Pinned against the HOF twin in tests/test_operators.py.
+
+    NULL handling: a NULL subvector or NULL component raises (the HOF
+    path would produce a NULL distance and then fail element_at(0) —
+    both paths reject; data is validated upstream by _pq_d_sub)."""
+    import pyarrow as pa
+
+    by_sub: dict = {}
+    for r in codebooks.collect():
+        if r["cb_micro"] is None or any(
+            x is None for x in r["cb_micro"]
+        ):
+            raise ValueError(
+                f"PQ: codebook (sub={r['sub']}, code={r['code']}) is "
+                "NULL or has NULL components"
+            )
+        by_sub.setdefault(r["sub"], []).append((r["code"], r["cb_micro"]))
+    packed = {
+        s: (
+            np.array([c for c, _ in sorted(lst)], dtype=np.int32),
+            np.array([v for _, v in sorted(lst)], dtype=np.int64),
+        )
+        for s, lst in by_sub.items()
+    }
+    in_cols = ["c_id", "sub", "sv_micro"]
+    in_cols += [k for k in keep if k not in in_cols]
+    out_cols = ["c_id", "sub", "code", *keep]
+    src = sv.select(*in_cols)
+    fields = []
+    for c in out_cols:
+        if c == "code":
+            fields.append(T.StructField("code", T.IntegerType(), True))
+        else:
+            fields.append(src.schema[c])
+    out_schema = T.StructType(fields)
+
+    def assign_batches(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            subs = b.column("sub").to_numpy(zero_copy_only=False)
+            svl = b.column("sv_micro")
+            if svl.null_count or svl.values.null_count:
+                raise ValueError(
+                    "PQ: NULL subvector/component in _pq_assign input"
+                )
+            offs = svl.offsets.to_numpy()
+            widths = np.diff(offs)
+            if n and (widths != widths[0]).any():
+                raise ValueError(
+                    "PQ: ragged subvector widths in _pq_assign input"
+                )
+            w = int(widths[0]) if n else 0
+            flat = svl.values.to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            mat = flat[offs[0]:offs[-1]].reshape(n, w)
+            codes = np.empty(n, dtype=np.int32)
+            for s in np.unique(subs):
+                mask = subs == s
+                cb_codes, cb_mat = packed[int(s)]
+                if cb_mat.shape[1] != w:
+                    raise ValueError(
+                        f"PQ: codebook width {cb_mat.shape[1]} != "
+                        f"subvector width {w} (sub={int(s)})"
+                    )
+                d = mat[mask][:, None, :] - cb_mat[None, :, :]
+                codes[mask] = cb_codes[
+                    np.argmin((d * d).sum(axis=2), axis=1)
+                ]
+            arrays = []
+            for c in out_cols:
+                if c == "code":
+                    arrays.append(pa.array(codes, type=pa.int32()))
+                else:
+                    arrays.append(b.column(c))
+            yield pa.RecordBatch.from_arrays(arrays, out_cols)
+
+    return src.mapInArrow(assign_batches, out_schema)
+
+
 def _pq_assign(
     sv: DataFrame, codebooks: DataFrame, keep: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -829,7 +929,23 @@ def _pq_assign(
     ASC), with ZERO corpus shuffle where the old form aggregated
     |corpus|·m rows through a groupBy(c_id, sub).  ``keep`` names
     sv columns to carry through (pq_train keeps sv_micro so its update
-    step needs no join back; pq_encode keeps the cell tag)."""
+    step needs no join back; pq_encode keeps the cell tag).
+
+    r15 DEFAULT: the vectorized ``mapInArrow`` twin
+    (:func:`_pq_assign_arrow`) — bit-identical values (see its
+    docstring), one MapInArrow stage instead of interpreted HOF folds.
+    Measured: tied at sf0.1 AND sf1 (the gate entries are driver- and
+    shuffle-bound), **2.7× faster per-task CPU at a 2M-row / 16M-
+    subvector microbench** (HOF 11.3-14.1 s vs Arrow 4.2-4.5 s) — the
+    regime that matters at 100 TB, where assignment/encode IS the wall.
+    ``SPARK_GRAFT_ARROW_ASSIGN=0`` forces the HOF form (A/B + twin-test
+    knob); not taken under SPARK_GRAFT_NO_MATERIALIZE (the codebook
+    must be a local relation for the closure packing to be
+    job-free)."""
+    if os.environ.get("SPARK_GRAFT_ARROW_ASSIGN", "1") == "1" and not (
+        os.environ.get("SPARK_GRAFT_NO_MATERIALIZE")
+    ):
+        return _pq_assign_arrow(sv, codebooks, keep)
     zero = F.lit(0).cast("long")
     cbp = codebooks.groupBy("sub").agg(
         F.array_sort(

@@ -1416,6 +1416,62 @@ class TestPq:
         cluster = rows(similarity.pq_train(c, m=16, ksub=8, iters=0))
         assert driver == cluster
 
+    def test_pq_assign_arrow_matches_hof_twin(self, spark, monkeypatch):
+        """r15 mapInArrow experiment: the vectorized assignment must be
+        BIT-identical to the interpreted HOF fold — including ties
+        (equal distances resolve to the SMALLEST code on both paths) and
+        the exact int64 distance arithmetic."""
+        import random as _random
+
+        from datalake_spark.operators.similarity import (
+            _pq_assign, _pq_assign_arrow, _pq_subvectors,
+            _seed_codebooks_local,
+        )
+
+        rng = _random.Random(7)
+        dim, m, ksub = 16, 4, 4
+        vecs = [
+            [rng.uniform(-3, 3) for _ in range(dim)] for _ in range(40)
+        ]
+        # adversarial: duplicates of seed rows force exact-zero distances
+        # and ties across codes built from identical subvectors
+        vecs[10] = list(vecs[0])
+        vecs[11] = list(vecs[1])
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        seed_rows = (
+            df.selectExpr("vec_id as _id", "embedding as _vec")
+            .orderBy("_id").limit(ksub).collect()
+        )
+        cb = _seed_codebooks_local(spark, seed_rows, m)
+        sv = _pq_subvectors(df, m, "vec_id", "embedding")
+
+        def rows(out):
+            return sorted(
+                (r["c_id"], r["sub"], r["code"]) for r in out.collect()
+            )
+
+        monkeypatch.setenv("SPARK_GRAFT_ARROW_ASSIGN", "0")
+        hof = rows(_pq_assign(sv, cb))  # knob=0 forces the HOF form
+        arrow = rows(_pq_assign_arrow(sv, cb, ()))
+        assert hof == arrow and len(hof) == 40 * m
+        # keep threading carries sv_micro through unchanged
+        kept = {
+            (r["c_id"], r["sub"]): (r["code"], tuple(r["sv_micro"]))
+            for r in _pq_assign_arrow(sv, cb, ("sv_micro",)).collect()
+        }
+        base = {
+            (r["c_id"], r["sub"]): tuple(r["sv_micro"])
+            for r in sv.collect()
+        }
+        assert all(kept[k][1] == base[k] for k in base)
+        # the default (knob unset/1) routes _pq_assign through the
+        # arrow twin — same values
+        monkeypatch.setenv("SPARK_GRAFT_ARROW_ASSIGN", "1")
+        assert rows(_pq_assign(sv, cb)) == hof
+
     def test_residual_seed_codebooks_driver_matches_cluster_path(
         self, emb, monkeypatch
     ):
