@@ -1472,6 +1472,53 @@ class TestPq:
         monkeypatch.setenv("SPARK_GRAFT_ARROW_ASSIGN", "1")
         assert rows(_pq_assign(sv, cb)) == hof
 
+    def test_assign_nearest_arrow_matches_hof_twin(self, spark):
+        """r15 mapInArrow experiment: the vectorized nearest-centroid
+        assignment must be BIT-identical to the HOF fold — ties (a
+        vector equidistant to two centroids takes the smaller cent_id),
+        zero-norm vectors (every sim −2.0 → smallest cent_id), and the
+        exact quantize/dot/divide arithmetic."""
+        import random as _random
+
+        from datalake_spark.operators.similarity import (
+            _assign_nearest, _assign_nearest_arrow, _pack_centroids,
+        )
+
+        rng = _random.Random(11)
+        dim = 12
+        vecs = [
+            [rng.uniform(-2, 2) for _ in range(dim)] for _ in range(50)
+        ]
+        vecs[5] = [0.0] * dim            # zero norm -> smallest cent_id
+        vecs[6] = [1e-8] * dim           # sub-micro -> quantizes to 0
+        cent_vecs = [vecs[0], vecs[1], vecs[2], list(vecs[2])]
+        # duplicate centroid vectors (ids 2,3) force an exact sim tie
+        cents = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cent_vecs)],
+            "cent_id long, cent_vec array<double>",
+        )
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "c_id long, c_vec array<double>",
+        )
+
+        def rows(out):
+            return sorted(
+                (r["c_id"], r["cent_id"]) for r in out.collect()
+            )
+
+        hof = rows(_assign_nearest(df, "c_vec", _pack_centroids(cents)))
+        arrow = rows(_assign_nearest_arrow(df, "c_vec", cents))
+        assert hof == arrow and len(hof) == 50
+        # the duplicated-centroid tie resolves to cent_id 2, never 3
+        assert not any(cid == 3 for _, cid in arrow)
+        # empty centroid frame: both paths assign nothing
+        empty = cents.filter("cent_id < 0")
+        assert rows(_assign_nearest_arrow(df, "c_vec", empty)) == []
+        assert rows(
+            _assign_nearest(df, "c_vec", _pack_centroids(empty))
+        ) == []
+
     def test_residual_seed_codebooks_driver_matches_cluster_path(
         self, emb, monkeypatch
     ):
